@@ -1,13 +1,227 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract: named queries over the driver-provided parquet tables
+  * plus DuckDB-equivalent oracle SQL for each (see /root/repo/SURVEY.md §2).
+  *
+  * Conventions keeping the Spark/DuckDB hash compare stable:
+  *   - every computed column is aliased identically on both sides;
+  *   - outputs avoid raw timestamps (ns-vs-us parquet precision) and avoid
+  *     unrounded floating-point aggregates (summation-order sensitivity);
+  *   - ids ordered/cast to BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** events.parquet carries an INT64 TIMESTAMP(NANOS) `ts` column that
+    * Spark 4 rejects at scan time; reading it as LongType (epoch nanos)
+    * keeps exact integer semantics and matches DuckDB's epoch_ns().
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(s"$dir/events.parquet")
+
+  /** Interval identification over the events stream: one row per event,
+    * enumerated interval id per user between a start and an end event type.
+    * `event_id` is the explicit order column (events are generated in
+    * timestamp order; an integer key sidesteps parquet ns/us truncation).
+    */
+  private def intervalQuery(su: Boolean, eu: Boolean,
+                            resultType: ResultType,
+                            adjusted: Boolean = true,
+                            start: String = "signup",
+                            end: Option[String] = Some("purchase"),
+                            ascending: Boolean = true)
+                           (spark: SparkSession, dir: String): DataFrame = {
+    val w =
+      if (adjusted)
+        new IntervalIdentifierAdjusted("event_type", start, end, su, eu,
+          orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"),
+          ascending = Seq(ascending), resultType = resultType)
+      else
+        new IntervalIdentifier("event_type", start, end, su, eu,
+          orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"),
+          ascending = Seq(ascending), resultType = resultType)
+    w.transform(events(spark, dir))
+      .select(col("user_id"), col("event_id"),
+        col("iids").cast("long").as("iids"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** The cumsum-algebra oracle, shared by the four span configs. Expressed
+    * directly in ANSI SQL window functions so DuckDB recomputes the same
+    * semantics independently.
+    */
+  private def intervalOracle(su: Boolean, eu: Boolean,
+                             resultType: String = "enumerated",
+                             start: String = "signup",
+                             end: String = "purchase",
+                             ascending: Boolean = true): String = {
+    val dir = if (ascending) "ASC" else "DESC"
+    // marker preprocessing: nullify duplicated start (keep first) / end
+    // (keep last) markers, mirroring denoise + ffill/bfill + lag-compare
+    val dropStart =
+      s"""
+         |denoise_s AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN event_type IN ('$start','$end')
+         |               THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY event_id $dir
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dn_s
+         |  FROM base),
+         |drop_s AS (
+         |  SELECT * REPLACE (
+         |    CASE WHEN (CASE WHEN dn_s = '$start'
+         |               THEN lag(dn_s) OVER (PARTITION BY user_id
+         |                                    ORDER BY event_id $dir) END)
+         |              = marker THEN NULL ELSE marker END AS marker)
+         |  FROM denoise_s)
+         |""".stripMargin
+    val dropEnd =
+      s"""
+         |denoise_e AS (
+         |  SELECT *,
+         |    first_value(CASE WHEN event_type IN ('$start','$end')
+         |                THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY event_id $dir
+         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn_e
+         |  FROM %s),
+         |drop_e AS (
+         |  SELECT * REPLACE (
+         |    CASE WHEN (CASE WHEN dn_e = '$end'
+         |               THEN lead(dn_e) OVER (PARTITION BY user_id
+         |                                     ORDER BY event_id $dir) END)
+         |              = marker THEN NULL ELSE marker END AS marker)
+         |  FROM %s)
+         |""".stripMargin
+
+    val pre = new StringBuilder(
+      s"WITH base AS (SELECT user_id, event_id, event_type, " +
+        s"event_type AS marker FROM events),\n")
+    var cur = "base"
+    if (su) { pre.append(dropStart).append(","); cur = "drop_s" }
+    if (!eu) {
+      pre.append(dropEnd.format(cur, "denoise_e")).append(",")
+      cur = "drop_e"
+    }
+
+    val core =
+      s"""
+         |bools AS (
+         |  SELECT user_id, event_id,
+         |    CASE WHEN marker IS NOT DISTINCT FROM '$start' THEN 1 ELSE 0 END AS bs,
+         |    CASE WHEN marker IS NOT DISTINCT FROM '$end' THEN 1 ELSE 0 END AS be
+         |  FROM $cur),
+         |shifted AS (
+         |  SELECT *,
+         |    COALESCE(lag(be) OVER (PARTITION BY user_id
+         |                           ORDER BY event_id $dir), 1) AS be_shift
+         |  FROM bools),
+         |raw AS (
+         |  SELECT *,
+         |    SUM(bs + be_shift)
+         |      OVER (PARTITION BY user_id ORDER BY event_id $dir
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw_iid
+         |  FROM shifted),
+         |valid AS (
+         |  SELECT *,
+         |    CASE WHEN SUM(bs + be) OVER (PARTITION BY user_id, raw_iid) = 2
+         |         THEN raw_iid ELSE 0 END AS valid_iid
+         |  FROM raw),
+         |chg AS (
+         |  SELECT *,
+         |    CASE WHEN COALESCE(lag(valid_iid)
+         |        OVER (PARTITION BY user_id ORDER BY event_id $dir), 0)
+         |        - valid_iid < 0 THEN 1 ELSE 0 END AS inc
+         |  FROM valid),
+         |renum AS (
+         |  SELECT *,
+         |    CASE WHEN valid_iid <> 0 THEN
+         |      SUM(inc)
+         |        OVER (PARTITION BY user_id ORDER BY event_id $dir
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      ELSE 0 END AS iid
+         |  FROM chg)
+         |""".stripMargin
+
+    val selected = resultType match {
+      case "raw"   => "CAST(raw_iid AS BIGINT)"
+      case "valid" => "CAST(valid_iid AS BIGINT)"
+      case _       => "CAST(iid AS BIGINT)"
+    }
+    pre.append(core).append(
+      s"SELECT user_id, event_id, $selected AS iids FROM renum " +
+        "ORDER BY user_id, event_id").toString
+  }
+
+  /** Identical start/end markers: running count of the marker. */
+  private def intervalIdenticalOracle(marker: String): String =
+    s"""WITH base AS (SELECT user_id, event_id, event_type
+       |  FROM events)
+       |SELECT user_id, event_id,
+       |  CAST(SUM(CASE WHEN event_type IS NOT DISTINCT FROM '$marker'
+       |           THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS iids
+       |FROM base ORDER BY user_id, event_id""".stripMargin
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    intervalQuery(su = false, eu = true, ResultType.Enumerated)(
+      spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // interval identification: four span configs × generic/adjusted impls
+    "interval_lsfe" -> (intervalQuery(su = false, eu = true,
+      ResultType.Enumerated, adjusted = false) _),
+    "interval_fsle" -> (intervalQuery(su = true, eu = false,
+      ResultType.Enumerated, adjusted = false) _),
+    "interval_fsfe_adj" -> (intervalQuery(su = true, eu = true,
+      ResultType.Enumerated) _),
+    "interval_lsle_adj" -> (intervalQuery(su = false, eu = false,
+      ResultType.Enumerated) _),
+    "interval_fsfe_generic" -> (intervalQuery(su = true, eu = true,
+      ResultType.Enumerated, adjusted = false) _),
+    "interval_lsle_generic" -> (intervalQuery(su = false, eu = false,
+      ResultType.Enumerated, adjusted = false) _),
+    "interval_raw" -> (intervalQuery(su = false, eu = true,
+      ResultType.Raw, adjusted = false) _),
+    "interval_valid" -> (intervalQuery(su = false, eu = true,
+      ResultType.Valid, adjusted = false) _),
+    "interval_desc" -> (intervalQuery(su = false, eu = true,
+      ResultType.Enumerated, adjusted = false, ascending = false) _),
+    "interval_identical" -> ((s: SparkSession, dir: String) => {
+      val w = new IntervalIdentifier("event_type", "click", None,
+        orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"))
+      w.transform(events(s, dir))
+        .select(col("user_id"), col("event_id"),
+          col("iids").cast("long").as("iids"))
+        .orderBy("user_id", "event_id")
+    }),
+  )
+
+  /** DuckDB-runnable oracle SQL per query ({dir} replaced by the driver
+    * with the parquet directory — if the driver does not substitute, the
+    * absolute sf0.01 path is already baked in by Verify).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "interval_lsfe" -> intervalOracle(su = false, eu = true),
+    "interval_fsle" -> intervalOracle(su = true, eu = false),
+    "interval_fsfe_adj" -> intervalOracle(su = true, eu = true),
+    "interval_lsle_adj" -> intervalOracle(su = false, eu = false),
+    "interval_fsfe_generic" -> intervalOracle(su = true, eu = true),
+    "interval_lsle_generic" -> intervalOracle(su = false, eu = false),
+    "interval_raw" -> intervalOracle(su = false, eu = true, "raw"),
+    "interval_valid" -> intervalOracle(su = false, eu = true, "valid"),
+    "interval_desc" -> intervalOracle(su = false, eu = true,
+      ascending = false),
+    "interval_identical" -> intervalIdenticalOracle("click"),
+  )
 }
