@@ -1,0 +1,322 @@
+package graft
+
+import graft.functions.Portable
+import graft.operators.TextAnalysis
+
+/** DuckDB oracle SQL generators for the text / dedup / similarity /
+  * multimodal query surface. Each generator mirrors its Spark operator
+  * expression-for-expression over the same parquet tables, using only
+  * engine-portable primitives (md5, 64-bit integer arithmetic, IEEE
+  * div/sqrt of identical integers — see [[graft.functions.Portable]]),
+  * so results match bit-for-bit, not just approximately.
+  */
+object OracleSql {
+
+  /** Whitespace tokens of trimmed lower-cased text (DuckDB side). */
+  private val Toks = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  private def tokHash(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 8) AS BIGINT)"
+
+  /** Distinct word 3-gram shingles over token list `tk`. */
+  private val Shingles =
+    "list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)), " +
+      "i -> array_to_string(list_slice(tk, i, i + 2), ' ')))"
+
+  /** documents -> (doc_id, hs = distinct shingle hashes), empties dropped
+    * (matches the Spark-side `size(h) > 0` guard).
+    */
+  private val ShingleHashes =
+    s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |s AS (SELECT doc_id, $Shingles AS sh FROM t),
+       |h AS (SELECT doc_id,
+       |  list_transform(sh, x -> ${tokHash("x")}) AS hs
+       |  FROM s WHERE len(sh) > 0)""".stripMargin
+
+  // -------------------------------------------------------------- text
+
+  def textTokens: String =
+    s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  def textQuality: String = {
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |c AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  list_reduce(list_transform(toks, s -> CAST(length(s) AS BIGINT)),
+       |    (a, b) -> a + b) AS char_sum,
+       |  CAST(len(list_filter(toks, s -> s IN ($stop))) AS BIGINT) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  round(CAST(char_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       |    AS avg_token_len,
+       |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       |    AS stopword_ratio,
+       |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
+       |    (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6)
+       |    AS quality_score
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  def textLangId: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, s -> s IN ($lst))) AS BIGINT) AS score_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val cases = langs.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1)
+      val conds = (s"score_$lang > 0" +:
+        later.map(m => s"score_$lang >= score_$m")).mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |sc AS (SELECT doc_id,
+       |  $scores
+       |  FROM t)
+       |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+       |  CASE $cases
+       |    ELSE 'und' END AS pred_lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  def textFingerprint: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+       |  $Toks AS toks FROM documents)
+       |SELECT doc_id, md5(norm) AS md5_fp,
+       |  list_reduce(list_prepend(0,
+       |    list_transform(toks, s -> ${tokHash("s")})),
+       |    (a, h) -> (a * 31 + h) % 1000000007) AS roll_fp
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- dedup
+
+  def dedupExact: String =
+    s"""WITH f AS (SELECT doc_id,
+       |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+       |    AS content_fp FROM documents)
+       |SELECT doc_id, content_fp,
+       |  min(doc_id) OVER (PARTITION BY content_fp) AS canonical_id,
+       |  doc_id <> min(doc_id) OVER (PARTITION BY content_fp) AS is_dup
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  def dedupNGramJaccard(threshold: Double): String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |s AS (SELECT doc_id, $Shingles AS sh FROM t),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+       |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+       |    AS BIGINT) AS uni
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+       |j AS (SELECT id_a, id_b, common, uni,
+       |  round(CAST(common AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard
+       |  FROM p)
+       |SELECT * FROM j WHERE jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  def dedupMinHash(k: Int, bands: Int, threshold: Double): String = {
+    val r = k / bands
+    val sigCols = (0 until k).map { i =>
+      s"list_min(list_transform(hs, x -> (${Portable.minHashA(i)} * x + " +
+        s"${Portable.minHashB(i)}) % ${Portable.MinHashP})) AS s$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until r).map(j => s"s${b * r + j}").mkString(", '-', ")
+      s"SELECT doc_id, $b AS band, concat($key) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$ShingleHashes,
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |  FROM h),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.id_a, c.id_b,
+       |  round(CAST($agree AS DOUBLE) / $k.0, 6) AS est_jaccard
+       |  FROM cand c JOIN sig x ON x.doc_id = c.id_a
+       |              JOIN sig y ON y.doc_id = c.id_b)
+       |SELECT * FROM est WHERE est_jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def dedupSimHash(bits: Int, chunks: Int, maxHamming: Int): String = {
+    val chunkBits = bits / chunks
+    val bitCols = (0 until bits).map { j =>
+      s"list_reduce(list_transform(hs, x -> ((x >> $j) & 1) * 2 - 1), " +
+        s"(a, b) -> a + b) AS b$j"
+    }.mkString(",\n  ")
+    val simExpr = (0 until bits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val chunkSelects = (0 until chunks).map { c =>
+      s"SELECT doc_id, simhash, $c AS c, " +
+        s"(simhash >> ${c * chunkBits}) & ${(1L << chunkBits) - 1} AS v FROM sim"
+    }.mkString("\n  UNION ALL ")
+    s"""$ShingleHashes,
+       |bits AS (SELECT doc_id,
+       |  $bitCols
+       |  FROM h),
+       |sim AS (SELECT doc_id, $simExpr AS simhash FROM bits),
+       |ck AS (
+       |  $chunkSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM ck a JOIN ck b
+       |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) AS BIGINT)
+       |    AS hamming
+       |FROM cand
+       |WHERE bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // -------------------------------------------------- embeddings / ANN
+
+  /** embeddings -> (id, q quantized longs, nrm squared norm). */
+  private val QuantizedVecs =
+    """WITH q0 AS (SELECT vec_id AS id,
+      |  list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT id, q,
+      |  list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS nrm
+      |  FROM q0)""".stripMargin
+
+  private def hyperplaneLit(j: Int, dim: Int): String =
+    (0 until dim).map(i => Portable.hyperplane(j, i)).mkString("[", ", ", "]")
+
+  /** Sign-bucket value from `planes` hyperplanes starting at `base`. */
+  private def bucketExpr(base: Int, planes: Int, dim: Int, vec: String): String =
+    (0 until planes).map { p =>
+      s"(CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}), " +
+        s"i -> $vec[i] * (${hyperplaneLit(base + p, dim)})[i]), " +
+        s"(a, b) -> a + b) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def pairCosine(dim: Int): String =
+    s"round(CAST(list_reduce(list_transform(range(1, ${dim + 1}), " +
+      s"i -> x.q[i] * y.q[i]), (a, b) -> a + b) AS DOUBLE) / " +
+      "sqrt(CAST(x.nrm AS DOUBLE) * CAST(y.nrm AS DOUBLE)), 6)"
+
+  def dedupEmbedding(dim: Int, tables: Int, planesPerTable: Int,
+                     threshold: Double): String = {
+    val tableSelects = (0 until tables).map { t =>
+      s"SELECT id, $t AS t, " +
+        s"${bucketExpr(t * planesPerTable, planesPerTable, dim, "q")} AS v FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""$QuantizedVecs,
+       |bk AS (
+       |  $tableSelects),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bk a JOIN bk b ON a.t = b.t AND a.v = b.v AND a.id < b.id),
+       |sc AS (SELECT c.id_a, c.id_b, ${pairCosine(dim)} AS cosine
+       |  FROM cand c JOIN n x ON x.id = c.id_a JOIN n y ON y.id = c.id_b)
+       |SELECT * FROM sc WHERE cosine >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Brute-force exact top-k (queries = vec_id < maxQueryId). */
+  def annBruteForce(dim: Int, k: Int, maxQueryId: Long): String =
+    s"""$QuantizedVecs,
+       |qs AS (SELECT id AS query_id, q AS qq, nrm AS qnrm FROM n
+       |  WHERE id < $maxQueryId),
+       |sc AS (SELECT x.id, qs.query_id,
+       |  round(CAST(list_reduce(list_transform(range(1, ${dim + 1}),
+       |      i -> x.q[i] * qs.qq[i]), (a, b) -> a + b) AS DOUBLE) /
+       |    sqrt(CAST(x.nrm AS DOUBLE) * CAST(qs.qnrm AS DOUBLE)), 6)
+       |    AS cosine
+       |  FROM n x CROSS JOIN qs WHERE x.id <> qs.query_id),
+       |r AS (SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, id ASC) AS rank,
+       |  id AS neighbor_id, cosine FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed top-k (single `planes`-bit table). */
+  def annLsh(dim: Int, planes: Int, k: Int, maxQueryId: Long): String =
+    s"""$QuantizedVecs,
+       |bk AS (SELECT id, q, nrm,
+       |  ${bucketExpr(0, planes, dim, "q")} AS bucket FROM n),
+       |qs AS (SELECT id AS query_id, q AS qq, nrm AS qnrm, bucket
+       |  FROM bk WHERE id < $maxQueryId),
+       |sc AS (SELECT x.id, qs.query_id,
+       |  round(CAST(list_reduce(list_transform(range(1, ${dim + 1}),
+       |      i -> x.q[i] * qs.qq[i]), (a, b) -> a + b) AS DOUBLE) /
+       |    sqrt(CAST(x.nrm AS DOUBLE) * CAST(qs.qnrm AS DOUBLE)), 6)
+       |    AS cosine
+       |  FROM bk x JOIN qs ON x.bucket = qs.bucket
+       |  WHERE x.id <> qs.query_id),
+       |r AS (SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, id ASC) AS rank,
+       |  id AS neighbor_id, cosine FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------- multimodal
+
+  def mmFeatures: String =
+    s"""WITH f AS (SELECT doc_id,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       |  ${tokHash("text")} AS h
+       |  FROM documents)
+       |SELECT doc_id, byte_len, h % 1280 AS width, h % 720 AS height,
+       |  byte_len % 16 + 1 AS n_frames,
+       |  greatest(1, (byte_len % 16 + 1) // 4) AS frame_stride
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  def mmFrameSample: String =
+    s"""WITH f AS (SELECT doc_id,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+       |  FROM documents),
+       |m AS (SELECT doc_id, byte_len % 16 + 1 AS n_frames,
+       |  greatest(1, (byte_len % 16 + 1) // 4) AS frame_stride FROM f)
+       |SELECT doc_id,
+       |  CAST(unnest(range(0, n_frames, frame_stride)) AS BIGINT)
+       |    AS frame_idx
+       |FROM m ORDER BY doc_id, frame_idx""".stripMargin
+
+  // -------------------------------------------------------- relational
+
+  def q1Pricing: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+      |  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+      |    AS BIGINT)) AS sum_disc_c,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def revenueByNation: String =
+    """SELECT n_name,
+      |  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+      |    AS BIGINT)) AS revenue_c,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  def topCustomers(k: Int): String =
+    s"""SELECT c_custkey, c_name,
+       |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_c,
+       |  count(*) AS n_orders
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_name
+       |ORDER BY total_c DESC, c_custkey LIMIT $k""".stripMargin
+}

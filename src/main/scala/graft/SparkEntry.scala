@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
@@ -171,6 +171,126 @@ object SparkEntry {
        |    AS iids
        |FROM base ORDER BY user_id, event_id""".stripMargin
 
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Text-analysis / dedup / similarity / multimodal / relational query
+    * surface (the 100 TB training-data-pipeline extensions). Each pairs
+    * with a bit-deterministic DuckDB oracle from [[OracleSql]].
+    */
+  private def extendedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.TokenCount().transform(docs(s, dir))
+        .select("doc_id", "n_tokens", "n_distinct_tokens", "n_chars")
+        .orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.QualityScore().transform(docs(s, dir))
+        .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
+          "quality_score")
+        .orderBy("doc_id")),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.LanguageId().transform(docs(s, dir))
+        .select(col("doc_id") +:
+          TextAnalysis.LangMarkers.map(m => col(s"score_${m._1}")) :+
+          col("pred_lang"): _*)
+        .orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.Fingerprint().transform(docs(s, dir))
+        .select("doc_id", "md5_fp", "roll_fp")
+        .orderBy("doc_id")),
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.ExactDedup().transform(docs(s, dir))
+        .select("doc_id", "content_fp", "canonical_id", "is_dup")
+        .orderBy("doc_id")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.NGramJaccard().transform(docs(s, dir))
+        .orderBy("id_a", "id_b")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.MinHashLSHDedup().transform(docs(s, dir))
+        .orderBy("id_a", "id_b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.SimHashDedup().transform(docs(s, dir))
+        .orderBy("id_a", "id_b")),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.EmbeddingNearDup().transform(embs(s, dir))
+        .orderBy("id_a", "id_b")),
+    "ann_bruteforce" -> ((s, dir) =>
+      Similarity.CosineTopK(df => df.filter(col("vec_id") < 8))
+        .transform(embs(s, dir))
+        .orderBy("query_id", "rank")),
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.LshCosineTopK(df => df.filter(col("vec_id") < 8))
+        .transform(embs(s, dir))
+        .orderBy("query_id", "rank")),
+    "mm_features" -> ((s, dir) =>
+      Multimodal.MediaFeatures().transform(
+        docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+        .orderBy("doc_id")),
+    "mm_framesample" -> ((s, dir) =>
+      Multimodal.FrameSample().transform(
+        Multimodal.MediaFeatures().transform(
+          docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8"))))
+        .orderBy("doc_id", "frame_idx")),
+    "q1_pricing" -> ((s, dir) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val cents = (c: Column) => round(c * 100).cast("long")
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+          sum(round((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            * 100).cast("long")).as("sum_disc_c"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "join_revenue_nation" -> ((s, dir) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(round((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          * 100).cast("long")).as("revenue_c"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+    "top_customers" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_c").desc, col("c_custkey").asc)
+        .limit(10)
+    }),
+  )
+
+  private def extendedOracles: Map[String, String] = Map(
+    "text_tokens" -> OracleSql.textTokens,
+    "text_quality" -> OracleSql.textQuality,
+    "text_langid" -> OracleSql.textLangId,
+    "text_fingerprint" -> OracleSql.textFingerprint,
+    "dedup_exact" -> OracleSql.dedupExact,
+    "dedup_ngram_jaccard" -> OracleSql.dedupNGramJaccard(0.2),
+    "dedup_minhash_lsh" -> OracleSql.dedupMinHash(32, 8, 0.25),
+    "dedup_simhash" -> OracleSql.dedupSimHash(32, 4, 3),
+    "dedup_embedding" -> OracleSql.dedupEmbedding(64, 4, 8, 0.4),
+    "ann_bruteforce" -> OracleSql.annBruteForce(64, 5, 8),
+    "ann_lsh" -> OracleSql.annLsh(64, 8, 5, 8),
+    "mm_features" -> OracleSql.mmFeatures,
+    "mm_framesample" -> OracleSql.mmFrameSample,
+    "q1_pricing" -> OracleSql.q1Pricing,
+    "join_revenue_nation" -> OracleSql.revenueByNation,
+    "top_customers" -> OracleSql.topCustomers(10),
+  )
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     intervalQuery(su = false, eu = true, ResultType.Enumerated)(
@@ -205,7 +325,7 @@ object SparkEntry {
           col("iids").cast("long").as("iids"))
         .orderBy("user_id", "event_id")
     }),
-  )
+  ) ++ extendedQueries
 
   /** DuckDB-runnable oracle SQL per query ({dir} replaced by the driver
     * with the parquet directory — if the driver does not substitute, the
@@ -223,5 +343,5 @@ object SparkEntry {
     "interval_desc" -> intervalOracle(su = false, eu = true,
       ascending = false),
     "interval_identical" -> intervalIdenticalOracle("click"),
-  )
+  ) ++ extendedOracles
 }

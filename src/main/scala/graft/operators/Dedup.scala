@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+import graft.core.Wrangler
+import graft.functions.Portable._
+import graft.util.SparkUtil
+
+/** Deduplication operators for large-scale document corpora: exact
+  * (hash-groupBy), n-gram Jaccard (inverted shingle index), MinHash+LSH
+  * (signature bands), SimHash (hamming bands) and embedding-cosine
+  * near-duplicates (random-hyperplane LSH).
+  *
+  * Scale design notes (the point of each formulation at ~100 TB):
+  *   - signatures/sketches (minhash, simhash, quantized norms) are pure
+  *     per-row array expressions — map-side, codegen'd, no shuffle, no
+  *     driver state; only the *candidate join* shuffles, and it shuffles
+  *     the small (doc_id, band_key) projection, never the text;
+  *   - band/bucket self-joins are equi-joins on band keys, so Spark
+  *     hash-partitions both sides identically (no broadcast of the corpus,
+  *     no cartesian product); AQE handles residual bucket skew;
+  *   - the exact inverted-index Jaccard join exposes `maxDocFreq` to cap
+  *     hot shingles, the standard guard against quadratic blowup on
+  *     boilerplate n-grams.
+  */
+object Dedup {
+
+  /** Exact duplicate grouping by md5 of whitespace-normalized text.
+    * Emits the canonical (minimum) doc id per content group and a
+    * duplicate flag; rows are preserved, so downstream filters choose
+    * keep-first or drop-all semantics.
+    */
+  final case class ExactDedup(idColumn: String = "doc_id",
+                              textColumn: String = "text")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      val norm = regexp_replace(trim(lower(col(textColumn))), "\\s+", " ")
+      val w = Window.partitionBy(col("content_fp"))
+      df.withColumn("content_fp", md5(norm))
+        .withColumn("canonical_id", min(col(idColumn)).over(w))
+        .withColumn("is_dup", (col(idColumn) =!= col("canonical_id")))
+    }
+  }
+
+  /** Exact n-gram (shingle) Jaccard similarity join via an inverted
+    * shingle index: explode distinct shingles, self-join on the shingle,
+    * count common shingles per pair, then
+    * `jaccard = common / (|A| + |B| - common)`.
+    *
+    * `maxDocFreq` drops shingles occurring in more than that many
+    * documents before the join (0 = keep all) — at corpus scale hot
+    * boilerplate shingles would otherwise create quadratic candidate
+    * pairs on a single join key.
+    */
+  final case class NGramJaccard(idColumn: String = "doc_id",
+                                textColumn: String = "text",
+                                n: Int = 3,
+                                threshold: Double = 0.2,
+                                maxDocFreq: Long = 0L)
+      extends Wrangler {
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      val sh = df.select(col(idColumn).as("id"),
+          shingles(tokens(col(textColumn)), n).as("sh"))
+        .withColumn("sz", size(col("sh")).cast("long"))
+        .select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+      val filtered =
+        if (maxDocFreq <= 0) sh
+        else {
+          val hot = sh.groupBy("shingle").count()
+            .filter(col("count") > maxDocFreq).select("shingle")
+          sh.join(hot, Seq("shingle"), "left_anti")
+        }
+      val a = filtered.select(col("id").as("id_a"), col("sz").as("sz_a"),
+        col("shingle"))
+      val b = filtered.select(col("id").as("id_b"), col("sz").as("sz_b"),
+        col("shingle"))
+      a.join(b, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("common"))
+        .withColumn("uni", col("sz_a") + col("sz_b") - col("common"))
+        .withColumn("jaccard",
+          round(col("common").cast("double") / col("uni").cast("double"), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "uni", "jaccard")
+    }
+  }
+
+  /** MinHash signature columns s0..s{k-1} for a shingle-hash array —
+    * computed entirely with array expressions (no explode, no shuffle).
+    */
+  private[operators] def minHashSignature(hashes: Column, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      val (ai, bi) = (minHashA(i), minHashB(i))
+      array_min(transform(hashes, x => (lit(ai) * x + lit(bi)) % MinHashP))
+        .as(s"s$i")
+    }
+
+  /** MinHash + LSH candidate-pair dedup: k-wide signatures banded into
+    * `bands` groups of `rowsPerBand`; documents sharing any band key are
+    * candidates; candidate pairs are scored by signature agreement
+    * (`est_jaccard = matching components / k`).
+    */
+  final case class MinHashLSHDedup(idColumn: String = "doc_id",
+                                   textColumn: String = "text",
+                                   n: Int = 3,
+                                   k: Int = 32,
+                                   bands: Int = 8,
+                                   threshold: Double = 0.25)
+      extends Wrangler {
+    require(k % bands == 0, "k must be divisible by bands")
+    private val rowsPerBand = k / bands
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      val hashed = df.select(col(idColumn).as("id"),
+        F.transform(shingles(tokens(col(textColumn)), n), tokenHash _).as("h"))
+        .filter(size(col("h")) > 0)
+      val sigs = hashed.select(col("id") +: minHashSignature(col("h"), k): _*)
+        .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
+        .select("id", "sig")
+      val bandCols = (0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws("-", (0 until rowsPerBand)
+            .map(r => element_at(col("sig"), bnd * rowsPerBand + r + 1)): _*)
+            .as("key"))
+      }
+      val banded = sigs.select(col("id"), col("sig"),
+          explode(array(bandCols: _*)).as("bk"))
+        .select(col("id"), col("sig"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("band"), col("key"))
+      val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("band"), col("key"))
+      a.join(b, Seq("band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+        .withColumn("est_jaccard", round(
+          size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => (x === y).cast("int")), v => v === 1)).cast("double")
+            / lit(k.toDouble), 6))
+        .filter(col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    }
+  }
+
+  /** SimHash near-duplicate pairs: a `bits`-wide simhash over distinct
+    * shingle hashes (per-bit majority vote), banded into `chunks` equal
+    * bit ranges for candidate generation (pigeonhole: hamming <= chunks-1
+    * guarantees a shared chunk), then exact hamming filter.
+    */
+  final case class SimHashDedup(idColumn: String = "doc_id",
+                                textColumn: String = "text",
+                                n: Int = 3,
+                                bits: Int = 32,
+                                chunks: Int = 4,
+                                maxHamming: Int = 3)
+      extends Wrangler {
+    require(bits % chunks == 0, "bits must be divisible by chunks")
+    private val chunkBits = bits / chunks
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      val hashed = df.select(col(idColumn).as("id"),
+        F.transform(shingles(tokens(col(textColumn)), n), tokenHash _).as("h"))
+        .filter(size(col("h")) > 0)
+      val bitSums = (0 until bits).map { j =>
+        aggregate(col("h"), lit(0L),
+          (acc, x) => acc + (shiftright(x, j).bitwiseAND(1L) * 2L - 1L))
+          .as(s"b$j")
+      }
+      val sim = hashed.select(col("id") +: bitSums: _*)
+        .withColumn("simhash", (0 until bits).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _))
+        .select("id", "simhash")
+      val chunkCols = (0 until chunks).map { c =>
+        struct(lit(c).as("c"),
+          shiftright(col("simhash"), c * chunkBits)
+            .bitwiseAND((1L << chunkBits) - 1).as("v"))
+      }
+      val banded = sim.select(col("id"), col("simhash"),
+          explode(array(chunkCols: _*)).as("ck"))
+        .select(col("id"), col("simhash"), col("ck.c").as("c"),
+          col("ck.v").as("v"))
+      val a = banded.select(col("id").as("id_a"),
+        col("simhash").as("sim_a"), col("c"), col("v"))
+      val b = banded.select(col("id").as("id_b"),
+        col("simhash").as("sim_b"), col("c"), col("v"))
+      a.join(b, Seq("c", "v"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+        .withColumn("hamming",
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming")
+    }
+  }
+
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    * `tables` independent `planesPerTable`-bit sign buckets; vectors
+    * sharing any bucket are candidates; exact integer-quantized cosine
+    * filters at `threshold`. Cosines are computed from exact integer
+    * dot/norms, so results are engine-deterministic.
+    */
+  final case class EmbeddingNearDup(idColumn: String = "vec_id",
+                                    vecColumn: String = "embedding",
+                                    dim: Int = 64,
+                                    tables: Int = 4,
+                                    planesPerTable: Int = 8,
+                                    threshold: Double = 0.4)
+      extends Wrangler {
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
+      val q = df.select(col(idColumn).as("id"),
+          quantize(col(vecColumn)).as("q"))
+        .withColumn("nrm", qNormSq(col("q")))
+      val bucketCols = (0 until tables).map { t =>
+        val key = (0 until planesPerTable).map { p =>
+          hyperplaneBit(col("q"), t * planesPerTable + p, dim) *
+            lit(1 << p)
+        }.reduce(_ + _)
+        struct(lit(t).as("t"), key.as("v"))
+      }
+      val banded = q.select(col("id"), col("q"), col("nrm"),
+          explode(array(bucketCols: _*)).as("bk"))
+        .select(col("id"), col("q"), col("nrm"),
+          col("bk.t").as("t"), col("bk.v").as("v"))
+      val a = banded.select(col("id").as("id_a"), col("q").as("q_a"),
+        col("nrm").as("nrm_a"), col("t"), col("v"))
+      val b = banded.select(col("id").as("id_b"), col("q").as("q_b"),
+        col("nrm").as("nrm_b"), col("t"), col("v"))
+      a.join(b, Seq("t", "v"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "q_a", "q_b", "nrm_a", "nrm_b").distinct()
+        .withColumn("cosine", round(qCosine(
+          qDot(col("q_a"), col("q_b")), col("nrm_a"), col("nrm_b")), 6))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    }
+  }
+}

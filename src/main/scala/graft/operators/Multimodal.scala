@@ -1,0 +1,90 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Wrangler
+import graft.util.SparkUtil
+
+/** Multimodal-column plumbing: media payloads are opaque `binary` columns
+  * with typed metadata; decode / feature-extraction runs per-partition
+  * over the binary batches. The actual media codecs are STUBBED with a
+  * deterministic byte-level fake (this container has no image/audio
+  * libraries) — the Spark-side shape is real: binary schema, typed
+  * per-partition iteration without collecting to the driver, and a
+  * metadata struct contract downstream operators can rely on.
+  *
+  * At 100 TB the decode is the classic embarrassingly-parallel map: no
+  * shuffle, bounded memory per partition (one payload at a time via the
+  * partition iterator), and `spark.sql.files.maxPartitionBytes` controls
+  * batch sizing.
+  */
+object Multimodal {
+
+  /** Deterministic fake "decode": header-ish fields derived from the
+    * payload bytes via MD5 (portable to any engine for verification).
+    * A real build replaces ONLY this function with the codec call.
+    */
+  private[operators] def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
+    val d = MessageDigest.getInstance("MD5").digest(payload)
+    val h = java.lang.Long.parseLong(
+      d.take(4).map("%02x".format(_)).mkString, 16)
+    val width = h % 1280L
+    val height = h % 720L
+    val frames = payload.length % 16L + 1L
+    (width, height, frames)
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_frames", LongType),
+    StructField("frame_stride", LongType),
+  ))
+
+  /** Extract media features from a binary payload column. Input columns:
+    * `idColumn` (long) + `payloadColumn` (binary). Output: one row per
+    * media with decoded dimensions, frame count and the sampling stride
+    * for `maxSample` frames.
+    */
+  final case class MediaFeatures(idColumn: String = "doc_id",
+                                 payloadColumn: String = "payload",
+                                 maxSample: Int = 4)
+      extends Wrangler {
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, payloadColumn))
+      val spark = df.sparkSession
+      val projected = df.select(col(idColumn).cast("long"),
+        col(payloadColumn).cast("binary"))
+      val rdd = projected.rdd.mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val payload = row.getAs[Array[Byte]](1)
+          val (w, h, frames) = decodeStub(payload)
+          val stride = math.max(1L, frames / maxSample)
+          Row(id, payload.length.toLong, w, h, frames, stride)
+        }
+      }
+      spark.createDataFrame(rdd, featureSchema)
+    }
+  }
+
+  /** Frame sampling: expand each media row into its sampled frame
+    * indices (0, stride, 2*stride, ... < n_frames) — pure column
+    * expressions over the [[MediaFeatures]] output.
+    */
+  final case class FrameSample() extends Wrangler {
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df,
+        Seq("doc_id", "n_frames", "frame_stride"))
+      df.select(col("doc_id"),
+          explode(sequence(lit(0L), col("n_frames") - 1,
+            col("frame_stride"))).as("frame_idx"))
+    }
+  }
+}

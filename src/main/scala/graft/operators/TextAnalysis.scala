@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+import graft.core.Wrangler
+import graft.functions.Portable._
+import graft.util.SparkUtil
+
+/** Text-analysis wranglers for large-scale document pipelines: token
+  * counting, quality scoring, stopword-based language identification and
+  * document fingerprinting. All are pure narrow map-side column
+  * expressions (no shuffle, full whole-stage codegen), so they scale
+  * linearly with input splits — the right shape for a 100 TB corpus.
+  *
+  * Framework shape follows the reference wrangler contract
+  * (reference: src/pywrangler/base.py:12-131); the text operators
+  * themselves extend the reference's surface for training-data pipelines.
+  */
+object TextAnalysis {
+
+  /** Whitespace + distinct token counts and raw char length. */
+  final case class TokenCount(textColumn: String = "text")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(textColumn))
+      val toks = tokens(col(textColumn))
+      df.withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
+        .withColumn("n_chars", length(col(textColumn)).cast("long"))
+    }
+  }
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Heuristic quality signals: token counts, average token length,
+    * stopword ratio and a composite score in [0, 1]. All ratios derive
+    * from exact integer counts, so they are engine-deterministic.
+    */
+  final case class QualityScore(textColumn: String = "text")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(textColumn))
+      val toks = tokens(col(textColumn))
+      val stopArr = array(Stopwords.map(lit): _*)
+      val nTok = size(toks).cast("long")
+      val charSum = aggregate(F.transform(toks, t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+      val avgLen = charSum.cast("double") / nTok.cast("double")
+      val stopRatio = nStop.cast("double") / nTok.cast("double")
+      df.withColumn("n_tokens", nTok)
+        .withColumn("avg_token_len", round(avgLen, 6))
+        .withColumn("stopword_ratio", round(stopRatio, 6))
+        .withColumn("quality_score",
+          round(least(nTok.cast("double") / lit(100.0), lit(1.0)) *
+            (lit(1.0) - stopRatio), 6))
+    }
+  }
+
+  /** Per-language marker-token lists for the n-gram/stopword language-ID
+    * heuristic. Order defines the deterministic argmax tie-break.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "los", "y", "una", "que", "en"),
+  )
+
+  /** Stopword-hit language identification: score each language by marker
+    * token hits; predict the max-scoring language (ties resolved in
+    * [[LangMarkers]] order), `und` (undetermined) when no marker hits.
+    */
+  final case class LanguageId(textColumn: String = "text")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(textColumn))
+      val toks = tokens(col(textColumn))
+      val scores = LangMarkers.map { case (lang, words) =>
+        val arr = array(words.map(lit): _*)
+        lang -> size(filter(toks, t => array_contains(arr, t))).cast("long")
+      }
+      val withScores = scores.foldLeft(df) { case (d, (lang, s)) =>
+        d.withColumn(s"score_$lang", s)
+      }
+      // argmax with first-wins tie-break: a language is predicted when its
+      // score is positive and >= every LATER language's score (evaluated
+      // in LangMarkers order); 'und' when all scores are zero
+      val pred = scores.reverse.foldLeft(lit("und"): Column) {
+        case (acc, (lang, _)) =>
+          val c = col(s"score_$lang")
+          val later = scores.dropWhile(_._1 != lang).drop(1)
+          val wins = later.foldLeft(c > 0) {
+            case (p, (m, _)) => p && c >= col(s"score_$m")
+          }
+          when(wins, lit(lang)).otherwise(acc)
+      }
+      withScores.withColumn("pred_lang", pred)
+    }
+  }
+
+  /** Document fingerprints: an md5 content fingerprint over
+    * whitespace-normalized text plus a 31-base rolling token hash
+    * (mod 1e9+7) — both portable across engines and cheap at scale.
+    */
+  final case class Fingerprint(textColumn: String = "text")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(textColumn))
+      val norm = regexp_replace(trim(lower(col(textColumn))), "\\s+", " ")
+      val roll = aggregate(tokens(col(textColumn)), lit(0L),
+        (acc, t) => (acc * 31L + tokenHash(t)) % 1000000007L)
+      df.withColumn("md5_fp", md5(norm))
+        .withColumn("roll_fp", roll)
+    }
+  }
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.Portable
+
+/** Unit specs for the text-analysis / dedup / similarity / multimodal
+  * operator layer over tiny literal frames (the DuckDB oracle covers the
+  * full-table behavior; these pin the algebra and edge cases).
+  */
+class TextDedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("shingles: n-gram generation and short-doc guard") {
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b"),      // shorter than n=3 -> empty
+      (3L, "x x x x"),  // duplicates collapse
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      Portable.shingles(Portable.tokens($"text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq())
+    assert(out(3L) == Seq("x x x"))
+  }
+
+  test("tokenHash matches the driver-side computation") {
+    val got = Seq("hello").toDF("s")
+      .select(Portable.tokenHash($"s")).as[Long].head()
+    assert(got == Portable.tokenHashLocal("hello"))
+    assert(got == 1564557354L) // 0x5d41402a of md5("hello")
+  }
+
+  test("ExactDedup groups identical normalized content") {
+    val df = docsDF(
+      1L -> "Hello  World",
+      2L -> "hello world",   // same after normalize
+      3L -> "different text")
+    val out = Dedup.ExactDedup().transform(df)
+      .select("doc_id", "canonical_id", "is_dup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(out == Set((1L, 1L, false), (2L, 1L, true), (3L, 3L, false)))
+  }
+
+  test("NGramJaccard computes exact jaccard on known overlap") {
+    // doc1: shingles {a b c, b c d, c d e} ; doc2: {a b c, b c d, c d x}
+    // common=2, union=4, jaccard=0.5
+    val df = docsDF(1L -> "a b c d e", 2L -> "a b c d x")
+    val out = Dedup.NGramJaccard(threshold = 0.1).transform(df).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("common") == 2L && r.getAs[Long]("uni") == 4L)
+    assert(r.getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("NGramJaccard maxDocFreq drops hot shingles") {
+    // 'a b c' appears in all 3 docs -> dropped at maxDocFreq=2; docs 1/2
+    // still share 'b c d'
+    val df = docsDF(1L -> "a b c d", 2L -> "a b c d", 3L -> "a b c x")
+    val out = Dedup.NGramJaccard(threshold = 0.0, maxDocFreq = 2)
+      .transform(df)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("MinHashLSH finds identical docs with est_jaccard 1.0") {
+    val df = docsDF(
+      1L -> "w1 w2 w3 w4 w5 w6",
+      2L -> "w1 w2 w3 w4 w5 w6",
+      3L -> "z1 z2 z3 z4 z5 z6")
+    val out = Dedup.MinHashLSHDedup().transform(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("SimHash: identical docs at hamming 0, disjoint docs absent") {
+    val df = docsDF(
+      1L -> "w1 w2 w3 w4 w5 w6",
+      2L -> "w1 w2 w3 w4 w5 w6",
+      3L -> "z1 z2 z3 z4 z5 z6")
+    val out = Dedup.SimHashDedup().transform(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  private def vecDF(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("quantized cosine is exact for parallel/orthogonal vectors") {
+    val df = vecDF(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(2f, 0f, 0f, 0f),   // parallel -> cosine 1
+      2L -> Seq(0f, 3f, 0f, 0f))   // orthogonal -> cosine 0
+    val q = df.select($"vec_id", Portable.quantize($"embedding").as("q"))
+      .withColumn("nrm", Portable.qNormSq($"q"))
+    val a = q.filter($"vec_id" === 0).select($"q".as("qa"), $"nrm".as("na"))
+    val pairs = q.crossJoin(a).filter($"vec_id" =!= 0)
+      .select($"vec_id", Portable.qCosine(
+        Portable.qDot($"q", $"qa"), $"nrm", $"na").as("cos"))
+      .as[(Long, Double)].collect().toMap
+    assert(pairs(1L) == 1.0)
+    assert(pairs(2L) == 0.0)
+  }
+
+  test("CosineTopK ranks neighbors by cosine with id tie-break") {
+    val df = vecDF(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(1f, 0.1f),
+      2L -> Seq(1f, 1f),
+      3L -> Seq(0f, 1f))
+    val out = Similarity.CosineTopK(d => d.filter($"vec_id" === 0), k = 2)
+      .transform(df)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("LanguageId: argmax with first-wins tie-break and und fallback") {
+    val df = docsDF(
+      1L -> "the cat and the dog",   // en
+      2L -> "der hund und die katze", // de
+      3L -> "xyz qqq zzz")           // no markers -> und
+    val out = TextAnalysis.LanguageId().transform(df)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "und")
+  }
+
+  test("Fingerprint roll_fp matches a driver-side reference fold") {
+    val text = "alpha beta gamma"
+    val expected = Seq("alpha", "beta", "gamma")
+      .foldLeft(0L)((acc, t) =>
+        (acc * 31L + Portable.tokenHashLocal(t)) % 1000000007L)
+    val got = TextAnalysis.Fingerprint().transform(docsDF(1L -> text))
+      .select("roll_fp").as[Long].head()
+    assert(got == expected)
+  }
+
+  test("QualityScore ratios derive from exact counts") {
+    val df = docsDF(1L -> "the quick fox")  // 3 tokens, 1 stopword
+    val r = TextAnalysis.QualityScore().transform(df).head()
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Double]("stopword_ratio") == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("MediaFeatures decode stub is deterministic and FrameSample expands") {
+    val df = docsDF(1L -> "some payload text")
+      .withColumn("payload", encode($"text", "UTF-8"))
+    val feats = Multimodal.MediaFeatures().transform(df)
+    val r = feats.head()
+    assert(r.getAs[Long]("byte_len") == 17L)
+    assert(r.getAs[Long]("n_frames") == 17L % 16 + 1)
+    val frames = Multimodal.FrameSample().transform(feats)
+      .select("frame_idx").as[Long].collect().toSeq
+    val stride = r.getAs[Long]("frame_stride")
+    assert(frames == (0L until r.getAs[Long]("n_frames") by stride).toSeq)
+  }
+}
