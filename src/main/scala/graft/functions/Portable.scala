@@ -53,9 +53,118 @@ object Portable {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
 
+  /** Driver/executor-side mirror of [[tokens]] + [[shingles]]: distinct
+    * word n-gram shingles of the text. Used by the typed flatMap shingle
+    * producers — Spark's higher-order array lambdas (transform/aggregate)
+    * run interpreted, which makes the pure-expression formulation ~100x
+    * slower than JVM string ops for generator-shaped work; the flatMap
+    * keeps the exact same semantics (same regex, ASCII-stable lowercase).
+    */
+  def shinglesLocal(text: String, n: Int): Array[String] = {
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    if (toks.length < n) Array.empty
+    else {
+      val out = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+      out.toArray(new Array[String](out.size))
+    }
+  }
+
+  /** (id, shingle-set-size, shingle) rows via typed flatMap — one JVM
+    * pass per document, no shuffle, exact [[shingles]] semantics.
+    */
+  def shingleRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = shinglesLocal(text, n)
+        sh.map(s => (id, sh.length.toLong, s))
+      }
+      .toDF(idCol, "sz", "shingle")
+  }
+
+  /** (id, shingle-hash) rows via typed flatMap: first 8 md5 hex chars as
+    * unsigned 32-bit int, identical to [[tokenHash]].
+    */
+  def shingleHashRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          shinglesLocal(text, n).map { s =>
+            md.reset()
+            val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+            val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            (id, h)
+          }
+        }
+      }
+      .toDF(idCol, "hv")
+  }
+
   /** Embedding quantization: array<float> -> array<long> at 1e4 scale. */
   def quantize(arr: Column): Column =
     transform(arr, x => round(x.cast("double") * 10000).cast("long"))
+
+  /** (id, q, nrm, buckets) rows via typed map: quantized vector, squared
+    * norm, and one sign-bucket value per `groupSize`-sized group of
+    * `planes` (empty `planes` => empty buckets). JVM integer arithmetic,
+    * bit-identical to the expression/oracle formulation, but ~100x faster
+    * than interpreted array lambdas for the 32-plane dot products.
+    */
+  def quantizedRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    vecCol: String, planes: Array[Array[Long]],
+                    groupSize: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, vec) =>
+        val q = new Array[Long](vec.length)
+        var i = 0
+        var nrm = 0L
+        while (i < vec.length) {
+          val v = Math.round(vec(i).toDouble * 10000)
+          q(i) = v; nrm += v * v; i += 1
+        }
+        val buckets =
+          if (planes.isEmpty) Array.empty[Long]
+          else planes.grouped(groupSize).map { group =>
+            var bucket = 0L
+            var p = 0
+            while (p < group.length) {
+              var dot = 0L
+              var d = 0
+              while (d < q.length) { dot += q(d) * group(p)(d); d += 1 }
+              if (dot >= 0) bucket |= (1L << p)
+              p += 1
+            }
+            bucket
+          }.toArray
+        (id, q, nrm, buckets)
+      }
+      .toDF(idCol, "q", "nrm", "buckets")
+  }
+
+  /** Hyperplane matrix rows j = from until to, each `dim` wide. */
+  def hyperplaneMatrix(from: Int, until: Int, dim: Int): Array[Array[Long]] =
+    (from until until).map(j =>
+      (0 until dim).map(i => hyperplane(j, i)).toArray).toArray
 
   /** Squared L2 norm of a quantized (long) vector. */
   def qNormSq(q: Column): Column =

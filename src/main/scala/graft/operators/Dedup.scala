@@ -65,10 +65,8 @@ object Dedup {
       extends Wrangler {
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
-      val sh = df.select(col(idColumn).as("id"),
-          shingles(tokens(col(textColumn)), n).as("sh"))
-        .withColumn("sz", size(col("sh")).cast("long"))
-        .select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+      val sh = shingleRows(df.select(col(idColumn).as("id"),
+        col(textColumn)), "id", textColumn, n)
       val filtered =
         if (maxDocFreq <= 0) sh
         else {
@@ -76,13 +74,12 @@ object Dedup {
             .filter(col("count") > maxDocFreq).select("shingle")
           sh.join(hot, Seq("shingle"), "left_anti")
         }
-      val a = filtered.select(col("id").as("id_a"), col("sz").as("sz_a"),
-        col("shingle"))
-      val b = filtered.select(col("id").as("id_b"), col("sz").as("sz_b"),
-        col("shingle"))
-      a.join(b, Seq("shingle"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      // identical plans on both sides of the self-join => Spark reuses one
+      // scan + shuffle exchange instead of processing the corpus twice
+      filtered.as("a").join(filtered.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
         .agg(count(lit(1)).as("common"))
         .withColumn("uni", col("sz_a") + col("sz_b") - col("common"))
         .withColumn("jaccard",
@@ -92,14 +89,16 @@ object Dedup {
     }
   }
 
-  /** MinHash signature columns s0..s{k-1} for a shingle-hash array —
-    * computed entirely with array expressions (no explode, no shuffle).
+  /** MinHash signature aggregates s0..s{k-1} over an exploded shingle-hash
+    * column: `min((a_i*h + b_i) mod P)` per document. Exploding first keeps
+    * every per-hash operation inside whole-stage codegen (Spark's
+    * higher-order array lambdas are interpreted), and the map-side partial
+    * min means the shuffle carries k longs per document per partition.
     */
-  private[operators] def minHashSignature(hashes: Column, k: Int): Seq[Column] =
+  private[operators] def minHashAggs(hv: Column, k: Int): Seq[Column] =
     (0 until k).map { i =>
       val (ai, bi) = (minHashA(i), minHashB(i))
-      array_min(transform(hashes, x => (lit(ai) * x + lit(bi)) % MinHashP))
-        .as(s"s$i")
+      min((lit(ai) * hv + lit(bi)) % MinHashP).as(s"s$i")
     }
 
   /** MinHash + LSH candidate-pair dedup: k-wide signatures banded into
@@ -119,10 +118,10 @@ object Dedup {
 
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
-      val hashed = df.select(col(idColumn).as("id"),
-        F.transform(shingles(tokens(col(textColumn)), n), tokenHash _).as("h"))
-        .filter(size(col("h")) > 0)
-      val sigs = hashed.select(col("id") +: minHashSignature(col("h"), k): _*)
+      val ex = shingleHashRows(df.select(col(idColumn).as("id"),
+        col(textColumn)), "id", textColumn, n)
+      val aggs = minHashAggs(col("hv"), k)
+      val sigs = ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
         .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
         .select("id", "sig")
       val bandCols = (0 until bands).map { bnd =>
@@ -135,13 +134,11 @@ object Dedup {
           explode(array(bandCols: _*)).as("bk"))
         .select(col("id"), col("sig"),
           col("bk.band").as("band"), col("bk.key").as("key"))
-      val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-        col("band"), col("key"))
-      val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-        col("band"), col("key"))
-      a.join(b, Seq("band", "key"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b")).distinct()
         .withColumn("est_jaccard", round(
           size(filter(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => (x === y).cast("int")), v => v === 1)).cast("double")
@@ -168,15 +165,13 @@ object Dedup {
 
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
-      val hashed = df.select(col(idColumn).as("id"),
-        F.transform(shingles(tokens(col(textColumn)), n), tokenHash _).as("h"))
-        .filter(size(col("h")) > 0)
+      // explode + codegen'd aggregate (see minHashAggs scale note)
+      val ex = shingleHashRows(df.select(col(idColumn).as("id"),
+        col(textColumn)), "id", textColumn, n)
       val bitSums = (0 until bits).map { j =>
-        aggregate(col("h"), lit(0L),
-          (acc, x) => acc + (shiftright(x, j).bitwiseAND(1L) * 2L - 1L))
-          .as(s"b$j")
+        sum(shiftright(col("hv"), j).bitwiseAND(1L) * 2L - 1L).as(s"b$j")
       }
-      val sim = hashed.select(col("id") +: bitSums: _*)
+      val sim = ex.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
         .withColumn("simhash", (0 until bits).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _))
@@ -190,13 +185,12 @@ object Dedup {
           explode(array(chunkCols: _*)).as("ck"))
         .select(col("id"), col("simhash"), col("ck.c").as("c"),
           col("ck.v").as("v"))
-      val a = banded.select(col("id").as("id_a"),
-        col("simhash").as("sim_a"), col("c"), col("v"))
-      val b = banded.select(col("id").as("id_b"),
-        col("simhash").as("sim_b"), col("c"), col("v"))
-      a.join(b, Seq("c", "v"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      banded.as("a").join(banded.as("b"),
+          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+        .distinct()
         .withColumn("hamming",
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
         .filter(col("hamming") <= maxHamming)
@@ -219,27 +213,17 @@ object Dedup {
       extends Wrangler {
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
-      val q = df.select(col(idColumn).as("id"),
-          quantize(col(vecColumn)).as("q"))
-        .withColumn("nrm", qNormSq(col("q")))
-      val bucketCols = (0 until tables).map { t =>
-        val key = (0 until planesPerTable).map { p =>
-          hyperplaneBit(col("q"), t * planesPerTable + p, dim) *
-            lit(1 << p)
-        }.reduce(_ + _)
-        struct(lit(t).as("t"), key.as("v"))
-      }
-      val banded = q.select(col("id"), col("q"), col("nrm"),
-          explode(array(bucketCols: _*)).as("bk"))
-        .select(col("id"), col("q"), col("nrm"),
-          col("bk.t").as("t"), col("bk.v").as("v"))
-      val a = banded.select(col("id").as("id_a"), col("q").as("q_a"),
-        col("nrm").as("nrm_a"), col("t"), col("v"))
-      val b = banded.select(col("id").as("id_b"), col("q").as("q_b"),
-        col("nrm").as("nrm_b"), col("t"), col("v"))
-      a.join(b, Seq("t", "v"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "q_a", "q_b", "nrm_a", "nrm_b").distinct()
+      val rows = quantizedRows(df.select(col(idColumn).as("id"),
+          col(vecColumn)), "id", vecColumn,
+        hyperplaneMatrix(0, tables * planesPerTable, dim), planesPerTable)
+      val banded = rows.select(col("id"), col("q"), col("nrm"),
+          posexplode(col("buckets")).as(Seq("t", "v")))
+      banded.as("a").join(banded.as("b"),
+          col("a.t") === col("b.t") && col("a.v") === col("b.v") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.q").as("q_a"), col("b.q").as("q_b"),
+          col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b")).distinct()
         .withColumn("cosine", round(qCosine(
           qDot(col("q_a"), col("q_b")), col("nrm_a"), col("nrm_b")), 6))
         .filter(col("cosine") >= threshold)

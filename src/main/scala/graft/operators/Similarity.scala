@@ -46,12 +46,13 @@ object Similarity {
       extends Wrangler {
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
-      val corpus = df.select(col(idColumn).as("id"),
-          quantize(col(vecColumn)).as("q"))
-        .withColumn("nrm", qNormSq(col("q")))
-      val qs = queries(df).select(col(idColumn).as("query_id"),
-          quantize(col(vecColumn)).as("qq"))
-        .withColumn("qnrm", qNormSq(col("qq")))
+      val corpus = quantizedRows(df.select(col(idColumn).as("id"),
+        col(vecColumn)), "id", vecColumn, Array.empty, 0)
+        .select("id", "q", "nrm")
+      val qs = quantizedRows(queries(df).select(col(idColumn).as("id"),
+        col(vecColumn)), "id", vecColumn, Array.empty, 0)
+        .select(col("id").as("query_id"), col("q").as("qq"),
+          col("nrm").as("qnrm"))
       val scored = corpus.crossJoin(broadcast(qs))
         .filter(col("id") =!= col("query_id"))
         .withColumn("cosine", round(qCosine(
@@ -73,21 +74,17 @@ object Similarity {
                                  k: Int = 5)
       extends Wrangler {
 
-    private def bucket(q: Column): Column =
-      (0 until planes).map { p =>
-        hyperplaneBit(q, p, dim) * lit(1 << p)
-      }.reduce(_ + _)
-
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
-      val corpus = df.select(col(idColumn).as("id"),
-          quantize(col(vecColumn)).as("q"))
-        .withColumn("nrm", qNormSq(col("q")))
-        .withColumn("bucket", bucket(col("q")))
-      val qs = queries(df).select(col(idColumn).as("query_id"),
-          quantize(col(vecColumn)).as("qq"))
-        .withColumn("qnrm", qNormSq(col("qq")))
-        .withColumn("bucket", bucket(col("qq")))
+      val mat = hyperplaneMatrix(0, planes, dim)
+      val corpus = quantizedRows(df.select(col(idColumn).as("id"),
+        col(vecColumn)), "id", vecColumn, mat, planes)
+        .select(col("id"), col("q"), col("nrm"),
+          element_at(col("buckets"), 1).as("bucket"))
+      val qs = quantizedRows(queries(df).select(col(idColumn).as("id"),
+        col(vecColumn)), "id", vecColumn, mat, planes)
+        .select(col("id").as("query_id"), col("q").as("qq"),
+          col("nrm").as("qnrm"), element_at(col("buckets"), 1).as("bucket"))
       val scored = corpus.join(qs, Seq("bucket"))
         .filter(col("id") =!= col("query_id"))
         .withColumn("cosine", round(qCosine(
