@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One input event of the streaming interval identifier. */
+final case class StreamEvent(groupKey: String, ts: Timestamp, order: Long,
+                             marker: String)
+
+/** Emitted assignment: enumerated interval id per (group, order). */
+final case class StreamIid(groupKey: String, order: Long, iids: Long)
+
+/** Per-group streaming state: closed-interval count so far plus the
+  * buffered, not-yet-finalized events (ts millis, order, marker).
+  */
+final case class IntervalBuffer(count: Long,
+                                pending: Seq[(Long, Long, String)])
+
+/** Interval identification over an unbounded stream.
+  *
+  * The batch operator's unbounded `Window.partitionBy().orderBy()` is
+  * unsupported on streams (reference flags streaming as out of scope:
+  * SURVEY.md §2.10), so this is the stateful re-formulation:
+  * `flatMapGroupsWithState` keyed by the group column, buffering events
+  * per group and finalizing exactly the prefix whose interval assignment
+  * can no longer change:
+  *
+  *   - event-time ordering is restored inside the buffer; only events at
+  *     or below the current watermark are eligible (later events may
+  *     still arrive above it);
+  *   - an eligible prefix is emitted up to the first still-open start
+  *     marker (rows before it are either inside a closed start..end span
+  *     or provably non-interval), so emission never has to be retracted;
+  *   - state per group is the closed-interval count plus the undecided
+  *     suffix — bounded by marker-gap length, not stream length.
+  *
+  * Supported span configs: first-end semantics (`endUseFirst = true`),
+  * i.e. FSFE and LSFE. Last-end configs need unbounded lookahead (an
+  * interval could be extended by any future consecutive end marker) and
+  * are rejected.
+  *
+  * Scale: state is per-group and O(open-gap); shuffle is the single
+  * keyBy(group) exchange any stateful op pays. Watermark delay bounds
+  * both lateness tolerance and emission latency.
+  *
+  * Boundary note: Spark's stateful operators drop arriving rows whose
+  * event time is at or below the current watermark, so events timestamped
+  * exactly at the initial watermark (epoch 0) never reach the operator —
+  * the buffered-prefix predicate here (`ts <= watermark` is final)
+  * mirrors that drop convention.
+  */
+final class StreamingIntervalIdentifier(markerStart: String,
+                                        markerEnd: String,
+                                        startUseFirst: Boolean = false)
+    extends Serializable {
+
+  /** Pair collapsed start/end events over `markers`; returns ids (0 = no
+    * interval) and the cut index before which assignment is final given
+    * that no event can ever be inserted below `markers` positions again.
+    * `baseCount` numbers intervals across batches.
+    */
+  private[streaming] def assign(markers: Seq[String], baseCount: Long)
+      : (Seq[Long], Int, Long) = {
+    val events = markers.zipWithIndex.collect {
+      case (m, i) if m == markerStart || m == markerEnd =>
+        (i, m == markerStart)
+    }
+    // collapse runs (keep first or last start per flag; first end)
+    val kept = Vector.newBuilder[(Int, Boolean)]
+    var run = List.empty[(Int, Boolean)]
+    def flush(): Unit = if (run.nonEmpty) {
+      val keepFirst = if (run.head._2) startUseFirst else true
+      kept += (if (keepFirst) run.last else run.head)
+      run = Nil
+    }
+    events.foreach { ev =>
+      if (run.nonEmpty && run.head._2 != ev._2) flush()
+      run = ev :: run
+    }
+    flush()
+    val seq = kept.result()
+    val ids = Array.fill(markers.size)(0L)
+    var count = baseCount
+    var lastClosedEnd = -1
+    var k = 0
+    while (k < seq.size - 1) {
+      if (seq(k)._2 && !seq(k + 1)._2) {
+        count += 1
+        (seq(k)._1 to seq(k + 1)._1).foreach(i => ids(i) = count)
+        lastClosedEnd = seq(k + 1)._1
+        k += 2
+      } else k += 1
+    }
+    // first raw start marker after the last closed interval is still open
+    val firstOpenStart = markers.zipWithIndex.indexWhere {
+      case (m, i) => i > lastClosedEnd && m == markerStart
+    }
+    val cut = if (firstOpenStart == -1) markers.size else firstOpenStart
+    (ids.toSeq, cut, count)
+  }
+
+  private def step(key: String, events: Iterator[StreamEvent],
+                   state: GroupState[IntervalBuffer]): Iterator[StreamIid] = {
+    val prev = state.getOption.getOrElse(IntervalBuffer(0L, Nil))
+    val all = (prev.pending ++ events.map(e =>
+      (e.ts.getTime, e.order, e.marker))).sortBy(t => (t._2, t._1))
+    val wm = state.getCurrentWatermarkMs()
+    val (ripe, unripe) = all.partition(_._1 <= wm)
+    val (ids, cut, newCount) = assign(ripe.map(_._3), prev.count)
+    val emitted = ripe.take(cut).zip(ids.take(cut)).map {
+      case ((_, order, _), id) => StreamIid(key, order, id)
+    }
+    // every closed interval ends before the cut (cut = first open start
+    // after the last closed end), so the carried count is final
+    val remaining = ripe.drop(cut) ++ unripe
+    state.update(IntervalBuffer(newCount, remaining))
+    // a watermark-only advance does not re-invoke the function for a key
+    // without new data; an event-time timeout just above the current
+    // watermark makes the next advance flush the buffered suffix
+    if (remaining.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+    emitted.iterator
+  }
+
+  /** Apply to a streaming DataFrame with columns
+    * (groupKey string, ts timestamp, order long, marker string); the
+    * caller sets `withWatermark("ts", ...)` upstream. The order column
+    * must be non-decreasing in event time within a group (e.g. a sequence
+    * number assigned in event-time order) — the watermark bounds lateness
+    * in `ts`, and order-alignment makes the below-watermark prefix the
+    * final row order.
+    */
+  def transform(df: DataFrame): Dataset[StreamIid] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr("groupKey", "ts", "order", "marker").as[StreamEvent]
+      .groupByKey(_.groupKey)
+      .flatMapGroupsWithState[IntervalBuffer, StreamIid](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
+}
