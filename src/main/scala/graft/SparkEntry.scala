@@ -317,6 +317,17 @@ object SparkEntry {
       ResultType.Valid, adjusted = false) _),
     "interval_desc" -> (intervalQuery(su = false, eu = true,
       ResultType.Enumerated, adjusted = false, ascending = false) _),
+    // single-pass (repartition+sort+mapPartitions) formulation: one
+    // shuffle instead of two; must agree with the same oracle
+    "interval_lsfe_1pass" -> ((s: SparkSession, dir: String) => {
+      val w = new IntervalIdentifierSinglePass("event_type", "signup",
+        Some("purchase"), orderbyColumns = Seq("event_id"),
+        groupbyColumns = Seq("user_id"))
+      w.transform(events(s, dir))
+        .select(col("user_id"), col("event_id"),
+          col("iids").cast("long").as("iids"))
+        .orderBy("user_id", "event_id")
+    }),
     "interval_identical" -> ((s: SparkSession, dir: String) => {
       val w = new IntervalIdentifier("event_type", "click", None,
         orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"))
@@ -342,6 +353,7 @@ object SparkEntry {
     "interval_valid" -> intervalOracle(su = false, eu = true, "valid"),
     "interval_desc" -> intervalOracle(su = false, eu = true,
       ascending = false),
+    "interval_lsfe_1pass" -> intervalOracle(su = false, eu = true),
     "interval_identical" -> intervalIdenticalOracle("click"),
   ) ++ extendedOracles
 }
