@@ -40,23 +40,30 @@ object OracleSql {
        |SELECT doc_id,
        |  CAST(len(toks) AS BIGINT) AS n_tokens,
        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
-       |  CAST(length(text) AS BIGINT) AS n_chars
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_regex_tokens
        |FROM t ORDER BY doc_id""".stripMargin
 
   def textQuality: String = {
     val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
        |c AS (SELECT doc_id,
        |  CAST(len(toks) AS BIGINT) AS n_tokens,
        |  list_reduce(list_transform(toks, s -> CAST(length(s) AS BIGINT)),
        |    (a, b) -> a + b) AS char_sum,
-       |  CAST(len(list_filter(toks, s -> s IN ($stop))) AS BIGINT) AS n_stop
+       |  CAST(len(list_filter(toks, s -> s IN ($stop))) AS BIGINT) AS n_stop,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(length(text) - length(regexp_replace(text,
+       |    '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct
        |  FROM t)
        |SELECT doc_id, n_tokens,
        |  round(CAST(char_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
        |    AS avg_token_len,
        |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
        |    AS stopword_ratio,
+       |  round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+       |    AS punct_ratio,
        |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
        |    (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6)
        |    AS quality_score
@@ -288,6 +295,22 @@ object OracleSql {
        |  CAST(unnest(range(0, n_frames, frame_stride)) AS BIGINT)
        |    AS frame_idx
        |FROM m ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ----------------------------------------------------- sessionization
+
+  def sessionize(maxGapNs: Long): String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn
+       |  FROM events),
+       |d AS (SELECT user_id, event_id, tsn,
+       |  CASE WHEN tsn - lag(tsn) OVER w IS NULL
+       |         OR tsn - lag(tsn) OVER w > $maxGapNs
+       |       THEN 1 ELSE 0 END AS nw
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id))
+       |SELECT user_id, event_id,
+       |  CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS session_id
+       |FROM d ORDER BY user_id, event_id""".stripMargin
 
   // -------------------------------------------------------- relational
 

@@ -184,13 +184,20 @@ object SparkEntry {
   private def extendedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.TokenCount().transform(docs(s, dir))
-        .select("doc_id", "n_tokens", "n_distinct_tokens", "n_chars")
+        .select("doc_id", "n_tokens", "n_distinct_tokens", "n_chars",
+          "n_regex_tokens")
         .orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.QualityScore().transform(docs(s, dir))
         .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
-          "quality_score")
+          "punct_ratio", "quality_score")
         .orderBy("doc_id")),
+    "sessionize" -> ((s, dir) =>
+      Sessionize("ts", 50000000000000L, Seq("user_id"), Seq("event_id"))
+        .transform(events(s, dir))
+        .select(col("user_id"), col("event_id"),
+          col("session_id"))
+        .orderBy("user_id", "event_id")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.LanguageId().transform(docs(s, dir))
         .select(col("doc_id") +:
@@ -275,6 +282,7 @@ object SparkEntry {
   private def extendedOracles: Map[String, String] = Map(
     "text_tokens" -> OracleSql.textTokens,
     "text_quality" -> OracleSql.textQuality,
+    "sessionize" -> OracleSql.sessionize(50000000000000L),
     "text_langid" -> OracleSql.textLangId,
     "text_fingerprint" -> OracleSql.textFingerprint,
     "dedup_exact" -> OracleSql.dedupExact,

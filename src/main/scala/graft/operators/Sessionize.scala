@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Wrangler
+import graft.util.SparkUtil
+
+/** Gap-based sessionization: rows of an entity belong to the same session
+  * while the gap between consecutive timestamps stays <= `maxGap`; a
+  * larger gap opens a new session. Session ids enumerate 1..n per entity
+  * in time order.
+  *
+  * The natural sibling of interval identification on the same ordered,
+  * grouped event model (reference data model:
+  * src/pywrangler/wranglers.py:64-74) and the standard building block of
+  * behavioral training-data pipelines.
+  *
+  * Execution: one ordered window per group — a single shuffle on the
+  * groupby keys, cumulative sum with an explicit rows-frame (same scale
+  * characteristics as the interval identifier's main window).
+  *
+  * @param tsColumn       numeric or timestamp column measuring event time
+  * @param maxGap         largest in-session gap, in `tsColumn` units
+  * @param orderTiebreak  extra columns ordering ties deterministically
+  */
+final case class Sessionize(tsColumn: String,
+                            maxGap: Long,
+                            groupbyColumns: Seq[String] = Nil,
+                            orderTiebreak: Seq[String] = Nil,
+                            targetColumnName: String = "session_id")
+    extends Wrangler {
+  override def preservesSampleSize: Boolean = true
+
+  def transform(df: DataFrame): DataFrame = {
+    SparkUtil.validateColumns(df,
+      Seq(tsColumn) ++ groupbyColumns ++ orderTiebreak)
+    val order = (tsColumn +: orderTiebreak).map(col)
+    val w =
+      (if (groupbyColumns.nonEmpty) Window.partitionBy(groupbyColumns.map(col): _*)
+       else Window.partitionBy())
+        .orderBy(order: _*)
+    val gap = col(tsColumn) - lag(col(tsColumn), 1).over(w)
+    val isNew = when(gap.isNull || gap > maxGap, 1).otherwise(0)
+    df.withColumn(targetColumnName,
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).cast("long"))
+  }
+}

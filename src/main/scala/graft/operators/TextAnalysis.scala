@@ -30,6 +30,11 @@ object TextAnalysis {
       df.withColumn("n_tokens", size(toks).cast("long"))
         .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
         .withColumn("n_chars", length(col(textColumn)).cast("long"))
+        // BPE-ish regex tokenization: letter runs, digit runs, and single
+        // non-space symbols each count as one token
+        .withColumn("n_regex_tokens", size(regexp_extract_all(
+          lower(col(textColumn)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long"))
     }
   }
 
@@ -50,11 +55,16 @@ object TextAnalysis {
       val charSum = aggregate(F.transform(toks, t => length(t).cast("long")),
         lit(0L), (acc, x) => acc + x)
       val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+      val nChars = length(col(textColumn)).cast("long")
+      val nPunct = (nChars - length(regexp_replace(col(textColumn),
+        "[^a-zA-Z0-9\\s]", ""))).cast("long")
       val avgLen = charSum.cast("double") / nTok.cast("double")
       val stopRatio = nStop.cast("double") / nTok.cast("double")
       df.withColumn("n_tokens", nTok)
         .withColumn("avg_token_len", round(avgLen, 6))
         .withColumn("stopword_ratio", round(stopRatio, 6))
+        .withColumn("punct_ratio",
+          round(nPunct.cast("double") / nChars.cast("double"), 6))
         .withColumn("quality_score",
           round(least(nTok.cast("double") / lit(100.0), lit(1.0)) *
             (lit(1.0) - stopRatio), 6))
