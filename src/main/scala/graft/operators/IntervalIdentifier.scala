@@ -48,7 +48,10 @@ object ResultType {
   *
   * All steps are native Catalyst window expressions — no UDFs — so the plan
   * stays inside whole-stage codegen and scales with per-group sort-based
-  * window execution (2 shuffles: groupby window + per-raw-iid window).
+  * window execution. The whole pipeline costs ONE shuffle: the per-raw-iid
+  * window clusters on (groupby, raw_iid), which the existing
+  * hashpartitioning(groupby) already satisfies, so EnsureRequirements adds
+  * only a sort (pinned by PlanShapeSpec).
   *
   * @param markerColumn   name of the column holding start/end markers
   * @param markerStart    value marking an interval start

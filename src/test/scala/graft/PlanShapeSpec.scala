@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Pins the physical-plan shape of the core operators: shuffle counts are
+  * scale properties (each Exchange is a full repartition of the data at
+  * 100 TB), so regressions here are performance bugs even when results
+  * stay correct.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Shuffle exchanges in the prepared physical plan (EnsureRequirements
+    * inserts them only at executedPlan preparation; with AQE this is the
+    * initial adaptive plan).
+    */
+  private def shuffles(df: DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan.toString
+    "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+  }
+
+  private def events = Seq(
+    (1L, 1L, "s"), (1L, 2L, "x"), (1L, 3L, "e"),
+    (2L, 1L, "s"), (2L, 2L, "e"))
+    .toDF("user_id", "event_id", "marker")
+
+  test("interval enumerated: ONE shuffle for the whole window pipeline") {
+    // the per-raw-iid window clusters on (groupby, raw_iid); existing
+    // hashpartitioning(groupby) already satisfies that distribution
+    // (partition keys are a subset of the clustering keys), so
+    // EnsureRequirements inserts only a sort — better than the
+    // reference's derived 2-shuffle count
+    val w = new IntervalIdentifier("marker", "s", Some("e"),
+      orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"))
+    assert(shuffles(w.transform(events)) == 1)
+  }
+
+  test("interval raw / identical: single shuffle") {
+    val raw = new IntervalIdentifier("marker", "s", Some("e"),
+      orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"),
+      resultType = ResultType.Raw)
+    assert(shuffles(raw.transform(events)) == 1)
+    val ident = new IntervalIdentifier("marker", "s", None,
+      orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"))
+    assert(shuffles(ident.transform(events)) == 1)
+  }
+
+  test("interval single-pass: single shuffle") {
+    val w = new IntervalIdentifierSinglePass("marker", "s", Some("e"),
+      orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"))
+    assert(shuffles(w.transform(events)) == 1)
+  }
+
+  test("sessionize: single shuffle") {
+    val df = Seq(("u", 1L, 1L)).toDF("user", "ts", "id")
+    assert(shuffles(Sessionize("ts", 10L, Seq("user"), Seq("id"))
+      .transform(df)) == 1)
+  }
+
+  test("exact dedup: single shuffle") {
+    val df = Seq((1L, "t")).toDF("doc_id", "text")
+    assert(shuffles(Dedup.ExactDedup().transform(df)) == 1)
+  }
+
+  test("minhash LSH: sketches map-side, shuffles only for agg + candidate join") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    // signature agg (1) + band self-join sides (co-partitioned, counted
+    // per side) + pair distinct: must stay well below a shuffle-per-band
+    val n = shuffles(Dedup.MinHashLSHDedup().transform(df))
+    assert(n <= 4, s"minhash plan has $n shuffles")
+  }
+
+  test("broadcast join: nation side broadcasts, no shuffle for the dim") {
+    val l = Seq((1L, 10.0, 0.1)).toDF("l_orderkey", "l_extendedprice",
+      "l_discount")
+    val n = Seq((1, "A")).toDF("n_nationkey", "n_name")
+    val joined = l.join(org.apache.spark.sql.functions.broadcast(n),
+      l("l_orderkey") === n("n_nationkey"))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+}
