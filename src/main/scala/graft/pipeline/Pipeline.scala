@@ -131,9 +131,9 @@ final class Pipeline(val stages: Seq[Stage]) {
   /** Human-readable stage summary (reference: pipeline.py:940-975). */
   def describe(df: DataFrame): String =
     profile(df).map(p =>
-      f"${p.idx}%3d ${p.label}%-30s ${p.seconds}%8.3fs ${p.rows}%9d rows " +
-        f"${p.cols}%3d cols ${if (p.cached) "cached" else ""}%-6s " +
-        f"codegen=${p.codegenStages}")
+      f"${p.idx}%3d ${p.label}%-30s ${graft.util.Format.duration(p.seconds)}%10s " +
+        f"${p.rows}%9d rows ${p.cols}%3d cols " +
+        f"${if (p.cached) "cached" else ""}%-6s codegen=${p.codegenStages}")
       .mkString("\n")
 }
 
