@@ -166,13 +166,17 @@ object Portable {
     (from until until).map(j =>
       (0 until dim).map(i => hyperplane(j, i)).toArray).toArray
 
-  /** Squared L2 norm of a quantized (long) vector. */
-  def qNormSq(q: Column): Column =
-    aggregate(transform(q, x => x * x), lit(0L), (acc, x) => acc + x)
+  /** Squared L2 norm of a quantized (long) vector (codegen'd primitive
+    * loop via [[LongArrayDot]]).
+    */
+  def qNormSq(q: Column): Column = ArrayOps.longArrayDot(q, q)
 
-  /** Dot product of two equal-length quantized vectors. */
-  def qDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Dot product of two equal-length quantized vectors — a native
+    * Catalyst expression with `doGenCode` ([[LongArrayDot]]); the
+    * composable `aggregate(zip_with(...))` form runs interpreted and
+    * allocates per row.
+    */
+  def qDot(a: Column, b: Column): Column = ArrayOps.longArrayDot(a, b)
 
   /** Cosine from integer dot + squared norms (bit-deterministic). */
   def qCosine(dot: Column, na: Column, nb: Column): Column =
