@@ -273,6 +273,45 @@ object OracleSql {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** IVF top-k: deterministic hash-sampled centroids, argmax assignment,
+    * nprobe probing, exact re-rank — tie-breaks by centroid id mirror the
+    * Spark side's first-max-wins scan.
+    */
+  def annIvf(dim: Int, nlist: Int, nprobe: Int, k: Int,
+             maxQueryId: Long): String = {
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def cosE(a: String, b: String, na: String, nb: String) =
+      s"CAST(${dotE(a, b)} AS DOUBLE) / " +
+        s"sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
+    s"""$QuantizedVecs,
+       |hh AS (SELECT id,
+       |  CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)
+       |    AS h FROM n),
+       |sel AS (SELECT id, h FROM hh ORDER BY h, id LIMIT $nlist),
+       |cents AS (SELECT row_number() OVER (ORDER BY s.h, s.id) AS cid,
+       |  n.q AS cq, n.nrm AS cnrm FROM sel s JOIN n ON n.id = s.id),
+       |asgn0 AS (SELECT n.id, n.q, n.nrm, c.cid,
+       |  row_number() OVER (PARTITION BY n.id ORDER BY
+       |    ${cosE("n.q", "c.cq", "n.nrm", "c.cnrm")} DESC, c.cid ASC)
+       |    AS rn
+       |  FROM n CROSS JOIN cents c),
+       |asgn AS (SELECT id, q, nrm, cid FROM asgn0 WHERE rn = 1),
+       |probes AS (SELECT id AS query_id, q AS qq, nrm AS qnrm, cid
+       |  FROM asgn0 WHERE id < $maxQueryId AND rn <= $nprobe),
+       |sc AS (SELECT a.id, p.query_id,
+       |  round(${cosE("a.q", "p.qq", "a.nrm", "p.qnrm")}, 6) AS cosine
+       |  FROM asgn a JOIN probes p ON a.cid = p.cid
+       |  WHERE a.id <> p.query_id),
+       |r AS (SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, id ASC) AS rank,
+       |  id AS neighbor_id, cosine FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   // -------------------------------------------------------- multimodal
 
   def mmFeatures: String =

@@ -232,6 +232,10 @@ object SparkEntry {
       Similarity.LshCosineTopK(df => df.filter(col("vec_id") < 8))
         .transform(embs(s, dir))
         .orderBy("query_id", "rank")),
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.IvfTopK(df => df.filter(col("vec_id") < 8))
+        .transform(embs(s, dir))
+        .orderBy("query_id", "rank")),
     "mm_features" -> ((s, dir) =>
       Multimodal.MediaFeatures().transform(
         docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
@@ -292,6 +296,7 @@ object SparkEntry {
     "dedup_embedding" -> OracleSql.dedupEmbedding(64, 4, 8, 0.4),
     "ann_bruteforce" -> OracleSql.annBruteForce(64, 5, 8),
     "ann_lsh" -> OracleSql.annLsh(64, 8, 5, 8),
+    "ann_ivf" -> OracleSql.annIvf(64, 16, 4, 5, 8),
     "mm_features" -> OracleSql.mmFeatures,
     "mm_framesample" -> OracleSql.mmFrameSample,
     "q1_pricing" -> OracleSql.q1Pricing,

@@ -61,6 +61,79 @@ object Similarity {
     }
   }
 
+  /** IVF-flat top-k: a deterministic coarse quantizer (the `nlist` corpus
+    * vectors with the smallest md5 id-hash serve as centroids — no
+    * iterative training, so the layout is reproducible in any engine),
+    * corpus vectors assigned to their max-cosine centroid (inverted
+    * lists), queries probing their `nprobe` closest lists with exact
+    * integer-cosine re-ranking inside.
+    *
+    * Scale shape: the centroid table is tiny and driver-held (as in any
+    * IVF index), assignment is an embarrassingly-parallel typed map, and
+    * the probe join is an equi-join on cluster id — each query scores
+    * only its lists, never the corpus.
+    */
+  final case class IvfTopK(queries: DataFrame => DataFrame,
+                           idColumn: String = "vec_id",
+                           vecColumn: String = "embedding",
+                           nlist: Int = 16,
+                           nprobe: Int = 4,
+                           k: Int = 5)
+      extends Wrangler {
+
+    private def cos(dot: Long, na: Long, nb: Long): Double =
+      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val quant = quantizedRows(df.select(col(idColumn).as("id"),
+        col(vecColumn)), "id", vecColumn, Array.empty, 0)
+        .select("id", "q", "nrm")
+
+      // deterministic centroid pick: nlist smallest (md5(id), id)
+      val centroids = quant
+        .withColumn("hh", tokenHash(col("id").cast("string")))
+        .orderBy("hh", "id").limit(nlist)
+        .select("id", "q", "nrm")
+        .as[(Long, Array[Long], Long)].collect()
+        .zipWithIndex.map { case ((_, q, nrm), i) => (i + 1, q, nrm) }
+
+      def dot(a: Array[Long], b: Array[Long]): Long = {
+        var acc = 0L; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      /** clusters by cosine desc, centroid id asc (strict-improvement
+        * scan == first-max-wins tie-break, mirroring the oracle's
+        * ORDER BY cos DESC, cid ASC).
+        */
+      def rankedClusters(q: Array[Long], nrm: Long): Seq[Int] =
+        centroids.map { case (cid, cq, cnrm) =>
+          (cid, cos(dot(q, cq), nrm, cnrm))
+        }.sortBy { case (cid, c) => (-c, cid) }.map(_._1).toSeq
+
+      val corpus = quant.as[(Long, Array[Long], Long)]
+        .map { case (id, q, nrm) => (id, q, nrm, rankedClusters(q, nrm).head) }
+        .toDF("id", "q", "nrm", "cluster")
+      val probes = quantizedRows(queries(df).select(col(idColumn).as("id"),
+        col(vecColumn)), "id", vecColumn, Array.empty, 0)
+        .select("id", "q", "nrm").as[(Long, Array[Long], Long)]
+        .flatMap { case (id, q, nrm) =>
+          rankedClusters(q, nrm).take(nprobe).map(c => (id, q, nrm, c))
+        }
+        .toDF("query_id", "qq", "qnrm", "cluster")
+
+      val scored = corpus.join(probes, Seq("cluster"))
+        .filter(col("id") =!= col("query_id"))
+        .withColumn("cosine", round(qCosine(
+          qDot(col("q"), col("qq")), col("nrm"), col("qnrm")), 6))
+      ranked(scored, k)
+    }
+  }
+
   /** LSH top-k: single `planes`-bit random-hyperplane table; each query
     * scores only the corpus vectors in its bucket (exact re-rank inside
     * the bucket). Returns up to k neighbors per query — fewer when the
