@@ -115,7 +115,8 @@ object OracleSql {
 
   def dedupNGramJaccard(threshold: Double): String =
     s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
-       |s AS (SELECT doc_id, $Shingles AS sh FROM t),
+       |s0 AS (SELECT doc_id, $Shingles AS sh FROM t),
+       |s AS (SELECT doc_id, sh FROM s0 WHERE len(sh) > 0),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
        |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
@@ -321,7 +322,7 @@ object OracleSql {
        |  FROM documents)
        |SELECT doc_id, byte_len, h % 1280 AS width, h % 720 AS height,
        |  byte_len % 16 + 1 AS n_frames,
-       |  greatest(1, (byte_len % 16 + 1) // 4) AS frame_stride
+       |  (byte_len % 16 + 1 + 3) // 4 AS frame_stride
        |FROM f ORDER BY doc_id""".stripMargin
 
   def mmFrameSample: String =
@@ -329,7 +330,7 @@ object OracleSql {
        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
        |  FROM documents),
        |m AS (SELECT doc_id, byte_len % 16 + 1 AS n_frames,
-       |  greatest(1, (byte_len % 16 + 1) // 4) AS frame_stride FROM f)
+       |  (byte_len % 16 + 1 + 3) // 4 AS frame_stride FROM f)
        |SELECT doc_id,
        |  CAST(unnest(range(0, n_frames, frame_stride)) AS BIGINT)
        |    AS frame_idx

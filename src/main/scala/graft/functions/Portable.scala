@@ -32,12 +32,17 @@ object Portable {
   def tokenHash(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** First 4 md5 digest bytes as an unsigned 32-bit int — the ONE place
+    * encoding the cross-engine hash contract for JVM-side callers.
+    */
+  def md5Prefix(digest: Array[Byte]): Long =
+    ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+      ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+
   /** Same hash computed driver-side (for embedding constants into plans). */
-  def tokenHashLocal(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
-  }
+  def tokenHashLocal(s: String): Long =
+    md5Prefix(MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8)))
 
   /** Whitespace tokens of trimmed, lower-cased text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
@@ -61,7 +66,15 @@ object Portable {
     * keeps the exact same semantics (same regex, ASCII-stable lowercase).
     */
   def shinglesLocal(text: String, n: Int): Array[String] = {
-    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    // strip SPACES only: Spark/DuckDB trim() removes 0x20, while Java's
+    // String.trim strips all chars <= U+0020 (tabs, newlines) and would
+    // tokenize differently from the expression/oracle path
+    var from = 0
+    var until = text.length
+    while (from < until && text.charAt(from) == ' ') from += 1
+    while (until > from && text.charAt(until - 1) == ' ') until -= 1
+    val toks = text.substring(from, until)
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+")
     if (toks.length < n) Array.empty
     else {
       val out = new java.util.LinkedHashSet[String]()
@@ -107,10 +120,7 @@ object Portable {
         it.flatMap { case (id, text) =>
           shinglesLocal(text, n).map { s =>
             md.reset()
-            val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
-            val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-            (id, h)
+            (id, md5Prefix(md.digest(s.getBytes(StandardCharsets.UTF_8))))
           }
         }
       }

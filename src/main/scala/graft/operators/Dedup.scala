@@ -39,6 +39,10 @@ object Dedup {
     override def preservesSampleSize: Boolean = true
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      Seq("content_fp", "canonical_id", "is_dup").foreach { c =>
+        require(!df.columns.exists(_.equalsIgnoreCase(c)),
+          s"Output column `$c` already exists in the input; rename it first")
+      }
       val norm = regexp_replace(trim(lower(col(textColumn))), "\\s+", " ")
       val w = Window.partitionBy(col("content_fp"))
       df.withColumn("content_fp", md5(norm))

@@ -59,7 +59,10 @@ class IntervalIdentifierSinglePass(
   private[operators] def assignGroup(markers: IndexedSeq[Any]): Array[Int] = {
     val n = markers.length
     val out = new Array[Int](n)
-    markerEnd match {
+    // identical-marker semantics when the end marker is absent OR equals
+    // the start marker, matching the window implementation
+    // (reference: wranglers.py:118-120)
+    markerEnd.filter(_ != markerStart) match {
       case None =>
         // identical markers: running count of starts (reference :354-373)
         var c = 0
@@ -159,8 +162,14 @@ class IntervalIdentifierSinglePass(
 
     val schema = partitioned.schema
     val outSchema = schema.add(targetColumnName, IntegerType, nullable = false)
-    val gIdx = groupbyColumns.map(schema.fieldIndex).toArray
-    val mIdx = schema.fieldIndex(markerColumn)
+    // case-insensitive resolution, matching Spark's default resolver
+    def fieldIdx(name: String): Int = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(i >= 0, s"Column `$name` does not exist")
+      i
+    }
+    val gIdx = groupbyColumns.map(fieldIdx).toArray
+    val mIdx = fieldIdx(markerColumn)
 
     partitioned.mapPartitions { rows =>
       new Iterator[Row] {

@@ -29,9 +29,8 @@ object Multimodal {
     * A real build replaces ONLY this function with the codec call.
     */
   private[operators] def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
-    val d = MessageDigest.getInstance("MD5").digest(payload)
-    val h = java.lang.Long.parseLong(
-      d.take(4).map("%02x".format(_)).mkString, 16)
+    val h = graft.functions.Portable.md5Prefix(
+      MessageDigest.getInstance("MD5").digest(payload))
     val width = h % 1280L
     val height = h % 720L
     val frames = payload.length % 16L + 1L
@@ -66,7 +65,8 @@ object Multimodal {
           val id = row.getLong(0)
           val payload = row.getAs[Array[Byte]](1)
           val (w, h, frames) = decodeStub(payload)
-          val stride = math.max(1L, frames / maxSample)
+          // ceil division: at most maxSample sampled frames
+          val stride = (frames + maxSample - 1) / maxSample
           Row(id, payload.length.toLong, w, h, frames, stride)
         }
       }

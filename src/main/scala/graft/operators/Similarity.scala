@@ -26,14 +26,47 @@ import graft.util.SparkUtil
   */
 object Similarity {
 
-  private def ranked(scored: DataFrame, k: Int): DataFrame =
-    scored
+  /** Global per-query top-k with a map-side prune first: each partition
+    * keeps only its local top-k per query (bounded heaps under the same
+    * total order the final rank uses), so the rank window's shuffle
+    * carries at most partitions*queries*k narrow rows instead of the full
+    * scored candidate set — the difference between shuffling k rows and
+    * shuffling the corpus at 100 TB.
+    */
+  private def ranked(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val pruned = scored
+      .select(col("query_id").cast("long"), col("id").cast("long"),
+        col("cosine"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        // keep k best per query under (cosine desc, id asc); head of the
+        // queue is the WORST kept candidate
+        val worstFirst = Ordering.by[(Long, Double), (Double, Long)] {
+          case (id, cos) => (-cos, id)
+        }
+        val heaps = scala.collection.mutable.LinkedHashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]
+        it.foreach { case (qid, id, cos) =>
+          val h = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          h.enqueue((id, cos))
+          if (h.size > k) h.dequeue()
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (id, cos) => (qid, id, cos) }
+        }
+      }
+      .toDF("query_id", "id", "cosine")
+    pruned
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("id").asc)))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("id").as("neighbor_id"), col("cosine"))
+  }
 
   /** Exact top-k cosine neighbors for each query vector. The query set is
     * broadcast; the corpus is scanned once map-side and only the per-query
@@ -99,6 +132,10 @@ object Similarity {
         .select("id", "q", "nrm")
         .as[(Long, Array[Long], Long)].collect()
         .zipWithIndex.map { case ((_, q, nrm), i) => (i + 1, q, nrm) }
+      if (centroids.isEmpty)
+        // empty corpus: no lists to probe — empty result, same schema
+        return spark.emptyDataset[(Long, Long, Long, Double)]
+          .toDF("query_id", "rank", "neighbor_id", "cosine")
 
       def dot(a: Array[Long], b: Array[Long]): Long = {
         var acc = 0L; var i = 0

@@ -106,7 +106,10 @@ final case class PlainFrame(columns: Vector[PlainColumn]) {
     val sparkRows = rows.map { r =>
       Row.fromSeq(r.zip(dtypes).map {
         case (null, _) => null
-        case (v: Long, PFType.Int) => v.toInt
+        case (v: Long, PFType.Int) =>
+          require(v >= Int.MinValue && v <= Int.MaxValue,
+            s"Int column value out of range: $v")
+          v.toInt
         case (v, _) => v
       })
     }
