@@ -73,8 +73,10 @@ object Portable {
     var until = text.length
     while (from < until && text.charAt(from) == ' ') from += 1
     while (until > from && text.charAt(until - 1) == ' ') until -= 1
+    // limit -1 keeps trailing empty tokens, matching Spark's split()
+    // (Java's default limit 0 silently drops them)
     val toks = text.substring(from, until)
-      .toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     if (toks.length < n) Array.empty
     else {
       val out = new java.util.LinkedHashSet[String]()
