@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.LongArrayDot
+
+/** SparkSessionExtensions hook registering graft's custom Catalyst
+  * expressions as SQL functions, so pure-SQL users (spark.sql, JDBC)
+  * reach them too:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * then `SELECT long_array_dot(a, b) FROM ...`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("long_array_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          s"long_array_dot expects 2 arguments, got ${args.size}")
+        LongArrayDot(args.head, args(1))
+      }))
+  }
+}
