@@ -12,10 +12,13 @@ final case class StreamEvent(groupKey: String, ts: Timestamp, order: Long,
 /** Emitted assignment: enumerated interval id per (group, order). */
 final case class StreamIid(groupKey: String, order: Long, iids: Long)
 
-/** Per-group streaming state: closed-interval count so far plus the
-  * buffered, not-yet-finalized events (ts millis, order, marker).
+/** Per-group streaming state: closed-interval count so far, whether the
+  * latest interval's closing end-run may still extend (last-end configs
+  * only), and the buffered, not-yet-finalized events
+  * (ts millis, order, marker).
   */
 final case class IntervalBuffer(count: Long,
+                                openExtendable: Boolean,
                                 pending: Seq[(Long, Long, String)])
 
 /** Interval identification over an unbounded stream.
@@ -36,10 +39,14 @@ final case class IntervalBuffer(count: Long,
   *   - state per group is the closed-interval count plus the undecided
   *     suffix — bounded by marker-gap length, not stream length.
   *
-  * Supported span configs: first-end semantics (`endUseFirst = true`),
-  * i.e. FSFE and LSFE. Last-end configs need unbounded lookahead (an
-  * interval could be extended by any future consecutive end marker) and
-  * are rejected.
+  * All four span configs are supported. Last-end configs
+  * (`endUseFirst = false`) have the extra wrinkle that an interval's
+  * closing end-run can extend across batches (any future consecutive end
+  * marker moves the interval end), so the state carries an
+  * `openExtendable` flag: rows up to the latest confirmed end are emitted
+  * with their (final) interval id, rows after it stay buffered until a
+  * start marker breaks the run, and a leading end-run in a later batch
+  * re-attaches to the carried interval count.
   *
   * Scale: state is per-group and O(open-gap); shuffle is the single
   * keyBy(group) exchange any stateful op pays. Watermark delay bounds
@@ -53,25 +60,30 @@ final case class IntervalBuffer(count: Long,
   */
 final class StreamingIntervalIdentifier(markerStart: String,
                                         markerEnd: String,
-                                        startUseFirst: Boolean = false)
+                                        startUseFirst: Boolean = false,
+                                        endUseFirst: Boolean = true)
     extends Serializable {
 
   /** Pair collapsed start/end events over `markers`; returns ids (0 = no
-    * interval) and the cut index before which assignment is final given
-    * that no event can ever be inserted below `markers` positions again.
-    * `baseCount` numbers intervals across batches.
+    * interval), the cut index before which assignment is final given that
+    * no event can ever be inserted below `markers` positions again, the
+    * carried interval count, and (last-end configs) whether the final
+    * interval's end-run may still extend into future batches.
+    * `baseCount` numbers intervals across batches; `openExtendable` marks
+    * a carried still-extendable end-run from the previous batch.
     */
-  private[streaming] def assign(markers: Seq[String], baseCount: Long)
-      : (Seq[Long], Int, Long) = {
+  private[streaming] def assign(markers: Seq[String], baseCount: Long,
+                                openExtendable: Boolean = false)
+      : (Seq[Long], Int, Long, Boolean) = {
     val events = markers.zipWithIndex.collect {
       case (m, i) if m == markerStart || m == markerEnd =>
         (i, m == markerStart)
     }
-    // collapse runs (keep first or last start per flag; first end)
+    // collapse runs (keep first or last start / first or last end)
     val kept = Vector.newBuilder[(Int, Boolean)]
     var run = List.empty[(Int, Boolean)]
     def flush(): Unit = if (run.nonEmpty) {
-      val keepFirst = if (run.head._2) startUseFirst else true
+      val keepFirst = if (run.head._2) startUseFirst else endUseFirst
       kept += (if (keepFirst) run.last else run.head)
       run = Nil
     }
@@ -85,6 +97,13 @@ final class StreamingIntervalIdentifier(markerStart: String,
     var count = baseCount
     var lastClosedEnd = -1
     var k = 0
+    // a carried extendable end-run: a leading end (before any start)
+    // extends the PREVIOUS interval rather than opening id 0 noise
+    if (openExtendable && seq.nonEmpty && !seq.head._2) {
+      (0 to seq.head._1).foreach(i => ids(i) = baseCount)
+      lastClosedEnd = seq.head._1
+      k = 1
+    }
     while (k < seq.size - 1) {
       if (seq(k)._2 && !seq(k + 1)._2) {
         count += 1
@@ -97,25 +116,42 @@ final class StreamingIntervalIdentifier(markerStart: String,
     val firstOpenStart = markers.zipWithIndex.indexWhere {
       case (m, i) => i > lastClosedEnd && m == markerStart
     }
-    val cut = if (firstOpenStart == -1) markers.size else firstOpenStart
-    (ids.toSeq, cut, count)
+    if (endUseFirst) {
+      val cut = if (firstOpenStart == -1) markers.size else firstOpenStart
+      (ids.toSeq, cut, count, false)
+    } else {
+      // last-end: the final interval stays extendable while no start
+      // marker follows its last end; rows after that end are undecided
+      val stillOpen = lastClosedEnd >= 0 && firstOpenStart == -1 &&
+        !markers.drop(lastClosedEnd + 1).exists(_ == markerStart)
+      val carryOpen = stillOpen ||
+        (openExtendable && events.isEmpty) // nothing arrived: stay open
+      val cut =
+        if (firstOpenStart != -1) firstOpenStart
+        else if (stillOpen) lastClosedEnd + 1
+        else if (openExtendable && events.isEmpty) 0
+        else markers.size
+      (ids.toSeq, cut, count, carryOpen)
+    }
   }
 
   private def step(key: String, events: Iterator[StreamEvent],
                    state: GroupState[IntervalBuffer]): Iterator[StreamIid] = {
-    val prev = state.getOption.getOrElse(IntervalBuffer(0L, Nil))
+    val prev = state.getOption.getOrElse(IntervalBuffer(0L, false, Nil))
     val all = (prev.pending ++ events.map(e =>
       (e.ts.getTime, e.order, e.marker))).sortBy(t => (t._2, t._1))
     val wm = state.getCurrentWatermarkMs()
     val (ripe, unripe) = all.partition(_._1 <= wm)
-    val (ids, cut, newCount) = assign(ripe.map(_._3), prev.count)
+    val (ids, cut, newCount, openExt) =
+      assign(ripe.map(_._3), prev.count, prev.openExtendable)
     val emitted = ripe.take(cut).zip(ids.take(cut)).map {
       case ((_, order, _), id) => StreamIid(key, order, id)
     }
     // every closed interval ends before the cut (cut = first open start
-    // after the last closed end), so the carried count is final
+    // after the last closed end / last confirmed end), so the carried
+    // count is final
     val remaining = ripe.drop(cut) ++ unripe
-    state.update(IntervalBuffer(newCount, remaining))
+    state.update(IntervalBuffer(newCount, openExt, remaining))
     // a watermark-only advance does not re-invoke the function for a key
     // without new data; an event-time timeout just above the current
     // watermark makes the next advance flush the buffered suffix

@@ -75,9 +75,10 @@ class StreamingIntervalSpec extends AnyFunSuite {
 
   test("assign: pairing, open-start cut, and base count") {
     val op = new StreamingIntervalIdentifier("s", "e")
-    val (ids, cut, n) = op.assign(Seq("x", "s", "e", "x", "s"), 5L)
+    val (ids, cut, n, open) = op.assign(Seq("x", "s", "e", "x", "s"), 5L)
     assert(ids == Seq(0L, 6L, 6L, 0L, 0L))
     assert(cut == 4) // everything before the open start is final
     assert(n == 6L)
+    assert(!open) // first-end config: never extendable
   }
 }
