@@ -190,6 +190,30 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Connected components over the n-gram Jaccard candidate pairs:
+    * recursive transitive closure, component label = min reachable id.
+    */
+  def dedupClusters(threshold: Double): String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |s0 AS (SELECT doc_id, $Shingles AS sh FROM t),
+       |s AS (SELECT doc_id, sh FROM s0 WHERE len(sh) > 0),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+       |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+       |    AS BIGINT) AS uni
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+       |pairs AS (SELECT id_a, id_b FROM p
+       |  WHERE round(CAST(common AS DOUBLE) / CAST(uni AS DOUBLE), 6)
+       |    >= $threshold),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+       |SELECT src AS doc_id, min(dst) AS component
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------- embeddings / ANN
 
   /** embeddings -> (id, q quantized longs, nrm squared norm). */

@@ -221,6 +221,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.SimHashDedup().transform(docs(s, dir))
         .orderBy("id_a", "id_b")),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.NGramJaccard().transform(docs(s, dir)))
+        .orderBy("doc_id")),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.EmbeddingNearDup().transform(embs(s, dir))
         .orderBy("id_a", "id_b")),
@@ -293,6 +297,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleSql.dedupNGramJaccard(0.2),
     "dedup_minhash_lsh" -> OracleSql.dedupMinHash(32, 8, 0.25),
     "dedup_simhash" -> OracleSql.dedupSimHash(32, 4, 3),
+    "dedup_clusters" -> OracleSql.dedupClusters(0.2),
     "dedup_embedding" -> OracleSql.dedupEmbedding(64, 4, 8, 0.4),
     "ann_bruteforce" -> OracleSql.annBruteForce(64, 5, 8),
     "ann_lsh" -> OracleSql.annLsh(64, 8, 5, 8),

@@ -202,6 +202,50 @@ object Dedup {
     }
   }
 
+  /** Connected components over an undirected candidate-pair edge list
+    * (id_a, id_b): every document in a component gets the component's
+    * minimum doc id as its cluster label — the step that turns pair-wise
+    * near-duplicate findings into dedup GROUPS (keep one per cluster).
+    *
+    * Algorithm: min-label propagation to fixpoint. Each iteration is one
+    * shuffle (message join + min aggregation); iteration count is bounded
+    * by the component diameter, which for near-dup clusters is tiny. This
+    * is the standard large-scale CC formulation (hash-to-min) — no
+    * driver-side graph, edges never leave the cluster.
+    */
+  def connectedComponents(pairs: DataFrame,
+                          maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+    val undirected = edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    var labels = undirected.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    if (labels.isEmpty)
+      return labels.select(col("id").as("doc_id"), col("component"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val msgs = undirected.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("component"))
+      // localCheckpoint truncates the lineage: the union references the
+      // previous iteration's plan twice, so without a cut the logical
+      // plan doubles per round (exponential analyzer/heap blowup). At
+      // cluster scale use reliable checkpoint() instead.
+      val next = labels.select("id", "component").union(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      // cheap convergence check: the label sum strictly decreases until
+      // fixpoint (labels only ever move down to the component minimum)
+      val before = labels.agg(sum("component")).head.getLong(0)
+      val after = next.agg(sum("component")).head.getLong(0)
+      labels = next
+      converged = before == after
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
     * `tables` independent `planesPerTable`-bit sign buckets; vectors
     * sharing any bucket are candidates; exact integer-quantized cosine

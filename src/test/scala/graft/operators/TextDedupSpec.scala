@@ -162,4 +162,23 @@ class TextDedupSpec extends AnyFunSuite {
     val stride = r.getAs[Long]("frame_stride")
     assert(frames == (0L until r.getAs[Long]("n_frames") by stride).toSeq)
   }
+
+  test("connectedComponents: chains merge, components stay separate") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents: long chain needs multiple propagation rounds") {
+    val pairs = (1L until 12L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L) && got.size == 12)
+  }
+
+  test("connectedComponents: empty edges yield empty result") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs).count() == 0)
+  }
 }
