@@ -217,8 +217,12 @@ object Dedup {
                           maxIterations: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
+    // materialize the edge list once — the propagation loop joins it
+    // every round, and candidate-pair generation upstream (shingle
+    // explode + self-join) is far too expensive to recompute per round
     val undirected = edges.union(
       edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .localCheckpoint()
     var labels = undirected.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     if (labels.isEmpty)
