@@ -102,6 +102,17 @@ object OracleSql {
        |    (a, h) -> (a * 31 + h) % 1000000007) AS roll_fp
        |FROM t ORDER BY doc_id""".stripMargin
 
+  def textNormalize: String =
+    """WITH n AS (SELECT doc_id,
+      |  lower(trim(regexp_replace(
+      |    regexp_replace(text, '<[^>]*>', ' ', 'g'),
+      |    '\s+', ' ', 'g'))) AS norm_text
+      |  FROM documents)
+      |SELECT doc_id, norm_text,
+      |  CAST(length(norm_text) AS BIGINT) AS norm_len,
+      |  md5(norm_text) AS norm_fp
+      |FROM n ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- dedup
 
   def dedupExact: String =

@@ -204,6 +204,10 @@ object SparkEntry {
           TextAnalysis.LangMarkers.map(m => col(s"score_${m._1}")) :+
           col("pred_lang"): _*)
         .orderBy("doc_id")),
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.Normalize().transform(docs(s, dir))
+        .select("doc_id", "norm_text", "norm_len", "norm_fp")
+        .orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.Fingerprint().transform(docs(s, dir))
         .select("doc_id", "md5_fp", "roll_fp")
@@ -292,6 +296,7 @@ object SparkEntry {
     "text_quality" -> OracleSql.textQuality,
     "sessionize" -> OracleSql.sessionize(50000000000000L),
     "text_langid" -> OracleSql.textLangId,
+    "text_normalize" -> OracleSql.textNormalize,
     "text_fingerprint" -> OracleSql.textFingerprint,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram_jaccard" -> OracleSql.dedupNGramJaccard(0.2),

@@ -114,6 +114,26 @@ object TextAnalysis {
     }
   }
 
+  /** Text normalization for ingest pipelines: strip HTML-ish tags,
+    * collapse whitespace runs, trim, optionally lowercase — pure
+    * map-side regex expressions. Emits the normalized text plus its
+    * length and md5 (the stable join/dedup keys downstream stages use).
+    */
+  final case class Normalize(textColumn: String = "text",
+                             lowercase: Boolean = true)
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(textColumn))
+      val stripped = regexp_replace(col(textColumn), "<[^>]*>", " ")
+      val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
+      val norm = if (lowercase) lower(collapsed) else collapsed
+      df.withColumn("norm_text", norm)
+        .withColumn("norm_len", length(col("norm_text")).cast("long"))
+        .withColumn("norm_fp", md5(col("norm_text")))
+    }
+  }
+
   /** Document fingerprints: an md5 content fingerprint over
     * whitespace-normalized text plus a 31-base rolling token hash
     * (mod 1e9+7) — both portable across engines and cheap at scale.

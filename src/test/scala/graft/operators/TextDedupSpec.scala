@@ -181,4 +181,11 @@ class TextDedupSpec extends AnyFunSuite {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(pairs).count() == 0)
   }
+
+  test("Normalize strips tags, collapses whitespace, lowercases") {
+    val df = docsDF(1L -> "<p>Hello   <b>World</b></p>\n extra")
+    val r = TextAnalysis.Normalize().transform(df).head()
+    assert(r.getAs[String]("norm_text") == "hello world extra")
+    assert(r.getAs[Long]("norm_len") == 17L)
+  }
 }
