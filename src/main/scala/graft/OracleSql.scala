@@ -124,10 +124,30 @@ object OracleSql {
        |  doc_id <> min(doc_id) OVER (PARTITION BY content_fp) AS is_dup
        |FROM f ORDER BY doc_id""".stripMargin
 
-  def dedupNGramJaccard(threshold: Double): String =
-    s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
-       |s0 AS (SELECT doc_id, $Shingles AS sh FROM t),
-       |s AS (SELECT doc_id, sh FROM s0 WHERE len(sh) > 0),
+  /** Shared CTE chain producing the (possibly doc-frequency-capped)
+    * per-document shingle sets as `s(doc_id, sh)`. `maxDocFreq > 0`
+    * mirrors [[graft.operators.Dedup.NGramJaccard]]'s capped-set
+    * semantics: shingles in more than `maxDocFreq` documents are removed
+    * from every set (sizes included) before similarity.
+    */
+  private def shingleSets(maxDocFreq: Long): String = {
+    val base =
+      s"""t AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |s0 AS (SELECT doc_id, $Shingles AS sh FROM t),
+         |sfull AS (SELECT doc_id, sh FROM s0 WHERE len(sh) > 0)""".stripMargin
+    if (maxDocFreq <= 0) s"$base,\ns AS (SELECT doc_id, sh FROM sfull)"
+    else
+      s"""$base,
+         |u AS (SELECT doc_id, unnest(sh) AS shingle FROM sfull),
+         |freq AS (SELECT shingle, count(*) AS df FROM u GROUP BY shingle),
+         |k AS (SELECT u.doc_id, u.shingle FROM u
+         |  JOIN freq USING (shingle) WHERE freq.df <= $maxDocFreq),
+         |s AS (SELECT doc_id, list(shingle) AS sh FROM k GROUP BY doc_id)"""
+        .stripMargin
+  }
+
+  def dedupNGramJaccard(threshold: Double, maxDocFreq: Long = 0L): String =
+    s"""WITH ${shingleSets(maxDocFreq)},
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
        |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
@@ -204,10 +224,8 @@ object OracleSql {
   /** Connected components over the n-gram Jaccard candidate pairs:
     * recursive transitive closure, component label = min reachable id.
     */
-  def dedupClusters(threshold: Double): String =
-    s"""WITH RECURSIVE t AS (SELECT doc_id, $Toks AS tk FROM documents),
-       |s0 AS (SELECT doc_id, $Shingles AS sh FROM t),
-       |s AS (SELECT doc_id, sh FROM s0 WHERE len(sh) > 0),
+  def dedupClusters(threshold: Double, maxDocFreq: Long = 0L): String =
+    s"""WITH RECURSIVE ${shingleSets(maxDocFreq)},
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
        |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
@@ -391,18 +409,20 @@ object OracleSql {
 
   def q1Pricing: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
-      |  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
-      |    AS BIGINT)) AS sum_disc_c,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_c,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_c,
+      |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+      |    AS BIGINT)) AS BIGINT) AS sum_disc_c,
       |  count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def revenueByNation: String =
     """SELECT n_name,
-      |  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
-      |    AS BIGINT)) AS revenue_c,
+      |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+      |    AS BIGINT)) AS BIGINT) AS revenue_c,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -412,7 +432,8 @@ object OracleSql {
 
   def topCustomers(k: Int): String =
     s"""SELECT c_custkey, c_name,
-       |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_c,
+       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |    AS total_c,
        |  count(*) AS n_orders
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY c_custkey, c_name

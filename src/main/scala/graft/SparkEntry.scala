@@ -216,8 +216,10 @@ object SparkEntry {
       Dedup.ExactDedup().transform(docs(s, dir))
         .select("doc_id", "content_fp", "canonical_id", "is_dup")
         .orderBy("doc_id")),
+    // maxDocFreq = 10: capped-set semantics — the doc-frequency guard the
+    // operator exists for (bounded posting lists => no self-join)
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.NGramJaccard().transform(docs(s, dir))
+      Dedup.NGramJaccard(maxDocFreq = 10L).transform(docs(s, dir))
         .orderBy("id_a", "id_b")),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.MinHashLSHDedup().transform(docs(s, dir))
@@ -227,7 +229,7 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
-        Dedup.NGramJaccard().transform(docs(s, dir)))
+        Dedup.NGramJaccard(maxDocFreq = 10L).transform(docs(s, dir)))
         .orderBy("doc_id")),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.EmbeddingNearDup().transform(embs(s, dir))
@@ -299,10 +301,10 @@ object SparkEntry {
     "text_normalize" -> OracleSql.textNormalize,
     "text_fingerprint" -> OracleSql.textFingerprint,
     "dedup_exact" -> OracleSql.dedupExact,
-    "dedup_ngram_jaccard" -> OracleSql.dedupNGramJaccard(0.2),
+    "dedup_ngram_jaccard" -> OracleSql.dedupNGramJaccard(0.2, 10L),
     "dedup_minhash_lsh" -> OracleSql.dedupMinHash(32, 8, 0.25),
     "dedup_simhash" -> OracleSql.dedupSimHash(32, 4, 3),
-    "dedup_clusters" -> OracleSql.dedupClusters(0.2),
+    "dedup_clusters" -> OracleSql.dedupClusters(0.2, 10L),
     "dedup_embedding" -> OracleSql.dedupEmbedding(64, 4, 8, 0.4),
     "ann_bruteforce" -> OracleSql.annBruteForce(64, 5, 8),
     "ann_lsh" -> OracleSql.annLsh(64, 8, 5, 8),

@@ -7,22 +7,61 @@ import org.apache.spark.sql.DataFrame
   *
   * Mirrors the sklearn-style fit/transform contract of the reference
   * framework (reference: src/pywrangler/base.py:12-131) re-expressed as a
-  * plain Scala trait. Parameter introspection is provided by implementing
-  * wranglers as case classes (`productElementNames` replaces the
-  * `get_params` __init__ introspection of base.py:56-103).
+  * plain Scala trait.
   */
 trait Wrangler extends Serializable {
 
   /** True if the transformation keeps the number of rows unchanged. */
   def preservesSampleSize: Boolean = false
 
-  /** Fit step. Stateless wranglers return `this` unchanged
-    * (reference: src/pywrangler/pyspark/base.py:20-53 `PySparkSingleNoFit`).
+  /** Parameter (name, value) pairs IN PRIMARY-CONSTRUCTOR ORDER — the
+    * `get_params` introspection surface (reference: base.py:56-103).
+    * Case classes get this for free via Product; wranglers implemented as
+    * plain classes must override it, keeping constructor order so
+    * [[Wrangler.rebuild]] (the `set_params` equivalent) can re-instantiate
+    * them reflectively.
     */
+  def getParams: Seq[(String, Any)] = this match {
+    case p: Product => p.productElementNames.zip(p.productIterator).toSeq
+    case _ => Seq.empty
+  }
+
+  /** repr-style summary (reference: base.py:105-131 `__repr__`). Case
+    * classes keep their compiler-generated equivalent.
+    */
+  override def toString: String =
+    getParams.map { case (k, v) => s"$k=$v" }
+      .mkString(getClass.getSimpleName.stripSuffix("$") + "(", ", ", ")")
+
   def fit(df: DataFrame): this.type = this
 
   /** Apply the transformation, returning a new DataFrame (lazy plan). */
   def transform(df: DataFrame): DataFrame
 
   def fitTransform(df: DataFrame): DataFrame = fit(df).transform(df)
+}
+
+object Wrangler {
+
+  /** `set_params` equivalent (reference: base.py:82-103): build a new
+    * wrangler of the same class with some parameters replaced. Relies on
+    * the [[Wrangler.getParams]] contract (pairs in primary-constructor
+    * order); unknown names raise, like the reference.
+    */
+  def rebuild[W <: Wrangler](w: W, updates: Map[String, Any]): W = {
+    val names = w.getParams.map(_._1)
+    val unknown = updates.keySet -- names.toSet
+    require(unknown.isEmpty,
+      s"Unknown parameter(s) ${unknown.mkString(", ")} for " +
+        s"${w.getClass.getSimpleName}; valid: ${names.mkString(", ")}")
+    val args = w.getParams.map { case (k, v) =>
+      updates.getOrElse(k, v).asInstanceOf[AnyRef]
+    }
+    val ctor = w.getClass.getConstructors
+      .find(_.getParameterCount == args.size)
+      .getOrElse(throw new IllegalStateException(
+        s"${w.getClass.getName}: no ${args.size}-arg constructor; " +
+          "getParams must mirror the primary constructor"))
+    ctor.newInstance(args: _*).asInstanceOf[W]
+  }
 }

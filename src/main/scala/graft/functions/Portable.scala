@@ -66,6 +66,9 @@ object Portable {
     * keeps the exact same semantics (same regex, ASCII-stable lowercase).
     */
   def shinglesLocal(text: String, n: Int): Array[String] = {
+    // null text => no shingles, matching the expression path (shingles()
+    // yields NULL, which explode drops) and the DuckDB oracle
+    if (text == null) return Array.empty
     // strip SPACES only: Spark/DuckDB trim() removes 0x20, while Java's
     // String.trim strips all chars <= U+0020 (tabs, newlines) and would
     // tokenize differently from the expression/oracle path
@@ -147,6 +150,10 @@ object Portable {
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .map { case (id, vec) =>
+        val expectedDim = if (planes.isEmpty) -1 else planes.head.length
+        require(expectedDim < 0 || vec.length == expectedDim,
+          s"embedding id=$id has ${vec.length} dims, hyperplanes expect " +
+            s"$expectedDim; configure `dim` to the actual vector length")
         val q = new Array[Long](vec.length)
         var i = 0
         var nrm = 0L

@@ -51,15 +51,23 @@ object Dedup {
     }
   }
 
-  /** Exact n-gram (shingle) Jaccard similarity join via an inverted
-    * shingle index: explode distinct shingles, self-join on the shingle,
-    * count common shingles per pair, then
-    * `jaccard = common / (|A| + |B| - common)`.
+  /** N-gram (shingle) Jaccard similarity join via an inverted shingle
+    * index, `jaccard = common / (|A| + |B| - common)`.
     *
-    * `maxDocFreq` drops shingles occurring in more than that many
-    * documents before the join (0 = keep all) — at corpus scale hot
-    * boilerplate shingles would otherwise create quadratic candidate
-    * pairs on a single join key.
+    * `maxDocFreq > 0` switches to *capped-set* semantics: shingles whose
+    * corpus document frequency exceeds the cap are removed from every
+    * document's shingle set before similarity is computed (sizes included)
+    * — the standard boilerplate guard from the set-similarity-join
+    * literature. The cap is also what makes the plan scale: posting lists
+    * are bounded by `maxDocFreq`, so candidate pairs are generated
+    * map-side from grouped posting lists (at most C(cap, 2) pairs per
+    * shingle) with NO self-join — the quadratic hot-key blowup of the
+    * uncapped inverted-index join is structurally impossible.
+    *
+    * `maxDocFreq <= 0` keeps exact full-set semantics via the shingle
+    * self-join; fine for small/mid corpora, quadratic in doc frequency on
+    * hot shingles at corpus scale (prefer the cap or [[MinHashLSHDedup]]
+    * there).
     */
   final case class NGramJaccard(idColumn: String = "doc_id",
                                 textColumn: String = "text",
@@ -69,22 +77,69 @@ object Dedup {
       extends Wrangler {
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      if (maxDocFreq > 0) transformCapped(df) else transformExact(df)
+    }
+
+    /** Exact inverted-index formulation: identical plans on both sides of
+      * the self-join => Spark reuses one scan + shuffle exchange instead
+      * of processing the corpus twice.
+      */
+    private def transformExact(df: DataFrame): DataFrame = {
       val sh = shingleRows(df.select(col(idColumn).as("id"),
         col(textColumn)), "id", textColumn, n)
-      val filtered =
-        if (maxDocFreq <= 0) sh
-        else {
-          val hot = sh.groupBy("shingle").count()
-            .filter(col("count") > maxDocFreq).select("shingle")
-          sh.join(hot, Seq("shingle"), "left_anti")
-        }
-      // identical plans on both sides of the self-join => Spark reuses one
-      // scan + shuffle exchange instead of processing the corpus twice
-      filtered.as("a").join(filtered.as("b"),
+      sh.as("a").join(sh.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
           col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
         .agg(count(lit(1)).as("common"))
+        .withColumn("uni", col("sz_a") + col("sz_b") - col("common"))
+        .withColumn("jaccard",
+          round(col("common").cast("double") / col("uni").cast("double"), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "uni", "jaccard")
+    }
+
+    /** Capped-set formulation. Shuffle budget: one tiny doc-frequency agg
+      * (hot set broadcast back as a left-anti build side), one posting-list
+      * agg by shingle, one pair agg by (id_a, id_b), one per-doc size agg;
+      * the size joins are AQE-broadcast at small scale and plain shuffled
+      * equi-joins at corpus scale. Pair generation never shuffles: posting
+      * lists are <= maxDocFreq ids long, so each list expands map-side.
+      * (At 100 TB, persist the shingle index upstream if the double text
+      * scan — df agg + posting agg — matters; both scans are map-side.)
+      */
+    private def transformCapped(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val sh = shingleRows(df.select(col(idColumn).as("id"),
+        col(textColumn)), "id", textColumn, n).select("id", "shingle")
+      val hot = sh.groupBy("shingle").count()
+        .filter(col("count") > maxDocFreq).select("shingle")
+      val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      val szT = kept.groupBy("id").agg(count(lit(1)).as("sz"))
+      val lists = kept.groupBy("shingle")
+        .agg(collect_list(col("id")).as("ids"))
+      val pairCounts = lists.select(col("ids")).as[Seq[Long]]
+        .flatMap { ids =>
+          val m = ids.length
+          val out = Seq.newBuilder[(Long, Long)]
+          var i = 0
+          while (i < m) {
+            var j = i + 1
+            while (j < m) {
+              val a = ids(i); val b = ids(j)
+              out += (if (a < b) (a, b) else (b, a))
+              j += 1
+            }
+            i += 1
+          }
+          out.result()
+        }
+        .toDF("id_a", "id_b")
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      pairCounts
+        .join(szT.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(szT.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
         .withColumn("uni", col("sz_a") + col("sz_b") - col("common"))
         .withColumn("jaccard",
           round(col("common").cast("double") / col("uni").cast("double"), 6))
@@ -207,21 +262,36 @@ object Dedup {
     * minimum doc id as its cluster label — the step that turns pair-wise
     * near-duplicate findings into dedup GROUPS (keep one per cluster).
     *
-    * Algorithm: min-label propagation to fixpoint. Each iteration is one
-    * shuffle (message join + min aggregation); iteration count is bounded
-    * by the component diameter, which for near-dup clusters is tiny. This
-    * is the standard large-scale CC formulation (hash-to-min) — no
-    * driver-side graph, edges never leave the cluster.
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * (a) lowers every node's label to the minimum over itself and its
+    * neighbors' labels, then (b) shortcuts `label(v) := label(label(v))`,
+    * so label chains halve per round — convergence is O(log diameter)
+    * rounds, not the O(diameter) of plain propagation (a 2^20-diameter
+    * chain converges in ~20 rounds, not 2^20). No driver-side graph;
+    * edges never leave the cluster; ONE scalar driver action per round
+    * (the label-sum convergence check; the previous round's sum is
+    * carried in a local variable).
+    *
+    * If the fixpoint is not reached within `maxIterations` the labels are
+    * partially merged and WRONG for any not-yet-converged component, so
+    * this throws by default; pass `failOnNonConvergence = false` to get
+    * the partial labels with a logged warning instead.
     */
   def connectedComponents(pairs: DataFrame,
-                          maxIterations: Int = 20): DataFrame = {
+                          maxIterations: Int = 20,
+                          failOnNonConvergence: Boolean = true): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
     // materialize the edge list once — the propagation loop joins it
     // every round, and candidate-pair generation upstream (shingle
-    // explode + self-join) is far too expensive to recompute per round
-    val undirected = edges.union(
-      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // explode + join) is far too expensive to recompute per round.
+    // Self-loops are added so one message join per round covers "min of
+    // own label AND neighbors' labels" without a union inside the loop.
+    val undirected = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .union(edges.select(col("src"), col("src").as("dst")))
+      .union(edges.select(col("dst").as("src"), col("dst")))
+      .distinct()
       .localCheckpoint()
     var labels = undirected.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -229,23 +299,43 @@ object Dedup {
       return labels.select(col("id").as("doc_id"), col("component"))
     var converged = false
     var iter = 0
+    // labels only ever move DOWN toward the component minimum, so the
+    // label sum strictly decreases until fixpoint — carrying the previous
+    // round's sum makes the convergence check one action per round
+    var prevSum = labels.agg(sum("component")).head.getLong(0)
     while (!converged && iter < maxIterations) {
-      val msgs = undirected.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("component"))
-      // localCheckpoint truncates the lineage: the union references the
-      // previous iteration's plan twice, so without a cut the logical
-      // plan doubles per round (exponential analyzer/heap blowup). At
-      // cluster scale use reliable checkpoint() instead.
-      val next = labels.select("id", "component").union(msgs)
-        .groupBy("id").agg(min("component").as("component"))
+      // one shuffle: every node receives its neighbors' labels (and its
+      // own, via the self-loops) and keeps the minimum.
+      // localCheckpoint (here and below) truncates the lineage: each
+      // round's plan embeds the previous round's several times, so
+      // without a cut the logical plan grows exponentially; it also lets
+      // the pointer-jump self-join read one materialized result instead
+      // of recomputing the propagation for both sides. At cluster scale
+      // use reliable checkpoint() instead.
+      val propagated = undirected.join(labels, col("src") === col("id"))
+        .groupBy(col("dst").as("nid"))
+        .agg(min("component").as("component"))
+        .select(col("nid").as("id"), col("component"))
         .localCheckpoint()
-      // cheap convergence check: the label sum strictly decreases until
-      // fixpoint (labels only ever move down to the component minimum)
-      val before = labels.agg(sum("component")).head.getLong(0)
-      val after = next.agg(sum("component")).head.getLong(0)
-      labels = next
-      converged = before == after
+      // pointer jumping: component ids are node ids, so a self-join reads
+      // the label OF the label and shortcuts chains in one shuffle
+      val next = propagated.as("x").join(propagated.as("y"),
+          col("x.component") === col("y.id"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("y.component"), col("x.component")).as("component"))
+      val materialized = next.localCheckpoint()
+      val afterSum = materialized.agg(sum("component")).head.getLong(0)
+      labels = materialized
+      converged = afterSum == prevSum
+      prevSum = afterSum
       iter += 1
+    }
+    if (!converged) {
+      val msg = s"connectedComponents did not converge after $maxIterations" +
+        " iterations; labels are partially merged (components wider than" +
+        " the iteration budget still carry several labels)"
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels.select(col("id").as("doc_id"), col("component"))
   }

@@ -98,6 +98,22 @@ class IntervalIdentifier(
 
   override def preservesSampleSize: Boolean = true
 
+  /** Primary-constructor-ordered params (get_params surface; reference:
+    * base.py:56-103). Inherited by [[IntervalIdentifierAdjusted]], whose
+    * constructor mirrors this one.
+    */
+  override def getParams: Seq[(String, Any)] = Seq(
+    "markerColumn" -> markerColumn,
+    "markerStart" -> markerStart,
+    "markerEnd" -> markerEnd,
+    "markerStartUseFirst" -> markerStartUseFirst,
+    "markerEndUseFirst" -> markerEndUseFirst,
+    "orderbyColumns" -> orderbyColumns,
+    "groupbyColumns" -> groupbyColumns,
+    "ascending" -> ascending,
+    "resultType" -> resultType,
+    "targetColumnName" -> targetColumnName)
+
   // ---------------------------------------------------------------- windows
 
   /** Main window: partition by groupby, order by orderby (optionally with

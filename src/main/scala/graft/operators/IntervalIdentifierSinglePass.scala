@@ -45,6 +45,19 @@ class IntervalIdentifierSinglePass(
 
   override def preservesSampleSize: Boolean = true
 
+  /** Primary-constructor-ordered params (get_params surface). */
+  override def getParams: Seq[(String, Any)] = Seq(
+    "markerColumn" -> markerColumn,
+    "markerStart" -> markerStart,
+    "markerEnd" -> markerEnd,
+    "markerStartUseFirst" -> markerStartUseFirst,
+    "markerEndUseFirst" -> markerEndUseFirst,
+    "orderbyColumns" -> orderbyColumns,
+    "groupbyColumns" -> groupbyColumns,
+    "ascending" -> ascending,
+    "resultType" -> resultType,
+    "targetColumnName" -> targetColumnName)
+
   /** Null-safe typed marker equality; NaN is always noise (reference risk
     * note: NaN markers must behave like missing values, SURVEY.md §7.4/1).
     */

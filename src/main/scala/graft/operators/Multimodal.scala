@@ -2,9 +2,8 @@ package graft.operators
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.core.Wrangler
 import graft.util.SparkUtil
@@ -37,19 +36,21 @@ object Multimodal {
     (width, height, frames)
   }
 
-  private val featureSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("byte_len", LongType),
-    StructField("width", LongType),
-    StructField("height", LongType),
-    StructField("n_frames", LongType),
-    StructField("frame_stride", LongType),
-  ))
+  /** Typed output row of [[MediaFeatures]] (field order = output schema). */
+  private[operators] final case class MediaFeatureRow(
+      doc_id: Long, byte_len: Long, width: Long, height: Long,
+      n_frames: Long, frame_stride: Long)
 
   /** Extract media features from a binary payload column. Input columns:
     * `idColumn` (long) + `payloadColumn` (binary). Output: one row per
     * media with decoded dimensions, frame count and the sampling stride
     * for `maxSample` frames.
+    *
+    * Implemented as a typed `Dataset.mapPartitions` — the per-partition
+    * iterator is where a real codec would stream payload batches — which
+    * stays inside whole-stage codegen (DeserializeToObject/MapPartitions/
+    * SerializeFromObject), unlike an `df.rdd` round-trip that would cut
+    * the plan at an ExternalRDD scan and fall out of Tungsten.
     */
   final case class MediaFeatures(idColumn: String = "doc_id",
                                  payloadColumn: String = "payload",
@@ -58,19 +59,18 @@ object Multimodal {
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, payloadColumn))
       val spark = df.sparkSession
-      val projected = df.select(col(idColumn).cast("long"),
-        col(payloadColumn).cast("binary"))
-      val rdd = projected.rdd.mapPartitions { it =>
-        it.map { row =>
-          val id = row.getLong(0)
-          val payload = row.getAs[Array[Byte]](1)
-          val (w, h, frames) = decodeStub(payload)
-          // ceil division: at most maxSample sampled frames
-          val stride = (frames + maxSample - 1) / maxSample
-          Row(id, payload.length.toLong, w, h, frames, stride)
+      import spark.implicits._
+      df.select(col(idColumn).cast("long"), col(payloadColumn).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            val (w, h, frames) = decodeStub(payload)
+            // ceil division: at most maxSample sampled frames
+            val stride = (frames + maxSample - 1) / maxSample
+            MediaFeatureRow(id, payload.length.toLong, w, h, frames, stride)
+          }
         }
-      }
-      spark.createDataFrame(rdd, featureSchema)
+        .toDF()
     }
   }
 

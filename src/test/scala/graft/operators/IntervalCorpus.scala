@@ -221,6 +221,18 @@ object IntervalCorpus {
     multipleOrderGroupby, multipleOrderGroupbyReverse,
     multipleOrderGroupbyMissing, multipleOrderGroupbyMissingUnsorted)
 
+  // --------------------------------------------- CollectionNoOrderGroupBy
+  // reference: tests/test_data/interval_identifier.py:1254-1272 with
+  // tests/pyspark/wranglers/test_interval_identifier.py:200-223 — the
+  // same 8 general cases run with NO groupby columns (one global
+  // sequence). Expected iids are unchanged: each case's second group is
+  // pure noise, so merging groups introduces no new intervals.
+
+  val collectionNoOrderGroupBy: Seq[GoldenCase] = Seq(
+    noInterval, noIntervalInvalidStart, noIntervalInvalidEnd, singleInterval,
+    singleIntervalStartsWith, singleIntervalEndsWith, singleIntervalSpanning,
+    singleIntervalSpanningGroupby).map(c => c.copy(groupby = Nil))
+
   // --------------------------------------------- CollectionIdenticalStartEnd
   // reference: :684-815; start == end == 1, default config only.
 

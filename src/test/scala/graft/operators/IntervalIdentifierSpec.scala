@@ -86,6 +86,23 @@ class IntervalIdentifierSpec extends AnyFunSuite {
     test(s"CollectionMarkerSpecifics/${gc.name}") { checkExact(gc) }
   }
 
+  collectionNoOrderGroupBy.foreach { gc =>
+    test(s"CollectionNoOrderGroupBy/${gc.name}") {
+      checkExact(gc) // generic + adjusted, all four span configs
+      for ((su, eu) <- gc.configs) { // single-pass formulation too
+        val w = new IntervalIdentifierSinglePass("marker", gc.markerStart,
+          gc.markerEnd, su, eu, gc.orderby, Nil, gc.ascending,
+          gc.resultType, "iid")
+        val got = PlainFrame.fromDF(w.transform(gc.input.toDF(spark)))
+        try got.assertEqual(gc.expected)
+        catch {
+          case e: AssertionError => throw new AssertionError(
+            s"[${gc.name} single-pass su=$su eu=$eu] ${e.getMessage}", e)
+        }
+      }
+    }
+  }
+
   test("ResultTypeRawIids (change points)") {
     checkUpToRelabeling(resultTypeRaw, zeroSet = false)
   }

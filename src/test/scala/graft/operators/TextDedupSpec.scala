@@ -62,14 +62,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r.getAs[Double]("jaccard") == 0.5)
   }
 
-  test("NGramJaccard maxDocFreq drops hot shingles") {
+  test("NGramJaccard maxDocFreq drops hot shingles (capped-set sizes)") {
     // 'a b c' appears in all 3 docs -> dropped at maxDocFreq=2; docs 1/2
-    // still share 'b c d'
+    // still share 'b c d'. Capped-set semantics: sizes are the FILTERED
+    // set sizes, so doc1={b c d}, doc2={b c d} -> jaccard 1/1 = 1.0
     val df = docsDF(1L -> "a b c d", 2L -> "a b c d", 3L -> "a b c x")
     val out = Dedup.NGramJaccard(threshold = 0.0, maxDocFreq = 2)
-      .transform(df)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(out == Set((1L, 2L)))
+      .transform(df).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val r = out.head
+    assert(r.getAs[Long]("common") == 1L && r.getAs[Long]("uni") == 1L)
+    assert(r.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("NGramJaccard: generous cap reproduces the exact uncapped result") {
+    val df = docsDF(1L -> "a b c d e", 2L -> "a b c d x", 3L -> "p q r s")
+    val exact = Dedup.NGramJaccard(threshold = 0.1).transform(df)
+      .collect().map(_.toSeq).toSet
+    val capped = Dedup.NGramJaccard(threshold = 0.1, maxDocFreq = 100)
+      .transform(df).collect().map(_.toSeq).toSet
+    assert(capped == exact && exact.nonEmpty)
   }
 
   test("MinHashLSH finds identical docs with est_jaccard 1.0") {
@@ -175,6 +187,27 @@ class TextDedupSpec extends AnyFunSuite {
     val got = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     assert(got.values.toSet == Set(1L) && got.size == 12)
+  }
+
+  test("connectedComponents: pointer jumping converges on a 40-chain " +
+      "within the default 20-iteration budget") {
+    // plain one-hop propagation needs O(diameter)=40 rounds; the
+    // pointer-jump shortcut gets there in O(log d) and must not throw
+    val pairs = (1L until 41L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L) && got.size == 41)
+  }
+
+  test("connectedComponents: non-convergence throws by default, warns " +
+      "and returns partial labels when asked") {
+    val pairs = (1L until 30L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIterations = 1)
+    }
+    val partial = Dedup.connectedComponents(pairs, maxIterations = 1,
+      failOnNonConvergence = false)
+    assert(partial.count() == 30)
   }
 
   test("connectedComponents: empty edges yield empty result") {
