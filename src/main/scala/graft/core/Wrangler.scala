@@ -26,8 +26,10 @@ trait Wrangler extends Serializable {
     case _ => Seq.empty
   }
 
-  /** repr-style summary (reference: base.py:105-131 `__repr__`). Case
-    * classes keep their compiler-generated equivalent.
+  /** repr-style summary (reference: base.py:105-131 `__repr__`). A
+    * concrete toString here suppresses case-class toString synthesis
+    * (SLS 5.3.2), so case-class wranglers use this named-params repr too —
+    * closer to the reference's `__repr__` than the positional default.
     */
   override def toString: String =
     getParams.map { case (k, v) => s"$k=$v" }
@@ -57,11 +59,51 @@ object Wrangler {
     val args = w.getParams.map { case (k, v) =>
       updates.getOrElse(k, v).asInstanceOf[AnyRef]
     }
-    val ctor = w.getClass.getConstructors
-      .find(_.getParameterCount == args.size)
-      .getOrElse(throw new IllegalStateException(
+    // Among same-arity constructors prefer one whose (boxed) parameter
+    // types accept every argument — arity alone can pick the wrong
+    // overload. Nulls are treated as assignable to any reference type.
+    val sameArity = w.getClass.getConstructors
+      .filter(_.getParameterCount == args.size)
+    if (sameArity.isEmpty)
+      throw new IllegalStateException(
         s"${w.getClass.getName}: no ${args.size}-arg constructor; " +
-          "getParams must mirror the primary constructor"))
-    ctor.newInstance(args: _*).asInstanceOf[W]
+          "getParams must mirror the primary constructor")
+    def accepts(c: java.lang.reflect.Constructor[_]): Boolean =
+      c.getParameterTypes.iterator.zip(args.iterator).forall {
+        case (pt, a) =>
+          a == null || boxed(pt).isAssignableFrom(a.getClass)
+      }
+    val ctor = sameArity.find(accepts).getOrElse(sameArity.head)
+    try ctor.newInstance(args: _*).asInstanceOf[W]
+    catch {
+      case e: IllegalArgumentException =>
+        val mismatch = ctor.getParameterTypes.iterator.zip(args.iterator)
+          .zip(names.iterator)
+          .collectFirst {
+            case ((pt, a), n)
+                if a != null && !boxed(pt).isAssignableFrom(a.getClass) =>
+              s"parameter `$n` expects ${pt.getSimpleName}, " +
+                s"got ${a.getClass.getSimpleName} ($a)"
+          }
+        throw new IllegalArgumentException(
+          s"rebuild(${w.getClass.getSimpleName}): " +
+            mismatch.getOrElse("constructor rejected arguments") +
+            s"; valid params: ${names.mkString(", ")}", e)
+    }
+  }
+
+  /** Primitive → boxed class, so `isAssignableFrom` works against the
+    * always-boxed reflective argument values.
+    */
+  private def boxed(c: Class[_]): Class[_] = c match {
+    case java.lang.Integer.TYPE   => classOf[java.lang.Integer]
+    case java.lang.Long.TYPE      => classOf[java.lang.Long]
+    case java.lang.Double.TYPE    => classOf[java.lang.Double]
+    case java.lang.Float.TYPE     => classOf[java.lang.Float]
+    case java.lang.Boolean.TYPE   => classOf[java.lang.Boolean]
+    case java.lang.Short.TYPE     => classOf[java.lang.Short]
+    case java.lang.Byte.TYPE      => classOf[java.lang.Byte]
+    case java.lang.Character.TYPE => classOf[java.lang.Character]
+    case other                    => other
   }
 }

@@ -20,6 +20,11 @@ object Stage {
   def of(label: String)(f: DataFrame => DataFrame): Stage = Stage(label, f)
   def fromML(t: org.apache.spark.ml.Transformer): Stage =
     Stage(t.getClass.getSimpleName, df => t.transform(df).toDF)
+  /** Reverse direction — wrangler into an `org.apache.spark.ml.Pipeline`
+    * (reference: pipeline.py:107-138 `convert_wrangler`); see
+    * [[WranglerTransformer]].
+    */
+  def toML(w: Wrangler): WranglerTransformer = WranglerTransformer(w)
 }
 
 /** Per-stage profile record (reference: pipeline.py:741-826). */
