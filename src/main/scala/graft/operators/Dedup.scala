@@ -64,16 +64,18 @@ object Dedup {
     * shingle) with NO self-join — the quadratic hot-key blowup of the
     * uncapped inverted-index join is structurally impossible.
     *
-    * `maxDocFreq <= 0` keeps exact full-set semantics via the shingle
+    * `maxDocFreq <= 0` opts into exact full-set semantics via the shingle
     * self-join; fine for small/mid corpora, quadratic in doc frequency on
-    * hot shingles at corpus scale (prefer the cap or [[MinHashLSHDedup]]
-    * there).
+    * hot shingles at corpus scale (prefer the default cap or
+    * [[MinHashLSHDedup]] there). The capped path is the DEFAULT: an
+    * unsuspecting `NGramJaccard()` at corpus scale must not get the
+    * quadratic plan.
     */
   final case class NGramJaccard(idColumn: String = "doc_id",
                                 textColumn: String = "text",
                                 n: Int = 3,
                                 threshold: Double = 0.2,
-                                maxDocFreq: Long = 0L)
+                                maxDocFreq: Long = 100L)
       extends Wrangler {
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
@@ -115,7 +117,11 @@ object Dedup {
         col(textColumn)), "id", textColumn, n).select("id", "shingle")
       val hot = sh.groupBy("shingle").count()
         .filter(col("count") > maxDocFreq).select("shingle")
-      val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      // No broadcast hint: the hot-shingle set is corpus-dependent and
+      // unbounded (web boilerplate), so a forced broadcast risks driver
+      // OOM at 100 TB. AQE sees the post-agg size and picks broadcast
+      // left-anti when it fits, shuffled left-anti when it doesn't.
+      val kept = sh.join(hot, Seq("shingle"), "left_anti")
       val szT = kept.groupBy("id").agg(count(lit(1)).as("sz"))
       val lists = kept.groupBy("shingle")
         .agg(collect_list(col("id")).as("ids"))
@@ -275,11 +281,24 @@ object Dedup {
     * If the fixpoint is not reached within `maxIterations` the labels are
     * partially merged and WRONG for any not-yet-converged component, so
     * this throws by default; pass `failOnNonConvergence = false` to get
-    * the partial labels with a logged warning instead.
+    * the partial labels with a logged warning instead. Convergence is
+    * observed as a zero changed-label round, so size `maxIterations` >=
+    * ceil(log2(max component diameter)) + 1 confirming round.
+    *
+    * `checkpointDir`: by default rounds are cut with `localCheckpoint`
+    * (executor-local blocks — fast, but a lost executor kills the
+    * lineage). On a real cluster pass a reliable directory (HDFS/S3) and
+    * each round's labels are cut with fault-tolerant `checkpoint()`
+    * instead.
     */
   def connectedComponents(pairs: DataFrame,
                           maxIterations: Int = 20,
-                          failOnNonConvergence: Boolean = true): DataFrame = {
+                          failOnNonConvergence: Boolean = true,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
     // materialize the edge list once — the propagation loop joins it
@@ -287,47 +306,50 @@ object Dedup {
     // explode + join) is far too expensive to recompute per round.
     // Self-loops are added so one message join per round covers "min of
     // own label AND neighbors' labels" without a union inside the loop.
-    val undirected = edges
+    val undirected = cut(edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .union(edges.select(col("src"), col("src").as("dst")))
       .union(edges.select(col("dst").as("src"), col("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = undirected.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+      .distinct())
+    // materialized once: round 1 reads it twice (propagation join +
+    // changed-count join), later rounds replace it with the round cut
+    var labels = cut(undirected.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     if (labels.isEmpty)
       return labels.select(col("id").as("doc_id"), col("component"))
     var converged = false
     var iter = 0
-    // labels only ever move DOWN toward the component minimum, so the
-    // label sum strictly decreases until fixpoint — carrying the previous
-    // round's sum makes the convergence check one action per round
-    var prevSum = labels.agg(sum("component")).head.getLong(0)
     while (!converged && iter < maxIterations) {
       // one shuffle: every node receives its neighbors' labels (and its
-      // own, via the self-loops) and keeps the minimum.
-      // localCheckpoint (here and below) truncates the lineage: each
-      // round's plan embeds the previous round's several times, so
-      // without a cut the logical plan grows exponentially; it also lets
-      // the pointer-jump self-join read one materialized result instead
-      // of recomputing the propagation for both sides. At cluster scale
-      // use reliable checkpoint() instead.
+      // own, via the self-loops) and keeps the minimum
       val propagated = undirected.join(labels, col("src") === col("id"))
         .groupBy(col("dst").as("nid"))
         .agg(min("component").as("component"))
         .select(col("nid").as("id"), col("component"))
-        .localCheckpoint()
       // pointer jumping: component ids are node ids, so a self-join reads
-      // the label OF the label and shortcuts chains in one shuffle
+      // the label OF the label and shortcuts chains — label chains halve
+      // per round. Both sides are the IDENTICAL `propagated` plan (alias
+      // only), so ReuseExchange serves the propagation shuffle once.
       val next = propagated.as("x").join(propagated.as("y"),
           col("x.component") === col("y.id"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("y.component"), col("x.component")).as("component"))
-      val materialized = next.localCheckpoint()
-      val afterSum = materialized.agg(sum("component")).head.getLong(0)
+      // ONE materialization per round: only the round's final labels are
+      // checkpointed (truncating the lineage, which otherwise grows
+      // exponentially — each round's plan embeds the previous round's
+      // several times). The intermediate `propagated` stays lazy.
+      val materialized = cut(next)
+      // convergence = zero labels changed this round. An exact count of
+      // changed rows (never a sum compare, which can false-converge on
+      // silent 64-bit wrap when ids are hash-derived) over the two
+      // materialized label sets — tiny (id, component) pairs — and the
+      // round's single scalar driver action.
+      val changed = materialized.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
       labels = materialized
-      converged = afterSum == prevSum
-      prevSum = afterSum
+      converged = changed == 0L
       iter += 1
     }
     if (!converged) {

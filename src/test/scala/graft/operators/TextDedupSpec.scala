@@ -77,11 +77,40 @@ class TextDedupSpec extends AnyFunSuite {
 
   test("NGramJaccard: generous cap reproduces the exact uncapped result") {
     val df = docsDF(1L -> "a b c d e", 2L -> "a b c d x", 3L -> "p q r s")
-    val exact = Dedup.NGramJaccard(threshold = 0.1).transform(df)
-      .collect().map(_.toSeq).toSet
+    // maxDocFreq = 0 is the explicit opt-in to the exact (self-join) path;
+    // the capped formulation is the default
+    val exact = Dedup.NGramJaccard(threshold = 0.1, maxDocFreq = 0)
+      .transform(df).collect().map(_.toSeq).toSet
     val capped = Dedup.NGramJaccard(threshold = 0.1, maxDocFreq = 100)
       .transform(df).collect().map(_.toSeq).toSet
     assert(capped == exact && exact.nonEmpty)
+  }
+
+  test("NGramJaccard property: cap >= corpus size == exact, any corpus " +
+    "(seeded ScalaCheck corpora)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    val doc = Gen.chooseNum(0, 8).flatMap(Gen.listOfN(_, word))
+      .map(_.mkString(" "))
+    val corpus = Gen.chooseNum(2, 8).flatMap(Gen.listOfN(_, doc))
+    (1 to 25).foreach { seed =>
+      corpus(Gen.Parameters.default, Seed(seed.toLong)).foreach { texts =>
+        val df = docsDF(texts.zipWithIndex.map {
+          case (t, i) => (i.toLong, t) }: _*)
+        val exact = Dedup.NGramJaccard(threshold = 0.0, maxDocFreq = 0)
+          .transform(df).collect().map(_.toSeq).toSet
+        val capped = Dedup
+          .NGramJaccard(threshold = 0.0, maxDocFreq = texts.size.toLong)
+          .transform(df).collect().map(_.toSeq).toSet
+        assert(capped == exact,
+          s"seed=$seed corpus=$texts capped=$capped exact=$exact")
+      }
+    }
+  }
+
+  test("NGramJaccard default is the capped (non-quadratic) formulation") {
+    assert(Dedup.NGramJaccard().maxDocFreq > 0)
   }
 
   test("MinHashLSH finds identical docs with est_jaccard 1.0") {
@@ -213,6 +242,32 @@ class TextDedupSpec extends AnyFunSuite {
   test("connectedComponents: empty edges yield empty result") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(pairs).count() == 0)
+  }
+
+  test("connectedComponents: reliable checkpoint path matches local") {
+    // at cluster scale localCheckpoint lineage dies with a lost
+    // executor; checkpointDir opts into fault-tolerant checkpoint()
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt")
+    try {
+      val got = Dedup
+        .connectedComponents(pairs, checkpointDir = Some(dir.toString))
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+      // the reliable checkpoint actually wrote RDD blocks to the dir
+      assert(java.nio.file.Files.walk(dir).count() > 1)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("NGramJaccard capped plan carries no forced broadcast hint") {
+    val df = docsDF(1L -> "a b c d e", 2L -> "a b c d x")
+    val plan = Dedup.NGramJaccard(threshold = 0.1, maxDocFreq = 10)
+      .transform(df).queryExecution.analyzed.toString
+    assert(!plan.contains("ResolvedHint"), plan)
   }
 
   test("Normalize strips tags, collapses whitespace, lowercases") {
