@@ -36,10 +36,15 @@ object SparkEntry {
                             adjusted: Boolean = true,
                             start: String = "signup",
                             end: Option[String] = Some("purchase"),
-                            ascending: Boolean = true)
+                            ascending: Boolean = true,
+                            salted: Boolean = false)
                            (spark: SparkSession, dir: String): DataFrame = {
     val w =
-      if (adjusted)
+      if (salted)
+        new IntervalIdentifierSalted("event_type", start, end, su, eu,
+          orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"),
+          ascending = Seq(ascending), resultType = resultType)
+      else if (adjusted)
         new IntervalIdentifierAdjusted("event_type", start, end, su, eu,
           orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"),
           ascending = Seq(ascending), resultType = resultType)
@@ -361,6 +366,22 @@ object SparkEntry {
           col("iids").cast("long").as("iids"))
         .orderBy("user_id", "event_id")
     }),
+    // skew-immune salted formulation (chunked two-phase window algebra,
+    // no whole-group task anywhere): must agree with the SAME oracles as
+    // the plain paths. The three queries cover no-drop (lsfe), both-drop
+    // (fsle) and identical-marker semantics across chunk boundaries.
+    "interval_lsfe_salted" -> (intervalQuery(su = false, eu = true,
+      ResultType.Enumerated, salted = true) _),
+    "interval_fsle_salted" -> (intervalQuery(su = true, eu = false,
+      ResultType.Enumerated, salted = true) _),
+    "interval_identical_salted" -> ((s: SparkSession, dir: String) => {
+      val w = new IntervalIdentifierSalted("event_type", "click", None,
+        orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"))
+      w.transform(events(s, dir))
+        .select(col("user_id"), col("event_id"),
+          col("iids").cast("long").as("iids"))
+        .orderBy("user_id", "event_id")
+    }),
   ) ++ extendedQueries
 
   /** DuckDB-runnable oracle SQL per query ({dir} replaced by the driver
@@ -380,5 +401,8 @@ object SparkEntry {
       ascending = false),
     "interval_lsfe_1pass" -> intervalOracle(su = false, eu = true),
     "interval_identical" -> intervalIdenticalOracle("click"),
+    "interval_lsfe_salted" -> intervalOracle(su = false, eu = true),
+    "interval_fsle_salted" -> intervalOracle(su = true, eu = false),
+    "interval_identical_salted" -> intervalIdenticalOracle("click"),
   ) ++ extendedOracles
 }

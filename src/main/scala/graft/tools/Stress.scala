@@ -25,6 +25,11 @@ object Stress {
         when(col("id") % 7 === 0, "s").when(col("id") % 7 === 3, "e")
           .otherwise("x").as("marker"))
 
+    // force the id column: a bare count() lets Catalyst prune the whole
+    // row-preserving window computation and times a no-op
+    def force(out: org.apache.spark.sql.DataFrame): Long =
+      out.agg(max("iids"), count(lit(1))).collect()(0).getLong(1)
+
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
@@ -37,8 +42,12 @@ object Stress {
         orderbyColumns = Seq("o"), groupbyColumns = Seq("g"))
       val sp = new IntervalIdentifierSinglePass("marker", "s", Some("e"),
         orderbyColumns = Seq("o"), groupbyColumns = Seq("g"))
-      time(s"window    n=$n groups=$groups")(w.transform(df).count())
-      time(s"singlepass n=$n groups=$groups")(sp.transform(df).count())
+      val sa = new IntervalIdentifierSalted("marker", "s", Some("e"),
+        orderbyColumns = Seq("o"), groupbyColumns = Seq("g"),
+        saltBuckets = 64)
+      time(s"window    n=$n groups=$groups")(force(w.transform(df)))
+      time(s"singlepass n=$n groups=$groups")(force(sp.transform(df)))
+      time(s"salted    n=$n groups=$groups")(force(sa.transform(df)))
       df.unpersist()
     }
     spark.stop()

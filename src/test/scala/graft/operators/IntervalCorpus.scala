@@ -37,6 +37,15 @@ object IntervalCorpus {
         new IntervalIdentifier("marker", markerStart, markerEnd,
           startUseFirst, endUseFirst, orderby, groupby, ascending,
           resultType, "iid")
+
+    /** Salted variant with deliberately tiny buckets so every golden case
+      * exercises chunk boundaries (carries, boundary drops, offsets).
+      */
+    def saltedWrangler(startUseFirst: Boolean, endUseFirst: Boolean,
+                       buckets: Int = 3): IntervalIdentifier =
+      new IntervalIdentifierSalted("marker", markerStart, markerEnd,
+        startUseFirst, endUseFirst, orderby, groupby, ascending,
+        resultType, "iid", saltBuckets = buckets)
   }
 
   private val intCols = Seq("order:i", "groupby:i", "marker:i", "iid:i")

@@ -23,11 +23,18 @@ class IntervalIdentifierSpec extends AnyFunSuite {
     PlainFrame.fromDF(gc.wrangler(su, eu, adjusted).transform(df))
   }
 
-  /** Exact golden equality for enumerated results. */
+  /** Exact golden equality for enumerated results, across the generic,
+    * adjusted and salted (saltBuckets=3, forcing chunk carries)
+    * formulations.
+    */
   private def checkExact(gc: GoldenCase): Unit =
-    for ((su, eu) <- gc.configs; adjusted <- Seq(false, true)) {
-      val label = s"${gc.name} su=$su eu=$eu adjusted=$adjusted"
-      val got = runCase(gc, su, eu, adjusted)
+    for ((su, eu) <- gc.configs; variant <- Seq("generic", "adjusted", "salted")) {
+      val label = s"${gc.name} su=$su eu=$eu $variant"
+      val w = variant match {
+        case "salted" => gc.saltedWrangler(su, eu)
+        case v        => gc.wrangler(su, eu, adjusted = v == "adjusted")
+      }
+      val got = PlainFrame.fromDF(w.transform(gc.input.toDF(spark)))
       try got.assertEqual(gc.expected)
       catch {
         case e: AssertionError =>
@@ -41,9 +48,14 @@ class IntervalIdentifierSpec extends AnyFunSuite {
     * (reference: test_interval_identifier.py:133-197).
     */
   private def checkUpToRelabeling(gc: GoldenCase, zeroSet: Boolean): Unit =
-    for ((su, eu) <- gc.configs; adjusted <- Seq(false, true)) {
-      val label = s"${gc.name} su=$su eu=$eu adjusted=$adjusted"
-      val got = runCase(gc, su, eu, adjusted)
+    for ((su, eu) <- gc.configs;
+         variant <- Seq("generic", "adjusted", "salted")) {
+      val label = s"${gc.name} su=$su eu=$eu $variant"
+      val got = variant match {
+        case "salted" => PlainFrame.fromDF(
+          gc.saltedWrangler(su, eu).transform(gc.input.toDF(spark)))
+        case v => runCase(gc, su, eu, adjusted = v == "adjusted")
+      }
 
       def sequences(pf: PlainFrame): Map[Vector[Any], Vector[Long]] = {
         val gIdx = gc.groupby.map(pf.columnNames.indexOf)
