@@ -102,6 +102,65 @@ object OracleSql {
        |    (a, h) -> (a * 31 + h) % 1000000007) AS roll_fp
        |FROM t ORDER BY doc_id""".stripMargin
 
+  def textRepetition: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= 2 THEN
+       |    list_transform(range(1, greatest(len(tk), 1)),
+       |      i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+       |  ELSE [] END AS g2,
+       |  CASE WHEN len(tk) >= 3 THEN
+       |    list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+       |  ELSE [] END AS g3
+       |  FROM t),
+       |r AS (SELECT doc_id,
+       |  CAST(len(g2) AS BIGINT) AS n_2grams,
+       |  round(CASE WHEN len(g2) > 0 THEN
+       |    CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+       |      / CAST(len(g2) AS DOUBLE) ELSE 0.0 END, 6) AS dup_2gram_ratio,
+       |  CAST(len(g3) AS BIGINT) AS n_3grams,
+       |  round(CASE WHEN len(g3) > 0 THEN
+       |    CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+       |      / CAST(len(g3) AS DOUBLE) ELSE 0.0 END, 6) AS dup_3gram_ratio
+       |  FROM g)
+       |SELECT doc_id, n_2grams, dup_2gram_ratio, n_3grams, dup_3gram_ratio,
+       |  greatest(dup_2gram_ratio, dup_3gram_ratio) AS repetition_score
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Mirrors the `pii_scrub` query: both engines append the same
+    * deterministic doc_id-derived PII, then redact with identical
+    * RE2-compatible patterns (DuckDB needs the 'g' flag to match
+    * Spark's replace-all).
+    */
+  def piiScrub: String = {
+    // the runtime pattern strings hold single backslashes — valid for
+    // both Java regex and DuckDB's RE2, so they embed verbatim
+    val email = TextAnalysis.PiiScrub.EmailRe
+    val ip = TextAnalysis.PiiScrub.Ipv4Re
+    val phone = TextAnalysis.PiiScrub.PhoneRe
+    s"""WITH a AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |    || '@example.com or +1 555-01' || CAST(doc_id % 100 AS VARCHAR)
+       |    || ' at 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT)
+       |    AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$ip', '<IP>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS scrubbed
+       |  FROM a)
+       |SELECT doc_id, n_emails, n_ips, n_phones,
+       |  CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+       |  md5(scrubbed) AS scrub_fp
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   def textNormalize: String =
     """WITH n AS (SELECT doc_id,
       |  lower(trim(regexp_replace(

@@ -217,6 +217,26 @@ object SparkEntry {
       TextAnalysis.Fingerprint().transform(docs(s, dir))
         .select("doc_id", "md5_fp", "roll_fp")
         .orderBy("doc_id")),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.RepetitionScore().transform(docs(s, dir))
+        .select("doc_id", "n_2grams", "dup_2gram_ratio", "n_3grams",
+          "dup_3gram_ratio", "repetition_score")
+        .orderBy("doc_id")),
+    // the synthetic documents carry no PII, so both engines append the
+    // SAME deterministic doc_id-derived email/phone/IP before scrubbing —
+    // the redaction behavior (not the corpus) is what the oracle pins
+    "pii_scrub" -> ((s, dir) => {
+      val aug = docs(s, dir).withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1 555-01"),
+        (col("doc_id") % 100).cast("string"),
+        lit(" at 10.1."), (col("doc_id") % 256).cast("string"),
+        lit(".7")))
+      TextAnalysis.PiiScrub().transform(aug)
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "scrub_len",
+          "scrub_fp")
+        .orderBy("doc_id")
+    }),
     "dedup_exact" -> ((s, dir) =>
       Dedup.ExactDedup().transform(docs(s, dir))
         .select("doc_id", "content_fp", "canonical_id", "is_dup")
@@ -301,6 +321,8 @@ object SparkEntry {
   private def extendedOracles: Map[String, String] = Map(
     "text_tokens" -> OracleSql.textTokens,
     "text_quality" -> OracleSql.textQuality,
+    "text_repetition" -> OracleSql.textRepetition,
+    "pii_scrub" -> OracleSql.piiScrub,
     "sessionize" -> OracleSql.sessionize(50000000000000L),
     "text_langid" -> OracleSql.textLangId,
     "text_normalize" -> OracleSql.textNormalize,

@@ -158,21 +158,24 @@ class IntervalIdentifierSalted(
     val wCRev = Window.partitionBy(g :+ col(P + "b"): _*)
       .orderBy(SparkUtil.prepareOrderby(orderbyColumns, ascending,
         reverse = true): _*)
+    // the duplicate-drop machinery (prev/next marker scans, first/last
+    // marker positions, boundary-drop carries) exists per SIDE only when
+    // that side's config drops markers; the default last-start/first-end
+    // config statically compiles to the plain increment algebra
+    val needDropS = markerStartUseFirst
+    val needDropE = !markerEndUseFirst
     val rows1 = rows0
       .withColumn(P + "kind", kind)
       .withColumn(P + "pos", row_number().over(wC))
-      // local duplicate-marker drops (drop a start whose previous marker
-      // is a start / an end whose next marker is an end); the prev/next
-      // scans only exist for the configs that drop that side
       .withColumn(P + "isSl",
-        if (markerStartUseFirst)
+        if (needDropS)
           isS0 && !coalesce(
             last(col(P + "kind"), ignoreNulls = true)
               .over(wC.rowsBetween(Window.unboundedPreceding, -1)) === 1,
             lit(false))
         else isS0)
       .withColumn(P + "isEl",
-        if (!markerEndUseFirst)
+        if (needDropE)
           isE0 && !coalesce(
             last(col(P + "kind"), ignoreNulls = true)
               .over(wCRev.rowsBetween(Window.unboundedPreceding, -1)) === 2,
@@ -182,15 +185,24 @@ class IntervalIdentifierSalted(
       .withColumn(P + "incl", col(P + "isSl").cast("int") +
         lag(col(P + "isEl").cast("int"), 1, 0).over(wC))
       .withColumn(P + "rawl", sum(col(P + "incl")).over(wCRun))
-      // chunk-constant fields for the summary
+      // chunk-constant fields for the summary; the marker-position /
+      // marker-kind fields only exist when a boundary drop can happen
       .withColumn(P + "fk",
-        first(col(P + "kind"), ignoreNulls = true).over(wCAll))
+        if (needDropS || needDropE)
+          first(col(P + "kind"), ignoreNulls = true).over(wCAll)
+        else lit(null).cast("int"))
       .withColumn(P + "lk",
-        last(col(P + "kind"), ignoreNulls = true).over(wCAll))
+        if (needDropS || needDropE)
+          last(col(P + "kind"), ignoreNulls = true).over(wCAll)
+        else lit(null).cast("int"))
       .withColumn(P + "fmp",
-        min(when(col(P + "kind").isNotNull, col(P + "pos"))).over(wCAll))
+        if (needDropS)
+          min(when(col(P + "kind").isNotNull, col(P + "pos"))).over(wCAll)
+        else lit(null).cast("int"))
       .withColumn(P + "lmp",
-        max(when(col(P + "kind").isNotNull, col(P + "pos"))).over(wCAll))
+        if (needDropE)
+          max(when(col(P + "kind").isNotNull, col(P + "pos"))).over(wCAll)
+        else lit(null).cast("int"))
       .withColumn(P + "lastE",
         last(col(P + "isEl").cast("int")).over(wCAll))
     // NOT materialized: each consumer (the summary aggregation, the
@@ -227,9 +239,9 @@ class IntervalIdentifierSalted(
         last(col(P + "slk"), ignoreNulls = true).over(wGPrev))
       .withColumn(P + "Rin",
         first(col(P + "sfk"), ignoreNulls = true).over(wGNext))
-      .withColumn(P + "dropF", lit(markerStartUseFirst) &&
+      .withColumn(P + "dropF", lit(needDropS) &&
         coalesce(col(P + "sfk") === 1 && col(P + "Lin") === 1, lit(false)))
-      .withColumn(P + "dropL", lit(!markerEndUseFirst) &&
+      .withColumn(P + "dropL", lit(needDropE) &&
         coalesce(col(P + "slk") === 2 && col(P + "Rin") === 2, lit(false)))
       .withColumn(P + "lagEout", (col(P + "slastE") === 1) &&
         !(col(P + "dropL") && col(P + "slmp") === col(P + "slast")))

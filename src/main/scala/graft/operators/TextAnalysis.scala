@@ -150,4 +150,79 @@ object TextAnalysis {
         .withColumn("roll_fp", roll)
     }
   }
+
+  /** Within-document repetition signals — the standard web-corpus
+    * "repetitious document" filter family: the fraction of duplicate
+    * word 2-grams / 3-grams (1 - distinct/total). Pure map-side array
+    * expressions over bounded per-row token lists; ratios are a single
+    * IEEE division of exact integer counts, so engine-deterministic.
+    */
+  final case class RepetitionScore(textColumn: String = "text")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+
+    /** NON-distinct word n-grams (the dedup shingles collapse dupes;
+      * repetition scoring is precisely about the dupes).
+      */
+    private def grams(toks: Column, n: Int): Column =
+      when(size(toks) >= n,
+        F.transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+
+    private def dupRatio(g: Column): Column =
+      round(when(size(g) > 0,
+        (size(g) - size(array_distinct(g))).cast("double")
+          / size(g).cast("double")).otherwise(lit(0.0)), 6)
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(textColumn))
+      val toks = tokens(col(textColumn))
+      val g2 = grams(toks, 2)
+      val g3 = grams(toks, 3)
+      df.withColumn("n_2grams", size(g2).cast("long"))
+        .withColumn("dup_2gram_ratio", dupRatio(g2))
+        .withColumn("n_3grams", size(g3).cast("long"))
+        .withColumn("dup_3gram_ratio", dupRatio(g3))
+        .withColumn("repetition_score",
+          greatest(col("dup_2gram_ratio"), col("dup_3gram_ratio")))
+    }
+  }
+
+  /** PII redaction for training-data pipelines: emails, IPv4 addresses
+    * and international-format phone numbers are replaced with typed
+    * placeholder tokens, with pre-redaction match counts emitted for
+    * audit. Pure map-side regex (codegen'd), zero shuffle; the patterns
+    * are RE2-compatible so the DuckDB oracle replays them verbatim.
+    * Redaction order (email, then IP, then phone) is fixed: placeholder
+    * tokens contain no digits, so later passes cannot re-match them.
+    */
+  final case class PiiScrub(textColumn: String = "text")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(textColumn))
+      val t = col(textColumn)
+      def count(re: String): Column =
+        size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+      val scrubbed = regexp_replace(
+        regexp_replace(
+          regexp_replace(t, PiiScrub.EmailRe, "<EMAIL>"),
+          PiiScrub.Ipv4Re, "<IP>"),
+        PiiScrub.PhoneRe, "<PHONE>")
+      df.withColumn("n_emails", count(PiiScrub.EmailRe))
+        .withColumn("n_ips", count(PiiScrub.Ipv4Re))
+        .withColumn("n_phones", count(PiiScrub.PhoneRe))
+        .withColumn("scrubbed", scrubbed)
+        .withColumn("scrub_len", length(col("scrubbed")).cast("long"))
+        .withColumn("scrub_fp", md5(col("scrubbed")))
+    }
+  }
+
+  object PiiScrub {
+    val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val Ipv4Re =
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val PhoneRe = "\\+[0-9][0-9 -]{6,}[0-9]"
+  }
 }

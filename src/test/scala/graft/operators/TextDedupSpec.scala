@@ -270,6 +270,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!plan.contains("ResolvedHint"), plan)
   }
 
+  test("RepetitionScore: duplicate n-gram ratios with short-doc guard") {
+    val df = docsDF(
+      1L -> "a b a b a b",   // 2-grams: ab ba ab ba ab -> 5 total 2 distinct
+      2L -> "w x y z",       // all distinct -> 0
+      3L -> "solo")          // too short for any n-gram
+    val out = TextAnalysis.RepetitionScore().transform(df)
+      .select("doc_id", "n_2grams", "dup_2gram_ratio", "n_3grams",
+        "dup_3gram_ratio", "repetition_score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out(1L) == ((5L, 0.6, 4L, 0.5, 0.6)))
+    assert(out(2L) == ((3L, 0.0, 2L, 0.0, 0.0)))
+    assert(out(3L) == ((0L, 0.0, 0L, 0.0, 0.0)))
+  }
+
+  test("PiiScrub redacts emails, IPs and phones with counts") {
+    val df = docsDF(
+      1L -> "mail a.b+c@site.io or +44 20 7946-0958 from 192.168.0.1",
+      2L -> "clean text only")
+    val out = TextAnalysis.PiiScrub().transform(df)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) ==
+      ((1L, 1L, 1L, "mail <EMAIL> or <PHONE> from <IP>")))
+    assert(out(2L) == ((0L, 0L, 0L, "clean text only")))
+  }
+
   test("Normalize strips tags, collapses whitespace, lowercases") {
     val df = docsDF(1L -> "<p>Hello   <b>World</b></p>\n extra")
     val r = TextAnalysis.Normalize().transform(df).head()
