@@ -74,6 +74,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n <= 4, s"minhash plan has $n shuffles")
   }
 
+  test("salted interval: every data window is chunk-partitioned — no " +
+    "whole-group window anywhere in the plan") {
+    val w = new IntervalIdentifierSalted("marker", "s", Some("e"),
+      orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"),
+      resultType = ResultType.Raw, saltBuckets = 4)
+    val plan = w.transform(events).queryExecution.executedPlan.toString
+    val windowNodes = plan.linesIterator
+      .filter(_.contains("Window [")).toSeq
+    assert(windowNodes.nonEmpty, plan)
+    // row-side windows must include the salt bucket in their partition
+    // spec; the only group-only windows allowed are the tiny per-chunk
+    // carry windows, which order by the bucket sequence (__iis_sbs) —
+    // a window partitioned by the group alone and ordered by the event
+    // order column would be the single-task skew shape this operator
+    // exists to eliminate
+    val wholeGroup = windowNodes.filter(l =>
+      !l.contains("__iis_b") && !l.contains("__iis_sbs") &&
+        l.contains("event_id"))
+    assert(wholeGroup.isEmpty, wholeGroup.mkString("\n"))
+    assert(windowNodes.exists(_.contains("__iis_b")), plan)
+  }
+
+  test("text repetition and PII scrub: pure map-side, zero shuffles") {
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    assert(shuffles(TextAnalysis.RepetitionScore().transform(df)) == 0)
+    assert(shuffles(TextAnalysis.PiiScrub().transform(df)) == 0)
+  }
+
   test("broadcast join: nation side broadcasts, no shuffle for the dim") {
     val l = Seq((1L, 10.0, 0.1)).toDF("l_orderkey", "l_extendedprice",
       "l_discount")
