@@ -161,6 +161,34 @@ object OracleSql {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors the `pipeline_ingest` query: normalize -> quality gate ->
+    * keep-canonical exact dedup, the composed ingest chain.
+    */
+  def pipelineIngest(minTokens: Long): String = {
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH n AS (SELECT doc_id,
+       |  lower(trim(regexp_replace(
+       |    regexp_replace(text, '<[^>]*>', ' ', 'g'),
+       |    '\\s+', ' ', 'g'))) AS text FROM documents),
+       |t AS (SELECT doc_id, text, $Toks AS toks FROM n),
+       |c AS (SELECT doc_id, text,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(toks, s -> s IN ($stop))) AS BIGINT) AS n_stop
+       |  FROM t),
+       |q AS (SELECT doc_id, text, n_tokens,
+       |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
+       |    (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6)
+       |    AS quality_score
+       |  FROM c WHERE n_tokens >= $minTokens),
+       |d AS (SELECT *,
+       |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+       |    AS content_fp FROM q),
+       |k AS (SELECT *, min(doc_id) OVER (PARTITION BY content_fp)
+       |  AS canonical_id FROM d)
+       |SELECT doc_id, n_tokens, quality_score, content_fp
+       |FROM k WHERE doc_id = canonical_id ORDER BY doc_id""".stripMargin
+  }
+
   def textNormalize: String =
     """WITH n AS (SELECT doc_id,
       |  lower(trim(regexp_replace(

@@ -217,6 +217,24 @@ object SparkEntry {
       TextAnalysis.Fingerprint().transform(docs(s, dir))
         .select("doc_id", "md5_fp", "roll_fp")
         .orderBy("doc_id")),
+    // end-to-end ingest chain THROUGH the Pipeline framework (§2.12):
+    // normalize -> quality gate -> keep-canonical exact dedup, each a
+    // Stage; proves operator composition under the oracle gate and that
+    // the map-side stages fuse (no extra shuffles vs the fused query)
+    "pipeline_ingest" -> ((s, dir) => {
+      import graft.pipeline.{Pipeline, Stage}
+      val p = new Pipeline(Seq(
+        Stage(TextAnalysis.Normalize()),
+        Stage.of("renorm")(df =>
+          df.select(col("doc_id"), col("norm_text").as("text"))),
+        Stage(TextAnalysis.QualityScore()),
+        Stage.of("quality_gate")(_.filter(col("n_tokens") >= 20)),
+        Stage(Dedup.ExactDedup()),
+        Stage.of("keep_canonical")(_.filter(!col("is_dup")))))
+      p.transform(docs(s, dir))
+        .select("doc_id", "n_tokens", "quality_score", "content_fp")
+        .orderBy("doc_id")
+    }),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.RepetitionScore().transform(docs(s, dir))
         .select("doc_id", "n_2grams", "dup_2gram_ratio", "n_3grams",
@@ -323,6 +341,7 @@ object SparkEntry {
     "text_quality" -> OracleSql.textQuality,
     "text_repetition" -> OracleSql.textRepetition,
     "pii_scrub" -> OracleSql.piiScrub,
+    "pipeline_ingest" -> OracleSql.pipelineIngest(20L),
     "sessionize" -> OracleSql.sessionize(50000000000000L),
     "text_langid" -> OracleSql.textLangId,
     "text_normalize" -> OracleSql.textNormalize,

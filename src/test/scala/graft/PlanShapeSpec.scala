@@ -102,6 +102,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(TextAnalysis.PiiScrub().transform(df)) == 0)
   }
 
+  test("pipeline composition fuses map-side stages: normalize + quality " +
+    "+ filters + dedup cost exactly the dedup window's one shuffle") {
+    import graft.operators.TextAnalysis
+    import graft.pipeline.{Pipeline, Stage}
+    import org.apache.spark.sql.functions.{col, not}
+    val p = new Pipeline(Seq(
+      Stage(TextAnalysis.Normalize()),
+      Stage.of("renorm")(df =>
+        df.select(col("doc_id"), col("norm_text").as("text"))),
+      Stage(TextAnalysis.QualityScore()),
+      Stage.of("gate")(_.filter(col("n_tokens") >= 2)),
+      Stage(Dedup.ExactDedup()),
+      Stage.of("keep")(_.filter(not(col("is_dup"))))))
+    val df = Seq((1L, "a b c"), (2L, "a  b C")).toDF("doc_id", "text")
+    assert(shuffles(p.transform(df)) == 1)
+  }
+
   test("broadcast join: nation side broadcasts, no shuffle for the dim") {
     val l = Seq((1L, 10.0, 0.1)).toDF("l_orderkey", "l_extendedprice",
       "l_discount")
