@@ -21,6 +21,10 @@ import graft.core.Wrangler
   * getter/setter pair per wrangler keyword argument; on the JVM runtime
   * class synthesis is replaced by this statically-typed bridge that
   * overrides the `Params.params` registry instead (SURVEY §7.4/6).
+  *
+  * `MLWritable` persistence is intentionally out of scope, matching the
+  * reference: its runtime-synthesized Transformer classes are equally
+  * unpicklable, so neither side round-trips through `Pipeline.save`.
   */
 sealed abstract class DynamicParamTransformer(
     defaults: Seq[(String, Any)], override val uid: String)
