@@ -164,8 +164,18 @@ class IntervalIdentifierSalted(
     // config statically compiles to the plain increment algebra
     val needDropS = markerStartUseFirst
     val needDropE = !markerEndUseFirst
+    // the reversed-order scan comes FIRST so the plan needs exactly one
+    // reverse sort followed by one forward sort per partition — placed
+    // between forward windows it would force a third in-partition sort
     val rows1 = rows0
       .withColumn(P + "kind", kind)
+      .withColumn(P + "isEl",
+        if (needDropE)
+          isE0 && !coalesce(
+            last(col(P + "kind"), ignoreNulls = true)
+              .over(wCRev.rowsBetween(Window.unboundedPreceding, -1)) === 2,
+            lit(false))
+        else isE0)
       .withColumn(P + "pos", row_number().over(wC))
       .withColumn(P + "isSl",
         if (needDropS)
@@ -174,13 +184,6 @@ class IntervalIdentifierSalted(
               .over(wC.rowsBetween(Window.unboundedPreceding, -1)) === 1,
             lit(false))
         else isS0)
-      .withColumn(P + "isEl",
-        if (needDropE)
-          isE0 && !coalesce(
-            last(col(P + "kind"), ignoreNulls = true)
-              .over(wCRev.rowsBetween(Window.unboundedPreceding, -1)) === 2,
-            lit(false))
-        else isE0)
       // local raw prefix, assuming no carry-in lagged end (fixed later)
       .withColumn(P + "incl", col(P + "isSl").cast("int") +
         lag(col(P + "isEl").cast("int"), 1, 0).over(wC))
