@@ -144,17 +144,20 @@ object OracleSql {
        |    || '@example.com or +1 555-01' || CAST(doc_id % 100 AS VARCHAR)
        |    || ' at 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
        |  FROM documents),
+       |e AS (SELECT doc_id, text,
+       |  regexp_replace(text, '$email', '<EMAIL>', 'g') AS after_email
+       |  FROM a),
+       |i AS (SELECT *, regexp_replace(after_email, '$ip', '<IP>', 'g')
+       |  AS after_ip FROM e),
        |s AS (SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT)
        |    AS n_emails,
-       |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
-       |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT)
+       |  CAST(len(regexp_extract_all(after_email, '$ip')) AS BIGINT)
+       |    AS n_ips,
+       |  CAST(len(regexp_extract_all(after_ip, '$phone')) AS BIGINT)
        |    AS n_phones,
-       |  regexp_replace(regexp_replace(regexp_replace(text,
-       |    '$email', '<EMAIL>', 'g'),
-       |    '$ip', '<IP>', 'g'),
-       |    '$phone', '<PHONE>', 'g') AS scrubbed
-       |  FROM a)
+       |  regexp_replace(after_ip, '$phone', '<PHONE>', 'g') AS scrubbed
+       |  FROM i)
        |SELECT doc_id, n_emails, n_ips, n_phones,
        |  CAST(length(scrubbed) AS BIGINT) AS scrub_len,
        |  md5(scrubbed) AS scrub_fp

@@ -71,7 +71,8 @@ object Wrangler {
     def accepts(c: java.lang.reflect.Constructor[_]): Boolean =
       c.getParameterTypes.iterator.zip(args.iterator).forall {
         case (pt, a) =>
-          a == null || boxed(pt).isAssignableFrom(a.getClass)
+          if (a == null) !pt.isPrimitive // null fits any reference type
+          else boxed(pt).isAssignableFrom(a.getClass)
       }
     val ctor = sameArity.find(accepts).getOrElse(sameArity.head)
     try ctor.newInstance(args: _*).asInstanceOf[W]
@@ -80,6 +81,8 @@ object Wrangler {
         val mismatch = ctor.getParameterTypes.iterator.zip(args.iterator)
           .zip(names.iterator)
           .collectFirst {
+            case ((pt, a), n) if a == null && pt.isPrimitive =>
+              s"parameter `$n` expects ${pt.getSimpleName}, got null"
             case ((pt, a), n)
                 if a != null && !boxed(pt).isAssignableFrom(a.getClass) =>
               s"parameter `$n` expects ${pt.getSimpleName}, " +

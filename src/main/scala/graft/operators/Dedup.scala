@@ -296,7 +296,13 @@ object Dedup {
                           failOnNonConvergence: Boolean = true,
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // never clobber an application-configured checkpoint dir (it is
+    // global SparkContext state — e.g. streaming recovery depends on
+    // it); an already-set dir also serves reliable checkpoint() fine
+    checkpointDir.foreach { dir =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(dir)
+    }
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("id_a").cast("long").as("src"),

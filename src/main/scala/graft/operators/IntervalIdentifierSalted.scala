@@ -44,6 +44,19 @@ import graft.util.SparkUtil
   * Semantics are pinned by the golden corpus + oracle queries running
   * with the salt on (reference semantics:
   * src/pywrangler/pyspark/wranglers/interval_identifier.py:96-352).
+  *
+  * Contract deviations from the plain operator, both inherent to the
+  * multi-pass formulation:
+  *   - `transform` is EAGER (the tiny carry tables, and for Enumerated
+  *     the clustered row frame, are localCheckpointed at call time) —
+  *     compose it last, not inside plan-only pipelines;
+  *   - the (groupby, orderby) key must uniquely order rows WITHIN each
+  *     group. The plain path is also undefined on order ties (the
+  *     window tie-break is arbitrary) but at least self-consistent; here
+  *     the carry tables and the row side are evaluated independently,
+  *     so a tie broken differently across evaluations could misplace a
+  *     boundary-drop correction. Unique event ids / timestamps satisfy
+  *     this.
   */
 class IntervalIdentifierSalted(
     markerColumn: String,
@@ -80,7 +93,8 @@ class IntervalIdentifierSalted(
     val asc1 = ascending.headOption.getOrElse(true)
 
     // contiguous value-range chunks of the first orderby column; bounds
-    // come from a broadcast 1-row min/max subplan so transform stays lazy.
+    // come from a broadcast 1-row min/max subplan (no separate driver
+    // action — the checkpoints below are what make transform eager).
     // Bucket 0 is reserved for NULL order values (asc = nulls first; with
     // bucketSeq = -bucket under desc, 0 sorts last = desc nulls-last).
     val o1 = col(orderbyColumns.head).cast("double")

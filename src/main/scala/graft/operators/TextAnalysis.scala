@@ -191,11 +191,14 @@ object TextAnalysis {
 
   /** PII redaction for training-data pipelines: emails, IPv4 addresses
     * and international-format phone numbers are replaced with typed
-    * placeholder tokens, with pre-redaction match counts emitted for
-    * audit. Pure map-side regex (codegen'd), zero shuffle; the patterns
-    * are RE2-compatible so the DuckDB oracle replays them verbatim.
-    * Redaction order (email, then IP, then phone) is fixed: placeholder
-    * tokens contain no digits, so later passes cannot re-match them.
+    * placeholder tokens, with match counts emitted for audit. Pure
+    * map-side regex (codegen'd), zero shuffle; the patterns are
+    * RE2-compatible so the DuckDB oracle replays them verbatim.
+    * Redaction order (email, then IP, then phone) is fixed, and each
+    * count is taken on the text AS THAT PASS SEES IT — so the audit
+    * counts equal the replacements actually performed even when
+    * patterns overlap (e.g. an all-digit email local part that the
+    * IPv4 regex would also match is counted once, as an email).
     */
   final case class PiiScrub(textColumn: String = "text")
       extends Wrangler {
@@ -203,16 +206,14 @@ object TextAnalysis {
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(textColumn))
       val t = col(textColumn)
-      def count(re: String): Column =
-        size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
-      val scrubbed = regexp_replace(
-        regexp_replace(
-          regexp_replace(t, PiiScrub.EmailRe, "<EMAIL>"),
-          PiiScrub.Ipv4Re, "<IP>"),
-        PiiScrub.PhoneRe, "<PHONE>")
-      df.withColumn("n_emails", count(PiiScrub.EmailRe))
-        .withColumn("n_ips", count(PiiScrub.Ipv4Re))
-        .withColumn("n_phones", count(PiiScrub.PhoneRe))
+      def count(on: Column, re: String): Column =
+        size(regexp_extract_all(on, lit(re), lit(0))).cast("long")
+      val afterEmail = regexp_replace(t, PiiScrub.EmailRe, "<EMAIL>")
+      val afterIp = regexp_replace(afterEmail, PiiScrub.Ipv4Re, "<IP>")
+      val scrubbed = regexp_replace(afterIp, PiiScrub.PhoneRe, "<PHONE>")
+      df.withColumn("n_emails", count(t, PiiScrub.EmailRe))
+        .withColumn("n_ips", count(afterEmail, PiiScrub.Ipv4Re))
+        .withColumn("n_phones", count(afterIp, PiiScrub.PhoneRe))
         .withColumn("scrubbed", scrubbed)
         .withColumn("scrub_len", length(col("scrubbed")).cast("long"))
         .withColumn("scrub_fp", md5(col("scrubbed")))

@@ -58,7 +58,9 @@ sealed abstract class DynamicParamTransformer(
 
   /** Output schema, derived by planning the wrapped transform over an
     * empty frame of the input schema — exact (it is the analyzed plan's
-    * schema) and job-free (nothing is executed).
+    * schema), and job-free for plan-only wranglers (an eager wrangler,
+    * e.g. the salted interval identifier, runs its jobs over the empty
+    * frame — correct, just not free).
     */
   override def transformSchema(schema: StructType): StructType = {
     val spark = SparkSession.active

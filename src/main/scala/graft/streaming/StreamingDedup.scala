@@ -26,6 +26,9 @@ final class StreamingDedup(textColumn: String = "text",
     * `content_fp` fingerprint column appended.
     */
   def transform(df: DataFrame): DataFrame = {
+    require(!df.columns.exists(_.equalsIgnoreCase("content_fp")),
+      "Output column `content_fp` already exists in the input; rename it " +
+        "first (matching the batch ExactDedup contract)")
     val norm = regexp_replace(trim(lower(col(textColumn))), "\\s+", " ")
     val keyed = df.withColumn("content_fp", md5(norm))
     if (bounded) keyed.dropDuplicatesWithinWatermark("content_fp")

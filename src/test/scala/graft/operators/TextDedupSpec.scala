@@ -299,6 +299,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, 0L, 0L, "clean text only")))
   }
 
+  test("PiiScrub: overlapping matches count what was actually redacted") {
+    // the IPv4 regex would also match the all-digit email local part;
+    // the email pass consumes it first, so it must count as ONE email
+    // and ZERO ips — audit counts mirror the performed replacements
+    val df = docsDF(1L -> "reach me at 1.2.3.4@example.com")
+    val r = TextAnalysis.PiiScrub().transform(df).head()
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_ips") == 0L)
+    assert(r.getAs[String]("scrubbed") == "reach me at <EMAIL>")
+  }
+
   test("Normalize strips tags, collapses whitespace, lowercases") {
     val df = docsDF(1L -> "<p>Hello   <b>World</b></p>\n extra")
     val r = TextAnalysis.Normalize().transform(df).head()
