@@ -65,6 +65,18 @@ class MLBridgeSpec extends AnyFunSuite {
     assert(out.select("iids").distinct.as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("WranglerTransformer: ml fit-time ParamMap overrides apply " +
+    "(the copy(extra) path spark.ml uses)") {
+    val t = WranglerTransformer(wrangler)
+    val pm = org.apache.spark.ml.param.ParamMap(
+      t.getParam("targetColumnName") -> ("pm_col": Any))
+    val model = new MLPipeline().setStages(Array(t)).fit(events, pm)
+    val out = model.transform(events)
+    assert(out.columns.contains("pm_col") && !out.columns.contains("iids"))
+    // the original transformer instance is untouched
+    assert(t.getP("targetColumnName") == "iids")
+  }
+
   test("WranglerTransformer: copy(extra) preserves set values") {
     val t = WranglerTransformer(wrangler)
     t.setP("targetColumnName", "zz")

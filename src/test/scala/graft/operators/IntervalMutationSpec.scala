@@ -19,6 +19,11 @@ class IntervalMutationSpec extends AnyFunSuite {
       orderbyColumns = Seq("order"), groupbyColumns = Seq("groupby"))
       .transform(df)
 
+  private def runSalted(df: DataFrame): DataFrame =
+    new IntervalIdentifierSalted("marker", 1, Some(2),
+      orderbyColumns = Seq("order"), groupbyColumns = Seq("groupby"),
+      saltBuckets = 3).transform(df)
+
   test("golden case with killed mutants and repartition invariance") {
     val tc = new DataTestCase(spark) {
       // noise, start, noise, end, noise -> interval 1 on rows 1..3
@@ -41,6 +46,10 @@ class IntervalMutationSpec extends AnyFunSuite {
     }
     tc.test(run)
     tc.test(run, repartition = Some(5))
+    // same goldens + mutants through the salted formulation: every
+    // load-bearing perturbation must change its output too
+    tc.test(runSalted)
+    tc.test(runSalted, repartition = Some(5))
   }
 
   test("a mutant touching only non-load-bearing cells survives (and raises)") {
