@@ -151,28 +151,33 @@ class IntervalIdentifier(
 
   /** Noise values -> null, then forward-fill (start) or backward-fill (end)
     * with the surviving markers (reference: :96-130).
+    *
+    * The backward fill is a running forward fill over the REVERSED
+    * window, not a `(currentRow, unboundedFollowing)` frame: Spark
+    * re-evaluates unbounded-FOLLOWING aggregate frames from scratch at
+    * every row — O(rows²) per partition, ruinous on a large group —
+    * while the reversed running frame is O(rows) plus one in-partition
+    * sort and computes the identical column.
     */
-  private def denoiseMarkerColumn(w: WindowSpec, start: Boolean): Column = {
+  private def denoiseMarkerColumn(start: Boolean): Column = {
     val m = col(markerColumn)
     val denoised = when(m.isin(markerStart, markerEndValue), m)
-    if (start)
-      last(denoised, ignoreNulls = true)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    else
-      first(denoised, ignoreNulls = true)
-        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    last(denoised, ignoreNulls = true)
+      .over(windowGroupby(reverse = !start)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
   }
 
   /** Nullify consecutive duplicate start markers (keeping the first) or end
     * markers (keeping the last) so the core last-start/first-end algorithm
-    * yields the requested span (reference: :132-178).
+    * yields the requested span (reference: :132-178). The "next marker"
+    * lead for the end side is a lag over the reversed window, matching
+    * the reversed denoise direction.
     */
-  private def dropDuplicatedMarker(marker: Column, w: WindowSpec,
-                                   start: Boolean): Column = {
-    val (markerValue, offset) =
-      if (start) (markerStart, 1) else (markerEndValue, -1)
-    val denoised = denoiseMarkerColumn(w, start)
-    val shifted = lag(denoised, offset).over(w)
+  private def dropDuplicatedMarker(marker: Column, start: Boolean): Column = {
+    val markerValue = if (start) markerStart else markerEndValue
+    val wEff = windowGroupby(reverse = !start)
+    val denoised = denoiseMarkerColumn(start)
+    val shifted = lag(denoised, 1).over(wEff)
     val shiftedMarkerOnly = when(denoised === lit(markerValue), shifted)
     when(shiftedMarkerOnly === marker, lit(null)).otherwise(marker)
   }
@@ -181,11 +186,10 @@ class IntervalIdentifier(
     * (reference: :221-244).
     */
   protected def preprocessMarkerColumn(): Column = {
-    val w = windowGroupby()
     var m: Column = col(markerColumn)
     if (!identicalStartEndMarkers) {
-      if (markerStartUseFirst) m = dropDuplicatedMarker(m, w, start = true)
-      if (!markerEndUseFirst) m = dropDuplicatedMarker(m, w, start = false)
+      if (markerStartUseFirst) m = dropDuplicatedMarker(m, start = true)
+      if (!markerEndUseFirst) m = dropDuplicatedMarker(m, start = false)
     }
     m
   }
