@@ -54,7 +54,7 @@ sealed abstract class DynamicParamTransformer(
   /** The wrapped computation at the CURRENT param values. */
   protected def run(df: DataFrame): DataFrame
 
-  override def transform(ds: Dataset[_]): DataFrame = run(ds.toDF)
+  override def transform(ds: Dataset[_]): DataFrame = run(ds.toDF())
 
   /** Output schema, derived by planning the wrapped transform over an
     * empty frame of the input schema — exact (it is the analyzed plan's

@@ -19,7 +19,7 @@ object Stage {
     Stage(w.getClass.getSimpleName.stripSuffix("$"), w.fitTransform)
   def of(label: String)(f: DataFrame => DataFrame): Stage = Stage(label, f)
   def fromML(t: org.apache.spark.ml.Transformer): Stage =
-    Stage(t.getClass.getSimpleName, df => t.transform(df).toDF)
+    Stage(t.getClass.getSimpleName, df => t.transform(df).toDF())
   /** Reverse direction — wrangler into an `org.apache.spark.ml.Pipeline`
     * (reference: pipeline.py:107-138 `convert_wrangler`); see
     * [[WranglerTransformer]].
