@@ -2,19 +2,96 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.benchmark.{Force, TimeProfile}
+
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{...}}.
+  * prints ONE JSON line {"metric":...,"queries":{...},"spread":{...}}.
   *
   * Protocol — aligned with BASELINE.md's recorded rows so the 2x
   * regression gate is apples-to-apples (reference:
-  * src/pywrangler/pyspark/benchmark.py:21-75 — force execution via count,
-  * pre-warm before timing; src/pywrangler/benchmark.py:428-531 — report
-  * the median over repeated runs): per query, one untimed warm-up run
-  * (JIT, parquet footer/file-index caches, OS page cache), then `reps`
-  * timed runs (default 5) reporting the MEDIAN — steady-state per-query
-  * cost, not cold-start noise and not a lucky best.
+  * src/pywrangler/pyspark/benchmark.py:21-75 — force execution, pre-warm
+  * before timing; src/pywrangler/benchmark.py:428-531 — report the median
+  * over repeated runs): per query, one untimed warm-up run (JIT, parquet
+  * footer/file-index caches, OS page cache), then `reps` timed runs
+  * (default 5) reporting the MEDIAN — steady-state per-query cost, not
+  * cold-start noise and not a lucky best. Per-query rep std is reported
+  * in "spread" so outlier medians are interpretable.
+  *
+  * Forcing is a noop-sink write ([[graft.benchmark.Force]]), NOT count():
+  * under count() Catalyst pruned every row-preserving query to a
+  * zero-column scan and the round-3 gate compared no-ops to no-ops.
+  * A per-query plan self-check makes that class of vacuous measurement
+  * abort loudly instead of silently returning.
   */
 object Bench {
+
+  /** A physical-plan fragment that MUST appear in the timed plan of each
+    * query — the operator's signature node (Window / join / the defining
+    * expression). `None` marks operators that execute eagerly inside the
+    * query builder (checkpoint-cut loops: connected components, the
+    * salted identifier), where the returned plan is a checkpoint scan and
+    * the real work is timed because the builder runs inside the timed
+    * thunk. Every SparkEntry query needs an entry: a new query without
+    * one fails fast.
+    */
+  private[graft] val planSignatures: Map[String, Option[String]] = Map(
+    "interval_lsfe" -> Some("Window"),
+    "interval_fsle" -> Some("Window"),
+    "interval_fsfe_adj" -> Some("Window"),
+    "interval_lsle_adj" -> Some("Window"),
+    "interval_fsfe_generic" -> Some("Window"),
+    "interval_lsle_generic" -> Some("Window"),
+    "interval_raw" -> Some("Window"),
+    "interval_valid" -> Some("Window"),
+    "interval_desc" -> Some("Window"),
+    "interval_identical" -> Some("Window"),
+    "interval_lsfe_1pass" -> Some("MapPartitions"),
+    "interval_lsfe_salted" -> None,
+    "interval_fsle_salted" -> None,
+    "interval_identical_salted" -> None,
+    "sessionize" -> Some("Window"),
+    "pipeline_ingest" -> Some("Window"),
+    "dedup_exact" -> Some("Window"),
+    "dedup_ngram_jaccard" -> Some("Join"),
+    "dedup_minhash_lsh" -> Some("Join"),
+    "dedup_simhash" -> Some("Join"),
+    "dedup_embedding" -> Some("Join"),
+    "dedup_clusters" -> None,
+    "ann_bruteforce" -> Some("Window"),
+    "ann_lsh" -> Some("Window"),
+    "ann_ivf" -> Some("Window"),
+    "mm_features" -> Some("SerializeFromObject"),
+    "mm_framesample" -> Some("SerializeFromObject"),
+    "text_tokens" -> Some("split("),
+    "text_quality" -> Some("split("),
+    "text_langid" -> Some("split("),
+    "text_normalize" -> Some("regexp_replace"),
+    "text_fingerprint" -> Some("md5"),
+    "text_repetition" -> Some("array_distinct"),
+    "pii_scrub" -> Some("regexp_replace"),
+    "q1_pricing" -> Some("HashAggregate"),
+    "join_revenue_nation" -> Some("Join"),
+    "top_customers" -> Some("Join"),
+  )
+
+  /** Abort-on-failure plan self-check: the operator's signature node must
+    * be in the plan, and no zero-column scan may remain (the count()-
+    * pruning fingerprint). Public to Bench + the spec pinning it.
+    */
+  private[graft] def assertHonestPlan(name: String, plan: String): Unit = {
+    require(!plan.contains("ReadSchema: struct<>"),
+      s"[bench] $name: timed plan reads ZERO columns — the computation " +
+        s"was pruned out and the measurement would be vacuous:\n$plan")
+    planSignatures.getOrElse(name,
+      throw new IllegalStateException(
+        s"[bench] no plan signature registered for query `$name`; add it " +
+          "to Bench.planSignatures")).foreach { sig =>
+      require(plan.contains(sig),
+        s"[bench] $name: timed plan lacks signature node `$sig` — the " +
+          s"operator was optimized out of the measurement:\n$plan")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,31 +106,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // every query must have a signature BEFORE any measurement happens
+    val missing = SparkEntry.queries.keySet -- planSignatures.keySet
+    require(missing.isEmpty,
+      s"[bench] queries without a plan signature: ${missing.mkString(", ")}")
+
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
 
-    // session warm-up: run the cheapest query once to init the stack
-    try SparkEntry.queries.head._2(spark, sfDir).count()
+    // session warm-up: one cheap query to init the stack
+    try Force(SparkEntry.queries.head._2(spark, sfDir))
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> {
-        try {
-          fn(spark, sfDir).count() // per-query warm-up, untimed
-          median((1 to reps).map(_ => time(fn(spark, sfDir).count())))
-        } catch { case _: Throwable => -1.0 }
+    val results: Seq[(String, Option[TimeProfile])] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        // build once for the plan self-check + untimed warm-up; build
+        // failures record -1 below, but a VACUOUS PLAN ABORTS THE BENCH
+        // (require escapes the catch) — no silent no-op rows, ever
+        val warm = try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
+        warm.foreach(df => assertHonestPlan(name, Force.planString(df)))
+        name -> warm.flatMap { df =>
+          try {
+            Force(df) // per-query warm-up, untimed
+            Some(TimeProfile(
+              (1 to reps).map(_ => time(Force(fn(spark, sfDir)))).toVector))
+          } catch { case _: Throwable => None }
+        }
       }
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, p) =>
+      "\"" + k + "\":" + p.fold(-1.0)(_.median)
+    }.mkString("{", ",", "}")
+    val spread = results.collect { case (k, Some(p)) =>
+      "\"" + k + "\":" + f"${p.std}%.4f"
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).map(_.median).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,16 +33,18 @@ final class TimeProfiler(reps: Int = 5, warmups: Int = 1) {
   }
 }
 
-/** Spark-specific wall-time profiler: forces plan execution with
-  * `count()`; optionally pre-warms the input via `persist()+count()` and
-  * unpersists afterwards
+/** Spark-specific wall-time profiler: forces plan execution with a
+  * noop-sink write (all rows, all columns — see [[Force]]; the
+  * reference's `count()` forcing lets Catalyst prune row-preserving
+  * plans to nothing); optionally pre-warms the input via
+  * `persist()+count()` and unpersists afterwards
   * (reference: src/pywrangler/pyspark/benchmark.py:21-75, 121-149).
   */
 final class SparkTimeProfiler(reps: Int = 5, warmups: Int = 1,
                               cacheInput: Boolean = false) {
   def profile(input: DataFrame)(op: DataFrame => DataFrame): TimeProfile = {
     val df = if (cacheInput) { val c = input.persist(); c.count(); c } else input
-    try new TimeProfiler(reps, warmups).profile(op(df).count())
+    try new TimeProfiler(reps, warmups).profile(Force(op(df)))
     finally if (cacheInput) df.unpersist(blocking = true)
   }
 }

@@ -118,17 +118,22 @@ final class Pipeline(val stages: Seq[Stage]) {
     results(indexOf(ident))
   }
 
-  /** Execute with one count() action per stage, recording wall time,
-    * shape, cache flag and whole-stage-codegen stage count
-    * (reference: pipeline.py:622-891 PipelineProfiler).
+  /** Execute one forced action per stage, recording wall time, shape,
+    * cache flag and whole-stage-codegen stage count
+    * (reference: pipeline.py:622-891 PipelineProfiler). The reference
+    * forces with `count()` (pipeline.py:884-891), under which Catalyst
+    * prunes map-side stages to zero-column scans and the per-stage
+    * seconds are fiction; the API shape is kept but the timed action is
+    * a full-plan noop write ([[graft.benchmark.Force]]) and the row
+    * count is taken by a separate untimed (prunable, cheap) count.
     */
   def profile(df: DataFrame): Seq[StageProfile] = {
     transform(df)
     results.zipWithIndex.map { case (r, i) =>
       val t0 = System.nanoTime()
-      val rows = r.count()
+      graft.benchmark.Force(r)
       val secs = (System.nanoTime() - t0) / 1e9
-      StageProfile(i, stages(i).label, secs, rows, r.columns.length,
+      StageProfile(i, stages(i).label, secs, r.count(), r.columns.length,
         cacheEnabled(i), Pipeline.codegenStageCount(r))
     }
   }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.benchmark.Force
+import graft.operators.IntervalIdentifier
+
+/** Pins the bench harness's honesty guard: the round-3 postmortem found
+  * count()-forced timing let Catalyst prune every row-preserving query to
+  * a zero-column scan, so the 2x gate compared no-ops to no-ops. These
+  * tests make that class of vacuous measurement impossible to reintroduce
+  * silently.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def events = Seq(
+    (1L, 1L, "s"), (1L, 2L, "x"), (1L, 3L, "e"),
+    (2L, 1L, "s"), (2L, 2L, "e"))
+    .toDF("user_id", "event_id", "marker")
+
+  private val interval = new IntervalIdentifier("marker", "s", Some("e"),
+    orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"))
+
+  test("count() really does prune the window out (the round-3 bug)") {
+    // pin the FAILURE MODE the guard exists for: if a Spark upgrade ever
+    // stops pruning here, the guard is dead weight and can be revisited
+    val counted = interval.transform(events).groupBy().count()
+    assert(!counted.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("noop-forced plan keeps the Window node and all columns") {
+    val plan = Force.planString(interval.transform(events))
+    assert(plan.contains("Window"))
+    Bench.assertHonestPlan("interval_lsfe", plan) // does not throw
+  }
+
+  test("assertHonestPlan rejects a pruned zero-column scan") {
+    val doc = Seq((1L, "a b c")).toDF("doc_id", "text")
+    doc.write.mode("overwrite").parquet("/tmp/bench_guard_spec.parquet")
+    val pruned = spark.read.parquet("/tmp/bench_guard_spec.parquet")
+      .withColumn("norm", regexp_replace(col("text"), "a", "b"))
+      .groupBy().count()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<>"))
+    val e = intercept[IllegalArgumentException] {
+      Bench.assertHonestPlan("text_normalize", plan)
+    }
+    assert(e.getMessage.contains("vacuous"))
+  }
+
+  test("assertHonestPlan rejects a plan missing the signature node") {
+    val e = intercept[IllegalArgumentException] {
+      Bench.assertHonestPlan("interval_lsfe",
+        Force.planString(events.select("user_id")))
+    }
+    assert(e.getMessage.contains("signature"))
+  }
+
+  test("every SparkEntry query has a registered plan signature") {
+    val missing = SparkEntry.queries.keySet -- Bench.planSignatures.keySet
+    assert(missing.isEmpty, s"queries without a signature: $missing")
+  }
+
+  test("unknown query name fails fast instead of silently passing") {
+    intercept[IllegalStateException] {
+      Bench.assertHonestPlan("no_such_query", "Window")
+    }
+  }
+}
