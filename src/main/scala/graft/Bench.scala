@@ -63,11 +63,11 @@ object Bench {
     "mm_features" -> Some("SerializeFromObject"),
     "mm_framesample" -> Some("SerializeFromObject"),
     "text_tokens" -> Some("split("),
-    "text_quality" -> Some("split("),
-    "text_langid" -> Some("split("),
+    "text_quality" -> Some("SerializeFromObject"),
+    "text_langid" -> Some("SerializeFromObject"),
     "text_normalize" -> Some("regexp_replace"),
-    "text_fingerprint" -> Some("md5"),
-    "text_repetition" -> Some("array_distinct"),
+    "text_fingerprint" -> Some("SerializeFromObject"),
+    "text_repetition" -> Some("SerializeFromObject"),
     "pii_scrub" -> Some("regexp_replace"),
     "q1_pricing" -> Some("HashAggregate"),
     "join_revenue_nation" -> Some("Join"),
@@ -96,6 +96,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // dev iteration: comma-separated query-name filter (default: all)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -120,7 +123,9 @@ object Bench {
     catch { case _: Throwable => () }
 
     val results: Seq[(String, Option[TimeProfile])] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         // build once for the plan self-check + untimed warm-up; build
         // failures record -1 below, but a VACUOUS PLAN ABORTS THE BENCH
         // (require escapes the catch) — no silent no-op rows, ever

@@ -69,17 +69,7 @@ object Portable {
     // null text => no shingles, matching the expression path (shingles()
     // yields NULL, which explode drops) and the DuckDB oracle
     if (text == null) return Array.empty
-    // strip SPACES only: Spark/DuckDB trim() removes 0x20, while Java's
-    // String.trim strips all chars <= U+0020 (tabs, newlines) and would
-    // tokenize differently from the expression/oracle path
-    var from = 0
-    var until = text.length
-    while (from < until && text.charAt(from) == ' ') from += 1
-    while (until > from && text.charAt(until - 1) == ' ') until -= 1
-    // limit -1 keeps trailing empty tokens, matching Spark's split()
-    // (Java's default limit 0 silently drops them)
-    val toks = text.substring(from, until)
-      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val toks = tokensLocal(text)
     if (toks.length < n) Array.empty
     else {
       val out = new java.util.LinkedHashSet[String]()
@@ -93,6 +83,23 @@ object Portable {
       }
       out.toArray(new Array[String](out.size))
     }
+  }
+
+  /** Driver/executor-side mirror of [[tokens]] — whitespace tokens of
+    * trimmed, lower-cased text. Exactness notes: Spark/DuckDB `trim()`
+    * strips 0x20 ONLY (Java's String.trim strips all chars <= U+0020 and
+    * would tokenize differently); Spark's `split()` keeps trailing empty
+    * tokens (Java's default limit 0 drops them), hence limit -1. Null in,
+    * null out (like the expression).
+    */
+  def tokensLocal(text: String): Array[String] = {
+    if (text == null) return null
+    var from = 0
+    var until = text.length
+    while (from < until && text.charAt(from) == ' ') from += 1
+    while (until > from && text.charAt(until - 1) == ' ') until -= 1
+    text.substring(from, until)
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
   }
 
   /** (id, shingle-set-size, shingle) rows via typed flatMap — one JVM

@@ -283,13 +283,28 @@ class IntervalIdentifier(
     SparkUtil.validateColumns(df, groupbyColumns)
   }
 
+  /** True when the first/last flags demand duplicate-marker removal (the
+    * preprocessed marker is then a stack of denoise/lag windows).
+    */
+  private def preprocessingApplies: Boolean =
+    !identicalStartEndMarkers && (markerStartUseFirst || !markerEndUseFirst)
+
   /** Append the interval-id column; all other columns pass through
     * unchanged and row count is preserved (reference: :427-462).
     */
   def transform(df: DataFrame): DataFrame = {
     validateInput(df)
     val cc = new ColumnCacher(df, CacheMode.Enabled)
-    val marker = preprocessMarkerColumn()
+    val marker0 = preprocessMarkerColumn()
+    // materialize the preprocessed marker ONCE (the reference assigns it
+    // back to the dataframe, interval_identifier.py:221-244): raw-id and
+    // valid-id generation each reference the marker several times, and an
+    // inlined expression replicates its denoise/lag Window nodes — and
+    // their in-partition sorts — per use (observed: 14 Window nodes and
+    // 6.4x the LSFE wall time for the both-drop FSLE config before this)
+    val marker =
+      if (preprocessingApplies) cc.add("marker_pre", marker0, force = true)
+      else marker0
     if (identicalStartEndMarkers)
       df.withColumn(targetColumnName, generateIidsIdentical(marker))
     else

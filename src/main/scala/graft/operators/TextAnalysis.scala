@@ -20,6 +20,50 @@ import graft.util.SparkUtil
   */
 object TextAnalysis {
 
+  /** Row-preserving typed mapPartitions appending computed columns from
+    * the text column: the compiled-JVM escape from Spark's INTERPRETED
+    * higher-order array lambdas (transform/filter/aggregate), which
+    * dominate wall time for per-token analysis (text_repetition measured
+    * 23.8 s -> 0.4 s at sf0.1 under honest forcing). Stays in Tungsten
+    * via Deserialize/SerializeFromObject; all appended values must
+    * replicate the exact Spark expression semantics (round-HALF_UP via
+    * [[round6]], null-in/null-out, division-by-zero -> null) so the
+    * DuckDB oracles keep hash-matching.
+    *
+    * `compute` is a per-partition factory so per-thread helpers
+    * (MessageDigest) are allocated once per partition, not per row.
+    */
+  private def appendFromText(df: DataFrame, textColumn: String,
+                             fields: Seq[(String, org.apache.spark.sql.types.DataType)])
+                            (compute: () => String => Seq[Any]): DataFrame = {
+    val idx = df.schema.fieldIndex(textColumn)
+    val outSchema = fields.foldLeft(df.schema) {
+      case (s, (n, t)) => s.add(n, t)
+    }
+    df.mapPartitions { it =>
+      val f = compute()
+      it.map { row =>
+        val text = if (row.isNullAt(idx)) null else row.getString(idx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ f(text))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Spark's `round(_, 6)` on doubles: HALF_UP over BigDecimal.valueOf. */
+  private[operators] def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark double division semantics: divisor 0 yields NULL (non-ANSI),
+    * not IEEE Inf/NaN.
+    */
+  private[operators] def divOrNull(num: Double, den: Double): Any =
+    if (den == 0.0) null else round6(num / den)
+
+  private val LongT = org.apache.spark.sql.types.LongType
+  private val DoubleT = org.apache.spark.sql.types.DoubleType
+  private val StringT = org.apache.spark.sql.types.StringType
+
   /** Whitespace + distinct token counts and raw char length. */
   final case class TokenCount(textColumn: String = "text")
       extends Wrangler {
@@ -43,31 +87,51 @@ object TextAnalysis {
   /** Heuristic quality signals: token counts, average token length,
     * stopword ratio and a composite score in [0, 1]. All ratios derive
     * from exact integer counts, so they are engine-deterministic.
+    *
+    * Compiled per-token loop via [[appendFromText]] (the expression
+    * formulation's aggregate/filter lambdas run interpreted); value
+    * semantics replicate the expression version exactly — `length()`
+    * counts code points, ratios are single IEEE divisions of exact
+    * integer counts, division by zero yields null, `round(_, 6)` is
+    * HALF_UP.
     */
   final case class QualityScore(textColumn: String = "text")
       extends Wrangler {
     override def preservesSampleSize: Boolean = true
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(textColumn))
-      val toks = tokens(col(textColumn))
-      val stopArr = array(Stopwords.map(lit): _*)
-      val nTok = size(toks).cast("long")
-      val charSum = aggregate(F.transform(toks, t => length(t).cast("long")),
-        lit(0L), (acc, x) => acc + x)
-      val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
-      val nChars = length(col(textColumn)).cast("long")
-      val nPunct = (nChars - length(regexp_replace(col(textColumn),
-        "[^a-zA-Z0-9\\s]", ""))).cast("long")
-      val avgLen = charSum.cast("double") / nTok.cast("double")
-      val stopRatio = nStop.cast("double") / nTok.cast("double")
-      df.withColumn("n_tokens", nTok)
-        .withColumn("avg_token_len", round(avgLen, 6))
-        .withColumn("stopword_ratio", round(stopRatio, 6))
-        .withColumn("punct_ratio",
-          round(nPunct.cast("double") / nChars.cast("double"), 6))
-        .withColumn("quality_score",
-          round(least(nTok.cast("double") / lit(100.0), lit(1.0)) *
-            (lit(1.0) - stopRatio), 6))
+      val stops = Stopwords.toSet
+      appendFromText(df, textColumn, Seq(
+        "n_tokens" -> LongT, "avg_token_len" -> DoubleT,
+        "stopword_ratio" -> DoubleT, "punct_ratio" -> DoubleT,
+        "quality_score" -> DoubleT)) { () => text =>
+        if (text == null)
+          // expression-path fidelity: size(null) = -1, so n_tokens = -1,
+          // stopword_ratio = (-1)/(-1) = 1.0, the null-propagating
+          // columns stay null, and quality = round6(-0.01 * 0) = 0.0
+          Seq[Any](-1L, null, 1.0, null, 0.0)
+        else {
+          val toks = tokensLocal(text)
+          val nTok = toks.length.toLong
+          var charSum = 0L
+          var nStop = 0L
+          toks.foreach { t =>
+            charSum += t.codePointCount(0, t.length)
+            if (stops.contains(t)) nStop += 1
+          }
+          val nChars = text.codePointCount(0, text.length).toLong
+          val stripped = text.replaceAll("[^a-zA-Z0-9\\s]", "")
+          val nPunct = nChars - stripped.codePointCount(0, stripped.length)
+          // quality multiplies the UNROUNDED stop ratio (like the
+          // expression did); only the emitted columns are rounded
+          val stopRatioRaw = nStop.toDouble / nTok.toDouble
+          val quality = round6(
+            math.min(nTok.toDouble / 100.0, 1.0) * (1.0 - stopRatioRaw))
+          Seq[Any](nTok, divOrNull(charSum.toDouble, nTok.toDouble),
+            round6(stopRatioRaw),
+            divOrNull(nPunct.toDouble, nChars.toDouble), quality)
+        }
+      }
     }
   }
 
@@ -90,27 +154,32 @@ object TextAnalysis {
     override def preservesSampleSize: Boolean = true
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(textColumn))
-      val toks = tokens(col(textColumn))
-      val scores = LangMarkers.map { case (lang, words) =>
-        val arr = array(words.map(lit): _*)
-        lang -> size(filter(toks, t => array_contains(arr, t))).cast("long")
+      val markerSets = LangMarkers.map { case (lang, words) =>
+        (lang, words.toSet)
       }
-      val withScores = scores.foldLeft(df) { case (d, (lang, s)) =>
-        d.withColumn(s"score_$lang", s)
-      }
-      // argmax with first-wins tie-break: a language is predicted when its
-      // score is positive and >= every LATER language's score (evaluated
-      // in LangMarkers order); 'und' when all scores are zero
-      val pred = scores.reverse.foldLeft(lit("und"): Column) {
-        case (acc, (lang, _)) =>
-          val c = col(s"score_$lang")
-          val later = scores.dropWhile(_._1 != lang).drop(1)
-          val wins = later.foldLeft(c > 0) {
-            case (p, (m, _)) => p && c >= col(s"score_$m")
+      appendFromText(df, textColumn,
+        LangMarkers.map(m => s"score_${m._1}" -> (LongT: org.apache.spark.sql.types.DataType)) :+
+          ("pred_lang" -> (StringT: org.apache.spark.sql.types.DataType))) { () => text =>
+        if (text == null)
+          // expression fidelity: size(filter(null)) = -1 per score; no
+          // score is positive, so the prediction falls through to 'und'
+          Seq.fill[Any](markerSets.size)(-1L) :+ "und"
+        else {
+          val toks = tokensLocal(text)
+          val scores = markerSets.map { case (_, words) =>
+            toks.count(words.contains).toLong
           }
-          when(wins, lit(lang)).otherwise(acc)
+          // argmax with first-wins tie-break: a language is predicted
+          // when its score is positive and >= every LATER language's
+          // score (evaluated in LangMarkers order); 'und' otherwise
+          val winner = scores.indices.collectFirst {
+            case i if scores(i) > 0 &&
+              (i + 1 until scores.size).forall(j => scores(i) >= scores(j)) =>
+              markerSets(i)._1
+          }
+          scores.map(identity[Any]) :+ winner.getOrElse("und")
+        }
       }
-      withScores.withColumn("pred_lang", pred)
     }
   }
 
@@ -143,50 +212,106 @@ object TextAnalysis {
     override def preservesSampleSize: Boolean = true
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(textColumn))
-      val norm = regexp_replace(trim(lower(col(textColumn))), "\\s+", " ")
-      val roll = aggregate(tokens(col(textColumn)), lit(0L),
-        (acc, t) => (acc * 31L + tokenHash(t)) % 1000000007L)
-      df.withColumn("md5_fp", md5(norm))
-        .withColumn("roll_fp", roll)
+      appendFromText(df, textColumn,
+        Seq("md5_fp" -> StringT, "roll_fp" -> LongT)) { () =>
+        val mdDigest = java.security.MessageDigest.getInstance("MD5")
+        text =>
+          if (text == null) Seq[Any](null, null)
+          else {
+            // norm mirrors regexp_replace(trim(lower(text)), "\s+", " "):
+            // trim strips 0x20 only, the replace uses the same Java regex
+            var from = 0
+            var until = text.length
+            while (from < until && text.charAt(from) == ' ') from += 1
+            while (until > from && text.charAt(until - 1) == ' ') until -= 1
+            val norm = text.substring(from, until)
+              .toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+            mdDigest.reset()
+            val digest = mdDigest.digest(
+              norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val hex = new java.lang.StringBuilder(32)
+            digest.foreach { b =>
+              hex.append(Character.forDigit((b >> 4) & 0xf, 16))
+              hex.append(Character.forDigit(b & 0xf, 16))
+            }
+            var roll = 0L
+            tokensLocal(text).foreach { t =>
+              roll = (roll * 31L + tokenHashLocal(t)) % 1000000007L
+            }
+            Seq[Any](hex.toString, roll)
+          }
+      }
     }
   }
 
   /** Within-document repetition signals — the standard web-corpus
     * "repetitious document" filter family: the fraction of duplicate
-    * word 2-grams / 3-grams (1 - distinct/total). Pure map-side array
-    * expressions over bounded per-row token lists; ratios are a single
-    * IEEE division of exact integer counts, so engine-deterministic.
+    * word 2-grams / 3-grams (1 - distinct/total). Map-side and
+    * shuffle-free; ratios are a single IEEE division of exact integer
+    * counts, so engine-deterministic.
+    *
+    * Implemented as a row-preserving typed `mapPartitions` (stays in
+    * Tungsten via Deserialize/SerializeFromObject), NOT as
+    * `transform`/`array_distinct` array expressions: Spark evaluates
+    * higher-order array lambdas interpreted, and building both gram
+    * arrays per row measured 23.8 s for the sf0.1 corpus under honest
+    * forcing vs ~1 s compiled — the same trade documented on
+    * [[graft.functions.Portable.shingleRows]].
     */
   final case class RepetitionScore(textColumn: String = "text")
       extends Wrangler {
     override def preservesSampleSize: Boolean = true
 
-    /** NON-distinct word n-grams (the dedup shingles collapse dupes;
-      * repetition scoring is precisely about the dupes).
-      */
-    private def grams(toks: Column, n: Int): Column =
-      when(size(toks) >= n,
-        F.transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-
-    private def dupRatio(g: Column): Column =
-      round(when(size(g) > 0,
-        (size(g) - size(array_distinct(g))).cast("double")
-          / size(g).cast("double")).otherwise(lit(0.0)), 6)
-
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(textColumn))
-      val toks = tokens(col(textColumn))
-      val g2 = grams(toks, 2)
-      val g3 = grams(toks, 3)
-      df.withColumn("n_2grams", size(g2).cast("long"))
-        .withColumn("dup_2gram_ratio", dupRatio(g2))
-        .withColumn("n_3grams", size(g3).cast("long"))
-        .withColumn("dup_3gram_ratio", dupRatio(g3))
-        .withColumn("repetition_score",
-          greatest(col("dup_2gram_ratio"), col("dup_3gram_ratio")))
+      appendFromText(df, textColumn, Seq(
+        "n_2grams" -> LongT, "dup_2gram_ratio" -> DoubleT,
+        "n_3grams" -> LongT, "dup_3gram_ratio" -> DoubleT,
+        "repetition_score" -> DoubleT)) { () => text =>
+        val toks = tokensLocal(text)
+        val (n2, d2) = RepetitionScore.gramStats(toks, 2)
+        val (n3, d3) = RepetitionScore.gramStats(toks, 3)
+        val r2 = RepetitionScore.dupRatio(n2, d2)
+        val r3 = RepetitionScore.dupRatio(n3, d3)
+        // Seq[Any]: a mixed Long/Double Seq would numerically WIDEN the
+        // longs to Double and break the BIGINT encoder fields
+        Seq[Any](n2, r2, n3, r3, math.max(r2, r3))
+      }
     }
+  }
+
+  object RepetitionScore {
+    /** (total, distinct) word n-grams of a token array — NON-distinct
+      * totals (the dedup shingles collapse dupes; repetition scoring is
+      * precisely about the dupes).
+      */
+    private[operators] def gramStats(toks: Array[String], n: Int): (Long, Long) = {
+      if (toks == null || toks.length < n) (0L, 0L)
+      else {
+        val total = toks.length - n + 1
+        val seen = new java.util.HashSet[String](total * 2)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < total) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j)); j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        (total.toLong, seen.size.toLong)
+      }
+    }
+
+    /** Duplicate-gram ratio, rounded like Spark's `round(_, 6)` so the
+      * DuckDB oracle hash-matches.
+      */
+    private[operators] def dupRatio(total: Long, distinct: Long): Double =
+      if (total == 0L) 0.0
+      else round6((total - distinct).toDouble / total)
   }
 
   /** PII redaction for training-data pipelines: emails, IPv4 addresses
