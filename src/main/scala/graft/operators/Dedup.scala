@@ -195,15 +195,21 @@ object Dedup {
             .map(r => element_at(col("sig"), bnd * rowsPerBand + r + 1)): _*)
             .as("key"))
       }
-      val banded = sigs.select(col("id"), col("sig"),
+      // the band join and the candidate-pair distinct carry ONLY ids and
+      // band keys — never the k-long signature arrays (those would widen
+      // every shuffle row by 2k longs); signatures re-attach per side
+      // AFTER the distinct via id equi-joins, whose agg subtree shuffle
+      // is served once by ReuseExchange
+      val banded = sigs.select(col("id"),
           explode(array(bandCols: _*)).as("bk"))
-        .select(col("id"), col("sig"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-      banded.as("a").join(banded.as("b"),
+        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val pairs = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.sig").as("sig_a"), col("b.sig").as("sig_b")).distinct()
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      pairs
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
         .withColumn("est_jaccard", round(
           size(filter(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => (x === y).cast("int")), v => v === 1)).cast("double")
@@ -246,16 +252,18 @@ object Dedup {
           shiftright(col("simhash"), c * chunkBits)
             .bitwiseAND((1L << chunkBits) - 1).as("v"))
       }
-      val banded = sim.select(col("id"), col("simhash"),
+      // ids-only band join + distinct; simhashes re-attach after (see the
+      // MinHash variant for the shuffle-width rationale)
+      val banded = sim.select(col("id"),
           explode(array(chunkCols: _*)).as("ck"))
-        .select(col("id"), col("simhash"), col("ck.c").as("c"),
-          col("ck.v").as("v"))
-      banded.as("a").join(banded.as("b"),
+        .select(col("id"), col("ck.c").as("c"), col("ck.v").as("v"))
+      val pairs = banded.as("a").join(banded.as("b"),
           col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
             col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-        .distinct()
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      pairs
+        .join(sim.select(col("id").as("id_a"), col("simhash").as("sim_a")), "id_a")
+        .join(sim.select(col("id").as("id_b"), col("simhash").as("sim_b")), "id_b")
         .withColumn("hamming",
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
         .filter(col("hamming") <= maxHamming)
@@ -386,14 +394,20 @@ object Dedup {
       val rows = quantizedRows(df.select(col(idColumn).as("id"),
           col(vecColumn)), "id", vecColumn,
         hyperplaneMatrix(0, tables * planesPerTable, dim), planesPerTable)
-      val banded = rows.select(col("id"), col("q"), col("nrm"),
+      // ids-only bucket join + distinct: the dim-long quantized vectors
+      // never ride the bucket-join or distinct shuffles; they re-attach
+      // per side after (see the MinHash variant)
+      val banded = rows.select(col("id"),
           posexplode(col("buckets")).as(Seq("t", "v")))
-      banded.as("a").join(banded.as("b"),
+      val pairs = banded.as("a").join(banded.as("b"),
           col("a.t") === col("b.t") && col("a.v") === col("b.v") &&
             col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.q").as("q_a"), col("b.q").as("q_b"),
-          col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b")).distinct()
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      pairs
+        .join(rows.select(col("id").as("id_a"), col("q").as("q_a"),
+          col("nrm").as("nrm_a")), "id_a")
+        .join(rows.select(col("id").as("id_b"), col("q").as("q_b"),
+          col("nrm").as("nrm_b")), "id_b")
         .withColumn("cosine", round(qCosine(
           qDot(col("q_a"), col("q_b")), col("nrm_a"), col("nrm_b")), 6))
         .filter(col("cosine") >= threshold)

@@ -24,16 +24,26 @@ import graft.util.SparkUtil
   * @param tsColumn       numeric or timestamp column measuring event time
   * @param maxGap         largest in-session gap, in `tsColumn` units
   * @param orderTiebreak  extra columns ordering ties deterministically
+  * @param allowGlobalWindow opt-in for empty `groupbyColumns`: a global
+  *                       `Window.partitionBy()` funnels EVERY row through
+  *                       one task — a scale foot-gun that must never be
+  *                       reachable by accident (same stance as the
+  *                       interval identifier's mandatory orderby)
   */
 final case class Sessionize(tsColumn: String,
                             maxGap: Long,
                             groupbyColumns: Seq[String] = Nil,
                             orderTiebreak: Seq[String] = Nil,
-                            targetColumnName: String = "session_id")
+                            targetColumnName: String = "session_id",
+                            allowGlobalWindow: Boolean = false)
     extends Wrangler {
   override def preservesSampleSize: Boolean = true
 
   def transform(df: DataFrame): DataFrame = {
+    require(groupbyColumns.nonEmpty || allowGlobalWindow,
+      "Sessionize with empty `groupbyColumns` sorts ALL rows in a single " +
+        "task (global window). Pass the entity columns, or opt in " +
+        "explicitly with allowGlobalWindow = true for small data.")
     SparkUtil.validateColumns(df,
       Seq(tsColumn) ++ groupbyColumns ++ orderTiebreak)
     val order = (tsColumn +: orderTiebreak).map(col)

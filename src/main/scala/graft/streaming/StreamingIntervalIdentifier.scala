@@ -57,12 +57,25 @@ final case class IntervalBuffer(count: Long,
   * exactly at the initial watermark (epoch 0) never reach the operator —
   * the buffered-prefix predicate here (`ts <= watermark` is final)
   * mirrors that drop convention.
+  *
+  * State bound: the undecided suffix is normally bounded by marker-gap
+  * length, but a group whose open interval NEVER closes (a start marker
+  * with no end forever) would grow state without bound on an unbounded
+  * stream. `maxPending` is the escape hatch: when a group's buffer
+  * exceeds it, the oldest overflow rows are force-finalized as
+  * non-interval (id 0) and evicted — an abandoned open interval can no
+  * longer close retroactively (and an abandoned extendable end-run can
+  * no longer extend), the same finality trade a watermark makes for late
+  * data. The default keeps the exact unbounded semantics.
   */
 final class StreamingIntervalIdentifier(markerStart: String,
                                         markerEnd: String,
                                         startUseFirst: Boolean = false,
-                                        endUseFirst: Boolean = true)
+                                        endUseFirst: Boolean = true,
+                                        maxPending: Int = Int.MaxValue)
     extends Serializable {
+
+  require(maxPending > 0, "maxPending must be positive")
 
   /** Pair collapsed start/end events over `markers`; returns ids (0 = no
     * interval), the cut index before which assignment is final given that
@@ -151,12 +164,20 @@ final class StreamingIntervalIdentifier(markerStart: String,
     // after the last closed end / last confirmed end), so the carried
     // count is final
     val remaining = ripe.drop(cut) ++ unripe
-    state.update(IntervalBuffer(newCount, openExt, remaining))
+    // state-bound eviction: force-finalize the oldest overflow rows as
+    // non-interval and abandon the open region (see class doc)
+    val overflow = remaining.size - maxPending
+    val (evicted, kept) =
+      if (overflow > 0) remaining.splitAt(overflow) else (Nil, remaining)
+    val keptOpenExt = openExt && overflow <= 0
+    state.update(IntervalBuffer(newCount, keptOpenExt, kept))
     // a watermark-only advance does not re-invoke the function for a key
     // without new data; an event-time timeout just above the current
     // watermark makes the next advance flush the buffered suffix
-    if (remaining.nonEmpty) state.setTimeoutTimestamp(wm + 1)
-    emitted.iterator
+    if (kept.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+    (emitted ++ evicted.map { case (_, order, _) =>
+      StreamIid(key, order, 0L)
+    }).iterator
   }
 
   /** Apply to a streaming DataFrame with columns

@@ -74,6 +74,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n <= 4, s"minhash plan has $n shuffles")
   }
 
+  test("banded dedup: the candidate distinct dedups IDS ONLY — signature " +
+    "arrays never ride the pair shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def distinctKeys(df: DataFrame): Seq[Seq[String]] =
+      df.queryExecution.optimizedPlan.collect {
+        // distinct() optimizes to an Aggregate whose grouping IS its
+        // output (ReplaceDeduplicateWithAggregate)
+        case a: Aggregate
+            if a.groupingExpressions.nonEmpty &&
+              a.aggregateExpressions == a.groupingExpressions =>
+          a.groupingExpressions.collect {
+            case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+              att.name
+          }
+      }
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val embs = Seq((1L, Array.fill(64)(0.5f)), (2L, Array.fill(64)(0.4f)))
+      .toDF("vec_id", "embedding")
+    for (df <- Seq(Dedup.MinHashLSHDedup().transform(docs),
+        Dedup.SimHashDedup().transform(docs),
+        Dedup.EmbeddingNearDup().transform(embs))) {
+      val keys = distinctKeys(df)
+      assert(keys.nonEmpty, "no pure-distinct aggregate found")
+      keys.foreach(k => assert(k.sorted == Seq("id_a", "id_b"), k.toString))
+    }
+  }
+
   test("salted interval: every data window is chunk-partitioned — no " +
     "whole-group window anywhere in the plan") {
     val w = new IntervalIdentifierSalted("marker", "s", Some("e"),

@@ -23,12 +23,18 @@ class SessionizeSpec extends AnyFunSuite {
       ("u2", 5L, 1L), ("u2", 6L, 2L)))  // independent entity
   }
 
-  test("no groupby: one global sequence; validates columns") {
+  test("no groupby: global window requires explicit opt-in") {
     val df = Seq((0L, 1L), (100L, 2L)).toDF("ts", "id")
-    val out = Sessionize("ts", 10L, Nil, Seq("id")).transform(df)
+    // the accidental single-task path is an error...
+    val e = intercept[IllegalArgumentException](
+      Sessionize("ts", 10L, Nil, Seq("id")).transform(df))
+    assert(e.getMessage.contains("allowGlobalWindow"))
+    // ...and the opted-in global sequence still works
+    val out = Sessionize("ts", 10L, Nil, Seq("id"),
+      allowGlobalWindow = true).transform(df)
       .select("id", "session_id").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 2L))
     intercept[IllegalArgumentException](
-      Sessionize("nope", 10L).transform(df))
+      Sessionize("nope", 10L, Seq("id")).transform(df))
   }
 }

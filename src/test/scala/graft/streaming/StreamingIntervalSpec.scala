@@ -73,6 +73,40 @@ class StreamingIntervalSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("maxPending bounds state: a never-closing interval is evicted as " +
+    "non-interval and cannot close retroactively") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val op = new StreamingIntervalIdentifier("s", "e", maxPending = 3)
+    val out = op.transform(
+      input.toDF().withWatermark("ts", "1 second"))
+    val query = out.writeStream.format("memory").queryName("iids_evict")
+      .outputMode("append").start()
+    try {
+      // an open start marker followed by filler that never ends: the
+      // buffered suffix would grow forever without the cap
+      input.addData(ev("g", 0, "s"), ev("g", 1, "x"), ev("g", 2, "x"))
+      query.processAllAvailable()
+      input.addData(ev("g", 3, "x"), ev("g", 4, "x"), ev("g", 5, "x"))
+      query.processAllAvailable()
+      input.addData(ev("g", 6, "x"), ev("g", 7, "x"))
+      query.processAllAvailable()
+      // rows 0.. must have been force-finalized as 0 despite no end and
+      // no watermark passing them beyond the open start
+      val afterOverflow = spark.table("iids_evict").as[StreamIid]
+        .collect().map(r => r.order -> r.iids).toMap
+      assert(afterOverflow.keySet.contains(0L),
+        s"open-start row not evicted: $afterOverflow")
+      assert(afterOverflow(0L) == 0L)
+      // a late end marker must NOT resurrect the abandoned interval
+      input.addData(ev("g", 8, "e"), ev("g", 20, "x"))
+      query.processAllAvailable()
+      val got = spark.table("iids_evict").as[StreamIid].collect()
+        .map(r => r.order -> r.iids).toMap
+      assert((0L to 8L).forall(o => got.get(o).forall(_ == 0L)), got.toString)
+    } finally query.stop()
+  }
+
   test("assign: pairing, open-start cut, and base count") {
     val op = new StreamingIntervalIdentifier("s", "e")
     val (ids, cut, n, open) = op.assign(Seq("x", "s", "e", "x", "s"), 5L)
