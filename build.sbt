@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through UNDECORATED: sbt's default logger wraps
+// every child line in "[info] "/"[error] ", which corrupts the one-line
+// JSON contract Bench prints for the driver (BENCH_r1-4 all failed to
+// parse). StdoutOutput streams the child's stdout/stderr verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

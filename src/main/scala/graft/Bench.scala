@@ -57,6 +57,10 @@ object Bench {
     "dedup_simhash" -> Some("Join"),
     "dedup_embedding" -> Some("Join"),
     "dedup_clusters" -> None,
+    "asof_join" -> Some("Window"),
+    "sample_stratified" -> Some("md5"),
+    "tfidf_topk" -> Some("Window"),
+    "ml_quantized_dot" -> Some("long_array_dot"),
     "ann_bruteforce" -> Some("Window"),
     "ann_lsh" -> Some("Window"),
     "ann_ivf" -> Some("Window"),
@@ -139,14 +143,22 @@ object Bench {
           } catch { case _: Throwable => None }
         }
       }
+    // The driver keeps only the LAST ~2000 chars of the run's output and
+    // parses the contract JSON out of that tail — rounds 1-4 all came back
+    // `parsed: null` because the single line (full-precision medians +
+    // per-query spread) outgrew the window and lost its opening brace.
+    // So: spread/details go on their OWN earlier line, the contract line
+    // is printed LAST (after spark.stop(), so no shutdown log can trail
+    // it) with medians rounded to 4 decimals, keeping it ~1.1 kB.
     val qs = results.map { case (k, p) =>
-      "\"" + k + "\":" + p.fold(-1.0)(_.median)
+      "\"" + k + "\":" + p.fold("-1")(x => f"${x.median}%.4f")
     }.mkString("{", ",", "}")
     val spread = results.collect { case (k, Some(p)) =>
       "\"" + k + "\":" + f"${p.std}%.4f"
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).map(_.median).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"detail":"spread","reps":$reps,"spread":$spread}""")
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

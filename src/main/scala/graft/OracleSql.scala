@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Portable
-import graft.operators.TextAnalysis
+import graft.operators.{Sampling, TextAnalysis}
 
 /** DuckDB oracle SQL generators for the text / dedup / similarity /
   * multimodal query surface. Each generator mirrors its Spark operator
@@ -333,7 +333,66 @@ object OracleSql {
        |SELECT src AS doc_id, min(dst) AS component
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- relational extras
+
+  /** As-of join: each click joined to the user's most recent prior (or
+    * simultaneous) purchase. DuckDB's NATIVE ASOF JOIN — a genuinely
+    * independent formulation of the Spark side's union-window algebra.
+    */
+  def asOfJoin: String =
+    """WITH l AS (SELECT user_id, event_id FROM events
+      |  WHERE event_type = 'click'),
+      |r AS (SELECT user_id, event_id AS asof_event_id,
+      |    value AS asof_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT l.user_id, l.event_id, r.asof_event_id, r.asof_value
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.event_id >= r.asof_event_id
+      |ORDER BY l.user_id, l.event_id""".stripMargin
+
+  /** Deterministic md5-threshold stratified sample; thresholds generated
+    * by the same [[Sampling.thresholdHex]] the Spark operator uses.
+    */
+  def sampleStratified(rates: Seq[(String, Double)], defaultRate: Double,
+                       salt: String): String = {
+    val cases = rates.map { case (s, r) =>
+      s"WHEN '$s' THEN '${Sampling.thresholdHex(r)}'"
+    }.mkString(" ")
+    s"""WITH s AS (SELECT doc_id, lang,
+       |  substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    AS sample_bucket
+       |  FROM documents)
+       |SELECT doc_id, lang, sample_bucket FROM s
+       |WHERE sample_bucket <
+       |  CASE lang $cases ELSE '${Sampling.thresholdHex(defaultRate)}' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-document top-k TF-IDF terms, smoothed idf, round-6 scores. */
+  def tfIdfTopK(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2),
+       |d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |sc AS (SELECT doc_id, term, tf, df,
+       |  round(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+       |  FROM d CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, term ASC) AS rank FROM sc)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+       |FROM r WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
   // -------------------------------------------------- embeddings / ANN
+
+  /** Squared-norm of the quantized embedding — the oracle for the
+    * `long_array_dot` SQL function demo (ml.Pipeline + session-registered
+    * Catalyst expression). Exact integer math on both engines.
+    */
+  def mlQuantizedDot: String =
+    s"""$QuantizedVecs
+       |SELECT id AS vec_id, nrm AS self_dot FROM n ORDER BY vec_id""".stripMargin
 
   /** embeddings -> (id, q quantized longs, nrm squared norm). */
   private val QuantizedVecs =

@@ -277,6 +277,54 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.EmbeddingNearDup().transform(embs(s, dir))
         .orderBy("id_a", "id_b")),
+    // as-of join: each click picks the user's most recent prior purchase
+    // (union-window formulation, ONE keyed shuffle); DuckDB re-derives it
+    // with its native ASOF JOIN — independent algorithms, same answer
+    "asof_join" -> ((s, dir) =>
+      AsOfJoin.AsOfJoinOp(
+        _.filter(col("event_type") === "click")
+          .select("user_id", "event_id"),
+        _.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "value"),
+        keyColumns = Seq("user_id"), leftTime = "event_id",
+        rightTime = "event_id", payloadColumns = Seq("value"))
+        .transform(events(s, dir))
+        .orderBy("user_id", "event_id")),
+    // deterministic md5-threshold stratified sampling (training-mix
+    // control): zero-shuffle map-side filter, stable across engines
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.StratifiedSample(Map("en" -> 0.5, "de" -> 0.25),
+        defaultRate = 0.1)
+        .transform(docs(s, dir))
+        .select("doc_id", "lang", "sample_bucket")
+        .orderBy("doc_id")),
+    "tfidf_topk" -> ((s, dir) =>
+      TfIdf(k = 3).transform(docs(s, dir))
+        .orderBy("doc_id", "rank")),
+    // the two newest extension surfaces composed end to end and
+    // oracle-gated: the session-registered `long_array_dot` Catalyst
+    // expression (SQL surface, codegen'd primitive loop) running INSIDE a
+    // real org.apache.spark.ml.Pipeline of MLBridge FunctionTransformers.
+    // Quantization uses the interpreted `transform` HOF — acceptable here
+    // because it feeds a demo projection; the hot pair-scoring loops
+    // elsewhere quantize via the same path once and reuse the arrays.
+    "ml_quantized_dot" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      import org.apache.spark.ml.Pipeline
+      import graft.pipeline.FunctionTransformer
+      val quantize = FunctionTransformer("quantize", "scale" -> 10000.0d) {
+        (df, p) =>
+          val scale = p("scale").asInstanceOf[Double]
+          df.select(col("vec_id"), transform(col("embedding"),
+            x => round(x.cast("double") * scale).cast("long")).as("qvec"))
+      }
+      val selfDot = FunctionTransformer("self_dot") { (df, _) =>
+        df.selectExpr("vec_id", "long_array_dot(qvec, qvec) AS self_dot")
+      }
+      new Pipeline().setStages(Array(quantize, selfDot))
+        .fit(embs(s, dir)).transform(embs(s, dir))
+        .orderBy("vec_id")
+    }),
     "ann_bruteforce" -> ((s, dir) =>
       Similarity.CosineTopK(df => df.filter(col("vec_id") < 8))
         .transform(embs(s, dir))
@@ -352,6 +400,11 @@ object SparkEntry {
     "dedup_simhash" -> OracleSql.dedupSimHash(32, 4, 3),
     "dedup_clusters" -> OracleSql.dedupClusters(0.2, 10L),
     "dedup_embedding" -> OracleSql.dedupEmbedding(64, 4, 8, 0.4),
+    "asof_join" -> OracleSql.asOfJoin,
+    "sample_stratified" -> OracleSql.sampleStratified(
+      Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft"),
+    "tfidf_topk" -> OracleSql.tfIdfTopK(3),
+    "ml_quantized_dot" -> OracleSql.mlQuantizedDot,
     "ann_bruteforce" -> OracleSql.annBruteForce(64, 5, 8),
     "ann_lsh" -> OracleSql.annLsh(64, 8, 5, 8),
     "ann_ivf" -> OracleSql.annIvf(64, 16, 4, 5, 8),

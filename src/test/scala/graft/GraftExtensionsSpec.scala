@@ -23,4 +23,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("register() installs long_array_dot into an already-built session") {
+    val spark = TestSpark.spark // built WITHOUT withExtensions
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark) // idempotent re-registration
+    val got = spark.sql(
+      "SELECT long_array_dot(array(2L, 3L), array(5L, 7L)) AS d")
+      .collect().head.getLong(0)
+    assert(got == 31L)
+  }
 }

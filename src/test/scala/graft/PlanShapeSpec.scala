@@ -146,6 +146,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p.transform(df)) == 1)
   }
 
+  test("as-of join: ONE keyed shuffle, no pair expansion") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")
+    val joined = AsOfJoin.join(l, r, Seq("k"), "t", "rt", Seq("v"))
+    assert(shuffles(joined) == 1)
+    assert(!joined.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
+  test("stratified sample: zero shuffles (pure map-side filter)") {
+    val d = Seq((1L, "en")).toDF("doc_id", "lang")
+    val s = Sampling.StratifiedSample(Map("en" -> 0.5)).transform(d)
+    assert(shuffles(s) == 0)
+  }
+
   test("broadcast join: nation side broadcasts, no shuffle for the dim") {
     val l = Seq((1L, 10.0, 0.1)).toDF("l_orderkey", "l_extendedprice",
       "l_discount")

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SamplingTfIdfSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = (0L until 400L)
+    .map(i => (i, s"doc $i", if (i % 4 == 0) "en" else "de"))
+    .toDF("doc_id", "text", "lang")
+
+  test("thresholdHex: boundary rates") {
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    assert(Sampling.thresholdHex(1.0) == "g") // above every hex digit
+    assertThrows[IllegalArgumentException](Sampling.thresholdHex(-0.1))
+  }
+
+  test("rate 1 keeps every row; rate 0 keeps none; rates are per-stratum") {
+    val all = Sampling.StratifiedSample(Map("en" -> 1.0, "de" -> 0.0))
+      .transform(docs).select("lang").as[String].collect()
+    assert(all.nonEmpty && all.forall(_ == "en"))
+    assert(all.length == 100)
+  }
+
+  test("sampling is deterministic and NESTED across rates (same salt)") {
+    def ids(rate: Double) =
+      Sampling.StratifiedSample(Map("en" -> rate, "de" -> rate))
+        .transform(docs).select("doc_id").as[Long].collect().toSet
+    val half = ids(0.5)
+    assert(ids(0.5) == half) // rerun identical
+    val tenth = ids(0.1)
+    assert(tenth.subsetOf(half)) // smaller rate is a subset
+    // rough mass check: md5 is uniform, 400 docs at 0.5 ≈ 200 ± 5σ
+    assert(math.abs(half.size - 200) < 50)
+  }
+
+  test("unlisted strata use defaultRate") {
+    val got = Sampling.StratifiedSample(Map("en" -> 0.0), defaultRate = 1.0)
+      .transform(docs).select("lang").as[String].collect()
+    assert(got.nonEmpty && got.forall(_ == "de"))
+  }
+
+  test("tfidf: hand-computed tiny corpus") {
+    // 3 docs; "cat" in 2 docs, "dog" in 1, "the" in 3
+    val d = Seq((1L, "the cat cat"), (2L, "the dog"), (3L, "the cat"))
+      .toDF("doc_id", "text")
+    val got = TfIdf(k = 2).transform(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq.sortBy(x => (x._1, x._2))
+    def score(tf: Long, df: Long): Double =
+      BigDecimal(tf * (math.log(4.0 / (df + 1.0)) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: cat tf=2 df=2, the tf=1 df=3
+    assert(got.filter(_._1 == 1L) == Seq(
+      (1L, 1L, "cat", 2L, 2L, score(2, 2)),
+      (1L, 2L, "the", 1L, 3L, score(1, 3))))
+    // doc 2: dog tf=1 df=1 beats the tf=1 df=3
+    assert(got.filter(_._1 == 2L) == Seq(
+      (2L, 1L, "dog", 1L, 1L, score(1, 1)),
+      (2L, 2L, "the", 1L, 3L, score(1, 3))))
+    // doc 3: cat df=2 beats the df=3
+    assert(got.filter(_._1 == 3L) == Seq(
+      (3L, 1L, "cat", 1L, 2L, score(1, 2)),
+      (3L, 2L, "the", 1L, 3L, score(1, 3))))
+  }
+
+  test("tfidf: rank ties on equal rounded score break by term asc") {
+    val d = Seq((1L, "aa bb"), (2L, "aa bb")).toDF("doc_id", "text")
+    val got = TfIdf(k = 2).transform(d).orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 1L, "aa"), (1L, 2L, "bb"),
+      (2L, 1L, "aa"), (2L, 2L, "bb")))
+  }
+}
