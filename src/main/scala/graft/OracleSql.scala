@@ -384,6 +384,76 @@ object OracleSql {
        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
        |FROM r WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
+  /** Benchmark decontamination: distinct 3-gram shingle overlap of every
+    * training document (NOT `evalPredicate`) against the union of eval
+    * shingles (`evalPredicate` rows). Mirrors
+    * [[graft.operators.Corpus.Decontaminate]].
+    */
+  def decontaminate(evalPredicate: String, minOverlap: Long): String =
+    s"""WITH trt AS (SELECT doc_id, $Toks AS tk FROM documents
+       |  WHERE NOT ($evalPredicate)),
+       |trs AS (SELECT doc_id, $Shingles AS sh FROM trt),
+       |evt AS (SELECT doc_id, $Toks AS tk FROM documents
+       |  WHERE $evalPredicate),
+       |evs AS (SELECT DISTINCT unnest($Shingles) AS shingle FROM evt),
+       |u AS (SELECT doc_id, unnest(sh) AS shingle FROM trs),
+       |ov AS (SELECT u.doc_id, count(*) AS n_overlap
+       |  FROM u JOIN evs USING (shingle) GROUP BY u.doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.sh) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  round(CASE WHEN len(t.sh) > 0
+       |    THEN CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) /
+       |         CAST(len(t.sh) AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS contamination_ratio,
+       |  COALESCE(ov.n_overlap, 0) >= $minOverlap AS contaminated
+       |FROM trs t LEFT JOIN ov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Corpus vocabulary top-k by term frequency, token-ascending ties.
+    * Mirrors [[graft.operators.Corpus.VocabTopK]].
+    */
+  def vocabTopK(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, unnest($Toks) AS token FROM documents),
+       |v AS (SELECT token, count(*) AS term_freq,
+       |  count(DISTINCT doc_id) AS doc_freq FROM t GROUP BY token)
+       |SELECT token, CAST(term_freq AS BIGINT) AS term_freq,
+       |  CAST(doc_freq AS BIGINT) AS doc_freq
+       |FROM v ORDER BY term_freq DESC, token LIMIT $k""".stripMargin
+
+  /** Exact discrete per-group quantiles (value at 1-based rank
+    * `ceil(q * count)` of the ascending sort). Mirrors
+    * [[graft.operators.Corpus.QuantileStats]] over (lang, n_chars).
+    */
+  def statsQuantiles(quantiles: Seq[(String, Double)]): String = {
+    val qCols = quantiles.map { case (name, q) =>
+      s"""CAST(max(CASE WHEN rn = CAST(ceil($q * cnt) AS BIGINT)
+         |    THEN v END) AS BIGINT) AS $name""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH r AS (SELECT lang, n_chars AS v,
+       |  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       |  $qCols
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** Byte-balanced shard packing: running byte sum ordered by doc_id,
+    * shard = start offset / target. Mirrors
+    * [[graft.operators.Corpus.ShardPack]] (which computes the identical
+    * prefix sum with the two-phase distributed formulation).
+    */
+  def shardPack(targetBytes: Long): String =
+    s"""WITH r AS (SELECT doc_id, n_chars,
+       |  SUM(n_chars) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |  CAST(cum AS BIGINT) AS cum_bytes,
+       |  CAST((cum - n_chars) // $targetBytes AS BIGINT) AS shard
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------- embeddings / ANN
 
   /** Squared-norm of the quantized embedding — the oracle for the

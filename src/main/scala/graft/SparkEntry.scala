@@ -301,6 +301,23 @@ object SparkEntry {
     "tfidf_topk" -> ((s, dir) =>
       TfIdf(k = 3).transform(docs(s, dir))
         .orderBy("doc_id", "rank")),
+    // benchmark decontamination: every 50th doc plays the held-out eval
+    // set; training docs are flagged by distinct-shingle overlap with it
+    "decontaminate" -> ((s, dir) =>
+      Corpus.Decontaminate(_.filter(col("doc_id") % 50 === 0))
+        .transform(docs(s, dir))
+        .orderBy("doc_id")),
+    "vocab_topk" -> ((s, dir) =>
+      Corpus.VocabTopK(k = 100).transform(docs(s, dir))
+        .orderBy(col("term_freq").desc, col("token").asc)),
+    "stats_quantiles" -> ((s, dir) =>
+      Corpus.QuantileStats(Seq("lang"), "n_chars").transform(docs(s, dir))
+        .orderBy("lang")),
+    // exact distributed prefix sum (two-phase, range-partitioned); 20 kB
+    // target yields a handful of shards at sf0.01
+    "shard_pack" -> ((s, dir) =>
+      Corpus.ShardPack(targetBytes = 20000L).transform(docs(s, dir))
+        .orderBy("doc_id")),
     // the two newest extension surfaces composed end to end and
     // oracle-gated: the session-registered `long_array_dot` Catalyst
     // expression (SQL surface, codegen'd primitive loop) running INSIDE a
@@ -404,6 +421,11 @@ object SparkEntry {
     "sample_stratified" -> OracleSql.sampleStratified(
       Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft"),
     "tfidf_topk" -> OracleSql.tfIdfTopK(3),
+    "decontaminate" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
+    "vocab_topk" -> OracleSql.vocabTopK(100),
+    "stats_quantiles" -> OracleSql.statsQuantiles(
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),
+    "shard_pack" -> OracleSql.shardPack(20000L),
     "ml_quantized_dot" -> OracleSql.mlQuantizedDot,
     "ann_bruteforce" -> OracleSql.annBruteForce(64, 5, 8),
     "ann_lsh" -> OracleSql.annLsh(64, 8, 5, 8),

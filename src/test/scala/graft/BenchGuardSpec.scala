@@ -51,6 +51,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuous"))
   }
 
+  test("a legitimate count(*) branch beside a real scan is NOT vacuous") {
+    // tfidf-shaped plan: the corpus-count subtree reads zero columns by
+    // design while the term scan reads real ones — the guard must only
+    // fire when EVERY scan is pruned empty
+    val doc = Seq((1L, "a b c")).toDF("doc_id", "text")
+    doc.write.mode("overwrite").parquet("/tmp/bench_guard_spec2.parquet")
+    val d = spark.read.parquet("/tmp/bench_guard_spec2.parquet")
+    val joined = d.crossJoin(d.groupBy().count())
+    val plan = Force.planString(joined)
+    assert(plan.contains("ReadSchema: struct<>"), plan) // count branch
+    assert(plan.contains("Join"), plan)
+    Bench.assertHonestPlan("decontaminate", plan) // does not throw
+  }
+
   test("assertHonestPlan rejects a plan missing the signature node") {
     val e = intercept[IllegalArgumentException] {
       Bench.assertHonestPlan("interval_lsfe",

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CorpusSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------- Decontaminate
+
+  private val contamDocs = Seq(
+    (0L, "alpha beta gamma delta epsilon"), // eval doc
+    (1L, "alpha beta gamma something else entirely"), // shares 1 shingle
+    (2L, "totally different words here now"), // clean
+    (3L, "alpha beta gamma delta unrelated"), // shares 2 shingles
+    (4L, "ab"), // too short: zero shingles
+  ).toDF("doc_id", "text")
+
+  test("decontaminate: overlap counts, ratio, zero-shingle docs kept") {
+    val got = Corpus.Decontaminate(_.filter(col("doc_id") === 0))
+      .transform(contamDocs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)]
+      .collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L)) // eval doc excluded
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 1: 4 shingles, "alpha beta gamma" is the only eval overlap
+    assert(byId(1L) == ((1L, 4L, 1L, 0.25, true)))
+    assert(byId(2L) == ((2L, 3L, 0L, 0.0, false)))
+    // doc 3: 3 shingles, "alpha beta gamma" + "beta gamma delta" overlap
+    assert(byId(3L) == ((3L, 3L, 2L, 0.666667, true)))
+    // doc 4: shorter than the shingle width — explicit zeros, not dropped
+    assert(byId(4L) == ((4L, 0L, 0L, 0.0, false)))
+  }
+
+  test("decontaminate: minOverlap gates the flag, counts unchanged") {
+    val got = Corpus.Decontaminate(_.filter(col("doc_id") === 0),
+        minOverlap = 2L)
+      .transform(contamDocs)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false))
+  }
+
+  // ----------------------------------------------------------- VocabTopK
+
+  test("vocab_topk: tf/df counts and deterministic tie order") {
+    val d = Seq((1L, "the cat cat"), (2L, "the dog"), (3L, "ant the"))
+      .toDF("doc_id", "text")
+    val got = Corpus.VocabTopK(k = 3).transform(d)
+      .as[(String, Long, Long)].collect().toSeq
+    // "the": tf 3 / df 3; "cat": tf 2 / df 1; tf-1 tie broken by token asc
+    assert(got == Seq(("the", 3L, 3L), ("cat", 2L, 1L), ("ant", 1L, 1L)))
+  }
+
+  test("vocab_topk: plans as TakeOrdered, not a global rank window") {
+    val d = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = Corpus.VocabTopK(k = 5).transform(d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  // ------------------------------------------------------- QuantileStats
+
+  test("quantile_stats: exact discrete quantiles per group") {
+    val d = (1 to 100).map(v => ("g1", v.toLong)) ++
+      Seq(("g2", 7L), ("g2", 3L), ("g2", 5L))
+    val got = Corpus.QuantileStats(Seq("g"), "v")
+      .transform(d.toDF("g", "v"))
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // g1: 1..100 -> p50 = value at rank 50, p90 at 90, p99 at 99
+    // g2: sorted [3,5,7], n=3 -> ranks ceil(1.5)=2, ceil(2.7)=3, ceil(2.97)=3
+    assert(got == Seq(("g1", 100L, 50L, 90L, 99L), ("g2", 3L, 5L, 7L, 7L)))
+  }
+
+  test("quantile_stats: custom quantiles name themselves decimally") {
+    val d = (1 to 10).map(v => ("g", v.toLong)).toDF("g", "v")
+    val got = Corpus.QuantileStats(Seq("g"), "v",
+      quantiles = Seq(0.25, 0.999))
+      .transform(d)
+    assert(got.columns.toSeq == Seq("g", "n", "p25", "p99_9"))
+    assert(got.as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("g", 10L, 3L, 10L))) // ceil(2.5)=3, ceil(9.99)=10
+    assertThrows[IllegalArgumentException](
+      Corpus.QuantileStats(Nil, "v").transform(d))
+    assertThrows[IllegalArgumentException](
+      Corpus.QuantileStats(Seq("g"), "v", Seq(0.0)).transform(d))
+  }
+
+  test("quantile_stats: one shuffle — agg reuses the window partitioning") {
+    val d = (1 to 50).map(v => (s"g${v % 3}", v.toLong)).toDF("g", "v")
+    val plan = Corpus.QuantileStats(Seq("g"), "v").transform(d)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+  }
+
+  // ----------------------------------------------------------- ShardPack
+
+  test("shard_pack: exact global running sum across range partitions") {
+    // ids deliberately unsorted in the input; sizes prime-ish so shard
+    // boundaries land mid-partition
+    val d = (0L until 1000L).map(i => (i, (i * 7) % 23 + 1))
+      .reverse.toDF("doc_id", "n_chars")
+    val got = Corpus.ShardPack(targetBytes = 100L, partitions = 7)
+      .transform(d)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    var cum = 0L
+    got.foreach { case (id, sz, cumBytes, shard) =>
+      assert(sz == (id * 7) % 23 + 1)
+      assert(shard == cum / 100L, s"doc $id")
+      cum += sz
+      assert(cumBytes == cum, s"doc $id")
+    }
+    assert(got.length == 1000)
+    // shards are contiguous, start at 0, and every one is non-empty
+    val shards = got.map(_._4)
+    assert(shards.head == 0L && shards.toSeq == shards.sorted.toSeq)
+    assert(shards.distinct.length == shards.max + 1)
+  }
+
+  test("shard_pack: deterministic across reruns and partition counts") {
+    val d = (0L until 300L).map(i => (i, i % 17 + 1)).toDF("doc_id", "n_chars")
+    def run(p: Int) = Corpus.ShardPack(targetBytes = 50L, partitions = p)
+      .transform(d).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val base = run(4)
+    assert(run(4) == base)
+    assert(run(1) == base) // single partition == distributed result
+    assert(run(13) == base)
+  }
+}
