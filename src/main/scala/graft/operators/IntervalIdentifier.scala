@@ -184,12 +184,29 @@ class IntervalIdentifier(
 
   /** Apply duplicate-marker removal as demanded by the first/last flags
     * (reference: :221-244).
+    *
+    * The END drop is applied FIRST (the reference applies start first;
+    * the two commute: each drop only nullifies rows whose ORIGINAL
+    * marker equals its own marker value — disjoint row sets — and both
+    * denoise fills read the original column, so neither's condition sees
+    * the other's nulls). Order matters only to the physical plan: the
+    * end drop's windows run over the REVERSED order; running it first
+    * and MATERIALIZING its result before the start drop keeps each
+    * direction's window pair (denoise fill + its lag) adjacent, so the
+    * physical plan is reversed → forward → forward. Inlined as one
+    * nested expression, the analyzer splits the `lag(last(...))` chains
+    * into dependency layers and alternates sort directions per layer —
+    * two extra in-partition sorts on the both-drop (first-start/
+    * last-end) config. Same trick as the salted identifier's
+    * reversed-scan-first layout.
     */
-  protected def preprocessMarkerColumn(): Column = {
+  protected def preprocessMarkerColumn(cc: ColumnCacher): Column = {
     var m: Column = col(markerColumn)
     if (!identicalStartEndMarkers) {
-      if (markerStartUseFirst) m = dropDuplicatedMarker(m, start = true)
+      val bothDrops = !markerEndUseFirst && markerStartUseFirst
       if (!markerEndUseFirst) m = dropDuplicatedMarker(m, start = false)
+      if (bothDrops) m = cc.add("marker_edrop", m, force = true)
+      if (markerStartUseFirst) m = dropDuplicatedMarker(m, start = true)
     }
     m
   }
@@ -295,7 +312,7 @@ class IntervalIdentifier(
   def transform(df: DataFrame): DataFrame = {
     validateInput(df)
     val cc = new ColumnCacher(df, CacheMode.Enabled)
-    val marker0 = preprocessMarkerColumn()
+    val marker0 = preprocessMarkerColumn(cc)
     // materialize the preprocessed marker ONCE (the reference assigns it
     // back to the dataframe, interval_identifier.py:221-244): raw-id and
     // valid-id generation each reference the marker several times, and an
