@@ -283,8 +283,7 @@ object Dedup {
     * rounds, not the O(diameter) of plain propagation (a 2^20-diameter
     * chain converges in ~20 rounds, not 2^20). No driver-side graph;
     * edges never leave the cluster; ONE scalar driver action per round
-    * (the label-sum convergence check; the previous round's sum is
-    * carried in a local variable).
+    * (the exact changed-label count over the old/new label join).
     *
     * If the fixpoint is not reached within `maxIterations` the labels are
     * partially merged and WRONG for any not-yet-converged component, so

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table source/sink helpers: the co-located-join primitive.
+  *
+  * At ~100 TB the dominant cost of a fact-to-fact equi-join is shuffling
+  * both sides on the join key. Writing each table ONCE bucketed (and
+  * per-bucket sorted) on that key moves the shuffle to write time and
+  * amortizes it over every downstream join and aggregation: Spark's scan
+  * reports `HashClusteredDistribution` over the bucket key, so
+  * EnsureRequirements inserts NO Exchange for joins between tables with
+  * the same bucket count, nor for `groupBy(bucketKey)` aggregations
+  * (pinned by BucketedJoinSpec).
+  *
+  * Bucketing rules of thumb encoded here:
+  *   - both join sides must use the SAME bucket count (Spark does not
+  *     coalesce mismatched bucket counts without
+  *     `spark.sql.bucketing.coalesceBucketsInJoin.enabled`);
+  *   - size buckets so one bucket's rows fit one task's memory at the
+  *     target scale (buckets ~= table bytes / 128 MB is a sane start);
+  *   - `sortBy` the join key too: per-bucket sorted files let the
+  *     sort-merge join skip its sort when each bucket holds one file.
+  */
+object BucketedTable {
+
+  /** Write `df` as a bucketed, per-bucket-sorted table in the session
+    * catalog (parquet files under `spark.sql.warehouse.dir`).
+    */
+  def write(df: DataFrame, table: String, bucketColumn: String,
+            buckets: Int, sortColumns: Seq[String] = Nil,
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(buckets > 0, "`buckets` must be positive")
+    require(df.columns.exists(_.equalsIgnoreCase(bucketColumn)),
+      s"bucket column `$bucketColumn` not in ${df.columns.mkString(", ")}")
+    val sorts = if (sortColumns.isEmpty) Seq(bucketColumn) else sortColumns
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketColumn)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Read a catalog table (bucket metadata rides along from the catalog,
+    * which is what lets the planner drop the Exchange).
+    */
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  def drop(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+}
