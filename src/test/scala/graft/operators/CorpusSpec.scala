@@ -124,6 +124,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(shards.distinct.length == shards.max + 1)
   }
 
+  test("shard_pack: zero-size rows and random sizes match a local reference") {
+    val rnd = new scala.util.Random(42)
+    val sizes = Vector.tabulate(500)(i =>
+      if (i % 11 == 0) 0L else rnd.nextInt(50).toLong) // zeros included
+    val d = rnd.shuffle(sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+      .toDF("doc_id", "n_chars")
+    for (target <- Seq(1L, 17L, 1000L)) {
+      val got = Corpus.ShardPack(targetBytes = target, partitions = 5)
+        .transform(d).orderBy("doc_id")
+        .as[(Long, Long, Long, Long)].collect()
+      var cum = 0L
+      got.zipWithIndex.foreach { case ((id, sz, cumBytes, shard), i) =>
+        assert(id == i && sz == sizes(i))
+        assert(shard == cum / target, s"target $target doc $id")
+        cum += sz
+        assert(cumBytes == cum, s"target $target doc $id")
+      }
+    }
+  }
+
   test("shard_pack: deterministic across reruns and partition counts") {
     val d = (0L until 300L).map(i => (i, i % 17 + 1)).toDF("doc_id", "n_chars")
     def run(p: Int) = Corpus.ShardPack(targetBytes = 50L, partitions = p)
