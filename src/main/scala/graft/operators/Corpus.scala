@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -178,16 +177,31 @@ object Corpus {
     * A naive formulation is a running sum over an UNPARTITIONED window —
     * one task holding the corpus. This one is the exact two-phase
     * distributed prefix sum instead:
-    *   1. range-repartition by the order key + in-partition sort, then
-    *      one pass computing PER-PARTITION byte totals (a driver action
-    *      bounded by the partition count, never the row count);
-    *   2. broadcast the exclusive per-partition offsets and stream each
-    *      partition once more, emitting offset + running sum.
+    *   1. bucket every row by a PURE FUNCTION of the order key
+    *      (`(k - min) / width`, key-range buckets) and aggregate
+    *      per-bucket byte totals (a driver collect bounded by the bucket
+    *      count, never the row count);
+    *   2. broadcast the exclusive per-bucket offsets, shuffle rows by
+    *      bucket, sort each partition by key, and stream it once —
+    *      resetting the running sum to the bucket's offset at each
+    *      bucket boundary (buckets are monotone in the key, so a sort
+    *      by key keeps them contiguous even when several buckets hash
+    *      into one partition).
+    *
+    * The bucket MUST be a pure key function, not `repartitionByRange`:
+    * phase 1 and phase 2 are separate executions, and RangePartitioner
+    * RESAMPLES imbalanced partitions with an RDD-id-derived seed, so two
+    * runs of the same plan can place boundary rows differently —
+    * per-partition offsets then double-count (caught by
+    * `tools.StressCorpus` at 50M rows: 0.05% cumulative drift; invisible
+    * at spec scale, where partitions stay under the sample size).
     *
     * The order key must be unique (ties make the running sum
-    * order-dependent, same contract as the interval identifier). The
-    * input is scanned twice; persist it upstream if that matters at
-    * scale — both passes are map-side after the one range shuffle.
+    * order-dependent, same contract as the interval identifier).
+    * Key-range buckets balance rows for roughly uniform key spaces (the
+    * usual case for ids); a pathologically clustered key space
+    * concentrates work in few buckets — pre-map the key (e.g. by rank)
+    * if that matters at the call site.
     */
   final case class ShardPack(orderColumn: String = "doc_id",
                              sizeColumn: String = "n_chars",
@@ -203,34 +217,42 @@ object Corpus {
       val p =
         if (partitions > 0) partitions
         else spark.sessionState.conf.numShufflePartitions
-      // RangePartitioner's reservoir sampling is seeded by partition
-      // index, so two executions of this plan partition identically —
-      // phase 1 and phase 2 below see the same row placement
-      val typed = df
+      val base = df
         .select(col(orderColumn).cast("long").as("k"),
           col(sizeColumn).cast("long").as("sz"))
-        .repartitionByRange(p, col("k"))
-        .sortWithinPartitions("k")
-        .as[(Long, Long)]
-      val partTotals = typed.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var s = 0L
-        it.foreach(s += _._2)
-        Iterator((pid, s))
-      }.collect().toMap
+      val bounds = base.agg(min("k"), max("k"), count(lit(1))).head()
+      if (bounds.getLong(2) == 0L)
+        return spark.emptyDataset[(Long, Long, Long, Long)]
+          .toDF(orderColumn, sizeColumn, "cum_bytes", "shard")
+      val minK = bounds.getLong(0)
+      // width sized so bucket ids span 0 until p
+      val width = math.max(1L, (bounds.getLong(1) - minK) / p + 1)
+      // `div`, not `/`: Column./ is DOUBLE division (a 2^53+ key would
+      // round) — div is exact 64-bit integer division
+      val bucketed = base
+        .withColumn("b", expr(s"(k - ${minK}L) div ${width}L"))
+      val totals = bucketed.groupBy("b").agg(sum("sz").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val offsets = Array.tabulate(p) { i =>
-        (0 until i).map(partTotals.getOrElse(_, 0L)).sum
+        (0 until i).map(b => totals.getOrElse(b.toLong, 0L)).sum
       }
       val bc = spark.sparkContext.broadcast(offsets)
       val target = targetBytes
-      typed.mapPartitions { it =>
-        var cum = bc.value(TaskContext.getPartitionId())
-        it.map { case (k, sz) =>
-          val before = cum
-          cum += sz
-          (k, sz, cum, before / target)
+      bucketed
+        .repartition(p, col("b"))
+        .sortWithinPartitions("k")
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          var curBucket = -1L
+          var cum = 0L
+          it.map { case (k, sz, b) =>
+            if (b != curBucket) { curBucket = b; cum = bc.value(b.toInt) }
+            val before = cum
+            cum += sz
+            (k, sz, cum, before / target)
+          }
         }
-      }.toDF(orderColumn, sizeColumn, "cum_bytes", "shard")
+        .toDF(orderColumn, sizeColumn, "cum_bytes", "shard")
     }
   }
 }

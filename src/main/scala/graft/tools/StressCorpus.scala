@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+
+/** Scale stress for the corpus-curation operators: synthetic inputs far
+  * beyond the sf0.1 bench (50M rows for the numeric ops, millions of
+  * synthetic docs for the text ops) so the scale claims in COVERAGE.md
+  * are measured, not asserted. Forcing follows the honest protocol
+  * (aggregate over the operator's OUTPUT columns — nothing prunable).
+  */
+object StressCorpus {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(2000000)
+    val nRows = args.lift(1).map(_.toLong).getOrElse(50000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val x = f
+      println(f"[stress-corpus] $label%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s (check=$x)")
+    }
+
+    // ----- shard packing: 50M rows, exact global prefix sum
+    val sized = spark.range(nRows)
+      .select(col("id").as("doc_id"), pmod(col("id") * 2654435761L, lit(997L)).as("n_chars"))
+    time(s"shard_pack n=$nRows target=1MiB") {
+      val out = Corpus.ShardPack(targetBytes = 1L << 20)
+        .transform(sized)
+      val r = out.agg(max("shard"), sum("n_chars"), count(lit(1))).collect()(0)
+      // exactness: the last cumulative byte must equal the global sum
+      val cumMax = out.agg(max("cum_bytes")).collect()(0).getLong(0)
+      require(cumMax == r.getLong(1), s"prefix sum drift: $cumMax != ${r.getLong(1)}")
+      r.getLong(0)
+    }
+
+    // ----- exact grouped quantiles: 50M values over 32 groups
+    val grouped = spark.range(nRows)
+      .select(pmod(col("id"), lit(32L)).as("g"),
+        pmod(col("id") * 48271L, lit(10007L)).as("v"))
+    time(s"stats_quantiles n=$nRows groups=32") {
+      Corpus.QuantileStats(Seq("g"), "v")
+        .transform(grouped)
+        .agg(sum("p99")).collect()(0).getLong(0)
+    }
+
+    // ----- synthetic docs: 8 tokens each, mixed hot/rare vocabulary
+    def docs: DataFrame = spark.range(nDocs.toLong)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          concat(lit("a"), pmod(col("id"), lit(101L))),
+          concat(lit("b"), pmod(col("id"), lit(103L))),
+          concat(lit("c"), (col("id") / 1000L).cast("long")),
+          concat(lit("d"), pmod(col("id"), lit(107L))),
+          concat(lit("e"), (col("id") / 500L).cast("long")),
+          concat(lit("f"), pmod(col("id"), lit(109L))),
+          concat(lit("g"), pmod(col("id"), lit(113L))),
+          lit("the")).as("text"))
+
+    time(s"vocab_topk docs=$nDocs k=100") {
+      Corpus.VocabTopK(k = 100).transform(docs)
+        .agg(sum("term_freq")).collect()(0).getLong(0)
+    }
+
+    time(s"decontaminate docs=$nDocs eval=1/1000") {
+      Corpus.Decontaminate(_.filter(pmod(col("doc_id"), lit(1000L)) === 0))
+        .transform(docs)
+        .agg(sum("n_overlap"), count(lit(1))).collect()(0).getLong(0)
+    }
+
+    spark.stop()
+  }
+}

@@ -160,6 +160,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(s) == 0)
   }
 
+  test("decontaminate: equi-joins only — never a cartesian / nested-loop " +
+    "pair expansion") {
+    val docs = (0L until 60L).map(i => (i, s"alpha beta gamma delta $i x y"))
+      .toDF("doc_id", "text")
+    val out = Corpus.Decontaminate(_.filter($"doc_id" % 10 === 0))
+      .transform(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("shard_pack: exactly ONE shuffle (deterministic bucket hash); the " +
+    "running-sum pass is map-side after it") {
+    val d = (0L until 200L).map(i => (i, i % 13)).toDF("doc_id", "n_chars")
+    val out = Corpus.ShardPack(targetBytes = 64L, partitions = 4).transform(d)
+    assert(shuffles(out) == 1, out.queryExecution.executedPlan.toString)
+  }
+
   test("broadcast join: nation side broadcasts, no shuffle for the dim") {
     val l = Seq((1L, 10.0, 0.1)).toDF("l_orderkey", "l_extendedprice",
       "l_discount")

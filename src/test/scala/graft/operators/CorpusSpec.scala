@@ -154,4 +154,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(run(1) == base) // single partition == distributed result
     assert(run(13) == base)
   }
+
+  test("shard_pack: sparse keys with a far outlier still sum exactly") {
+    // one huge key stretches the bucket width so most rows share bucket 0
+    val keys = (0L until 200L).map(_ * 3 + 7) :+ 1000000000L
+    val d = keys.map(k => (k, k % 29 + 1)).toDF("doc_id", "n_chars")
+    val got = Corpus.ShardPack(targetBytes = 100L, partitions = 8)
+      .transform(d).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    var cum = 0L
+    got.foreach { case (k, sz, cumBytes, shard) =>
+      assert(shard == cum / 100L, s"key $k")
+      cum += sz
+      assert(cumBytes == cum, s"key $k")
+    }
+    assert(got.length == keys.length)
+    assert(cum == keys.map(_ % 29 + 1).sum)
+  }
 }
