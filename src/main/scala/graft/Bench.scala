@@ -57,6 +57,7 @@ object Bench {
     "dedup_simhash" -> Some("Join"),
     "dedup_embedding" -> Some("Join"),
     "dedup_clusters" -> None,
+    "dedup_canonical" -> None, // CC loop runs eagerly inside the builder
     "asof_join" -> Some("Window"),
     "decontaminate" -> Some("Join"),
     "vocab_topk" -> Some("TakeOrderedAndProject"),

@@ -333,6 +333,50 @@ object OracleSql {
        |SELECT src AS doc_id, min(dst) AS component
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** Canonical selection over near-dup clusters: best quality score per
+    * component (ties to the smaller doc_id), singletons kept. Mirrors
+    * [[graft.operators.Dedup.selectCanonical]] over
+    * NGramJaccard -> connectedComponents -> QualityScore.
+    */
+  def dedupCanonical(threshold: Double, maxDocFreq: Long): String = {
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE ${shingleSets(maxDocFreq)},
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+       |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+       |    AS BIGINT) AS uni
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+       |pairs AS (SELECT id_a, id_b FROM p
+       |  WHERE round(CAST(common AS DOUBLE) / CAST(uni AS DOUBLE), 6)
+       |    >= $threshold),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+       |comp AS (SELECT src AS doc_id, min(dst) AS component
+       |  FROM reach GROUP BY src),
+       |qt AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+       |qc AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(toks, x -> x IN ($stop))) AS BIGINT) AS n_stop
+       |  FROM qt),
+       |q AS (SELECT doc_id,
+       |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
+       |    (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6)
+       |    AS quality_score
+       |  FROM qc),
+       |j AS (SELECT q.doc_id,
+       |  COALESCE(comp.component, q.doc_id) AS component, q.quality_score
+       |  FROM q LEFT JOIN comp USING (doc_id)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY component
+       |    ORDER BY quality_score DESC, doc_id) AS rn FROM j)
+       |SELECT doc_id, CAST(component AS BIGINT) AS component,
+       |  quality_score, rn = 1 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------- relational extras
 
   /** As-of join: each click joined to the user's most recent prior (or

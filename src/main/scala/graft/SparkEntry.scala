@@ -277,6 +277,18 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.EmbeddingNearDup().transform(embs(s, dir))
         .orderBy("id_a", "id_b")),
+    // full near-dup decision chain: candidate pairs -> clusters ->
+    // keep-the-best-quality-doc-per-cluster (singletons always kept)
+    "dedup_canonical" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(
+        Dedup.NGramJaccard(maxDocFreq = 10L).transform(d))
+      val scored = TextAnalysis.QualityScore().transform(d)
+        .select("doc_id", "quality_score")
+      Dedup.selectCanonical(scored, clusters)
+        .select("doc_id", "component", "quality_score", "keep")
+        .orderBy("doc_id")
+    }),
     // as-of join: each click picks the user's most recent prior purchase
     // (union-window formulation, ONE keyed shuffle); DuckDB re-derives it
     // with its native ASOF JOIN — independent algorithms, same answer
@@ -416,6 +428,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OracleSql.dedupMinHash(32, 8, 0.25),
     "dedup_simhash" -> OracleSql.dedupSimHash(32, 4, 3),
     "dedup_clusters" -> OracleSql.dedupClusters(0.2, 10L),
+    "dedup_canonical" -> OracleSql.dedupCanonical(0.2, 10L),
     "dedup_embedding" -> OracleSql.dedupEmbedding(64, 4, 8, 0.4),
     "asof_join" -> OracleSql.asOfJoin,
     "sample_stratified" -> OracleSql.sampleStratified(

@@ -413,4 +413,33 @@ object Dedup {
         .select("id_a", "id_b", "cosine")
     }
   }
+
+  /** Canonical-document selection: given per-document scores and the
+    * cluster labels from [[connectedComponents]], keep the best-scoring
+    * document of every near-duplicate cluster (score desc, id asc on
+    * ties) — the decision step that turns cluster labels into a
+    * keep/drop column. Documents absent from `clusters` (no near-dup
+    * candidate pair at all) are singleton clusters of themselves and are
+    * always kept.
+    *
+    * Scale shape: one left equi-join on the id (clusters is the SMALL
+    * side — only docs that had a candidate pair) and one rank window
+    * partitioned by component; near-dup cluster sizes are bounded in
+    * practice (a corpus-sized component means the thresholds upstream
+    * are wrong), so the window partitions stay small.
+    */
+  def selectCanonical(scored: DataFrame, clusters: DataFrame,
+                      scoreColumn: String = "quality_score",
+                      idColumn: String = "doc_id"): DataFrame = {
+    SparkUtil.validateColumns(scored, Seq(idColumn, scoreColumn))
+    SparkUtil.validateColumns(clusters, Seq(idColumn, "component"))
+    val labels = clusters.select(col(idColumn), col("component"))
+    scored
+      .join(labels, Seq(idColumn), "left")
+      .withColumn("component",
+        coalesce(col("component"), col(idColumn).cast("long")))
+      .withColumn("keep",
+        row_number().over(Window.partitionBy(col("component"))
+          .orderBy(col(scoreColumn).desc, col(idColumn).asc)) === 1)
+  }
 }

@@ -316,4 +316,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r.getAs[String]("norm_text") == "hello world extra")
     assert(r.getAs[Long]("norm_len") == 17L)
   }
+
+  test("selectCanonical keeps the best-scoring doc per cluster and every " +
+    "singleton") {
+    import spark.implicits._
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.3), (9L, 0.1))
+      .toDF("doc_id", "quality_score")
+    // cluster {1,2,3} (2 and 3 tie on score -> smaller id wins), {4};
+    // 9 has no cluster row = singleton
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "component")
+    val got = Dedup.selectCanonical(scored, clusters)
+      .select("doc_id", "component", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true), (9L, 9L, true)))
+  }
 }
