@@ -69,6 +69,8 @@ object Bench {
     "ann_bruteforce" -> Some("Window"),
     "ann_lsh" -> Some("Window"),
     "ann_ivf" -> Some("Window"),
+    "text_boilerplate" -> Some("Join"),
+    "mm_resize" -> Some("SerializeFromObject"),
     "mm_features" -> Some("SerializeFromObject"),
     "mm_framesample" -> Some("SerializeFromObject"),
     "text_tokens" -> Some("split("),

@@ -454,6 +454,28 @@ object OracleSql {
        |FROM trs t LEFT JOIN ov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Boilerplate ratio per training doc: distinct 3-gram shingles whose
+    * corpus document frequency exceeds `maxDocFreq`. Mirrors
+    * [[graft.operators.Corpus.BoilerplateScore]].
+    */
+  def textBoilerplate(maxDocFreq: Long): String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |s AS (SELECT doc_id, $Shingles AS sh FROM t),
+       |u AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+       |hot AS (SELECT shingle FROM u GROUP BY shingle
+       |  HAVING count(*) > $maxDocFreq),
+       |b AS (SELECT u.doc_id, count(*) AS n_boiler
+       |  FROM u JOIN hot USING (shingle) GROUP BY u.doc_id)
+       |SELECT s.doc_id,
+       |  CAST(len(s.sh) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+       |  round(CASE WHEN len(s.sh) > 0
+       |    THEN CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) /
+       |         CAST(len(s.sh) AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS boiler_ratio
+       |FROM s LEFT JOIN b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary top-k by term frequency, token-ascending ties.
     * Mirrors [[graft.operators.Corpus.VocabTopK]].
     */
@@ -640,6 +662,27 @@ object OracleSql {
        |  byte_len % 16 + 1 AS n_frames,
        |  (byte_len % 16 + 1 + 3) // 4 AS frame_stride
        |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Fit-in-box resize over the decode stub's dimensions; integer scale
+    * algebra and the (payload-md5, out-dims) fingerprint. Mirrors
+    * [[graft.operators.Multimodal.Resize]].
+    */
+  def mmResize(maxW: Long, maxH: Long): String =
+    s"""WITH f AS (SELECT doc_id, text,
+       |  ${tokHash("text")} AS h
+       |  FROM documents),
+       |d AS (SELECT doc_id, text,
+       |  h % 1280 AS width, h % 720 AS height FROM f),
+       |k AS (SELECT *, greatest(1, (width + $maxW - 1) // $maxW,
+       |  (height + $maxH - 1) // $maxH) AS scale_den FROM d),
+       |o AS (SELECT *, greatest(1, width // scale_den) AS out_w,
+       |  greatest(1, height // scale_den) AS out_h FROM k)
+       |SELECT doc_id, CAST(width AS BIGINT) AS width,
+       |  CAST(height AS BIGINT) AS height,
+       |  CAST(scale_den AS BIGINT) AS scale_den,
+       |  CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+       |  md5(md5(text) || '-' || out_w || 'x' || out_h) AS resized_fp
+       |FROM o ORDER BY doc_id""".stripMargin
 
   def mmFrameSample: String =
     s"""WITH f AS (SELECT doc_id,

@@ -366,6 +366,15 @@ object SparkEntry {
       Similarity.IvfTopK(df => df.filter(col("vec_id") < 8))
         .transform(embs(s, dir))
         .orderBy("query_id", "rank")),
+    "text_boilerplate" -> ((s, dir) =>
+      // maxDocFreq 10 on the 500-doc synthetic corpus: the template
+      // n-grams of the generator actually trip the hot threshold
+      Corpus.BoilerplateScore(maxDocFreq = 10L).transform(docs(s, dir))
+        .orderBy("doc_id")),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.Resize().transform(
+        docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+        .orderBy("doc_id")),
     "mm_features" -> ((s, dir) =>
       Multimodal.MediaFeatures().transform(
         docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
@@ -443,6 +452,8 @@ object SparkEntry {
     "ann_bruteforce" -> OracleSql.annBruteForce(64, 5, 8),
     "ann_lsh" -> OracleSql.annLsh(64, 8, 5, 8),
     "ann_ivf" -> OracleSql.annIvf(64, 16, 4, 5, 8),
+    "text_boilerplate" -> OracleSql.textBoilerplate(10L),
+    "mm_resize" -> OracleSql.mmResize(640L, 360L),
     "mm_features" -> OracleSql.mmFeatures,
     "mm_framesample" -> OracleSql.mmFrameSample,
     "q1_pricing" -> OracleSql.q1Pricing,

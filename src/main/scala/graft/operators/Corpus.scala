@@ -87,6 +87,51 @@ object Corpus {
     }
   }
 
+  /** Boilerplate scoring: how much of each document is made of corpus-hot
+    * n-gram shingles (shingles whose document frequency exceeds
+    * `maxDocFreq` — navigation chrome, license headers, template text).
+    * Output per document: distinct-shingle count, hot-shingle count and
+    * the boilerplate ratio — the standard drop/keep quality signal next
+    * to [[TextAnalysis.QualityScore]].
+    *
+    * Scale shape: identical to [[Decontaminate]] with the hot set in
+    * place of the eval set — a doc-frequency aggregation over the narrow
+    * (shingle) projection, then a shingle equi-join of the posting
+    * stream against the (small, by definition: df > cap) hot set and one
+    * per-doc aggregation. Document text never shuffles.
+    */
+  final case class BoilerplateScore(idColumn: String = "doc_id",
+                                    textColumn: String = "text",
+                                    n: Int = 3,
+                                    maxDocFreq: Long = 100L)
+      extends Wrangler {
+    require(n >= 1, "shingle width `n` must be >= 1")
+    require(maxDocFreq >= 1, "`maxDocFreq` must be >= 1")
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      val ids = df.select(col(idColumn).cast("long").as("doc_id"),
+        col(textColumn).as("text"))
+      val sh = shingleRows(ids, "doc_id", "text", n)
+      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq)
+        .select("shingle").withColumn("hit", lit(1L))
+      val counted = sh.join(hot, Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg(max(col("sz")).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_boiler"))
+      ids.select("doc_id")
+        .join(counted, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          when(col("n_shingles") > 0,
+            round(col("n_boiler").cast("double") /
+              col("n_shingles").cast("double"), 6)).otherwise(0.0))
+    }
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with term
     * and document frequencies, ties broken by token ascending.
     *

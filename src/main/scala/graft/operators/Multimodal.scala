@@ -87,4 +87,55 @@ object Multimodal {
             col("frame_stride"))).as("frame_idx"))
     }
   }
+
+  /** Typed output row of [[Resize]]. */
+  private[operators] final case class ResizeRow(
+      doc_id: Long, width: Long, height: Long, scale_den: Long,
+      out_w: Long, out_h: Long, resized_fp: String)
+
+  /** Aspect-preserving fit-in-box resize of the decoded media: integer
+    * downscale factor `k = max(1, ceil(w/maxW), ceil(h/maxH))`, output
+    * dims `max(1, dim/k)`, plus a fingerprint of (payload, out dims) so
+    * downstream caching/dedup can key on the RESIZED artifact. The pixel
+    * transform itself is the stubbed codec step (see [[decodeStub]]);
+    * the dimension algebra, per-partition batch shape and fingerprint
+    * contract are real — a production build swaps only the codec call.
+    * Exact integer math end to end, so the DuckDB oracle reproduces it
+    * bit-for-bit.
+    */
+  final case class Resize(idColumn: String = "doc_id",
+                          payloadColumn: String = "payload",
+                          maxW: Long = 640L,
+                          maxH: Long = 360L)
+      extends Wrangler {
+    require(maxW >= 1 && maxH >= 1, "target box must be positive")
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, payloadColumn))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val (mw, mh) = (maxW, maxH)
+      df.select(col(idColumn).cast("long"), col(payloadColumn).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val md = MessageDigest.getInstance("MD5")
+          it.map { case (id, payload) =>
+            val (w, h, _) = decodeStub(payload)
+            val k = math.max(1L, math.max((w + mw - 1) / mw, (h + mh - 1) / mh))
+            val ow = math.max(1L, w / k)
+            val oh = math.max(1L, h / k)
+            md.reset()
+            val payloadHex = md.digest(payload)
+              .map(b => f"$b%02x").mkString
+            md.reset()
+            val fp = md.digest(s"$payloadHex-${ow}x$oh"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map(b => f"$b%02x").mkString
+            ResizeRow(id, w, h, k, ow, oh, fp)
+          }
+        }
+        .toDF()
+    }
+  }
 }

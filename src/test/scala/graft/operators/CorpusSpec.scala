@@ -44,6 +44,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  // ---------------------------------------------------- BoilerplateScore
+
+  test("boilerplate: shingles over the df cap count as boilerplate") {
+    // "x y z" appears in 3 docs (df 3 > cap 2) -> hot; unique tails don't
+    val d = Seq(
+      (1L, "x y z alpha beta"), // 3 shingles: [x y z] hot, 2 clean
+      (2L, "x y z gamma delta"),
+      (3L, "x y z"), // 1 shingle, all boilerplate
+      (4L, "unrelated words entirely here"),
+      (5L, "ab"), // zero shingles
+    ).toDF("doc_id", "text")
+    val got = Corpus.BoilerplateScore(maxDocFreq = 2L).transform(d)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 0.333333), (2L, 3L, 1L, 0.333333), (3L, 1L, 1L, 1.0),
+      (4L, 2L, 0L, 0.0), (5L, 0L, 0L, 0.0)))
+  }
+
   // ----------------------------------------------------------- VocabTopK
 
   test("vocab_topk: tf/df counts and deterministic tie order") {

@@ -204,6 +204,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(frames == (0L until r.getAs[Long]("n_frames") by stride).toSeq)
   }
 
+  test("Resize: fit-in-box integer scale, floor-1 dims, stable fingerprint") {
+    val df = docsDF(1L -> "some payload text")
+      .withColumn("payload", encode($"text", "UTF-8"))
+    val r = Multimodal.Resize(maxW = 100L, maxH = 50L).transform(df).head()
+    val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+    val k = math.max(1L, math.max((w + 99) / 100, (h + 49) / 50))
+    assert(r.getAs[Long]("scale_den") == k)
+    assert(r.getAs[Long]("out_w") == math.max(1L, w / k))
+    assert(r.getAs[Long]("out_h") == math.max(1L, h / k))
+    assert(r.getAs[Long]("out_w") <= 100 && r.getAs[Long]("out_h") <= 50)
+    assert(r.getAs[String]("resized_fp").length == 32)
+    // deterministic across runs
+    val again = Multimodal.Resize(maxW = 100L, maxH = 50L).transform(df).head()
+    assert(again.getAs[String]("resized_fp") == r.getAs[String]("resized_fp"))
+    // a media already inside the box keeps its dims (k = 1)
+    val small = Multimodal.Resize(maxW = 10000L, maxH = 10000L)
+      .transform(df).head()
+    assert(small.getAs[Long]("scale_den") == 1L)
+    assert(small.getAs[Long]("out_w") == w && small.getAs[Long]("out_h") == h)
+  }
+
   test("connectedComponents: chains merge, components stay separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val got = Dedup.connectedComponents(pairs)
