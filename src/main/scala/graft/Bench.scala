@@ -172,6 +172,15 @@ object Bench {
     val total = results.flatMap(_._2).map(_.median).sum
     println(s"""{"detail":"spread","reps":$reps,"spread":$spread}""")
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val contract =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the driver parses this line out of the run's LAST ~2000 chars; a
+    // line that outgrows the window comes back `parsed: null` SILENTLY
+    // (it cost rounds 1-4 their bench numbers) — fail loudly instead
+    require(contract.length <= 1900,
+      s"[bench] contract line is ${contract.length} chars (> 1900): it " +
+        "would overflow the driver's tail window and parse as null; " +
+        "shorten query names or split the bench")
+    println(contract)
   }
 }
