@@ -85,20 +85,31 @@ object Bench {
     "top_customers" -> Some("Join"),
   )
 
+  /** Queries whose plan legitimately carries a zero-column scan branch:
+    * a `count(*)`-style aggregate over the corpus reads no columns by
+    * design (tfidf_topk's N). Everything else must read real columns in
+    * EVERY scan — per round-5 ADVICE, "some scan reads columns" is too
+    * weak (a fully-pruned operator branch could hide behind one honest
+    * auxiliary branch).
+    */
+  private[graft] val zeroColumnScanOk: Set[String] = Set("tfidf_topk")
+
   /** Abort-on-failure plan self-check: the operator's signature node must
-    * be in the plan, and at least one scan must read real columns (the
-    * count()-pruning fingerprint is EVERY scan collapsing to
-    * `ReadSchema: struct<>`; a single zero-column scan is legitimate —
-    * e.g. tfidf_topk's corpus-count branch reads no columns by design).
+    * be in the plan, and every scan must read real columns (the
+    * count()-pruning fingerprint is a scan collapsing to
+    * `ReadSchema: struct<>`) unless the query is allow-listed above.
     * Public to Bench + the spec pinning it.
     */
   private[graft] def assertHonestPlan(name: String, plan: String): Unit = {
     val scans = "ReadSchema: struct<".r.findAllIn(plan).size
     val emptyScans = "ReadSchema: struct<>".r.findAllIn(plan).size
-    require(scans == 0 || emptyScans < scans,
-      s"[bench] $name: every scan in the timed plan reads ZERO columns — " +
-        s"the computation was pruned out and the measurement would be " +
-        s"vacuous:\n$plan")
+    val ok =
+      if (zeroColumnScanOk(name)) scans == 0 || emptyScans < scans
+      else emptyScans == 0
+    require(ok,
+      s"[bench] $name: $emptyScans of $scans scans in the timed plan read " +
+        s"ZERO columns — computation was pruned out and the measurement " +
+        s"would be (partially) vacuous:\n$plan")
     planSignatures.getOrElse(name,
       throw new IllegalStateException(
         s"[bench] no plan signature registered for query `$name`; add it " +
@@ -135,6 +146,21 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // State isolation between executions (round-5 finding: ann_ivf read
+    // 6.4x over baseline with its code untouched — the eager operators
+    // scheduled before it leave `localCheckpoint` blocks alive for the
+    // life of their result's lineage, and the accumulated storage squeezes
+    // execution memory in the shared JVM for every query after them).
+    // Each rep rebuilds its DataFrame from scratch, so dropping ALL
+    // persisted state between executions is safe and makes every rep —
+    // and every query — start from the same storage footprint. Runs
+    // OUTSIDE the timed window.
+    def resetSparkState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+
     // session warm-up: one cheap query to init the stack
     try Force(SparkEntry.queries.head._2(spark, sfDir))
     catch { case _: Throwable => () }
@@ -151,8 +177,13 @@ object Bench {
         name -> warm.flatMap { df =>
           try {
             Force(df) // per-query warm-up, untimed
+            resetSparkState()
             Some(TimeProfile(
-              (1 to reps).map(_ => time(Force(fn(spark, sfDir)))).toVector))
+              (1 to reps).map { _ =>
+                val t = time(Force(fn(spark, sfDir)))
+                resetSparkState()
+                t
+              }.toVector))
           } catch { case _: Throwable => None }
         }
       }

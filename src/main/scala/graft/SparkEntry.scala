@@ -326,9 +326,13 @@ object SparkEntry {
       Corpus.QuantileStats(Seq("lang"), "n_chars").transform(docs(s, dir))
         .orderBy("lang")),
     // exact distributed prefix sum (two-phase, range-partitioned); 20 kB
-    // target yields a handful of shards at sf0.01
+    // target yields a handful of shards at sf0.01. The operator is
+    // row-preserving (every doc column passes through); the oracle
+    // compares the packing columns, so project those
     "shard_pack" -> ((s, dir) =>
       Corpus.ShardPack(targetBytes = 20000L).transform(docs(s, dir))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("cum_bytes"), col("shard"))
         .orderBy("doc_id")),
     // the two newest extension surfaces composed end to end and
     // oracle-gated: the session-registered `long_array_dot` Catalyst

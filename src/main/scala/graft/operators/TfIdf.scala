@@ -15,12 +15,18 @@ import graft.util.SparkUtil
   * decimals (smoothed idf; the rounding keeps cross-engine doubles
   * hash-identical, same convention as the ANN cosine scores).
   *
-  * Plan shape (single lineage, three keyed shuffles, each on a
-  * fine-grained key — no global state, no driver action):
+  * Plan shape (three keyed shuffles, each on a fine-grained key — no
+  * global state, no driver action):
   *   1. explode(tokens) -> groupBy(doc, term) count        [tf]
-  *   2. count over Window.partitionBy(term)                [df]
-  *      (a window, not an agg+self-join: the (doc, term) pairs stream
-  *      through once, no diamond lineage re-reading the corpus)
+  *   2. groupBy(term) count + equi-join back               [df]
+  *      (an agg + join, NOT `count().over(Window.partitionBy(term))`:
+  *      a whole-partition window frame needs every (doc, term) row of a
+  *      term in ONE task, and Zipf says the hottest term occurs in
+  *      ~every document — at 100 TB that one task holds the corpus. The
+  *      aggregation does map-side partial combine (skew-immune), the
+  *      join back is a vocabulary-sized narrow equi-join AQE can
+  *      broadcast, and both branches hang off the SAME tf plan so
+  *      ReuseExchange serves the (doc, term) shuffle once.)
   *   3. row_number over Window.partitionBy(doc)            [top-k]
   * N (corpus size) joins in as a broadcast 1-row aggregate, not a
   * driver-side count. Ranking orders by the ROUNDED score then term, so
@@ -39,8 +45,8 @@ final case class TfIdf(k: Int = 3,
       .select(col(idColumn), explode(Portable.tokens(col(textColumn))).as("term"))
       .groupBy(col(idColumn), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("term")))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val withDf = tf.join(docFreq, Seq("term"))
     val scored = withDf.crossJoin(broadcast(n))
       .withColumn("tfidf", round(
         col("tf") * (log((col("__n") + lit(1.0)) / (col("df") + lit(1.0)))

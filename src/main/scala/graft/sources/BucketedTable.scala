@@ -24,12 +24,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketedTable {
 
+  /** Table names reach `spark.sql` interpolated (the DROP path), so they
+    * are validated against a plain identifier pattern up front — a name
+    * like `t; DROP TABLE x` must fail as a bad identifier, never parse
+    * as SQL (round-5 ADVICE).
+    */
+  private def validateName(table: String): Unit =
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"),
+      s"table name `$table` is not a plain [db.]identifier")
+
   /** Write `df` as a bucketed, per-bucket-sorted table in the session
     * catalog (parquet files under `spark.sql.warehouse.dir`).
     */
   def write(df: DataFrame, table: String, bucketColumn: String,
             buckets: Int, sortColumns: Seq[String] = Nil,
             mode: SaveMode = SaveMode.Overwrite): Unit = {
+    validateName(table)
     require(buckets > 0, "`buckets` must be positive")
     require(df.columns.exists(_.equalsIgnoreCase(bucketColumn)),
       s"bucket column `$bucketColumn` not in ${df.columns.mkString(", ")}")
@@ -43,9 +53,13 @@ object BucketedTable {
   /** Read a catalog table (bucket metadata rides along from the catalog,
     * which is what lets the planner drop the Exchange).
     */
-  def read(spark: SparkSession, table: String): DataFrame =
+  def read(spark: SparkSession, table: String): DataFrame = {
+    validateName(table)
     spark.table(table)
+  }
 
-  def drop(spark: SparkSession, table: String): Unit =
+  def drop(spark: SparkSession, table: String): Unit = {
+    validateName(table)
     spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

@@ -31,6 +31,13 @@ final class StreamingWindowedStats(duration: String,
     * sum_value, max_value) per closed window.
     */
   def transform(df: DataFrame): DataFrame = {
+    graft.util.SparkUtil.validateColumns(df,
+      Seq(keyColumn, tsColumn, valueColumn))
+    // misuse otherwise surfaces only as a late AnalysisException at
+    // writeStream.start in append mode (round-5 ADVICE)
+    require(df.isStreaming,
+      "StreamingWindowedStats.transform needs a streaming DataFrame " +
+        s"(with a watermark on `$tsColumn`); got a batch frame")
     val w = slide.fold(window(col(tsColumn), duration))(
       s => window(col(tsColumn), duration, s))
     df.groupBy(col(keyColumn), w)

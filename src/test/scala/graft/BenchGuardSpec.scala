@@ -51,18 +51,31 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuous"))
   }
 
-  test("a legitimate count(*) branch beside a real scan is NOT vacuous") {
+  test("a legitimate count(*) branch is tolerated ONLY when allow-listed") {
     // tfidf-shaped plan: the corpus-count subtree reads zero columns by
-    // design while the term scan reads real ones — the guard must only
-    // fire when EVERY scan is pruned empty
+    // design while the term scan reads real ones. Only the explicit
+    // allow-list (zeroColumnScanOk) may pass such a plan — for any other
+    // query, one pruned branch beside an honest one must still abort
+    // (round-5 ADVICE: "some scan reads columns" was too weak)
     val doc = Seq((1L, "a b c")).toDF("doc_id", "text")
     doc.write.mode("overwrite").parquet("/tmp/bench_guard_spec2.parquet")
     val d = spark.read.parquet("/tmp/bench_guard_spec2.parquet")
-    val joined = d.crossJoin(d.groupBy().count())
+    // a Window rides along so the tfidf_topk signature check passes and
+    // the test isolates the scan guard
+    val joined = d
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("text")))
+      .crossJoin(d.groupBy().count())
     val plan = Force.planString(joined)
     assert(plan.contains("ReadSchema: struct<>"), plan) // count branch
     assert(plan.contains("Join"), plan)
-    Bench.assertHonestPlan("decontaminate", plan) // does not throw
+    assert(Bench.zeroColumnScanOk("tfidf_topk"))
+    Bench.assertHonestPlan("tfidf_topk", plan) // allow-listed: no throw
+    val e = intercept[IllegalArgumentException] {
+      Bench.assertHonestPlan("decontaminate", plan) // not allow-listed
+    }
+    assert(e.getMessage.contains("vacuous"))
   }
 
   test("assertHonestPlan rejects a plan missing the signature node") {
