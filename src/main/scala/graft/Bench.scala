@@ -51,6 +51,7 @@ object Bench {
     "interval_identical_salted" -> None,
     "sessionize" -> Some("Window"),
     "pipeline_ingest" -> Some("Window"),
+    "pipeline_curate" -> None, // CC loop runs eagerly inside the builder
     "dedup_exact" -> Some("Window"),
     "dedup_ngram_jaccard" -> Some("Join"),
     "dedup_minhash_lsh" -> Some("Join"),
@@ -68,6 +69,7 @@ object Bench {
     "ml_quantized_dot" -> Some("long_array_dot"),
     "ann_bruteforce" -> Some("Window"),
     "ann_lsh" -> Some("Window"),
+    "ann_lsh_multi" -> Some("Window"),
     "ann_ivf" -> Some("Window"),
     "text_boilerplate" -> Some("Join"),
     "mm_resize" -> Some("SerializeFromObject"),

@@ -377,6 +377,106 @@ object OracleSql {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** The full curation chain (mirrors the `pipeline_curate` query):
+    * normalize -> quality -> boilerplate (hot set over ALL normalized
+    * docs) -> decontaminate (eval split leaves the frame) -> gates ->
+    * near-dup canonical over the survivors (capped-shingle Jaccard
+    * pairs, recursive-CTE components, best quality per component) ->
+    * md5-threshold stratified sample -> running-sum shard packing.
+    * Every stage reuses the exact expression conventions of its
+    * standalone oracle above, so the composition stays bit-identical.
+    */
+  def pipelineCurate(boilerMaxDf: Long, minTokens: Long,
+                     maxBoilerRatio: Double, jaccardThreshold: Double,
+                     jaccardMaxDf: Long, rates: Seq[(String, Double)],
+                     defaultRate: Double, salt: String,
+                     targetBytes: Long): String = {
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    val cases = rates.map { case (s, r) =>
+      s"WHEN '$s' THEN '${Sampling.thresholdHex(r)}'"
+    }.mkString(" ")
+    s"""WITH RECURSIVE nrm AS (SELECT doc_id, lang,
+       |  lower(trim(regexp_replace(
+       |    regexp_replace(text, '<[^>]*>', ' ', 'g'),
+       |    '\\s+', ' ', 'g'))) AS text FROM documents),
+       |nr AS (SELECT doc_id, lang, text,
+       |  CAST(length(text) AS BIGINT) AS n_chars, $Toks AS toks FROM nrm),
+       |qc AS (SELECT doc_id, lang, text, n_chars, toks,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(toks, s -> s IN ($stop))) AS BIGINT) AS n_stop
+       |  FROM nr),
+       |q AS (SELECT doc_id, lang, text, n_chars, n_tokens,
+       |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
+       |    (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6)
+       |    AS quality_score
+       |  FROM qc),
+       |bt AS (SELECT doc_id, $Toks AS tk FROM nrm),
+       |bs AS (SELECT doc_id, $Shingles AS sh FROM bt),
+       |bu AS (SELECT doc_id, unnest(sh) AS shingle FROM bs),
+       |bhot AS (SELECT shingle FROM bu GROUP BY shingle
+       |  HAVING count(*) > $boilerMaxDf),
+       |bb AS (SELECT bu.doc_id, count(*) AS n_boiler
+       |  FROM bu JOIN bhot USING (shingle) GROUP BY bu.doc_id),
+       |boiler AS (SELECT bs.doc_id,
+       |  round(CASE WHEN len(bs.sh) > 0
+       |    THEN CAST(COALESCE(bb.n_boiler, 0) AS DOUBLE) /
+       |         CAST(len(bs.sh) AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS boiler_ratio
+       |  FROM bs LEFT JOIN bb USING (doc_id)),
+       |evs AS (SELECT DISTINCT unnest(sh) AS shingle FROM bs
+       |  WHERE doc_id % 50 = 0),
+       |cont AS (SELECT DISTINCT bu.doc_id FROM bu
+       |  JOIN evs USING (shingle) WHERE bu.doc_id % 50 <> 0),
+       |gated AS (SELECT q.doc_id, q.lang, q.text, q.n_chars, q.n_tokens,
+       |  q.quality_score
+       |  FROM q JOIN boiler USING (doc_id)
+       |  WHERE q.doc_id % 50 <> 0
+       |    AND q.n_tokens >= $minTokens
+       |    AND boiler.boiler_ratio <= $maxBoilerRatio
+       |    AND q.doc_id NOT IN (SELECT doc_id FROM cont)),
+       |gt AS (SELECT doc_id, $Toks AS tk FROM gated),
+       |gs0 AS (SELECT doc_id, $Shingles AS sh FROM gt),
+       |gsf AS (SELECT doc_id, sh FROM gs0 WHERE len(sh) > 0),
+       |gu AS (SELECT doc_id, unnest(sh) AS shingle FROM gsf),
+       |gfreq AS (SELECT shingle, count(*) AS df FROM gu GROUP BY shingle),
+       |gk AS (SELECT gu.doc_id, gu.shingle FROM gu
+       |  JOIN gfreq USING (shingle) WHERE gfreq.df <= $jaccardMaxDf),
+       |gsets AS (SELECT doc_id, list(shingle) AS sh FROM gk GROUP BY doc_id),
+       |gp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+       |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+       |    AS BIGINT) AS uni
+       |  FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id),
+       |pairs AS (SELECT id_a, id_b FROM gp
+       |  WHERE round(CAST(common AS DOUBLE) / CAST(uni AS DOUBLE), 6)
+       |    >= $jaccardThreshold),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+       |comp AS (SELECT src AS doc_id, min(dst) AS component
+       |  FROM reach GROUP BY src),
+       |lab AS (SELECT g.*, COALESCE(comp.component, g.doc_id) AS component
+       |  FROM gated g LEFT JOIN comp USING (doc_id)),
+       |canon AS (SELECT *, row_number() OVER (PARTITION BY component
+       |    ORDER BY quality_score DESC, doc_id) AS rn FROM lab),
+       |sampled AS (SELECT doc_id, lang, n_chars, n_tokens, quality_score
+       |  FROM canon WHERE rn = 1 AND
+       |    substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+       |      CASE lang $cases
+       |        ELSE '${Sampling.thresholdHex(defaultRate)}' END),
+       |packed AS (SELECT *,
+       |  SUM(n_chars) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sampled)
+       |SELECT doc_id, lang, n_chars, n_tokens, quality_score,
+       |  CAST(cum AS BIGINT) AS cum_bytes,
+       |  CAST((cum - n_chars) // $targetBytes AS BIGINT) AS shard
+       |FROM packed ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------- relational extras
 
   /** As-of join: each click joined to the user's most recent prior (or
@@ -611,6 +711,38 @@ object OracleSql {
        |  id AS neighbor_id, cosine FROM sc)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Multi-table LSH top-k: candidates are the UNION of per-table bucket
+    * collisions (UNION dedups the (corpus, query) pairs, mirroring the
+    * Spark side's ids-only distinct), exact re-rank on the union. Table
+    * `t` uses hyperplanes [t*planes, (t+1)*planes).
+    */
+  def annLshMulti(dim: Int, planes: Int, tables: Int, k: Int,
+                  maxQueryId: Long): String = {
+    val bands = (0 until tables).map { t =>
+      s"""SELECT x.id AS neighbor_id, q0.id AS query_id
+         |  FROM n x JOIN qs0 q0
+         |  ON (${bucketExpr(t * planes, planes, dim, "x.q")}) =
+         |     (${bucketExpr(t * planes, planes, dim, "q0.q")})
+         |  WHERE x.id <> q0.id""".stripMargin
+    }.mkString("\nUNION\n")
+    s"""$QuantizedVecs,
+       |qs0 AS (SELECT id, q, nrm FROM n WHERE id < $maxQueryId),
+       |cand AS ($bands),
+       |sc AS (SELECT c.neighbor_id AS id, c.query_id,
+       |  round(CAST(list_reduce(list_transform(range(1, ${dim + 1}),
+       |      i -> x.q[i] * qv.q[i]), (a, b) -> a + b) AS DOUBLE) /
+       |    sqrt(CAST(x.nrm AS DOUBLE) * CAST(qv.nrm AS DOUBLE)), 6)
+       |    AS cosine
+       |  FROM cand c JOIN n x ON c.neighbor_id = x.id
+       |  JOIN n qv ON c.query_id = qv.id),
+       |r AS (SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, id ASC) AS rank,
+       |  id AS neighbor_id, cosine FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   /** IVF top-k: deterministic hash-sampled centroids, argmax assignment,
     * nprobe probing, exact re-rank — tie-breaks by centroid id mirror the

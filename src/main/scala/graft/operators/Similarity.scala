@@ -171,34 +171,63 @@ object Similarity {
     }
   }
 
-  /** LSH top-k: single `planes`-bit random-hyperplane table; each query
-    * scores only the corpus vectors in its bucket (exact re-rank inside
-    * the bucket). Returns up to k neighbors per query — fewer when the
-    * bucket is sparse, the standard ANN recall trade-off.
+  /** LSH top-k: `tables` independent `planes`-bit random-hyperplane
+    * tables; each query scores only the corpus vectors sharing a bucket
+    * in ANY table (exact re-rank on the candidate union). Returns up to
+    * k neighbors per query — fewer when the buckets are sparse, the
+    * standard ANN recall trade-off; a single table caps recall hard, and
+    * `tables` is the recall knob (P[candidate] = 1 - (1 - p^planes)^tables
+    * for per-plane agreement p) — the same multi-table shape
+    * [[Dedup.EmbeddingNearDup]] uses for near-dup pairs.
+    *
+    * Scale shape: with one table the bucket equi-join feeds scoring
+    * directly (no distinct needed — a pair can only collide once). With
+    * several, the band join and the candidate `distinct` carry IDS ONLY
+    * (the dim-long quantized vectors re-attach per side afterwards), so
+    * the pair shuffle stays narrow no matter how hot a bucket gets.
     */
   final case class LshCosineTopK(queries: DataFrame => DataFrame,
                                  idColumn: String = "vec_id",
                                  vecColumn: String = "embedding",
                                  dim: Int = 64,
                                  planes: Int = 8,
+                                 tables: Int = 1,
                                  k: Int = 5)
       extends Wrangler {
+    require(tables >= 1, s"`tables` must be >= 1, got $tables")
 
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
-      val mat = hyperplaneMatrix(0, planes, dim)
+      val mat = hyperplaneMatrix(0, tables * planes, dim)
       val corpus = quantizedRows(df.select(col(idColumn).as("id"),
         col(vecColumn)), "id", vecColumn, mat, planes)
-        .select(col("id"), col("q"), col("nrm"),
-          element_at(col("buckets"), 1).as("bucket"))
       val qs = quantizedRows(queries(df).select(col(idColumn).as("id"),
         col(vecColumn)), "id", vecColumn, mat, planes)
-        .select(col("id").as("query_id"), col("q").as("qq"),
-          col("nrm").as("qnrm"), element_at(col("buckets"), 1).as("bucket"))
-      val scored = corpus.join(qs, Seq("bucket"))
-        .filter(col("id") =!= col("query_id"))
-        .withColumn("cosine", round(qCosine(
-          qDot(col("q"), col("qq")), col("nrm"), col("qnrm")), 6))
+      val scored =
+        if (tables == 1) {
+          val c = corpus.select(col("id"), col("q"), col("nrm"),
+            element_at(col("buckets"), 1).as("bucket"))
+          val qb = qs.select(col("id").as("query_id"), col("q").as("qq"),
+            col("nrm").as("qnrm"), element_at(col("buckets"), 1).as("bucket"))
+          c.join(qb, Seq("bucket"))
+            .filter(col("id") =!= col("query_id"))
+            .withColumn("cosine", round(qCosine(
+              qDot(col("q"), col("qq")), col("nrm"), col("qnrm")), 6))
+        } else {
+          val cb = corpus.select(col("id"),
+            posexplode(col("buckets")).as(Seq("t", "v")))
+          val qb = qs.select(col("id").as("query_id"),
+            posexplode(col("buckets")).as(Seq("t", "v")))
+          val cand = cb.join(qb, Seq("t", "v"))
+            .filter(col("id") =!= col("query_id"))
+            .select("query_id", "id").distinct()
+          cand
+            .join(corpus.select(col("id"), col("q"), col("nrm")), "id")
+            .join(qs.select(col("id").as("query_id"), col("q").as("qq"),
+              col("nrm").as("qnrm")), "query_id")
+            .withColumn("cosine", round(qCosine(
+              qDot(col("q"), col("qq")), col("nrm"), col("qnrm")), 6))
+        }
       ranked(scored, k)
     }
   }

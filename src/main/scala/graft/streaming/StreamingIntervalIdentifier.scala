@@ -66,7 +66,16 @@ final case class IntervalBuffer(count: Long,
   * non-interval (id 0) and evicted — an abandoned open interval can no
   * longer close retroactively (and an abandoned extendable end-run can
   * no longer extend), the same finality trade a watermark makes for late
-  * data. The default keeps the exact unbounded semantics.
+  * data. The default (`Int.MaxValue`) keeps the exact unbounded
+  * semantics and is only safe when every interval provably closes;
+  * on a production stream SET A REAL BOUND. Recommended sizing: the
+  * buffer holds at most one open marker gap plus one watermark horizon
+  * of events, so `maxPending ~= peakGroupEventsPerSec * (p999
+  * intervalDurationSec + watermarkDelaySec) * 4` (the 4x is headroom
+  * for bursts); eviction then never fires on well-formed data and
+  * still caps a poisoned group at a few thousand buffered rows. The
+  * soak spec (StreamingIntervalSpec "soak: 20 batches...") pins that
+  * eviction keeps pace batch-by-batch under a never-closing group.
   */
 final class StreamingIntervalIdentifier(markerStart: String,
                                         markerEnd: String,

@@ -50,6 +50,18 @@ object StressCorpus {
         .agg(sum("p99")).collect()(0).getLong(0)
     }
 
+    // ----- the round-5 weak case: ALL rows in ONE group. The old
+    // whole-group-sort formulation put all 50M rows in a single task;
+    // the chunked shape must keep every task bounded by a value bucket
+    val giant = spark.range(nRows)
+      .select(lit("all").as("g"),
+        pmod(col("id") * 48271L, lit(1000003L)).as("v"))
+    time(s"stats_quantiles n=$nRows groups=1 (giant group)") {
+      Corpus.QuantileStats(Seq("g"), "v")
+        .transform(giant)
+        .agg(sum("p99")).collect()(0).getLong(0)
+    }
+
     // ----- synthetic docs: 8 tokens each, mixed hot/rare vocabulary
     def docs: DataFrame = spark.range(nDocs.toLong)
       .select(col("id").as("doc_id"),

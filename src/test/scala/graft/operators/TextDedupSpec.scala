@@ -164,6 +164,43 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("LshCosineTopK multi-table: candidate union covers table 0, " +
+      "pairs dedup, cosines are exact") {
+    // tables=1 with `planes` hyperplanes IS table 0 of the multi config
+    // (hyperplaneMatrix(0, planes) == rows [0, planes) of
+    // hyperplaneMatrix(0, tables*planes)), so with k >= corpus size the
+    // multi-table result pairs must be a superset of the single-table
+    // ones — the whole point of extra tables is candidates a single
+    // table misses
+    val rnd = new scala.util.Random(7)
+    val df = vecDF((0L until 24L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f)): _*)
+    def pairs(tables: Int) = Similarity.LshCosineTopK(
+        d => d.filter($"vec_id" < 4), dim = 8, planes = 4,
+        tables = tables, k = 100)
+      .transform(df)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    val single = pairs(1)
+    val multi = pairs(4)
+    assert(multi.map(p => (p._1, p._2)).toSet
+      .subsetOf(multi.map(p => (p._1, p._2)).toSet)) // sanity
+    assert(single.map(p => (p._1, p._2)).toSet
+      .subsetOf(multi.map(p => (p._1, p._2)).toSet),
+      "multi-table candidates must cover table 0's")
+    assert(multi.size > single.size,
+      "4 tables should surface candidates one table misses on 24 vectors")
+    // the ids-only distinct must leave no duplicate pairs
+    assert(multi.map(p => (p._1, p._2)).distinct.size == multi.size)
+    // every multi cosine equals the exact brute-force cosine
+    val brute = Similarity.CosineTopK(
+        d => d.filter($"vec_id" < 4), k = 100)
+      .transform(df).select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    multi.foreach { case (q, n, c) => assert(brute((q, n)) == c) }
+  }
+
   test("LanguageId: argmax with first-wins tie-break and und fallback") {
     val df = docsDF(
       1L -> "the cat and the dog",   // en

@@ -107,6 +107,42 @@ class StreamingIntervalSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("soak: 20 batches of a never-closing group hold the state bound " +
+    "every batch — eviction keeps pace with the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val cap = 16
+    val op = new StreamingIntervalIdentifier("s", "e", maxPending = cap)
+    val out = op.transform(
+      input.toDF().withWatermark("ts", "1 second"))
+    val query = out.writeStream.format("memory").queryName("iids_soak")
+      .outputMode("append").start()
+    try {
+      // one open start, then filler forever: the adversarial shape whose
+      // buffer grows without bound at maxPending = default
+      var sent = 0L
+      input.addData(ev("g", 0, "s")); sent += 1
+      (1 to 20).foreach { batch =>
+        val base = batch * 10L
+        input.addData((0L until 10L).map(i => ev("g", base + i, "x")): _*)
+        sent += 10
+        query.processAllAvailable()
+        val emitted = spark.table("iids_soak").count()
+        // invariant: at most `cap` rows are ever buffered, so everything
+        // else must already have been emitted (watermark trails one
+        // batch: allow rows still above it)
+        val aboveWm = 10L // the newest batch may still be unripe
+        assert(emitted >= sent - cap - aboveWm,
+          s"batch $batch: $emitted emitted of $sent sent — state " +
+            s"exceeded maxPending=$cap")
+      }
+      // everything evicted under an open start is non-interval
+      val ids = spark.table("iids_soak").as[StreamIid]
+        .collect().map(_.iids).toSet
+      assert(ids == Set(0L), s"unexpected interval ids: $ids")
+    } finally query.stop()
+  }
+
   test("assign: pairing, open-start cut, and base count") {
     val op = new StreamingIntervalIdentifier("s", "e")
     val (ids, cut, n, open) = op.assign(Seq("x", "s", "e", "x", "s"), 5L)

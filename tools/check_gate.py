@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Compare a Bench contract line against BASELINE.md's recorded rows.
+
+Usage: check_gate.py <bench_json_line_file> [baseline_md]
+
+Parses the round-5 re-record table in BASELINE.md (rows like
+`| query | 0.123 |` or `| query | 0.123 (r6 re-record) |`) and prints
+per-query ratios, flagging anything over the 2x gate.
+"""
+import json
+import re
+import sys
+
+bench_path = sys.argv[1]
+baseline_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
+
+line = [l for l in open(bench_path) if '"metric"' in l][-1]
+queries = json.loads(line)["queries"]
+
+baseline = {}
+for m in re.finditer(r"^\| (\w+) \| ([0-9.]+)[^|]*\|$",
+                     open(baseline_path).read(), re.M):
+    baseline[m.group(1)] = float(m.group(2))
+
+missing, breaches = [], []
+rows = []
+for q, t in sorted(queries.items(), key=lambda kv: -kv[1]):
+    b = baseline.get(q)
+    if b is None:
+        missing.append(q)
+        continue
+    ratio = t / b
+    rows.append((q, t, b, ratio))
+    if ratio > 2.0:
+        breaches.append(q)
+
+for q, t, b, r in rows:
+    flag = "  <-- BREACH" if r > 2.0 else ""
+    print(f"{q:28s} {t:7.3f}s  baseline {b:7.3f}s  ratio {r:5.2f}x{flag}")
+total = sum(queries.values())
+base_total = sum(baseline[q] for q in queries if q in baseline)
+print(f"\ntotal {total:.1f}s vs baseline sum {base_total:.1f}s "
+      f"(aggregate {total / base_total:.2f}x)")
+if missing:
+    print("NO BASELINE ROW:", ", ".join(missing))
+print(f"{len(breaches)} breaches" + (f": {breaches}" if breaches else ""))
