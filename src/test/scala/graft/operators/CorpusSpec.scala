@@ -134,6 +134,40 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.QuantileStats(Seq("g"), "v", Seq(0.5, 0.50)))
   }
 
+  test("quantile_stats property: random mixtures (clustered + spread, " +
+      "negatives) match a local percentile_disc reference") {
+    // valueBuckets = 7 forces multi-value buckets, bucket-boundary ranks
+    // and several groups sharing buckets — the shapes the chunked rank
+    // location must get exactly right
+    val rnd = new scala.util.Random(123)
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 1.0)
+    for (trial <- 1 to 5) {
+      val nGroups = 1 + rnd.nextInt(4)
+      val rows = (1 to 400).map { _ =>
+        val g = s"g${rnd.nextInt(nGroups)}"
+        val v = if (rnd.nextBoolean()) rnd.nextInt(10).toLong
+                else rnd.nextLong() % 100000L // negatives included
+        (g, v)
+      }
+      val got = Corpus.QuantileStats(Seq("g"), "v", qs, valueBuckets = 7)
+        .transform(rows.toDF("g", "v")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), qs.indices.map(i => r.getLong(2 + i)))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (g, grp) =>
+        val sorted = grp.map(_._2).sorted
+        g -> ((sorted.size.toLong,
+          qs.map(q => sorted(math.ceil(q * sorted.size).toInt - 1))))
+      }
+      assert(got.keySet == want.keySet, s"trial $trial")
+      want.foreach { case (g, (n, vals)) =>
+        assert(got(g)._1 == n, s"trial $trial group $g count")
+        assert(got(g)._2 == vals,
+          s"trial $trial group $g: got ${got(g)._2}, want $vals")
+      }
+    }
+  }
+
   test("quantile_stats: clustered values (one hot bucket) stay exact") {
     // every row the same value -> the whole group degrades into ONE
     // bucket (equal-width ranges cannot split identical values): the
