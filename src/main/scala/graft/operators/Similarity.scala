@@ -105,13 +105,24 @@ object Similarity {
     * IVF index), assignment is an embarrassingly-parallel typed map, and
     * the probe join is an equi-join on cluster id — each query scores
     * only its lists, never the corpus.
+    *
+    * `cacheCorpus`: the centroid pick is a separate driver job, so by
+    * default the corpus is scanned + quantized twice (once for the pick,
+    * once for list assignment) — the right default at toy scale, where a
+    * second parquet scan is cheaper than materializing anything. On a
+    * cluster where the corpus scan dominates, `cacheCorpus = true` cuts
+    * the quantized rows with `localCheckpoint` so both uses read one
+    * materialization; the blocks live until the caller drops the result
+    * (or the bench's between-query state reset frees them). Results are
+    * bit-identical either way.
     */
   final case class IvfTopK(queries: DataFrame => DataFrame,
                            idColumn: String = "vec_id",
                            vecColumn: String = "embedding",
                            nlist: Int = 16,
                            nprobe: Int = 4,
-                           k: Int = 5)
+                           k: Int = 5,
+                           cacheCorpus: Boolean = false)
       extends Wrangler {
 
     private def cos(dot: Long, na: Long, nb: Long): Double =
@@ -121,9 +132,10 @@ object Similarity {
       SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
       val spark = df.sparkSession
       import spark.implicits._
-      val quant = quantizedRows(df.select(col(idColumn).as("id"),
+      val quantLazy = quantizedRows(df.select(col(idColumn).as("id"),
         col(vecColumn)), "id", vecColumn, Array.empty, 0)
         .select("id", "q", "nrm")
+      val quant = if (cacheCorpus) quantLazy.localCheckpoint() else quantLazy
 
       // deterministic centroid pick: nlist smallest (md5(id), id)
       val centroids = quant

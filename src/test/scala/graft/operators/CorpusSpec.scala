@@ -222,6 +222,28 @@ class CorpusSpec extends AnyFunSuite {
       .transform(d.withColumn("shard", lit(1))))
   }
 
+  test("shard_pack: negative order keys bucket and accumulate exactly") {
+    // hash-derived ids are often negative; the bucket arithmetic is
+    // (k - min) div width over the SIGNED key line
+    val d = Seq(-100L, -3L, 0L, 7L, 250L).zipWithIndex
+      .map { case (k, i) => (k, (i + 1) * 10L) }
+      .toDF("doc_id", "n_chars")
+    val got = Corpus.ShardPack(targetBytes = 25L, partitions = 3)
+      .transform(d).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // sorted by key: -100(10), -3(20), 0(30), 7(40), 250(50)
+    assert(got == Seq((-100L, 10L, 10L, 0L), (-3L, 20L, 30L, 0L),
+      (0L, 30L, 60L, 1L), (7L, 40L, 100L, 2L), (250L, 50L, 150L, 4L)))
+  }
+
+  test("shard_pack: a full-Long key span fails loudly, never mis-buckets") {
+    val d = Seq((Long.MinValue, 1L), (Long.MaxValue, 1L))
+      .toDF("doc_id", "n_chars")
+    val e = intercept[IllegalArgumentException](
+      Corpus.ShardPack(targetBytes = 10L).transform(d))
+    assert(e.getMessage.contains("overflows"))
+  }
+
   test("shard_pack: zero-size rows and random sizes match a local reference") {
     val rnd = new scala.util.Random(42)
     val sizes = Vector.tabulate(500)(i =>

@@ -201,6 +201,21 @@ class TextDedupSpec extends AnyFunSuite {
     multi.foreach { case (q, n, c) => assert(brute((q, n)) == c) }
   }
 
+  test("IvfTopK: cacheCorpus produces bit-identical results to the " +
+      "double-scan default") {
+    val rnd = new scala.util.Random(11)
+    val df = vecDF((0L until 30L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f)): _*)
+    // col(), not $: the queries lambda is captured into the typed
+    // assignment closure, and $ would drag the SparkSession along
+    def run(cache: Boolean) = Similarity.IvfTopK(
+        d => d.filter(col("vec_id") < 3), nlist = 4, nprobe = 2,
+        k = 4, cacheCorpus = cache)
+      .transform(df)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(run(cache = false) == run(cache = true))
+  }
+
   test("LanguageId: argmax with first-wins tie-break and und fallback") {
     val df = docsDF(
       1L -> "the cat and the dog",   // en
