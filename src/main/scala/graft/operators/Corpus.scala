@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -220,8 +220,23 @@ object Corpus {
     require(quantiles.map(quantileName).distinct.size == quantiles.size,
       s"`quantiles` $quantiles collide after p-formatting")
 
+    /** Target 1-based rank of quantile `q` in a group of `cnt` rows:
+      * `ceil(q * cnt)` in EXACT DECIMAL arithmetic. A double product
+      * diverges from the oracle for quantiles like 0.07 (0.07 * 100 =
+      * 7.000000000000001 in IEEE, ceil -> 8; DECIMAL gives exactly 7) —
+      * the literal is known at plan time, so Spark's decimal multiply
+      * costs nothing and matches percentile_disc's definition.
+      */
+    private def rankOf(q: Double, cnt: Column): Column =
+      ceil(lit(new java.math.BigDecimal(q.toString)) * cnt).cast("long")
+
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, groupColumns :+ valueColumn)
+      val reserved = Set("__vmin", "__vmax", "__w", "__b", "__bc", "__off",
+        "__cnt", "__q", "__r", "__lr", "__rn")
+      require(!df.columns.exists(c => reserved(c.toLowerCase)),
+        s"input must not carry ${reserved.mkString("/")} columns " +
+          "(matching is case-insensitive, like Spark's resolution)")
       val gCols = groupColumns.map(col)
       val base = df.select((groupColumns :+ valueColumn).map(col): _*)
       // global value range as a broadcast 1-row aggregate (cf. TfIdf's N)
@@ -253,7 +268,10 @@ object Corpus {
       // one (group, quantile) target row: the bucket its rank falls in
       val targets = offs
         .withColumn("__q", explode(array(quantiles.map(lit): _*)))
-        .withColumn("__r", ceil(col("__q") * col("__cnt")).cast("long"))
+        .withColumn("__r", quantiles.foldLeft(lit(null).cast("long")) {
+          (acc, q) => when(col("__q") === q, rankOf(q, col("__cnt")))
+            .otherwise(acc)
+        })
         .filter(col("__r") > col("__off") &&
           col("__r") <= col("__off") + col("__bc"))
         .select((gCols :+ col("__b") :+ col("__q") :+ col("__cnt") :+
@@ -328,8 +346,12 @@ object Corpus {
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(orderColumn, sizeColumn))
       val reserved = Set("__k", "__sz", "__b", "cum_bytes", "shard")
-      require(!df.columns.exists(reserved),
-        s"input must not already carry ${reserved.mkString("/")} columns")
+      // case-insensitive: Spark resolves columns case-insensitively by
+      // default, so a "__K" input column would make withColumn REPLACE
+      // instead of append and shift the positional helper indices below
+      require(!df.columns.exists(c => reserved(c.toLowerCase)),
+        s"input must not already carry ${reserved.mkString("/")} columns " +
+          "(any case)")
       val spark = df.sparkSession
       val p =
         if (partitions > 0) partitions

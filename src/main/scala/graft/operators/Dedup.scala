@@ -395,7 +395,14 @@ object Dedup {
       val msg = s"connectedComponents did not converge after $maxIterations" +
         " iterations; labels are partially merged (components wider than" +
         " the iteration budget still carry several labels)"
-      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      if (failOnNonConvergence) {
+        // nothing useful survives the throw — free EVERYTHING this call
+        // persisted (edge list + final labels), or the blocks outlive
+        // the failure for the life of the session
+        free(undirectedBlocks)
+        free(labelBlocks)
+        throw new IllegalStateException(msg)
+      }
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     // the final labels are a cut — the returned frame never re-reads the

@@ -134,6 +134,21 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.QuantileStats(Seq("g"), "v", Seq(0.5, 0.50)))
   }
 
+  test("quantile_stats: rank uses decimal ceil — q = 0.07 over 100 rows " +
+      "selects rank 7, not IEEE's ceil(7.000000000000001) = 8") {
+    val d = (1 to 100).map(v => ("g", v.toLong)).toDF("g", "v")
+    val got = Corpus.QuantileStats(Seq("g"), "v", Seq(0.07))
+      .transform(d).as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 100L, 7L)))
+  }
+
+  test("quantile_stats: reserved helper column names are rejected, " +
+      "any case") {
+    val d = Seq(("g", 1L)).toDF("__B", "v")
+    assertThrows[IllegalArgumentException](
+      Corpus.QuantileStats(Seq("__B"), "v").transform(d))
+  }
+
   test("quantile_stats property: random mixtures (clustered + spread, " +
       "negatives) match a local percentile_disc reference") {
     // valueBuckets = 7 forces multi-value buckets, bucket-boundary ranks
@@ -156,8 +171,13 @@ class CorpusSpec extends AnyFunSuite {
         .toMap
       val want = rows.groupBy(_._1).map { case (g, grp) =>
         val sorted = grp.map(_._2).sorted
-        g -> ((sorted.size.toLong,
-          qs.map(q => sorted(math.ceil(q * sorted.size).toInt - 1))))
+        // decimal ceil, like the operator and percentile_disc — a double
+        // product like 0.01 * 300 = 3.0000000000000004 would point the
+        // reference one rank too high
+        g -> ((sorted.size.toLong, qs.map { q =>
+          sorted((BigDecimal(q.toString) * sorted.size)
+            .setScale(0, BigDecimal.RoundingMode.CEILING).toInt - 1)
+        }))
       }
       assert(got.keySet == want.keySet, s"trial $trial")
       want.foreach { case (g, (n, vals)) =>

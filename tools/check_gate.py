@@ -22,9 +22,12 @@ for m in re.finditer(r"^\| (\w+) \| ([0-9.]+)[^|]*\|$",
                      open(baseline_path).read(), re.M):
     baseline[m.group(1)] = float(m.group(2))
 
-missing, breaches = [], []
+missing, breaches, failed = [], [], []
 rows = []
 for q, t in sorted(queries.items(), key=lambda kv: -kv[1]):
+    if t < 0:  # Bench records -1 for a query whose build/run threw
+        failed.append(q)
+        continue
     b = baseline.get(q)
     if b is None:
         missing.append(q)
@@ -37,10 +40,15 @@ for q, t in sorted(queries.items(), key=lambda kv: -kv[1]):
 for q, t, b, r in rows:
     flag = "  <-- BREACH" if r > 2.0 else ""
     print(f"{q:28s} {t:7.3f}s  baseline {b:7.3f}s  ratio {r:5.2f}x{flag}")
-total = sum(queries.values())
-base_total = sum(baseline[q] for q in queries if q in baseline)
-print(f"\ntotal {total:.1f}s vs baseline sum {base_total:.1f}s "
-      f"(aggregate {total / base_total:.2f}x)")
+total = sum(t for t in queries.values() if t >= 0)
+base_total = sum(baseline[q] for q, t in queries.items()
+                 if q in baseline and t >= 0)
+if base_total > 0:
+    print(f"\ntotal {total:.1f}s vs baseline sum {base_total:.1f}s "
+          f"(aggregate {total / base_total:.2f}x)")
 if missing:
     print("NO BASELINE ROW:", ", ".join(missing))
+if failed:
+    print("QUERY FAILED (recorded -1):", ", ".join(failed))
 print(f"{len(breaches)} breaches" + (f": {breaches}" if breaches else ""))
+sys.exit(1 if breaches or failed else 0)
