@@ -250,10 +250,24 @@ object Corpus {
         .withColumn("__w",
           (col("__vmax") - col("__vmin")) / lit(valueBuckets.toDouble))
         .withColumn("__b",
-          when(col("__w") > 0.0,
-            least(floor((col(valueColumn).cast("double") - col("__vmin"))
-              / col("__w")), lit(valueBuckets - 1L)))
-            .otherwise(lit(0L)))
+          // fail-loudly guard on the documented non-null numeric contract:
+          // a null (or non-castable) value would otherwise land in a null
+          // __b bucket that sorts FIRST in the offset window and silently
+          // shifts every rank in its group. Lazy, per-row, codegen'd — no
+          // extra pass (round-6 ADVICE).
+          when(col(valueColumn).isNull ||
+              col(valueColumn).cast("double").isNull,
+            raise_error(concat(
+              lit(s"QuantileStats: `$valueColumn` must be non-null and " +
+                "numeric-castable (percentile_disc-over-non-null " +
+                "contract); got: "),
+              coalesce(col(valueColumn).cast("string"), lit("NULL"))))
+              .cast("long"))
+          .otherwise(
+            when(col("__w") > 0.0,
+              least(floor((col(valueColumn).cast("double") - col("__vmin"))
+                / col("__w")), lit(valueBuckets - 1L)))
+              .otherwise(lit(0L))))
         .drop("__vmin", "__vmax", "__w")
       val counts = bucketed
         .groupBy((gCols :+ col("__b")): _*)
@@ -386,9 +400,19 @@ object Corpus {
         .withColumn("__b", expr(s"(__k - ${minK}L) div ${width}L"))
       val totals = bucketed.groupBy("__b").agg(sum("__sz").as("t"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val offsets = Array.tabulate(p) { i =>
-        (0 until i).map(b => totals.getOrElse(b.toLong, 0L)).sum
+      // exclusive prefix sum over bucket totals — a single running sum
+      val offsets = new Array[Long](p)
+      var acc = 0L
+      var i = 0
+      while (i < p) {
+        offsets(i) = acc
+        acc += totals.getOrElse(i.toLong, 0L)
+        i += 1
       }
+      // Lifetime note: this broadcast (p longs) cannot be destroy()ed
+      // here — the returned frame's tasks read it on every execution. It
+      // is reclaimed by Spark's ContextCleaner once the frame's plan is
+      // unreachable and the driver GCs, like any captured broadcast.
       val bc = spark.sparkContext.broadcast(offsets)
       val target = targetBytes
       bucketed

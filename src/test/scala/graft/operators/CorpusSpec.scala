@@ -199,6 +199,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Seq(("g", 41L, 5L, 9L)))
   }
 
+  test("quantile_stats: null values fail loudly instead of silently " +
+      "shifting every rank in the group") {
+    // round-6 ADVICE: a null value would land in a null __b bucket that
+    // sorts FIRST in the offset window — the guard must throw instead
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val withNull = Seq(("g", Some(1L)), ("g", Option.empty[Long]))
+      .toDF("g", "v")
+    val e = intercept[Exception](
+      Corpus.QuantileStats(Seq("g"), "v").transform(withNull).collect())
+    assert(messages(e).exists(_.contains("QuantileStats")), e)
+    // non-numeric-castable values also fail loudly (branded guard with
+    // ANSI off; the ANSI cast error itself with ANSI on — never a
+    // silent rank shift either way)
+    val nonNum = Seq(("g", "abc"), ("g", "1")).toDF("g", "v")
+    assertThrows[Exception](
+      Corpus.QuantileStats(Seq("g"), "v").transform(nonNum).collect())
+  }
+
   // ----------------------------------------------------------- ShardPack
 
   test("shard_pack: exact global running sum across range partitions") {
