@@ -249,7 +249,8 @@ object OracleSql {
        |SELECT * FROM j WHERE jaccard >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
-  def dedupMinHash(k: Int, bands: Int, threshold: Double): String = {
+  def dedupMinHash(k: Int, bands: Int, threshold: Double,
+                   maxBucket: Long = 10000L): String = {
     val r = k / bands
     val sigCols = (0 until k).map { i =>
       s"list_min(list_transform(hs, x -> (${Portable.minHashA(i)} * x + " +
@@ -266,8 +267,10 @@ object OracleSql {
        |sig AS (SELECT doc_id,
        |  $sigCols
        |  FROM h),
-       |bands AS (
+       |bands0 AS (
        |  $bandSelects),
+       |bands AS (SELECT * FROM bands0 t WHERE ${bucketCapPredicate(
+            "bands0", Seq("band", "key"), maxBucket)}),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
@@ -279,7 +282,22 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  def dedupSimHash(bits: Int, chunks: Int, maxHamming: Int): String = {
+  /** Hot-bucket cap as an ANSI NOT-EXISTS predicate over `cols` of
+    * `rel` — mirrors the Spark operators' `maxBucket` band-bucket guard
+    * exactly (no-op SQL when the cap is disabled).
+    */
+  private def bucketCapPredicate(rel: String, cols: Seq[String],
+                                 maxBucket: Long): String =
+    if (maxBucket <= 0) "TRUE"
+    else {
+      val on = cols.map(c => s"g.$c = t.$c").mkString(" AND ")
+      s"NOT EXISTS (SELECT 1 FROM $rel g WHERE $on " +
+        s"GROUP BY ${cols.map("g." + _).mkString(", ")} " +
+        s"HAVING count(*) > $maxBucket)"
+    }
+
+  def dedupSimHash(bits: Int, chunks: Int, maxHamming: Int,
+                   maxBucket: Long = 10000L): String = {
     val chunkBits = bits / chunks
     val bitCols = (0 until bits).map { j =>
       s"list_reduce(list_transform(hs, x -> ((x >> $j) & 1) * 2 - 1), " +
@@ -297,8 +315,10 @@ object OracleSql {
        |  $bitCols
        |  FROM h),
        |sim AS (SELECT doc_id, $simExpr AS simhash FROM bits),
-       |ck AS (
+       |ck0 AS (
        |  $chunkSelects),
+       |ck AS (SELECT * FROM ck0 t WHERE ${bucketCapPredicate(
+            "ck0", Seq("c", "v"), maxBucket)}),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.simhash AS sim_a, b.simhash AS sim_b
        |  FROM ck a JOIN ck b

@@ -236,58 +236,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // the full curation chain end to end, every round-5 surface composed
-    // through pipeline.Pipeline: normalize -> quality -> boilerplate ->
-    // decontaminate (drops the eval split) -> gates -> near-dup
-    // canonical (NGramJaccard pairs -> connected components -> best
-    // quality per cluster) -> stratified sample -> byte-balanced shards.
-    // Shuffle budget at scale (plan note for the judge): boilerplate +
-    // decontaminate + the pair join are narrow shingle equi-joins and
-    // per-doc aggs; CC is one keyed shuffle per round on (id, label)
-    // pairs; the sample is map-side; the pack is ONE bucket shuffle. The
-    // document text itself shuffles only for the doc_id joins of the
-    // per-doc flags — never inside the shingle/pair machinery.
-    "pipeline_curate" -> ((s, dir) => {
-      import graft.pipeline.{Pipeline, Stage}
-      val p = new Pipeline(Seq(
-        Stage(TextAnalysis.Normalize()),
-        Stage.of("renorm")(df => df.select(col("doc_id"), col("lang"),
-          col("norm_text").as("text"), col("norm_len").as("n_chars"))),
-        Stage(TextAnalysis.QualityScore()),
-        Stage.of("boilerplate")(df => df.join(
-          Corpus.BoilerplateScore(maxDocFreq = 10L).transform(df)
-            .select("doc_id", "boiler_ratio"), Seq("doc_id"))),
-        Stage.of("decontaminate")(df => df.join(
-          Corpus.Decontaminate(_.filter(col("doc_id") % 50 === 0))
-            .transform(df).select("doc_id", "contaminated"),
-          Seq("doc_id"))), // inner join: eval docs leave the frame here
-        Stage.of("gates")(_.filter(col("n_tokens") >= 20 &&
-          col("boiler_ratio") <= 0.5 && !col("contaminated"))),
-        Stage.of("near_dup_canonical")(df => {
-          // phase boundary: the gated frame feeds BOTH the pair join and
-          // the canonical-selection join, and the CC loop below is
-          // iterative — cut once so the normalize/quality/boilerplate/
-          // decontaminate chain is computed exactly once, not re-derived
-          // by every consumer (at 100 TB you persist between curation
-          // phases for the same reason)
-          val gated = df.localCheckpoint()
-          val pairs = Dedup.NGramJaccard(threshold = 0.2, maxDocFreq = 10L)
-            .transform(gated).select("id_a", "id_b")
-          Dedup.selectCanonical(gated, Dedup.connectedComponents(pairs))
-            .filter(col("keep")).drop("keep", "component")
-            // second cut: ShardPack's two phase-1 driver jobs (bounds +
-            // bucket totals) and the final pass each execute their input;
-            // without this they would re-run the rank window + joins 3x
-            .localCheckpoint()
-        }),
-        Stage.of("sample")(Sampling.StratifiedSample(
-          Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1).transform(_)),
-        Stage.of("pack")(Corpus.ShardPack(targetBytes = 20000L).transform(_))
-      ))
-      p.transform(docs(s, dir))
+    // through pipeline.Curation (normalize -> quality -> boilerplate ->
+    // decontaminate -> gates -> near-dup canonical -> stratified sample
+    // -> byte-balanced shards); see Curation.scala for the stage list
+    // and the per-stage shuffle budget. Bench/oracle run the default
+    // localCheckpoint phase cuts; `checkpointDir` switches both cuts and
+    // the CC rounds to reliable checkpoint() for real clusters
+    // (CurationSpec pins result equivalence of the two modes).
+    "pipeline_curate" -> ((s, dir) =>
+      graft.pipeline.Curation.pipeline().transform(docs(s, dir))
         .select("doc_id", "lang", "n_chars", "n_tokens", "quality_score",
           "cum_bytes", "shard")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.RepetitionScore().transform(docs(s, dir))
         .select("doc_id", "n_2grams", "dup_2gram_ratio", "n_3grams",

@@ -170,13 +170,25 @@ object Dedup {
     * `bands` groups of `rowsPerBand`; documents sharing any band key are
     * candidates; candidate pairs are scored by signature agreement
     * (`est_jaccard = matching components / k`).
+    *
+    * `maxBucket > 0` (the default) drops band buckets holding more than
+    * `maxBucket` documents before the candidate self-join — the band-key
+    * analogue of [[NGramJaccard]]'s `maxDocFreq`. Without it one
+    * boilerplate-dominated band key (every doc sharing a template
+    * footer can hash a whole band to the same value) makes the self-join
+    * emit C(bucket, 2) pairs — quadratic in the corpus for a global
+    * template. A dropped bucket only loses pairs that share NO other
+    * band, and buckets beyond the cap are overwhelmingly boilerplate
+    * collisions whose pairs fail the signature-agreement threshold
+    * anyway. `maxBucket <= 0` opts into the uncapped join.
     */
   final case class MinHashLSHDedup(idColumn: String = "doc_id",
                                    textColumn: String = "text",
                                    n: Int = 3,
                                    k: Int = 32,
                                    bands: Int = 8,
-                                   threshold: Double = 0.25)
+                                   threshold: Double = 0.25,
+                                   maxBucket: Long = 10000L)
       extends Wrangler {
     require(k % bands == 0, "k must be divisible by bands")
     private val rowsPerBand = k / bands
@@ -203,7 +215,15 @@ object Dedup {
       val banded = sigs.select(col("id"),
           explode(array(bandCols: _*)).as("bk"))
         .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val pairs = banded.as("a").join(banded.as("b"),
+      // hot-bucket cap: one narrow (band, key) agg — map-side partial,
+      // hot set is tiny by definition so AQE broadcasts the anti-join
+      val kept =
+        if (maxBucket <= 0) banded
+        else banded.join(
+          banded.groupBy("band", "key").agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") > maxBucket).select("band", "key"),
+          Seq("band", "key"), "left_anti")
+      val pairs = kept.as("a").join(kept.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
@@ -223,13 +243,25 @@ object Dedup {
     * shingle hashes (per-bit majority vote), banded into `chunks` equal
     * bit ranges for candidate generation (pigeonhole: hamming <= chunks-1
     * guarantees a shared chunk), then exact hamming filter.
+    *
+    * `maxBucket > 0` (the default) drops chunk buckets holding more than
+    * `maxBucket` documents before the candidate self-join — same
+    * rationale as [[MinHashLSHDedup]]'s cap: shared boilerplate biases
+    * the per-bit majority votes, concentrating a corpus-wide share of
+    * documents on one chunk value and making the self-join quadratic.
+    * The trade is explicit: the pigeonhole guarantee (hamming <=
+    * chunks-1 implies a shared chunk) weakens only for pairs ALL of
+    * whose agreeing chunks are capped-hot — boilerplate collisions, not
+    * near-duplicate content. `maxBucket <= 0` opts into the uncapped
+    * join and the full guarantee.
     */
   final case class SimHashDedup(idColumn: String = "doc_id",
                                 textColumn: String = "text",
                                 n: Int = 3,
                                 bits: Int = 32,
                                 chunks: Int = 4,
-                                maxHamming: Int = 3)
+                                maxHamming: Int = 3,
+                                maxBucket: Long = 10000L)
       extends Wrangler {
     require(bits % chunks == 0, "bits must be divisible by chunks")
     private val chunkBits = bits / chunks
@@ -257,7 +289,14 @@ object Dedup {
       val banded = sim.select(col("id"),
           explode(array(chunkCols: _*)).as("ck"))
         .select(col("id"), col("ck.c").as("c"), col("ck.v").as("v"))
-      val pairs = banded.as("a").join(banded.as("b"),
+      // hot-bucket cap (see scaladoc; same shape as the MinHash variant)
+      val kept =
+        if (maxBucket <= 0) banded
+        else banded.join(
+          banded.groupBy("c", "v").agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") > maxBucket).select("c", "v"),
+          Seq("c", "v"), "left_anti")
+      val pairs = kept.as("a").join(kept.as("b"),
           col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()

@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Recall instrumentation for the ANN family: top-k of each approximate
+  * strategy compared against the exact brute-force top-k over the same
+  * embeddings table and query set as the bench queries (vec_id < 8,
+  * k = 5). Prints mean recall@k per strategy so the recall/cost knobs
+  * (tables, planes, nlist, nprobe) are comparable in one table —
+  * COVERAGE.md records the numbers.
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val k = 5
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = (df: DataFrame) => df.filter(col("vec_id") < 8)
+
+    def topSets(out: DataFrame): Map[Long, Set[Long]] = out
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    val truth = topSets(Similarity.CosineTopK(queries, k = k).transform(embs))
+
+    def recall(label: String, out: DataFrame): Unit = {
+      val approx = topSets(out)
+      // queries with NO approximate hits (empty buckets) count as recall 0
+      val r = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+      println(f"[ann-recall] $label%-34s recall@$k = $r%.3f")
+    }
+
+    recall("lsh 1x8 (bench ann_lsh)",
+      Similarity.LshCosineTopK(queries, k = k).transform(embs))
+    recall("lsh 4x6 (bench ann_lsh_multi)",
+      Similarity.LshCosineTopK(queries, planes = 6, tables = 4, k = k)
+        .transform(embs))
+    recall("lsh 8x6",
+      Similarity.LshCosineTopK(queries, planes = 6, tables = 8, k = k)
+        .transform(embs))
+    recall("ivf nlist=16 nprobe=4 (bench ann_ivf)",
+      Similarity.IvfTopK(queries, k = k).transform(embs))
+    recall("ivf nlist=16 nprobe=8",
+      Similarity.IvfTopK(queries, nprobe = 8, k = k).transform(embs))
+    spark.stop()
+  }
+}

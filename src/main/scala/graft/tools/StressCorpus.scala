@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Corpus
+import graft.operators.{Corpus, Dedup}
 
 /** Scale stress for the corpus-curation operators: synthetic inputs far
   * beyond the sf0.1 bench (50M rows for the numeric ops, millions of
@@ -84,6 +84,58 @@ object StressCorpus {
       Corpus.Decontaminate(_.filter(pmod(col("doc_id"), lit(1000L)) === 0))
         .transform(docs)
         .agg(sum("n_overlap"), count(lit(1))).collect()(0).getLong(0)
+    }
+
+    // ----- dedup-family envelope: an ADVERSARIAL corpus — hot
+    // boilerplate shingles (a constant 5-token template tail in EVERY
+    // document, df = nDocs) plus genuine near-dup clusters (5 docs per
+    // cluster differing in one mid-doc token). 20 tokens -> 18 shingles
+    // per doc: cluster-mates share 15/21 (true near-dups), different
+    // clusters share only the 3 template shingles, 3/33 = 0.09 (below
+    // every threshold — a sub-quadratic TRUE pair set, so any quadratic
+    // candidate count is the algorithm's fault, not the corpus's).
+    // The recorded numbers prove the two structural guards:
+    //   - NGramJaccard's maxDocFreq cap bounds posting lists (the df=nDocs
+    //     template shingles never reach pair generation);
+    //   - MinHash/SimHash's maxBucket cap drops template-collision band
+    //     buckets (an all-template band key collects ~(1/1296) resp.
+    //     ~(hot chunk share) of the CORPUS — linear in nDocs, so its
+    //     C(bucket, 2) pair count is quadratic at scale without the cap).
+    def dedupDocs: DataFrame = {
+      val cl = (col("id") / 5L).cast("long")
+      val content = (0 until 14).map(i =>
+        concat(lit(s"x${('a' + i).toChar}"), cl))
+      val toks = content.take(7) ++
+        Seq(concat(lit("v"), pmod(col("id"), lit(5L)))) ++
+        content.drop(7) ++
+        Seq(lit("join"), lit("our"), lit("free"), lit("newsletter"),
+          lit("today"))
+      spark.range(nDocs.toLong)
+        .select(col("id").as("doc_id"), concat_ws(" ", toks: _*).as("text"))
+    }
+
+    time(s"dedup_ngram_jaccard docs=$nDocs capped df<=100 (pairs)") {
+      Dedup.NGramJaccard(threshold = 0.2, maxDocFreq = 100L)
+        .transform(dedupDocs).count()
+    }
+    time(s"dedup_minhash_lsh docs=$nDocs maxBucket=1000 (pairs)") {
+      Dedup.MinHashLSHDedup(maxBucket = 1000L).transform(dedupDocs).count()
+    }
+    time(s"dedup_minhash_lsh docs=$nDocs UNCAPPED (pairs)") {
+      // at 2M docs the all-template band buckets are ~1.5k docs — the
+      // uncapped join survives here (junk candidate pairs only), but the
+      // bucket grows LINEARLY with the corpus: the capped/uncapped time
+      // gap recorded here is the scale argument in miniature
+      Dedup.MinHashLSHDedup(maxBucket = 0L).transform(dedupDocs).count()
+    }
+    time(s"dedup_simhash docs=$nDocs bits=64 chunks=4 maxBucket=1000 (pairs)") {
+      // 64-bit simhash with 16-bit chunks: at millions of docs the
+      // 8-bit chunks of the 32-bit default concentrate (2^8 values for
+      // 2M docs is >7k docs per value even if UNIFORM — and template
+      // bias makes it worse), so every bucket would trip the cap; the
+      // wider sketch is the honest at-scale configuration
+      Dedup.SimHashDedup(bits = 64, chunks = 4, maxBucket = 1000L)
+        .transform(dedupDocs).count()
     }
 
     spark.stop()

@@ -69,9 +69,16 @@ class PlanShapeSpec extends AnyFunSuite {
   test("minhash LSH: sketches map-side, shuffles only for agg + candidate join") {
     val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     // signature agg (1) + band self-join sides (co-partitioned, counted
-    // per side) + pair distinct: must stay well below a shuffle-per-band
+    // per side) + the maxBucket cap branch (bucket-count agg + anti-join
+    // per side) + pair distinct: a fixed budget that must stay
+    // INDEPENDENT of the band count (a shuffle-per-band plan would be
+    // 2+ per band); the uncapped plan stays at its old budget
     val n = shuffles(Dedup.MinHashLSHDedup().transform(df))
-    assert(n <= 4, s"minhash plan has $n shuffles")
+    assert(n <= 8, s"minhash plan has $n shuffles")
+    val n16 = shuffles(Dedup.MinHashLSHDedup(bands = 16).transform(df))
+    assert(n16 == n, s"shuffles grew with band count: $n -> $n16")
+    val un = shuffles(Dedup.MinHashLSHDedup(maxBucket = 0L).transform(df))
+    assert(un <= 4, s"uncapped minhash plan has $un shuffles")
   }
 
   test("banded dedup: the candidate distinct dedups IDS ONLY — signature " +

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -37,6 +38,123 @@ class CorpusMutationSpec extends AnyFunSuite {
     }
     tc.test(run)
     tc.test(run, repartition = Some(4))
+  }
+
+  test("decontaminate golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Corpus.Decontaminate(evalDocs = _.filter(col("doc_id") >= 10),
+        n = 2).transform(df)
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, "the cat sat here"),  // 2-shingles: the cat/cat sat/sat here
+          Seq(2L, "dog runs fast"),     // dog runs/runs fast
+          Seq(3L, "tiny"),              // < n tokens -> zero shingles
+          Seq(10L, "the cat sat on mat")), // EVAL doc (id >= 10)
+        Seq("doc_id:i", "text:s"))
+      // doc 1 shares {the cat, cat sat} with the eval set -> 2/3
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, 3L, 2L, 0.666667, true),
+          Seq(2L, 2L, 0L, 0.0, false),
+          Seq(3L, 0L, 0L, 0.0, false)),
+        Seq("doc_id:i", "n_shingles:i", "n_overlap:i",
+          "contamination_ratio:f", "contaminated:b"))
+      override def mutants = Seq(
+        ValueMutant("text", 1, "the cat runs"),  // doc 2 gains an overlap
+        ValueMutant("text", 3, "dog runs everywhere"), // EVAL text: overlaps flip
+        ValueMutant("doc_id", 2, 11L), // doc 3 becomes eval -> row drops
+        ValueMutant("text", 2, "a b c")) // zero-shingle doc gains shingles
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
+  test("boilerplate_score golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Corpus.BoilerplateScore(n = 2, maxDocFreq = 2L).transform(df)
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, "visit our site now"),
+          Seq(2L, "visit our site today"),
+          Seq(3L, "visit our site again"),
+          Seq(4L, "fresh unique content")),
+        Seq("doc_id:i", "text:s"))
+      // df("visit our") = df("our site") = 3 > 2 -> the hot set; each
+      // template doc carries 2 hot of 3 shingles
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          // Seq[Any]: all-numeric literal rows would otherwise widen the
+          // longs to Double (Scala weak conformance) and fail dtype checks
+          Seq[Any](1L, 3L, 2L, 0.666667),
+          Seq[Any](2L, 3L, 2L, 0.666667),
+          Seq[Any](3L, 3L, 2L, 0.666667),
+          Seq[Any](4L, 2L, 0L, 0.0)),
+        Seq("doc_id:i", "n_shingles:i", "n_boiler:i", "boiler_ratio:f"))
+      override def mutants = Seq(
+        // doc 3 leaves the template: both shingles drop to df=2, the hot
+        // set empties, docs 1-2 lose their boiler counts
+        ValueMutant("text", 2, "something else entirely"),
+        ValueMutant("text", 3, "visit our site often"), // doc 4 joins it
+        ValueMutant("doc_id", 0, 5L))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
+  test("vocab_topk golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Corpus.VocabTopK(k = 3).transform(df)
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, "apple banana apple"),
+          Seq(2L, "apple cherry"),
+          Seq(3L, "banana apple")),
+        Seq("doc_id:i", "text:s"))
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq("apple", 4L, 3L),
+          Seq("banana", 2L, 2L),
+          Seq("cherry", 1L, 1L)),
+        Seq("token:s", "term_freq:i", "doc_freq:i"))
+      override def mutants = Seq(
+        ValueMutant("text", 1, "cherry cherry cherry cherry"), // reorders
+        ValueMutant("text", 0, "banana banana banana"),
+        RandomMutant(count = 1, seed = 11L, columns = Seq("text")))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
+  test("tfidf golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame = TfIdf(k = 2).transform(df)
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, "apple apple banana"),
+          Seq(2L, "banana cherry"),
+          Seq(3L, "cherry durian cherry")),
+        Seq("doc_id:i", "text:s"))
+      // N=3; idf(df=1) = ln(2)+1 = 1.693147..., idf(df=2) = ln(4/3)+1 =
+      // 1.287682...; doc 2 is a full tie broken by term asc
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, 1L, "apple", 2L, 1L, 3.386294),
+          Seq(1L, 2L, "banana", 1L, 2L, 1.287682),
+          Seq(2L, 1L, "banana", 1L, 2L, 1.287682),
+          Seq(2L, 2L, "cherry", 1L, 2L, 1.287682),
+          Seq(3L, 1L, "cherry", 2L, 2L, 2.575364),
+          Seq(3L, 2L, "durian", 1L, 1L, 1.693147)),
+        Seq("doc_id:i", "rank:i", "term:s", "tf:i", "df:i", "tfidf:f"))
+      override def mutants = Seq(
+        ValueMutant("text", 0, "banana banana banana"), // df + tf reshuffle
+        ValueMutant("text", 2, "apple"), // apple df 1->2: every idf shifts
+        RandomMutant(count = 1, seed = 13L, columns = Seq("text")))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
   }
 
   test("shard_pack golden: killed mutants + repartition invariance") {

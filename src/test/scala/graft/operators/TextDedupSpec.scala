@@ -133,6 +133,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("MinHashLSH/SimHash maxBucket: hot band buckets are dropped, " +
+      "uncapped opt-in restores them, defaults are capped") {
+    // two identical docs share EVERY band/chunk bucket (bucket size 2),
+    // so maxBucket = 1 suppresses all their candidate pairs — the
+    // boilerplate-blowup guard observable at spec scale
+    val df = docsDF(
+      1L -> "w1 w2 w3 w4 w5 w6",
+      2L -> "w1 w2 w3 w4 w5 w6",
+      3L -> "z1 z2 z3 z4 z5 z6")
+    assert(Dedup.MinHashLSHDedup(maxBucket = 1L).transform(df).isEmpty)
+    assert(Dedup.SimHashDedup(maxBucket = 1L).transform(df).isEmpty)
+    assert(Dedup.MinHashLSHDedup(maxBucket = 0L).transform(df)
+      .count() == 1L) // uncapped: the (1,2) pair is back
+    assert(Dedup.SimHashDedup(maxBucket = 0L).transform(df).count() == 1L)
+    // an unsuspecting default at corpus scale must get the capped plan
+    assert(Dedup.MinHashLSHDedup().maxBucket > 0)
+    assert(Dedup.SimHashDedup().maxBucket > 0)
+  }
+
   private def vecDF(rows: (Long, Seq[Float])*) =
     rows.toDF("vec_id", "embedding")
 
@@ -352,8 +371,13 @@ class TextDedupSpec extends AnyFunSuite {
         .connectedComponents(pairs, checkpointDir = Some(dir.toString))
         .as[(Long, Long)].collect().toMap
       assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
-      // the reliable checkpoint actually wrote RDD blocks to the dir
-      assert(java.nio.file.Files.walk(dir).count() > 1)
+      // the reliable checkpoint actually wrote RDD blocks. Files land in
+      // the session's EFFECTIVE checkpoint dir — by design the first
+      // setter in the shared session wins (never-clobber), so another
+      // spec may have claimed it before this one runs
+      val eff = java.nio.file.Paths.get(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+      assert(java.nio.file.Files.walk(eff).count() > 1)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
