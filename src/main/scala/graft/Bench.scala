@@ -61,6 +61,9 @@ object Bench {
     "dedup_canonical" -> None, // CC loop runs eagerly inside the builder
     "asof_join" -> Some("Window"),
     "decontaminate" -> Some("Join"),
+    "decontaminate_bloom" -> Some("Join"),
+    "sample_quota" -> Some("Window"),
+    "mix_budget" -> Some("Window"),
     "vocab_topk" -> Some("TakeOrderedAndProject"),
     "stats_quantiles" -> Some("Window"),
     "shard_pack" -> Some("MapPartitions"),

@@ -532,6 +532,47 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-stratum quota cap: at most `quotas(stratum)` rows, hash-order
+    * selection with the same md5 bucket as [[sampleStratified]]. Mirrors
+    * [[graft.operators.Sampling.QuotaSample]].
+    */
+  def sampleQuota(quotas: Seq[(String, Long)], defaultQuota: Long,
+                  salt: String): String = {
+    val cases = quotas.map { case (s, q) => s"WHEN '$s' THEN $q" }
+      .mkString(" ")
+    s"""WITH s AS (SELECT doc_id, lang,
+       |  substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    AS sample_bucket
+       |  FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |    ORDER BY sample_bucket, doc_id) AS rn FROM s)
+       |SELECT doc_id, lang, sample_bucket, CAST(rn AS BIGINT) AS quota_rank
+       |FROM r WHERE rn <= CASE lang $cases ELSE $defaultQuota END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token-budget mixture: hash-ordered inclusive running token sum per
+    * stratum, kept while within budget. Mirrors
+    * [[graft.operators.Corpus.MixBudget]].
+    */
+  def mixBudget(budgets: Seq[(String, Long)], defaultBudget: Long,
+                salt: String): String = {
+    val cases = budgets.map { case (s, b) => s"WHEN '$s' THEN $b" }
+      .mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents),
+       |s AS (SELECT *,
+       |  substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    AS sample_bucket FROM t),
+       |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+       |    ORDER BY sample_bucket, doc_id ROWS UNBOUNDED PRECEDING)
+       |    AS cum_tokens FROM s)
+       |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT)
+       |    AS cum_tokens, sample_bucket
+       |FROM c WHERE cum_tokens <= CASE lang $cases ELSE $defaultBudget END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-document top-k TF-IDF terms, smoothed idf, round-6 scores. */
   def tfIdfTopK(k: Int): String =
     s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),

@@ -323,6 +323,23 @@ object SparkEntry {
         .transform(docs(s, dir))
         .select("doc_id", "lang", "sample_bucket")
         .orderBy("doc_id")),
+    // fixed-COUNT companion: at most N docs per stratum, hash-order
+    // selection; map-side bounded heaps keep the rank window input at
+    // partitions*quota rows per stratum
+    "sample_quota" -> ((s, dir) =>
+      Sampling.QuotaSample(Map("en" -> 120L, "de" -> 60L),
+        defaultQuota = 25L)
+        .transform(docs(s, dir))
+        .select("doc_id", "lang", "sample_bucket", "quota_rank")
+        .orderBy("doc_id")),
+    // token-budget mixture: keep hash-ordered docs per language while
+    // the running token total fits the budget (exact two-phase prefix
+    // sum, hash-range buckets — no whole-stratum sort anywhere)
+    "mix_budget" -> ((s, dir) =>
+      Corpus.MixBudget(Map("en" -> 20000L, "de" -> 8000L),
+        defaultBudget = 3000L)
+        .transform(docs(s, dir))
+        .orderBy("doc_id")),
     "tfidf_topk" -> ((s, dir) =>
       TfIdf(k = 3).transform(docs(s, dir))
         .orderBy("doc_id", "rank")),
@@ -330,6 +347,14 @@ object SparkEntry {
     // set; training docs are flagged by distinct-shingle overlap with it
     "decontaminate" -> ((s, dir) =>
       Corpus.Decontaminate(_.filter(col("doc_id") % 50 === 0))
+        .transform(docs(s, dir))
+        .orderBy("doc_id")),
+    // same semantics via the large-eval-set scale path: broadcast Bloom
+    // prefilter on the posting stream, exact join resolves false
+    // positives — bit-identical to `decontaminate` by construction
+    "decontaminate_bloom" -> ((s, dir) =>
+      Corpus.Decontaminate(_.filter(col("doc_id") % 50 === 0),
+        bloomPrefilter = true)
         .transform(docs(s, dir))
         .orderBy("doc_id")),
     "vocab_topk" -> ((s, dir) =>
@@ -469,8 +494,13 @@ object SparkEntry {
     "asof_join" -> OracleSql.asOfJoin,
     "sample_stratified" -> OracleSql.sampleStratified(
       Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft"),
+    "sample_quota" -> OracleSql.sampleQuota(
+      Seq("en" -> 120L, "de" -> 60L), 25L, "graft"),
+    "mix_budget" -> OracleSql.mixBudget(
+      Seq("en" -> 20000L, "de" -> 8000L), 3000L, "graft"),
     "tfidf_topk" -> OracleSql.tfIdfTopK(3),
     "decontaminate" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
+    "decontaminate_bloom" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
     "vocab_topk" -> OracleSql.vocabTopK(100),
     "stats_quantiles" -> OracleSql.statsQuantiles(
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),

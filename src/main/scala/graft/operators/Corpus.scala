@@ -42,17 +42,35 @@ object Corpus {
     * equi-join (never a cartesian) when an unusually large eval set does
     * not. One aggregation keyed by doc id follows; document text never
     * shuffles.
+    *
+    * `bloomPrefilter = true` switches to the 100 TB shape for LARGE eval
+    * sets (many benchmarks, tens of millions of distinct shingles —
+    * too big for a broadcast hash join, so the equi-join must shuffle
+    * the full training posting stream, the dominant cost of the
+    * operator). A Bloom filter over the eval shingles (bit array — MBs
+    * where the string set is GBs) is built once and broadcast; the
+    * posting stream is filtered map-side BEFORE the join, so only the
+    * ~hit-rate + `bloomFpp` fraction of postings ever shuffles. Results
+    * are IDENTICAL to the exact path: Bloom filters have no false
+    * negatives, and false positives are resolved by the exact join that
+    * follows — per-doc shingle counts come from a separate narrow
+    * aggregation that never passes through the filter.
     */
   final case class Decontaminate(evalDocs: DataFrame => DataFrame,
                                  idColumn: String = "doc_id",
                                  textColumn: String = "text",
                                  n: Int = 3,
-                                 minOverlap: Long = 1L)
+                                 minOverlap: Long = 1L,
+                                 bloomPrefilter: Boolean = false,
+                                 bloomFpp: Double = 0.01)
       extends Wrangler {
     require(n >= 1, "shingle width `n` must be >= 1")
     require(minOverlap >= 1, "`minOverlap` must be >= 1")
+    require(bloomFpp > 0.0 && bloomFpp < 1.0, "`bloomFpp` must be in (0, 1)")
 
     def transform(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
       val evalSet = evalDocs(df)
       val evalIds = evalSet.select(col(idColumn).cast("long").as("doc_id"))
@@ -66,12 +84,42 @@ object Corpus {
           evalSet.select(col(idColumn).cast("long").as("doc_id"),
             col(textColumn).as("text")), "doc_id", "text", n)
         .select("shingle").distinct()
-        .withColumn("hit", lit(1L))
-      val counted = trainSh
-        .join(evalSh, Seq("shingle"), "left")
-        .groupBy("doc_id")
-        .agg(max(col("sz")).as("n_shingles"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      val counted =
+        if (!bloomPrefilter)
+          trainSh
+            .join(evalSh.withColumn("hit", lit(1L)), Seq("shingle"), "left")
+            .groupBy("doc_id")
+            .agg(max(col("sz")).as("n_shingles"),
+              sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        else {
+          // per-doc totals from the UNfiltered narrow stream — the
+          // prefilter below may drop every posting of a clean doc, and
+          // restoring it with sz=0 would misreport n_shingles
+          val docSz = trainSh.groupBy("doc_id")
+            .agg(max(col("sz")).as("n_shingles"))
+          // two jobs over the (small by definition) eval side: an exact
+          // count to size the filter honestly, then the sketch agg
+          val nEval = evalSh.count()
+          val bf = evalSh.stat.bloomFilter("shingle",
+            math.max(nEval, 1L), bloomFpp)
+          val bcBf = spark.sparkContext.broadcast(bf)
+          // map-side membership prune; typed mapPartitions because the
+          // sketch's mightContainString is a JVM call with no Column
+          // counterpart (Catalyst's BloomFilterMightContain is internal
+          // to its runtime-filter rule)
+          val pre = trainSh.select(col("doc_id"), col("shingle"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              val f = bcBf.value
+              it.filter { case (_, sh) => f.mightContainString(sh) }
+            }
+            .toDF("doc_id", "shingle")
+          val overlap = pre.join(evalSh, Seq("shingle"))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+          docSz.join(overlap, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_shingles"),
+              coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        }
       // short documents produce zero shingles (no trainSh rows): restore
       // them with explicit zero counts so the operator is row-complete
       // over the training set
@@ -439,6 +487,83 @@ object Corpus {
               ((before / target): java.lang.Long))
           }
         }(Encoders.row(outSchema))
+    }
+  }
+
+  /** Token-budget data mixture: per stratum (language / domain /
+    * source), keep documents in deterministic md5-hash order while the
+    * running token total stays within `budgets(stratum)` — the "mix 20B
+    * English tokens with 5B German" primitive of training-set assembly.
+    * Selection order matches [[Sampling.StratifiedSample]] /
+    * [[Sampling.QuotaSample]] (ascending `(bucket, key)`), so a budget's
+    * kept set is a prefix of any larger budget's under the same salt,
+    * and the mixture is reproducible across engines and cluster sizes.
+    *
+    * A document is kept iff its INCLUSIVE running token sum is within
+    * budget; unlisted strata use `defaultBudget` (0 = dropped). Output:
+    * id, stratum, `n_tokens` (whitespace tokens, same definition as
+    * [[TextAnalysis.TokenCount]]), `cum_tokens`, `sample_bucket`.
+    *
+    * Scale shape — exact distributed prefix sum, same two-phase pattern
+    * as [[QuantileStats]]/[[ShardPack]] rather than one rank window per
+    * stratum (which would sort whole strata in single tasks): rows
+    * range-bucket by an md5-prefix integer (uniform by construction, so
+    * every bucket holds ~1/`hashBuckets` of its stratum and boilerplate
+    * skew is impossible); per-(stratum, bucket) token totals aggregate
+    * map-side partial; exclusive bucket offsets come from a window over
+    * at most `hashBuckets` rows per stratum; buckets whose offset
+    * already exceeds the budget are DISCARDED before the in-bucket
+    * cumsum window, so the wide window only ever runs over the kept
+    * prefix region of each stratum.
+    */
+  final case class MixBudget(budgets: Map[String, Long],
+                             strataColumn: String = "lang",
+                             idColumn: String = "doc_id",
+                             textColumn: String = "text",
+                             defaultBudget: Long = 0L,
+                             hashBuckets: Int = 256,
+                             salt: String = "graft")
+      extends Wrangler {
+    require(defaultBudget >= 0L, "defaultBudget must be >= 0")
+    require(budgets.values.forall(_ >= 0L), "budgets must be >= 0")
+    require(hashBuckets >= 1 && hashBuckets <= 65536,
+      "hashBuckets must be in [1, 65536]")
+    override def preservesSampleSize: Boolean = false
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(strataColumn, idColumn, textColumn))
+      val budgetCol = budgets.foldLeft(lit(defaultBudget): Column) {
+        case (acc, (s, b)) => when(col("s") === s, lit(b)).otherwise(acc)
+      }
+      val narrow = df
+        .select(col(strataColumn).cast("string").as("s"),
+          col(idColumn).cast("long").as("k"),
+          size(tokens(col(textColumn))).cast("long").as("w"))
+        .withColumn("sample_bucket", Sampling.bucketHex(salt, col("k")))
+        // first 4 hex chars = uniform 16-bit int, scaled into
+        // [0, hashBuckets) by DIVISION — a monotone map, so range-bucket
+        // order matches the lexicographic (sample_bucket, key) order the
+        // in-bucket window uses (a mod would interleave buckets and
+        // break the global prefix sum)
+        .withColumn("__rb",
+          conv(substring(col("sample_bucket"), 1, 4), 16, 10)
+            .cast("long") * hashBuckets / 65536L)
+        .withColumn("__rb", col("__rb").cast("long"))
+      val offsets = narrow.groupBy("s", "__rb")
+        .agg(sum("w").as("__t"))
+        .withColumn("__off", coalesce(
+          sum("__t").over(Window.partitionBy("s").orderBy("__rb")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("s", "__rb", "__off")
+      narrow.join(broadcast(offsets), Seq("s", "__rb"))
+        .filter(col("__off") <= budgetCol) // whole-bucket prune past budget
+        .withColumn("cum_tokens", col("__off") +
+          sum("w").over(Window.partitionBy("s", "__rb")
+            .orderBy(col("sample_bucket"), col("k"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("cum_tokens") <= budgetCol)
+        .select(col("k").as(idColumn), col("s").as(strataColumn),
+          col("w").as("n_tokens"), col("cum_tokens"), col("sample_bucket"))
     }
   }
 }

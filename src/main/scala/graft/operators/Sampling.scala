@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Wrangler
@@ -57,6 +58,86 @@ object Sampling {
       }
       df.withColumn("sample_bucket", bucketHex(salt, col(keyColumn)))
         .filter(col("sample_bucket") < threshold)
+    }
+  }
+
+  /** Per-stratum quota cap: keep AT MOST `quotas(stratum)` rows per
+    * stratum (unlisted strata use `defaultQuota`), selected
+    * deterministically by ascending `(md5 bucket, key)` — the
+    * fixed-COUNT companion to [[StratifiedSample]]'s fixed-RATE filter
+    * ("at most 1M docs per domain" vs "10% of each domain"). Same
+    * hash-order selection, so a stratum's quota-k set is a prefix of its
+    * quota-(k+1) set and is stable across reruns and cluster sizes.
+    *
+    * Appends `sample_bucket` (the deciding hex bucket) and `quota_rank`
+    * (1-based position in the stratum's hash order).
+    *
+    * Scale shape: a rank window alone would sort every stratum's full
+    * row set in one task per stratum. Instead a map-side bounded heap
+    * (one per stratum per partition, capped at the stratum's quota —
+    * same pruning as [[graft.operators.Similarity]]'s top-k) keeps only
+    * rows that can still win, so the window's shuffle carries at most
+    * `partitions * quota` narrow rows per stratum, never the corpus.
+    * The kept keys then equi-join back to the input to restore the full
+    * row — AQE broadcasts the (quota-bounded) kept side when it fits.
+    */
+  final case class QuotaSample(
+      quotas: Map[String, Long],
+      strataColumn: String = "lang",
+      keyColumn: String = "doc_id",
+      defaultQuota: Long = 0L,
+      salt: String = "graft") extends Wrangler {
+    require(defaultQuota >= 0L, "defaultQuota must be >= 0")
+    require(quotas.values.forall(_ >= 0L), "quotas must be >= 0")
+    override def preservesSampleSize: Boolean = false
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(strataColumn, keyColumn))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val qmap = quotas
+      val dflt = defaultQuota
+      val narrow = df
+        .select(col(strataColumn).cast("string").as("s"),
+          col(keyColumn).cast("long").as("k"))
+        .withColumn("b", bucketHex(salt, col("k")))
+        .as[(String, Long, String)]
+      // bounded heap per (partition, stratum) under (bucket, key) asc;
+      // Scala's PriorityQueue dequeues the MAX, i.e. the worst kept row.
+      // Typed mapPartitions is justified here the same way as
+      // Similarity.ranked: there is no codegen'd per-group top-k prune,
+      // and the alternative (full rank window) sorts whole strata in
+      // single tasks.
+      val pruned = narrow.mapPartitions { it =>
+        val worstFirst =
+          Ordering.by[(Long, String), (String, Long)] { case (k, b) => (b, k) }
+        val heaps = scala.collection.mutable.LinkedHashMap
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, String)]]
+        it.foreach { case (s, k, b) =>
+          val quota = qmap.getOrElse(s, dflt)
+          if (quota > 0L) {
+            val h = heaps.getOrElseUpdate(s, scala.collection.mutable
+              .PriorityQueue.empty[(Long, String)](worstFirst))
+            h.enqueue((k, b))
+            if (h.size > quota) h.dequeue()
+          }
+        }
+        heaps.iterator.flatMap { case (s, h) =>
+          h.iterator.map { case (k, b) => (s, k, b) }
+        }
+      }.toDF("s", "k", "b")
+      val quotaCol = qmap.foldLeft(lit(dflt): Column) { case (acc, (s, q)) =>
+        when(col("s") === s, lit(q)).otherwise(acc)
+      }
+      val kept = pruned
+        .withColumn("quota_rank", row_number().over(
+          Window.partitionBy("s").orderBy(col("b").asc, col("k").asc))
+          .cast("long"))
+        .filter(col("quota_rank") <= quotaCol)
+        .select(col("k").as("__qk"), col("b").as("sample_bucket"),
+          col("quota_rank"))
+      df.join(kept, df(keyColumn).cast("long") === col("__qk"))
+        .drop("__qk")
     }
   }
 }

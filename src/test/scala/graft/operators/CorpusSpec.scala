@@ -44,6 +44,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("decontaminate: bloom prefilter path is bit-identical to exact") {
+    // covers: clean docs whose postings are all filtered out (doc 2),
+    // zero-shingle docs (doc 4), contaminated docs (1, 3)
+    for (fpp <- Seq(0.5, 0.01)) { // high fpp exercises false positives
+      val exact = Corpus.Decontaminate(_.filter(col("doc_id") === 0))
+        .transform(contamDocs).orderBy("doc_id").collect().toSeq
+      val bloom = Corpus.Decontaminate(_.filter(col("doc_id") === 0),
+          bloomPrefilter = true, bloomFpp = fpp)
+        .transform(contamDocs).orderBy("doc_id").collect().toSeq
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+  }
+
   // ---------------------------------------------------- BoilerplateScore
 
   test("boilerplate: shingles over the df cap count as boilerplate") {
@@ -330,5 +343,61 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(got.length == keys.length)
     assert(cum == keys.map(_ % 29 + 1).sum)
+  }
+
+  // ----------------------------------------------------------- MixBudget
+
+  private def bucketOf(id: Long, salt: String = "graft"): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+
+  // 120 docs, token count = doc_id % 7 + 1, two strata
+  private def mixDocs = (0L until 120L)
+    .map(i => (i, if (i % 3 == 0) "en" else "de",
+      Seq.fill((i % 7 + 1).toInt)("tok").mkString(" ")))
+    .toDF("doc_id", "lang", "text")
+
+  test("mix_budget: inclusive prefix in hash order, exact cumsums") {
+    val got = Corpus.MixBudget(Map("en" -> 40L), defaultBudget = 25L)
+      .transform(mixDocs)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    // independent JVM recomputation of the take-while prefix
+    def expect(lang: String, budget: Long) = {
+      val members = (0L until 120L)
+        .filter(i => (if (i % 3 == 0) "en" else "de") == lang)
+        .sortBy(id => (bucketOf(id), id))
+      var cum = 0L
+      members.iterator.map { id =>
+        cum += id % 7 + 1; (id, cum)
+      }.takeWhile(_._2 <= budget).toSeq
+    }
+    assert(got.filter(_._2 == "en").map(r => (r._1, r._4)).toSeq
+      .sortBy(x => x._2) == expect("en", 40L))
+    assert(got.filter(_._2 == "de").map(r => (r._1, r._4)).toSeq
+      .sortBy(x => x._2) == expect("de", 25L))
+    got.foreach { case (id, _, w, _) => assert(w == id % 7 + 1) }
+  }
+
+  test("mix_budget: nested budgets; zero budget drops the stratum") {
+    def ids(b: Long) = Corpus.MixBudget(Map("en" -> b, "de" -> b))
+      .transform(mixDocs).select("doc_id").as[Long].collect().toSet
+    assert(ids(30L).subsetOf(ids(60L)))
+    assert(ids(100000L).size == 120) // budget above stratum total keeps all
+    val none = Corpus.MixBudget(Map("en" -> 50L)) // defaultBudget = 0
+      .transform(mixDocs).select("lang").as[String].collect()
+    assert(none.nonEmpty && none.forall(_ == "en"))
+  }
+
+  test("mix_budget: bucket count does not change the result") {
+    def run(hb: Int) = Corpus.MixBudget(Map("en" -> 40L, "de" -> 35L),
+        hashBuckets = hb)
+      .transform(mixDocs).orderBy("doc_id")
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    val base = run(256)
+    assert(run(1) == base) // single bucket == one plain window
+    assert(run(7) == base)
+    assert(run(65536) == base)
   }
 }

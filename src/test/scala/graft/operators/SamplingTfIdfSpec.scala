@@ -44,6 +44,63 @@ class SamplingTfIdfSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_ == "de"))
   }
 
+  // ------------------------------------------------------- QuotaSample
+
+  /** The operator's md5 bucket, recomputed independently in plain JVM. */
+  private def bucketOf(id: Long, salt: String = "graft"): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+
+  test("quota: keeps exactly the quota smallest buckets per stratum") {
+    val got = Sampling.QuotaSample(Map("en" -> 10L, "de" -> 7L))
+      .transform(docs)
+      .select("doc_id", "lang", "quota_rank")
+      .as[(Long, String, Long)].collect()
+    assert(got.count(_._2 == "en") == 10)
+    assert(got.count(_._2 == "de") == 7)
+    // expected = hash-order prefix, recomputed without Spark
+    val expectEn = (0L until 400L).filter(_ % 4 == 0)
+      .sortBy(id => (bucketOf(id), id)).take(10).toSet
+    val expectDe = (0L until 400L).filter(_ % 4 != 0)
+      .sortBy(id => (bucketOf(id), id)).take(7).toSet
+    assert(got.filter(_._2 == "en").map(_._1).toSet == expectEn)
+    assert(got.filter(_._2 == "de").map(_._1).toSet == expectDe)
+    // ranks are the 1-based hash-order positions
+    val enRanks = got.filter(_._2 == "en").sortBy(_._3).map(_._1).toSeq
+    assert(enRanks ==
+      (0L until 400L).filter(_ % 4 == 0)
+        .sortBy(id => (bucketOf(id), id)).take(10).toSeq)
+  }
+
+  test("quota: nested across sizes; larger-than-group keeps all") {
+    def ids(q: Long) = Sampling.QuotaSample(Map("en" -> q, "de" -> q))
+      .transform(docs).select("doc_id").as[Long].collect().toSet
+    val ten = ids(10L)
+    assert(ten.subsetOf(ids(25L))) // prefix property
+    assert(ids(1000L).size == 400) // quota above group size keeps all
+  }
+
+  test("quota: zero quota drops the stratum; defaultQuota for unlisted") {
+    val got = Sampling.QuotaSample(Map("en" -> 0L), defaultQuota = 5L)
+      .transform(docs).select("lang").as[String].collect()
+    assert(got.length == 5 && got.forall(_ == "de"))
+  }
+
+  test("quota: agrees with a plain rank window (pruning is invisible)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number, when}
+    val naive = docs
+      .withColumn("b", Sampling.bucketHex("graft", col("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("b"), col("doc_id"))))
+      .filter(col("rn") <= when(col("lang") === "en", 13).otherwise(4))
+      .select("doc_id").as[Long].collect().toSet
+    val got = Sampling.QuotaSample(Map("en" -> 13L), defaultQuota = 4L)
+      .transform(docs).select("doc_id").as[Long].collect().toSet
+    assert(got == naive)
+  }
+
   test("tfidf: hand-computed tiny corpus") {
     // 3 docs; "cat" in 2 docs, "dog" in 1, "the" in 3
     val d = Seq((1L, "the cat cat"), (2L, "the dog"), (3L, "the cat"))
