@@ -207,6 +207,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(out) == 1, out.queryExecution.executedPlan.toString)
   }
 
+  test("quota sample: heap prune feeds the rank window — MapPartitions " +
+    "below the Window, never a whole-stratum sort of the raw frame") {
+    val d = (0L until 50L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.QuotaSample(Map("en" -> 3L), defaultQuota = 2L)
+      .transform(d)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan) // the bounded-heap prune
+    // every window partitions on the stratum key of the PRUNED stream
+    assert(plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("mix_budget: big side shuffles ONLY on (stratum, range-bucket); " +
+    "offsets broadcast — no whole-stratum window over the raw frame") {
+    val d = (0L until 60L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de", "a b c"))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.MixBudget(Map("en" -> 50L), defaultBudget = 40L)
+      .transform(d)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan) // offsets join
+    // the in-bucket cumsum window must include the range bucket in its
+    // partition spec (windowspecdefinition(s, __rb, ...)) — a window on
+    // the stratum alone would sort whole strata in single tasks
+    val bigWindows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filter(_.contains("cum_tokens"))
+    bigWindows.foreach(l => assert(l.contains("__rb"), l))
+  }
+
+  test("decontaminate_bloom: membership prune is map-side MapPartitions; " +
+    "equi-joins only, same as the exact path") {
+    val docs = (0L until 60L).map(i => (i, s"alpha beta gamma delta $i x y"))
+      .toDF("doc_id", "text")
+    val out = Corpus.Decontaminate(_.filter($"doc_id" % 10 === 0),
+      bloomPrefilter = true).transform(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("broadcast join: nation side broadcasts, no shuffle for the dim") {
     val l = Seq((1L, 10.0, 0.1)).toDF("l_orderkey", "l_extendedprice",
       "l_discount")

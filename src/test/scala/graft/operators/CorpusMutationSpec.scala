@@ -157,6 +157,92 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run, repartition = Some(3))
   }
 
+  /** The operator's md5 bucket, recomputed independently. Goldens below
+    * derive their expected rows from this so the hash order is explicit
+    * in the test, not copied from the implementation's output.
+    */
+  private def bucketOf(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+
+  test("quota_sample golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Sampling.QuotaSample(Map("en" -> 2L), defaultQuota = 10L)
+        .transform(df)
+        .select("doc_id", "lang", "sample_bucket", "quota_rank")
+    // en = {1,2,3} quota 2 (one dropped), de = {4,5} default quota 10
+    val enOrder = Seq(1L, 2L, 3L).sortBy(id => (bucketOf(id), id))
+    val deOrder = Seq(4L, 5L).sortBy(id => (bucketOf(id), id))
+    val expRows: Seq[Seq[Any]] =
+      enOrder.take(2).zipWithIndex.map { case (id, i) =>
+        Seq[Any](id, "en", bucketOf(id), (i + 1).toLong)
+      } ++ deOrder.zipWithIndex.map { case (id, i) =>
+        Seq[Any](id, "de", bucketOf(id), (i + 1).toLong)
+      }
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(Seq(1L, "en"), Seq(2L, "en"), Seq(3L, "en"),
+          Seq(4L, "de"), Seq(5L, "de")),
+        Seq("doc_id:i", "lang:s"))
+      def expected = PlainFrame.fromPlain(expRows,
+        Seq("doc_id:i", "lang:s", "sample_bucket:s", "quota_rank:i"))
+      override def mutants = Seq(
+        // a KEPT en doc changes stratum: its output lang flips and the
+        // en quota admits the previously-dropped doc
+        ValueMutant("lang", (enOrder.head - 1L).toInt, "de"),
+        // the DROPPED en doc moves to de, where the quota keeps it
+        ValueMutant("lang", (enOrder.last - 1L).toInt, "de"),
+        // a kept de doc's id (and hash) change is visible in the output
+        ValueMutant("doc_id", 3, 99L))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
+  test("mix_budget golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Corpus.MixBudget(Map("en" -> 5L), defaultBudget = 4L).transform(df)
+    // token weights: en ids 1,2,3 -> 2,3,2 (sum 7 > budget 5, so the
+    // take-while prefix cuts); de ids 4,5 -> 2,3 (sum 5 > budget 4)
+    val weights = Map(1L -> 2, 2L -> 3, 3L -> 2, 4L -> 2, 5L -> 3)
+    def text(id: Long) = Seq.fill(weights(id))("t").mkString(" ")
+    def prefix(ids: Seq[Long], budget: Long): Seq[(Long, Long)] = {
+      val order = ids.sortBy(id => (bucketOf(id), id))
+      var cum = 0L
+      order.iterator.map { id => cum += weights(id); (id, cum) }
+        .takeWhile(_._2 <= budget).toSeq
+    }
+    val en = prefix(Seq(1L, 2L, 3L), 5L)
+    val de = prefix(Seq(4L, 5L), 4L)
+    assert(en.size < 3 && de.size < 2) // the golden must exercise the cut
+    val expRows: Seq[Seq[Any]] =
+      en.map { case (id, cum) =>
+        Seq[Any](id, "en", weights(id).toLong, cum, bucketOf(id)) } ++
+      de.map { case (id, cum) =>
+        Seq[Any](id, "de", weights(id).toLong, cum, bucketOf(id)) }
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(Seq(1L, "en", text(1L)), Seq(2L, "en", text(2L)),
+          Seq(3L, "en", text(3L)), Seq(4L, "de", text(4L)),
+          Seq(5L, "de", text(5L))),
+        Seq("doc_id:i", "lang:s", "text:s"))
+      def expected = PlainFrame.fromPlain(expRows,
+        Seq("doc_id:i", "lang:s", "n_tokens:i", "cum_tokens:i",
+          "sample_bucket:s"))
+      override def mutants = Seq(
+        // the first kept en doc balloons past the budget: it and every
+        // doc after it in hash order drop (inclusive prefix semantics)
+        ValueMutant("text", (en.head._1 - 1L).toInt, "t t t t t t"),
+        // a kept de doc changes stratum: weights shift in both strata
+        ValueMutant("lang", (de.head._1 - 1L).toInt, "en"),
+        // a kept doc's id changes the output row (and its hash position)
+        ValueMutant("doc_id", (en.head._1 - 1L).toInt, 99L))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
   test("shard_pack golden: killed mutants + repartition invariance") {
     def run(df: DataFrame): DataFrame =
       Corpus.ShardPack(targetBytes = 25L, partitions = 2).transform(df)
