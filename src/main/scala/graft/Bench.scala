@@ -172,13 +172,23 @@ object Bench {
     // short pause lets the cleaner thread drain its weak-ref queue; done
     // per rep it also keeps collection debt from landing INSIDE a timed
     // window. Still outside every timed window.
+    // Round-7 refinement: a FIXED pause under-drains after heavy reps.
+    // The cleaner's deletion work (shuffle files, broadcasts) is
+    // proportional to the work of the execution that registered them,
+    // and its async tail bleeds into the next timed window: the
+    // CC-loop queries (~6 s, 20+ rounds of joins) measured 5.7-6.2 s
+    // under a 300 ms pause vs 4.7 s under 3 s — the r6 binary's value —
+    // while sub-second queries are unaffected. So the pause scales with
+    // the previous rep's duration (half of it, capped at 5 s): heavy
+    // executions buy their own drain time, cheap ones keep the floor.
     val gcPauseMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_MS", "300").toLong
-    def resetSparkState(): Unit = {
+    def resetSparkState(prevSec: Double = 0.0): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
-      Thread.sleep(gcPauseMs)
+      Thread.sleep(math.max(gcPauseMs,
+        math.min((prevSec * 500).toLong, 5000L)))
     }
 
     // session warm-up: one cheap query to init the stack
@@ -196,12 +206,12 @@ object Bench {
         warm.foreach(df => assertHonestPlan(name, Force.planString(df)))
         name -> warm.flatMap { df =>
           try {
-            Force(df) // per-query warm-up, untimed
-            resetSparkState()
+            val w = time(Force(df)) // per-query warm-up, untimed
+            resetSparkState(w)
             Some(TimeProfile(
               (1 to reps).map { _ =>
                 val t = time(Force(fn(spark, sfDir)))
-                resetSparkState()
+                resetSparkState(t)
                 t
               }.toVector))
           } catch { case _: Throwable => None }
