@@ -64,6 +64,8 @@ object Bench {
     "decontaminate_bloom" -> Some("Join"),
     "sample_quota" -> Some("Window"),
     "mix_budget" -> Some("Window"),
+    "sample_cluster" -> Some("Window"),
+    "text_logprob" -> Some("Join"),
     "vocab_topk" -> Some("TakeOrderedAndProject"),
     "stats_quantiles" -> Some("Window"),
     "shard_pack" -> Some("MapPartitions"),

@@ -573,6 +573,62 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus-unigram mean log-probability per doc; per-token logprobs
+    * scaled to 1e-6 longs so the sum is exact. Mirrors
+    * [[graft.operators.Corpus.UnigramLogProb]].
+    */
+  def unigramLogProb: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       |c AS (SELECT token, count(*) AS cnt FROM p GROUP BY token),
+       |tot AS (SELECT sum(cnt) AS total FROM c),
+       |l AS (SELECT p.doc_id, CAST(round(ln(CAST(c.cnt AS DOUBLE) /
+       |    CAST(tot.total AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+       |  FROM p JOIN c USING (token) CROSS JOIN tot),
+       |a AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS lp_sum
+       |  FROM l GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  COALESCE(round(CAST(a.lp_sum AS DOUBLE) /
+       |    (a.n_tokens * 1000000.0), 6), 0.0) AS avg_logprob
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Cluster-balanced embedding subsample: IvfTopK's deterministic
+    * centroid assignment + an md5-hash-order quota per cluster. Mirrors
+    * [[graft.operators.Similarity.ClusterBalancedSample]].
+    */
+  def clusterBalancedSample(dim: Int, nlist: Int, quota: Long,
+                            salt: String): String = {
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def cosE(a: String, b: String, na: String, nb: String) =
+      s"CAST(${dotE(a, b)} AS DOUBLE) / " +
+        s"sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
+    s"""$QuantizedVecs,
+       |hh AS (SELECT id,
+       |  CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)
+       |    AS h FROM n),
+       |sel AS (SELECT id, h FROM hh ORDER BY h, id LIMIT $nlist),
+       |cents AS (SELECT row_number() OVER (ORDER BY s.h, s.id) AS cid,
+       |  n.q AS cq, n.nrm AS cnrm FROM sel s JOIN n ON n.id = s.id),
+       |asgn0 AS (SELECT n.id, c.cid,
+       |  row_number() OVER (PARTITION BY n.id ORDER BY
+       |    ${cosE("n.q", "c.cq", "n.nrm", "c.cnrm")} DESC, c.cid ASC)
+       |    AS rn
+       |  FROM n CROSS JOIN cents c),
+       |b AS (SELECT id, cid,
+       |  substr(md5('$salt:' || CAST(id AS VARCHAR)), 1, 8)
+       |    AS sample_bucket
+       |  FROM asgn0 WHERE rn = 1),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cid
+       |    ORDER BY sample_bucket, id) AS crn FROM b)
+       |SELECT id AS vec_id, CAST(cid AS BIGINT) AS cluster_id,
+       |  sample_bucket, CAST(crn AS BIGINT) AS cluster_rank
+       |FROM r WHERE crn <= $quota ORDER BY vec_id""".stripMargin
+  }
+
   /** Per-document top-k TF-IDF terms, smoothed idf, round-6 scores. */
   def tfIdfTopK(k: Int): String =
     s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),

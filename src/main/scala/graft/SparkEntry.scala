@@ -340,6 +340,18 @@ object SparkEntry {
         defaultBudget = 3000L)
         .transform(docs(s, dir))
         .orderBy("doc_id")),
+    // diversity-preserving subsample: IVF centroid assignment + per-
+    // cluster hash-order quota (dense embedding regions capped, sparse
+    // regions survive whole)
+    "sample_cluster" -> ((s, dir) =>
+      Similarity.ClusterBalancedSample(nlist = 16, quota = 20L)
+        .transform(embs(s, dir))
+        .orderBy("vec_id")),
+    // unigram-LM quality filter: mean corpus log-probability per doc,
+    // integer-scaled per-token logprobs (order-independent sums)
+    "text_logprob" -> ((s, dir) =>
+      Corpus.UnigramLogProb().transform(docs(s, dir))
+        .orderBy("doc_id")),
     "tfidf_topk" -> ((s, dir) =>
       TfIdf(k = 3).transform(docs(s, dir))
         .orderBy("doc_id", "rank")),
@@ -498,6 +510,8 @@ object SparkEntry {
       Seq("en" -> 120L, "de" -> 60L), 25L, "graft"),
     "mix_budget" -> OracleSql.mixBudget(
       Seq("en" -> 20000L, "de" -> 8000L), 3000L, "graft"),
+    "sample_cluster" -> OracleSql.clusterBalancedSample(64, 16, 20L, "graft"),
+    "text_logprob" -> OracleSql.unigramLogProb,
     "tfidf_topk" -> OracleSql.tfIdfTopK(3),
     "decontaminate" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
     "decontaminate_bloom" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),

@@ -490,6 +490,55 @@ object Corpus {
     }
   }
 
+  /** Corpus-unigram log-probability quality score — the lightweight
+    * language-model filter of LLM curation pipelines (docs whose tokens
+    * are improbable under the corpus's own unigram distribution are
+    * gibberish, OCR noise, or encoding damage): per document, the mean
+    * of `ln(count(token) / total_tokens)` over its token stream.
+    *
+    * Determinism: per-token log-probabilities are rounded to 1e-6 and
+    * held as scaled LONGS, so the per-doc sum is exact integer
+    * arithmetic — order-independent under any partitioning (a double
+    * sum would drift with aggregation order). The only floating step is
+    * the final divide, rounded to 6 places like every score in this
+    * library.
+    *
+    * Scale shape: the token count table is one map-side-partial
+    * aggregation of the exploded posting stream; the corpus total is a
+    * broadcast single row (same pattern as [[TfIdf]]'s N); the posting
+    * stream joins counts on the token key — an equi-join against an
+    * aggregate, never a window over a term's whole posting list, so a
+    * Zipf-hot token cannot concentrate a partition.
+    */
+  final case class UnigramLogProb(idColumn: String = "doc_id",
+                                  textColumn: String = "text")
+      extends Wrangler {
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      val ids = df.select(col(idColumn).cast("long").as("doc_id"),
+        col(textColumn).as("text"))
+      val posting = ids.select(col("doc_id"),
+        explode(tokens(col("text"))).as("token"))
+      val counts = posting.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("total"))
+      val scored = posting.join(counts, Seq("token"))
+        .crossJoin(broadcast(total))
+        .withColumn("lp", round(log(col("cnt").cast("double") /
+          col("total").cast("double")) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("lp").as("lp_sum"))
+        .withColumn("avg_logprob",
+          round(col("lp_sum").cast("double") /
+            (col("n_tokens").cast("double") * 1e6), 6))
+        .select("doc_id", "n_tokens", "avg_logprob")
+      // null-text docs produce no postings: restore with explicit zeros
+      ids.select("doc_id").join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+    }
+  }
+
   /** Token-budget data mixture: per stratum (language / domain /
     * source), keep documents in deterministic md5-hash order while the
     * running token total stays within `budgets(stratum)` — the "mix 20B

@@ -183,6 +183,79 @@ object Similarity {
     }
   }
 
+  /** Cluster-balanced embedding subsample: every vector is assigned to
+    * its max-cosine centroid under the SAME deterministic coarse
+    * quantizer as [[IvfTopK]] (the `nlist` corpus vectors with the
+    * smallest md5 id-hash — reproducible in any engine, no iterative
+    * training), then at most `quota` vectors per cluster survive, picked
+    * in deterministic md5-hash order. The diversity-preserving curation
+    * move: dense embedding regions (near-duplicate content, template
+    * text) are capped at `quota`, sparse regions survive whole — the
+    * complement of near-dup REMOVAL, for when the mixture should stay
+    * broad rather than merely deduplicated.
+    *
+    * Scale shape: the centroid table is driver-held and tiny (`nlist`
+    * rows), assignment is an embarrassingly parallel typed map, and the
+    * per-cluster cap is [[Sampling.QuotaSample]] — map-side bounded
+    * heaps feeding a rank window over at most partitions*quota rows per
+    * cluster. Nothing global is ever sorted.
+    */
+  final case class ClusterBalancedSample(idColumn: String = "vec_id",
+                                         vecColumn: String = "embedding",
+                                         nlist: Int = 16,
+                                         quota: Long = 10L,
+                                         salt: String = "graft",
+                                         cacheCorpus: Boolean = false)
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = false
+
+    private def cos(dot: Long, na: Long, nb: Long): Double =
+      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val quantLazy = quantizedRows(df.select(col(idColumn).as("id"),
+        col(vecColumn)), "id", vecColumn, Array.empty, 0)
+        .select("id", "q", "nrm")
+      val quant = if (cacheCorpus) quantLazy.localCheckpoint() else quantLazy
+      // deterministic centroid pick (shared with IvfTopK)
+      val centroids = quant
+        .withColumn("hh", tokenHash(col("id").cast("string")))
+        .orderBy("hh", "id").limit(nlist)
+        .select("id", "q", "nrm")
+        .as[(Long, Array[Long], Long)].collect()
+        .zipWithIndex.map { case ((_, q, nrm), i) => (i + 1, q, nrm) }
+      if (centroids.isEmpty)
+        return spark.emptyDataset[(Long, Long, String, Long)]
+          .toDF("vec_id", "cluster_id", "sample_bucket", "cluster_rank")
+      def dot(a: Array[Long], b: Array[Long]): Long = {
+        var acc = 0L; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val assigned = quant.as[(Long, Array[Long], Long)]
+        .map { case (id, q, nrm) =>
+          // strict-improvement scan == cosine desc, cid asc tie-break,
+          // mirroring IvfTopK / the oracle's ORDER BY cos DESC, cid ASC
+          var best = 0
+          var bestCos = Double.NegativeInfinity
+          centroids.foreach { case (cid, cq, cnrm) =>
+            val c = cos(dot(q, cq), nrm, cnrm)
+            if (c > bestCos) { bestCos = c; best = cid }
+          }
+          (id, best.toLong)
+        }.toDF("id", "cluster_id")
+      Sampling.QuotaSample(Map.empty, strataColumn = "cluster_id",
+          keyColumn = "id", defaultQuota = quota, salt = salt)
+        .transform(assigned)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          col("sample_bucket"), col("quota_rank").as("cluster_rank"))
+    }
+  }
+
   /** LSH top-k: `tables` independent `planes`-bit random-hyperplane
     * tables; each query scores only the corpus vectors sharing a bucket
     * in ANY table (exact re-rank on the candidate union). Returns up to

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Properties of the cluster-balanced embedding subsample: the quota is
+  * a hard per-cluster cap with contiguous hash-order ranks, results are
+  * deterministic and partition-invariant, and an unbounded quota keeps
+  * the whole corpus (assignment itself drops nothing). Value-level
+  * correctness (centroid pick, cosine tie-breaks, hash order) is pinned
+  * by the DuckDB oracle on `sample_cluster`.
+  */
+class ClusterSampleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def embs(n: Int, dim: Int = 8) = (0 until n).map { i =>
+    (i.toLong, Array.tabulate(dim)(j => math.sin(i * 31 + j).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("cluster sample: quota is a hard cap, ranks contiguous from 1") {
+    val got = Similarity.ClusterBalancedSample(nlist = 4, quota = 3L)
+      .transform(embs(60))
+      .select("vec_id", "cluster_id", "cluster_rank")
+      .as[(Long, Long, Long)].collect()
+    val byCluster = got.groupBy(_._2)
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.length <= 3, s"cluster $cid over quota")
+      assert(rows.map(_._3).sorted.toSeq ==
+        (1L to rows.length.toLong).toSeq, s"cluster $cid ranks")
+    }
+    assert(got.map(_._1).distinct.length == got.length) // no dup vectors
+  }
+
+  test("cluster sample: unbounded quota keeps every vector; rerun and " +
+    "repartition invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ClusterBalancedSample(nlist = 4, quota = 100000L)
+        .transform(df)
+        .select("vec_id", "cluster_id", "sample_bucket", "cluster_rank")
+        .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    val base = run(embs(40))
+    assert(base.map(_._1) == (0L until 40L))
+    assert(run(embs(40)) == base)
+    assert(run(embs(40).repartition(7)) == base)
+  }
+
+  test("cluster sample: empty corpus yields empty result, full schema") {
+    val out = Similarity.ClusterBalancedSample()
+      .transform(embs(0))
+    assert(out.columns.toSeq ==
+      Seq("vec_id", "cluster_id", "sample_bucket", "cluster_rank"))
+    assert(out.count() == 0)
+  }
+}

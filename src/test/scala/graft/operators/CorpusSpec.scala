@@ -345,6 +345,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(cum == keys.map(_ % 29 + 1).sum)
   }
 
+  // ------------------------------------------------------ UnigramLogProb
+
+  test("unigram_logprob: hand-computed tiny corpus, integer-exact sums") {
+    // counts: a=2, b=2, c=1; total=5
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    def lp(cnt: Long): Long = math.round(math.log(cnt / 5.0) * 1e6)
+    def score(lpSum: Long, n: Long): Double =
+      BigDecimal(lpSum.toDouble / (n.toDouble * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Corpus.UnigramLogProb().transform(d).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, score(2 * lp(2) + lp(2), 3)), // a a b
+      (2L, 2L, score(lp(2) + lp(1), 2))))    // b c
+  }
+
+  test("unigram_logprob: partition-count invariant (integer sums)") {
+    val d = (0L until 100L)
+      .map(i => (i, s"w${i % 7} w${i % 3} shared tail"))
+      .toDF("doc_id", "text")
+    val base = Corpus.UnigramLogProb().transform(d)
+      .orderBy("doc_id").collect().toSeq
+    val repart = Corpus.UnigramLogProb().transform(d.repartition(13))
+      .orderBy("doc_id").collect().toSeq
+    assert(base == repart)
+  }
+
   // ----------------------------------------------------------- MixBudget
 
   private def bucketOf(id: Long, salt: String = "graft"): String =
