@@ -52,7 +52,8 @@ object Curation {
                  Map("en" -> 0.5, "de" -> 0.25),
                defaultSampleRate: Double = 0.1,
                targetBytes: Long = 20000L,
-               checkpointDir: Option[String] = None): Pipeline =
+               checkpointDir: Option[String] = None,
+               bloomDecontaminate: Boolean = false): Pipeline =
     new Pipeline(Seq(
       Stage(TextAnalysis.Normalize()),
       Stage.of("renorm")(df => df.select(col("doc_id"), col("lang"),
@@ -61,8 +62,12 @@ object Curation {
       Stage.of("boilerplate")(df => df.join(
         Corpus.BoilerplateScore(maxDocFreq = shingleDocFreqCap).transform(df)
           .select("doc_id", "boiler_ratio"), Seq("doc_id"))),
+      // `bloomDecontaminate` switches to the large-eval-set scale path
+      // (broadcast Bloom posting prefilter) — results are bit-identical
+      // by construction, CurationSpec pins the equivalence end to end
       Stage.of("decontaminate")(df => df.join(
-        Corpus.Decontaminate(evalDocs)
+        Corpus.Decontaminate(evalDocs,
+            bloomPrefilter = bloomDecontaminate)
           .transform(df).select("doc_id", "contaminated"),
         Seq("doc_id"))), // inner join: eval docs leave the frame here
       Stage.of("gates")(_.filter(col("n_tokens") >= minTokens &&

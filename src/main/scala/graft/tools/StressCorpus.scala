@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup}
+import graft.operators.{Corpus, Dedup, Sampling, Similarity}
 
 /** Scale stress for the corpus-curation operators: synthetic inputs far
   * beyond the sf0.1 bench (50M rows for the numeric ops, millions of
@@ -15,17 +15,22 @@ object StressCorpus {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(2000000)
     val nRows = args.lift(1).map(_.toLong).getOrElse(50000000L)
+    // optional comma-separated label-prefix filter (dev iteration /
+    // calibration re-runs): only sections whose label starts with a
+    // listed prefix execute
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val x = f
-      println(f"[stress-corpus] $label%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s (check=$x)")
-    }
+    def time(label: String)(f: => Long): Unit =
+      if (only.forall(_.exists(label.startsWith))) {
+        val t0 = System.nanoTime()
+        val x = f
+        println(f"[stress-corpus] $label%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s (check=$x)")
+      }
 
     // ----- shard packing: 50M rows, exact global prefix sum
     val sized = spark.range(nRows)
@@ -128,6 +133,60 @@ object StressCorpus {
       // gap recorded here is the scale argument in miniature
       Dedup.MinHashLSHDedup(maxBucket = 0L).transform(dedupDocs).count()
     }
+    // ----- per-stratum quota at 50M rows. Memory envelope of the
+    // bounded-heap prune is O(strata * quota) entries PER TASK (here
+    // 8 * 50k = 400k, ~40 MB) and the rank window input is at most
+    // partitions * strata * quota rows — both independent of nRows.
+    val quotaRows = spark.range(nRows)
+      .select(col("id").as("doc_id"),
+        concat(lit("l"), pmod(col("id"), lit(8L))).as("lang"))
+    time(s"sample_quota n=$nRows strata=8 quota=50k") {
+      Sampling.QuotaSample(Map.empty, defaultQuota = 50000L)
+        .transform(quotaRows)
+        .agg(sum("quota_rank"), count(lit(1))).collect()(0).getLong(1)
+    }
+
+    // ----- token-budget mixture at 50M 3-token docs: the two-phase
+    // prefix sum must never sort a stratum in one task, and buckets
+    // wholly past the budget must be pruned before the window
+    val mixRows = spark.range(nRows)
+      .select(col("id").as("doc_id"),
+        concat(lit("l"), pmod(col("id"), lit(8L))).as("lang"),
+        concat_ws(" ", lit("tok"), lit("tok"),
+          concat(lit("w"), pmod(col("id"), lit(97L)))).as("text"))
+    time(s"mix_budget n=$nRows strata=8 budget=1M tokens") {
+      Corpus.MixBudget(Map.empty, defaultBudget = 1000000L)
+        .transform(mixRows)
+        .agg(sum("cum_tokens"), count(lit(1))).collect()(0).getLong(1)
+    }
+
+    // ----- unigram logprob over the synthetic docs (hot + rare vocab)
+    time(s"text_logprob docs=$nDocs") {
+      Corpus.UnigramLogProb().transform(docs)
+        .agg(sum("n_tokens"), sum("avg_logprob")).collect()(0).getLong(0)
+    }
+
+    // ----- bloom-prefiltered decontamination vs the exact row above:
+    // same semantics, posting stream pruned map-side before the join
+    time(s"decontaminate_bloom docs=$nDocs eval=1/1000") {
+      Corpus.Decontaminate(_.filter(pmod(col("doc_id"), lit(1000L)) === 0),
+          bloomPrefilter = true)
+        .transform(docs)
+        .agg(sum("n_overlap"), count(lit(1))).collect()(0).getLong(0)
+    }
+
+    // ----- cluster-balanced subsample over synthetic embeddings:
+    // driver-held centroids, typed-map assignment, heap-pruned quota
+    val vecs = spark.range(nDocs.toLong)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 16), i -> cast(sin(id * 31 + i) as float))")
+          .as("embedding"))
+    time(s"sample_cluster vecs=$nDocs dim=16 nlist=64 quota=1000") {
+      Similarity.ClusterBalancedSample(nlist = 64, quota = 1000L)
+        .transform(vecs)
+        .agg(sum("cluster_rank"), count(lit(1))).collect()(0).getLong(1)
+    }
+
     time(s"dedup_simhash docs=$nDocs bits=64 chunks=4 maxBucket=1000 (pairs)") {
       // 64-bit simhash with 16-bit chunks: at millions of docs the
       // 8-bit chunks of the 32-bit default concentrate (2^8 values for

@@ -39,4 +39,14 @@ class CurationSpec extends AnyFunSuite {
       spark.sparkContext.getCheckpointDir.get).getPath)
     assert(java.nio.file.Files.walk(eff).count() > 1)
   }
+
+  test("curation chain: bloom decontamination mode produces exactly the " +
+      "exact-join result") {
+    val exact = Curation.pipeline().transform(docs)
+      .orderBy("doc_id").collect()
+    assert(exact.nonEmpty)
+    val bloom = Curation.pipeline(bloomDecontaminate = true)
+      .transform(docs).orderBy("doc_id").collect()
+    assert(bloom.toSeq == exact.toSeq)
+  }
 }
