@@ -584,10 +584,25 @@ object Corpus {
       val budgetCol = budgets.foldLeft(lit(defaultBudget): Column) {
         case (acc, (s, b)) => when(col("s") === s, lit(b)).otherwise(acc)
       }
+      // fail-loudly guards (curation convention, cf. QuantileStats):
+      // a null stratum would silently DROP rows at the offsets equi-join
+      // (null keys never match) while the SQL oracle keeps them; a null
+      // id nulls the hash bucket; null text makes size(split(null)) = -1
+      // — a NEGATIVE weight silently corrupting every later prefix sum.
       val narrow = df
-        .select(col(strataColumn).cast("string").as("s"),
-          col(idColumn).cast("long").as("k"),
-          size(tokens(col(textColumn))).cast("long").as("w"))
+        .select(
+          when(col(strataColumn).isNull,
+            raise_error(lit(s"MixBudget: `$strataColumn` must be non-null"))
+              .cast("string"))
+            .otherwise(col(strataColumn).cast("string")).as("s"),
+          when(col(idColumn).isNull || col(idColumn).cast("long").isNull,
+            raise_error(lit(s"MixBudget: `$idColumn` must be non-null " +
+              "and castable to long")).cast("long"))
+            .otherwise(col(idColumn).cast("long")).as("k"),
+          when(col(textColumn).isNull,
+            raise_error(lit(s"MixBudget: `$textColumn` must be non-null"))
+              .cast("long"))
+            .otherwise(size(tokens(col(textColumn))).cast("long")).as("w"))
         .withColumn("sample_bucket", Sampling.bucketHex(salt, col("k")))
         // first 4 hex chars = uniform 16-bit int, scaled into
         // [0, hashBuckets) by DIVISION — a monotone map, so range-bucket

@@ -99,7 +99,15 @@ object Sampling {
       val dflt = defaultQuota
       val narrow = df
         .select(col(strataColumn).cast("string").as("s"),
-          col(keyColumn).cast("long").as("k"))
+          // fail loudly on null (or non-castable) keys — a null bucket
+          // would NPE opaquely inside the heap ordering, and a null
+          // stratum behaves differently in Spark joins vs the SQL
+          // oracle's CASE; the curation convention is an explicit error
+          // (cf. QuantileStats' value guard)
+          when(col(keyColumn).isNull || col(keyColumn).cast("long").isNull,
+            raise_error(lit(s"QuotaSample: `$keyColumn` must be non-null " +
+              "and castable to long")).cast("long"))
+            .otherwise(col(keyColumn).cast("long")).as("k"))
         .withColumn("b", bucketHex(salt, col("k")))
         .as[(String, Long, String)]
       // bounded heap per (partition, stratum) under (bucket, key) asc;

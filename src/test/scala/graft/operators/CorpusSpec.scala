@@ -417,6 +417,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(none.nonEmpty && none.forall(_ == "en"))
   }
 
+  test("mix_budget: null stratum / id / text fail loudly, never corrupt " +
+    "the prefix sum") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.MixBudget(Map("en" -> 100L)).transform(df).collect()
+    val nullLang = Seq((1L, null.asInstanceOf[String], "a b"))
+      .toDF("doc_id", "lang", "text")
+    val nullText = Seq((1L, "en", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "text")
+    for (bad <- Seq(nullLang, nullText))
+      assertThrows[Exception](run(bad))
+  }
+
   test("mix_budget: bucket count does not change the result") {
     def run(hb: Int) = Corpus.MixBudget(Map("en" -> 40L, "de" -> 35L),
         hashBuckets = hb)

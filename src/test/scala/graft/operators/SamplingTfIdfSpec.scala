@@ -87,6 +87,14 @@ class SamplingTfIdfSpec extends AnyFunSuite {
     assert(got.length == 5 && got.forall(_ == "de"))
   }
 
+  test("quota: null key fails loudly (would NPE in the heap ordering)") {
+    val bad = Seq((Some(1L), "en"), (None, "en"))
+      .map { case (id, l) => (id.map(Long.box).orNull, l) }
+      .toDF("doc_id", "lang")
+    assertThrows[Exception](
+      Sampling.QuotaSample(Map("en" -> 5L)).transform(bad).collect())
+  }
+
   test("quota: agrees with a plain rank window (pruning is invisible)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number, when}
