@@ -243,6 +243,35 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run, repartition = Some(3))
   }
 
+  test("unigram_logprob golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Corpus.UnigramLogProb().transform(df)
+    // counts: a=2, b=2, c=1; total=5
+    def lp(cnt: Long): Long = math.round(math.log(cnt / 5.0) * 1e6)
+    def score(lpSum: Long, n: Long): Double =
+      BigDecimal(lpSum.toDouble / (n.toDouble * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(Seq(1L, "a a b"), Seq(2L, "b c")),
+        Seq("doc_id:i", "text:s"))
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq[Any](1L, 3L, score(2 * lp(2) + lp(2), 3)),
+          Seq[Any](2L, 2L, score(lp(2) + lp(1), 2))),
+        Seq("doc_id:i", "n_tokens:i", "avg_logprob:f"))
+      override def mutants = Seq(
+        // doc 2 loses the rare token: c's count leaves the corpus
+        // distribution, so EVERY doc's probabilities shift
+        ValueMutant("text", 1, "b b"),
+        // doc 1 gains a token: total changes, all logprobs shift
+        ValueMutant("text", 0, "a a b b"),
+        ValueMutant("doc_id", 0, 9L))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
   test("shard_pack golden: killed mutants + repartition invariance") {
     def run(df: DataFrame): DataFrame =
       Corpus.ShardPack(targetBytes = 25L, partitions = 2).transform(df)
