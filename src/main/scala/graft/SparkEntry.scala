@@ -339,6 +339,7 @@ object SparkEntry {
       Corpus.MixBudget(Map("en" -> 20000L, "de" -> 8000L),
         defaultBudget = 3000L)
         .transform(docs(s, dir))
+        .select("doc_id", "lang", "n_tokens", "cum_tokens", "sample_bucket")
         .orderBy("doc_id")),
     // diversity-preserving subsample: IVF centroid assignment + per-
     // cluster hash-order quota (dense embedding regions capped, sparse
@@ -346,6 +347,7 @@ object SparkEntry {
     "sample_cluster" -> ((s, dir) =>
       Similarity.ClusterBalancedSample(nlist = 16, quota = 20L)
         .transform(embs(s, dir))
+        .select("vec_id", "cluster_id", "sample_bucket", "cluster_rank")
         .orderBy("vec_id")),
     // unigram-LM quality filter: mean corpus log-probability per doc,
     // integer-scaled per-token logprobs (order-independent sums)

@@ -549,9 +549,10 @@ object Corpus {
     * and the mixture is reproducible across engines and cluster sizes.
     *
     * A document is kept iff its INCLUSIVE running token sum is within
-    * budget; unlisted strata use `defaultBudget` (0 = dropped). Output:
-    * id, stratum, `n_tokens` (whitespace tokens, same definition as
-    * [[TextAnalysis.TokenCount]]), `cum_tokens`, `sample_bucket`.
+    * budget; unlisted strata use `defaultBudget` (0 = dropped).
+    * Row-preserving on the kept set: every input column passes through,
+    * plus `n_tokens` (whitespace tokens, same definition as
+    * [[TextAnalysis.TokenCount]]), `cum_tokens` and `sample_bucket`.
     *
     * Scale shape — exact distributed prefix sum, same two-phase pattern
     * as [[QuantileStats]]/[[ShardPack]] rather than one rank window per
@@ -619,15 +620,21 @@ object Corpus {
           sum("__t").over(Window.partitionBy("s").orderBy("__rb")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select("s", "__rb", "__off")
-      narrow.join(broadcast(offsets), Seq("s", "__rb"))
+      val kept = narrow.join(broadcast(offsets), Seq("s", "__rb"))
         .filter(col("__off") <= budgetCol) // whole-bucket prune past budget
         .withColumn("cum_tokens", col("__off") +
           sum("w").over(Window.partitionBy("s", "__rb")
             .orderBy(col("sample_bucket"), col("k"))
             .rowsBetween(Window.unboundedPreceding, 0)))
         .filter(col("cum_tokens") <= budgetCol)
-        .select(col("k").as(idColumn), col("s").as(strataColumn),
-          col("w").as("n_tokens"), col("cum_tokens"), col("sample_bucket"))
+        .select(col("k").as("__mk"), col("w").as("n_tokens"),
+          col("cum_tokens"), col("sample_bucket"))
+      // row-preserving on the kept set: every input column passes
+      // through (a mixture stage that loses the document text is
+      // useless downstream) — only narrow columns rode the windows,
+      // the text joins back here by key
+      df.join(kept, df(idColumn).cast("long") === col("__mk"))
+        .drop("__mk")
     }
   }
 }

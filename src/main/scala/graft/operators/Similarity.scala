@@ -227,9 +227,9 @@ object Similarity {
         .select("id", "q", "nrm")
         .as[(Long, Array[Long], Long)].collect()
         .zipWithIndex.map { case ((_, q, nrm), i) => (i + 1, q, nrm) }
-      if (centroids.isEmpty)
-        return spark.emptyDataset[(Long, Long, String, Long)]
-          .toDF("vec_id", "cluster_id", "sample_bucket", "cluster_rank")
+      // an empty corpus needs no special case: no rows ever reach the
+      // assignment closure, so the empty centroid array is never read,
+      // and the join below yields an empty frame with the full schema
       def dot(a: Array[Long], b: Array[Long]): Long = {
         var acc = 0L; var i = 0
         val n = math.min(a.length, b.length)
@@ -248,11 +248,16 @@ object Similarity {
           }
           (id, best.toLong)
         }.toDF("id", "cluster_id")
-      Sampling.QuotaSample(Map.empty, strataColumn = "cluster_id",
+      val kept = Sampling.QuotaSample(Map.empty, strataColumn = "cluster_id",
           keyColumn = "id", defaultQuota = quota, salt = salt)
         .transform(assigned)
-        .select(col("id").as("vec_id"), col("cluster_id"),
+        .select(col("id").as("__ck"), col("cluster_id"),
           col("sample_bucket"), col("quota_rank").as("cluster_rank"))
+      // row-preserving on the kept set: the embedding (and any payload
+      // columns) pass through — heavy columns never rode the
+      // assignment map or the quota window, they join back by key here
+      df.join(kept, col(idColumn).cast("long") === col("__ck"))
+        .drop("__ck")
     }
   }
 

@@ -46,11 +46,13 @@ class ClusterSampleSpec extends AnyFunSuite {
     assert(run(embs(40).repartition(7)) == base)
   }
 
-  test("cluster sample: empty corpus yields empty result, full schema") {
+  test("cluster sample: empty corpus yields empty result; row-preserving " +
+    "schema (embedding passes through)") {
     val out = Similarity.ClusterBalancedSample()
       .transform(embs(0))
     assert(out.columns.toSeq ==
-      Seq("vec_id", "cluster_id", "sample_bucket", "cluster_rank"))
+      Seq("vec_id", "embedding", "cluster_id", "sample_bucket",
+        "cluster_rank"))
     assert(out.count() == 0)
   }
 }

@@ -203,6 +203,7 @@ class CorpusMutationSpec extends AnyFunSuite {
   test("mix_budget golden: killed mutants + repartition invariance") {
     def run(df: DataFrame): DataFrame =
       Corpus.MixBudget(Map("en" -> 5L), defaultBudget = 4L).transform(df)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens", "sample_bucket")
     // token weights: en ids 1,2,3 -> 2,3,2 (sum 7 > budget 5, so the
     // take-while prefix cuts); de ids 4,5 -> 2,3 (sum 5 > budget 4)
     val weights = Map(1L -> 2, 2L -> 3, 3L -> 2, 4L -> 2, 5L -> 3)

@@ -385,9 +385,13 @@ class CorpusSpec extends AnyFunSuite {
       Seq.fill((i % 7 + 1).toInt)("tok").mkString(" ")))
     .toDF("doc_id", "lang", "text")
 
-  test("mix_budget: inclusive prefix in hash order, exact cumsums") {
-    val got = Corpus.MixBudget(Map("en" -> 40L), defaultBudget = 25L)
+  test("mix_budget: inclusive prefix in hash order, exact cumsums; " +
+    "row-preserving (text passes through)") {
+    val full = Corpus.MixBudget(Map("en" -> 40L), defaultBudget = 25L)
       .transform(mixDocs)
+    assert(full.columns.toSeq == Seq("doc_id", "lang", "text",
+      "n_tokens", "cum_tokens", "sample_bucket"))
+    val got = full
       .select("doc_id", "lang", "n_tokens", "cum_tokens")
       .as[(Long, String, Long, Long)].collect()
     // independent JVM recomputation of the take-while prefix
@@ -433,6 +437,7 @@ class CorpusSpec extends AnyFunSuite {
     def run(hb: Int) = Corpus.MixBudget(Map("en" -> 40L, "de" -> 35L),
         hashBuckets = hb)
       .transform(mixDocs).orderBy("doc_id")
+      .select("doc_id", "lang", "n_tokens", "cum_tokens", "sample_bucket")
       .as[(Long, String, Long, Long, String)].collect().toSeq
     val base = run(256)
     assert(run(1) == base) // single bucket == one plain window
