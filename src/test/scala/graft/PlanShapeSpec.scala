@@ -237,6 +237,20 @@ class PlanShapeSpec extends AnyFunSuite {
     bigWindows.foreach(l => assert(l.contains("__rb"), l))
   }
 
+  test("text_logprob: token counts are an agg + equi-join, NEVER a " +
+    "per-token whole-partition window (Zipf-hot tokens)") {
+    val docs = (0L until 40L)
+      .map(i => (i, s"the quick fox $i jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = Corpus.UnigramLogProb().transform(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    // any window partitioned on the token would put a hot token's whole
+    // posting list in one task — there must be NO window at all here
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("decontaminate_bloom: membership prune is map-side MapPartitions; " +
     "equi-joins only, same as the exact path") {
     val docs = (0L until 60L).map(i => (i, s"alpha beta gamma delta $i x y"))
