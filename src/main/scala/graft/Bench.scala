@@ -52,7 +52,7 @@ object Bench {
     "sessionize" -> Some("Window"),
     "pipeline_ingest" -> Some("Window"),
     "pipeline_curate" -> None, // CC loop runs eagerly inside the builder
-    "dedup_exact" -> Some("Window"),
+    "dedup_exact" -> Some("Join"),
     "dedup_ngram_jaccard" -> Some("Join"),
     "dedup_minhash_lsh" -> Some("Join"),
     "dedup_simhash" -> Some("Join"),

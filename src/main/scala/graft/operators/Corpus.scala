@@ -552,7 +552,11 @@ object Corpus {
     * budget; unlisted strata use `defaultBudget` (0 = dropped).
     * Row-preserving on the kept set: every input column passes through,
     * plus `n_tokens` (whitespace tokens, same definition as
-    * [[TextAnalysis.TokenCount]]), `cum_tokens` and `sample_bucket`.
+    * [[TextAnalysis.TokenCount]]), `cum_tokens` and `sample_bucket`;
+    * same-named input columns are OVERWRITTEN (dropped before the
+    * join-back — curation frames routinely already carry `n_tokens`
+    * from a quality stage, and a duplicate-named pair would poison
+    * downstream selects with AMBIGUOUS_REFERENCE).
     *
     * Scale shape — exact distributed prefix sum, same two-phase pattern
     * as [[QuantileStats]]/[[ShardPack]] rather than one rank window per
@@ -582,6 +586,14 @@ object Corpus {
 
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(strataColumn, idColumn, textColumn))
+      // output columns overwrite same-named input columns (pre-join
+      // drop); the source columns must not collide with them or the
+      // drop would sever the join key / strata / text source
+      Seq("n_tokens", "cum_tokens", "sample_bucket").foreach { c =>
+        require(!Seq(strataColumn, idColumn, textColumn)
+            .exists(_.equalsIgnoreCase(c)),
+          s"`$c` is an output column; it cannot be the strata/id/text column")
+      }
       val budgetCol = budgets.foldLeft(lit(defaultBudget): Column) {
         case (acc, (s, b)) => when(col("s") === s, lit(b)).otherwise(acc)
       }
@@ -632,8 +644,10 @@ object Corpus {
       // row-preserving on the kept set: every input column passes
       // through (a mixture stage that loses the document text is
       // useless downstream) — only narrow columns rode the windows,
-      // the text joins back here by key
-      df.join(kept, df(idColumn).cast("long") === col("__mk"))
+      // the text joins back here by key; pre-existing output-named
+      // columns are overwritten (see scaladoc)
+      df.drop("n_tokens", "cum_tokens", "sample_bucket")
+        .join(kept, col(idColumn).cast("long") === col("__mk"))
         .drop("__mk")
     }
   }

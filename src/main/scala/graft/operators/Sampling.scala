@@ -70,7 +70,10 @@ object Sampling {
     * quota-(k+1) set and is stable across reruns and cluster sizes.
     *
     * Appends `sample_bucket` (the deciding hex bucket) and `quota_rank`
-    * (1-based position in the stratum's hash order).
+    * (1-based position in the stratum's hash order); same-named input
+    * columns are OVERWRITTEN (dropped before the join-back), matching
+    * [[StratifiedSample]]'s withColumn semantics — a duplicate-named
+    * pair would poison downstream selects with AMBIGUOUS_REFERENCE.
     *
     * Scale shape: a rank window alone would sort every stratum's full
     * row set in one task per stratum. Instead a map-side bounded heap
@@ -93,6 +96,13 @@ object Sampling {
 
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(strataColumn, keyColumn))
+      // output columns overwrite same-named input columns (pre-join
+      // drop); the key/strata columns must not collide with them or the
+      // drop would sever the join key / stratum source
+      Seq("sample_bucket", "quota_rank").foreach { c =>
+        require(!Seq(strataColumn, keyColumn).exists(_.equalsIgnoreCase(c)),
+          s"`$c` is an output column; it cannot be the strata/key column")
+      }
       val spark = df.sparkSession
       import spark.implicits._
       val qmap = quotas
@@ -144,7 +154,8 @@ object Sampling {
         .filter(col("quota_rank") <= quotaCol)
         .select(col("k").as("__qk"), col("b").as("sample_bucket"),
           col("quota_rank"))
-      df.join(kept, df(keyColumn).cast("long") === col("__qk"))
+      df.drop("sample_bucket", "quota_rank")
+        .join(kept, col(keyColumn).cast("long") === col("__qk"))
         .drop("__qk")
     }
   }

@@ -214,6 +214,13 @@ object Similarity {
 
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
+      // the output columns overwrite same-named input columns below; the
+      // id/vec columns themselves must not collide with them, or the
+      // pre-join drop would sever the join key
+      Seq("cluster_id", "sample_bucket", "cluster_rank").foreach { c =>
+        require(!Seq(idColumn, vecColumn).exists(_.equalsIgnoreCase(c)),
+          s"`$c` is an output column; it cannot be the id/vec column")
+      }
       val spark = df.sparkSession
       import spark.implicits._
       val quantLazy = quantizedRows(df.select(col(idColumn).as("id"),
@@ -238,13 +245,20 @@ object Similarity {
       }
       val assigned = quant.as[(Long, Array[Long], Long)]
         .map { case (id, q, nrm) =>
-          // strict-improvement scan == cosine desc, cid asc tie-break,
-          // mirroring IvfTopK / the oracle's ORDER BY cos DESC, cid ASC
+          // scan under the TOTAL order (cosine desc, cid asc) —
+          // java.lang.Double.compare is the same total order IvfTopK's
+          // sortBy uses (Ordering.Double.TotalOrdering), so a zero-norm
+          // vector (NaN cosine against every centroid) lands on cid 1
+          // like IvfTopK and the oracle's ORDER BY cos DESC, cid ASC,
+          // instead of a nonexistent cid 0 (a strict `>` scan never
+          // fires on NaN — round-7 ADVICE)
           var best = 0
-          var bestCos = Double.NegativeInfinity
+          var bestNeg = 0.0 // -cosine of best; only read once best != 0
           centroids.foreach { case (cid, cq, cnrm) =>
-            val c = cos(dot(q, cq), nrm, cnrm)
-            if (c > bestCos) { bestCos = c; best = cid }
+            val neg = -cos(dot(q, cq), nrm, cnrm)
+            if (best == 0 || java.lang.Double.compare(neg, bestNeg) < 0) {
+              bestNeg = neg; best = cid
+            }
           }
           (id, best.toLong)
         }.toDF("id", "cluster_id")
@@ -255,8 +269,13 @@ object Similarity {
           col("sample_bucket"), col("quota_rank").as("cluster_rank"))
       // row-preserving on the kept set: the embedding (and any payload
       // columns) pass through — heavy columns never rode the
-      // assignment map or the quota window, they join back by key here
-      df.join(kept, col(idColumn).cast("long") === col("__ck"))
+      // assignment map or the quota window, they join back by key here.
+      // Pre-existing output-named columns are OVERWRITTEN (dropped
+      // before the join-back), matching StratifiedSample's withColumn
+      // semantics — a duplicate-named column pair would poison every
+      // downstream select with AMBIGUOUS_REFERENCE (round-7 ADVICE)
+      df.drop("cluster_id", "sample_bucket", "cluster_rank")
+        .join(kept, col(idColumn).cast("long") === col("__ck"))
         .drop("__ck")
     }
   }

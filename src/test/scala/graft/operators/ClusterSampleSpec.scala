@@ -55,4 +55,35 @@ class ClusterSampleSpec extends AnyFunSuite {
         "cluster_rank"))
     assert(out.count() == 0)
   }
+
+  test("cluster sample: a zero-norm vector lands on cluster 1 (total " +
+    "order under NaN cosine — IvfTopK / oracle convention), never a " +
+    "nonexistent cluster 0") {
+    // vec 99 is all-zero: cosine against EVERY centroid is 0/0 = NaN; a
+    // strict-improvement scan would never fire and emit cluster_id 0
+    // (round-7 ADVICE) — the total-order scan ties NaN to the lowest cid
+    val df = embs(20).union(
+      Seq((99L, Array.fill(8)(0f))).toDF("vec_id", "embedding"))
+    val got = Similarity.ClusterBalancedSample(nlist = 4, quota = 1000L)
+      .transform(df)
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got(99L) == 1L, s"zero-norm vector assigned ${got(99L)}")
+    assert(got.values.forall(c => c >= 1L && c <= 4L))
+  }
+
+  test("cluster sample: pre-existing output-named columns are " +
+    "overwritten, not duplicated (AMBIGUOUS_REFERENCE hazard)") {
+    val df = embs(10)
+      .withColumn("cluster_id", org.apache.spark.sql.functions.lit(-7L))
+      .withColumn("sample_bucket", org.apache.spark.sql.functions.lit("x"))
+    val out = Similarity.ClusterBalancedSample(nlist = 2, quota = 1000L)
+      .transform(df)
+    assert(out.columns.toSeq ==
+      Seq("vec_id", "embedding", "cluster_id", "sample_bucket",
+        "cluster_rank"))
+    // fresh values, not the poisoned input ones — and selecting by name
+    // does not throw AMBIGUOUS_REFERENCE
+    val cids = out.select("cluster_id").as[Long].collect()
+    assert(cids.forall(c => c >= 1L && c <= 2L))
+  }
 }

@@ -433,6 +433,26 @@ class CorpusSpec extends AnyFunSuite {
       assertThrows[Exception](run(bad))
   }
 
+  test("mix_budget: pre-existing output-named columns are overwritten, " +
+    "not duplicated (curation frames already carry n_tokens)") {
+    // a quality stage upstream has already added n_tokens — the
+    // join-back must not produce a duplicate-named pair (round-7 ADVICE)
+    val staged = mixDocs.withColumn("n_tokens",
+      org.apache.spark.sql.functions.lit(-1L))
+    val out = Corpus.MixBudget(Map("en" -> 40L), defaultBudget = 25L)
+      .transform(staged)
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "text",
+      "n_tokens", "cum_tokens", "sample_bucket"))
+    // fresh token counts, not the poisoned -1, and the name resolves
+    out.select("n_tokens").as[Long].collect()
+      .foreach(w => assert(w >= 1L))
+    // key-column collision with an output name fails loudly instead of
+    // silently severing the join key
+    assertThrows[IllegalArgumentException](
+      Corpus.MixBudget(Map("en" -> 40L), idColumn = "sample_bucket")
+        .transform(mixDocs.withColumnRenamed("doc_id", "sample_bucket")))
+  }
+
   test("mix_budget: bucket count does not change the result") {
     def run(hb: Int) = Corpus.MixBudget(Map("en" -> 40L, "de" -> 35L),
         hashBuckets = hb)

@@ -95,6 +95,24 @@ class SamplingTfIdfSpec extends AnyFunSuite {
       Sampling.QuotaSample(Map("en" -> 5L)).transform(bad).collect())
   }
 
+  test("quota: pre-existing output-named columns are overwritten, not " +
+    "duplicated (AMBIGUOUS_REFERENCE hazard)") {
+    val staged = docs
+      .withColumn("sample_bucket", org.apache.spark.sql.functions.lit("x"))
+      .withColumn("quota_rank", org.apache.spark.sql.functions.lit(-1L))
+    val out = Sampling.QuotaSample(Map("en" -> 5L, "de" -> 5L))
+      .transform(staged)
+    assert(out.columns.count(_ == "sample_bucket") == 1)
+    assert(out.columns.count(_ == "quota_rank") == 1)
+    // fresh ranks, not the poisoned -1, and names resolve unambiguously
+    out.select("quota_rank").as[Long].collect()
+      .foreach(r => assert(r >= 1L))
+    // key/strata collision with an output name fails loudly
+    assertThrows[IllegalArgumentException](
+      Sampling.QuotaSample(Map("en" -> 5L), keyColumn = "quota_rank")
+        .transform(docs.withColumnRenamed("doc_id", "quota_rank")))
+  }
+
   test("quota: agrees with a plain rank window (pruning is invisible)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number, when}

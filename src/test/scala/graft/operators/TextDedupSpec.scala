@@ -454,4 +454,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
       (4L, 4L, true), (9L, 9L, true)))
   }
+
+  test("selectCanonical fails loudly on a component wider than " +
+    "maxClusterSize (mis-thresholded upstream would otherwise build a " +
+    "corpus-sized window partition silently)") {
+    import spark.implicits._
+    // adversarial all-connected cluster: every doc in ONE component
+    val n = 50L
+    val scored = (1L to n).map(i => (i, i / 100.0))
+      .toDF("doc_id", "quality_score")
+    val clusters = (1L to n).map(i => (i, 1L)).toDF("doc_id", "component")
+    val e = intercept[Exception] {
+      Dedup.selectCanonical(scored, clusters, maxClusterSize = 10L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxClusterSize")), e.toString)
+    // a cap at the component size passes, and <= 0 disables the guard
+    val ok = Dedup.selectCanonical(scored, clusters, maxClusterSize = n)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSeq
+    assert(ok == Seq(n)) // best score wins
+    val off = Dedup.selectCanonical(scored, clusters, maxClusterSize = 0L)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSeq
+    assert(off == Seq(n))
+  }
 }
