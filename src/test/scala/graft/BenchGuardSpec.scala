@@ -96,4 +96,37 @@ class BenchGuardSpec extends AnyFunSuite {
       Bench.assertHonestPlan("no_such_query", "Window")
     }
   }
+
+  test("parseBaseline reads the NORMATIVE table of the real BASELINE.md " +
+    "— every query row, no superseded/prose rows") {
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BASELINE.md"))
+    val rows = Bench.parseBaseline(text)
+    // every bench query has a row (self-adjudication needs full cover)
+    val missing = SparkEntry.queries.keySet -- rows.keySet
+    assert(missing.isEmpty, s"baseline rows missing for: $missing")
+    // spot-pin two known values so a format drift is caught loudly
+    assert(rows("interval_lsfe") == 0.682)
+    assert(rows("dedup_clusters") == 3.737) // "(r7 re-record)" suffix ok
+    // superseded r3-vacuous rows and prose tables must NOT leak in
+    assert(rows.keySet.forall(k => SparkEntry.queries.contains(k)),
+      s"non-query rows parsed: ${rows.keySet -- SparkEntry.queries.keySet}")
+  }
+
+  test("breaching: worst-ratio-first, gate-filtered, capped, " +
+    "deterministic") {
+    val medians = Map("a" -> 10.0, "b" -> 1.0, "c" -> 9.0, "d" -> 5.0,
+      "nobase" -> 99.0)
+    val base = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 2.4)
+    // ratios: a 10x, c 9x, d ~2.08x, b 1x; nobase has no row -> ignored
+    assert(Bench.breaching(medians, base, 2.0, 10) == Seq("a", "c", "d"))
+    assert(Bench.breaching(medians, base, 2.0, 2) == Seq("a", "c"))
+    assert(Bench.breaching(medians, base, 9.5, 10) == Seq("a"))
+    assert(Bench.breaching(medians, Map.empty, 2.0, 10).isEmpty)
+  }
+
+  test("loadavg reads a plausible value on this platform") {
+    val v = Bench.loadavg()
+    assert(v >= 0.0 && v < 10000.0, s"loadavg = $v")
+  }
 }

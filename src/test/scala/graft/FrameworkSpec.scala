@@ -121,4 +121,41 @@ class FrameworkSpec extends AnyFunSuite {
     assert(prof.runs.size == 2)
     assert(df3.storageLevel.useMemory == false)
   }
+
+  test("SparkMemoryProfiler: peak execution memory, input bytes and " +
+    "ratio over a real scan (the pyspark-side TODO of the reference, " +
+    "exceeded)") {
+    import graft.benchmark.SparkMemoryProfiler
+    // a parquet-backed input so inputMetrics.bytesRead is non-zero and
+    // a wide aggregation so execution memory is actually allocated
+    val dir = "/tmp/mem_profiler_spec.parquet"
+    spark.range(0, 50000).selectExpr("id", "id % 97 as k",
+      "cast(id as string) as pad").write.mode("overwrite").parquet(dir)
+    val input = spark.read.parquet(dir)
+    val p = new SparkMemoryProfiler(reps = 3)
+      .profile(input)(_.groupBy("k")
+        .agg(count(lit(1)).as("n"), max("pad").as("m")))
+    assert(p.runs.size == 3)
+    assert(p.baselines.size == 3)
+    assert(p.runs.forall(_ >= 0L))
+    assert(p.best >= 0L && p.worst >= p.best && p.median >= p.best)
+    // hash aggregation buffers register execution memory
+    assert(p.median > 0.0, p.toString)
+    assert(p.inputBytes > 0L, p.toString)
+    assert(p.ratio > 0.0 && !p.ratio.isNaN, p.toString)
+    assert(p.spilledBytes == 0L) // nothing spills at this scale
+  }
+
+  test("MemoryProfile: statistics, baselineChange and the NaN ratio " +
+    "contract for scan-less inputs") {
+    import graft.benchmark.MemoryProfile
+    val p = MemoryProfile(Vector(30L, 10L, 20L),
+      baselines = Vector(100L, 104L, 110L), inputBytes = 10L,
+      spilledBytes = 0L)
+    assert(p.best == 10L && p.worst == 30L && p.median == 20.0)
+    assert(p.baselineChange == 5.0) // diffs (4, 6) -> median 5
+    assert(p.ratio == 2.0)
+    val noScan = p.copy(inputBytes = 0L)
+    assert(noScan.ratio.isNaN) // literal relation: no scan, no denominator
+  }
 }
