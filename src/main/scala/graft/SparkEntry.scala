@@ -16,15 +16,32 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** events.parquet carries an INT64 TIMESTAMP(NANOS) `ts` column that
-    * Spark 4 rejects at scan time; reading it as LongType (epoch nanos)
-    * keeps exact integer semantics and matches DuckDB's epoch_ns().
+  /** events.parquet's `ts` column is physically INT64, but the generator
+    * has shipped it annotated as either TIMESTAMP(NANOS) (which Spark 4
+    * surfaces as LongType under `spark.sql.legacy.parquet.nanosAsLong`)
+    * or TIMESTAMP(MICROS). Normalize to epoch-NANOS LongType either way:
+    * integer semantics stay exact and match DuckDB's `epoch_ns(ts)`,
+    * which likewise adapts to the file's physical unit. The unit is
+    * learned from the footer (one driver-side schema read, no data scan),
+    * then the data is read with a forced LONG schema so the raw INT64
+    * values arrive untouched.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val natural = spark.read.parquet(path).schema("ts").dataType
+    val raw = spark.read
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
         "value DOUBLE, props STRING")
-      .parquet(s"$dir/events.parquet")
+      .parquet(path)
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    natural match {
+      case LongType => raw // TIMESTAMP(NANOS) under nanosAsLong
+      case TimestampType | TimestampNTZType => // INT64 TIMESTAMP(MICROS)
+        raw.withColumn("ts", col("ts") * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other")
+    }
+  }
 
   /** Interval identification over the events stream: one row per event,
     * enumerated interval id per user between a start and an end event type.
