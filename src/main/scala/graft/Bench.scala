@@ -81,6 +81,8 @@ object Bench {
     "stats_quantiles" -> Some("Window"),
     "shard_pack" -> Some("MapPartitions"),
     "sample_stratified" -> Some("md5"),
+    "chunk_split" -> Some("Generate"), // posexplode of the start list
+    "shuffle_interleave" -> Some("Window"),
     "tfidf_topk" -> Some("Window"),
     "ml_quantized_dot" -> Some("long_array_dot"),
     "ann_bruteforce" -> Some("Window"),

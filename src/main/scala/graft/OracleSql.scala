@@ -573,6 +573,43 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Fixed-size overlapping token-window chunking. Mirrors
+    * [[graft.operators.ChunkSplit]]: starts are the stride multiples
+    * below `max(n - overlap, 1)`, every doc yields >= 1 chunk.
+    */
+  def chunkSplit(chunkTokens: Int, overlapTokens: Int): String = {
+    val stride = chunkTokens - overlapTokens
+    s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+       |c AS (SELECT doc_id, tk, n,
+       |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))
+       |    AS cs FROM s)
+       |SELECT doc_id,
+       |  CAST(cs // $stride AS BIGINT) AS chunk_idx,
+       |  CAST(cs AS BIGINT) AS chunk_start,
+       |  CAST(least($chunkTokens, n - cs) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(list_slice(tk, cs + 1, cs + $chunkTokens), ' ')
+       |    AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** Deterministic md5-permutation training order with round-robin shard
+    * interleave. The plain rank window IS the spec; mirrors the exact
+    * two-phase prefix-sum formulation of
+    * [[graft.operators.InterleaveShuffle]].
+    */
+  def interleaveShuffle(numShards: Int, salt: String): String =
+    s"""WITH t AS (SELECT doc_id,
+       |  substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    AS shuffle_key FROM documents),
+       |r AS (SELECT doc_id, shuffle_key,
+       |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1
+       |    AS BIGINT) AS global_pos FROM t)
+       |SELECT doc_id, shuffle_key, global_pos,
+       |  CAST(global_pos % $numShards AS BIGINT) AS shard,
+       |  CAST(global_pos // $numShards AS BIGINT) AS pos_in_shard
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** Corpus-unigram mean log-probability per doc; per-token logprobs
     * scaled to 1e-6 longs so the sum is exact. Mirrors
     * [[graft.operators.Corpus.UnigramLogProb]].

@@ -371,6 +371,22 @@ object SparkEntry {
     "text_logprob" -> ((s, dir) =>
       Corpus.UnigramLogProb().transform(docs(s, dir))
         .orderBy("doc_id")),
+    // context-window chunking (RAG / long-doc pretraining prep): pure
+    // narrow map-side sequence+posexplode+slice, zero shuffle
+    "chunk_split" -> ((s, dir) =>
+      ChunkSplit(chunkTokens = 32, overlapTokens = 8)
+        .transform(docs(s, dir))
+        .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens",
+          "chunk_text")
+        .orderBy("doc_id", "chunk_idx")),
+    // deterministic training-order shuffle: exact md5-permutation
+    // positions via two-phase prefix sums, round-robin shard interleave
+    "shuffle_interleave" -> ((s, dir) =>
+      InterleaveShuffle(numShards = 8)
+        .transform(docs(s, dir))
+        .select("doc_id", "shuffle_key", "global_pos", "shard",
+          "pos_in_shard")
+        .orderBy("doc_id")),
     "tfidf_topk" -> ((s, dir) =>
       TfIdf(k = 3).transform(docs(s, dir))
         .orderBy("doc_id", "rank")),
@@ -531,6 +547,8 @@ object SparkEntry {
       Seq("en" -> 20000L, "de" -> 8000L), 3000L, "graft"),
     "sample_cluster" -> OracleSql.clusterBalancedSample(64, 16, 20L, "graft"),
     "text_logprob" -> OracleSql.unigramLogProb,
+    "chunk_split" -> OracleSql.chunkSplit(32, 8),
+    "shuffle_interleave" -> OracleSql.interleaveShuffle(8, "graft"),
     "tfidf_topk" -> OracleSql.tfIdfTopK(3),
     "decontaminate" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
     "decontaminate_bloom" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),

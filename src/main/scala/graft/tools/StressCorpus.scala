@@ -218,6 +218,34 @@ object StressCorpus {
       dups
     }
 
+    // ----- deterministic training-order shuffle: the two-phase prefix
+    // sum must hold an EXACT permutation at corpus scale — checked
+    // algebraically (max = n-1 and sum = n(n-1)/2 over distinct
+    // positions can only hold for a bijection onto [0, n))
+    time(s"shuffle_interleave docs=$nDocs shards=1024") {
+      val out = graft.operators.InterleaveShuffle(numShards = 1024)
+        .transform(docs)
+      val r = out.agg(count(lit(1)), countDistinct("global_pos"),
+        max("global_pos"), sum("global_pos")).collect()(0)
+      require(r.getLong(0) == nDocs.toLong && r.getLong(1) == nDocs.toLong
+          && r.getLong(2) == nDocs - 1L
+          && r.getLong(3) == nDocs.toLong * (nDocs - 1L) / 2L,
+        s"not a permutation: $r")
+      r.getLong(0)
+    }
+
+    // ----- context-window chunking: narrow map-side explode at corpus
+    // scale; chunk count is exactly sum(ceil(max(n-overlap,1)/stride))
+    // = 3 per 8-token doc at (4, 1)
+    time(s"chunk_split docs=$nDocs chunk=4 overlap=1") {
+      val out = graft.operators.ChunkSplit(chunkTokens = 4,
+          overlapTokens = 1).transform(docs)
+      val n = out.agg(count(lit(1)), sum("n_chunk_tokens")).collect()(0)
+      require(n.getLong(0) == 3L * nDocs,
+        s"chunk count ${n.getLong(0)} != ${3L * nDocs}")
+      n.getLong(0)
+    }
+
     // ----- the COMPOSED curation chain (round-7 next-round #5): every
     // operator family above is stressed individually, but
     // pipeline_curate composes 8 stages with two lineage cuts and the

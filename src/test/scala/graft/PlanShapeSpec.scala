@@ -271,6 +271,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("chunk_split: zero shuffles — pure narrow tokenize + Generate") {
+    val docs = (0L until 40L).map(i => (i, s"tok a b c d e f g $i"))
+      .toDF("doc_id", "text")
+    val out = ChunkSplit(chunkTokens = 4, overlapTokens = 1).transform(docs)
+    assert(shuffles(out) == 0, out.queryExecution.executedPlan.toString)
+    assert(out.queryExecution.executedPlan.toString.contains("Generate"))
+  }
+
+  test("shuffle_interleave: the rank shuffle carries IDS ONLY — text " +
+    "joins back after the window, never rides the permutation machinery") {
+    val docs = (0L until 40L).map(i => (i, s"body text $i"))
+      .toDF("doc_id", "text")
+    val out = InterleaveShuffle(numShards = 4).transform(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    // every hash-shuffle on the bucket key must project only the narrow
+    // (key, shuffle_key, bucket) tuple — the text column appearing in a
+    // __rb exchange means the full row rode the rank shuffle
+    val rbExchanges = "(?s)Exchange hashpartitioning\\(__rb[^\\n]*".r
+      .findAllIn(plan).toList
+    assert(rbExchanges.nonEmpty, plan)
+    assert(!rbExchanges.exists(_.contains("text")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("broadcast join: nation side broadcasts, no shuffle for the dim") {
     val l = Seq((1L, 10.0, 0.1)).toDF("l_orderkey", "l_extendedprice",
       "l_discount")
