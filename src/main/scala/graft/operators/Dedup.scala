@@ -547,19 +547,29 @@ object Dedup {
     val raw = clusters.select(col(idColumn), col("component"))
     val labels =
       if (maxClusterSize <= 0) raw
-      else raw
-        .join(raw.groupBy("component").agg(count(lit(1)).as("__csz")),
-          Seq("component"))
-        .withColumn("component",
-          when(col("__csz") > maxClusterSize,
-            raise_error(concat(
-              lit("selectCanonical: component "), col("component"),
-              lit(" has "), col("__csz"),
-              lit(s" members (> maxClusterSize=$maxClusterSize) — upstream" +
-                " near-dup thresholds are likely wrong; raise maxClusterSize" +
-                " explicitly to proceed"))).cast("long"))
-            .otherwise(col("component")))
-        .select(col(idColumn), col("component"))
+      else {
+        // ONE-ROW widest-component aggregate (count agg is map-side
+        // partial and skew-immune; the outer max collapses to a single
+        // row) broadcast-crossed into the labels — versus the previous
+        // per-component count join, this drops the keyed labels shuffle
+        // entirely (~1 s of the sf0.1 curation chain was that join).
+        // The check still fails BEFORE the rank window would build a
+        // corpus-sized partition, at execution time, in-plan.
+        val widest = raw.groupBy("component")
+          .agg(count(lit(1)).as("__csz"))
+          .agg(max("__csz").as("__max_csz"))
+        raw.crossJoin(broadcast(widest))
+          .withColumn("component",
+            when(col("__max_csz") > maxClusterSize,
+              raise_error(concat(
+                lit("selectCanonical: widest component has "),
+                col("__max_csz"),
+                lit(s" members (> maxClusterSize=$maxClusterSize) —" +
+                  " upstream near-dup thresholds are likely wrong; raise" +
+                  " maxClusterSize explicitly to proceed"))).cast("long"))
+              .otherwise(col("component")))
+          .select(col(idColumn), col("component"))
+      }
     scored
       .join(labels, Seq(idColumn), "left")
       .withColumn("component",
