@@ -73,6 +73,7 @@ object Bench {
     "asof_join" -> Some("Window"),
     "decontaminate" -> Some("Join"),
     "decontaminate_bloom" -> Some("Join"),
+    "decontaminate_neardup" -> Some("Join"),
     "sample_quota" -> Some("Window"),
     "mix_budget" -> Some("Window"),
     "sample_cluster" -> Some("Window"),
@@ -83,6 +84,7 @@ object Bench {
     "sample_stratified" -> Some("md5"),
     "chunk_split" -> Some("Generate"), // posexplode of the start list
     "shuffle_interleave" -> Some("Window"),
+    "sequence_pack" -> Some("MapPartitions"), // ShardPack's typed pass
     "tfidf_topk" -> Some("Window"),
     "ml_quantized_dot" -> Some("long_array_dot"),
     "ann_bruteforce" -> Some("Window"),

@@ -573,6 +573,65 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Near-duplicate benchmark decontamination: MinHash signatures per
+    * side, banded train-vs-eval candidate join, signature-agreement
+    * estimate, per-train-doc rollup. Mirrors
+    * [[graft.operators.Corpus.NearDupDecontaminate]] (train-side
+    * band-bucket cap included).
+    */
+  def nearDupDecontaminate(evalPredicate: String, k: Int, bands: Int,
+                           threshold: Double,
+                           maxBucket: Long = 10000L): String = {
+    val r = k / bands
+    val sigCols = (0 until k).map { i =>
+      s"list_min(list_transform(hs, x -> (${Portable.minHashA(i)} * x + " +
+        s"${Portable.minHashB(i)}) % ${Portable.MinHashP})) AS s$i"
+    }.mkString(",\n  ")
+    def bandSelects(sigRel: String): String = (0 until bands).map { b =>
+      val key = (0 until r).map(j => s"s${b * r + j}").mkString(", '-', ")
+      s"SELECT doc_id, $b AS band, concat($key) AS key FROM $sigRel"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH trt AS (SELECT doc_id, $Toks AS tk FROM documents
+       |  WHERE NOT ($evalPredicate)),
+       |trs AS (SELECT doc_id, $Shingles AS sh FROM trt),
+       |trh AS (SELECT doc_id, list_transform(sh, x -> ${tokHash("x")})
+       |  AS hs FROM trs WHERE len(sh) > 0),
+       |tsig AS (SELECT doc_id,
+       |  $sigCols
+       |  FROM trh),
+       |evt AS (SELECT doc_id, $Toks AS tk FROM documents
+       |  WHERE $evalPredicate),
+       |evs AS (SELECT doc_id, $Shingles AS sh FROM evt),
+       |evh AS (SELECT doc_id, list_transform(sh, x -> ${tokHash("x")})
+       |  AS hs FROM evs WHERE len(sh) > 0),
+       |esig AS (SELECT doc_id,
+       |  $sigCols
+       |  FROM evh),
+       |tb0 AS (
+       |  ${bandSelects("tsig")}),
+       |tb AS (SELECT * FROM tb0 t WHERE ${bucketCapPredicate(
+            "tb0", Seq("band", "key"), maxBucket)}),
+       |eb AS (
+       |  ${bandSelects("esig")}),
+       |cand AS (SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+       |  FROM tb t JOIN eb e ON t.band = e.band AND t.key = e.key),
+       |est AS (SELECT c.doc_id, c.eval_id,
+       |  round(CAST($agree AS DOUBLE) / $k.0, 6) AS ej
+       |  FROM cand c JOIN tsig x ON x.doc_id = c.doc_id
+       |              JOIN esig y ON y.doc_id = c.eval_id),
+       |hit AS (SELECT doc_id, count(*) AS n_eval_near, max(ej) AS mx
+       |  FROM est WHERE ej >= $threshold GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(COALESCE(h.n_eval_near, 0) AS BIGINT) AS n_eval_near,
+       |  COALESCE(h.mx, 0.0) AS max_est_jaccard,
+       |  COALESCE(h.n_eval_near, 0) >= 1 AS near_contaminated
+       |FROM trt t LEFT JOIN hit h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Fixed-size overlapping token-window chunking. Mirrors
     * [[graft.operators.ChunkSplit]]: starts are the stride multiples
     * below `max(n - overlap, 1)`, every doc yields >= 1 chunk.
@@ -591,6 +650,32 @@ object OracleSql {
        |  array_to_string(list_slice(tk, cs + 1, cs + $chunkTokens), ' ')
        |    AS chunk_text
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** Chunk-then-pack composition: [[chunkSplit]]'s windows packed into
+    * contiguous fixed-token-budget sequences by the [[shardPack]] prefix
+    * sum over the chunk key. Mirrors the `sequence_pack` query's
+    * `ChunkSplit |> ShardPack` composition.
+    */
+  def sequencePack(chunkTokens: Int, overlapTokens: Int,
+                   budgetTokens: Long): String = {
+    val stride = chunkTokens - overlapTokens
+    s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+       |c AS (SELECT doc_id, n,
+       |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))
+       |    AS cs FROM s),
+       |c2 AS (SELECT doc_id, cs // $stride AS chunk_idx,
+       |  least($chunkTokens, n - cs) AS sz,
+       |  doc_id * 100000 + cs // $stride AS ck FROM c),
+       |r AS (SELECT *, SUM(sz) OVER (ORDER BY ck
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM c2)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(sz AS BIGINT) AS n_chunk_tokens,
+       |  CAST(cum AS BIGINT) AS cum_tokens,
+       |  CAST((cum - sz) // $budgetTokens AS BIGINT) AS pack_id
+       |FROM r ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
   /** Deterministic md5-permutation training order with round-robin shard

@@ -387,6 +387,20 @@ object SparkEntry {
         .select("doc_id", "shuffle_key", "global_pos", "shard",
           "pos_in_shard")
         .orderBy("doc_id")),
+    // the composed pretraining prep path: chunk the corpus, then pack
+    // chunks into contiguous fixed-token-budget training sequences via
+    // ShardPack's exact two-phase prefix sum (token weights, chunk-key
+    // order) — chunk_split feeding shard_pack, nothing bespoke
+    "sequence_pack" -> ((s, dir) =>
+      Corpus.ShardPack(orderColumn = "chunk_key",
+          sizeColumn = "n_chunk_tokens", targetBytes = 256L)
+        .transform(ChunkSplit(chunkTokens = 32, overlapTokens = 8)
+          .transform(docs(s, dir))
+          .withColumn("chunk_key",
+            col("doc_id") * 100000L + col("chunk_idx")))
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
+        .orderBy("doc_id", "chunk_idx")),
     "tfidf_topk" -> ((s, dir) =>
       TfIdf(k = 3).transform(docs(s, dir))
         .orderBy("doc_id", "rank")),
@@ -402,6 +416,14 @@ object SparkEntry {
     "decontaminate_bloom" -> ((s, dir) =>
       Corpus.Decontaminate(_.filter(col("doc_id") % 50 === 0),
         bloomPrefilter = true)
+        .transform(docs(s, dir))
+        .orderBy("doc_id")),
+    // paraphrase-robust decontamination: MinHash near-dup flags against
+    // the same held-out split (banded train-vs-eval join, never a
+    // corpus self-join)
+    "decontaminate_neardup" -> ((s, dir) =>
+      Corpus.NearDupDecontaminate(_.filter(col("doc_id") % 50 === 0),
+        threshold = 0.2)
         .transform(docs(s, dir))
         .orderBy("doc_id")),
     "vocab_topk" -> ((s, dir) =>
@@ -549,9 +571,12 @@ object SparkEntry {
     "text_logprob" -> OracleSql.unigramLogProb,
     "chunk_split" -> OracleSql.chunkSplit(32, 8),
     "shuffle_interleave" -> OracleSql.interleaveShuffle(8, "graft"),
+    "sequence_pack" -> OracleSql.sequencePack(32, 8, 256L),
     "tfidf_topk" -> OracleSql.tfIdfTopK(3),
     "decontaminate" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
     "decontaminate_bloom" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
+    "decontaminate_neardup" -> OracleSql.nearDupDecontaminate(
+      "doc_id % 50 = 0", 32, 8, 0.2),
     "vocab_topk" -> OracleSql.vocabTopK(100),
     "stats_quantiles" -> OracleSql.statsQuantiles(
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),

@@ -136,6 +136,97 @@ object Corpus {
     }
   }
 
+  /** Near-duplicate benchmark decontamination: flag training documents
+    * whose MinHash-estimated Jaccard similarity to ANY held-out eval
+    * document reaches `threshold` — the paraphrase-robust complement of
+    * [[Decontaminate]]'s exact shingle overlap (an eval item lightly
+    * rewritten into the training set shares few exact shingles but keeps
+    * a high Jaccard over its shingle SET).
+    *
+    * Output is one row per TRAINING document: how many eval documents it
+    * near-matches, the best similarity estimate, and the boolean flag.
+    *
+    * Scale shape — the banded-LSH discipline of [[Dedup.MinHashLSHDedup]]
+    * but with a train-vs-eval join instead of a self-join (no quadratic
+    * candidate risk in the corpus itself): signatures aggregate map-side
+    * (k longs per doc per partition), the band join carries ids and band
+    * keys only, signatures re-attach by id after the candidate distinct,
+    * and `maxBucket` caps TRAIN-side band buckets (a corpus-wide template
+    * that also appears in eval would otherwise drag every training copy
+    * into the candidate join; eval-side buckets are bounded by the eval
+    * set, small by definition). Document text never shuffles.
+    */
+  final case class NearDupDecontaminate(evalDocs: DataFrame => DataFrame,
+                                        idColumn: String = "doc_id",
+                                        textColumn: String = "text",
+                                        n: Int = 3,
+                                        k: Int = 32,
+                                        bands: Int = 8,
+                                        threshold: Double = 0.25,
+                                        maxBucket: Long = 10000L)
+      extends Wrangler {
+    require(n >= 1, "shingle width `n` must be >= 1")
+    require(k >= 1 && bands >= 1 && k % bands == 0,
+      "k must be a positive multiple of bands")
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      val evalSet = evalDocs(df)
+        .select(col(idColumn).cast("long").as("doc_id"),
+          col(textColumn).as("text"))
+      val train = df.select(col(idColumn).cast("long").as("doc_id"),
+          col(textColumn).as("text"))
+        .join(evalSet.select("doc_id"), Seq("doc_id"), "left_anti")
+      def sigsOf(side: DataFrame): DataFrame = {
+        val ex = shingleHashRows(side, "doc_id", "text", n)
+        val aggs = Dedup.minHashAggs(col("hv"), k)
+        ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+          .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
+          .select("doc_id", "sig")
+      }
+      val trainSigs = sigsOf(train)
+      val evalSigs = sigsOf(evalSet)
+      def banded(sigs: DataFrame): DataFrame = sigs
+        .select(col("doc_id"),
+          explode(array(Dedup.minHashBandCols(k, bands): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.key").as("key"))
+      val trainBands = banded(trainSigs)
+      val keptTrain =
+        if (maxBucket <= 0) trainBands
+        else trainBands.join(
+          trainBands.groupBy("band", "key").agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") > maxBucket).select("band", "key"),
+          Seq("band", "key"), "left_anti")
+      val cand = keptTrain.as("t")
+        .join(banded(evalSigs).as("e"),
+          col("t.band") === col("e.band") && col("t.key") === col("e.key"))
+        .select(col("t.doc_id").as("doc_id"),
+          col("e.doc_id").as("eval_id")).distinct()
+      val agree = cand
+        .join(trainSigs.select(col("doc_id"), col("sig").as("sig_t")),
+          Seq("doc_id"))
+        .join(evalSigs.select(col("doc_id").as("eval_id"),
+          col("sig").as("sig_e")), Seq("eval_id"))
+        .withColumn("est_jaccard", round(
+          size(filter(zip_with(col("sig_t"), col("sig_e"),
+            (x, y) => (x === y).cast("int")), v => v === 1)).cast("double")
+            / lit(k.toDouble), 6))
+        .filter(col("est_jaccard") >= threshold)
+      val perDoc = agree.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_eval_near"),
+          max("est_jaccard").as("max_est_jaccard"))
+      train.select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_eval_near"), lit(0L)).as("n_eval_near"),
+          coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"))
+        .withColumn("near_contaminated", col("n_eval_near") >= 1L)
+    }
+  }
+
   /** Boilerplate scoring: how much of each document is made of corpus-hot
     * n-gram shingles (shingles whose document frequency exceeds
     * `maxDocFreq` — navigation chrome, license headers, template text).

@@ -179,6 +179,21 @@ object Dedup {
       min((lit(ai) * hv + lit(bi)) % MinHashP).as(s"s$i")
     }
 
+  /** LSH band keys of a k-wide `sig` array column: one (band, key)
+    * struct per band, the key a '-'-joined slice of `k / bands`
+    * signature components. Shared by [[MinHashLSHDedup]] and
+    * [[Corpus.NearDupDecontaminate]].
+    */
+  private[operators] def minHashBandCols(k: Int, bands: Int): Seq[Column] = {
+    val rowsPerBand = k / bands
+    (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("-", (0 until rowsPerBand)
+          .map(r => element_at(col("sig"), bnd * rowsPerBand + r + 1)): _*)
+          .as("key"))
+    }
+  }
+
   /** MinHash + LSH candidate-pair dedup: k-wide signatures banded into
     * `bands` groups of `rowsPerBand`; documents sharing any band key are
     * candidates; candidate pairs are scored by signature agreement
@@ -214,12 +229,7 @@ object Dedup {
       val sigs = ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
         .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
         .select("id", "sig")
-      val bandCols = (0 until bands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          concat_ws("-", (0 until rowsPerBand)
-            .map(r => element_at(col("sig"), bnd * rowsPerBand + r + 1)): _*)
-            .as("key"))
-      }
+      val bandCols = minHashBandCols(k, bands)
       // the band join and the candidate-pair distinct carry ONLY ids and
       // band keys — never the k-long signature arrays (those would widen
       // every shuffle row by 2k longs); signatures re-attach per side

@@ -464,4 +464,51 @@ class CorpusSpec extends AnyFunSuite {
     assert(run(7) == base)
     assert(run(65536) == base)
   }
+
+  // ----------------------------------------------- NearDupDecontaminate
+
+  test("neardup decontaminate: flags a light paraphrase the exact " +
+    "overlap ratio underplays; row-complete over the training set") {
+    val evalText = (1 to 30).map(i => s"t$i").mkString(" ")
+    // paraphrase: one token changed mid-document — shingle SET Jaccard
+    // stays high, so minhash agreement stays high
+    val para = ((1 to 30).map(i => s"t$i").updated(14, "XX")).mkString(" ")
+    val docs = Seq(
+      (0L, evalText),                       // the eval doc
+      (1L, para),                           // near-dup of eval
+      (2L, "completely unrelated words all the way through here"),
+      (3L, "xy"),                           // zero shingles
+    ).toDF("doc_id", "text")
+    val got = Corpus.NearDupDecontaminate(_.filter(col("doc_id") === 0),
+        threshold = 0.5)
+      .transform(docs).orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), "eval doc excluded, " +
+      "every train doc present incl. the zero-shingle one")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 && byId(1L)._2 == 1L && byId(1L)._3 >= 0.5,
+      s"paraphrase must flag: ${byId(1L)}")
+    assert(!byId(2L)._4 && byId(2L)._3 == 0.0)
+    assert(!byId(3L)._4 && byId(3L)._2 == 0L)
+  }
+
+  test("neardup decontaminate: train-side hot-bucket cap drops the " +
+    "template pile-up, clean docs unaffected") {
+    val template = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = ((1L to 40L).map(i => (i, template)) :+
+      (0L, template) :+ (99L, "some other unrelated content here now"))
+      .toDF("doc_id", "text")
+    // 40 identical training copies of the eval template: uncapped they
+    // all flag; a cap below the pile size drops their buckets, and the
+    // unrelated doc stays clean either way
+    val uncapped = Corpus.NearDupDecontaminate(
+        _.filter(col("doc_id") === 0), threshold = 0.5, maxBucket = 0L)
+      .transform(docs)
+    assert(uncapped.filter(col("near_contaminated")).count() == 40L)
+    val capped = Corpus.NearDupDecontaminate(
+        _.filter(col("doc_id") === 0), threshold = 0.5, maxBucket = 10L)
+      .transform(docs)
+    assert(capped.filter(col("near_contaminated")).count() == 0L)
+    assert(capped.filter(col("doc_id") === 99L).count() == 1L)
+  }
 }
