@@ -71,6 +71,7 @@ object Bench {
     "dedup_clusters" -> None,
     "dedup_canonical" -> None, // CC loop runs eagerly inside the builder
     "asof_join" -> Some("Window"),
+    "range_join" -> Some("Join"),
     "decontaminate" -> Some("Join"),
     "decontaminate_bloom" -> Some("Join"),
     "decontaminate_neardup" -> Some("Join"),

@@ -1082,6 +1082,29 @@ object OracleSql {
        |    AS session_id
        |FROM d ORDER BY user_id, event_id""".stripMargin
 
+  /** Clicks inside the [purchase - windowNs, purchase] interval per
+    * user, rolled up per purchase. The plain range predicate IS the
+    * spec; mirrors the `range_join` query's binned formulation.
+    */
+  def rangeJoin(windowNs: Long): String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+       |  event_type FROM events),
+       |p AS (SELECT user_id, event_id AS purchase_id,
+       |  tsn - $windowNs AS lo, tsn AS hi FROM e
+       |  WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, event_id AS click_id, tsn FROM e
+       |  WHERE event_type = 'click'),
+       |j AS (SELECT p.user_id, p.purchase_id, c.click_id
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |    AND c.tsn >= p.lo AND c.tsn <= p.hi),
+       |a AS (SELECT user_id, purchase_id, count(*) AS n_clicks,
+       |  min(click_id) AS first_click_id FROM j GROUP BY 1, 2)
+       |SELECT p.user_id, p.purchase_id,
+       |  CAST(COALESCE(a.n_clicks, 0) AS BIGINT) AS n_clicks,
+       |  a.first_click_id
+       |FROM p LEFT JOIN a USING (user_id, purchase_id)
+       |ORDER BY user_id, purchase_id""".stripMargin
+
   // -------------------------------------------------------- relational
 
   def q1Pricing: String =

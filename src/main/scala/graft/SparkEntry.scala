@@ -332,6 +332,33 @@ object SparkEntry {
         rightTime = "event_id", payloadColumns = Seq("value"))
         .transform(events(s, dir))
         .orderBy("user_id", "event_id")),
+    // binned range join: clicks inside the 2-day window before each
+    // purchase (bin-bucketed equi-join + residual — never a nested-loop
+    // plan), rolled up per purchase with LEFT semantics
+    "range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dayNs = 86400000000000L
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("ts") - 2L * dayNs).as("lo"), col("ts").as("hi"))
+      val matched = RangeJoin.join(
+        points = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts")),
+        ranges = purchases,
+        keyColumns = Seq("user_id"), timeColumn = "ts",
+        loColumn = "lo", hiColumn = "hi", binWidth = dayNs,
+        rangePayload = Seq("purchase_id"))
+      purchases.select("user_id", "purchase_id")
+        .join(matched.groupBy("user_id", "purchase_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            min("click_id").as("first_click_id")),
+          Seq("user_id", "purchase_id"), "left")
+        .select(col("user_id"), col("purchase_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          col("first_click_id"))
+        .orderBy("user_id", "purchase_id")
+    }),
     // deterministic md5-threshold stratified sampling (training-mix
     // control): zero-shuffle map-side filter, stable across engines
     "sample_stratified" -> ((s, dir) =>
@@ -561,6 +588,7 @@ object SparkEntry {
     "dedup_canonical" -> OracleSql.dedupCanonical(0.2, 10L),
     "dedup_embedding" -> OracleSql.dedupEmbedding(64, 4, 8, 0.4),
     "asof_join" -> OracleSql.asOfJoin,
+    "range_join" -> OracleSql.rangeJoin(2L * 86400000000000L),
     "sample_stratified" -> OracleSql.sampleStratified(
       Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft"),
     "sample_quota" -> OracleSql.sampleQuota(

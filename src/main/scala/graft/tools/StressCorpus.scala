@@ -246,6 +246,30 @@ object StressCorpus {
       n.getLong(0)
     }
 
+    // ----- binned range join at scale: nRows points against nRows/10
+    // tiling ranges ([i*10, i*10+9] per key) — every point falls in
+    // EXACTLY one range, so the match count equals the point count iff
+    // the bin algebra neither drops nor duplicates across bin borders
+    // (binWidth=7 deliberately misaligns bins and range borders)
+    time(s"range_join points=$nRows ranges=${nRows / 10}") {
+      val pts = spark.range(nRows)
+        .select(pmod(col("id"), lit(8L)).as("k"), col("id").as("pid"),
+          expr("id div 8").as("t"))
+      // 8 key copies of every 10-wide tile: each point falls in EXACTLY
+      // one (key, tile) range, so matches == points iff the bin algebra
+      // neither drops nor duplicates across bin borders (binWidth=7
+      // deliberately misaligns bins and tile borders)
+      val rng = spark.range(nRows / 10L)
+        .select(pmod(col("id"), lit(8L)).as("k"), col("id").as("rid"),
+          (expr("id div 8") * 10L).as("lo"),
+          (expr("id div 8") * 10L + 9L).as("hi"))
+      val n = graft.operators.RangeJoin.join(pts, rng, Seq("k"), "t",
+          "lo", "hi", binWidth = 7L, rangePayload = Seq("rid"))
+        .count()
+      require(n == nRows, s"range_join matched $n of $nRows points")
+      n
+    }
+
     // ----- the COMPOSED curation chain (round-7 next-round #5): every
     // operator family above is stressed individually, but
     // pipeline_curate composes 8 stages with two lineage cuts and the

@@ -294,4 +294,117 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run)
     tc.test(run, repartition = Some(3))
   }
+
+  test("chunk_split golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      ChunkSplit(chunkTokens = 3, overlapTokens = 1).transform(df)
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(Seq(1L, "a b c d e"), Seq(2L, "x y")),
+        Seq("doc_id:i", "text:s"))
+      // doc 1: n=5, stride=2, starts < max(5-1,1)=4 -> 0, 2
+      // doc 2: n=2, starts < max(1,1)=1 -> 0 (short tail chunk)
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, 0L, 0L, 3L, "a b c"),
+          Seq(1L, 1L, 2L, 3L, "c d e"),
+          Seq(2L, 0L, 0L, 2L, "x y")),
+        Seq("doc_id:i", "chunk_idx:i", "chunk_start:i",
+          "n_chunk_tokens:i", "chunk_text:s"))
+      override def mutants = Seq(
+        ValueMutant("text", 0, "a b c d e f"), // n=6: a third chunk appears
+        ValueMutant("text", 1, "x"),           // tail chunk shrinks
+        RandomMutant(count = 1, seed = 3L, columns = Seq("text")))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
+  test("shuffle_interleave golden: killed mutants + repartition " +
+    "invariance (md5 order precomputed: 1 < 2 < 4 < 3)") {
+    def run(df: DataFrame): DataFrame =
+      InterleaveShuffle(numShards = 2).transform(df)
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(Seq(1L, "p"), Seq(2L, "q"), Seq(3L, "r"), Seq(4L, "s")),
+        Seq("doc_id:i", "text:s"))
+      // md5("graft:i")[:8]: 1=18245cfa 2=51573f8d 3=e17a8e1b 4=ac4b8681
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, "p", "18245cfa", 0L, 0L, 0L),
+          Seq(2L, "q", "51573f8d", 1L, 1L, 0L),
+          Seq(4L, "s", "ac4b8681", 2L, 0L, 1L),
+          Seq(3L, "r", "e17a8e1b", 3L, 1L, 1L)),
+        Seq("doc_id:i", "text:s", "shuffle_key:s", "global_pos:i",
+          "shard:i", "pos_in_shard:i"))
+      override def mutants = Seq(
+        ValueMutant("doc_id", 2, 9L), // different key: permutation shifts
+        RandomMutant(count = 1, seed = 11L, columns = Seq("doc_id")))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
+  test("neardup_decontaminate golden: killed mutants + repartition " +
+    "invariance") {
+    val evalText = "the quick brown fox jumps over the lazy dog"
+    def run(df: DataFrame): DataFrame =
+      Corpus.NearDupDecontaminate(_.filter(col("doc_id") === 0L),
+        threshold = 0.5).transform(df)
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq(0L, evalText),                         // eval doc
+          Seq(1L, evalText),                         // identical: est 1.0
+          Seq(2L, "completely different content with no shared shingles")),
+        Seq("doc_id:i", "text:s"))
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, 1L, 1.0, true),
+          Seq(2L, 0L, 0.0, false)),
+        Seq("doc_id:i", "n_eval_near:i", "max_est_jaccard:f",
+          "near_contaminated:b"))
+      override def mutants = Seq(
+        ValueMutant("text", 1, "now fully rewritten distinct words here"),
+        ValueMutant("doc_id", 2, 0L)) // doc 2 becomes eval: row drops
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
+  test("range_join golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      RangeJoin.RangeJoinOp(
+        pointSide = _.filter(col("side") === "p")
+          .select(col("k"), col("id").as("pid"), col("t")),
+        rangeSide = _.filter(col("side") === "r")
+          .select(col("k"), col("id").as("rid"), col("lo"), col("hi")),
+        keyColumns = Seq("k"), timeColumn = "t",
+        loColumn = "lo", hiColumn = "hi", binWidth = 4L,
+        rangePayload = Seq("rid")).transform(df)
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq("p", 1L, 1L, 5L, 0L, 0L),
+          Seq("p", 1L, 2L, 15L, 0L, 0L),
+          Seq("p", 2L, 3L, 5L, 0L, 0L),
+          Seq("r", 1L, 7L, 0L, 0L, 9L),
+          Seq("r", 1L, 8L, 0L, 10L, 19L),
+          Seq("r", 2L, 9L, 0L, 6L, 9L)),
+        Seq("side:s", "k:i", "id:i", "t:i", "lo:i", "hi:i"))
+      // p1(k1,t5) in r7[0,9]; p2(k1,t15) in r8[10,19]; p3(k2,t5) misses
+      // r9[6,9]
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, 1L, 5L, 0L, 9L, 7L),
+          Seq(1L, 2L, 15L, 10L, 19L, 8L)),
+        Seq("k:i", "pid:i", "t:i", "lo:i", "hi:i", "rid:i"))
+      override def mutants = Seq(
+        ValueMutant("t", 2, 7L),  // p3 enters r9: a third match appears
+        ValueMutant("hi", 3, 4L), // r7 shrinks past t=5: p1 unmatches
+        ValueMutant("k", 0, 2L))  // p1 moves to key 2 (t=5 < r9.lo=6): unmatches
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
 }
