@@ -276,7 +276,27 @@ object StressCorpus {
     // CC loop — run the composition itself at nDocs in BOTH checkpoint
     // modes, recording wall time and the storage left behind (the cuts
     // must free superseded blocks, not accumulate them)
-    def curationDocs: DataFrame = dedupDocs
+    // a DEDICATED corpus, not dedupDocs and not `docs` (round-9
+    // finding: the r8 row used dedupDocs, whose universal template tail
+    // puts a shared shingle in EVERY doc — and `docs` ends every text
+    // with the constant token "the", whose preceding (f, g) components
+    // cycle through all 109x113 combinations over the multiples-of-50
+    // eval split — so decontamination legitimately emptied the corpus
+    // either way and 300 s of "composition stress" timed empty frames,
+    // check=0). A doc-dependent tail token makes full-shingle collisions
+    // with the 2% eval split rare (~5%), so most docs survive every
+    // gate and the output count proves the chain computed something.
+    def curationDocs: DataFrame = spark.range(nDocs.toLong)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          concat(lit("a"), pmod(col("id"), lit(101L))),
+          concat(lit("b"), pmod(col("id"), lit(103L))),
+          concat(lit("c"), (col("id") / 1000L).cast("long")),
+          concat(lit("d"), pmod(col("id"), lit(107L))),
+          concat(lit("e"), (col("id") / 500L).cast("long")),
+          concat(lit("f"), pmod(col("id"), lit(109L))),
+          concat(lit("g"), pmod(col("id"), lit(113L))),
+          concat(lit("h"), pmod(col("id"), lit(127L)))).as("text"))
       .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(4L))))
     def storageMB: Long =
       spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
@@ -284,10 +304,16 @@ object StressCorpus {
         ("local-checkpoint", None),
         ("reliable-checkpoint", Some("/tmp/stress_curate_ckpt")))) {
       time(s"pipeline_curate docs=$nDocs $mode") {
-        val out = graft.pipeline.Curation.pipeline(checkpointDir = dir)
+        // minTokens sized to the 8-token synthetic docs; everything
+        // else at defaults. The count must be REAL — a zero means a
+        // gate emptied the corpus and the composition timed no-ops
+        val out = graft.pipeline.Curation.pipeline(minTokens = 5,
+            checkpointDir = dir)
           .transform(curationDocs)
         val n = out.agg(count(lit(1)), max("cum_bytes")).collect()(0)
           .getLong(0)
+        require(n > 0L, "curation stress emptied the corpus — the " +
+          "composition measured nothing")
         println(f"[stress-corpus]   ... $mode leftover storage ${storageMB}%d MiB")
         n
       }

@@ -96,4 +96,39 @@ class StreamingCurationSpec extends AnyFunSuite {
       assert(got == want, s"stream/batch divergence:\n$got\n$want")
     } finally query.stop()
   }
+
+  test("chunking-at-ingest: ChunkSplit applies to a stream unchanged, " +
+    "matching the batch operator row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CurationDoc]
+    def chunk(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.ChunkSplit(chunkTokens = 4, overlapTokens = 1)
+        .transform(df)
+        .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens",
+          "chunk_text")
+    val docs = Seq(
+      doc(0L, "en", (1 to 10).map(i => s"a$i").mkString(" ")),
+      doc(1L, "de", "kurz"),
+      doc(2L, "en", (1 to 7).map(i => s"b$i").mkString(" ")))
+
+    val out = chunk(input.toDF())
+    assert(out.isStreaming, "the chunk plan must stay streamable " +
+      "(pure stateless projection + generate)")
+    val query = out.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("chunk_stream")
+        .as[(Long, Long, Long, Long, String)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      val want = chunk(docs.toDF())
+        .as[(Long, Long, Long, Long, String)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(got == want, s"stream/batch divergence:\n$got\n$want")
+      assert(got.count(_._1 == 0L) == 3 && got.count(_._1 == 1L) == 1)
+    } finally query.stop()
+  }
 }
