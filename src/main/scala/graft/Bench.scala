@@ -85,6 +85,10 @@ object Bench {
     "sample_stratified" -> Some("md5"),
     "chunk_split" -> Some("Generate"), // posexplode of the start list
     "shuffle_interleave" -> Some("Window"),
+    "curriculum_order" -> Some("Window"),
+    "mix_temperature" -> Some("Window"),
+    "quality_band" -> Some("Window"), // QuantileStats' rank-location pass
+    "overlap_join" -> Some("Join"),
     "sequence_pack" -> Some("MapPartitions"), // ShardPack's typed pass
     "tfidf_topk" -> Some("Window"),
     "ml_quantized_dot" -> Some("long_array_dot"),

@@ -573,6 +573,38 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Temperature-scaled source mixture (alpha = 0.5): per-source sqrt
+    * token-count weights held as `round(sqrt(T) * 1e6)` LONGS (sqrt is
+    * correctly rounded in both engines, so the integer weights agree
+    * bit-for-bit), budgets `floor(B * wl / W)` via two correctly-rounded
+    * double ops, then the same deterministic md5-order prefix keep as
+    * [[mixBudget]]. Mirrors [[graft.operators.Corpus.MixTemperature]].
+    */
+  def mixTemperature(totalBudget: Long, salt: String): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents),
+       |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS T
+       |  FROM t GROUP BY source),
+       |w AS (SELECT source,
+       |  CAST(round(sqrt(CAST(T AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |    AS wl FROM tot),
+       |n AS (SELECT CAST(sum(wl) AS BIGINT) AS W FROM w),
+       |b AS (SELECT source,
+       |  CAST(floor(CAST($totalBudget AS DOUBLE) *
+       |    (CAST(wl AS DOUBLE) / CAST(W AS DOUBLE))) AS BIGINT)
+       |    AS mix_budget FROM w CROSS JOIN n),
+       |s AS (SELECT t.*,
+       |  substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    AS sample_bucket FROM t),
+       |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+       |    ORDER BY sample_bucket, doc_id ROWS UNBOUNDED PRECEDING)
+       |    AS cum_tokens FROM s)
+       |SELECT c.doc_id, c.source, c.n_tokens,
+       |  CAST(c.cum_tokens AS BIGINT) AS cum_tokens, c.sample_bucket,
+       |  b.mix_budget
+       |FROM c JOIN b USING (source) WHERE c.cum_tokens <= b.mix_budget
+       |ORDER BY doc_id""".stripMargin
+
   /** Near-duplicate benchmark decontamination: MinHash signatures per
     * side, banded train-vs-eval candidate join, signature-agreement
     * estimate, per-train-doc rollup. Mirrors
@@ -691,6 +723,25 @@ object OracleSql {
        |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1
        |    AS BIGINT) AS global_pos FROM t)
        |SELECT doc_id, shuffle_key, global_pos,
+       |  CAST(global_pos % $numShards AS BIGINT) AS shard,
+       |  CAST(global_pos // $numShards AS BIGINT) AS pos_in_shard
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Phase-major curriculum order: global positions under the
+    * lexicographic `(phase, shuffle_key, doc_id)` order, where phase is
+    * the `phaseTokens`-wide whitespace-token-count band. Mirrors
+    * [[graft.operators.CurriculumOrder]] over documents.
+    */
+  def curriculumOrder(phaseTokens: Int, numShards: Int,
+                      salt: String): String =
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len($Toks) // $phaseTokens AS BIGINT) AS phase,
+       |  substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    AS shuffle_key FROM documents),
+       |r AS (SELECT doc_id, phase, shuffle_key,
+       |  CAST(row_number() OVER (ORDER BY phase, shuffle_key, doc_id) - 1
+       |    AS BIGINT) AS global_pos FROM t)
+       |SELECT doc_id, phase, shuffle_key, global_pos,
        |  CAST(global_pos % $numShards AS BIGINT) AS shard,
        |  CAST(global_pos // $numShards AS BIGINT) AS pos_in_shard
        |FROM r ORDER BY doc_id""".stripMargin
@@ -843,6 +894,32 @@ object OracleSql {
        |  $qCols
        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  /** Per-language quantile band filter: keep documents whose `n_chars`
+    * lies within the closed `[p(lo), p(hi)]` band of their own
+    * language's distribution; thresholds are the exact discrete
+    * quantiles of [[statsQuantiles]] (value at 1-based rank
+    * `ceil(q * count)` — `$lo`/`$hi` interpolate as plain decimal
+    * literals, which DuckDB multiplies in exact DECIMAL arithmetic, the
+    * same exactness as the Spark side's BigDecimal rank). Mirrors
+    * [[graft.operators.Corpus.QuantileBandFilter]].
+    */
+  def qualityBand(lo: Double, hi: Double): String =
+    s"""WITH r AS (SELECT lang, n_chars AS v,
+       |  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM documents),
+       |th AS (SELECT lang,
+       |  CAST(max(CASE WHEN rn = CAST(ceil($lo * cnt) AS BIGINT)
+       |    THEN v END) AS BIGINT) AS band_lo,
+       |  CAST(max(CASE WHEN rn = CAST(ceil($hi * cnt) AS BIGINT)
+       |    THEN v END) AS BIGINT) AS band_hi
+       |  FROM r GROUP BY lang)
+       |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       |  th.band_lo, th.band_hi
+       |FROM documents d JOIN th USING (lang)
+       |WHERE d.n_chars >= th.band_lo AND d.n_chars <= th.band_hi
+       |ORDER BY doc_id""".stripMargin
 
   /** Byte-balanced shard packing: running byte sum ordered by doc_id,
     * shard = start offset / target. Mirrors
@@ -1102,6 +1179,32 @@ object OracleSql {
        |SELECT p.user_id, p.purchase_id,
        |  CAST(COALESCE(a.n_clicks, 0) AS BIGINT) AS n_clicks,
        |  a.first_click_id
+       |FROM p LEFT JOIN a USING (user_id, purchase_id)
+       |ORDER BY user_id, purchase_id""".stripMargin
+
+  /** Interval-overlap join (range x range): per purchase attribution
+    * window `[ts - attributionNs, ts]`, the count of view influence
+    * windows `[ts, ts + influenceNs]` it overlaps (closed intervals)
+    * within the same user. Mirrors the `overlap_join` query built on
+    * [[graft.operators.RangeJoin.overlapJoin]].
+    */
+  def overlapJoin(attributionNs: Long, influenceNs: Long): String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+       |  event_type FROM events),
+       |p AS (SELECT user_id, event_id AS purchase_id,
+       |  tsn - $attributionNs AS p_lo, tsn AS p_hi FROM e
+       |  WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, event_id AS view_id,
+       |  tsn AS v_lo, tsn + $influenceNs AS v_hi FROM e
+       |  WHERE event_type = 'view'),
+       |j AS (SELECT p.user_id, p.purchase_id, v.view_id
+       |  FROM p JOIN v ON p.user_id = v.user_id
+       |    AND p.p_lo <= v.v_hi AND v.v_lo <= p.p_hi),
+       |a AS (SELECT user_id, purchase_id, count(*) AS n_views,
+       |  min(view_id) AS first_view_id FROM j GROUP BY 1, 2)
+       |SELECT p.user_id, p.purchase_id,
+       |  CAST(COALESCE(a.n_views, 0) AS BIGINT) AS n_views,
+       |  a.first_view_id
        |FROM p LEFT JOIN a USING (user_id, purchase_id)
        |ORDER BY user_id, purchase_id""".stripMargin
 

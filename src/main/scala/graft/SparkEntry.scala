@@ -359,6 +359,32 @@ object SparkEntry {
           col("first_click_id"))
         .orderBy("user_id", "purchase_id")
     }),
+    // binned interval-OVERLAP join (range x range): which view influence
+    // windows [ts, ts+1d] intersect each purchase attribution window
+    // [ts-2d, ts] per user — equi-join on (user, bin), each pair kept in
+    // exactly ONE canonical bin (no distinct pass), exact residual
+    "overlap_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dayNs = 86400000000000L
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("ts") - 2L * dayNs).as("p_lo"), col("ts").as("p_hi"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("v_lo"), (col("ts") + dayNs).as("v_hi"))
+      val matched = RangeJoin.overlapJoin(purchases, views,
+        keyColumns = Seq("user_id"), leftLo = "p_lo", leftHi = "p_hi",
+        rightLo = "v_lo", rightHi = "v_hi", binWidth = dayNs)
+      purchases.select("user_id", "purchase_id")
+        .join(matched.groupBy("user_id", "purchase_id")
+          .agg(count(lit(1)).as("n_views"),
+            min("view_id").as("first_view_id")),
+          Seq("user_id", "purchase_id"), "left")
+        .select(col("user_id"), col("purchase_id"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"),
+          col("first_view_id"))
+        .orderBy("user_id", "purchase_id")
+    }),
     // deterministic md5-threshold stratified sampling (training-mix
     // control): zero-shuffle map-side filter, stable across engines
     "sample_stratified" -> ((s, dir) =>
@@ -413,6 +439,37 @@ object SparkEntry {
         .transform(docs(s, dir))
         .select("doc_id", "shuffle_key", "global_pos", "shard",
           "pos_in_shard")
+        .orderBy("doc_id")),
+    // phase-major curriculum: short-to-long length curriculum over
+    // 32-token bands, uniformly shuffled WITHIN each band — the same
+    // exact prefix-sum permutation as shuffle_interleave with a leading
+    // phase key (one narrow keyed shuffle, never a global sort)
+    "curriculum_order" -> ((s, dir) =>
+      CurriculumOrder(phaseColumn = "phase_bucket", numShards = 8)
+        .transform(docs(s, dir).withColumn("phase_bucket",
+          expr("size(split(trim(lower(text)), '\\\\s+')) div 32")))
+        .select("doc_id", "phase", "shuffle_key", "global_pos", "shard",
+          "pos_in_shard")
+        .orderBy("doc_id")),
+    // temperature-scaled source mixture (alpha = 0.5): flattens the
+    // 20-source distribution before the exact per-source token-budget
+    // prefix keep — sqrt weights held as scaled longs so the DuckDB
+    // oracle reproduces the budgets bit-identically
+    "mix_temperature" -> ((s, dir) =>
+      Corpus.MixTemperature(totalBudget = 10000L)
+        .transform(docs(s, dir))
+        .select("doc_id", "source", "n_tokens", "cum_tokens",
+          "sample_bucket", "mix_budget")
+        .orderBy("doc_id")),
+    // per-language [p10, p90] length band: each language gated against
+    // its OWN distribution via broadcast exact-quantile thresholds
+    "quality_band" -> ((s, dir) =>
+      Corpus.QuantileBandFilter(Seq("lang"), "n_chars")
+        .transform(docs(s, dir))
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("band_lo").cast("long").as("band_lo"),
+          col("band_hi").cast("long").as("band_hi"))
         .orderBy("doc_id")),
     // the composed pretraining prep path: chunk the corpus, then pack
     // chunks into contiguous fixed-token-budget training sequences via
@@ -589,6 +646,8 @@ object SparkEntry {
     "dedup_embedding" -> OracleSql.dedupEmbedding(64, 4, 8, 0.4),
     "asof_join" -> OracleSql.asOfJoin,
     "range_join" -> OracleSql.rangeJoin(2L * 86400000000000L),
+    "overlap_join" -> OracleSql.overlapJoin(2L * 86400000000000L,
+      86400000000000L),
     "sample_stratified" -> OracleSql.sampleStratified(
       Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft"),
     "sample_quota" -> OracleSql.sampleQuota(
@@ -599,6 +658,9 @@ object SparkEntry {
     "text_logprob" -> OracleSql.unigramLogProb,
     "chunk_split" -> OracleSql.chunkSplit(32, 8),
     "shuffle_interleave" -> OracleSql.interleaveShuffle(8, "graft"),
+    "curriculum_order" -> OracleSql.curriculumOrder(32, 8, "graft"),
+    "mix_temperature" -> OracleSql.mixTemperature(10000L, "graft"),
+    "quality_band" -> OracleSql.qualityBand(0.1, 0.9),
     "sequence_pack" -> OracleSql.sequencePack(32, 8, 256L),
     "tfidf_topk" -> OracleSql.tfIdfTopK(3),
     "decontaminate" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),

@@ -303,6 +303,16 @@ object Corpus {
     }
   }
 
+  /** p50-style column name for a quantile (0.5 -> p50, 0.99 -> p99,
+    * 0.999 -> p99_9). Decimal (not binary-double) arithmetic, so
+    * 0.99 * 100 can never name itself p99_00000000000001. Shared by
+    * [[QuantileStats]] (output columns) and [[QuantileBandFilter]]
+    * (threshold lookup) so the two can never drift.
+    */
+  private[operators] def quantileName(q: Double): String =
+    "p" + (BigDecimal(q.toString) * 100).underlying.stripTrailingZeros
+      .toPlainString.replace(".", "_")
+
   /** Exact discrete quantiles of a numeric column per group: the value at
     * 1-based rank `ceil(q * count)` of the group's ascending sort — the
     * classic `percentile_disc` definition, computed identically by the
@@ -349,13 +359,6 @@ object Corpus {
         "emit colliding output column names)")
     require(valueBuckets >= 1, "`valueBuckets` must be >= 1")
 
-    /** p50-style column name for a quantile (0.5 -> p50, 0.99 -> p99,
-      * 0.999 -> p99_9). Decimal (not binary-double) arithmetic, so
-      * 0.99 * 100 can never name itself p99_00000000000001.
-      */
-    private def quantileName(q: Double): String =
-      "p" + (BigDecimal(q.toString) * 100).underlying.stripTrailingZeros
-        .toPlainString.replace(".", "_")
     require(quantiles.map(quantileName).distinct.size == quantiles.size,
       s"`quantiles` $quantiles collide after p-formatting")
 
@@ -676,70 +679,223 @@ object Corpus {
     override def preservesSampleSize: Boolean = false
 
     def transform(df: DataFrame): DataFrame = {
-      SparkUtil.validateColumns(df, Seq(strataColumn, idColumn, textColumn))
-      // output columns overwrite same-named input columns (pre-join
-      // drop); the source columns must not collide with them or the
-      // drop would sever the join key / strata / text source
-      Seq("n_tokens", "cum_tokens", "sample_bucket").foreach { c =>
-        require(!Seq(strataColumn, idColumn, textColumn)
-            .exists(_.equalsIgnoreCase(c)),
-          s"`$c` is an output column; it cannot be the strata/id/text column")
-      }
       val budgetCol = budgets.foldLeft(lit(defaultBudget): Column) {
         case (acc, (s, b)) => when(col("s") === s, lit(b)).otherwise(acc)
       }
-      // fail-loudly guards (curation convention, cf. QuantileStats):
-      // a null stratum would silently DROP rows at the offsets equi-join
-      // (null keys never match) while the SQL oracle keeps them; a null
-      // id nulls the hash bucket; null text makes size(split(null)) = -1
-      // — a NEGATIVE weight silently corrupting every later prefix sum.
-      val narrow = df
-        .select(
-          when(col(strataColumn).isNull,
-            raise_error(lit(s"MixBudget: `$strataColumn` must be non-null"))
-              .cast("string"))
-            .otherwise(col(strataColumn).cast("string")).as("s"),
-          when(col(idColumn).isNull || col(idColumn).cast("long").isNull,
-            raise_error(lit(s"MixBudget: `$idColumn` must be non-null " +
-              "and castable to long")).cast("long"))
-            .otherwise(col(idColumn).cast("long")).as("k"),
-          when(col(textColumn).isNull,
-            raise_error(lit(s"MixBudget: `$textColumn` must be non-null"))
-              .cast("long"))
-            .otherwise(size(tokens(col(textColumn))).cast("long")).as("w"))
-        .withColumn("sample_bucket", Sampling.bucketHex(salt, col("k")))
-        // first 4 hex chars = uniform 16-bit int, scaled into
-        // [0, hashBuckets) by DIVISION — a monotone map, so range-bucket
-        // order matches the lexicographic (sample_bucket, key) order the
-        // in-bucket window uses (a mod would interleave buckets and
-        // break the global prefix sum)
-        .withColumn("__rb",
-          conv(substring(col("sample_bucket"), 1, 4), 16, 10)
-            .cast("long") * hashBuckets / 65536L)
-        .withColumn("__rb", col("__rb").cast("long"))
-      val offsets = narrow.groupBy("s", "__rb")
-        .agg(sum("w").as("__t"))
-        .withColumn("__off", coalesce(
-          sum("__t").over(Window.partitionBy("s").orderBy("__rb")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("s", "__rb", "__off")
-      val kept = narrow.join(broadcast(offsets), Seq("s", "__rb"))
-        .filter(col("__off") <= budgetCol) // whole-bucket prune past budget
-        .withColumn("cum_tokens", col("__off") +
-          sum("w").over(Window.partitionBy("s", "__rb")
-            .orderBy(col("sample_bucket"), col("k"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
-        .filter(col("cum_tokens") <= budgetCol)
-        .select(col("k").as("__mk"), col("w").as("n_tokens"),
-          col("cum_tokens"), col("sample_bucket"))
+      val kept = budgetedTokenKeep(df, strataColumn, idColumn, textColumn,
+        hashBuckets, salt, "MixBudget")(_.withColumn("__budget", budgetCol))
       // row-preserving on the kept set: every input column passes
       // through (a mixture stage that loses the document text is
       // useless downstream) — only narrow columns rode the windows,
       // the text joins back here by key; pre-existing output-named
       // columns are overwritten (see scaladoc)
       df.drop("n_tokens", "cum_tokens", "sample_bucket")
-        .join(kept, col(idColumn).cast("long") === col("__mk"))
+        .join(kept.drop("__budget"),
+          col(idColumn).cast("long") === col("__mk"))
         .drop("__mk")
+    }
+  }
+
+  /** Shared core of [[MixBudget]] / [[MixTemperature]]: the exact
+    * two-phase per-stratum token prefix sum in deterministic md5-hash
+    * order, keeping each stratum's prefix while the INCLUSIVE running
+    * token total stays within a per-stratum budget. `attachBudget`
+    * receives the narrow keyed frame (columns `s`, `k`, `w`,
+    * `sample_bucket`, `__rb`) and must add the per-row `__budget`
+    * column — a literal CASE for [[MixBudget]], a broadcast join of a
+    * computed per-stratum budget table for [[MixTemperature]].
+    *
+    * Returns the kept narrow frame: `__mk` (join-back key), `n_tokens`,
+    * `cum_tokens`, `sample_bucket`, `__budget`. Scale shape as
+    * documented on [[MixBudget]]: range-bucketed exclusive offsets over
+    * at most `hashBuckets` rows per stratum, whole buckets past budget
+    * pruned BEFORE the in-bucket cumsum window.
+    */
+  private def budgetedTokenKeep(df: DataFrame, strataColumn: String,
+      idColumn: String, textColumn: String, hashBuckets: Int,
+      salt: String, opName: String)(
+      attachBudget: DataFrame => DataFrame): DataFrame = {
+    SparkUtil.validateColumns(df, Seq(strataColumn, idColumn, textColumn))
+    // output columns overwrite same-named input columns (pre-join
+    // drop); the source columns must not collide with them or the
+    // drop would sever the join key / strata / text source
+    Seq("n_tokens", "cum_tokens", "sample_bucket").foreach { c =>
+      require(!Seq(strataColumn, idColumn, textColumn)
+          .exists(_.equalsIgnoreCase(c)),
+        s"`$c` is an output column; it cannot be the strata/id/text column")
+    }
+    // fail-loudly guards (curation convention, cf. QuantileStats):
+    // a null stratum would silently DROP rows at the offsets equi-join
+    // (null keys never match) while the SQL oracle keeps them; a null
+    // id nulls the hash bucket; null text makes size(split(null)) = -1
+    // — a NEGATIVE weight silently corrupting every later prefix sum.
+    val narrow = df
+      .select(
+        when(col(strataColumn).isNull,
+          raise_error(lit(s"$opName: `$strataColumn` must be non-null"))
+            .cast("string"))
+          .otherwise(col(strataColumn).cast("string")).as("s"),
+        when(col(idColumn).isNull || col(idColumn).cast("long").isNull,
+          raise_error(lit(s"$opName: `$idColumn` must be non-null " +
+            "and castable to long")).cast("long"))
+          .otherwise(col(idColumn).cast("long")).as("k"),
+        when(col(textColumn).isNull,
+          raise_error(lit(s"$opName: `$textColumn` must be non-null"))
+            .cast("long"))
+          .otherwise(size(tokens(col(textColumn))).cast("long")).as("w"))
+      .withColumn("sample_bucket", Sampling.bucketHex(salt, col("k")))
+      // first 4 hex chars = uniform 16-bit int, scaled into
+      // [0, hashBuckets) by DIVISION — a monotone map, so range-bucket
+      // order matches the lexicographic (sample_bucket, key) order the
+      // in-bucket window uses (a mod would interleave buckets and
+      // break the global prefix sum)
+      .withColumn("__rb",
+        conv(substring(col("sample_bucket"), 1, 4), 16, 10)
+          .cast("long") * hashBuckets / 65536L)
+      .withColumn("__rb", col("__rb").cast("long"))
+    val offsets = narrow.groupBy("s", "__rb")
+      .agg(sum("w").as("__t"))
+      .withColumn("__off", coalesce(
+        sum("__t").over(Window.partitionBy("s").orderBy("__rb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("s", "__rb", "__off")
+    attachBudget(narrow).join(broadcast(offsets), Seq("s", "__rb"))
+      .filter(col("__off") <= col("__budget")) // whole-bucket prune
+      .withColumn("cum_tokens", col("__off") +
+        sum("w").over(Window.partitionBy("s", "__rb")
+          .orderBy(col("sample_bucket"), col("k"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .select(col("k").as("__mk"), col("w").as("n_tokens"),
+        col("cum_tokens"), col("sample_bucket"), col("__budget"))
+  }
+
+  /** Temperature-scaled data mixture — the "flatten the source
+    * distribution before sampling" primitive of multi-source LLM
+    * training recipes (the GPT-3 / T5 / DoReMi family: a source's
+    * sampling share is proportional to its token count raised to
+    * `alpha < 1`, so head sources shrink and tail sources grow relative
+    * to natural proportions). Per stratum s with token total T_s, the
+    * weight is `T_s^alpha`; stratum s receives the token budget
+    * `floor(totalBudget * w_s / sum(w))`, and its documents are then
+    * kept in the same deterministic md5-prefix order as [[MixBudget]]
+    * while the running token total stays within that budget.
+    *
+    * Cross-engine determinism (the oracle recomputes this in DuckDB):
+    * weights are computed as `round(sqrt(T) * 1e6)` held as LONGS —
+    * sqrt is correctly rounded under IEEE 754 in both engines (general
+    * `pow` is NOT, which is why `alpha` other than 0.5 is computed via
+    * `pow` and documented as potentially diverging in the last ulp
+    * across engines) — so the weight sum is exact integer arithmetic,
+    * and the final budget is two correctly-rounded double ops
+    * (divide, multiply) plus floor, identical on any IEEE platform.
+    *
+    * Scale shape: the per-stratum totals are one map-side-partial
+    * aggregation (skew-immune); the weight normalizer is a broadcast
+    * 1-row aggregate (cf. [[TfIdf]]'s N — no driver action, the whole
+    * operator stays lazy); budgets broadcast-join back onto the narrow
+    * keyed stream; the keep is the same two-phase exact prefix sum as
+    * [[MixBudget]]. Fail-loud when the corpus has no tokens at all (a
+    * mixture over zero weight is undefined; silently emitting nothing
+    * would look like an aggressive budget).
+    *
+    * Row-preserving on the kept set; appends `n_tokens`, `cum_tokens`,
+    * `sample_bucket` and the stratum's `mix_budget` (auditability:
+    * the budget each kept row was admitted under).
+    */
+  final case class MixTemperature(totalBudget: Long,
+                                  alpha: Double = 0.5,
+                                  strataColumn: String = "source",
+                                  idColumn: String = "doc_id",
+                                  textColumn: String = "text",
+                                  hashBuckets: Int = 256,
+                                  salt: String = "graft")
+      extends Wrangler {
+    require(totalBudget >= 0L, "totalBudget must be >= 0")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(hashBuckets >= 1 && hashBuckets <= 65536,
+      "hashBuckets must be in [1, 65536]")
+    override def preservesSampleSize: Boolean = false
+
+    def transform(df: DataFrame): DataFrame = {
+      val kept = budgetedTokenKeep(df, strataColumn, idColumn, textColumn,
+        hashBuckets, salt, "MixTemperature") { narrow =>
+        val totals = narrow.groupBy("s").agg(sum("w").as("__T"))
+        // sqrt IS correctly rounded (IEEE 754) — see scaladoc; scaled
+        // to 1e6 and rounded to a LONG so the normalizer sum below is
+        // exact integer arithmetic, order-independent under any
+        // aggregation order
+        val weight =
+          if (alpha == 0.5) sqrt(col("__T").cast("double"))
+          else pow(col("__T").cast("double"), lit(alpha))
+        val weights = totals
+          .withColumn("__wl", round(weight * 1e6).cast("long"))
+        val wsum = weights.agg(sum("__wl").as("__W"))
+        val budgets = weights.crossJoin(broadcast(wsum))
+          .withColumn("__budget",
+            when(col("__W") <= 0L,
+              raise_error(lit("MixTemperature: corpus has zero total " +
+                "weight (no tokens in any stratum) — a temperature " +
+                "mixture over it is undefined")).cast("long"))
+              .otherwise(floor(lit(totalBudget).cast("double") *
+                (col("__wl").cast("double") / col("__W").cast("double")))
+                .cast("long")))
+          .select("s", "__budget")
+        narrow.join(broadcast(budgets), Seq("s"))
+      }
+      df.drop("n_tokens", "cum_tokens", "sample_bucket", "mix_budget")
+        .join(kept.withColumnRenamed("__budget", "mix_budget"),
+          col(idColumn).cast("long") === col("__mk"))
+        .drop("__mk")
+    }
+  }
+
+  /** Per-group quantile band filter: keep rows whose `valueColumn` lies
+    * in the closed band `[p(lo), p(hi)]` of their OWN group — the
+    * "drop each language's length/quality outliers against its own
+    * distribution" gate of corpus curation (a global threshold is wrong
+    * when groups have different scales: 200 chars is a long Chinese
+    * document and a short German one). Thresholds are the same exact
+    * discrete quantiles as [[QuantileStats]] (value at 1-based rank
+    * `ceil(q * count)` of the group's ascending sort), computed by the
+    * same chunked rank-location machinery — never a whole-group sort in
+    * one task.
+    *
+    * Scale shape: the threshold table is one row per group (the
+    * operator inherits [[QuantileStats]]' shape for computing it) and
+    * broadcast-joins back onto the input; the filter itself is
+    * map-side. Group cardinality is assumed broadcastable — the same
+    * contract as every per-stratum operator here (strata are languages
+    * / sources / domains, not document keys).
+    *
+    * Row-preserving on the kept set; appends the group's `band_lo` /
+    * `band_hi` thresholds (auditability: the band each kept row
+    * passed).
+    */
+  final case class QuantileBandFilter(groupColumns: Seq[String],
+                                      valueColumn: String,
+                                      lo: Double = 0.1,
+                                      hi: Double = 0.9,
+                                      valueBuckets: Int = 256)
+      extends Wrangler {
+    require(lo > 0 && lo < 1 && hi > 0 && hi <= 1 && lo < hi,
+      s"need 0 < lo < hi <= 1, got lo=$lo hi=$hi")
+    override def preservesSampleSize: Boolean = false
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, groupColumns :+ valueColumn)
+      Seq("band_lo", "band_hi").foreach { c =>
+        require(!df.columns.exists(_.equalsIgnoreCase(c)),
+          s"input must not carry `$c` (an output column)")
+      }
+      val thresholds = QuantileStats(groupColumns, valueColumn,
+          Seq(lo, hi), valueBuckets).transform(df)
+        .select((groupColumns.map(col) :+
+          col(quantileName(lo)).as("band_lo") :+
+          col(quantileName(hi)).as("band_hi")): _*)
+      df.join(broadcast(thresholds), groupColumns)
+        .filter(col(valueColumn) >= col("band_lo") &&
+          col(valueColumn) <= col("band_hi"))
     }
   }
 }

@@ -98,4 +98,102 @@ object RangeJoin {
       join(pointSide(df), rangeSide(df), keyColumns, timeColumn,
         loColumn, hiColumn, binWidth, rangePayload, maxBinsPerRange)
   }
+
+  /** Distributed binned INTERVAL-OVERLAP join: match every left range
+    * `[leftLo, leftHi]` to the right ranges `[rightLo, rightHi]` it
+    * overlaps (closed intervals, `lLo <= rHi AND rLo <= lHi`) within the
+    * same key group — "which promotion windows intersect which outage
+    * windows", "which session spans overlap which experiment windows".
+    *
+    * Same bin algebra as [[join]], extended to two exploded sides: each
+    * side explodes into the fixed-width bins its interval covers
+    * (bounded by `maxBinsPerRange`, fail-loud), the candidate match is a
+    * plain equi-join on (keys, bin), and each overlapping pair then
+    * survives in EXACTLY one bin — the bin of the later of the two
+    * interval starts, `bin == greatest(lLoBin, rLoBin)` — so no
+    * distinct/dedup pass is ever needed (a distinct over the matched
+    * pair stream would re-shuffle the whole join output at corpus
+    * scale). That canonical bin lies inside both intervals' bin spans
+    * precisely when the spans intersect, so no true overlap is lost; the
+    * exact residual predicate removes same-bin near-misses. AQE can
+    * split a hot (key, bin) like any equi-join; there is no nested-loop
+    * fallback anywhere in the plan.
+    *
+    * The time domain is assumed non-negative (integral `div` truncates
+    * toward zero, which is floor only for non-negative values — same
+    * contract as [[join]]).
+    *
+    * Output: every matched (left, right) pair with both sides' columns;
+    * the sides must not share non-key column names (fail-loud, an
+    * ambiguous pair would poison downstream selects).
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  keyColumns: Seq[String],
+                  leftLo: String, leftHi: String,
+                  rightLo: String, rightHi: String,
+                  binWidth: Long,
+                  maxBinsPerRange: Long = 4096L): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    require(maxBinsPerRange >= 1, "maxBinsPerRange must be >= 1")
+    SparkUtil.validateColumns(left, keyColumns ++ Seq(leftLo, leftHi))
+    SparkUtil.validateColumns(right, keyColumns ++ Seq(rightLo, rightHi))
+    val keySet = keyColumns.map(_.toLowerCase).toSet
+    val clash = left.columns.filterNot(c => keySet(c.toLowerCase))
+      .map(_.toLowerCase).toSet
+      .intersect(right.columns.filterNot(c => keySet(c.toLowerCase))
+        .map(_.toLowerCase).toSet)
+    require(clash.isEmpty,
+      s"left and right sides share non-key column(s) ${clash.mkString(", ")}" +
+        " — rename before joining (the matched pair would be ambiguous)")
+
+    val bin = "__oj_bin"
+    // explode one side into its covered bins, carrying its own lo-bin
+    // for the canonical-bin dedupe predicate
+    def binned(df: DataFrame, lo: String, hi: String,
+               loBin: String): DataFrame = {
+      val lob = col(lo).cast("long")
+      val hib = col(hi).cast("long")
+      df.withColumn(loBin, expr(s"CAST(`$lo` AS BIGINT) div ${binWidth}L"))
+        .withColumn("__oj_hi_b",
+          expr(s"CAST(`$hi` AS BIGINT) div ${binWidth}L"))
+        .withColumn("__oj_guard",
+          when(lob.isNull || hib.isNull || hib < lob,
+            raise_error(lit(s"OverlapJoin: `$lo` <= `$hi` and non-null " +
+              "required")).cast("long"))
+            .when(col("__oj_hi_b") - col(loBin) >= maxBinsPerRange,
+              raise_error(concat(lit("OverlapJoin: range spans "),
+                col("__oj_hi_b") - col(loBin) + 1L,
+                lit(s" bins (> maxBinsPerRange=$maxBinsPerRange) — widen " +
+                  "binWidth or raise the cap explicitly"))).cast("long"))
+            .otherwise(lit(0L)))
+        .withColumn(bin,
+          explode(sequence(col(loBin) + col("__oj_guard"),
+            col("__oj_hi_b"))))
+        .drop("__oj_hi_b", "__oj_guard")
+    }
+    val lb = binned(left, leftLo, leftHi, "__oj_llo_b")
+    val rb = binned(right, rightLo, rightHi, "__oj_rlo_b")
+    lb.join(rb, keyColumns :+ bin)
+      // canonical bin: keep the pair only in the bin where the later
+      // interval starts — exactly-once by construction
+      .filter(col(bin) === greatest(col("__oj_llo_b"), col("__oj_rlo_b")))
+      // exact residual: closed-interval overlap
+      .filter(col(leftLo).cast("long") <= col(rightHi).cast("long") &&
+        col(rightLo).cast("long") <= col(leftHi).cast("long"))
+      .drop(bin, "__oj_llo_b", "__oj_rlo_b")
+  }
+
+  /** Unary [[Wrangler]] wrapper for [[overlapJoin]]. */
+  final case class OverlapJoinOp(leftSide: DataFrame => DataFrame,
+                                 rightSide: DataFrame => DataFrame,
+                                 keyColumns: Seq[String],
+                                 leftLo: String, leftHi: String,
+                                 rightLo: String, rightHi: String,
+                                 binWidth: Long,
+                                 maxBinsPerRange: Long = 4096L)
+      extends Wrangler {
+    def transform(df: DataFrame): DataFrame =
+      overlapJoin(leftSide(df), rightSide(df), keyColumns, leftLo, leftHi,
+        rightLo, rightHi, binWidth, maxBinsPerRange)
+  }
 }

@@ -407,4 +407,152 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run)
     tc.test(run, repartition = Some(3))
   }
+
+  test("overlap_join golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      RangeJoin.OverlapJoinOp(
+        leftSide = _.filter(col("side") === "l")
+          .select(col("k"), col("id").as("lid"),
+            col("lo").as("l_lo"), col("hi").as("l_hi")),
+        rightSide = _.filter(col("side") === "r")
+          .select(col("k"), col("id").as("rid"),
+            col("lo").as("r_lo"), col("hi").as("r_hi")),
+        keyColumns = Seq("k"), leftLo = "l_lo", leftHi = "l_hi",
+        rightLo = "r_lo", rightHi = "r_hi", binWidth = 4L)
+        .transform(df)
+        .select("k", "lid", "rid")
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq("l", 1L, 1L, 0L, 9L),   // overlaps r7 (edge-touch at 9)
+          Seq("l", 1L, 2L, 11L, 30L), // spans bins; overlaps r8 only
+          Seq("l", 2L, 3L, 5L, 6L),   // overlaps r9
+          Seq("r", 1L, 7L, 9L, 12L),  // touches l1 at 9, l2 at 11-12
+          Seq("r", 1L, 8L, 25L, 40L),
+          Seq("r", 2L, 9L, 0L, 5L)),
+        Seq("side:s", "k:i", "id:i", "lo:i", "hi:i"))
+      // l1-r7 (closed-interval touch), l2-r7, l2-r8, l3-r9
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, 1L, 7L), Seq(1L, 2L, 7L), Seq(1L, 2L, 8L),
+          Seq(2L, 3L, 9L)),
+        Seq("k:i", "lid:i", "rid:i"))
+      override def mutants = Seq(
+        ValueMutant("hi", 0, 8L),  // l1 pulls off r7's lo=9: pair drops
+        ValueMutant("lo", 4, 31L), // r8 slides past l2's hi=30: pair drops
+        ValueMutant("k", 2, 1L))   // l3 changes key: r9 pair drops
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
+  test("curriculum_order golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      CurriculumOrder("ph", numShards = 2).transform(df)
+        .select("doc_id", "phase", "global_pos", "shard", "pos_in_shard")
+    // phases: ids 1,2 -> 0; ids 3,4 -> 1; within a phase, md5 order
+    val order = Seq(1L, 2L).sortBy(id => (bucketOf(id), id)) ++
+      Seq(3L, 4L).sortBy(id => (bucketOf(id), id))
+    val phase = Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L)
+    val expRows: Seq[Seq[Any]] = order.zipWithIndex.map { case (id, pos) =>
+      Seq[Any](id, phase(id), pos.toLong, pos.toLong % 2L, pos.toLong / 2L)
+    }
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(Seq(1L, 0L), Seq(2L, 0L), Seq(3L, 1L), Seq(4L, 1L)),
+        Seq("doc_id:i", "ph:i"))
+      def expected = PlainFrame.fromPlain(expRows,
+        Seq("doc_id:i", "phase:i", "global_pos:i", "shard:i",
+          "pos_in_shard:i"))
+      override def mutants = Seq(
+        // a phase-0 doc moves to phase 1: every later position shifts
+        ValueMutant("ph", (order.head - 1L).toInt, 1L),
+        // an id change moves the doc within (and possibly across) the
+        // md5 order AND changes the output row
+        ValueMutant("doc_id", 2, 99L))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
+  test("mix_temperature golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Corpus.MixTemperature(totalBudget = 6L, strataColumn = "src")
+        .transform(df)
+        .select("doc_id", "src", "n_tokens", "cum_tokens", "mix_budget")
+    // src a: weights 2,2 (T=4, wl=2e6); src b: 3,6 (T=9, wl=3e6);
+    // W=5e6 -> budgets floor(6*0.4)=2, floor(6*0.6)=3 (exact IEEE ops)
+    val weights = Map(1L -> 2, 2L -> 2, 3L -> 3, 4L -> 6)
+    def text(id: Long) = Seq.fill(weights(id))("t").mkString(" ")
+    def wl(t: Long) = math.round(math.sqrt(t.toDouble) * 1e6)
+    val w = Map("a" -> wl(4L), "b" -> wl(9L))
+    val sumW = w.values.sum
+    val budget = w.map { case (s, v) =>
+      s -> math.floor(6L.toDouble * (v.toDouble / sumW.toDouble)).toLong
+    }
+    def prefix(ids: Seq[Long], b: Long): Seq[(Long, Long)] = {
+      var cum = 0L
+      ids.sortBy(id => (bucketOf(id), id)).iterator
+        .map { id => cum += weights(id); (id, cum) }
+        .takeWhile(_._2 <= b).toSeq
+    }
+    val keptA = prefix(Seq(1L, 2L), budget("a"))
+    val keptB = prefix(Seq(3L, 4L), budget("b"))
+    // the golden must exercise a budget cut in each stratum
+    assert(keptA.size < 2 && keptB.size < 2)
+    val expRows: Seq[Seq[Any]] =
+      keptA.map { case (id, cum) =>
+        Seq[Any](id, "a", weights(id).toLong, cum, budget("a")) } ++
+      keptB.map { case (id, cum) =>
+        Seq[Any](id, "b", weights(id).toLong, cum, budget("b")) }
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(Seq(1L, "a", text(1L)), Seq(2L, "a", text(2L)),
+          Seq(3L, "b", text(3L)), Seq(4L, "b", text(4L))),
+        Seq("doc_id:i", "src:s", "text:s"))
+      def expected = PlainFrame.fromPlain(expRows,
+        Seq("doc_id:i", "src:s", "n_tokens:i", "cum_tokens:i",
+          "mix_budget:i"))
+      override def mutants = Seq(
+        // the kept a-doc balloons: a's T (and both budgets) change and
+        // the inclusive prefix drops it
+        ValueMutant("text", (keptA.head._1 - 1L).toInt, "t t t t t t t"),
+        // a b-doc changes stratum: both strata's T, budgets and prefixes
+        // move (row 2 = id 3, the w=3 doc — fixed index, because keptB
+        // may legitimately be empty under the hash order)
+        ValueMutant("src", 2, "a"),
+        RandomMutant(count = 1, seed = 17L, columns = Seq("text")))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
+  test("quality_band golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Corpus.QuantileBandFilter(Seq("g"), "v", lo = 0.25, hi = 0.75)
+        .transform(df)
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq("a", 1L, 10L), Seq("a", 2L, 20L), Seq("a", 3L, 30L),
+          Seq("a", 4L, 40L),
+          Seq("b", 5L, 100L), Seq("b", 6L, 900L)),
+        Seq("g:s", "id:i", "v:i"))
+      // a: sorted [10,20,30,40], lo rank ceil(.25*4)=1 -> 10, hi rank
+      // ceil(.75*4)=3 -> 30 => keep 10,20,30; b: both ranks hit [100,
+      // 900] at ranks 1 and 2 => keep both
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq("a", 1L, 10L, 10L, 30L), Seq("a", 2L, 20L, 10L, 30L),
+          Seq("a", 3L, 30L, 10L, 30L),
+          Seq("b", 5L, 100L, 100L, 900L), Seq("b", 6L, 900L, 100L, 900L)),
+        Seq("g:s", "id:i", "v:i", "band_lo:i", "band_hi:i"))
+      override def mutants = Seq(
+        ValueMutant("v", 0, 35L),  // a's sorted set reorders: band moves
+        ValueMutant("g", 3, "b"),  // group move changes BOTH bands
+        RandomMutant(count = 1, seed = 19L, columns = Seq("v")))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
 }

