@@ -97,6 +97,7 @@ object Bench {
     "ann_lsh_multi" -> Some("Window"),
     "ann_ivf" -> Some("Window"),
     "text_boilerplate" -> Some("Join"),
+    "text_dupspans" -> Some("Window"), // the per-doc span-merge windows
     "mm_resize" -> Some("SerializeFromObject"),
     "mm_features" -> Some("SerializeFromObject"),
     "mm_framesample" -> Some("SerializeFromObject"),

@@ -866,6 +866,43 @@ object OracleSql {
        |FROM s LEFT JOIN b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Cross-document duplicated-span scoring: positions whose word
+    * `n`-gram occurs in >= `minDocFreq` distinct documents chain into
+    * maximal spans when their token ranges overlap (`gap < n`); covered
+    * tokens per span are `hi - lo + n` (the exact union). Mirrors
+    * [[graft.operators.Corpus.DupSpans]].
+    */
+  def textDupSpans(n: Int, minDocFreq: Long): String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens
+       |  FROM t),
+       |p AS (SELECT doc_id, tk,
+       |  unnest(range(0, n_tokens - ${n - 1})) AS pos
+       |  FROM s WHERE n_tokens >= $n),
+       |sh AS (SELECT doc_id, pos,
+       |  array_to_string(list_slice(tk, pos + 1, pos + $n), ' ')
+       |    AS shingle FROM p),
+       |hot AS (SELECT shingle FROM
+       |  (SELECT DISTINCT shingle, doc_id FROM sh)
+       |  GROUP BY shingle HAVING count(*) >= $minDocFreq),
+       |d AS (SELECT sh.doc_id, sh.pos FROM sh JOIN hot USING (shingle)),
+       |b AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL
+       |    OR pos - lag(pos) OVER w >= $n THEN 1 ELSE 0 END AS brk
+       |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |g AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM b),
+       |sp AS (SELECT doc_id, grp, min(pos) AS lo, max(pos) AS hi
+       |  FROM g GROUP BY 1, 2),
+       |a AS (SELECT doc_id, count(*) AS n_dup_spans,
+       |  sum(hi - lo + $n) AS n_dup_tokens FROM sp GROUP BY doc_id)
+       |SELECT s.doc_id, s.n_tokens,
+       |  CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       |  CAST(COALESCE(a.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       |  round(CASE WHEN s.n_tokens > 0 THEN
+       |    CAST(COALESCE(a.n_dup_tokens, 0) AS DOUBLE) /
+       |    CAST(s.n_tokens AS DOUBLE) ELSE 0.0 END, 6) AS dup_ratio
+       |FROM s LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary top-k by term frequency, token-ascending ties.
     * Mirrors [[graft.operators.Corpus.VocabTopK]].
     */

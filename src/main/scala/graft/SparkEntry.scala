@@ -513,6 +513,12 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       Corpus.VocabTopK(k = 100).transform(docs(s, dir))
         .orderBy(col("term_freq").desc, col("token").asc)),
+    // span-level cross-document duplication (Lee et al. exact-substring
+    // signal): duplicated 3-gram positions chain into maximal spans via
+    // two per-doc windows; posting/df machinery never shuffles text
+    "text_dupspans" -> ((s, dir) =>
+      Corpus.DupSpans().transform(docs(s, dir))
+        .orderBy("doc_id")),
     "stats_quantiles" -> ((s, dir) =>
       Corpus.QuantileStats(Seq("lang"), "n_chars").transform(docs(s, dir))
         .orderBy("lang")),
@@ -668,6 +674,7 @@ object SparkEntry {
     "decontaminate_neardup" -> OracleSql.nearDupDecontaminate(
       "doc_id % 50 = 0", 32, 8, 0.2),
     "vocab_topk" -> OracleSql.vocabTopK(100),
+    "text_dupspans" -> OracleSql.textDupSpans(3, 2L),
     "stats_quantiles" -> OracleSql.statsQuantiles(
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),
     "shard_pack" -> OracleSql.shardPack(20000L),

@@ -272,6 +272,86 @@ object Corpus {
     }
   }
 
+  /** Cross-document duplicated-SPAN scoring — the span-level "exact
+    * substring deduplication" signal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): for each document,
+    * find the maximal token spans every position of which lies inside a
+    * word n-gram that also occurs in at least `minDocFreq` distinct
+    * documents, and report how much of the document those duplicated
+    * spans cover. Downstream gates drop or trim high-`dup_ratio` docs —
+    * the finer-grained sibling of document-level dedup (a news wire
+    * repeated verbatim inside otherwise-distinct pages is invisible to
+    * whole-doc fingerprints and near-dup thresholds, but lights up
+    * here).
+    *
+    * Span algebra: the shingle starting at 0-based token position `p`
+    * covers tokens `[p, p+n-1]`; duplicated positions `p < q` chain
+    * into one span iff `q - p < n` (their token ranges overlap), so a
+    * maximal span's covered-token count is `hi - lo + n` — the exact
+    * union, with no double counting (gaps `>= n` start a new span).
+    *
+    * Scale shape: the posting stream is narrow (id, pos, shingle) —
+    * text never shuffles; document frequency is the two-phase distinct
+    * aggregation of [[VocabTopK]] (per-(shingle, doc) partial first, so
+    * no count-distinct double shuffle and Zipf-hot shingles land as
+    * pre-aggregated single rows); the duplicated-position join is an
+    * equi-join on the shingle key (AQE-splittable); the span merge is
+    * two stacked windows per DOCUMENT (lag + running sum over the same
+    * (doc, pos) order — one shuffle, tasks bounded by the longest
+    * document, never by the corpus).
+    */
+  final case class DupSpans(idColumn: String = "doc_id",
+                            textColumn: String = "text",
+                            n: Int = 3,
+                            minDocFreq: Long = 2L)
+      extends Wrangler {
+    require(n >= 1, "shingle width `n` must be >= 1")
+    require(minDocFreq >= 2L,
+      "`minDocFreq` must be >= 2 (1 would mark every position duplicated)")
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      val toked = df.select(col(idColumn).cast("long").as("doc_id"),
+          tokens(col(textColumn)).as("tk"))
+        .withColumn("n_tokens",
+          coalesce(size(col("tk")).cast("long"), lit(0L)))
+      val posting = toked.filter(col("n_tokens") >= n)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(tk) - $n), " +
+            s"i -> array_join(slice(tk, i + 1, $n), ' '))"))
+          .as(Seq("pos", "shingle")))
+      // document frequency without count-distinct: (shingle, doc) rows
+      // collapse map-side first, then a plain count per shingle
+      val hot = posting.select("shingle", "doc_id").distinct()
+        .groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= minDocFreq)
+        .select("shingle")
+      val dup = posting.join(hot, Seq("shingle")).select("doc_id", "pos")
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val spans = dup
+        .withColumn("__brk",
+          when(lag("pos", 1).over(wDoc).isNull ||
+            col("pos") - lag("pos", 1).over(wDoc) >= n, 1L)
+            .otherwise(0L))
+        .withColumn("__grp", sum("__brk")
+          .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "__grp")
+        .agg(min("pos").as("__lo"), max("pos").as("__hi"))
+      val perDoc = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("__hi") - col("__lo") + n).as("n_dup_tokens"))
+      toked.select("doc_id", "n_tokens")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+        .withColumn("dup_ratio",
+          when(col("n_tokens") > 0,
+            round(col("n_dup_tokens").cast("double") /
+              col("n_tokens").cast("double"), 6)).otherwise(0.0))
+    }
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with term
     * and document frequencies, ties broken by token ascending.
     *

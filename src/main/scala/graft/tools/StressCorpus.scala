@@ -270,6 +270,108 @@ object StressCorpus {
       n
     }
 
+    // ----- binned overlap join at scale: 10-wide left tiles against
+    // 10-wide right tiles shifted by 5 — left tile i overlaps right
+    // tiles {i-1, i} exactly, so the match count is exactly
+    // 2*tiles - keys iff the canonical-bin dedupe neither drops nor
+    // double-counts pairs across bin borders (binWidth=7 deliberately
+    // misaligns bins with both tilings)
+    time(s"overlap_join tiles=${nRows / 10} x ${nRows / 10}") {
+      val nT = nRows / 10L
+      val lhs = spark.range(nT)
+        .select(pmod(col("id"), lit(8L)).as("k"), col("id").as("lid"),
+          (expr("id div 8") * 10L).as("l_lo"),
+          (expr("id div 8") * 10L + 9L).as("l_hi"))
+      val rhs = spark.range(nT)
+        .select(pmod(col("id"), lit(8L)).as("k"), col("id").as("rid"),
+          (expr("id div 8") * 10L + 5L).as("r_lo"),
+          (expr("id div 8") * 10L + 14L).as("r_hi"))
+      val n = graft.operators.RangeJoin.overlapJoin(lhs, rhs, Seq("k"),
+        "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 7L).count()
+      require(n == 2L * nT - 8L,
+        s"overlap_join matched $n, expected ${2L * nT - 8L}")
+      n
+    }
+
+    // ----- phase-major curriculum at corpus scale: 8 phases over nDocs;
+    // the output must be a bijection onto [0, n) AND phase-major (every
+    // phase's position range strictly precedes the next phase's)
+    time(s"curriculum_order docs=$nDocs phases=8") {
+      val out = graft.operators.CurriculumOrder("ph", numShards = 1024)
+        .transform(docs.withColumn("ph", pmod(col("doc_id"), lit(8L))))
+      val r = out.agg(count(lit(1)), countDistinct("global_pos"),
+        max("global_pos"), sum("global_pos")).collect()(0)
+      require(r.getLong(0) == nDocs.toLong && r.getLong(1) == nDocs.toLong
+          && r.getLong(2) == nDocs - 1L
+          && r.getLong(3) == nDocs.toLong * (nDocs - 1L) / 2L,
+        s"not a permutation: $r")
+      val ranges = out.groupBy("phase")
+        .agg(min("global_pos").as("lo"), max("global_pos").as("hi"))
+        .orderBy("phase").collect()
+      ranges.sliding(2).foreach { w =>
+        if (w.length == 2)
+          require(w(0).getLong(2) < w(1).getLong(1),
+            s"phase ranges overlap: ${w.toSeq}")
+      }
+      r.getLong(0)
+    }
+
+    // ----- temperature mixture at corpus scale: 16 equal-token sources
+    // (uniform sqrt weights), 1M-token budget; every kept row's
+    // inclusive cumsum must respect its stratum budget, and the keep
+    // must be non-empty (an empty keep would hide a broken budget join)
+    time(s"mix_temperature docs=$nDocs sources=16 budget=1M") {
+      val src = docs.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(16L))))
+      val out = Corpus.MixTemperature(totalBudget = 1000000L)
+        .transform(src)
+      val r = out.agg(count(lit(1)),
+        sum(when(col("cum_tokens") > col("mix_budget"), 1L)
+          .otherwise(0L))).collect()(0)
+      require(r.getLong(0) > 0L && r.getLong(1) == 0L,
+        s"budget violated or empty keep: $r")
+      r.getLong(0)
+    }
+
+    // ----- per-group quantile band at 50M rows: the thresholds ride the
+    // chunked rank location (never a whole-group sort) and the kept set
+    // must sit inside its band by construction
+    time(s"quality_band n=$nRows groups=32 p10..p90") {
+      val out = Corpus.QuantileBandFilter(Seq("g"), "v", 0.1, 0.9)
+        .transform(grouped)
+      val r = out.agg(count(lit(1)),
+        sum(when(col("v") < col("band_lo") ||
+          col("v") > col("band_hi"), 1L).otherwise(0L))).collect()(0)
+      require(r.getLong(0) > 0L && r.getLong(1) == 0L,
+        s"band violated or empty keep: $r")
+      r.getLong(0)
+    }
+
+    // ----- span-level duplication at corpus scale: docs pair up on a
+    // shared 3-token prefix (df=2 -> duplicated) with unique tails, so
+    // EVERY doc has exactly one duplicated span of exactly 3 tokens —
+    // sum(n_dup_tokens) == 3*nDocs iff the posting/df/island algebra
+    // neither drops nor double-counts at 2M docs
+    time(s"text_dupspans docs=$nDocs paired-prefix") {
+      val paired = spark.range(nDocs.toLong)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ",
+            concat(lit("p"), expr("id div 2")),
+            concat(lit("q"), expr("id div 2")),
+            concat(lit("r"), expr("id div 2")),
+            concat(lit("u"), col("id")),
+            concat(lit("v"), col("id")),
+            concat(lit("w"), col("id"))).as("text"))
+      val r = Corpus.DupSpans().transform(paired)
+        .agg(count(lit(1)), sum("n_dup_spans"), sum("n_dup_tokens"))
+        .collect()(0)
+      val fullPairs = (nDocs.toLong / 2L) * 2L // an odd tail doc is unpaired
+      require(r.getLong(0) == nDocs.toLong &&
+          r.getLong(1) == fullPairs && r.getLong(2) == 3L * fullPairs,
+        s"span algebra drift: $r")
+      r.getLong(2)
+    }
+
     // ----- the COMPOSED curation chain (round-7 next-round #5): every
     // operator family above is stressed individually, but
     // pipeline_curate composes 8 stages with two lineage cuts and the

@@ -527,6 +527,41 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run, repartition = Some(3))
   }
 
+  test("dup_spans golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Corpus.DupSpans(n = 3, minDocFreq = 2L).transform(df)
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, "a b c d e f g h m n"), // dup 3-grams at pos 0,1,4,5
+          Seq(2L, "a b c d x y z w"),     // shares abc/bcd with doc 1
+          Seq(3L, "e f g h q r s t"),     // shares efg/fgh with doc 1
+          Seq(4L, "u v")),                // shorter than n: no shingles
+        Seq("doc_id:i", "text:s"))
+      // doc 1: dup positions {0,1,4,5}; gap 1->4 is 3 >= n so TWO spans
+      // [0,1] and [4,5], each covering hi-lo+3 = 4 tokens -> 8/10
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq[Any](1L, 10L, 2L, 8L, 0.8),
+          Seq[Any](2L, 8L, 1L, 4L, 0.5),
+          Seq[Any](3L, 8L, 1L, 4L, 0.5),
+          Seq[Any](4L, 2L, 0L, 0L, 0.0)),
+        Seq("doc_id:i", "n_tokens:i", "n_dup_spans:i", "n_dup_tokens:i",
+          "dup_ratio:f"))
+      override def mutants = Seq(
+        // doc 2 becomes doc 1 verbatim: every shingle of both turns
+        // duplicated, the two spans of doc 1 fuse into one full cover
+        ValueMutant("text", 1, "a b c d e f g h m n"),
+        // doc 1 rewrites to unique tokens: docs 2-3 lose their only
+        // duplicated shingles, every ratio collapses to 0
+        ValueMutant("text", 0, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0"),
+        // the shingle-free doc grows an `a b c` copy: its row flips
+        ValueMutant("text", 3, "a b c q1 q2"))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
   test("quality_band golden: killed mutants + repartition invariance") {
     def run(df: DataFrame): DataFrame =
       Corpus.QuantileBandFilter(Seq("g"), "v", lo = 0.25, hi = 0.75)
