@@ -90,6 +90,7 @@ object Bench {
     "quality_band" -> Some("Window"), // QuantileStats' rank-location pass
     "overlap_join" -> Some("Join"),
     "sequence_pack" -> Some("MapPartitions"), // ShardPack's typed pass
+    "pipeline_pretrain" -> Some("MapPartitions"), // final ShardPack stage
     "tfidf_topk" -> Some("Window"),
     "ml_quantized_dot" -> Some("long_array_dot"),
     "ann_bruteforce" -> Some("Window"),
@@ -98,6 +99,7 @@ object Bench {
     "ann_ivf" -> Some("Window"),
     "text_boilerplate" -> Some("Join"),
     "text_dupspans" -> Some("Window"), // the per-doc span-merge windows
+    "text_stripspans" -> Some("Window"), // same span machinery + rebuild
     "mm_resize" -> Some("SerializeFromObject"),
     "mm_features" -> Some("SerializeFromObject"),
     "mm_framesample" -> Some("SerializeFromObject"),

@@ -866,6 +866,67 @@ object OracleSql {
        |FROM s LEFT JOIN b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** The composed pretraining-prep path: per-language `[p(lo), p(hi)]`
+    * n_chars band gate, temperature mixture with budgets recomputed over
+    * the GATED corpus, context chunking, exact token-budget sequence
+    * packing over the chunk key. Mirrors the `pipeline_pretrain` query's
+    * Stage chain ([[qualityBand]] -> [[mixTemperature]] ->
+    * [[sequencePack]] composed over the surviving rows).
+    */
+  def pipelinePretrain(lo: Double, hi: Double, totalBudget: Long,
+                       salt: String, chunkTokens: Int, overlapTokens: Int,
+                       budgetTokens: Long): String = {
+    val stride = chunkTokens - overlapTokens
+    s"""WITH r0 AS (SELECT doc_id, lang, n_chars,
+       |  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS cnt FROM documents),
+       |th AS (SELECT lang,
+       |  max(CASE WHEN rn = CAST(ceil($lo * cnt) AS BIGINT)
+       |    THEN n_chars END) AS blo,
+       |  max(CASE WHEN rn = CAST(ceil($hi * cnt) AS BIGINT)
+       |    THEN n_chars END) AS bhi
+       |  FROM r0 GROUP BY lang),
+       |g AS (SELECT d.doc_id, d.source, d.text FROM documents d
+       |  JOIN th USING (lang)
+       |  WHERE d.n_chars >= th.blo AND d.n_chars <= th.bhi),
+       |t AS (SELECT doc_id, source, text,
+       |  CAST(len($Toks) AS BIGINT) AS n_tokens FROM g),
+       |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS T
+       |  FROM t GROUP BY source),
+       |w AS (SELECT source,
+       |  CAST(round(sqrt(CAST(T AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |    AS wl FROM tot),
+       |nw AS (SELECT CAST(sum(wl) AS BIGINT) AS W FROM w),
+       |b AS (SELECT source,
+       |  CAST(floor(CAST($totalBudget AS DOUBLE) *
+       |    (CAST(wl AS DOUBLE) / CAST(W AS DOUBLE))) AS BIGINT)
+       |    AS mix_budget FROM w CROSS JOIN nw),
+       |sb AS (SELECT t.*,
+       |  substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    AS sample_bucket FROM t),
+       |cm AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+       |    ORDER BY sample_bucket, doc_id ROWS UNBOUNDED PRECEDING)
+       |    AS cum_tokens FROM sb),
+       |kept AS (SELECT cm.doc_id, cm.text FROM cm JOIN b USING (source)
+       |  WHERE cm.cum_tokens <= b.mix_budget),
+       |t2 AS (SELECT doc_id, $Toks AS tk FROM kept),
+       |s2 AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM t2),
+       |c AS (SELECT doc_id, n,
+       |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))
+       |    AS cs FROM s2),
+       |c2 AS (SELECT doc_id, cs // $stride AS chunk_idx,
+       |  least($chunkTokens, n - cs) AS sz,
+       |  doc_id * 100000 + cs // $stride AS ck FROM c),
+       |r AS (SELECT *, SUM(sz) OVER (ORDER BY ck
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM c2)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(sz AS BIGINT) AS n_chunk_tokens,
+       |  CAST(cum AS BIGINT) AS cum_tokens,
+       |  CAST((cum - sz) // $budgetTokens AS BIGINT) AS pack_id
+       |FROM r ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** Cross-document duplicated-span scoring: positions whose word
     * `n`-gram occurs in >= `minDocFreq` distinct documents chain into
     * maximal spans when their token ranges overlap (`gap < n`); covered
@@ -902,6 +963,46 @@ object OracleSql {
        |    CAST(COALESCE(a.n_dup_tokens, 0) AS DOUBLE) /
        |    CAST(s.n_tokens AS DOUBLE) ELSE 0.0 END, 6) AS dup_ratio
        |FROM s LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Exact-substring dedup applied: rebuild each doc's canonical token
+    * stream with duplicated spans (the [[textDupSpans]] algebra) removed.
+    * Mirrors [[graft.operators.Corpus.StripDupSpans]].
+    */
+  def textStripSpans(n: Int, minDocFreq: Long): String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens
+       |  FROM t),
+       |p AS (SELECT doc_id, tk,
+       |  unnest(range(0, n_tokens - ${n - 1})) AS pos
+       |  FROM s WHERE n_tokens >= $n),
+       |sh AS (SELECT doc_id, pos,
+       |  array_to_string(list_slice(tk, pos + 1, pos + $n), ' ')
+       |    AS shingle FROM p),
+       |hot AS (SELECT shingle FROM
+       |  (SELECT DISTINCT shingle, doc_id FROM sh)
+       |  GROUP BY shingle HAVING count(*) >= $minDocFreq),
+       |d AS (SELECT sh.doc_id, sh.pos FROM sh JOIN hot USING (shingle)),
+       |b AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL
+       |    OR pos - lag(pos) OVER w >= $n THEN 1 ELSE 0 END AS brk
+       |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |g AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM b),
+       |sp AS (SELECT doc_id, grp, min(pos) AS lo, max(pos) AS hi
+       |  FROM g GROUP BY 1, 2),
+       |tok AS (SELECT doc_id, pos, tk[pos + 1] AS tok FROM
+       |  (SELECT doc_id, tk, unnest(range(0, n_tokens)) AS pos
+       |   FROM s WHERE n_tokens > 0)),
+       |kept AS (SELECT t2.doc_id, t2.pos, t2.tok FROM tok t2
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp
+       |    WHERE sp.doc_id = t2.doc_id
+       |      AND t2.pos >= sp.lo AND t2.pos <= sp.hi + ${n - 1})),
+       |reb AS (SELECT doc_id, count(*) AS n_kept_tokens,
+       |  string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT s.doc_id, s.n_tokens,
+       |  CAST(COALESCE(reb.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+       |  COALESCE(reb.clean_text, '') AS clean_text
+       |FROM s LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Corpus vocabulary top-k by term frequency, token-ascending ties.
     * Mirrors [[graft.operators.Corpus.VocabTopK]].

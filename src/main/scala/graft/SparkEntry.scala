@@ -485,6 +485,34 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
           col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
         .orderBy("doc_id", "chunk_idx")),
+    // the COMPOSED pretraining-prep path through the Pipeline framework:
+    // per-language [p10, p90] length gate -> temperature-scaled source
+    // mixture (budgets recomputed over the GATED corpus) -> context
+    // chunking -> exact token-budget sequence packing. Every stage is
+    // individually oracle-gated; this pins the composition (column
+    // hand-offs, budget recomputation, row-preservation contracts)
+    "pipeline_pretrain" -> ((s, dir) => {
+      import graft.pipeline.{Pipeline, Stage}
+      val p = new Pipeline(Seq(
+        Stage(Corpus.QuantileBandFilter(Seq("lang"), "n_chars")),
+        Stage(Corpus.MixTemperature(totalBudget = 8000L)),
+        Stage(ChunkSplit(chunkTokens = 32, overlapTokens = 8)),
+        Stage.of("chunk_key")(_.withColumn("chunk_key",
+          col("doc_id") * 100000L + col("chunk_idx"))),
+        // lineage cut (same discipline as pipeline.Curation's phase
+        // boundaries): ShardPack's two-phase prefix sum reads its input
+        // twice — without the cut each pass recomputes the whole
+        // band+mix+chunk chain (measured 6.2 s -> the cut removes the
+        // recompute; on a cluster use Curation's reliable-checkpoint
+        // variant instead)
+        Stage.of("cut")(_.localCheckpoint()),
+        Stage(Corpus.ShardPack(orderColumn = "chunk_key",
+          sizeColumn = "n_chunk_tokens", targetBytes = 256L))))
+      p.transform(docs(s, dir))
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "tfidf_topk" -> ((s, dir) =>
       TfIdf(k = 3).transform(docs(s, dir))
         .orderBy("doc_id", "rank")),
@@ -518,6 +546,12 @@ object SparkEntry {
     // two per-doc windows; posting/df machinery never shuffles text
     "text_dupspans" -> ((s, dir) =>
       Corpus.DupSpans().transform(docs(s, dir))
+        .orderBy("doc_id")),
+    // ...and APPLIED: rebuild the canonical token stream with those
+    // spans removed (the Lee-et-al trim step; anti-join + per-doc
+    // bounded collect_list rebuild)
+    "text_stripspans" -> ((s, dir) =>
+      Corpus.StripDupSpans().transform(docs(s, dir))
         .orderBy("doc_id")),
     "stats_quantiles" -> ((s, dir) =>
       Corpus.QuantileStats(Seq("lang"), "n_chars").transform(docs(s, dir))
@@ -668,6 +702,8 @@ object SparkEntry {
     "mix_temperature" -> OracleSql.mixTemperature(10000L, "graft"),
     "quality_band" -> OracleSql.qualityBand(0.1, 0.9),
     "sequence_pack" -> OracleSql.sequencePack(32, 8, 256L),
+    "pipeline_pretrain" -> OracleSql.pipelinePretrain(0.1, 0.9, 8000L,
+      "graft", 32, 8, 256L),
     "tfidf_topk" -> OracleSql.tfIdfTopK(3),
     "decontaminate" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
     "decontaminate_bloom" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
@@ -675,6 +711,7 @@ object SparkEntry {
       "doc_id % 50 = 0", 32, 8, 0.2),
     "vocab_topk" -> OracleSql.vocabTopK(100),
     "text_dupspans" -> OracleSql.textDupSpans(3, 2L),
+    "text_stripspans" -> OracleSql.textStripSpans(3, 2L),
     "stats_quantiles" -> OracleSql.statsQuantiles(
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),
     "shard_pack" -> OracleSql.shardPack(20000L),

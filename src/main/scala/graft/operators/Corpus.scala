@@ -310,33 +310,8 @@ object Corpus {
       "`minDocFreq` must be >= 2 (1 would mark every position duplicated)")
 
     def transform(df: DataFrame): DataFrame = {
-      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
-      val toked = df.select(col(idColumn).cast("long").as("doc_id"),
-          tokens(col(textColumn)).as("tk"))
-        .withColumn("n_tokens",
-          coalesce(size(col("tk")).cast("long"), lit(0L)))
-      val posting = toked.filter(col("n_tokens") >= n)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(tk) - $n), " +
-            s"i -> array_join(slice(tk, i + 1, $n), ' '))"))
-          .as(Seq("pos", "shingle")))
-      // document frequency without count-distinct: (shingle, doc) rows
-      // collapse map-side first, then a plain count per shingle
-      val hot = posting.select("shingle", "doc_id").distinct()
-        .groupBy("shingle").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") >= minDocFreq)
-        .select("shingle")
-      val dup = posting.join(hot, Seq("shingle")).select("doc_id", "pos")
-      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val spans = dup
-        .withColumn("__brk",
-          when(lag("pos", 1).over(wDoc).isNull ||
-            col("pos") - lag("pos", 1).over(wDoc) >= n, 1L)
-            .otherwise(0L))
-        .withColumn("__grp", sum("__brk")
-          .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("doc_id", "__grp")
-        .agg(min("pos").as("__lo"), max("pos").as("__hi"))
+      val (toked, spans) = dupSpanFrames(df, idColumn, textColumn, n,
+        minDocFreq)
       val perDoc = spans.groupBy("doc_id")
         .agg(count(lit(1)).as("n_dup_spans"),
           sum(col("__hi") - col("__lo") + n).as("n_dup_tokens"))
@@ -349,6 +324,103 @@ object Corpus {
           when(col("n_tokens") > 0,
             round(col("n_dup_tokens").cast("double") /
               col("n_tokens").cast("double"), 6)).otherwise(0.0))
+    }
+  }
+
+  /** Shared machinery of [[DupSpans]] / [[StripDupSpans]]: tokenized
+    * docs plus the maximal duplicated spans per document. Returns
+    * (`toked` = (doc_id, tk, n_tokens), `spans` = (doc_id, __lo, __hi)
+    * in SHINGLE-position coordinates — the span covers tokens
+    * `[__lo, __hi + n - 1]`). Scale shape as documented on
+    * [[DupSpans]].
+    */
+  private def dupSpanFrames(df: DataFrame, idColumn: String,
+      textColumn: String, n: Int,
+      minDocFreq: Long): (DataFrame, DataFrame) = {
+    SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+    val toked = df.select(col(idColumn).cast("long").as("doc_id"),
+        tokens(col(textColumn)).as("tk"))
+      .withColumn("n_tokens",
+        coalesce(size(col("tk")).cast("long"), lit(0L)))
+    val posting = toked.filter(col("n_tokens") >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(tk) - $n), " +
+          s"i -> array_join(slice(tk, i + 1, $n), ' '))"))
+        .as(Seq("pos", "shingle")))
+    // document frequency without count-distinct: (shingle, doc) rows
+    // collapse map-side first, then a plain count per shingle
+    val hot = posting.select("shingle", "doc_id").distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("shingle")
+    val dup = posting.join(hot, Seq("shingle")).select("doc_id", "pos")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("__brk",
+        when(lag("pos", 1).over(wDoc).isNull ||
+          col("pos") - lag("pos", 1).over(wDoc) >= n, 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum("__brk")
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "__grp")
+      .agg(min("pos").as("__lo"), max("pos").as("__hi"))
+    (toked, spans)
+  }
+
+  /** Exact-substring deduplication APPLIED — the trim step of Lee et
+    * al. 2022: rebuild each document's text with its cross-document
+    * duplicated spans (as found by [[DupSpans]]' algebra) removed,
+    * keeping the rest of the document. The complement of document-level
+    * dedup: the document survives, the boilerplate/wire-copy inside it
+    * does not.
+    *
+    * Output (row-per-input-doc): `doc_id`, `n_tokens` (original),
+    * `n_kept_tokens`, and `clean_text` — the kept tokens of the
+    * whitespace-normalized lower-cased token stream re-joined with
+    * single spaces (the same canonical token space every corpus
+    * operator here works in), `''` when the whole document was
+    * duplicated. Docs shorter than the shingle width pass through
+    * untouched (no shingles — nothing provably duplicated).
+    *
+    * Scale shape: on top of [[DupSpans]]' machinery, one token-position
+    * stream (narrow: id, pos, token) LEFT ANTI join against the span
+    * table — an equi-join on the doc key with the range residual, so a
+    * doc's tokens meet only its own spans — and one per-doc
+    * `collect_list` rebuild (bounded by the longest document, the same
+    * bound as every per-doc window here; the struct sort is in-memory
+    * per doc).
+    */
+  final case class StripDupSpans(idColumn: String = "doc_id",
+                                 textColumn: String = "text",
+                                 n: Int = 3,
+                                 minDocFreq: Long = 2L)
+      extends Wrangler {
+    require(n >= 1, "shingle width `n` must be >= 1")
+    require(minDocFreq >= 2L,
+      "`minDocFreq` must be >= 2 (1 would mark every position duplicated)")
+
+    def transform(df: DataFrame): DataFrame = {
+      val (toked, spans) = dupSpanFrames(df, idColumn, textColumn, n,
+        minDocFreq)
+      val toks = toked.filter(col("n_tokens") > 0)
+        .select(col("doc_id").as("__tid"),
+          posexplode(col("tk")).as(Seq("pos", "tok")))
+      // a token is removed iff some duplicated span covers its position
+      // (span [lo, hi] in shingle coords covers tokens [lo, hi + n - 1])
+      val kept = toks.join(spans,
+        col("__tid") === col("doc_id") &&
+          col("pos") >= col("__lo") &&
+          col("pos") <= col("__hi") + (n - 1), "left_anti")
+      val rebuilt = kept.groupBy("__tid")
+        .agg(count(lit(1)).as("n_kept_tokens"),
+          expr("array_join(transform(array_sort(" +
+            "collect_list(struct(pos, tok))), s -> s.tok), ' ')")
+            .as("clean_text"))
+      toked.select("doc_id", "n_tokens")
+        .join(rebuilt, col("doc_id") === col("__tid"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
     }
   }
 

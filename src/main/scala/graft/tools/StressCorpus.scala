@@ -352,16 +352,16 @@ object StressCorpus {
     // EVERY doc has exactly one duplicated span of exactly 3 tokens —
     // sum(n_dup_tokens) == 3*nDocs iff the posting/df/island algebra
     // neither drops nor double-counts at 2M docs
+    def paired: DataFrame = spark.range(nDocs.toLong)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          concat(lit("p"), expr("id div 2")),
+          concat(lit("q"), expr("id div 2")),
+          concat(lit("r"), expr("id div 2")),
+          concat(lit("u"), col("id")),
+          concat(lit("v"), col("id")),
+          concat(lit("w"), col("id"))).as("text"))
     time(s"text_dupspans docs=$nDocs paired-prefix") {
-      val paired = spark.range(nDocs.toLong)
-        .select(col("id").as("doc_id"),
-          concat_ws(" ",
-            concat(lit("p"), expr("id div 2")),
-            concat(lit("q"), expr("id div 2")),
-            concat(lit("r"), expr("id div 2")),
-            concat(lit("u"), col("id")),
-            concat(lit("v"), col("id")),
-            concat(lit("w"), col("id"))).as("text"))
       val r = Corpus.DupSpans().transform(paired)
         .agg(count(lit(1)), sum("n_dup_spans"), sum("n_dup_tokens"))
         .collect()(0)
@@ -370,6 +370,58 @@ object StressCorpus {
           r.getLong(1) == fullPairs && r.getLong(2) == 3L * fullPairs,
         s"span algebra drift: $r")
       r.getLong(2)
+    }
+
+    // ----- ...and APPLIED: stripping those spans must keep exactly the
+    // 3 unique tail tokens of every paired doc (all 6 of an unpaired
+    // tail doc) — row-preserving, exact
+    time(s"text_stripspans docs=$nDocs paired-prefix") {
+      val fullPairs = (nDocs.toLong / 2L) * 2L
+      val r = Corpus.StripDupSpans().transform(paired)
+        .agg(count(lit(1)), sum("n_kept_tokens")).collect()(0)
+      require(r.getLong(0) == nDocs.toLong &&
+          r.getLong(1) == 3L * fullPairs + 6L * (nDocs - fullPairs),
+        s"strip drift: $r")
+      r.getLong(1)
+    }
+
+    // ----- the COMPOSED pretraining-prep chain at corpus scale: band
+    // gate -> temperature mixture -> chunking -> packing with the
+    // pre-pack lineage cut; the packing prefix sum must stay EXACT
+    // through the whole composition (last cumulative == global token
+    // sum), and the keep must be non-empty
+    time(s"pipeline_pretrain docs=$nDocs budget=2M") {
+      import graft.pipeline.{Pipeline, Stage}
+      val src = spark.range(nDocs.toLong)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ",
+            concat(lit("a"), pmod(col("id"), lit(101L))),
+            concat(lit("b"), pmod(col("id"), lit(103L))),
+            concat(lit("c"), (col("id") / 1000L).cast("long")),
+            concat(lit("d"), pmod(col("id"), lit(107L))),
+            concat(lit("e"), (col("id") / 500L).cast("long")),
+            concat(lit("f"), pmod(col("id"), lit(109L))),
+            concat(lit("g"), pmod(col("id"), lit(113L))),
+            concat(lit("h"), pmod(col("id"), lit(127L)))).as("text"))
+        .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(4L))))
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(16L))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val p = new Pipeline(Seq(
+        Stage(Corpus.QuantileBandFilter(Seq("lang"), "n_chars")),
+        Stage(Corpus.MixTemperature(totalBudget = 2000000L)),
+        Stage(graft.operators.ChunkSplit(chunkTokens = 4,
+          overlapTokens = 1)),
+        Stage.of("chunk_key")(_.withColumn("chunk_key",
+          col("doc_id") * 100000L + col("chunk_idx"))),
+        Stage.of("cut")(_.localCheckpoint()),
+        Stage(Corpus.ShardPack(orderColumn = "chunk_key",
+          sizeColumn = "n_chunk_tokens", targetBytes = 4096L))))
+      val out = p.transform(src)
+      val r = out.agg(count(lit(1)), max("cum_bytes"),
+        sum("n_chunk_tokens")).collect()(0)
+      require(r.getLong(0) > 0L && r.getLong(1) == r.getLong(2),
+        s"pretrain composition drift: $r")
+      r.getLong(0)
     }
 
     // ----- the COMPOSED curation chain (round-7 next-round #5): every

@@ -562,6 +562,39 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run, repartition = Some(3))
   }
 
+  test("strip_spans golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Corpus.StripDupSpans(n = 3, minDocFreq = 2L).transform(df)
+    val tc = new DataTestCase(spark) {
+      // same corpus as the dup_spans golden: spans [0,1] and [4,5] of
+      // doc 1 cover tokens 0..7, leaving "m n"; docs 2-3 lose their
+      // 4-token shared prefix; doc 4 is shingle-free and passes through
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, "a b c d e f g h m n"),
+          Seq(2L, "a b c d x y z w"),
+          Seq(3L, "e f g h q r s t"),
+          Seq(4L, "u v")),
+        Seq("doc_id:i", "text:s"))
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, 10L, 2L, "m n"),
+          Seq(2L, 8L, 4L, "x y z w"),
+          Seq(3L, 8L, 4L, "q r s t"),
+          Seq(4L, 2L, 2L, "u v")),
+        Seq("doc_id:i", "n_tokens:i", "n_kept_tokens:i", "clean_text:s"))
+      override def mutants = Seq(
+        // doc 2 becomes doc 1 verbatim: both strip to empty
+        ValueMutant("text", 1, "a b c d e f g h m n"),
+        // doc 1 rewrites to unique tokens: every doc keeps everything
+        ValueMutant("text", 0, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0"),
+        // the shingle-free doc grows an `a b c` copy: it gets stripped
+        ValueMutant("text", 3, "a b c q1 q2"))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
   test("quality_band golden: killed mutants + repartition invariance") {
     def run(df: DataFrame): DataFrame =
       Corpus.QuantileBandFilter(Seq("g"), "v", lo = 0.25, hi = 0.75)
