@@ -285,14 +285,76 @@ class PlanShapeSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val out = InterleaveShuffle(numShards = 4).transform(docs)
     val plan = out.queryExecution.executedPlan.toString
-    // every hash-shuffle on the bucket key must project only the narrow
-    // (key, shuffle_key, bucket) tuple — the text column appearing in a
-    // __rb exchange means the full row rode the rank shuffle
-    val rbExchanges = "(?s)Exchange hashpartitioning\\(__rb[^\\n]*".r
+    // every hash-shuffle on the (phase, bucket) key must project only
+    // the narrow (key, shuffle_key, bucket) tuple — the text column
+    // appearing in that exchange means the full row rode the rank
+    // shuffle (the shared permutation core leads with the constant
+    // __ph phase key since round 9)
+    val rbExchanges = "(?s)Exchange hashpartitioning\\(__ph[^\\n]*".r
       .findAllIn(plan).toList
     assert(rbExchanges.nonEmpty, plan)
     assert(!rbExchanges.exists(_.contains("text")), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("curriculum_order: the phase-major rank shuffle carries IDS ONLY — " +
+    "text joins back after the window") {
+    val docs = (0L until 40L).map(i => (i, i % 4, s"body text $i"))
+      .toDF("doc_id", "ph", "text")
+    val out = CurriculumOrder("ph", numShards = 4).transform(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    val rbExchanges = "(?s)Exchange hashpartitioning\\(__ph[^\\n]*".r
+      .findAllIn(plan).toList
+    assert(rbExchanges.nonEmpty, plan)
+    assert(!rbExchanges.exists(_.contains("text")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("mix_temperature: budgets and offsets broadcast; the cumsum window " +
+    "includes the range bucket (no whole-stratum task)") {
+    val d = (0L until 60L)
+      .map(i => (i, s"s${i % 4}", "a b c"))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.MixTemperature(totalBudget = 50L).transform(d)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val bigWindows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filter(_.contains("cum_tokens"))
+    bigWindows.foreach(l => assert(l.contains("__rb"), l))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("quality_band: thresholds broadcast back; the rank-location " +
+    "window is (group, value-bucket)-partitioned — never group alone") {
+    val d = (0L until 80L).map(i => (i, s"g${i % 2}", (i * 17L) % 97L))
+      .toDF("id", "g", "v")
+    val out = Corpus.QuantileBandFilter(Seq("g"), "v").transform(d)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val rankWindows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filter(_.contains("__rn"))
+    rankWindows.foreach(l => assert(l.contains("__b"), l))
+  }
+
+  test("text_dupspans / stripspans: df is two-phase agg — no " +
+    "count-distinct Expand — and every join is an equi-join") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"shared prefix tokens here tail$i x y z"))
+      .toDF("doc_id", "text")
+    for (out <- Seq(Corpus.DupSpans().transform(docs),
+        Corpus.StripDupSpans().transform(docs))) {
+      val plan = out.queryExecution.executedPlan.toString
+      // a count(DISTINCT doc_id) formulation would show an Expand node
+      // and shuffle the posting stream twice
+      assert(!plan.contains("Expand"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      // the island-merge windows are per-document
+      plan.linesIterator.filter(_.contains("windowspecdefinition"))
+        .foreach(l => assert(l.contains("doc_id"), l))
+    }
   }
 
   test("broadcast join: nation side broadcasts, no shuffle for the dim") {
