@@ -75,6 +75,7 @@ object Bench {
     "decontaminate" -> Some("Join"),
     "decontaminate_bloom" -> Some("Join"),
     "decontaminate_neardup" -> Some("Join"),
+    "decontaminate_report" -> Some("Join"),
     "sample_quota" -> Some("Window"),
     "mix_budget" -> Some("Window"),
     "sample_cluster" -> Some("Window"),
@@ -89,6 +90,7 @@ object Bench {
     "mix_temperature" -> Some("Window"),
     "quality_band" -> Some("Window"), // QuantileStats' rank-location pass
     "overlap_join" -> Some("Join"),
+    "funnel_steps" -> Some("Window"), // the conditional-min chain
     "sequence_pack" -> Some("MapPartitions"), // ShardPack's typed pass
     "pipeline_pretrain" -> Some("MapPartitions"), // final ShardPack stage
     "tfidf_topk" -> Some("Window"),

@@ -844,6 +844,41 @@ object OracleSql {
        |FROM trs t LEFT JOIN ov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-EVAL-doc contamination report: distinct-shingle leak counts
+    * against the training corpus plus the df-capped distinct-train-doc
+    * count. Mirrors [[graft.operators.Corpus.ContaminationReport]].
+    */
+  def contaminationReport(evalPredicate: String,
+                          maxDocFreq: Long): String =
+    s"""WITH evt AS (SELECT doc_id, $Toks AS tk FROM documents
+       |  WHERE $evalPredicate),
+       |evs AS (SELECT doc_id, $Shingles AS sh FROM evt),
+       |ev AS (SELECT doc_id, unnest(sh) AS shingle FROM evs),
+       |trt AS (SELECT doc_id, $Toks AS tk FROM documents
+       |  WHERE NOT ($evalPredicate)),
+       |trs AS (SELECT doc_id AS tid, unnest($Shingles) AS shingle
+       |  FROM trt),
+       |cont AS (SELECT ev.doc_id, count(*) AS n_contaminated
+       |  FROM ev JOIN (SELECT DISTINCT shingle FROM trs) t
+       |  USING (shingle) GROUP BY 1),
+       |pairable AS (SELECT shingle FROM trs GROUP BY shingle
+       |  HAVING count(*) <= $maxDocFreq),
+       |pairs AS (SELECT DISTINCT ev.doc_id, trs.tid
+       |  FROM ev JOIN pairable USING (shingle) JOIN trs USING (shingle)),
+       |np AS (SELECT doc_id, count(*) AS n_train_docs FROM pairs
+       |  GROUP BY 1)
+       |SELECT e.doc_id, CAST(len(e.sh) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(cont.n_contaminated, 0) AS BIGINT)
+       |    AS n_contaminated,
+       |  CAST(COALESCE(np.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+       |  round(CASE WHEN len(e.sh) > 0
+       |    THEN CAST(COALESCE(cont.n_contaminated, 0) AS DOUBLE) /
+       |         CAST(len(e.sh) AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS contamination_ratio
+       |FROM evs e LEFT JOIN cont USING (doc_id)
+       |  LEFT JOIN np USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Boilerplate ratio per training doc: distinct 3-gram shingles whose
     * corpus document frequency exceeds `maxDocFreq`. Mirrors
     * [[graft.operators.Corpus.BoilerplateScore]].
@@ -1319,6 +1354,33 @@ object OracleSql {
        |  a.first_click_id
        |FROM p LEFT JOIN a USING (user_id, purchase_id)
        |ORDER BY user_id, purchase_id""".stripMargin
+
+  /** Ordered funnel per user: earliest signup, first view at-or-after
+    * it, first purchase at-or-after that (closed-interval ties chain).
+    * Mirrors [[graft.operators.Funnel]].
+    */
+  def funnelSteps: String =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_type
+       |  FROM events),
+       |s1 AS (SELECT user_id, min(tsn) AS t_signup FROM e
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(e.tsn) AS t_view FROM e
+       |  JOIN s1 USING (user_id)
+       |  WHERE e.event_type = 'view' AND e.tsn >= s1.t_signup
+       |  GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(e.tsn) AS t_purchase FROM e
+       |  JOIN s2 USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.tsn >= s2.t_view
+       |  GROUP BY 1),
+       |u AS (SELECT DISTINCT user_id FROM e)
+       |SELECT u.user_id, s1.t_signup, s2.t_view, s3.t_purchase,
+       |  CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+       |    WHEN s2.t_view IS NOT NULL THEN 2
+       |    WHEN s1.t_signup IS NOT NULL THEN 1
+       |    ELSE 0 END AS BIGINT) AS steps_completed
+       |FROM u LEFT JOIN s1 USING (user_id)
+       |  LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+       |ORDER BY user_id""".stripMargin
 
   /** Interval-overlap join (range x range): per purchase attribution
     * window `[ts - attributionNs, ts]`, the count of view influence

@@ -359,6 +359,15 @@ object SparkEntry {
           col("first_click_id"))
         .orderBy("user_id", "purchase_id")
     }),
+    // ordered funnel: earliest signup -> first view at-or-after it ->
+    // first purchase at-or-after that, per user; ONE keyed shuffle
+    // (stacked conditional-min windows + same-key agg)
+    "funnel_steps" -> ((s, dir) =>
+      Funnel(Seq("signup", "view", "purchase"))
+        .transform(events(s, dir))
+        .select("user_id", "t_signup", "t_view", "t_purchase",
+          "steps_completed")
+        .orderBy("user_id")),
     // binned interval-OVERLAP join (range x range): which view influence
     // windows [ts, ts+1d] intersect each purchase attribution window
     // [ts-2d, ts] per user — equi-join on (user, bin), each pair kept in
@@ -538,6 +547,14 @@ object SparkEntry {
         threshold = 0.2)
         .transform(docs(s, dir))
         .orderBy("doc_id")),
+    // the transposed audit: per EVAL doc, how much of it leaks into the
+    // training corpus and from how many distinct training docs
+    // (df-capped pair join — corpus-hot shingles never expand)
+    "decontaminate_report" -> ((s, dir) =>
+      Corpus.ContaminationReport(_.filter(col("doc_id") % 50 === 0),
+        maxDocFreq = 100L)
+        .transform(docs(s, dir))
+        .orderBy("doc_id")),
     "vocab_topk" -> ((s, dir) =>
       Corpus.VocabTopK(k = 100).transform(docs(s, dir))
         .orderBy(col("term_freq").desc, col("token").asc)),
@@ -688,6 +705,7 @@ object SparkEntry {
     "range_join" -> OracleSql.rangeJoin(2L * 86400000000000L),
     "overlap_join" -> OracleSql.overlapJoin(2L * 86400000000000L,
       86400000000000L),
+    "funnel_steps" -> OracleSql.funnelSteps,
     "sample_stratified" -> OracleSql.sampleStratified(
       Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft"),
     "sample_quota" -> OracleSql.sampleQuota(
@@ -709,6 +727,8 @@ object SparkEntry {
     "decontaminate_bloom" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
     "decontaminate_neardup" -> OracleSql.nearDupDecontaminate(
       "doc_id % 50 = 0", 32, 8, 0.2),
+    "decontaminate_report" -> OracleSql.contaminationReport(
+      "doc_id % 50 = 0", 100L),
     "vocab_topk" -> OracleSql.vocabTopK(100),
     "text_dupspans" -> OracleSql.textDupSpans(3, 2L),
     "text_stripspans" -> OracleSql.textStripSpans(3, 2L),

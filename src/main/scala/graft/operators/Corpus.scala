@@ -136,6 +136,82 @@ object Corpus {
     }
   }
 
+  /** The transposed contamination view — one row per EVAL document (the
+    * benchmark-audit complement of [[Decontaminate]], which reports per
+    * TRAINING document): how much of each eval item already leaks into
+    * the training corpus, and from how many distinct training documents.
+    * The report that decides "drop this benchmark task / rewrite this
+    * eval item", where Decontaminate decides "drop this training doc".
+    *
+    * Per eval doc: `n_shingles` (its distinct word n-grams),
+    * `n_contaminated` (how many of those occur in ANY training doc),
+    * `contamination_ratio`, and `n_train_docs` — the distinct training
+    * documents sharing at least one shingle, counted over shingles with
+    * training document frequency `<= maxDocFreq` ONLY (a corpus-hot
+    * boilerplate shingle would pair every eval doc with ~the whole
+    * corpus: quadratic rows carrying no audit signal — the same
+    * structural cap as `NGramJaccard`; `n_contaminated` still counts
+    * capped shingles, via the pair-free path).
+    *
+    * Scale shape: `n_contaminated` is the [[Decontaminate]] join
+    * transposed (eval shingles against the DISTINCT train shingle set —
+    * no train-doc identity, no pair blowup); the `n_train_docs` pair
+    * join is df-capped so a shingle contributes at most `maxDocFreq`
+    * pairs per eval doc; both rollups are two-phase distinct
+    * aggregations (no count-distinct Expand). Text never shuffles.
+    */
+  final case class ContaminationReport(evalDocs: DataFrame => DataFrame,
+                                       idColumn: String = "doc_id",
+                                       textColumn: String = "text",
+                                       n: Int = 3,
+                                       maxDocFreq: Long = 1000L)
+      extends Wrangler {
+    require(n >= 1, "shingle width `n` must be >= 1")
+    require(maxDocFreq >= 1, "`maxDocFreq` must be >= 1")
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      val evalSet = evalDocs(df)
+      val evalIds = evalSet.select(col(idColumn).cast("long").as("doc_id"))
+      val train = df.select(col(idColumn).cast("long").as("doc_id"),
+          col(textColumn).as("text"))
+        .join(evalIds, Seq("doc_id"), "left_anti")
+      // shingles are distinct per doc on both sides (shingleRows), so
+      // every aggregate below is duplicate-free without extra distincts
+      val evalSh = shingleRows(
+        evalSet.select(col(idColumn).cast("long").as("doc_id"),
+          col(textColumn).as("text")), "doc_id", "text", n)
+      val trainSh = shingleRows(train, "doc_id", "text", n)
+        .select(col("doc_id").as("__tid"), col("shingle"))
+      val cont = evalSh
+        .join(trainSh.select("shingle").distinct()
+          .withColumn("hit", lit(1L)), Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg(max(col("sz")).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      val pairable = trainSh.groupBy("shingle")
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDocFreq)
+        .select("shingle")
+      val np = evalSh.select("doc_id", "shingle")
+        .join(pairable, Seq("shingle"))
+        .join(trainSh, Seq("shingle"))
+        .select("doc_id", "__tid").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_train_docs"))
+      evalIds
+        .join(cont, Seq("doc_id"), "left")
+        .join(np, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+        .withColumn("contamination_ratio",
+          when(col("n_shingles") > 0,
+            round(col("n_contaminated").cast("double") /
+              col("n_shingles").cast("double"), 6)).otherwise(0.0))
+    }
+  }
+
   /** Near-duplicate benchmark decontamination: flag training documents
     * whose MinHash-estimated Jaccard similarity to ANY held-out eval
     * document reaches `threshold` — the paraphrase-robust complement of

@@ -34,4 +34,32 @@ object ShardedSink {
       .partitionBy(shardColumn)
       .parquet(path)
   }
+
+  /** JSONL export variant: most training-data loaders stream
+    * newline-delimited JSON, not parquet — same layout discipline as
+    * [[write]] (each shard co-located into ONE key-sorted file, never
+    * tasks x shards small files). `compression` defaults to gzip: text
+    * JSON is ~5-10x larger than parquet, so at corpus scale the codec
+    * is not optional. JSON is schema-on-read (numbers/strings/booleans
+    * only) — this is the EXPORT sink; parquet remains the round-trip
+    * format.
+    */
+  def writeJsonl(packed: DataFrame, path: String,
+                 orderColumn: String = "doc_id",
+                 shardColumn: String = "shard",
+                 mode: SaveMode = SaveMode.Overwrite,
+                 compression: String = "gzip"): Unit = {
+    require(packed.columns.contains(shardColumn),
+      s"`$shardColumn` not in ${packed.columns.mkString(", ")} — run " +
+        "Corpus.ShardPack first")
+    require(packed.columns.contains(orderColumn),
+      s"`$orderColumn` not in ${packed.columns.mkString(", ")}")
+    packed
+      .repartition(col(shardColumn))
+      .sortWithinPartitions(col(shardColumn), col(orderColumn))
+      .write.mode(mode)
+      .option("compression", compression)
+      .partitionBy(shardColumn)
+      .json(path)
+  }
 }

@@ -385,6 +385,41 @@ object StressCorpus {
       r.getLong(1)
     }
 
+    // ----- per-eval-doc contamination report at corpus scale: 1/1000
+    // eval split over the hot-vocabulary docs corpus — the df cap must
+    // keep the pair join bounded even though template shingles put every
+    // eval doc next to ~the whole corpus without it
+    time(s"decontaminate_report docs=$nDocs eval=1/1000 cap=100") {
+      val out = Corpus.ContaminationReport(
+          _.filter(pmod(col("doc_id"), lit(1000L)) === 0),
+          maxDocFreq = 100L)
+        .transform(docs)
+      val r = out.agg(count(lit(1)), sum("n_contaminated")).collect()(0)
+      require(r.getLong(0) == nDocs / 1000L,
+        s"report not row-complete over the eval split: $r")
+      r.getLong(1)
+    }
+
+    // ----- ordered funnel at event scale: 50 events per user cycling
+    // through 5 types in ts order, so EVERY user completes all 3 steps
+    // — sum(steps_completed) == 3 * users iff the conditional-min chain
+    // is exact at scale
+    time(s"funnel_steps events=$nRows users=${nRows / 50}") {
+      val ev = spark.range(nRows)
+        .select(expr("id div 50").as("user_id"), col("id").as("ts"),
+          element_at(
+            array(lit("signup"), lit("view"), lit("purchase"),
+              lit("click"), lit("error")),
+            (pmod(col("id"), lit(5L)) + 1L).cast("int")).as("event_type"))
+      val out = graft.operators.Funnel(Seq("signup", "view", "purchase"))
+        .transform(ev)
+      val r = out.agg(count(lit(1)), sum("steps_completed")).collect()(0)
+      require(r.getLong(0) == nRows / 50L &&
+          r.getLong(1) == 3L * (nRows / 50L),
+        s"funnel drift: $r")
+      r.getLong(1)
+    }
+
     // ----- the COMPOSED pretraining-prep chain at corpus scale: band
     // gate -> temperature mixture -> chunking -> packing with the
     // pre-pack lineage cut; the packing prefix sum must stay EXACT

@@ -70,6 +70,47 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run, repartition = Some(3))
   }
 
+  test("contamination_report golden: killed mutants + repartition " +
+    "invariance") {
+    def run(df: DataFrame): DataFrame =
+      Corpus.ContaminationReport(evalDocs = _.filter(col("doc_id") >= 10),
+        n = 2, maxDocFreq = 1L).transform(df)
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, "the cat sat"),      // train: {the cat, cat sat}
+          Seq(2L, "the cat ran"),      // train: {the cat, cat ran}
+          Seq(3L, "dog barks loud"),   // train, unrelated
+          Seq(10L, "the cat sat here"), // eval
+          Seq(11L, "nothing matches"),  // eval, clean
+          Seq(12L, "x")),               // eval, shingle-free
+        Seq("doc_id:i", "text:s"))
+      // eval 10: 3 shingles, 2 contaminated; n_train_docs counts only
+      // df<=1 shingles — "the cat" (df=2) is capped out, leaving the
+      // single "cat sat" -> train 1
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq[Any](10L, 3L, 2L, 1L, 0.666667),
+          Seq[Any](11L, 1L, 0L, 0L, 0.0),
+          Seq[Any](12L, 0L, 0L, 0L, 0.0)),
+        Seq("doc_id:i", "n_shingles:i", "n_contaminated:i",
+          "n_train_docs:i", "contamination_ratio:f"))
+      override def mutants = Seq(
+        // train 2 rewrites to share eval 10's tail: contamination AND
+        // the pair count rise
+        ValueMutant("text", 1, "sat here now"),
+        // a train doc becomes eval: a new report row appears
+        ValueMutant("doc_id", 2, 13L),
+        // the clean eval doc turns into the CAPPED hot shingle: its
+        // contamination flips to 1/1 while n_train_docs stays 0 — kills
+        // any implementation that drops capped shingles from the
+        // contamination count too
+        ValueMutant("text", 4, "the cat"))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
   test("boilerplate_score golden: killed mutants + repartition invariance") {
     def run(df: DataFrame): DataFrame =
       Corpus.BoilerplateScore(n = 2, maxDocFreq = 2L).transform(df)

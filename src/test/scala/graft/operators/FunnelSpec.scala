@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.testing._
+
+/** The ordered-funnel operator: golden+mutation protocol (step-order
+  * semantics, same-instant ties, partial funnels) plus the one-shuffle
+  * plan pin. Value-level correctness at fixture scale is pinned by the
+  * DuckDB oracle on `funnel_steps`.
+  */
+class FunnelSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def run(df: DataFrame): DataFrame =
+    Funnel(Seq("signup", "view", "purchase"), typeColumn = "event_type",
+      tsColumn = "ts", keyColumns = Seq("user_id")).transform(df)
+
+  test("funnel golden: killed mutants + repartition invariance") {
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, 10L, "signup"),
+          Seq(1L, 5L, "view"),      // BEFORE the signup: must not count
+          Seq(1L, 20L, "view"),
+          Seq(1L, 15L, "purchase"), // before the counted view: ignored
+          Seq(1L, 30L, "purchase"),
+          Seq(2L, 10L, "signup"),
+          Seq(2L, 5L, "purchase"),
+          Seq(2L, 4L, "view"),      // both before signup: funnel stops at 1
+          Seq(3L, 1L, "view"),      // no signup at all: 0 steps
+          Seq(3L, 2L, "purchase"),
+          Seq(4L, 10L, "signup"),   // same-instant chain: ties count
+          Seq(4L, 10L, "view"),
+          Seq(4L, 10L, "purchase")),
+        Seq("user_id:i", "ts:i", "event_type:s"))
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq[Any](1L, 10L, 20L, 30L, 3L),
+          Seq[Any](2L, 10L, null, null, 1L),
+          Seq[Any](3L, null, null, null, 0L),
+          Seq[Any](4L, 10L, 10L, 10L, 3L)),
+        Seq("user_id:i", "t_signup:i", "t_view:i", "t_purchase:i",
+          "steps_completed:i"))
+      override def mutants = Seq(
+        // u1's counted view slides past its purchase: funnel stops at 2
+        ValueMutant("ts", 2, 40L),
+        // u2's early view moves after the signup: funnel reaches 2
+        ValueMutant("ts", 7, 14L),
+        // u3 gains a signup: funnel starts
+        ValueMutant("event_type", 8, "signup"))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
+  test("one keyed shuffle for the whole window chain + agg") {
+    import spark.implicits._
+    val ev = (0 until 60).map { i =>
+      (i.toLong % 5L, i.toLong, Seq("signup", "view", "purchase",
+        "click")(i % 4))
+    }.toDF("user_id", "ts", "event_type")
+    val plan = run(ev).queryExecution.executedPlan.toString
+    val n = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(n == 1, plan)
+  }
+
+  test("step guards: short, duplicate and colliding funnels rejected") {
+    intercept[IllegalArgumentException](Funnel(Seq("signup")))
+    intercept[IllegalArgumentException](
+      Funnel(Seq("signup", "signup")))
+    import spark.implicits._
+    val bad = Seq((1L, 1L, "signup", 0L))
+      .toDF("user_id", "ts", "event_type", "t_view")
+    val e = intercept[IllegalArgumentException](
+      run(bad.drop("t_view").withColumn("t_view",
+        org.apache.spark.sql.functions.lit(0L))))
+    assert(e.getMessage.contains("t_view"), e.getMessage)
+  }
+}
