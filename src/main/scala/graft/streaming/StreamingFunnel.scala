@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One input event of the streaming funnel. */
+final case class FunnelEvent(groupKey: String, ts: Timestamp,
+                             eventType: String)
+
+/** Emitted fact: `groupKey` completed funnel step `stepIndex`
+  * (0-based, = its position in the step list) at event-time millis
+  * `ts`. Append-only: a completed step's time is FINAL under the
+  * watermark (see class doc), so rows are never retracted.
+  */
+final case class FunnelStepDone(groupKey: String, stepIndex: Int,
+                                step: String, ts: Long)
+
+/** Per-key streaming state: completed-step times so far (a prefix of
+  * the step list) plus buffered above-watermark events.
+  */
+final case class FunnelBuffer(times: Seq[Long],
+                              pending: Seq[(Long, String)])
+
+/** Ordered funnel over an unbounded stream — the streaming counterpart
+  * of the batch [[graft.operators.Funnel]]: per key, step i completes
+  * at the first event of its type AT OR AFTER the completion of step
+  * i-1. The batch operator's conditional-min window chain needs the
+  * whole history; this is the stateful re-formulation:
+  * `flatMapGroupsWithState` keyed by the funnel key, folding events in
+  * event-time order and finalizing exactly the below-watermark prefix.
+  *
+  * Finality argument (why Append mode is honest): the fold state after
+  * processing the ordered event prefix up to the watermark is a
+  * function of that prefix alone — later events only append, and Spark
+  * drops late rows at or below the watermark before stateful
+  * operators, so no event can ever be inserted below an already-folded
+  * position. A completed step's time therefore never changes, and each
+  * is emitted exactly once, the batch it completes.
+  *
+  * Scale: state per key is the (<= steps) completed times plus the
+  * above-watermark buffer — bounded by the watermark horizon, not the
+  * stream; the shuffle is the single keyBy exchange any stateful op
+  * pays. `maxPending` is the poisoned-key escape hatch (same trade as
+  * [[StreamingIntervalIdentifier]]): past it the oldest buffered
+  * above-watermark events are dropped — on well-formed streams with a
+  * sane watermark it never fires.
+  */
+final class StreamingFunnel(steps: Seq[String],
+                            maxPending: Int = Int.MaxValue)
+    extends Serializable {
+  require(steps.size >= 2, "a funnel needs at least 2 steps")
+  require(steps.distinct.size == steps.size, "steps must be distinct")
+  require(maxPending > 0, "maxPending must be positive")
+
+  /** Fold `events` (event-time-sorted, all at or below the watermark)
+    * into the completed-times prefix. Ties chain (an event at the exact
+    * completion instant of the previous step counts), matching the
+    * batch operator's closed-interval convention.
+    */
+  private[streaming] def fold(times0: Seq[Long],
+                              events: Seq[(Long, String)]): Seq[Long] = {
+    var times = times0
+    events.foreach { case (ts, tpe) =>
+      if (times.size < steps.size && tpe == steps(times.size) &&
+          (times.isEmpty || ts >= times.last))
+        times = times :+ ts
+    }
+    times
+  }
+
+  private def step(key: String, events: Iterator[FunnelEvent],
+                   state: GroupState[FunnelBuffer])
+      : Iterator[FunnelStepDone] = {
+    val prev = state.getOption.getOrElse(FunnelBuffer(Nil, Nil))
+    val all = (prev.pending ++ events.map(e =>
+      (e.ts.getTime, e.eventType))).sortBy(_._1)
+    val wm = state.getCurrentWatermarkMs()
+    val (ripe, unripe) = all.partition(_._1 <= wm)
+    val times = fold(prev.times, ripe)
+    // funnel already complete -> no future event matters; otherwise keep
+    // the above-watermark buffer (bounded eviction, oldest first)
+    val kept =
+      if (times.size == steps.size) Nil
+      else if (unripe.size > maxPending) unripe.takeRight(maxPending)
+      else unripe
+    state.update(FunnelBuffer(times, kept))
+    // a watermark-only advance does not re-invoke the function for a
+    // key without new data; the event-time timeout makes the next
+    // advance flush the buffered suffix
+    if (kept.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+    times.drop(prev.times.size).zipWithIndex.map { case (t, i) =>
+      val idx = prev.times.size + i
+      FunnelStepDone(key, idx, steps(idx), t)
+    }.iterator
+  }
+
+  /** Apply to a streaming DataFrame with columns
+    * (groupKey string, ts timestamp, eventType string); the caller sets
+    * `withWatermark("ts", ...)` upstream. Non-step event types are
+    * filtered out before the stateful operator (they can never change
+    * the fold, so they should not ride the shuffle or the state).
+    */
+  def transform(df: DataFrame): Dataset[FunnelStepDone] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr("groupKey", "ts", "eventType").as[FunnelEvent]
+      .filter(e => steps.contains(e.eventType))
+      .groupByKey(_.groupKey)
+      .flatMapGroupsWithState[FunnelBuffer, FunnelStepDone](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
+}

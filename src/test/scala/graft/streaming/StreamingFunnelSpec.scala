@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end streaming funnel: MemoryStream -> watermark ->
+  * StreamingFunnel -> memory sink, with out-of-order and cross-batch
+  * arrivals, checked against the batch Funnel semantics (each step
+  * completion emitted exactly once, never retracted).
+  */
+class StreamingFunnelSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(g: String, sec: Long, tpe: String): FunnelEvent =
+    FunnelEvent(g, new Timestamp(sec * 1000L), tpe)
+
+  private val steps = Seq("signup", "view", "purchase")
+
+  test("step completions match batch semantics across batches, " +
+    "emitted exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val op = new StreamingFunnel(steps)
+    val out = op.transform(input.toDF().withWatermark("ts", "2 seconds"))
+    val query = out.writeStream.format("memory").queryName("funnel_test")
+      .outputMode("append").start()
+    try {
+      // batch 1 (out of order): view@5 BEFORE the signup@10 must not
+      // count; the view@20 does — but only once the watermark confirms
+      // no earlier event can arrive
+      input.addData(ev("u1", 5, "view"), ev("u1", 10, "signup"),
+        ev("u1", 20, "view"), ev("u1", 15, "purchase"),
+        ev("u2", 10, "signup"))
+      query.processAllAvailable()
+      // batch 2: u1's purchase after the counted view; u2 never advances
+      input.addData(ev("u1", 30, "purchase"), ev("u2", 5, "view"))
+      query.processAllAvailable()
+      // advance the watermark far enough to finalize everything
+      input.addData(ev("u3", 100, "signup"))
+      query.processAllAvailable()
+      input.addData(ev("u3", 200, "click")) // filtered non-step type
+      query.processAllAvailable()
+
+      val got = spark.table("funnel_test").as[FunnelStepDone].collect()
+      // exactly-once: no (key, stepIndex) appears twice
+      val keys = got.map(r => (r.groupKey, r.stepIndex)).toSeq
+      assert(keys.size == keys.distinct.size, got.mkString(", "))
+      val byKey = got.groupBy(_.groupKey)
+        .map { case (k, rs) =>
+          k -> rs.sortBy(_.stepIndex).map(r => (r.step, r.ts)).toSeq
+        }
+      // u1: signup@10, first view >= 10 is 20, first purchase >= 20 is
+      // 30 (the purchase@15 is before the counted view: ignored)
+      assert(byKey("u1") == Seq(("signup", 10000L), ("view", 20000L),
+        ("purchase", 30000L)), byKey.toString)
+      // u2: the view@5 is before its signup@10: funnel stuck at step 0
+      assert(byKey("u2") == Seq(("signup", 10000L)), byKey.toString)
+      // u3: only its signup (the click is not a step type)
+      assert(byKey("u3") == Seq(("signup", 100000L)), byKey.toString)
+    } finally query.stop()
+  }
+
+  test("fold: order restoration, ties chain, completed funnel stops") {
+    val op = new StreamingFunnel(steps)
+    // ties at the same instant chain, matching the batch operator
+    assert(op.fold(Nil, Seq((10L, "signup"), (10L, "view"),
+      (10L, "purchase"))) == Seq(10L, 10L, 10L))
+    // a step type arriving before its turn does not count
+    assert(op.fold(Nil, Seq((5L, "view"), (10L, "signup"),
+      (7L, "purchase"))) == Seq(10L))
+    // folding resumes from carried state
+    assert(op.fold(Seq(10L), Seq((12L, "view"), (11L, "purchase")))
+      == Seq(10L, 12L))
+    // completed funnels ignore everything
+    assert(op.fold(Seq(1L, 2L, 3L), Seq((9L, "signup"))) ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("guards: short and duplicate step lists rejected") {
+    intercept[IllegalArgumentException](new StreamingFunnel(Seq("a")))
+    intercept[IllegalArgumentException](
+      new StreamingFunnel(Seq("a", "a")))
+  }
+}
