@@ -54,10 +54,20 @@ final class StreamingFunnel(steps: Seq[String],
   require(steps.distinct.size == steps.size, "steps must be distinct")
   require(maxPending > 0, "maxPending must be positive")
 
-  /** Fold `events` (event-time-sorted, all at or below the watermark)
-    * into the completed-times prefix. Ties chain (an event at the exact
-    * completion instant of the previous step counts), matching the
-    * batch operator's closed-interval convention.
+  /** Fold `events` (sorted by (ts, step index), all at or below the
+    * watermark) into the completed-times prefix. Ties chain (an event
+    * at the exact completion instant of the previous step counts),
+    * matching the batch operator's closed-interval convention.
+    *
+    * The step-index tiebreak is load-bearing: a one-pass fold over a
+    * ts-only sort can visit a step-2 event that TIES with the step-1
+    * completion instant BEFORE the step-1 event itself and skip it,
+    * where the batch conditional-min window counts it. Sorting equal
+    * timestamps in step order makes the fold reach each step's
+    * completing event before any same-instant successor candidate, so
+    * the fold computes exactly the batch fixed point
+    * `t_k = min{ts >= t_(k-1) : step k}` (found by the
+    * FunnelPropertySpec randomized cross-check).
     */
   private[streaming] def fold(times0: Seq[Long],
                               events: Seq[(Long, String)]): Seq[Long] = {
@@ -75,7 +85,8 @@ final class StreamingFunnel(steps: Seq[String],
       : Iterator[FunnelStepDone] = {
     val prev = state.getOption.getOrElse(FunnelBuffer(Nil, Nil))
     val all = (prev.pending ++ events.map(e =>
-      (e.ts.getTime, e.eventType))).sortBy(_._1)
+      (e.ts.getTime, e.eventType)))
+      .sortBy { case (ts, tpe) => (ts, steps.indexOf(tpe)) }
     val wm = state.getCurrentWatermarkMs()
     val (ripe, unripe) = all.partition(_._1 <= wm)
     val times = fold(prev.times, ripe)
