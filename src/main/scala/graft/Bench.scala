@@ -89,6 +89,7 @@ object Bench {
     "curriculum_order" -> Some("Window"),
     "mix_temperature" -> Some("Window"),
     "quality_band" -> Some("Window"), // QuantileStats' rank-location pass
+    "pct_rank" -> Some("Window"), // the (group, bucket) cume window
     "overlap_join" -> Some("Join"),
     "funnel_steps" -> Some("Window"), // the conditional-min chain
     "sequence_pack" -> Some("MapPartitions"), // ShardPack's typed pass
@@ -331,10 +332,14 @@ object Bench {
       }.toVector)
       (name, p.median, math.max(lo, loadavg()))
     }
+    // 3-decimal medians (ms precision — sub-ms digits are noise): at 70
+    // queries the 4-decimal contract line plus 6 rerun entries plus
+    // sbt's trailing `[success] Total time` line (~70 chars, INSIDE the
+    // driver's ~2000-char tail window) could overflow and parse null
     val qs = (results.map { case (k, p) =>
-      "\"" + k + "\":" + p.fold("-1")(x => f"${x.median}%.4f")
+      "\"" + k + "\":" + p.fold("-1")(x => f"${x.median}%.3f")
     } ++ reruns.map { case (k, m, _) =>
-      "\"" + k + "_rerun\":" + f"$m%.4f"
+      "\"" + k + "_rerun\":" + f"$m%.3f"
     }).mkString("{", ",", "}")
     val spread = results.collect { case (k, Some(p)) =>
       "\"" + k + "\":" + f"${p.std}%.4f"
@@ -368,10 +373,11 @@ object Bench {
     // the driver parses this line out of the run's LAST ~2000 chars; a
     // line that outgrows the window comes back `parsed: null` SILENTLY
     // (it cost rounds 1-4 their bench numbers) — fail loudly instead
-    require(contract.length <= 1900,
-      s"[bench] contract line is ${contract.length} chars (> 1900): it " +
-        "would overflow the driver's tail window and parse as null; " +
-        "shorten query names or split the bench")
+    require(contract.length <= 1850,
+      s"[bench] contract line is ${contract.length} chars (> 1850, " +
+        "leaving < 150 chars of the driver's ~2000-char tail window " +
+        "for sbt's trailing success line): it would overflow and parse " +
+        "as null; shorten query names or split the bench")
     println(contract)
   }
 }

@@ -1068,6 +1068,21 @@ object OracleSql {
        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Exact per-group cumulative rank / percentile (cume-dist ties).
+    * Mirrors [[graft.operators.PercentileRank]] over (lang, n_chars).
+    */
+  def pctRank: String =
+    s"""WITH r AS (SELECT doc_id, lang, n_chars,
+       |  count(*) OVER (PARTITION BY lang ORDER BY n_chars
+       |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS value_rank,
+       |  count(*) OVER (PARTITION BY lang) AS n FROM documents)
+       |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       |  CAST(value_rank AS BIGINT) AS value_rank,
+       |  round(CAST(value_rank AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       |    AS pct_rank
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** Per-language quantile band filter: keep documents whose `n_chars`
     * lies within the closed `[p(lo), p(hi)]` band of their own
     * language's distribution; thresholds are the exact discrete

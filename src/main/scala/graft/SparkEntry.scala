@@ -470,6 +470,15 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "cum_tokens",
           "sample_bucket", "mix_budget")
         .orderBy("doc_id")),
+    // exact per-group percentile normalization (cume-dist ties): the
+    // chunked rank algebra ranks EVERY row with no whole-group window
+    "pct_rank" -> ((s, dir) =>
+      PercentileRank(Seq("lang"), "n_chars")
+        .transform(docs(s, dir))
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("value_rank"), col("pct_rank"))
+        .orderBy("doc_id")),
     // per-language [p10, p90] length band: each language gated against
     // its OWN distribution via broadcast exact-quantile thresholds
     "quality_band" -> ((s, dir) =>
@@ -719,6 +728,7 @@ object SparkEntry {
     "curriculum_order" -> OracleSql.curriculumOrder(32, 8, "graft"),
     "mix_temperature" -> OracleSql.mixTemperature(10000L, "graft"),
     "quality_band" -> OracleSql.qualityBand(0.1, 0.9),
+    "pct_rank" -> OracleSql.pctRank,
     "sequence_pack" -> OracleSql.sequencePack(32, 8, 256L),
     "pipeline_pretrain" -> OracleSql.pipelinePretrain(0.1, 0.9, 8000L,
       "graft", 32, 8, 256L),

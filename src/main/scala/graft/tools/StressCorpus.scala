@@ -333,6 +333,27 @@ object StressCorpus {
       r.getLong(0)
     }
 
+    // ----- per-group percentile rank at 50M rows over 32 groups: every
+    // row ranked with no whole-group window; exact invariants — row
+    // preservation, and each group's maximal rank equals its size
+    // (cume-dist closes at exactly n)
+    time(s"pct_rank n=$nRows groups=32") {
+      val keyed = spark.range(nRows)
+        .select(col("id").as("doc_id"), pmod(col("id"), lit(32L)).as("g"),
+          pmod(col("id") * 48271L, lit(10007L)).as("v"))
+      val out = graft.operators.PercentileRank(Seq("g"), "v")
+        .transform(keyed)
+      val r = out.agg(count(lit(1)),
+        sum(when(col("pct_rank") > 1.0, 1L).otherwise(0L))).collect()(0)
+      require(r.getLong(0) == nRows && r.getLong(1) == 0L,
+        s"rank drift: $r")
+      val tops = out.groupBy("g")
+        .agg(max("value_rank").as("top"), count(lit(1)).as("n"))
+        .filter(col("top") =!= col("n")).count()
+      require(tops == 0L, s"$tops groups where max rank != group size")
+      r.getLong(0)
+    }
+
     // ----- per-group quantile band at 50M rows: the thresholds ride the
     // chunked rank location (never a whole-group sort) and the kept set
     // must sit inside its band by construction
