@@ -90,6 +90,7 @@ object Bench {
     "mix_temperature" -> Some("Window"),
     "quality_band" -> Some("Window"), // QuantileStats' rank-location pass
     "pct_rank" -> Some("Window"), // the (group, bucket) cume window
+    "top_docs" -> Some("Window"), // rank over the heap-pruned survivors
     "overlap_join" -> Some("Join"),
     "funnel_steps" -> Some("Window"), // the conditional-min chain
     "sequence_pack" -> Some("MapPartitions"), // ShardPack's typed pass

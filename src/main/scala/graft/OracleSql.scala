@@ -1068,6 +1068,18 @@ object OracleSql {
        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Per-group top-k by score (desc, key-asc ties). Mirrors
+    * [[graft.operators.Sampling.GroupTopK]] over (source, n_chars).
+    */
+  def topDocsPerGroup(k: Long): String =
+    s"""WITH r AS (SELECT doc_id, source, n_chars,
+       |  row_number() OVER (PARTITION BY source
+       |    ORDER BY n_chars DESC, doc_id) AS group_rank
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       |  CAST(group_rank AS BIGINT) AS group_rank
+       |FROM r WHERE group_rank <= $k ORDER BY doc_id""".stripMargin
+
   /** Exact per-group cumulative rank / percentile (cume-dist ties).
     * Mirrors [[graft.operators.PercentileRank]] over (lang, n_chars).
     */

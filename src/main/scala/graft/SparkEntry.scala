@@ -470,6 +470,14 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "cum_tokens",
           "sample_bucket", "mix_budget")
         .orderBy("doc_id")),
+    // per-group top-k by score: map-side bounded k-heaps prune before
+    // the rank window (partitions x groups x k, never the corpus)
+    "top_docs" -> ((s, dir) =>
+      Sampling.GroupTopK(k = 5L)
+        .transform(docs(s, dir))
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"), col("group_rank"))
+        .orderBy("doc_id")),
     // exact per-group percentile normalization (cume-dist ties): the
     // chunked rank algebra ranks EVERY row with no whole-group window
     "pct_rank" -> ((s, dir) =>
@@ -729,6 +737,7 @@ object SparkEntry {
     "mix_temperature" -> OracleSql.mixTemperature(10000L, "graft"),
     "quality_band" -> OracleSql.qualityBand(0.1, 0.9),
     "pct_rank" -> OracleSql.pctRank,
+    "top_docs" -> OracleSql.topDocsPerGroup(5L),
     "sequence_pack" -> OracleSql.sequencePack(32, 8, 256L),
     "pipeline_pretrain" -> OracleSql.pipelinePretrain(0.1, 0.9, 8000L,
       "graft", 32, 8, 256L),

@@ -159,4 +159,86 @@ object Sampling {
         .drop("__qk")
     }
   }
+
+  /** Per-group top-k by a score column — "the k best documents per
+    * source / language / domain" selection step of corpus curation
+    * (the score-ordered sibling of [[QuotaSample]], whose hash order
+    * makes an unbiased sample where this makes a best-of cut). Keeps
+    * the `k` highest-`scoreColumn` rows of every group, ties broken by
+    * ascending key; appends `group_rank` (1-based within the group).
+    *
+    * Scale shape (same discipline as QuotaSample): a per-(partition,
+    * group) bounded k-heap prunes map-side FIRST, so the rank window
+    * sees at most partitions x groups x k narrow triples — never the
+    * corpus, and a group's rows are never sorted in one task beyond
+    * that bound. Kept keys equi-join back to restore the full row
+    * (AQE broadcasts the k-bounded side when it fits). Typed
+    * mapPartitions is justified as in QuotaSample/Similarity.ranked:
+    * Spark has no codegen'd grouped top-k prune, and the alternative
+    * rank-window-over-everything sorts whole groups in single tasks.
+    *
+    * `scoreColumn` must be non-null numeric-castable (fail-loud — a
+    * null score has no defined rank; cf. QuantileStats' value guard).
+    */
+  final case class GroupTopK(k: Long,
+                             groupColumn: String = "source",
+                             scoreColumn: String = "n_chars",
+                             keyColumn: String = "doc_id")
+      extends Wrangler {
+    require(k >= 1L, "`k` must be >= 1")
+    override def preservesSampleSize: Boolean = false
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df,
+        Seq(groupColumn, scoreColumn, keyColumn))
+      require(!Seq(groupColumn, scoreColumn, keyColumn)
+          .exists(_.equalsIgnoreCase("group_rank")),
+        "`group_rank` is an output column; it cannot be a source column")
+      val spark = df.sparkSession
+      import spark.implicits._
+      val kk = k
+      val narrow = df
+        .select(col(groupColumn).cast("string").as("s"),
+          when(col(keyColumn).isNull || col(keyColumn).cast("long").isNull,
+            raise_error(lit(s"GroupTopK: `$keyColumn` must be non-null " +
+              "and castable to long")).cast("long"))
+            .otherwise(col(keyColumn).cast("long")).as("k"),
+          when(col(scoreColumn).isNull ||
+              col(scoreColumn).cast("double").isNull,
+            raise_error(lit(s"GroupTopK: `$scoreColumn` must be " +
+              "non-null and numeric-castable")).cast("double"))
+            .otherwise(col(scoreColumn).cast("double")).as("v"))
+        .as[(String, Long, Double)]
+      // bounded heap per (partition, group); the dequeued MAX under
+      // this ordering is the WORST kept row (lowest score, then
+      // highest key)
+      val pruned = narrow.mapPartitions { it =>
+        val worstFirst =
+          Ordering.by[(Long, Double), (Double, Long)] {
+            case (key, v) => (-v, key)
+          }
+        val heaps = scala.collection.mutable.LinkedHashMap
+          .empty[String,
+            scala.collection.mutable.PriorityQueue[(Long, Double)]]
+        it.foreach { case (s, key, v) =>
+          val h = heaps.getOrElseUpdate(s, scala.collection.mutable
+            .PriorityQueue.empty[(Long, Double)](worstFirst))
+          h.enqueue((key, v))
+          if (h.size > kk) h.dequeue()
+        }
+        heaps.iterator.flatMap { case (s, h) =>
+          h.iterator.map { case (key, v) => (s, key, v) }
+        }
+      }.toDF("s", "k", "v")
+      val kept = pruned
+        .withColumn("group_rank", row_number().over(
+          Window.partitionBy("s").orderBy(col("v").desc, col("k").asc))
+          .cast("long"))
+        .filter(col("group_rank") <= kk)
+        .select(col("k").as("__tk"), col("group_rank"))
+      df.drop("group_rank")
+        .join(kept, col(keyColumn).cast("long") === col("__tk"))
+        .drop("__tk")
+    }
+  }
 }

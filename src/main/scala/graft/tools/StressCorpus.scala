@@ -354,6 +354,24 @@ object StressCorpus {
       r.getLong(0)
     }
 
+    // ----- per-group top-k at 50M rows over 1000 groups: with v = id
+    // and g = id mod 1000, group g's top-10 is exactly its 10 largest
+    // ids — kept count and the global minimum kept score are both
+    // closed-form, so the heap prune provably loses no winner at scale
+    time(s"top_docs n=$nRows groups=1000 k=10") {
+      val keyed = spark.range(nRows)
+        .select(col("id").as("doc_id"),
+          pmod(col("id"), lit(1000L)).as("g"), col("id").as("v"))
+      val out = graft.operators.Sampling.GroupTopK(k = 10L,
+          groupColumn = "g", scoreColumn = "v").transform(keyed)
+      val r = out.agg(count(lit(1)), min("v")).collect()(0)
+      val perGroup = nRows / 1000L // ids 0..nRows-1 tile the groups
+      require(r.getLong(0) == 1000L * 10L &&
+          r.getLong(1) == 1000L * (perGroup - 10L),
+        s"top-k drift: $r")
+      r.getLong(0)
+    }
+
     // ----- per-group quantile band at 50M rows: the thresholds ride the
     // chunked rank location (never a whole-group sort) and the kept set
     // must sit inside its band by construction

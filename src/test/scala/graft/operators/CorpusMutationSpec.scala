@@ -241,6 +241,36 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run, repartition = Some(3))
   }
 
+  test("group_topk golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Sampling.GroupTopK(k = 2L, groupColumn = "g", scoreColumn = "v",
+        keyColumn = "id").transform(df)
+        .select("id", "g", "v", "group_rank")
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq("a", 1L, 10L), Seq("a", 2L, 20L), Seq("a", 3L, 20L),
+          Seq("a", 4L, 30L),
+          Seq("b", 5L, 5L), Seq("b", 6L, 5L)),
+        Seq("g:s", "id:i", "v:i"))
+      // a: 30 -> rank 1; the 20-tie breaks by id asc -> id 2 rank 2;
+      // b: tie at 5 -> id 5 rank 1, id 6 rank 2
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq[Any](2L, "a", 20L, 2L),
+          Seq[Any](4L, "a", 30L, 1L),
+          Seq[Any](5L, "b", 5L, 1L),
+          Seq[Any](6L, "b", 5L, 2L)),
+        Seq("id:i", "g:s", "v:i", "group_rank:i"))
+      override def mutants = Seq(
+        ValueMutant("v", 0, 99L),  // id 1 takes rank 1, id 2 drops out
+        ValueMutant("g", 3, "b"),  // 30 moves to b: both groups reshuffle
+        ValueMutant("id", 1, 9L))  // the 20-tie now breaks toward id 3
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
   test("mix_budget golden: killed mutants + repartition invariance") {
     def run(df: DataFrame): DataFrame =
       Corpus.MixBudget(Map("en" -> 5L), defaultBudget = 4L).transform(df)

@@ -158,4 +158,39 @@ class SamplingTfIdfSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, "aa"), (1L, 2L, "bb"),
       (2L, 1L, "aa"), (2L, 2L, "bb")))
   }
+
+  test("group_topk matches the brute force under heavy ties and many " +
+    "partitions (the heap prune never loses a winner)") {
+    val rnd = new scala.util.Random(31337L)
+    for (round <- 1 to 6) {
+      val rows = (0L until 200L).map { i =>
+        (i, s"g${rnd.nextInt(4)}", rnd.nextInt(9).toLong)
+      }
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy { case (id, _, v) => (-v, id) }.take(3)
+          .zipWithIndex.map { case ((id, _, _), r) => id -> (r + 1).toLong }
+      }
+      val got = Sampling.GroupTopK(k = 3L, groupColumn = "g",
+          scoreColumn = "v", keyColumn = "id")
+        .transform(rows.toDF("id", "g", "v").repartition(13))
+        .select("id", "group_rank").as[(Long, Long)].collect().toMap
+      assert(got == want, s"round $round")
+    }
+  }
+
+  test("group_topk: null score and output-column collision fail loudly") {
+    val withNull = Seq((1L, "g", Some(5L)), (2L, "g", None))
+      .toDF("id", "g", "v")
+    val e = intercept[Exception] {
+      Sampling.GroupTopK(k = 1L, groupColumn = "g", scoreColumn = "v",
+        keyColumn = "id").transform(withNull).collect()
+    }
+    assert(e.getMessage.contains("non-null"), e.getMessage)
+    val bad = Seq((1L, "g", 5L)).toDF("id", "group_rank", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.GroupTopK(k = 1L, groupColumn = "group_rank",
+        scoreColumn = "v", keyColumn = "id").transform(bad)
+    }
+    assert(e2.getMessage.contains("group_rank"), e2.getMessage)
+  }
 }
