@@ -177,15 +177,34 @@ object Sampling {
     * Spark has no codegen'd grouped top-k prune, and the alternative
     * rank-window-over-everything sorts whole groups in single tasks.
     *
-    * `scoreColumn` must be non-null numeric-castable (fail-loud — a
-    * null score has no defined rank; cf. QuantileStats' value guard).
+    * `scoreColumn` must be non-null numeric-castable and non-NaN
+    * (fail-loud — a null score has no defined rank, and a NaN one
+    * ranks LARGEST under Spark's SQL ordering but smallest under a
+    * negated in-heap comparison, so the prune would evict the exact
+    * rows the rank window keeps; round-9 ADVICE. Cf. QuantileStats'
+    * value guard).
+    *
+    * MEMORY BOUNDARY (round-9 verdict #2, mirroring
+    * `Similarity.ranked`): the prune holds one k-heap PER DISTINCT
+    * GROUP seen by the partition — O(distinct groups x k) entries per
+    * task. That is the right trade for broadcastable group columns
+    * (source / language / domain — the operator's contract); a
+    * key-like group column (per-domain top-k over millions of
+    * domains) would exhaust executor memory silently. A partition
+    * exceeding `maxGroupsPerPartition` distinct groups fails with
+    * remediation guidance instead: a group set that large makes the
+    * plain `groupColumn`-partitioned rank window safe on its own
+    * (per-group partitions are small when groups are many).
     */
   final case class GroupTopK(k: Long,
                              groupColumn: String = "source",
                              scoreColumn: String = "n_chars",
-                             keyColumn: String = "doc_id")
+                             keyColumn: String = "doc_id",
+                             maxGroupsPerPartition: Long = 1000000L)
       extends Wrangler {
     require(k >= 1L, "`k` must be >= 1")
+    require(maxGroupsPerPartition >= 1L,
+      "`maxGroupsPerPartition` must be >= 1")
     override def preservesSampleSize: Boolean = false
 
     def transform(df: DataFrame): DataFrame = {
@@ -197,6 +216,7 @@ object Sampling {
       val spark = df.sparkSession
       import spark.implicits._
       val kk = k
+      val maxGroups = maxGroupsPerPartition
       val narrow = df
         .select(col(groupColumn).cast("string").as("s"),
           when(col(keyColumn).isNull || col(keyColumn).cast("long").isNull,
@@ -204,23 +224,38 @@ object Sampling {
               "and castable to long")).cast("long"))
             .otherwise(col(keyColumn).cast("long")).as("k"),
           when(col(scoreColumn).isNull ||
-              col(scoreColumn).cast("double").isNull,
+              col(scoreColumn).cast("double").isNull ||
+              isnan(col(scoreColumn).cast("double")),
             raise_error(lit(s"GroupTopK: `$scoreColumn` must be " +
-              "non-null and numeric-castable")).cast("double"))
+              "non-null, numeric-castable and non-NaN")).cast("double"))
             .otherwise(col(scoreColumn).cast("double")).as("v"))
         .as[(String, Long, Double)]
       // bounded heap per (partition, group); the dequeued MAX under
       // this ordering is the WORST kept row (lowest score, then
-      // highest key)
+      // highest key). Explicit comparator instead of negation: Spark's
+      // SQL ordering normalizes -0.0 == 0.0, and negating would break
+      // that tie differently from the rank window (round-9 ADVICE)
       val pruned = narrow.mapPartitions { it =>
-        val worstFirst =
-          Ordering.by[(Long, Double), (Double, Long)] {
-            case (key, v) => (-v, key)
+        val worstFirst = new Ordering[(Long, Double)] {
+          private def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+          def compare(a: (Long, Double), b: (Long, Double)): Int = {
+            val c = java.lang.Double.compare(norm(b._2), norm(a._2))
+            if (c != 0) c else java.lang.Long.compare(a._1, b._1)
           }
+        }
         val heaps = scala.collection.mutable.LinkedHashMap
           .empty[String,
             scala.collection.mutable.PriorityQueue[(Long, Double)]]
         it.foreach { case (s, key, v) =>
+          if (!heaps.contains(s) && heaps.size >= maxGroups)
+            throw new IllegalStateException(
+              s"GroupTopK: partition saw more than $maxGroups distinct " +
+                "groups — the map-side top-k prune holds one heap per " +
+                "group and would exhaust executor memory. A group column " +
+                "this key-like does not need the prune: rank directly " +
+                "over the group window (its partitions are small when " +
+                "groups are many), or raise maxGroupsPerPartition " +
+                "explicitly.")
           val h = heaps.getOrElseUpdate(s, scala.collection.mutable
             .PriorityQueue.empty[(Long, Double)](worstFirst))
           h.enqueue((key, v))

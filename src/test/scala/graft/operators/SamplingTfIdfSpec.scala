@@ -193,4 +193,52 @@ class SamplingTfIdfSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("group_rank"), e2.getMessage)
   }
+
+  test("group_topk: NaN scores fail loudly — the heap and the rank " +
+    "window would disagree about where NaN sorts (round-9 ADVICE)") {
+    val withNaN = Seq((1L, "g", 5.0), (2L, "g", Double.NaN))
+      .toDF("id", "g", "v")
+    val e = intercept[Exception] {
+      Sampling.GroupTopK(k = 1L, groupColumn = "g", scoreColumn = "v",
+        keyColumn = "id").transform(withNaN).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(_.contains("non-NaN")), e)
+  }
+
+  test("group_topk: -0.0 and 0.0 tie under the heap exactly as under " +
+    "the rank window (normalized zero, key-asc tiebreak)") {
+    // 3 rows tie at zero (one as -0.0); k=2 must keep the two LOWEST
+    // keys regardless of zero sign — a negating comparator would rank
+    // -0.0 below 0.0 and evict the wrong row
+    val d = Seq((10L, "g", 0.0), (3L, "g", -0.0), (7L, "g", 0.0),
+      (99L, "g", -1.0)).toDF("id", "g", "v")
+    val got = Sampling.GroupTopK(k = 2L, groupColumn = "g",
+        scoreColumn = "v", keyColumn = "id")
+      .transform(d).select("id").as[Long].collect().toSet
+    assert(got == Set(3L, 7L), got)
+  }
+
+  test("group_topk: a key-like group column trips the fail-loud " +
+    "cardinality guard instead of exhausting executor memory") {
+    val d = (0L until 64L).map(i => (i, s"g$i", i.toDouble))
+      .toDF("id", "g", "v").repartition(1)
+    val e = intercept[Exception] {
+      Sampling.GroupTopK(k = 1L, groupColumn = "g", scoreColumn = "v",
+        keyColumn = "id", maxGroupsPerPartition = 16L)
+        .transform(d).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(_.contains("maxGroupsPerPartition")), e)
+    // at or under the cap: fine
+    val ok = Sampling.GroupTopK(k = 1L, groupColumn = "g",
+        scoreColumn = "v", keyColumn = "id",
+        maxGroupsPerPartition = 64L)
+      .transform(d).count()
+    assert(ok == 64L)
+  }
 }
