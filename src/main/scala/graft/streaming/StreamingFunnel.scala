@@ -18,10 +18,13 @@ final case class FunnelStepDone(groupKey: String, stepIndex: Int,
                                 step: String, ts: Long)
 
 /** Per-key streaming state: completed-step times so far (a prefix of
-  * the step list) plus buffered above-watermark events.
+  * the step list), buffered above-watermark events, and the event-time
+  * instant past which the key's state may be dropped (`Long.MaxValue`
+  * = never; see [[StreamingFunnel]]'s TTL knobs).
   */
 final case class FunnelBuffer(times: Seq[Long],
-                              pending: Seq[(Long, String)])
+                              pending: Seq[(Long, String)],
+                              expireAtMs: Long = Long.MaxValue)
 
 /** Ordered funnel over an unbounded stream — the streaming counterpart
   * of the batch [[graft.operators.Funnel]]: per key, step i completes
@@ -46,13 +49,40 @@ final case class FunnelBuffer(times: Seq[Long],
   * [[StreamingIntervalIdentifier]]): past it the oldest buffered
   * above-watermark events are dropped — on well-formed streams with a
   * sane watermark it never fires.
+  *
+  * State LIFECYCLE (round-9 ADVICE — the previous revision held every
+  * key's state forever, so the store grew with key cardinality, not
+  * the horizon):
+  *   - a COMPLETED funnel's outcome is final — nothing future can
+  *     matter — so its state is removed the batch it completes
+  *     (default). The honest caveat: a key whose step-type events
+  *     KEEP ARRIVING after completion then re-enters as a fresh
+  *     funnel and emits a second episode's facts. Where re-entry
+  *     within some horizon must stay silent, `completedRetentionMs`
+  *     keeps a times-only tombstone for that much EVENT time after
+  *     completion (an unbounded shield would be exactly the unbounded
+  *     state this lifecycle removes);
+  *   - `idleTtlMs` optionally expires keys that never complete: a key
+  *     with no activity for that much event time is dropped (its
+  *     partial progress restarts if it ever returns). Default off —
+  *     an incomplete funnel is then the one state class that persists,
+  *     which matches the batch semantics exactly.
   */
 final class StreamingFunnel(steps: Seq[String],
-                            maxPending: Int = Int.MaxValue)
+                            maxPending: Int = Int.MaxValue,
+                            completedRetentionMs: Long = 0L,
+                            idleTtlMs: Long = Long.MaxValue)
     extends Serializable {
   require(steps.size >= 2, "a funnel needs at least 2 steps")
   require(steps.distinct.size == steps.size, "steps must be distinct")
   require(maxPending > 0, "maxPending must be positive")
+  require(completedRetentionMs >= 0L,
+    "completedRetentionMs must be >= 0")
+  require(idleTtlMs > 0L, "idleTtlMs must be positive")
+
+  private def satAdd(a: Long, b: Long): Long =
+    if (b == Long.MaxValue || a > Long.MaxValue - b) Long.MaxValue
+    else a + b
 
   /** Fold `events` (sorted by (ts, step index), all at or below the
     * watermark) into the completed-times prefix. Ties chain (an event
@@ -84,23 +114,52 @@ final class StreamingFunnel(steps: Seq[String],
                    state: GroupState[FunnelBuffer])
       : Iterator[FunnelStepDone] = {
     val prev = state.getOption.getOrElse(FunnelBuffer(Nil, Nil))
-    val all = (prev.pending ++ events.map(e =>
-      (e.ts.getTime, e.eventType)))
+    val fresh = events.map(e => (e.ts.getTime, e.eventType)).toSeq
+    val all = (prev.pending ++ fresh)
       .sortBy { case (ts, tpe) => (ts, steps.indexOf(tpe)) }
     val wm = state.getCurrentWatermarkMs()
     val (ripe, unripe) = all.partition(_._1 <= wm)
     val times = fold(prev.times, ripe)
+    val complete = times.size == steps.size
     // funnel already complete -> no future event matters; otherwise keep
     // the above-watermark buffer (bounded eviction, oldest first)
     val kept =
-      if (times.size == steps.size) Nil
+      if (complete) Nil
       else if (unripe.size > maxPending) unripe.takeRight(maxPending)
       else unripe
-    state.update(FunnelBuffer(times, kept))
-    // a watermark-only advance does not re-invoke the function for a
-    // key without new data; the event-time timeout makes the next
-    // advance flush the buffered suffix
-    if (kept.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+    if (complete) {
+      // final outcome: drop the state now (default), or hold the
+      // times-only tombstone for the configured retention horizon
+      val tombstoneExpired = state.hasTimedOut && fresh.isEmpty &&
+        wm >= prev.expireAtMs
+      if (completedRetentionMs <= 0L || tombstoneExpired) state.remove()
+      else {
+        val exp = satAdd(wm, completedRetentionMs)
+        state.update(FunnelBuffer(times, Nil, exp))
+        if (exp != Long.MaxValue) state.setTimeoutTimestamp(exp)
+      }
+    } else {
+      // idle expiry fires only when the configured horizon has truly
+      // elapsed — the wm+1 flush timeout below must never be mistaken
+      // for it and drop partial progress, hence the stored expiry
+      val progressed = fresh.nonEmpty || times.size > prev.times.size
+      val exp =
+        if (progressed || prev.expireAtMs == Long.MaxValue)
+          satAdd(wm, idleTtlMs)
+        else prev.expireAtMs
+      if (state.hasTimedOut && fresh.isEmpty && kept.isEmpty && wm >= exp)
+        state.remove()
+      else {
+        state.update(FunnelBuffer(times, kept, exp))
+        // a watermark-only advance does not re-invoke the function for
+        // a key without new data; the event-time timeout makes the next
+        // advance flush the buffered suffix (and, when configured, the
+        // idle horizon reap the key)
+        if (kept.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+        else if (exp != Long.MaxValue)
+          state.setTimeoutTimestamp(math.max(exp, wm + 1))
+      }
+    }
     times.drop(prev.times.size).zipWithIndex.map { case (t, i) =>
       val idx = prev.times.size + i
       FunnelStepDone(key, idx, steps(idx), t)

@@ -85,5 +85,88 @@ class StreamingFunnelSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](new StreamingFunnel(Seq("a")))
     intercept[IllegalArgumentException](
       new StreamingFunnel(Seq("a", "a")))
+    intercept[IllegalArgumentException](
+      new StreamingFunnel(steps, completedRetentionMs = -1L))
+    intercept[IllegalArgumentException](
+      new StreamingFunnel(steps, idleTtlMs = 0L))
+  }
+
+  test("state lifecycle: completed keys are removed (round-9 ADVICE); " +
+    "idle TTL reaps never-completing keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    // 5-second idle TTL so the stuck key u2 is reaped once the
+    // watermark moves 5s of event time past its last activity. The
+    // watermark-driver keys w1/w2/w3 COMPLETE their funnel in one
+    // instant, so each is itself removed once finalized — they advance
+    // the clock without accumulating state of their own.
+    val op = new StreamingFunnel(steps, idleTtlMs = 5000L)
+    val out = op.transform(input.toDF().withWatermark("ts", "2 seconds"))
+    val query = out.writeStream.format("memory")
+      .queryName("funnel_state_test").outputMode("append").start()
+    try {
+      def stateRows: Long = {
+        val p = query.lastProgress
+        p.stateOperators.toSeq.map(_.numRowsTotal).sum
+      }
+      def full(k: String, sec: Long) = Seq(ev(k, sec, "signup"),
+        ev(k, sec, "view"), ev(k, sec, "purchase"))
+      // u1 completes by ts=12; u2 sticks at step 0 forever
+      input.addData(Seq(ev("u1", 10, "signup"), ev("u1", 11, "view"),
+        ev("u1", 12, "purchase"), ev("u2", 10, "signup")): _*)
+      query.processAllAvailable()
+      input.addData(full("w1", 30): _*)  // -> wm 10: nothing final yet
+      query.processAllAvailable()
+      input.addData(full("w2", 60): _*)
+      query.processAllAvailable()
+      // the data batch runs at wm 28 (u1 completes and is removed; u2
+      // idle-reaped: its horizon was set at wm=10 -> expiry 15) and the
+      // trailing no-data batch advances wm to 58, finalizing w1 too —
+      // only w2's still-unripe buffer remains
+      assert(stateRows == 1L, s"state rows = $stateRows")
+      input.addData(full("w3", 100): _*) // -> wm 98: w2 finalizes
+      query.processAllAvailable()
+      // w2 completed and removed; only w3's buffer remains — completion
+      // keeps the store at O(in-flight keys), never O(all keys)
+      assert(stateRows == 1L, s"state rows = $stateRows")
+      // emissions unaffected: exactly-once facts for u1's full funnel,
+      // exactly one fact (signup) for the reaped u2
+      val got = spark.table("funnel_state_test").as[FunnelStepDone]
+        .collect()
+      val u1 = got.filter(_.groupKey == "u1").sortBy(_.stepIndex)
+        .map(r => (r.step, r.ts)).toSeq
+      assert(u1 == Seq(("signup", 10000L), ("view", 11000L),
+        ("purchase", 12000L)), got.mkString(", "))
+      assert(got.count(_.groupKey == "u2") == 1, got.mkString(", "))
+    } finally query.stop()
+  }
+
+  test("completedRetentionMs: a tombstone shields re-entry within the " +
+    "horizon, then expires") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val op = new StreamingFunnel(steps, completedRetentionMs = 50000L)
+    val out = op.transform(input.toDF().withWatermark("ts", "2 seconds"))
+    val query = out.writeStream.format("memory")
+      .queryName("funnel_retention_test").outputMode("append").start()
+    try {
+      input.addData(ev("u1", 10, "signup"), ev("u1", 11, "view"),
+        ev("u1", 12, "purchase"))
+      input.addData(ev("wm", 30, "signup")) // advance wm past 12
+      query.processAllAvailable()
+      // u1 re-enters within the 50s retention: the tombstone holds all
+      // three steps, so nothing new can be emitted for u1
+      input.addData(ev("u1", 35, "signup"), ev("u1", 36, "view"),
+        ev("u1", 37, "purchase"))
+      input.addData(ev("wm", 60, "signup"))
+      query.processAllAvailable()
+      val got = spark.table("funnel_retention_test").as[FunnelStepDone]
+        .collect().filter(_.groupKey == "u1")
+      val keys = got.map(r => (r.groupKey, r.stepIndex)).toSeq
+      assert(keys.size == keys.distinct.size, got.mkString(", "))
+      assert(got.length == 3, got.mkString(", "))
+      assert(got.map(_.ts).toSet == Set(10000L, 11000L, 12000L),
+        got.mkString(", "))
+    } finally query.stop()
   }
 }
