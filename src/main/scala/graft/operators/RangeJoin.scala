@@ -145,6 +145,17 @@ object RangeJoin {
     require(clash.isEmpty,
       s"left and right sides share non-key column(s) ${clash.mkString(", ")}" +
         " — rename before joining (the matched pair would be ambiguous)")
+    // reserved working names (round-9 ADVICE): an input already carrying
+    // one would be silently overwritten by withColumn and then dropped —
+    // fail loudly instead, like PercentileRank/QuantileStats do
+    val reserved = Set("__oj_bin", "__oj_llo_b", "__oj_rlo_b", "__oj_hi_b",
+      "__oj_guard")
+    for ((df, side) <- Seq((left, "left"), (right, "right"));
+         c <- df.columns if reserved(c.toLowerCase))
+      throw new IllegalArgumentException(
+        s"OverlapJoin: $side side must not carry reserved working " +
+          s"column `$c` (${reserved.mkString("/")}; matching is " +
+          "case-insensitive, like Spark's resolution)")
 
     val bin = "__oj_bin"
     // explode one side into its covered bins, carrying its own lo-bin

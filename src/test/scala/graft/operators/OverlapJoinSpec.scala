@@ -71,6 +71,22 @@ class OverlapJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("share non-key column"), e.getMessage)
   }
 
+  test("reserved __oj_* working names are rejected, any case, either " +
+    "side (round-9 ADVICE: withColumn would silently overwrite them)") {
+    for (name <- Seq("__oj_bin", "__OJ_LLO_B", "__oj_guard")) {
+      val e = intercept[IllegalArgumentException] {
+        RangeJoin.overlapJoin(lhs.withColumn(name, lit(1L)), rhs,
+          Seq("k"), "l_lo", "l_hi", "r_lo", "r_hi", 10L)
+      }
+      assert(e.getMessage.contains("reserved"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        RangeJoin.overlapJoin(lhs, rhs.withColumn(name, lit(1L)),
+          Seq("k"), "l_lo", "l_hi", "r_lo", "r_hi", 10L)
+      }
+      assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    }
+  }
+
   test("plans as an equi-join — never a nested loop / cartesian") {
     val plan = RangeJoin.overlapJoin(lhs, rhs, Seq("k"), "l_lo", "l_hi",
       "r_lo", "r_hi", 64L).queryExecution.executedPlan.toString
