@@ -93,6 +93,7 @@ object Bench {
     "top_docs" -> Some("Window"), // rank over the heap-pruned survivors
     "overlap_join" -> Some("Join"),
     "funnel_steps" -> Some("Window"), // the conditional-min chain
+    "funnel_report" -> Some("Window"), // same chain + 1-row pivot agg
     "sequence_pack" -> Some("MapPartitions"), // ShardPack's typed pass
     "pipeline_pretrain" -> Some("MapPartitions"), // final ShardPack stage
     "tfidf_topk" -> Some("Window"),

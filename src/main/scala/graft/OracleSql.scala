@@ -1409,6 +1409,42 @@ object OracleSql {
        |  LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
        |ORDER BY user_id""".stripMargin
 
+  /** Aggregate funnel conversion report over the same funnel core as
+    * [[funnelSteps]]: per step, keys reaching it and the conversion
+    * rate from the previous step (step 1 from the universe of keys).
+    * Mirrors [[graft.operators.FunnelReport]].
+    */
+  def funnelReport: String =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_type
+       |  FROM events),
+       |s1 AS (SELECT user_id, min(tsn) AS t_signup FROM e
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(e.tsn) AS t_view FROM e
+       |  JOIN s1 USING (user_id)
+       |  WHERE e.event_type = 'view' AND e.tsn >= s1.t_signup
+       |  GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(e.tsn) AS t_purchase FROM e
+       |  JOIN s2 USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.tsn >= s2.t_view
+       |  GROUP BY 1),
+       |u AS (SELECT DISTINCT user_id FROM e),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+       |  CAST(count(s1.user_id) AS BIGINT) AS n1,
+       |  CAST(count(s2.user_id) AS BIGINT) AS n2,
+       |  CAST(count(s3.user_id) AS BIGINT) AS n3
+       |  FROM u LEFT JOIN s1 USING (user_id)
+       |    LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+       |SELECT step_index, step, n_reached,
+       |  CASE WHEN n_prev > 0
+       |    THEN round(CAST(n_reached AS DOUBLE) / n_prev, 6) END
+       |    AS conversion
+       |FROM (
+       |  SELECT CAST(1 AS BIGINT) AS step_index, 'signup' AS step,
+       |    n1 AS n_reached, n0 AS n_prev FROM c
+       |  UNION ALL SELECT CAST(2 AS BIGINT), 'view', n2, n1 FROM c
+       |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n3, n2 FROM c)
+       |ORDER BY step_index""".stripMargin
+
   /** Interval-overlap join (range x range): per purchase attribution
     * window `[ts - attributionNs, ts]`, the count of view influence
     * windows `[ts, ts + influenceNs]` it overlaps (closed intervals)

@@ -368,6 +368,14 @@ object SparkEntry {
         .select("user_id", "t_signup", "t_view", "t_purchase",
           "steps_completed")
         .orderBy("user_id")),
+    // aggregate funnel conversion report: per step, users reaching it
+    // and conversion from the previous step — Funnel's one keyed
+    // shuffle plus a single 1-row aggregate pivoted by a plan-time
+    // explode (no second keyed shuffle)
+    "funnel_report" -> ((s, dir) =>
+      FunnelReport(Seq("signup", "view", "purchase"))
+        .transform(events(s, dir))
+        .orderBy("step_index")),
     // binned interval-OVERLAP join (range x range): which view influence
     // windows [ts, ts+1d] intersect each purchase attribution window
     // [ts-2d, ts] per user — equi-join on (user, bin), each pair kept in
@@ -723,6 +731,7 @@ object SparkEntry {
     "overlap_join" -> OracleSql.overlapJoin(2L * 86400000000000L,
       86400000000000L),
     "funnel_steps" -> OracleSql.funnelSteps,
+    "funnel_report" -> OracleSql.funnelReport,
     "sample_stratified" -> OracleSql.sampleStratified(
       Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft"),
     "sample_quota" -> OracleSql.sampleQuota(

@@ -67,6 +67,50 @@ class FunnelSpec extends AnyFunSuite {
     assert(n == 1, plan)
   }
 
+  test("funnel_report: per-step reach + conversion from the previous " +
+    "step; empty-previous steps report null, not a division error") {
+    import spark.implicits._
+    // users: 1 completes all 3; 2 stops after signup; 3 never signs up
+    val ev = Seq(
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 30L, "purchase"),
+      (2L, 10L, "signup"), (2L, 5L, "view"),
+      (3L, 1L, "view")).toDF("user_id", "ts", "event_type")
+    val got = FunnelReport(Seq("signup", "view", "purchase"))
+      .transform(ev).orderBy("step_index")
+      .as[(Long, String, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, "signup", 2L, Some(2.0 / 3)),     // rounded below
+      (2L, "view", 1L, Some(0.5)),
+      (3L, "purchase", 1L, Some(1.0))).map {
+        case (i, s, n, c) =>
+          (i, s, n, c.map(x => BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }, got)
+    // nobody produces any event of the first step: step 2's previous
+    // count is 0 -> conversion null (never a divide-by-zero)
+    val none = Seq((1L, 1L, "click")).toDF("user_id", "ts", "event_type")
+    val empty = FunnelReport(Seq("signup", "view", "purchase"))
+      .transform(none).orderBy("step_index")
+      .as[(Long, String, Long, Option[Double])].collect().toSeq
+    assert(empty == Seq((1L, "signup", 0L, Some(0.0)),
+      (2L, "view", 0L, None), (3L, "purchase", 0L, None)), empty)
+  }
+
+  test("funnel_report: still exactly one keyed shuffle (the 1-row " +
+    "pivot adds only the global-aggregate exchange)") {
+    import spark.implicits._
+    val ev = (0 until 60).map { i =>
+      (i.toLong % 5L, i.toLong, Seq("signup", "view", "purchase",
+        "click")(i % 4))
+    }.toDF("user_id", "ts", "event_type")
+    val plan = FunnelReport(Seq("signup", "view", "purchase"))
+      .transform(ev).queryExecution.executedPlan.toString
+    val keyed = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size
+    assert(keyed == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("step guards: short, duplicate and colliding funnels rejected") {
     intercept[IllegalArgumentException](Funnel(Seq("signup")))
     intercept[IllegalArgumentException](
