@@ -94,6 +94,36 @@ class ClusterSampleSpec extends AnyFunSuite {
     assert(ok == 50L)
   }
 
+  test("ranked: the heap prune agrees with the rank window under NaN " +
+    "and signed-zero cosines (the GroupTopK round-9 ADVICE class)") {
+    import org.apache.spark.sql.functions.col
+    // q0: a zero-norm candidate's NaN cosine ranks LARGEST under the
+    // window's cosine-desc (Spark SQL ordering) — the old negated heap
+    // ordering evicted it as the worst row; q1: -0.0 and 0.0 tie and
+    // must break by id asc, not by zero sign
+    val scored = Seq(
+      (0L, 10L, 0.9), (0L, 11L, Double.NaN), (0L, 12L, 0.8),
+      (1L, 20L, -0.0), (1L, 21L, 0.0), (1L, 22L, -0.5))
+      .toDF("query_id", "id", "cosine").coalesce(1)
+    val got = Similarity.ranked(scored, k = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 11L), (0L, 2L, 10L),
+      (1L, 1L, 20L), (1L, 2L, 21L)), got)
+    // prune invisibility: identical to the plain rank window over the
+    // unpruned candidates
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("id").asc)
+    val want = scored
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(win))
+      .filter(col("rank") <= 2)
+      .select(col("query_id"), col("rank").cast("long"),
+        col("id")).as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"got $got want $want")
+  }
+
   test("cluster sample: pre-existing output-named columns are " +
     "overwritten, not duplicated (AMBIGUOUS_REFERENCE hazard)") {
     val df = embs(10)
