@@ -616,7 +616,18 @@ object Corpus {
         s"input must not carry ${reserved.mkString("/")} columns " +
           "(matching is case-insensitive, like Spark's resolution)")
       val gCols = groupColumns.map(col)
-      val base = df.select((groupColumns :+ valueColumn).map(col): _*)
+      // null group keys would never match the target-bucket equi-join
+      // and the group's quantile rows would silently vanish (the same
+      // silent-drop class the round-9 ADVICE flagged on PercentileRank;
+      // the oracle's GROUP BY keeps a NULL group) — raise instead
+      val gGuarded = groupColumns.map { c =>
+        when(col(c).isNull,
+          raise_error(lit(s"QuantileStats: group column `$c` must be " +
+            "non-null — a null key would silently drop the group " +
+            "through the rank equi-join")).cast(df.schema(c).dataType))
+          .otherwise(col(c)).as(c)
+      }
+      val base = df.select((gGuarded :+ col(valueColumn)): _*)
       val vd = col(valueColumn).cast("double")
       // sampled equi-depth boundaries: the one eager driver action
       val bs = ValueBucketing.boundaries(base, valueColumn, valueBuckets,

@@ -129,9 +129,14 @@ final class StreamingFunnel(steps: Seq[String],
       else unripe
     if (complete) {
       // final outcome: drop the state now (default), or hold the
-      // times-only tombstone for the configured retention horizon
+      // times-only tombstone for the configured retention horizon.
+      // Expiry only applies to a funnel that was ALREADY complete
+      // coming in: a funnel completing THIS batch via a flush timeout
+      // (pending events ripening with no fresh data) must still get
+      // its full retention window, not be reaped against the stale
+      // idle expiry it carried while incomplete
       val tombstoneExpired = state.hasTimedOut && fresh.isEmpty &&
-        wm >= prev.expireAtMs
+        prev.times.size == steps.size && wm >= prev.expireAtMs
       if (completedRetentionMs <= 0L || tombstoneExpired) state.remove()
       else {
         val exp = satAdd(wm, completedRetentionMs)

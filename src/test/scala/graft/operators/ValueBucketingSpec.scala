@@ -98,6 +98,18 @@ class ValueBucketingSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("multi-valued value bucket")), e)
   }
 
+  test("quantile_stats: null group keys raise instead of silently " +
+    "dropping the group through the rank equi-join") {
+    val d = Seq((Some("g"), 1L), (Option.empty[String], 2L))
+      .toDF("g", "v")
+    val e = intercept[Exception](
+      Corpus.QuantileStats(Seq("g"), "v").transform(d).collect())
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(_.contains("non-null")), e)
+  }
+
   test("quantile_stats: the 2^40 outlier profile stays exact (the " +
     "round-9 equal-width degeneracy)") {
     // equal-width ranges put every non-outlier row in bucket 0; the
