@@ -80,6 +80,7 @@ object Bench {
     "mix_budget" -> Some("Window"),
     "sample_cluster" -> Some("Window"),
     "text_logprob" -> Some("Join"),
+    "text_bigram_lp" -> Some("Join"), // posting x per-bigram score table
     "vocab_topk" -> Some("TakeOrderedAndProject"),
     "stats_quantiles" -> Some("Window"),
     "shard_pack" -> Some("MapPartitions"),

@@ -750,6 +750,31 @@ object OracleSql {
     * scaled to 1e-6 longs so the sum is exact. Mirrors
     * [[graft.operators.Corpus.UnigramLogProb]].
     */
+  /** Corpus-bigram conditional log-probability per document (MLE
+    * `ln(c(prev cur) / c(prev _))` on the 1e-6 integer lattice).
+    * Mirrors [[graft.operators.Corpus.BigramLogProb]].
+    */
+  def bigramLogProb: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |b AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS big
+       |  FROM t WHERE len(toks) >= 2),
+       |cb AS (SELECT big, count(*) AS cbig FROM b GROUP BY big),
+       |cp AS (SELECT string_split(big, ' ')[1] AS prev,
+       |    count(*) AS cprev FROM b GROUP BY 1),
+       |l AS (SELECT cb.big, CAST(round(ln(CAST(cb.cbig AS DOUBLE) /
+       |    CAST(cp.cprev AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+       |  FROM cb JOIN cp ON string_split(cb.big, ' ')[1] = cp.prev),
+       |a AS (SELECT b.doc_id, count(*) AS n_bigrams, sum(l.lp) AS lp_sum
+       |  FROM b JOIN l USING (big) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  COALESCE(round(CAST(a.lp_sum AS DOUBLE) /
+       |    (a.n_bigrams * 1000000.0), 6), 0.0) AS avg_bigram_logprob
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def unigramLogProb: String =
     s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
        |p AS (SELECT doc_id, unnest(toks) AS token FROM t),

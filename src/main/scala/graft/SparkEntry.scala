@@ -441,6 +441,13 @@ object SparkEntry {
     "text_logprob" -> ((s, dir) =>
       Corpus.UnigramLogProb().transform(docs(s, dir))
         .orderBy("doc_id")),
+    // conditional bigram LM score (the next LM-filter rung: unigram
+    // scoring cannot tell shuffled word salad from prose) — map-side
+    // bigram generation, aggregate-to-aggregate score join, one
+    // posting join on the bigram key
+    "text_bigram_lp" -> ((s, dir) =>
+      Corpus.BigramLogProb().transform(docs(s, dir))
+        .orderBy("doc_id")),
     // context-window chunking (RAG / long-doc pretraining prep): pure
     // narrow map-side sequence+posexplode+slice, zero shuffle
     "chunk_split" -> ((s, dir) =>
@@ -740,6 +747,7 @@ object SparkEntry {
       Seq("en" -> 20000L, "de" -> 8000L), 3000L, "graft"),
     "sample_cluster" -> OracleSql.clusterBalancedSample(64, 16, 20L, "graft"),
     "text_logprob" -> OracleSql.unigramLogProb,
+    "text_bigram_lp" -> OracleSql.bigramLogProb,
     "chunk_split" -> OracleSql.chunkSplit(32, 8),
     "shuffle_interleave" -> OracleSql.interleaveShuffle(8, "graft"),
     "curriculum_order" -> OracleSql.curriculumOrder(32, 8, "graft"),

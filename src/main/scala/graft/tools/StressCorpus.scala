@@ -212,6 +212,18 @@ object StressCorpus {
         .agg(sum("n_tokens"), sum("avg_logprob")).collect()(0).getLong(0)
     }
 
+    // ----- conditional bigram LM score over the synthetic docs: the
+    // 8-token docs carry exactly 7 bigrams each — row preservation and
+    // the bigram count are closed-form exact
+    time(s"text_bigram_lp docs=$nDocs") {
+      val r = Corpus.BigramLogProb().transform(docs)
+        .agg(count(lit(1)), sum("n_bigrams")).collect()(0)
+      require(r.getLong(0) == nDocs.toLong &&
+          r.getLong(1) == 7L * nDocs,
+        s"bigram drift: $r")
+      r.getLong(0)
+    }
+
     // ----- bloom-prefiltered decontamination vs the exact row above:
     // same semantics, posting stream pruned map-side before the join
     time(s"decontaminate_bloom docs=$nDocs eval=1/1000") {

@@ -315,6 +315,37 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run, repartition = Some(3))
   }
 
+  test("bigram_logprob golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Corpus.BigramLogProb().transform(df)
+    // bigrams: "a b"=2, "b a"=2, "a c"=1; contexts: a=3, b=2
+    def lp(c: Long, p: Long): Long =
+      math.round(math.log(c.toDouble / p.toDouble) * 1e6)
+    def score(lpSum: Long, n: Long): Double =
+      BigDecimal(lpSum.toDouble / (n.toDouble * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(Seq(1L, "a b a b"), Seq(2L, "b a c")),
+        Seq("doc_id:i", "text:s"))
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq[Any](1L, 3L, score(2 * lp(2, 3) + lp(2, 2), 3)),
+          Seq[Any](2L, 2L, score(lp(2, 2) + lp(1, 3), 2))),
+        Seq("doc_id:i", "n_bigrams:i", "avg_bigram_logprob:f"))
+      override def mutants = Seq(
+        // doc 2 reverses: its bigrams flip to "c a"/"a b"-class pairs,
+        // changing BOTH docs' conditional distributions
+        ValueMutant("text", 1, "c a b"),
+        // doc 1 loses a token: one "a b" occurrence leaves the counts
+        ValueMutant("text", 0, "a b a"),
+        // a doc id change moves an output row
+        ValueMutant("doc_id", 1, 99L))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
   test("unigram_logprob golden: killed mutants + repartition invariance") {
     def run(df: DataFrame): DataFrame =
       Corpus.UnigramLogProb().transform(df)

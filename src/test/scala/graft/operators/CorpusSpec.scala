@@ -372,6 +372,56 @@ class CorpusSpec extends AnyFunSuite {
     assert(base == repart)
   }
 
+  // ------------------------------------------------------- BigramLogProb
+
+  test("bigram_logprob: hand-computed tiny corpus, conditional on the " +
+    "previous token; short/empty docs score explicit zeros") {
+    // bigram counts: "a b"=2, "b a"=2, "a c"=1
+    // context counts (first token occurrences): a=3, b=2
+    val d = Seq((1L, "a b a b"), (2L, "b a c"), (3L, "x"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def lp(c: Long, p: Long): Long =
+      math.round(math.log(c.toDouble / p.toDouble) * 1e6)
+    def score(lpSum: Long, n: Long): Double =
+      BigDecimal(lpSum.toDouble / (n.toDouble * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Corpus.BigramLogProb().transform(d).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, score(2 * lp(2, 3) + lp(2, 2), 3)), // a b, b a, a b
+      (2L, 2L, score(lp(2, 2) + lp(1, 3), 2)),     // b a, a c
+      (3L, 0L, 0.0),                                // one token
+      (4L, 0L, 0.0)), got)                          // null text
+  }
+
+  test("bigram_logprob: distinguishes prose from its shuffled word " +
+    "salad where the unigram score cannot") {
+    // same token multiset, different order: unigram scores tie exactly;
+    // the bigram conditional must score the repeated-phrase doc higher
+    val d = Seq(
+      (1L, "the quick fox the quick fox the quick fox"),
+      (2L, "the the the quick quick quick fox fox fox"))
+      .toDF("doc_id", "text")
+    val uni = Corpus.UnigramLogProb().transform(d)
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(uni(1L) == uni(2L), uni)
+    val bi = Corpus.BigramLogProb().transform(d)
+      .select("doc_id", "avg_bigram_logprob")
+      .as[(Long, Double)].collect().toMap
+    assert(bi(1L) > bi(2L), bi)
+  }
+
+  test("bigram_logprob: partition-count invariant (integer sums)") {
+    val d = (0L until 100L)
+      .map(i => (i, s"w${i % 7} w${i % 3} shared tail w${i % 5}"))
+      .toDF("doc_id", "text")
+    val base = Corpus.BigramLogProb().transform(d)
+      .orderBy("doc_id").collect().toSeq
+    val repart = Corpus.BigramLogProb().transform(d.repartition(13))
+      .orderBy("doc_id").collect().toSeq
+    assert(base == repart)
+  }
+
   // ----------------------------------------------------------- MixBudget
 
   private def bucketOf(id: Long, salt: String = "graft"): String =
