@@ -63,6 +63,67 @@ class StreamingQuantileStatsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("composition: closed-window thresholds gate the NEXT window's " +
+    "stream — the streaming face of the batch quantile band gate") {
+    // The feedback pattern the operator exists for: the threshold query
+    // materializes per-(window, group) quantiles as windows close; a
+    // second query on the same source gates each micro-batch's docs
+    // against the LATEST closed window's band via foreachBatch (the
+    // standard Structured Streaming side-input mechanism — a
+    // broadcast-joined table refreshed per batch, no stream-stream
+    // join needed because thresholds are final when read).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[QEvent]
+    val thresholds = new StreamingQuantileStats(Seq("g"), "v",
+      quantiles = Seq(0.1, 0.9), windowDuration = "10 seconds")
+      .transform(input.toDF().withWatermark("ts", "2 seconds"))
+    val thQuery = thresholds.writeStream.format("memory")
+      .queryName("sq_gate_th").outputMode("append").start()
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val gateQuery = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val th = spark.table("sq_gate_th")
+        if (!th.isEmpty) {
+          import org.apache.spark.sql.expressions.Window
+          val latest = th.withColumn("__rn",
+            org.apache.spark.sql.functions.row_number().over(
+              Window.partitionBy("g")
+                .orderBy(org.apache.spark.sql.functions.col("window_end")
+                  .desc)))
+            .filter(org.apache.spark.sql.functions.col("__rn") === 1)
+            .select("g", "p10", "p90")
+          batch.join(org.apache.spark.sql.functions.broadcast(latest), "g")
+            .filter(org.apache.spark.sql.functions.col("v") >=
+              org.apache.spark.sql.functions.col("p10") &&
+              org.apache.spark.sql.functions.col("v") <=
+              org.apache.spark.sql.functions.col("p90"))
+            .select("g", "v")
+            .collect().foreach(r =>
+              kept.synchronized {
+                kept += ((r.getString(0), r.getDouble(1)))
+              })
+        }
+        ()
+      }.start()
+    try {
+      // window [0,10): g1 values 1..10 -> p10 = 1, p90 = 9
+      input.addData((1 to 10).map(i => ev("g1", i.toLong % 10, i.toDouble)): _*)
+      thQuery.processAllAvailable(); gateQuery.processAllAvailable()
+      // close [0,10): the threshold row (p10=1, p90=9) materializes
+      input.addData(ev("g1", 30, 100.0))
+      thQuery.processAllAvailable(); gateQuery.processAllAvailable()
+      // next batch of docs gates against the closed window's band:
+      // 0.5 (< p10) and 9.5 (> p90) drop, 5.0 keeps
+      input.addData(ev("g1", 31, 0.5), ev("g1", 32, 5.0),
+        ev("g1", 33, 9.5))
+      thQuery.processAllAvailable(); gateQuery.processAllAvailable()
+      val gated = kept.synchronized(kept.toSet)
+      assert(gated.contains(("g1", 5.0)), gated)
+      assert(!gated.contains(("g1", 0.5)) && !gated.contains(("g1", 9.5)),
+        gated)
+    } finally { thQuery.stop(); gateQuery.stop() }
+  }
+
   test("guards: batch frames, bad quantiles and colliding names " +
     "rejected") {
     intercept[IllegalArgumentException](
