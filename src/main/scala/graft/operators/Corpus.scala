@@ -1217,7 +1217,8 @@ object Corpus {
                                       valueColumn: String,
                                       lo: Double = 0.1,
                                       hi: Double = 0.9,
-                                      valueBuckets: Int = 256)
+                                      valueBuckets: Int = 256,
+                                      accuracy: Int = 10000)
       extends Wrangler {
     require(lo > 0 && lo < 1 && hi > 0 && hi <= 1 && lo < hi,
       s"need 0 < lo < hi <= 1, got lo=$lo hi=$hi")
@@ -1230,7 +1231,7 @@ object Corpus {
           s"input must not carry `$c` (an output column)")
       }
       val thresholds = QuantileStats(groupColumns, valueColumn,
-          Seq(lo, hi), valueBuckets).transform(df)
+          Seq(lo, hi), valueBuckets, accuracy).transform(df)
         .select((groupColumns.map(col) :+
           col(quantileName(lo)).as("band_lo") :+
           col(quantileName(hi)).as("band_hi")): _*)

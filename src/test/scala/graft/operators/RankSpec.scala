@@ -86,6 +86,26 @@ class RankSpec extends AnyFunSuite {
     val out = PercentileRank(Seq("g"), "v", idColumn = "id").transform(d)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // the equi-depth bucket id must come from the codegen'd
+    // binary-search expression, not a nested-when tree (which blows
+    // HotSpot's huge-method JIT threshold at 256 buckets). The plan
+    // STRING truncates long expressions and a LocalRelation input gets
+    // constant-folded by ConvertToLocalRelation, so: non-local input,
+    // walk the expression trees
+    val ranged = spark.range(80)
+      .select(col("id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("g"),
+          org.apache.spark.sql.functions.pmod(col("id"),
+            org.apache.spark.sql.functions.lit(2L))).as("g"),
+        (col("id") * 17L % 97L).as("v"))
+    val rangedOut = PercentileRank(Seq("g"), "v", idColumn = "id")
+      .transform(ranged)
+    val hasBucketSearch = rangedOut.queryExecution.optimizedPlan
+      .collect { case p => p.expressions }.flatten
+      .exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.graftshim.BucketSearch]))
+    assert(hasBucketSearch, "no BucketSearch expression in the plan")
     plan.linesIterator.filter(_.contains("windowspecdefinition"))
       .filter(_.contains("value_rank"))
       .foreach(l => assert(l.contains("__b"), l))
