@@ -624,7 +624,7 @@ object Corpus {
         when(col(c).isNull,
           raise_error(lit(s"QuantileStats: group column `$c` must be " +
             "non-null — a null key would silently drop the group " +
-            "through the rank equi-join")).cast(df.schema(c).dataType))
+            "through the rank equi-join")).cast(SparkUtil.fieldType(df, c)))
           .otherwise(col(c)).as(c)
       }
       val base = df.select((gGuarded :+ col(valueColumn)): _*)
@@ -657,7 +657,7 @@ object Corpus {
       val guarded = counts.crossJoin(broadcast(total))
         .withColumn("__bc", ValueBucketing.populationGuard("QuantileStats",
           col("__bc"), col("__vlo") === col("__vhi"), col("__tot"),
-          valueBuckets))
+          valueBuckets, accuracy))
         .drop("__tot")
       // per-group prefix: <= ~2x valueBuckets rows per window partition
       val offs = guarded
@@ -691,11 +691,17 @@ object Corpus {
       // rank only rows of multi-valued target buckets, partitioned by
       // (group, bucket) — population bounded by the equi-depth guard
       val targetBuckets = multiT.select((gCols :+ col("__b")): _*).distinct()
+      // in-bucket order: the DOUBLE cast first (the same order the
+      // bucket assignment and offset algebra are monotone in — a
+      // string-typed numeric-castable column would otherwise rank
+      // lexicographically inside the bucket and return a wrong
+      // quantile), then the original column to break double-collision
+      // ties exactly (longs beyond 2^53)
       val ranked = bucketed
         .join(targetBuckets, groupColumns :+ "__b")
         .withColumn("__rn", row_number().over(
           Window.partitionBy((gCols :+ col("__b")): _*)
-            .orderBy(col(valueColumn).asc)).cast("long"))
+            .orderBy(vd.asc, col(valueColumn).asc)).cast("long"))
       val multiVals = ranked
         .join(multiT, groupColumns ++ Seq("__b", "__rn"))
         .select((gCols :+ col("__q") :+ col("__cnt") :+

@@ -102,9 +102,11 @@ final case class FunnelReport(steps: Seq[String],
       .transform(df)
     // n_0 = every key with any event; n_i = keys whose completed
     // prefix reaches step i — all counted in ONE aggregate row
+    // coalesce: sum() over an EMPTY per-key frame is null, but the
+    // report's contract (and the DuckDB oracle's COUNT) is 0 reached
     val aggs = count(lit(1)).as("n_0") +: steps.indices.map { i =>
-      sum(when(col("steps_completed") >= (i + 1).toLong, 1L)
-        .otherwise(0L)).as(s"n_${i + 1}")
+      coalesce(sum(when(col("steps_completed") >= (i + 1).toLong, 1L)
+        .otherwise(0L)), lit(0L)).as(s"n_${i + 1}")
     }
     val one = perKey.agg(aggs.head, aggs.tail: _*)
     val stepRows = steps.indices.map { i =>

@@ -85,7 +85,7 @@ final case class PercentileRank(groupColumns: Seq[String],
       when(col(c).isNull,
         raise_error(lit(s"PercentileRank: group column `$c` must be " +
           "non-null — a null key would silently drop the row through " +
-          "the rank equi-join")).cast(df.schema(c).dataType))
+          "the rank equi-join")).cast(SparkUtil.fieldType(df, c)))
         .otherwise(col(c)).as(c)
     }
     val narrow = df.select((gGuarded :+
@@ -118,7 +118,7 @@ final case class PercentileRank(groupColumns: Seq[String],
     val guarded = counts.crossJoin(broadcast(total))
       .withColumn("__bc", ValueBucketing.populationGuard("PercentileRank",
         col("__bc"), col("__vlo") === col("__vhi"), col("__tot"),
-        valueBuckets))
+        valueBuckets, accuracy))
       .drop("__tot")
     val offs = guarded
       .withColumn("__off", coalesce(

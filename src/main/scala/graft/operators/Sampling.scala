@@ -231,18 +231,11 @@ object Sampling {
             .otherwise(col(scoreColumn).cast("double")).as("v"))
         .as[(String, Long, Double)]
       // bounded heap per (partition, group); the dequeued MAX under
-      // this ordering is the WORST kept row (lowest score, then
-      // highest key). Explicit comparator instead of negation: Spark's
-      // SQL ordering normalizes -0.0 == 0.0, and negating would break
-      // that tie differently from the rank window (round-9 ADVICE)
+      // [[HeapPrune]]'s shared ordering is the WORST kept row (lowest
+      // score, then highest key; -0.0 == 0.0 like Spark's rank window
+      // — round-9 ADVICE)
       val pruned = narrow.mapPartitions { it =>
-        val worstFirst = new Ordering[(Long, Double)] {
-          private def norm(d: Double): Double = if (d == 0.0) 0.0 else d
-          def compare(a: (Long, Double), b: (Long, Double)): Int = {
-            val c = java.lang.Double.compare(norm(b._2), norm(a._2))
-            if (c != 0) c else java.lang.Long.compare(a._1, b._1)
-          }
-        }
+        val worstFirst = HeapPrune.worstFirstByScore
         val heaps = scala.collection.mutable.LinkedHashMap
           .empty[String,
             scala.collection.mutable.PriorityQueue[(Long, Double)]]

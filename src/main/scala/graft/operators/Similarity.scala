@@ -57,21 +57,12 @@ object Similarity {
       .as[(Long, Long, Double)]
       .mapPartitions { it =>
         // keep k best per query under (cosine desc, id asc); head of the
-        // queue is the WORST kept candidate. Explicit comparator matching
-        // Spark's SQL ordering exactly — NaN largest (a zero-norm vector's
-        // 0/0 cosine is legitimate data, e.g. padding rows, and the final
-        // rank window puts NaN FIRST under desc), -0.0 == 0.0 — so the
-        // prune is invisible w.r.t. the window under ALL inputs; the old
-        // negated-tuple ordering ranked NaN as the worst row and evicted
-        // exactly the candidates the window would keep (the GroupTopK
-        // round-9 ADVICE class)
-        val worstFirst = new Ordering[(Long, Double)] {
-          private def norm(d: Double): Double = if (d == 0.0) 0.0 else d
-          def compare(a: (Long, Double), b: (Long, Double)): Int = {
-            val c = java.lang.Double.compare(norm(b._2), norm(a._2))
-            if (c != 0) c else java.lang.Long.compare(a._1, b._1)
-          }
-        }
+        // queue is the WORST kept candidate. [[HeapPrune]]'s shared
+        // comparator matches Spark's SQL ordering exactly (NaN largest —
+        // a zero-norm vector's 0/0 cosine is legitimate data, e.g.
+        // padding rows — and -0.0 == 0.0), so the prune is invisible
+        // w.r.t. the window under ALL inputs
+        val worstFirst = HeapPrune.worstFirstByScore
         val heaps = scala.collection.mutable.LinkedHashMap
           .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]
         it.foreach { case (qid, id, cos) =>

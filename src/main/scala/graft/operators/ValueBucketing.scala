@@ -101,11 +101,15 @@ private[operators] object ValueBucketing {
     * repo's raise_error convention — cf. `Dedup.selectCanonical`'s
     * widest-component guard): wraps a per-(group, bucket) count so
     * that any multi-valued cell holding more than
-    * `max(floorRows, headroom * total / valueBuckets)` rows raises
-    * inside the plan instead of silently sorting near a whole group
-    * in one task. Equi-depth construction bounds honest cells by
-    * ~2-3x the ideal `total / valueBuckets` (boundary effects +
-    * sketch error), so `headroom = 8` never fires on a working
+    * `max(floorRows, headroom * total / valueBuckets +
+    * 2 * total / accuracy)` rows raises inside the plan instead of
+    * silently sorting near a whole group in one task. Equi-depth
+    * construction bounds honest cells by ~2-3x the ideal
+    * `total / valueBuckets` in rows PLUS the sketch's rank error
+    * (up to `2n / accuracy` per boundary pair — material when
+    * `accuracy` is chosen small relative to `valueBuckets`, so the
+    * bound carries the term explicitly rather than assuming the
+    * default ratio), so `headroom = 8` never fires on a working
     * bucketing; single-valued cells are exempt — they are the
     * legitimate heavy-value case and callers rank them windowless.
     *
@@ -113,12 +117,13 @@ private[operators] object ValueBucketing {
     * as a broadcast single-row aggregate to keep the plan lazy).
     */
   def populationGuard(op: String, bc: Column, singleValued: Column,
-                      total: Column, valueBuckets: Int,
+                      total: Column, valueBuckets: Int, accuracy: Int,
                       floorRows: Long = 1L << 16,
                       headroom: Long = 8L): Column =
     when(!singleValued &&
         bc > greatest(lit(floorRows),
-          total * lit(headroom) / lit(valueBuckets.toLong)),
+          total * lit(headroom) / lit(valueBuckets.toLong) +
+            total * lit(2L) / lit(accuracy.toLong)),
       raise_error(concat(lit(s"$op: a multi-valued value bucket holds "),
         bc.cast("string"),
         lit(" rows — far beyond the equi-depth bound; the sampled " +

@@ -52,16 +52,23 @@ final case class FunnelBuffer(times: Seq[Long],
   *
   * State LIFECYCLE (round-9 ADVICE — the previous revision held every
   * key's state forever, so the store grew with key cardinality, not
-  * the horizon):
-  *   - a COMPLETED funnel's outcome is final — nothing future can
-  *     matter — so its state is removed the batch it completes
-  *     (default). The honest caveat: a key whose step-type events
-  *     KEEP ARRIVING after completion then re-enters as a fresh
-  *     funnel and emits a second episode's facts. Where re-entry
-  *     within some horizon must stay silent, `completedRetentionMs`
-  *     keeps a times-only tombstone for that much EVENT time after
-  *     completion (an unbounded shield would be exactly the unbounded
-  *     state this lifecycle removes);
+  * the horizon). All rules are defined in EVENT time, so the output is
+  * a function of the event stream alone — never of batching or
+  * delivery order:
+  *   - a COMPLETED funnel's outcome is final up to the retention
+  *     horizon `H = t(last step) + completedRetentionMs`: events with
+  *     `ts <= H` are swallowed forever; events with `ts > H` belong to
+  *     the key's NEXT episode — they are buffered (bounded by
+  *     `maxPending`) until the watermark passes `H`, then fold as a
+  *     fresh funnel which may emit a second episode's step facts
+  *     (duplicate step indices across episodes are the semantics, not
+  *     a bug). With the default `completedRetentionMs = 0` the state
+  *     is dropped the batch the horizon finalizes (nothing at or
+  *     before the completion instant can matter) and any strictly
+  *     later step events deterministically start the next episode;
+  *     `Long.MaxValue` keeps a times-only tombstone forever (the
+  *     explicit at-most-one-episode choice — bounded per key, but the
+  *     store then grows with completed-key cardinality again);
   *   - `idleTtlMs` optionally expires keys that never complete: a key
   *     with no activity for that much event time is dropped (its
   *     partial progress restarts if it ever returns). Default off —
@@ -110,65 +117,100 @@ final class StreamingFunnel(steps: Seq[String],
     times
   }
 
+  /** Fold one episode: consume `events` (already in (ts, step) order)
+    * into `times0` until the funnel completes, returning the new times
+    * and the UNCONSUMED suffix (events from the completion point on —
+    * the tombstone's to judge against the retention horizon).
+    * Non-matching events before completion are discarded, exactly as
+    * in [[fold]].
+    */
+  private[streaming] def foldEpisode(times0: Seq[Long],
+      events: Seq[(Long, String)])
+      : (Seq[Long], Seq[(Long, String)]) = {
+    var times = times0
+    var i = 0
+    while (i < events.size && times.size < steps.size) {
+      val (ts, tpe) = events(i)
+      if (tpe == steps(times.size) && (times.isEmpty || ts >= times.last))
+        times = times :+ ts
+      i += 1
+    }
+    (times, events.drop(i))
+  }
+
   private def step(key: String, events: Iterator[FunnelEvent],
                    state: GroupState[FunnelBuffer])
       : Iterator[FunnelStepDone] = {
+    val wm = state.getCurrentWatermarkMs()
     val prev = state.getOption.getOrElse(FunnelBuffer(Nil, Nil))
     val fresh = events.map(e => (e.ts.getTime, e.eventType)).toSeq
-    val all = (prev.pending ++ fresh)
+    var pool = (prev.pending ++ fresh)
       .sortBy { case (ts, tpe) => (ts, steps.indexOf(tpe)) }
-    val wm = state.getCurrentWatermarkMs()
-    val (ripe, unripe) = all.partition(_._1 <= wm)
-    val times = fold(prev.times, ripe)
-    val complete = times.size == steps.size
-    // funnel already complete -> no future event matters; otherwise keep
-    // the above-watermark buffer (bounded eviction, oldest first)
-    val kept =
-      if (complete) Nil
-      else if (unripe.size > maxPending) unripe.takeRight(maxPending)
-      else unripe
-    if (complete) {
-      // final outcome: drop the state now (default), or hold the
-      // times-only tombstone for the configured retention horizon.
-      // Expiry only applies to a funnel that was ALREADY complete
-      // coming in: a funnel completing THIS batch via a flush timeout
-      // (pending events ripening with no fresh data) must still get
-      // its full retention window, not be reaped against the stale
-      // idle expiry it carried while incomplete
-      val tombstoneExpired = state.hasTimedOut && fresh.isEmpty &&
-        prev.times.size == steps.size && wm >= prev.expireAtMs
-      if (completedRetentionMs <= 0L || tombstoneExpired) state.remove()
-      else {
-        val exp = satAdd(wm, completedRetentionMs)
-        state.update(FunnelBuffer(times, Nil, exp))
-        if (exp != Long.MaxValue) state.setTimeoutTimestamp(exp)
-      }
-    } else {
-      // idle expiry fires only when the configured horizon has truly
-      // elapsed — the wm+1 flush timeout below must never be mistaken
-      // for it and drop partial progress, hence the stored expiry
-      val progressed = fresh.nonEmpty || times.size > prev.times.size
-      val exp =
-        if (progressed || prev.expireAtMs == Long.MaxValue)
-          satAdd(wm, idleTtlMs)
-        else prev.expireAtMs
-      if (state.hasTimedOut && fresh.isEmpty && kept.isEmpty && wm >= exp)
-        state.remove()
-      else {
-        state.update(FunnelBuffer(times, kept, exp))
-        // a watermark-only advance does not re-invoke the function for
-        // a key without new data; the event-time timeout makes the next
-        // advance flush the buffered suffix (and, when configured, the
-        // idle horizon reap the key)
-        if (kept.nonEmpty) state.setTimeoutTimestamp(wm + 1)
-        else if (exp != Long.MaxValue)
-          state.setTimeoutTimestamp(math.max(exp, wm + 1))
+    var times = prev.times
+    val out = Seq.newBuilder[FunnelStepDone]
+    def bounded(evs: Seq[(Long, String)]): Seq[(Long, String)] =
+      if (evs.size > maxPending) evs.takeRight(maxPending) else evs
+    var parked = false
+    while (!parked) {
+      if (times.size == steps.size) {
+        // completed episode: its retention horizon is fixed in EVENT
+        // time — ts at or below it is FINAL (swallowed); strictly-later
+        // events belong to the key's next episode. Deterministic in the
+        // event stream: whether a re-entry event arrives before or
+        // after the watermark passes the horizon cannot change whether
+        // it is swallowed (the previous revision judged by ARRIVAL and
+        // slid the horizon per batch)
+        val h = satAdd(times.last, completedRetentionMs)
+        pool = pool.filter(_._1 > h)
+        if (wm >= h) times = Nil // horizon finalized: next episode
+        else {
+          state.update(FunnelBuffer(times, bounded(pool), h))
+          if (h != Long.MaxValue)
+            state.setTimeoutTimestamp(math.max(h, wm + 1))
+          parked = true
+        }
+      } else {
+        val (ripe, unripe) = pool.partition(_._1 <= wm)
+        val before = times.size
+        val (t2, rest) = foldEpisode(times, ripe)
+        times = t2
+        out ++= times.zipWithIndex.drop(before).map { case (t, idx) =>
+          FunnelStepDone(key, idx, steps(idx), t)
+        }
+        pool = rest ++ unripe
+        if (times.size < steps.size) {
+          // incomplete: park. pool here is all above-watermark (an
+          // incomplete foldEpisode consumed or discarded every ripe
+          // event), bounded with oldest-first eviction
+          val kept = bounded(pool)
+          // idle expiry fires only when the configured horizon has
+          // truly elapsed — the wm+1 flush timeout must never be
+          // mistaken for it and drop partial progress
+          val progressed = fresh.nonEmpty || times != prev.times
+          val exp =
+            if (progressed || prev.expireAtMs == Long.MaxValue)
+              satAdd(wm, idleTtlMs)
+            else prev.expireAtMs
+          if (times.isEmpty && kept.isEmpty) state.remove()
+          else if (state.hasTimedOut && fresh.isEmpty && kept.isEmpty &&
+              wm >= exp)
+            state.remove()
+          else {
+            state.update(FunnelBuffer(times, kept, exp))
+            // a watermark-only advance does not re-invoke the function
+            // for a key without new data; the event-time timeout makes
+            // the next advance flush the buffered suffix (and, when
+            // configured, the idle horizon reap the key)
+            if (kept.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+            else if (exp != Long.MaxValue)
+              state.setTimeoutTimestamp(math.max(exp, wm + 1))
+          }
+          parked = true
+        }
+        // else: completed this pass — loop into the tombstone branch
       }
     }
-    times.drop(prev.times.size).zipWithIndex.map { case (t, i) =>
-      val idx = prev.times.size + i
-      FunnelStepDone(key, idx, steps(idx), t)
-    }.iterator
+    out.result().iterator
   }
 
   /** Apply to a streaming DataFrame with columns

@@ -67,9 +67,21 @@ final class StreamingQuantileStats(groupColumns: Seq[String],
     val qCols = quantiles.zipWithIndex.map { case (q, i) =>
       element_at(col("__qs"), i + 1).as(Corpus.quantileName(q))
     }
+    // same fail-loud value contract as the batch QuantileStats: a null
+    // would be silently SKIPPED by percentile_approx while count(*)
+    // counts it — `n` and the p-columns would describe different
+    // populations — and a NaN corrupts the GK sketch's ordering
+    val vd = col(valueColumn).cast("double")
+    val guarded = when(col(valueColumn).isNull || vd.isNull || isnan(vd),
+      raise_error(concat(
+        lit(s"StreamingQuantileStats: `$valueColumn` must be non-null, " +
+          "numeric-castable and non-NaN; got: "),
+        coalesce(col(valueColumn).cast("string"), lit("NULL"))))
+        .cast("double"))
+      .otherwise(vd)
     df.groupBy(keys: _*)
       .agg(count(lit(1)).as("n"),
-        percentile_approx(col(valueColumn).cast("double"),
+        percentile_approx(guarded,
           array(quantiles.map(lit): _*), lit(accuracy)).as("__qs"))
       .select((col("window.start").as("window_start") +:
         col("window.end").as("window_end") +:

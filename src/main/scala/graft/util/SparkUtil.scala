@@ -20,6 +20,19 @@ object SparkUtil {
     }
   }
 
+  /** The data type of `column`, resolved CASE-INSENSITIVELY like Spark's
+    * own column resolution (and like [[validateColumns]]) — `df.schema(c)`
+    * is case-sensitive and would crash on a differently-cased name that
+    * `col(c)` resolves fine.
+    */
+  def fieldType(df: DataFrame, column: String)
+      : org.apache.spark.sql.types.DataType =
+    df.schema.fields.find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Column with name `$column` does not exist. Please check " +
+          "parameter settings."))
+      .dataType
+
   /** Build sort-order Column list from names + per-column ascending flags.
     * `reverse = true` flips every direction (used by the last-start/last-end
     * fast path; reference: pyspark/util.py:60-102).

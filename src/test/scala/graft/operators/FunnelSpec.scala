@@ -94,6 +94,16 @@ class FunnelSpec extends AnyFunSuite {
       .as[(Long, String, Long, Option[Double])].collect().toSeq
     assert(empty == Seq((1L, "signup", 0L, Some(0.0)),
       (2L, "view", 0L, None), (3L, "purchase", 0L, None)), empty)
+    // a fully empty input: zero reached (NOT null — sum() over an
+    // empty frame is null and must be coalesced like the oracle's
+    // COUNT), conversion null throughout
+    val zero = Seq.empty[(Long, Long, String)]
+      .toDF("user_id", "ts", "event_type")
+    val z = FunnelReport(Seq("signup", "view", "purchase"))
+      .transform(zero).orderBy("step_index")
+      .as[(Long, String, Long, Option[Double])].collect().toSeq
+    assert(z == Seq((1L, "signup", 0L, None), (2L, "view", 0L, None),
+      (3L, "purchase", 0L, None)), z)
   }
 
   test("funnel_report: still exactly one keyed shuffle (the 1-row " +

@@ -84,14 +84,14 @@ class ValueBucketingSpec extends AnyFunSuite {
       .toDF("bc", "one", "tot")
     val ok = cells.select(ValueBucketing.populationGuard("T",
         col("bc"), col("one"), col("tot"), valueBuckets = 4,
-        floorRows = 100L).as("g"))
+        accuracy = 10000, floorRows = 100L).as("g"))
       .as[Long].collect().toSeq
     assert(ok == Seq(500L, 900L))
     val bad = Seq((2500L, false, 1000L)).toDF("bc", "one", "tot")
     val e = intercept[Exception](
       bad.select(ValueBucketing.populationGuard("T",
         col("bc"), col("one"), col("tot"), valueBuckets = 4,
-        floorRows = 100L).as("g")).collect())
+        accuracy = 10000, floorRows = 100L).as("g")).collect())
     def messages(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).toSeq

@@ -141,6 +141,47 @@ class StreamingFunnelSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("episodic re-entry is deterministic in EVENT time: events past " +
+    "the retention horizon start a new episode, at-or-below are " +
+    "swallowed even when delivered early") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    // completion at ts=12 -> horizon 17; signup@15 (<= 17) must be
+    // swallowed FOREVER even though it is delivered long before the
+    // watermark passes 17, while the @20..22 events (> 17) must fold
+    // as a full second episode — the previous revision judged
+    // swallowing by ARRIVAL batch, so this exact stream could emit
+    // either 3 or 7 facts depending on delivery timing
+    val op = new StreamingFunnel(steps, completedRetentionMs = 5000L)
+    val out = op.transform(input.toDF().withWatermark("ts", "2 seconds"))
+    val query = out.writeStream.format("memory")
+      .queryName("funnel_episodic_test").outputMode("append").start()
+    try {
+      input.addData(
+        ev("u1", 10, "signup"), ev("u1", 11, "view"),
+        ev("u1", 12, "purchase"),
+        ev("u1", 15, "signup"), // within the horizon: swallowed
+        ev("u1", 20, "signup"), ev("u1", 21, "view"),
+        ev("u1", 22, "purchase")) // the next episode
+      query.processAllAvailable()
+      input.addData(ev("wm", 40, "signup"))
+      query.processAllAvailable()
+      input.addData(ev("wm", 80, "signup"))
+      query.processAllAvailable()
+      val got = spark.table("funnel_episodic_test").as[FunnelStepDone]
+        .collect().filter(_.groupKey == "u1")
+      assert(got.length == 6, got.mkString(", "))
+      assert(!got.exists(_.ts == 15000L), got.mkString(", "))
+      assert(got.map(_.ts).toSet ==
+        Set(10000L, 11000L, 12000L, 20000L, 21000L, 22000L),
+        got.mkString(", "))
+      // two full episodes: each step index emitted exactly twice
+      (0 to 2).foreach { i =>
+        assert(got.count(_.stepIndex == i) == 2, got.mkString(", "))
+      }
+    } finally query.stop()
+  }
+
   test("completedRetentionMs: a tombstone shields re-entry within the " +
     "horizon, then expires") {
     implicit val sqlCtx = spark.sqlContext
