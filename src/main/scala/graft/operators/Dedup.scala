@@ -49,7 +49,7 @@ object Dedup {
     override def preservesSampleSize: Boolean = true
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
-      Seq("content_fp", "canonical_id", "is_dup").foreach { c =>
+      Seq("content_fp", "canonical_id", "is_dup", "__fp").foreach { c =>
         require(!df.columns.exists(_.equalsIgnoreCase(c)),
           s"Output column `$c` already exists in the input; rename it first")
       }
@@ -57,7 +57,16 @@ object Dedup {
       val withFp = df.withColumn("content_fp", md5(norm))
       val canon = withFp.groupBy("content_fp")
         .agg(min(col(idColumn)).as("canonical_id"))
-      withFp.join(canon, Seq("content_fp"))
+      // NULL-SAFE join key: a null text yields a null fingerprint, and
+      // a plain equi-join would silently DROP every null-text row
+      // despite preservesSampleSize (the round-9 ADVICE silent-drop
+      // class). `<=>` keeps them and groups them as mutual duplicates
+      // — the same verdict the groupBy above already reached for the
+      // canonical-id computation (null is one content class, exactly
+      // like whitespace-only docs normalize into one class)
+      withFp.join(canon.withColumnRenamed("content_fp", "__fp"),
+          col("content_fp") <=> col("__fp"))
+        .drop("__fp")
         .withColumn("is_dup", (col(idColumn) =!= col("canonical_id")))
         .select(df.columns.map(col) ++
           Seq(col("content_fp"), col("canonical_id"), col("is_dup")): _*)

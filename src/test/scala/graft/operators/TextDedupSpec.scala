@@ -39,6 +39,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == 1564557354L) // 0x5d41402a of md5("hello")
   }
 
+  test("ExactDedup: null-text rows are PRESERVED and group as mutual " +
+    "duplicates (a plain equi-join on the null fingerprint would " +
+    "silently drop them despite preservesSampleSize)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("same text")), (2L, Some("same  text")),
+      (3L, Option.empty[String]), (4L, Option.empty[String]),
+      (5L, Some("unique"))).toDF("doc_id", "text")
+    val out = Dedup.ExactDedup().transform(df)
+      .select("doc_id", "canonical_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, false), (2L, 1L, true),
+      (3L, 3L, false), (4L, 3L, true),
+      (5L, 5L, false)), out)
+  }
+
   test("ExactDedup groups identical normalized content") {
     val df = docsDF(
       1L -> "Hello  World",
