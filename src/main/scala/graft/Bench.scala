@@ -90,6 +90,7 @@ object Bench {
     "curriculum_order" -> Some("Window"),
     "mix_temperature" -> Some("Window"),
     "quality_band" -> Some("Window"), // QuantileStats' rank-location pass
+    "quality_winsor" -> Some("Window"), // same rank-location thresholds
     "pct_rank" -> Some("Window"), // the (group, bucket) cume window
     "top_docs" -> Some("Window"), // rank over the heap-pruned survivors
     "overlap_join" -> Some("Join"),

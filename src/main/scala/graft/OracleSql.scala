@@ -1146,6 +1146,28 @@ object OracleSql {
        |WHERE d.n_chars >= th.band_lo AND d.n_chars <= th.band_hi
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-group winsorization: clamp n_chars into the group's exact
+    * [p(lo), p(hi)] band, row-preserving. Mirrors
+    * [[graft.operators.Corpus.QuantileClamp]].
+    */
+  def qualityWinsor(lo: Double, hi: Double): String =
+    s"""WITH r AS (SELECT lang, n_chars AS v,
+       |  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM documents),
+       |th AS (SELECT lang,
+       |  CAST(max(CASE WHEN rn = CAST(ceil($lo * cnt) AS BIGINT)
+       |    THEN v END) AS BIGINT) AS band_lo,
+       |  CAST(max(CASE WHEN rn = CAST(ceil($hi * cnt) AS BIGINT)
+       |    THEN v END) AS BIGINT) AS band_hi
+       |  FROM r GROUP BY lang)
+       |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       |  CAST(greatest(least(d.n_chars, th.band_hi), th.band_lo)
+       |    AS BIGINT) AS n_chars_winsor,
+       |  th.band_lo, th.band_hi
+       |FROM documents d JOIN th USING (lang)
+       |ORDER BY doc_id""".stripMargin
+
   /** Byte-balanced shard packing: running byte sum ordered by doc_id,
     * shard = start offset / target. Mirrors
     * [[graft.operators.Corpus.ShardPack]] (which computes the identical

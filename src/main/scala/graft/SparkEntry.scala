@@ -372,6 +372,15 @@ object SparkEntry {
     // and conversion from the previous step — Funnel's one keyed
     // shuffle plus a single 1-row aggregate pivoted by a plan-time
     // explode (no second keyed shuffle)
+    // per-group winsorization: clamp each language's n_chars into its
+    // own exact [p10, p90] band — row-preserving robust-stats sibling
+    // of the band gate; thresholds broadcast, clamp map-side
+    "quality_winsor" -> ((s, dir) =>
+      Corpus.QuantileClamp(Seq("lang"), "n_chars", 0.1, 0.9)
+        .transform(docs(s, dir))
+        .select("doc_id", "lang", "n_chars", "n_chars_winsor",
+          "band_lo", "band_hi")
+        .orderBy("doc_id")),
     "funnel_report" -> ((s, dir) =>
       FunnelReport(Seq("signup", "view", "purchase"))
         .transform(events(s, dir))
@@ -739,6 +748,7 @@ object SparkEntry {
       86400000000000L),
     "funnel_steps" -> OracleSql.funnelSteps,
     "funnel_report" -> OracleSql.funnelReport,
+    "quality_winsor" -> OracleSql.qualityWinsor(0.1, 0.9),
     "sample_stratified" -> OracleSql.sampleStratified(
       Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft"),
     "sample_quota" -> OracleSql.sampleQuota(

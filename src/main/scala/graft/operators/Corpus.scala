@@ -1246,4 +1246,53 @@ object Corpus {
           col(valueColumn) <= col("band_hi"))
     }
   }
+
+  /** Per-group winsorization: CLAMP `valueColumn` into its own group's
+    * closed `[p(lo), p(hi)]` band instead of dropping outliers — the
+    * robust-statistics sibling of [[QuantileBandFilter]] for the
+    * places curation must keep every document but cap the leverage of
+    * extreme values (length-normalized quality scores, per-language
+    * sampling weights, loss-weighting features: one 100 MB page must
+    * not dominate a mean). Thresholds are the same exact discrete
+    * quantiles, computed by the same skew-safe equi-depth rank
+    * machinery.
+    *
+    * Row-preserving: every input column passes through plus
+    * `<valueColumn>_winsor` (the clamped value, original column
+    * untouched) and the group's `band_lo` / `band_hi` (auditability,
+    * like the filter). Scale shape: the threshold table is one row per
+    * group, broadcast-joined back; the clamp itself is a map-side
+    * `greatest(least(...))`. Null group keys raise in-plan (inherited
+    * from [[QuantileStats]]' guard — a silent drop through the
+    * broadcast join would violate row preservation).
+    */
+  final case class QuantileClamp(groupColumns: Seq[String],
+                                 valueColumn: String,
+                                 lo: Double = 0.05,
+                                 hi: Double = 0.95,
+                                 valueBuckets: Int = 256,
+                                 accuracy: Int = 10000)
+      extends Wrangler {
+    require(lo > 0 && lo < 1 && hi > 0 && hi <= 1 && lo < hi,
+      s"need 0 < lo < hi <= 1, got lo=$lo hi=$hi")
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, groupColumns :+ valueColumn)
+      val outCol = s"${valueColumn}_winsor"
+      Seq("band_lo", "band_hi", outCol).foreach { c =>
+        require(!df.columns.exists(_.equalsIgnoreCase(c)),
+          s"input must not carry `$c` (an output column)")
+      }
+      val thresholds = QuantileStats(groupColumns, valueColumn,
+          Seq(lo, hi), valueBuckets, accuracy).transform(df)
+        .select((groupColumns.map(col) :+
+          col(quantileName(lo)).as("band_lo") :+
+          col(quantileName(hi)).as("band_hi")): _*)
+      df.join(broadcast(thresholds), groupColumns)
+        .withColumn(outCol,
+          greatest(least(col(valueColumn), col("band_hi")),
+            col("band_lo")))
+    }
+  }
 }

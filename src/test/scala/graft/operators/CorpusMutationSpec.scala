@@ -315,6 +315,37 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run, repartition = Some(3))
   }
 
+  test("quality_winsor golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Corpus.QuantileClamp(Seq("g"), "v", lo = 0.25, hi = 0.75)
+        .transform(df)
+        .select("id", "g", "v", "v_winsor", "band_lo", "band_hi")
+    // g: sorted [1,2,3,4] -> p25 = rank ceil(1)=1 -> 1; p75 = rank 3 -> 3
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(Seq("g", 1L, 4L), Seq("g", 2L, 1L), Seq("g", 3L, 2L),
+          Seq("g", 4L, 3L)),
+        Seq("g:s", "id:i", "v:i"))
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq[Any](1L, "g", 4L, 3L, 1L, 3L), // clamped down to p75
+          Seq[Any](2L, "g", 1L, 1L, 1L, 3L),
+          Seq[Any](3L, "g", 2L, 2L, 1L, 3L),
+          Seq[Any](4L, "g", 3L, 3L, 1L, 3L)),
+        Seq("id:i", "g:s", "v:i", "v_winsor:i", "band_lo:i",
+          "band_hi:i"))
+      override def mutants = Seq(
+        // the max value changes: p75 moves, so the clamp band moves
+        ValueMutant("v", 0, 100L),
+        // a group move changes both thresholds AND the row's band
+        ValueMutant("g", 1, "h"),
+        // an id change moves an output row
+        ValueMutant("id", 2, 99L))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
   test("bigram_logprob golden: killed mutants + repartition invariance") {
     def run(df: DataFrame): DataFrame =
       Corpus.BigramLogProb().transform(df)

@@ -161,4 +161,36 @@ class CurriculumMixSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("band_lo"), e.getMessage)
   }
+
+  // ---- QuantileClamp ----
+
+  test("quality_winsor: row-preserving clamp into the brute-force " +
+    "discrete quantile band; original column untouched") {
+    val vals = (0 until 300).map { i =>
+      (i.toLong, s"g${i % 3}", ((i * 48271L) % 997L))
+    }.toDF("id", "g", "v")
+    val rows = vals.as[(Long, String, Long)].collect()
+    def q(sorted: Seq[Long], p: Double): Long =
+      sorted((BigDecimal(p.toString) * sorted.size)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toInt - 1)
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.map(_._3).sorted.toSeq
+      val lo = q(sorted, 0.25); val hi = q(sorted, 0.75)
+      rs.map(r => (r._1, r._3, math.max(lo, math.min(hi, r._3))))
+    }.sortBy(_._1)
+    val got = Corpus.QuantileClamp(Seq("g"), "v", 0.25, 0.75)
+      .transform(vals)
+      .select("id", "v", "v_winsor")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == expect)
+    assert(got.size == rows.length) // row-preserving, nothing dropped
+  }
+
+  test("quality_winsor: output-column collisions rejected, any case") {
+    val bad = Seq((1L, "g", 5L, 0L)).toDF("id", "g", "v", "V_WINSOR")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.QuantileClamp(Seq("g"), "v").transform(bad)
+    }
+    assert(e.getMessage.contains("v_winsor"), e.getMessage)
+  }
 }
