@@ -467,6 +467,21 @@ object StressCorpus {
       r.getLong(0)
     }
 
+    // ----- per-group winsorization at 50M rows: row preservation and
+    // the in-band clamp are exact invariants; rides the same equi-depth
+    // threshold machinery as quality_band
+    time(s"quality_winsor n=$nRows groups=32") {
+      val out = Corpus.QuantileClamp(Seq("g"), "v", 0.1, 0.9)
+        .transform(grouped)
+      val r = out.agg(count(lit(1)),
+        sum(when(col("v_winsor") < col("band_lo") ||
+          col("v_winsor") > col("band_hi"), 1L).otherwise(0L)))
+        .collect()(0)
+      require(r.getLong(0) == nRows && r.getLong(1) == 0L,
+        s"winsor drift: $r")
+      r.getLong(0)
+    }
+
     // ----- span-level duplication at corpus scale: docs pair up on a
     // shared 3-token prefix (df=2 -> duplicated) with unique tails, so
     // EVERY doc has exactly one duplicated span of exactly 3 tokens —
