@@ -372,15 +372,6 @@ object SparkEntry {
     // and conversion from the previous step — Funnel's one keyed
     // shuffle plus a single 1-row aggregate pivoted by a plan-time
     // explode (no second keyed shuffle)
-    // per-group winsorization: clamp each language's n_chars into its
-    // own exact [p10, p90] band — row-preserving robust-stats sibling
-    // of the band gate; thresholds broadcast, clamp map-side
-    "quality_winsor" -> ((s, dir) =>
-      Corpus.QuantileClamp(Seq("lang"), "n_chars", 0.1, 0.9)
-        .transform(docs(s, dir))
-        .select("doc_id", "lang", "n_chars", "n_chars_winsor",
-          "band_lo", "band_hi")
-        .orderBy("doc_id")),
     "funnel_report" -> ((s, dir) =>
       FunnelReport(Seq("signup", "view", "purchase"))
         .transform(events(s, dir))
@@ -518,6 +509,18 @@ object SparkEntry {
         .transform(docs(s, dir))
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"),
+          col("band_lo").cast("long").as("band_lo"),
+          col("band_hi").cast("long").as("band_hi"))
+        .orderBy("doc_id")),
+    // per-group winsorization: clamp each language's n_chars into its
+    // own exact [p10, p90] band — row-preserving robust-stats sibling
+    // of quality_band; thresholds broadcast, clamp map-side
+    "quality_winsor" -> ((s, dir) =>
+      Corpus.QuantileClamp(Seq("lang"), "n_chars", 0.1, 0.9)
+        .transform(docs(s, dir))
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("n_chars_winsor").cast("long").as("n_chars_winsor"),
           col("band_lo").cast("long").as("band_lo"),
           col("band_hi").cast("long").as("band_hi"))
         .orderBy("doc_id")),

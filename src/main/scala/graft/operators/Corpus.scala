@@ -1236,16 +1236,28 @@ object Corpus {
         require(!df.columns.exists(_.equalsIgnoreCase(c)),
           s"input must not carry `$c` (an output column)")
       }
-      val thresholds = QuantileStats(groupColumns, valueColumn,
-          Seq(lo, hi), valueBuckets, accuracy).transform(df)
-        .select((groupColumns.map(col) :+
-          col(quantileName(lo)).as("band_lo") :+
-          col(quantileName(hi)).as("band_hi")): _*)
+      val thresholds = bandThresholds(df, groupColumns, valueColumn,
+        lo, hi, valueBuckets, accuracy)
       df.join(broadcast(thresholds), groupColumns)
         .filter(col(valueColumn) >= col("band_lo") &&
           col(valueColumn) <= col("band_hi"))
     }
   }
+
+  /** The per-group `[p(lo), p(hi)]` threshold table shared by
+    * [[QuantileBandFilter]] and [[QuantileClamp]]: one row per group
+    * with `band_lo` / `band_hi` from the exact [[QuantileStats]]
+    * machinery — ONE derivation so the two band operators can never
+    * drift (the same reason [[quantileName]] is shared).
+    */
+  private def bandThresholds(df: DataFrame, groupColumns: Seq[String],
+      valueColumn: String, lo: Double, hi: Double,
+      valueBuckets: Int, accuracy: Int): DataFrame =
+    QuantileStats(groupColumns, valueColumn, Seq(lo, hi), valueBuckets,
+        accuracy).transform(df)
+      .select((groupColumns.map(col) :+
+        col(quantileName(lo)).as("band_lo") :+
+        col(quantileName(hi)).as("band_hi")): _*)
 
   /** Per-group winsorization: CLAMP `valueColumn` into its own group's
     * closed `[p(lo), p(hi)]` band instead of dropping outliers — the
@@ -1284,11 +1296,8 @@ object Corpus {
         require(!df.columns.exists(_.equalsIgnoreCase(c)),
           s"input must not carry `$c` (an output column)")
       }
-      val thresholds = QuantileStats(groupColumns, valueColumn,
-          Seq(lo, hi), valueBuckets, accuracy).transform(df)
-        .select((groupColumns.map(col) :+
-          col(quantileName(lo)).as("band_lo") :+
-          col(quantileName(hi)).as("band_hi")): _*)
+      val thresholds = bandThresholds(df, groupColumns, valueColumn,
+        lo, hi, valueBuckets, accuracy)
       df.join(broadcast(thresholds), groupColumns)
         .withColumn(outCol,
           greatest(least(col(valueColumn), col("band_hi")),

@@ -49,10 +49,13 @@ object Dedup {
     override def preservesSampleSize: Boolean = true
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
-      Seq("content_fp", "canonical_id", "is_dup", "__fp").foreach { c =>
+      Seq("content_fp", "canonical_id", "is_dup").foreach { c =>
         require(!df.columns.exists(_.equalsIgnoreCase(c)),
           s"Output column `$c` already exists in the input; rename it first")
       }
+      require(!df.columns.exists(_.equalsIgnoreCase("__fp")),
+        "input must not carry the reserved working column `__fp` " +
+          "(matching is case-insensitive, like Spark's resolution)")
       val norm = regexp_replace(trim(lower(col(textColumn))), "\\s+", " ")
       val withFp = df.withColumn("content_fp", md5(norm))
       val canon = withFp.groupBy("content_fp")

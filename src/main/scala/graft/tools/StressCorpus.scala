@@ -467,18 +467,35 @@ object StressCorpus {
       r.getLong(0)
     }
 
-    // ----- per-group winsorization at 50M rows: row preservation and
-    // the in-band clamp are exact invariants; rides the same equi-depth
-    // threshold machinery as quality_band
+    // ----- per-group winsorization at 50M rows, with invariants that
+    // have TEETH against a broken threshold derivation (a clamp is
+    // in-band relative to its own band columns by construction, so that
+    // alone proves nothing): rows already inside the band must pass
+    // through UNCHANGED, out-of-band rows must clamp to exactly the
+    // violated boundary, bands must be ordered, and every row must
+    // survive
     time(s"quality_winsor n=$nRows groups=32") {
       val out = Corpus.QuantileClamp(Seq("g"), "v", 0.1, 0.9)
         .transform(grouped)
       val r = out.agg(count(lit(1)),
-        sum(when(col("v_winsor") < col("band_lo") ||
-          col("v_winsor") > col("band_hi"), 1L).otherwise(0L)))
+        sum(when(col("band_lo") > col("band_hi"), 1L).otherwise(0L)),
+        sum(when(col("v") >= col("band_lo") &&
+            col("v") <= col("band_hi") &&
+            col("v_winsor") =!= col("v"), 1L).otherwise(0L)),
+        sum(when(col("v") < col("band_lo") &&
+            col("v_winsor") =!= col("band_lo"), 1L).otherwise(0L)),
+        sum(when(col("v") > col("band_hi") &&
+            col("v_winsor") =!= col("band_hi"), 1L).otherwise(0L)),
+        sum(when(col("v") < col("band_lo") ||
+            col("v") > col("band_hi"), 1L).otherwise(0L)))
         .collect()(0)
-      require(r.getLong(0) == nRows && r.getLong(1) == 0L,
+      require(r.getLong(0) == nRows && r.getLong(1) == 0L &&
+          r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L,
         s"winsor drift: $r")
+      // ~20% of a near-uniform distribution sits outside [p10, p90]:
+      // a degenerate threshold table (e.g. min/max) would clamp nothing
+      require(r.getLong(5) > nRows / 10L && r.getLong(5) < nRows * 3L / 10L,
+        s"implausible out-of-band count ${r.getLong(5)}")
       r.getLong(0)
     }
 
