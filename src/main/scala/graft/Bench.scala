@@ -61,6 +61,7 @@ object Bench {
     "interval_fsle_salted" -> None,
     "interval_identical_salted" -> None,
     "sessionize" -> Some("Window"),
+    "session_stats" -> Some("Window"), // same gap window + reused-partitioning agg
     "pipeline_ingest" -> Some("Join"), // ExactDedup's canonical-map join
     "pipeline_curate" -> None, // CC loop runs eagerly inside the builder
     "dedup_exact" -> Some("Join"),

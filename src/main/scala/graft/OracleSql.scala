@@ -1406,6 +1406,29 @@ object OracleSql {
        |    AS session_id
        |FROM d ORDER BY user_id, event_id""".stripMargin
 
+  /** Per-session rollup over the same gap sessionization. Mirrors
+    * [[graft.operators.SessionStats]].
+    */
+  def sessionStats(maxGapNs: Long): String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn
+       |  FROM events),
+       |d AS (SELECT user_id, event_id, tsn,
+       |  CASE WHEN tsn - lag(tsn) OVER w IS NULL
+       |         OR tsn - lag(tsn) OVER w > $maxGapNs
+       |       THEN 1 ELSE 0 END AS nw
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+       |s AS (SELECT user_id, event_id, tsn,
+       |  CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS session_id
+       |  FROM d)
+       |SELECT user_id, session_id,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  min(tsn) AS session_start, max(tsn) AS session_end,
+       |  max(tsn) - min(tsn) AS duration
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
   /** Clicks inside the [purchase - windowNs, purchase] interval per
     * user, rolled up per purchase. The plain range predicate IS the
     * spec; mirrors the `range_join` query's binned formulation.

@@ -220,6 +220,17 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           col("session_id"))
         .orderBy("user_id", "event_id")),
+    // per-session rollup: one row per (user, session) with event count,
+    // start/end and duration — sessionize's one keyed shuffle, the agg
+    // reuses its partitioning (no second exchange, pinned)
+    "session_stats" -> ((s, dir) =>
+      SessionStats("ts", 50000000000000L, Seq("user_id"),
+          Seq("event_id"))
+        .transform(events(s, dir))
+        .select(col("user_id"), col("session_id"),
+          col("n_events"), col("session_start"), col("session_end"),
+          col("duration"))
+        .orderBy("user_id", "session_id")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.LanguageId().transform(docs(s, dir))
         .select(col("doc_id") +:
@@ -735,6 +746,7 @@ object SparkEntry {
     "pipeline_curate" -> OracleSql.pipelineCurate(10L, 20L, 0.5, 0.2, 10L,
       Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft", 20000L),
     "sessionize" -> OracleSql.sessionize(50000000000000L),
+    "session_stats" -> OracleSql.sessionStats(50000000000000L),
     "text_langid" -> OracleSql.textLangId,
     "text_normalize" -> OracleSql.textNormalize,
     "text_fingerprint" -> OracleSql.textFingerprint,

@@ -58,3 +58,43 @@ final case class Sessionize(tsColumn: String,
         Window.currentRow)).cast("long"))
   }
 }
+
+/** Per-session rollup over [[Sessionize]]'s output — the table an
+  * analyst reads after sessionizing (the sibling of
+  * [[FunnelReport]] over [[Funnel]]): one row per (entity, session)
+  * with the event count, first/last event time and duration in
+  * `tsColumn` units.
+  *
+  * Scale shape: [[Sessionize]]'s ONE keyed window shuffle, then a
+  * `groupBy(entity, session_id)` aggregation that introduces NO second
+  * exchange — the window's hash partitioning on the entity columns
+  * already clusters every (entity, session) pair, and Spark's
+  * EnsureRequirements recognizes the subset partitioning (pinned in
+  * the spec). Map-side partial aggregation bounds a hot session by its
+  * own event count.
+  */
+final case class SessionStats(tsColumn: String,
+                              maxGap: Long,
+                              groupbyColumns: Seq[String] = Nil,
+                              orderTiebreak: Seq[String] = Nil,
+                              allowGlobalWindow: Boolean = false)
+    extends Wrangler {
+  override def preservesSampleSize: Boolean = false
+
+  def transform(df: DataFrame): DataFrame = {
+    Seq("session_id", "n_events", "session_start", "session_end",
+      "duration").foreach { c =>
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"input must not carry `$c` (an output / working column)")
+    }
+    Sessionize(tsColumn, maxGap, groupbyColumns, orderTiebreak,
+        allowGlobalWindow = allowGlobalWindow)
+      .transform(df)
+      .groupBy((groupbyColumns :+ "session_id").map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsColumn)).as("session_start"),
+        max(col(tsColumn)).as("session_end"))
+      .withColumn("duration",
+        col("session_end") - col("session_start"))
+  }
+}

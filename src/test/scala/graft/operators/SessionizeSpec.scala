@@ -23,6 +23,40 @@ class SessionizeSpec extends AnyFunSuite {
       ("u2", 5L, 1L), ("u2", 6L, 2L)))  // independent entity
   }
 
+  test("session_stats: per-session rollup matches the hand computation; " +
+    "reserved output columns rejected") {
+    val df = Seq(
+      ("u1", 0L, 1L), ("u1", 5L, 2L), ("u1", 30L, 3L), ("u1", 32L, 4L),
+      ("u2", 0L, 5L), ("u2", 100L, 6L))
+      .toDF("user", "ts", "id")
+    val out = SessionStats("ts", maxGap = 10L, Seq("user"), Seq("id"))
+      .transform(df)
+      .select("user", "session_id", "n_events", "session_start",
+        "session_end", "duration")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("u1", 1L, 2L, 0L, 5L, 5L),
+      ("u1", 2L, 2L, 30L, 32L, 2L),
+      ("u2", 1L, 1L, 0L, 0L, 0L),
+      ("u2", 2L, 1L, 100L, 100L, 0L)), out)
+    val bad = df.withColumnRenamed("id", "n_events")
+    val e = intercept[IllegalArgumentException](
+      SessionStats("ts", 10L, Seq("user")).transform(bad))
+    assert(e.getMessage.contains("n_events"), e.getMessage)
+  }
+
+  test("session_stats plan: the rollup reuses the session window's " +
+    "entity partitioning — exactly ONE keyed exchange") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(60)
+      .select((col("id") % 5L).as("user"), col("id").as("ts"),
+        col("id").as("id"))
+    val plan = SessionStats("ts", 10L, Seq("user"), Seq("id"))
+      .transform(df).queryExecution.executedPlan.toString
+    val n = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(n == 1, plan)
+  }
+
   test("no groupby: global window requires explicit opt-in") {
     val df = Seq((0L, 1L), (100L, 2L)).toDF("ts", "id")
     // the accidental single-task path is an error...
