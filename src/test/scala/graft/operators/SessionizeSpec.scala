@@ -3,10 +3,43 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+import graft.testing._
 
 class SessionizeSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
+
+  test("session_stats golden: killed mutants + repartition invariance") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SessionStats("ts", maxGap = 10L, Seq("user"), Seq("id"))
+        .transform(df)
+        .select("user", "session_id", "n_events", "session_start",
+          "session_end", "duration")
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq("u1", 0L, 1L), Seq("u1", 5L, 2L), Seq("u1", 30L, 3L),
+          Seq("u2", 0L, 4L)),
+        Seq("user:s", "ts:i", "id:i"))
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq[Any]("u1", 1L, 2L, 0L, 5L, 5L),
+          Seq[Any]("u1", 2L, 1L, 30L, 30L, 0L),
+          Seq[Any]("u2", 1L, 1L, 0L, 0L, 0L)),
+        Seq("user:s", "session_id:i", "n_events:i", "session_start:i",
+          "session_end:i", "duration:i"))
+      override def mutants = Seq(
+        // ts 5 -> 20: the gap to 0 exceeds maxGap, u1 splits into 3
+        // sessions and every rollup row changes
+        ValueMutant("ts", 1, 20L),
+        // ts 30 -> 12: u1 collapses into ONE session
+        ValueMutant("ts", 2, 12L),
+        // entity move: both users' rollups change
+        ValueMutant("user", 3, "u1"))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
 
   test("gap-based session ids per entity, ties broken deterministically") {
     val df = Seq(
