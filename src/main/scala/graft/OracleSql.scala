@@ -1348,45 +1348,55 @@ object OracleSql {
 
   // -------------------------------------------------------- multimodal
 
-  def mmFeatures: String =
-    s"""WITH f AS (SELECT doc_id,
-       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       |  ${tokHash("text")} AS h
-       |  FROM documents)
-       |SELECT doc_id, byte_len, h % 1280 AS width, h % 720 AS height,
-       |  byte_len % 16 + 1 AS n_frames,
-       |  (byte_len % 16 + 1 + 3) // 4 AS frame_stride
-       |FROM f ORDER BY doc_id""".stripMargin
+  /** The MediaGen fixture generator's closed forms (graft.sources
+    * .MediaGen): even doc_id → PNG still, odd → animated GIF; dims,
+    * frame count and the frame-0 corner pixel are pure integer functions
+    * of doc_id. The Spark side routes REAL encoded payloads through
+    * `javax.imageio`, so agreement here proves the actual decode
+    * (header fields AND pixel data) round-trips the generator's truth —
+    * DuckDB never decodes an image, it recomputes the ground truth.
+    */
+  private def mmGen: String =
+    s"""WITH m AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS fmt,
+       |  16 + (doc_id * 37) % 97 AS width,
+       |  16 + (doc_id * 59) % 53 AS height,
+       |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + doc_id % 7 END
+       |    AS n_frames,
+       |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 256
+       |       ELSE 85 * (doc_id % 4) END AS corner_px
+       |  FROM documents)""".stripMargin
 
-  /** Fit-in-box resize over the decode stub's dimensions; integer scale
-    * algebra and the (payload-md5, out-dims) fingerprint. Mirrors
+  def mmFeatures: String =
+    s"""$mmGen
+       |SELECT doc_id, fmt, CAST(width AS BIGINT) AS width,
+       |  CAST(height AS BIGINT) AS height,
+       |  CAST(n_frames AS BIGINT) AS n_frames,
+       |  CAST((n_frames + 3) // 4 AS BIGINT) AS frame_stride,
+       |  CAST(corner_px AS BIGINT) AS corner_px
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Fit-in-box resize over the generator dims; integer scale algebra,
+    * nearest-neighbor corner preservation (out(0,0) = in(0,0)). Mirrors
     * [[graft.operators.Multimodal.Resize]].
     */
   def mmResize(maxW: Long, maxH: Long): String =
-    s"""WITH f AS (SELECT doc_id, text,
-       |  ${tokHash("text")} AS h
-       |  FROM documents),
-       |d AS (SELECT doc_id, text,
-       |  h % 1280 AS width, h % 720 AS height FROM f),
+    s"""$mmGen,
        |k AS (SELECT *, greatest(1, (width + $maxW - 1) // $maxW,
-       |  (height + $maxH - 1) // $maxH) AS scale_den FROM d),
+       |  (height + $maxH - 1) // $maxH) AS scale_den FROM m),
        |o AS (SELECT *, greatest(1, width // scale_den) AS out_w,
        |  greatest(1, height // scale_den) AS out_h FROM k)
-       |SELECT doc_id, CAST(width AS BIGINT) AS width,
+       |SELECT doc_id, fmt, CAST(width AS BIGINT) AS width,
        |  CAST(height AS BIGINT) AS height,
        |  CAST(scale_den AS BIGINT) AS scale_den,
        |  CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
-       |  md5(md5(text) || '-' || out_w || 'x' || out_h) AS resized_fp
+       |  CAST(corner_px AS BIGINT) AS corner_px
        |FROM o ORDER BY doc_id""".stripMargin
 
   def mmFrameSample: String =
-    s"""WITH f AS (SELECT doc_id,
-       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-       |  FROM documents),
-       |m AS (SELECT doc_id, byte_len % 16 + 1 AS n_frames,
-       |  (byte_len % 16 + 1 + 3) // 4 AS frame_stride FROM f)
+    s"""$mmGen
        |SELECT doc_id,
-       |  CAST(unnest(range(0, n_frames, frame_stride)) AS BIGINT)
+       |  CAST(unnest(range(0, n_frames, (n_frames + 3) // 4)) AS BIGINT)
        |    AS frame_idx
        |FROM m ORDER BY doc_id, frame_idx""".stripMargin
 

@@ -199,6 +199,16 @@ object SparkEntry {
   private def embs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Media fixture corpus: REAL PNG / animated-GIF payloads generated
+    * deterministically from `doc_id` (graft.sources.MediaGen) — dims,
+    * frame counts and corner pixels have closed forms the DuckDB oracle
+    * recomputes, so the `mm_*` rows verify the actual `javax.imageio`
+    * decode, not a byte-hash fake.
+    */
+  private def media(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.MediaGen.AttachPayload()
+      .transform(docs(spark, dir).select("doc_id"))
+
   /** Text-analysis / dedup / similarity / multimodal / relational query
     * surface (the 100 TB training-data-pipeline extensions). Each pairs
     * with a bit-deterministic DuckDB oracle from [[OracleSql]].
@@ -686,18 +696,24 @@ object SparkEntry {
       // n-grams of the generator actually trip the hot threshold
       Corpus.BoilerplateScore(maxDocFreq = 10L).transform(docs(s, dir))
         .orderBy("doc_id")),
+    // mm_*: REAL javax.imageio decode over generated PNG/GIF payloads.
+    // Oracle-compared columns are the ones with closed forms in doc_id
+    // (byte_len / resized_fp / resized_payload are encoder-dependent —
+    // pinned in MultimodalSpec instead, where Scala can decode).
     "mm_resize" -> ((s, dir) =>
-      Multimodal.Resize().transform(
-        docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+      // 40x30 box: generated dims run 16..112 x 16..68, so the integer
+      // scale denominator actually varies (1..3) instead of sitting at 1
+      Multimodal.Resize(maxW = 40L, maxH = 30L).transform(media(s, dir))
+        .select("doc_id", "fmt", "width", "height", "scale_den",
+          "out_w", "out_h", "corner_px")
         .orderBy("doc_id")),
     "mm_features" -> ((s, dir) =>
-      Multimodal.MediaFeatures().transform(
-        docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+      Multimodal.MediaFeatures().transform(media(s, dir))
+        .drop("byte_len")
         .orderBy("doc_id")),
     "mm_framesample" -> ((s, dir) =>
       Multimodal.FrameSample().transform(
-        Multimodal.MediaFeatures().transform(
-          docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8"))))
+        Multimodal.MediaFeatures().transform(media(s, dir)))
         .orderBy("doc_id", "frame_idx")),
     "q1_pricing" -> ((s, dir) => {
       val l = s.read.parquet(s"$dir/lineitem.parquet")
@@ -802,7 +818,7 @@ object SparkEntry {
     "ann_lsh_multi" -> OracleSql.annLshMulti(64, 6, 4, 5, 8),
     "ann_ivf" -> OracleSql.annIvf(64, 16, 4, 5, 8),
     "text_boilerplate" -> OracleSql.textBoilerplate(10L),
-    "mm_resize" -> OracleSql.mmResize(640L, 360L),
+    "mm_resize" -> OracleSql.mmResize(40L, 30L),
     "mm_features" -> OracleSql.mmFeatures,
     "mm_framesample" -> OracleSql.mmFrameSample,
     "q1_pricing" -> OracleSql.q1Pricing,

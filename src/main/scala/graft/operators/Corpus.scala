@@ -1230,14 +1230,23 @@ object Corpus {
       s"need 0 < lo < hi <= 1, got lo=$lo hi=$hi")
     override def preservesSampleSize: Boolean = false
 
-    def transform(df: DataFrame): DataFrame = {
+    def transform(df: DataFrame): DataFrame =
+      transformWith(df, bandThresholds(df, groupColumns, valueColumn,
+        lo, hi, valueBuckets, accuracy))
+
+    /** Apply the band gate with a CALLER-SUPPLIED threshold table
+      * (`groupColumns` + `band_lo`/`band_hi`, e.g. one
+      * [[Corpus.bandThresholds]] result shared with a
+      * [[QuantileClamp]]) — the one-derivation path for composed
+      * chains over the same frame.
+      */
+    def transformWith(df: DataFrame, thresholds: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, groupColumns :+ valueColumn)
+      validateThresholds(thresholds, groupColumns)
       Seq("band_lo", "band_hi").foreach { c =>
         require(!df.columns.exists(_.equalsIgnoreCase(c)),
           s"input must not carry `$c` (an output column)")
       }
-      val thresholds = bandThresholds(df, groupColumns, valueColumn,
-        lo, hi, valueBuckets, accuracy)
       df.join(broadcast(thresholds), groupColumns)
         .filter(col(valueColumn) >= col("band_lo") &&
           col(valueColumn) <= col("band_hi"))
@@ -1249,15 +1258,31 @@ object Corpus {
     * with `band_lo` / `band_hi` from the exact [[QuantileStats]]
     * machinery — ONE derivation so the two band operators can never
     * drift (the same reason [[quantileName]] is shared).
+    *
+    * PUBLIC so composed chains pay the derivation once: filter + clamp
+    * over the same frame each run an eager boundary-sampling pass and
+    * a rank-location aggregation when they derive their own table
+    * (round-10 verdict #3); computing this once and passing it to both
+    * `transformWith` calls halves that. The table is tiny (one row per
+    * group) and immutable once computed.
     */
-  private def bandThresholds(df: DataFrame, groupColumns: Seq[String],
+  def bandThresholds(df: DataFrame, groupColumns: Seq[String],
       valueColumn: String, lo: Double, hi: Double,
-      valueBuckets: Int, accuracy: Int): DataFrame =
+      valueBuckets: Int = 256, accuracy: Int = 10000): DataFrame = {
+    require(lo > 0 && lo < 1 && hi > 0 && hi <= 1 && lo < hi,
+      s"need 0 < lo < hi <= 1, got lo=$lo hi=$hi")
     QuantileStats(groupColumns, valueColumn, Seq(lo, hi), valueBuckets,
         accuracy).transform(df)
       .select((groupColumns.map(col) :+
         col(quantileName(lo)).as("band_lo") :+
         col(quantileName(hi)).as("band_hi")): _*)
+  }
+
+  /** Shared guard for a caller-supplied threshold table. */
+  private def validateThresholds(thresholds: DataFrame,
+      groupColumns: Seq[String]): Unit =
+    SparkUtil.validateColumns(thresholds,
+      groupColumns ++ Seq("band_lo", "band_hi"))
 
   /** Per-group winsorization: CLAMP `valueColumn` into its own group's
     * closed `[p(lo), p(hi)]` band instead of dropping outliers — the
@@ -1289,15 +1314,22 @@ object Corpus {
       s"need 0 < lo < hi <= 1, got lo=$lo hi=$hi")
     override def preservesSampleSize: Boolean = true
 
-    def transform(df: DataFrame): DataFrame = {
+    def transform(df: DataFrame): DataFrame =
+      transformWith(df, bandThresholds(df, groupColumns, valueColumn,
+        lo, hi, valueBuckets, accuracy))
+
+    /** Apply the clamp with a CALLER-SUPPLIED threshold table (see
+      * [[QuantileBandFilter.transformWith]]) — filter + clamp over the
+      * same frame share ONE [[Corpus.bandThresholds]] derivation.
+      */
+    def transformWith(df: DataFrame, thresholds: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, groupColumns :+ valueColumn)
+      validateThresholds(thresholds, groupColumns)
       val outCol = s"${valueColumn}_winsor"
       Seq("band_lo", "band_hi", outCol).foreach { c =>
         require(!df.columns.exists(_.equalsIgnoreCase(c)),
           s"input must not carry `$c` (an output column)")
       }
-      val thresholds = bandThresholds(df, groupColumns, valueColumn,
-        lo, hi, valueBuckets, accuracy)
       df.join(broadcast(thresholds), groupColumns)
         .withColumn(outCol,
           greatest(least(col(valueColumn), col("band_hi")),

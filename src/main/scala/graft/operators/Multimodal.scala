@@ -1,6 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -10,11 +14,16 @@ import graft.util.SparkUtil
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
   * with typed metadata; decode / feature-extraction runs per-partition
-  * over the binary batches. The actual media codecs are STUBBED with a
-  * deterministic byte-level fake (this container has no image/audio
-  * libraries) — the Spark-side shape is real: binary schema, typed
-  * per-partition iteration without collecting to the driver, and a
-  * metadata struct contract downstream operators can rely on.
+  * over the binary batches.
+  *
+  * Image decode is REAL: PNG / JPEG / GIF payloads go through the JDK's
+  * `javax.imageio` (headless-safe, no external dependency) — header
+  * fields, frame counts (animated GIF) and pixel data all come from the
+  * actual codec. Audio/video codecs are not bundled with the JDK, so
+  * non-image media can opt into a clearly-documented deterministic
+  * placeholder ([[Multimodal.decodeStub]], `stubNonImage = true`);
+  * by default an undecodable payload FAILS LOUD with the offending id
+  * rather than fabricating data.
   *
   * At 100 TB the decode is the classic embarrassingly-parallel map: no
   * shuffle, bounded memory per partition (one payload at a time via the
@@ -23,9 +32,10 @@ import graft.util.SparkUtil
   */
 object Multimodal {
 
-  /** Deterministic fake "decode": header-ish fields derived from the
+  /** Deterministic placeholder "decode" for NON-IMAGE media (audio/video
+    * codecs are not in the JDK): header-ish fields derived from the
     * payload bytes via MD5 (portable to any engine for verification).
-    * A real build replaces ONLY this function with the codec call.
+    * Only reachable behind an explicit `stubNonImage = true` opt-in.
     */
   private[operators] def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
     val h = graft.functions.Portable.md5Prefix(
@@ -36,38 +46,108 @@ object Multimodal {
     (width, height, frames)
   }
 
+  /** Image-format sniff from magic bytes; None → not a (supported) image. */
+  private[operators] def sniffFormat(payload: Array[Byte]): Option[String] = {
+    if (payload == null || payload.length < 4) None
+    else if ((payload(0) & 0xFF) == 0x89 && payload(1) == 'P' &&
+      payload(2) == 'N' && payload(3) == 'G') Some("png")
+    else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8') Some("gif")
+    else if ((payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8)
+      Some("jpeg")
+    else None
+  }
+
+  /** Decoded frame-0 view of an image payload. `corner` is the raster's
+    * band-0 sample at (0,0) — a cheap pixel-level probe proving the codec
+    * actually decoded pixel data (and the cross-engine checksum anchor
+    * the oracle verifies against the generator's closed form).
+    */
+  private[operators] final case class DecodedImage(
+      fmt: String, width: Int, height: Int, nFrames: Int,
+      corner: Int, frame0: BufferedImage)
+
+  /** Real `javax.imageio` decode of frame 0 + container frame count.
+    * Throws `IllegalArgumentException` naming `id` on any undecodable
+    * payload (unknown magic, truncated stream, reader errors).
+    */
+  private[operators] def decodeImage(id: Long, payload: Array[Byte]): DecodedImage = {
+    val fmt = sniffFormat(payload).getOrElse(throw new IllegalArgumentException(
+      s"media $id: payload is not a decodable image (PNG/JPEG/GIF magic " +
+        s"not found in ${if (payload == null) 0 else payload.length} bytes); " +
+        "use stubNonImage=true only for non-image media"))
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) throw new IllegalArgumentException(
+        s"media $id: no ImageIO reader for sniffed format $fmt")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        // allowSearch=true: exact frame count needs a container scan —
+        // cheap for the in-memory stream, exact for animated GIFs.
+        val n = reader.getNumImages(true)
+        val img = reader.read(0)
+        DecodedImage(fmt, img.getWidth, img.getHeight, math.max(n, 1),
+          img.getRaster.getSample(0, 0, 0), img)
+      } finally reader.dispose()
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case e: Exception => throw new IllegalArgumentException(
+        s"media $id: corrupt $fmt payload (${payload.length} bytes): $e", e)
+    } finally iis.close()
+  }
+
   /** Typed output row of [[MediaFeatures]] (field order = output schema). */
   private[operators] final case class MediaFeatureRow(
-      doc_id: Long, byte_len: Long, width: Long, height: Long,
-      n_frames: Long, frame_stride: Long)
+      doc_id: Long, fmt: String, byte_len: Long, width: Long, height: Long,
+      n_frames: Long, frame_stride: Long, corner_px: Long)
 
   /** Extract media features from a binary payload column. Input columns:
     * `idColumn` (long) + `payloadColumn` (binary). Output: one row per
-    * media with decoded dimensions, frame count and the sampling stride
-    * for `maxSample` frames.
+    * media with the REAL decoded format, dimensions, frame count, the
+    * frame-0 corner pixel (band-0 sample — proves pixels were decoded)
+    * and the sampling stride for `maxSample` frames.
+    *
+    * Undecodable payloads fail loud with the id; `stubNonImage = true`
+    * routes them to the documented audio/video placeholder instead
+    * (`fmt = "stub"`, corner −1).
     *
     * Implemented as a typed `Dataset.mapPartitions` — the per-partition
-    * iterator is where a real codec would stream payload batches — which
-    * stays inside whole-stage codegen (DeserializeToObject/MapPartitions/
+    * iterator is where the codec streams payload batches — which stays
+    * inside whole-stage codegen (DeserializeToObject/MapPartitions/
     * SerializeFromObject), unlike an `df.rdd` round-trip that would cut
     * the plan at an ExternalRDD scan and fall out of Tungsten.
     */
   final case class MediaFeatures(idColumn: String = "doc_id",
                                  payloadColumn: String = "payload",
-                                 maxSample: Int = 4)
+                                 maxSample: Int = 4,
+                                 stubNonImage: Boolean = false)
       extends Wrangler {
+    require(maxSample >= 1, "maxSample must be positive")
+    override def preservesSampleSize: Boolean = true
+
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, payloadColumn))
       val spark = df.sparkSession
       import spark.implicits._
+      val (ms, stub) = (maxSample, stubNonImage)
       df.select(col(idColumn).cast("long"), col(payloadColumn).cast("binary"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, payload) =>
-            val (w, h, frames) = decodeStub(payload)
-            // ceil division: at most maxSample sampled frames
-            val stride = (frames + maxSample - 1) / maxSample
-            MediaFeatureRow(id, payload.length.toLong, w, h, frames, stride)
+            if (stub && sniffFormat(payload).isEmpty) {
+              val (w, h, frames) = decodeStub(payload)
+              MediaFeatureRow(id, "stub", payload.length.toLong, w, h,
+                frames, (frames + ms - 1) / ms, -1L)
+            } else {
+              val d = decodeImage(id, payload)
+              // ceil division: at most maxSample sampled frames
+              val stride = (d.nFrames + ms - 1) / ms
+              MediaFeatureRow(id, d.fmt, payload.length.toLong,
+                d.width.toLong, d.height.toLong, d.nFrames.toLong,
+                stride.toLong, d.corner.toLong)
+            }
           }
         }
         .toDF()
@@ -90,18 +170,21 @@ object Multimodal {
 
   /** Typed output row of [[Resize]]. */
   private[operators] final case class ResizeRow(
-      doc_id: Long, width: Long, height: Long, scale_den: Long,
-      out_w: Long, out_h: Long, resized_fp: String)
+      doc_id: Long, fmt: String, width: Long, height: Long, scale_den: Long,
+      out_w: Long, out_h: Long, corner_px: Long, resized_fp: String,
+      resized_payload: Array[Byte])
 
-  /** Aspect-preserving fit-in-box resize of the decoded media: integer
-    * downscale factor `k = max(1, ceil(w/maxW), ceil(h/maxH))`, output
-    * dims `max(1, dim/k)`, plus a fingerprint of (payload, out dims) so
-    * downstream caching/dedup can key on the RESIZED artifact. The pixel
-    * transform itself is the stubbed codec step (see [[decodeStub]]);
-    * the dimension algebra, per-partition batch shape and fingerprint
-    * contract are real — a production build swaps only the codec call.
-    * Exact integer math end to end, so the DuckDB oracle reproduces it
-    * bit-for-bit.
+  /** Aspect-preserving fit-in-box resize of the REAL decoded frame 0:
+    * integer downscale factor `k = max(1, ceil(w/maxW), ceil(h/maxH))`,
+    * output dims `max(1, dim/k)`, nearest-neighbor resample
+    * (`out(x,y,b) = in(x·k, y·k, b)` per raster band — exact integer
+    * sampling, so the (0,0) corner pixel survives and the DuckDB oracle
+    * can verify pixels end-to-end from the generator's closed form).
+    * Output payload is the resized image re-encoded as PNG (container
+    * normalization; PNG carries gray, indexed and RGB losslessly) plus
+    * `resized_fp`, an MD5 over the resized raster's samples
+    * (band-interleaved row-major, one byte per sample) so downstream
+    * caching/dedup keys on PIXELS, not encoder byte quirks.
     */
   final case class Resize(idColumn: String = "doc_id",
                           payloadColumn: String = "payload",
@@ -121,18 +204,42 @@ object Multimodal {
         .mapPartitions { it =>
           val md = MessageDigest.getInstance("MD5")
           it.map { case (id, payload) =>
-            val (w, h, _) = decodeStub(payload)
+            val d = decodeImage(id, payload)
+            val (w, h) = (d.width.toLong, d.height.toLong)
             val k = math.max(1L, math.max((w + mw - 1) / mw, (h + mh - 1) / mh))
-            val ow = math.max(1L, w / k)
-            val oh = math.max(1L, h / k)
+            val ow = math.max(1L, w / k).toInt
+            val oh = math.max(1L, h / k).toInt
+            val in = d.frame0.getRaster
+            val bands = in.getNumBands
+            val cm = d.frame0.getColorModel
+            val out = new BufferedImage(cm,
+              cm.createCompatibleWritableRaster(ow, oh),
+              cm.isAlphaPremultiplied, null)
+            val outR = out.getRaster
+            val pix = new Array[Byte](ow * oh * bands)
+            var y = 0
+            var i = 0
+            while (y < oh) {
+              var x = 0
+              while (x < ow) {
+                var b = 0
+                while (b < bands) {
+                  val s = in.getSample((x * k).toInt, (y * k).toInt, b)
+                  outR.setSample(x, y, b, s)
+                  pix(i) = s.toByte
+                  i += 1
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
             md.reset()
-            val payloadHex = md.digest(payload)
-              .map(b => f"$b%02x").mkString
-            md.reset()
-            val fp = md.digest(s"$payloadHex-${ow}x$oh"
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              .map(b => f"$b%02x").mkString
-            ResizeRow(id, w, h, k, ow, oh, fp)
+            val fp = md.digest(pix).map(b => f"$b%02x").mkString
+            val bos = new java.io.ByteArrayOutputStream()
+            ImageIO.write(out, "png", bos)
+            ResizeRow(id, d.fmt, w, h, k, ow.toLong, oh.toLong,
+              d.corner.toLong, fp, bos.toByteArray)
           }
         }
         .toDF()

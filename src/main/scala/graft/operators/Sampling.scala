@@ -83,15 +83,30 @@ object Sampling {
     * `partitions * quota` narrow rows per stratum, never the corpus.
     * The kept keys then equi-join back to the input to restore the full
     * row — AQE broadcasts the (quota-bounded) kept side when it fits.
+    *
+    * MEMORY BOUNDARY (same shape as [[GroupTopK]] and
+    * `Similarity.ranked`): the prune holds one heap PER DISTINCT
+    * STRATUM WITH A POSITIVE QUOTA seen by the partition. With the
+    * default `defaultQuota = 0` that is bounded by the `quotas` map
+    * itself, but `defaultQuota > 0` plus a key-like strata column
+    * (per-domain quotas over millions of domains) would grow one heap
+    * per domain per task and exhaust executor memory silently. A
+    * partition exceeding `maxGroupsPerPartition` heap-bearing strata
+    * fails with remediation guidance instead — a strata set that large
+    * makes the plain rank window safe on its own (per-stratum
+    * partitions are small when strata are many).
     */
   final case class QuotaSample(
       quotas: Map[String, Long],
       strataColumn: String = "lang",
       keyColumn: String = "doc_id",
       defaultQuota: Long = 0L,
-      salt: String = "graft") extends Wrangler {
+      salt: String = "graft",
+      maxGroupsPerPartition: Long = 1000000L) extends Wrangler {
     require(defaultQuota >= 0L, "defaultQuota must be >= 0")
     require(quotas.values.forall(_ >= 0L), "quotas must be >= 0")
+    require(maxGroupsPerPartition >= 1L,
+      "`maxGroupsPerPartition` must be >= 1")
     override def preservesSampleSize: Boolean = false
 
     def transform(df: DataFrame): DataFrame = {
@@ -126,6 +141,7 @@ object Sampling {
       // Similarity.ranked: there is no codegen'd per-group top-k prune,
       // and the alternative (full rank window) sorts whole strata in
       // single tasks.
+      val maxGroups = maxGroupsPerPartition
       val pruned = narrow.mapPartitions { it =>
         val worstFirst =
           Ordering.by[(Long, String), (String, Long)] { case (k, b) => (b, k) }
@@ -134,6 +150,15 @@ object Sampling {
         it.foreach { case (s, k, b) =>
           val quota = qmap.getOrElse(s, dflt)
           if (quota > 0L) {
+            if (!heaps.contains(s) && heaps.size >= maxGroups)
+              throw new IllegalStateException(
+                s"QuotaSample: partition saw more than $maxGroups distinct " +
+                  "strata with a positive quota — the map-side prune holds " +
+                  "one heap per stratum and would exhaust executor memory. " +
+                  "A strata column this key-like does not need the prune: " +
+                  "rank directly over the stratum window (its partitions " +
+                  "are small when strata are many), or raise " +
+                  "maxGroupsPerPartition explicitly.")
             val h = heaps.getOrElseUpdate(s, scala.collection.mutable
               .PriorityQueue.empty[(Long, String)](worstFirst))
             h.enqueue((k, b))

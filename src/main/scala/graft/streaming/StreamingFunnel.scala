@@ -70,8 +70,12 @@ final case class FunnelBuffer(times: Seq[Long],
   *     explicit at-most-one-episode choice — bounded per key, but the
   *     store then grows with completed-key cardinality again);
   *   - `idleTtlMs` optionally expires keys that never complete: a key
-  *     with no activity for that much event time is dropped (its
-  *     partial progress restarts if it ever returns). Default off —
+  *     whose own activity clock (the larger of its last folded step
+  *     time and the largest event timestamp it has ever shown) falls
+  *     `idleTtlMs` of EVENT time behind the watermark is dropped (its
+  *     partial progress restarts if it ever returns) — anchored to the
+  *     key's events, not the processing batch, so the reap instant is
+  *     batching-independent like every other rule here. Default off —
   *     an incomplete funnel is then the one state class that persists,
   *     which matches the batch semantics exactly.
   */
@@ -144,6 +148,11 @@ final class StreamingFunnel(steps: Seq[String],
     val wm = state.getCurrentWatermarkMs()
     val prev = state.getOption.getOrElse(FunnelBuffer(Nil, Nil))
     val fresh = events.map(e => (e.ts.getTime, e.eventType)).toSeq
+    // the key's own activity clock: the largest event timestamp it has
+    // ever shown (buffered or fresh, whether or not it folds) — the
+    // idle-TTL anchor, so the reap instant is a function of the event
+    // stream alone, never of which batch a delivery landed in
+    val maxSeen = ((prev.pending ++ fresh).map(_._1) :+ Long.MinValue).max
     var pool = (prev.pending ++ fresh)
       .sortBy { case (ts, tpe) => (ts, steps.indexOf(tpe)) }
     var times = prev.times
@@ -185,12 +194,24 @@ final class StreamingFunnel(steps: Seq[String],
           val kept = bounded(pool)
           // idle expiry fires only when the configured horizon has
           // truly elapsed — the wm+1 flush timeout must never be
-          // mistaken for it and drop partial progress
-          val progressed = fresh.nonEmpty || times != prev.times
+          // mistaken for it and drop partial progress. The horizon is
+          // anchored to the key's own activity in EVENT time (last
+          // folded step or last event seen, whichever is later), NOT
+          // the processing batch's watermark — a wm anchor made the
+          // reap instant depend on delivery batching (round-10 ADVICE)
           val exp =
-            if (progressed || prev.expireAtMs == Long.MaxValue)
-              satAdd(wm, idleTtlMs)
-            else prev.expireAtMs
+            if (idleTtlMs == Long.MaxValue) Long.MaxValue
+            else {
+              val anchored = Seq(
+                if (prev.expireAtMs != Long.MaxValue) prev.expireAtMs
+                else Long.MinValue,
+                if (maxSeen != Long.MinValue) satAdd(maxSeen, idleTtlMs)
+                else Long.MinValue,
+                if (times.nonEmpty) satAdd(times.last, idleTtlMs)
+                else Long.MinValue).max
+              if (anchored == Long.MinValue) satAdd(wm, idleTtlMs)
+              else anchored
+            }
           if (times.isEmpty && kept.isEmpty) state.remove()
           else if (state.hasTimedOut && fresh.isEmpty && kept.isEmpty &&
               wm >= exp)

@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup, Sampling, Similarity}
+import graft.operators.{Corpus, Dedup, Multimodal, Sampling, Similarity}
+import graft.sources.MediaGen
 
 /** Scale stress for the corpus-curation operators: synthetic inputs far
   * beyond the sf0.1 bench (50M rows for the numeric ops, millions of
@@ -696,6 +697,49 @@ object StressCorpus {
       .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(4L))))
     def storageMB: Long =
       spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+    // ----- multimodal: REAL PNG / animated-GIF encode -> javax.imageio
+    // decode at corpus scale. The invariants are the MediaGen closed
+    // forms summed exactly on the driver (pure integer loop, load-
+    // independent): the codec must reproduce every width, height, frame
+    // count AND frame-0 corner pixel bit-for-bit or the sums drift.
+    val nMedia = math.min(nDocs.toLong, 500000L)
+    def mediaIds = spark.range(nMedia).select(col("id").as("doc_id"))
+    time(s"mm_features n=$nMedia real decode") {
+      val feats = Multimodal.MediaFeatures()
+        .transform(MediaGen.AttachPayload().transform(mediaIds))
+      val r = feats.agg(sum("width"), sum("height"), sum("n_frames"),
+        sum("corner_px"), count(lit(1))).collect()(0)
+      var (ew, eh, ef, ec) = (0L, 0L, 0L, 0L)
+      var i = 0L
+      while (i < nMedia) {
+        ew += MediaGen.widthOf(i); eh += MediaGen.heightOf(i)
+        ef += MediaGen.framesOf(i); ec += MediaGen.cornerOf(i)
+        i += 1L
+      }
+      require(r.getLong(0) == ew && r.getLong(1) == eh &&
+        r.getLong(2) == ef && r.getLong(3) == ec,
+        s"decode drift: got $r, want ($ew, $eh, $ef, $ec)")
+      r.getLong(4)
+    }
+    time(s"mm_resize n=$nMedia decode+NN+reencode") {
+      val out = Multimodal.Resize(maxW = 40L, maxH = 30L)
+        .transform(MediaGen.AttachPayload().transform(mediaIds))
+      val r = out.agg(sum(col("out_w") * col("out_h")),
+        sum("corner_px"), count(lit(1))).collect()(0)
+      var (ea, ec) = (0L, 0L)
+      var i = 0L
+      while (i < nMedia) {
+        val w = MediaGen.widthOf(i); val h = MediaGen.heightOf(i)
+        val k = math.max(1L, math.max((w + 39) / 40, (h + 29) / 30))
+        ea += math.max(1L, w / k) * math.max(1L, h / k)
+        ec += MediaGen.cornerOf(i)
+        i += 1L
+      }
+      require(r.getLong(0) == ea && r.getLong(1) == ec,
+        s"resize drift: got $r, want ($ea, $ec)")
+      r.getLong(2)
+    }
+
     for ((mode, dir) <- Seq(
         ("local-checkpoint", None),
         ("reliable-checkpoint", Some("/tmp/stress_curate_ckpt")))) {

@@ -33,6 +33,23 @@ case class BucketSearch(child: Expression,
   override def dataType: DataType = LongType
   override def prettyName: String = "bucket_search"
 
+  // Case-class equality on Array fields is REFERENCE equality, which
+  // would make two semantically identical instances never
+  // `semanticEquals` — canonicalization / common-subexpression
+  // elimination could not dedupe them (round-10 ADVICE). Compare and
+  // hash by CONTENT instead; the arrays stay arrays for the per-row
+  // eval hot path.
+  override def equals(other: Any): Boolean = other match {
+    case b: BucketSearch =>
+      child == b.child && java.util.Arrays.equals(values, b.values) &&
+        java.util.Arrays.equals(atValue, b.atValue)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child,
+    Integer.valueOf(java.util.Arrays.hashCode(values)),
+    Integer.valueOf(java.util.Arrays.hashCode(atValue)))
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[Double]
     var lo = 0

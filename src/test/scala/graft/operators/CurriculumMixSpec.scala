@@ -193,4 +193,71 @@ class CurriculumMixSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("v_winsor"), e.getMessage)
   }
+
+  test("shared bandThresholds: a composed filter + clamp chain pays the " +
+    "eager derivation ONCE and matches the derive-twice outputs exactly") {
+    val vals = (0 until 400).map { i =>
+      (i.toLong, s"g${i % 4}", ((i * 48271L) % 997L))
+    }.toDF("id", "g", "v")
+
+    // count Spark jobs launched while PLANNING (the quantile family's
+    // eager boundary sampling + rank location run at transform() time)
+    def jobsDuring(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // the listener bus is async (and private); settle until the
+        // count is stable for 400 ms, bounded at 4 s
+        val deadline = System.nanoTime() + 4000000000L
+        var last = -1
+        while (last != counter.get && System.nanoTime() < deadline) {
+          last = counter.get
+          Thread.sleep(400)
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      counter.get
+    }
+
+    var shared: org.apache.spark.sql.DataFrame = null
+    val oneDerivation = jobsDuring {
+      shared = Corpus.bandThresholds(vals, Seq("g"), "v", 0.25, 0.75)
+    }
+    assert(oneDerivation > 0, "derivation should run eager sampling jobs")
+
+    var fShared: org.apache.spark.sql.DataFrame = null
+    var cShared: org.apache.spark.sql.DataFrame = null
+    val reuse = jobsDuring {
+      fShared = Corpus.QuantileBandFilter(Seq("g"), "v", 0.25, 0.75)
+        .transformWith(vals, shared)
+      cShared = Corpus.QuantileClamp(Seq("g"), "v", 0.25, 0.75)
+        .transformWith(vals, shared)
+    }
+    assert(reuse == 0,
+      s"transformWith must not re-derive thresholds (ran $reuse jobs)")
+
+    // byte-identical results vs the derive-your-own path
+    val fOwn = Corpus.QuantileBandFilter(Seq("g"), "v", 0.25, 0.75)
+      .transform(vals)
+    val cOwn = Corpus.QuantileClamp(Seq("g"), "v", 0.25, 0.75)
+      .transform(vals)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(canon(fShared) == canon(fOwn))
+    assert(cShared.select("id", "v_winsor").as[(Long, Long)].collect()
+      .sortBy(_._1).toSeq ==
+      cOwn.select("id", "v_winsor").as[(Long, Long)].collect()
+        .sortBy(_._1).toSeq)
+    // a table missing the band columns is rejected up front
+    val e = intercept[IllegalArgumentException] {
+      Corpus.QuantileClamp(Seq("g"), "v")
+        .transformWith(vals, vals.select("g"))
+    }
+    assert(e.getMessage.contains("band_lo"), e.getMessage)
+  }
 }

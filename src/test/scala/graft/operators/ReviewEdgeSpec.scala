@@ -63,9 +63,8 @@ class ReviewEdgeSpec extends AnyFunSuite {
   }
 
   test("MediaFeatures: frame sample count never exceeds maxSample") {
-    val df = (1 to 40).map(i => (i.toLong, "x" * i)).toDF("doc_id", "text")
-      .withColumn("payload",
-        org.apache.spark.sql.functions.encode($"text", "UTF-8"))
+    val df = graft.sources.MediaGen.AttachPayload()
+      .transform((1 to 40).map(_.toLong).toDF("doc_id"))
     val feats = Multimodal.MediaFeatures(maxSample = 4).transform(df)
     val counts = Multimodal.FrameSample().transform(feats)
       .groupBy("doc_id").count().select("count").as[Long].collect()

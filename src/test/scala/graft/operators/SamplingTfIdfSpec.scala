@@ -241,4 +241,30 @@ class SamplingTfIdfSpec extends AnyFunSuite {
       .transform(d).count()
     assert(ok == 64L)
   }
+
+  test("quota_sample: defaultQuota > 0 over a key-like strata column " +
+    "trips the fail-loud cardinality guard instead of exhausting memory") {
+    val d = (0L until 64L).map(i => (i, s"domain$i"))
+      .toDF("doc_id", "lang").repartition(1)
+    val e = intercept[Exception] {
+      Sampling.QuotaSample(Map("en" -> 5L), defaultQuota = 2L,
+        maxGroupsPerPartition = 16L)
+        .transform(d).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(_.contains("maxGroupsPerPartition")), e)
+    // same data under the default quota 0: unlisted strata carry NO
+    // heap, so the guard counts only the quota-bearing ones and passes
+    val none = Sampling.QuotaSample(Map("domain3" -> 1L),
+        maxGroupsPerPartition = 16L)
+      .transform(d).select("doc_id").as[Long].collect().toSeq
+    assert(none == Seq(3L))
+    // at or under the cap with positive default: fine and exact
+    val ok = Sampling.QuotaSample(Map.empty[String, Long],
+        defaultQuota = 1L, maxGroupsPerPartition = 64L)
+      .transform(d).count()
+    assert(ok == 64L)
+  }
 }

@@ -41,6 +41,41 @@ class SessionizeSpec extends AnyFunSuite {
     tc.test(run, repartition = Some(3))
   }
 
+  test("timestamp tsColumn: gaps and duration in MICROSECONDS as longs, " +
+    "not a silent DayTimeInterval schema change") {
+    import java.sql.Timestamp
+    val df = Seq(
+      ("u1", Timestamp.valueOf("2026-01-01 00:00:00"), 1L),
+      ("u1", Timestamp.valueOf("2026-01-01 00:00:05"), 2L),   // gap 5 s
+      ("u1", Timestamp.valueOf("2026-01-01 00:01:00"), 3L))   // gap 55 s
+      .toDF("user", "ts", "id")
+    // maxGap 10 s in MICROS: the 55 s gap opens session 2
+    val out = SessionStats("ts", maxGap = 10L * 1000000L,
+        Seq("user"), Seq("id"))
+      .transform(df).orderBy("session_id")
+    val schema = out.schema("duration").dataType
+    assert(schema == org.apache.spark.sql.types.LongType, schema)
+    val rows = out.select("session_id", "n_events", "duration")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 2L, 5000000L), (2L, 1L, 0L)))
+    // session_start/end keep the native timestamp type
+    assert(out.schema("session_start").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("non-temporal tsColumn fails loud up front (strings would " +
+    "subtract as implicit doubles)") {
+    val df = Seq(("u1", "2026-01-01", 1L)).toDF("user", "ts", "id")
+    val e = intercept[IllegalArgumentException] {
+      SessionStats("ts", maxGap = 10L, Seq("user"), Seq("id")).transform(df)
+    }
+    assert(e.getMessage.contains("timestamp"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sessionize("ts", maxGap = 10L, Seq("user"), Seq("id")).transform(df)
+    }
+    assert(e2.getMessage.contains("timestamp"), e2.getMessage)
+  }
+
   test("gap-based session ids per entity, ties broken deterministically") {
     val df = Seq(
       ("u1", 0L, 1L), ("u1", 5L, 2L), ("u1", 30L, 3L), ("u1", 32L, 4L),

@@ -285,38 +285,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r.getAs[Double]("stopword_ratio") == math.rint(1.0 / 3.0 * 1e6) / 1e6)
   }
 
-  test("MediaFeatures decode stub is deterministic and FrameSample expands") {
+  test("MediaFeatures stub path (non-image media) stays deterministic and bounded") {
+    // audio/video placeholder: text bytes carry no image magic, so the
+    // documented stub fires ONLY behind the explicit opt-in (the real
+    // javax.imageio decode path is pinned in MultimodalSpec)
     val df = docsDF(1L -> "some payload text")
       .withColumn("payload", encode($"text", "UTF-8"))
-    val feats = Multimodal.MediaFeatures().transform(df)
+    val feats = Multimodal.MediaFeatures(stubNonImage = true).transform(df)
     val r = feats.head()
+    assert(r.getAs[String]("fmt") == "stub")
     assert(r.getAs[Long]("byte_len") == 17L)
     assert(r.getAs[Long]("n_frames") == 17L % 16 + 1)
+    assert(r.getAs[Long]("corner_px") == -1L)
     val frames = Multimodal.FrameSample().transform(feats)
       .select("frame_idx").as[Long].collect().toSeq
     val stride = r.getAs[Long]("frame_stride")
     assert(frames == (0L until r.getAs[Long]("n_frames") by stride).toSeq)
-  }
-
-  test("Resize: fit-in-box integer scale, floor-1 dims, stable fingerprint") {
-    val df = docsDF(1L -> "some payload text")
-      .withColumn("payload", encode($"text", "UTF-8"))
-    val r = Multimodal.Resize(maxW = 100L, maxH = 50L).transform(df).head()
-    val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
-    val k = math.max(1L, math.max((w + 99) / 100, (h + 49) / 50))
-    assert(r.getAs[Long]("scale_den") == k)
-    assert(r.getAs[Long]("out_w") == math.max(1L, w / k))
-    assert(r.getAs[Long]("out_h") == math.max(1L, h / k))
-    assert(r.getAs[Long]("out_w") <= 100 && r.getAs[Long]("out_h") <= 50)
-    assert(r.getAs[String]("resized_fp").length == 32)
-    // deterministic across runs
-    val again = Multimodal.Resize(maxW = 100L, maxH = 50L).transform(df).head()
-    assert(again.getAs[String]("resized_fp") == r.getAs[String]("resized_fp"))
-    // a media already inside the box keeps its dims (k = 1)
-    val small = Multimodal.Resize(maxW = 10000L, maxH = 10000L)
-      .transform(df).head()
-    assert(small.getAs[Long]("scale_den") == 1L)
-    assert(small.getAs[Long]("out_w") == w && small.getAs[Long]("out_h") == h)
   }
 
   test("connectedComponents: chains merge, components stay separate") {

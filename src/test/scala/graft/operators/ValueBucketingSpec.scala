@@ -75,6 +75,26 @@ class ValueBucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("BucketSearch: content equality — two instances over equal-content " +
+    "DISTINCT arrays are semanticEquals (CSE/canonicalization can dedupe)") {
+    import org.apache.spark.sql.graftshim.BucketSearch
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val child = Literal(1.0)
+    def mk() = BucketSearch(child,
+      Array(1.0, 2.0, 3.0), Array(false, true, false))
+    val a = mk()
+    val b = mk() // fresh arrays, same content
+    assert(!(a.values eq b.values)) // genuinely distinct references
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    val c = BucketSearch(child, Array(1.0, 2.0, 4.0),
+      Array(false, true, false))
+    assert(a != c && !a.semanticEquals(c))
+    val d = BucketSearch(child, Array(1.0, 2.0, 3.0),
+      Array(false, false, false))
+    assert(a != d && !a.semanticEquals(d))
+  }
+
   test("populationGuard: an oversized multi-valued cell raises in-plan; " +
     "single-valued cells (heavy values) are exempt") {
     val cells = Seq(

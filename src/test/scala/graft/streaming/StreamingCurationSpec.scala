@@ -131,4 +131,65 @@ class StreamingCurationSpec extends AnyFunSuite {
       assert(got.count(_._1 == 0L) == 3 && got.count(_._1 == 1L) == 1)
     } finally query.stop()
   }
+
+  test("streaming winsorization: closed-window quantile thresholds CLAMP " +
+    "the next window's values — the streaming face of QuantileClamp " +
+    "(round-10 verdict #6)") {
+    // Same side-input composition as the band-gate case in
+    // StreamingQuantileStatsSpec, but with the batch QuantileClamp's
+    // map-side greatest(least(...)) applied in foreachBatch: a
+    // streaming curation chain can winsorize exactly like the batch
+    // chain, using the p-columns as [band_lo, band_hi].
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{broadcast, col, greatest, least, row_number}
+    final case class Seen(g: String, v: Double, w: Double)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.QEvent]
+    val thresholds = new graft.streaming.StreamingQuantileStats(Seq("g"),
+      "v", quantiles = Seq(0.1, 0.9), windowDuration = "10 seconds")
+      .transform(input.toDF().withWatermark("ts", "2 seconds"))
+    val thQuery = thresholds.writeStream.format("memory")
+      .queryName("sq_winsor_th").outputMode("append").start()
+    val clamped = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val clampQuery = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val th = spark.table("sq_winsor_th")
+        if (!th.isEmpty) {
+          import org.apache.spark.sql.expressions.Window
+          val latest = th.withColumn("__rn",
+            row_number().over(Window.partitionBy("g")
+              .orderBy(col("window_end").desc)))
+            .filter(col("__rn") === 1)
+            .select(col("g"), col("p10").as("band_lo"),
+              col("p90").as("band_hi"))
+          batch.join(broadcast(latest), "g")
+            .withColumn("v_winsor",
+              greatest(least(col("v"), col("band_hi")), col("band_lo")))
+            .select("g", "v", "v_winsor")
+            .collect().foreach(r => clamped.synchronized {
+              clamped += ((r.getString(0), r.getDouble(1), r.getDouble(2)))
+            })
+        }
+        ()
+      }.start()
+    try {
+      def ev(g: String, sec: Long, v: Double) =
+        graft.streaming.QEvent(g, new java.sql.Timestamp(sec * 1000L), v)
+      // window [0,10): g1 values 1..10 -> p10 = 1, p90 = 9
+      input.addData((1 to 10).map(i =>
+        ev("g1", i.toLong % 10, i.toDouble)): _*)
+      thQuery.processAllAvailable(); clampQuery.processAllAvailable()
+      input.addData(ev("g1", 30, 100.0)) // closes [0,10)
+      thQuery.processAllAvailable(); clampQuery.processAllAvailable()
+      // next docs winsorize into [1, 9]: 0.5 -> 1, 9.5 -> 9, 5 -> 5 —
+      // ROW-PRESERVING (the gate would have dropped 0.5 and 9.5)
+      input.addData(ev("g1", 31, 0.5), ev("g1", 32, 5.0),
+        ev("g1", 33, 9.5))
+      thQuery.processAllAvailable(); clampQuery.processAllAvailable()
+      val got = clamped.synchronized(clamped.toSet)
+      assert(got.contains(("g1", 0.5, 1.0)), got)
+      assert(got.contains(("g1", 5.0, 5.0)), got)
+      assert(got.contains(("g1", 9.5, 9.0)), got)
+    } finally { thQuery.stop(); clampQuery.stop() }
+  }
 }

@@ -141,6 +141,40 @@ class StreamingFunnelSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("idle TTL is anchored to the key's own EVENT-time activity, not " +
+    "the processing batch's watermark (round-10 ADVICE)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    // 5 s TTL. u signs up at ts=10 and returns at ts=14 — within its
+    // own 5 s event-time horizon (expiry 15), so its progress MUST
+    // survive, even though the signup was delivered in a batch whose
+    // watermark was far behind (a wm-anchored horizon would have
+    // expired u at wm 5 and re-started it, losing the funnel)
+    val op = new StreamingFunnel(steps, idleTtlMs = 5000L)
+    val out = op.transform(input.toDF().withWatermark("ts", "2 seconds"))
+    val query = out.writeStream.format("memory")
+      .queryName("funnel_anchor_test").outputMode("append").start()
+    try {
+      def full(k: String, sec: Long) = Seq(ev(k, sec, "signup"),
+        ev(k, sec, "view"), ev(k, sec, "purchase"))
+      input.addData(ev("u", 10, "signup") +: full("w1", 12): _*)
+      // wm -> 10: u's signup folds in the trailing batch. A wm-anchored
+      // horizon (set while wm was still 0) would be 5 and reap u HERE;
+      // the event-time anchor is 10+5 = 15, so u survives
+      query.processAllAvailable()
+      input.addData(full("w2", 15): _*)
+      query.processAllAvailable() // wm -> 13: u idle since 10, expiry 15
+      input.addData(Seq(ev("u", 14, "view"), ev("u", 14, "purchase")) ++
+        full("w3", 30): _*)
+      query.processAllAvailable() // u continues and completes
+      val got = spark.table("funnel_anchor_test").as[FunnelStepDone]
+        .collect().filter(_.groupKey == "u").sortBy(_.stepIndex)
+        .map(r => (r.step, r.ts)).toSeq
+      assert(got == Seq(("signup", 10000L), ("view", 14000L),
+        ("purchase", 14000L)), got.mkString(", "))
+    } finally query.stop()
+  }
+
   test("episodic re-entry is deterministic in EVENT time: events past " +
     "the retention horizon start a new episode, at-or-below are " +
     "swallowed even when delivered early") {

@@ -63,6 +63,49 @@ class StreamingQuantileStatsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("state store numerics: exactly ONE sketch row per OPEN (window, " +
+    "group) pair, evicted when the watermark closes the window " +
+    "(round-10 verdict #5 — the numeric pin StreamingFunnelSpec has)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[QEvent]
+    val op = new StreamingQuantileStats(Seq("g"), "v",
+      quantiles = Seq(0.5), windowDuration = "10 seconds")
+    val out = op.transform(
+      input.toDF().withWatermark("ts", "5 seconds"))
+    val query = out.writeStream.format("memory").queryName("sq_state")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long = {
+        val p = query.lastProgress
+        p.stateOperators.toSeq.map(_.numRowsTotal).sum
+      }
+      // 3 open pairs: ([0,10), g1), ([0,10), g2), ([10,20), g1);
+      // wm -> 6, nothing closes — state holds exactly the open pairs,
+      // NOT one row per input event (8 events land in 3 sketches)
+      input.addData(ev("g1", 1, 1), ev("g1", 2, 2), ev("g1", 3, 3),
+        ev("g1", 4, 4), ev("g1", 5, 5),
+        ev("g2", 2, 10), ev("g2", 3, 20),
+        ev("g1", 11, 7))
+      query.processAllAvailable()
+      assert(stateRows == 3L, s"state rows = $stateRows")
+      assert(spark.table("sq_state").count() == 0)
+      // wm -> 20: all three close and EVICT; only ([20,30), g1) open
+      input.addData(ev("g1", 25, 1))
+      query.processAllAvailable()
+      assert(stateRows == 1L, s"state rows = $stateRows")
+      assert(spark.table("sq_state").count() == 3)
+      // a second group joins the open window: 2 open pairs
+      input.addData(ev("g2", 26, 2), ev("g1", 27, 3))
+      query.processAllAvailable()
+      assert(stateRows == 2L, s"state rows = $stateRows")
+      // wm -> 40: both evict, the soak ends with the single fresh pair
+      input.addData(ev("g1", 45, 1))
+      query.processAllAvailable()
+      assert(stateRows == 1L, s"state rows = $stateRows")
+      assert(spark.table("sq_state").count() == 5)
+    } finally query.stop()
+  }
+
   test("composition: closed-window thresholds gate the NEXT window's " +
     "stream — the streaming face of the batch quantile band gate") {
     // The feedback pattern the operator exists for: the threshold query
