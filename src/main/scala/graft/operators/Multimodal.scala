@@ -32,6 +32,11 @@ import graft.util.SparkUtil
   */
 object Multimodal {
 
+  // memory-cached ImageIO streams: the default cache is a temp FILE per
+  // stream, which serializes parallel decode behind disk I/O (see
+  // MediaGen's matching setting; either object may initialize first)
+  ImageIO.setUseCache(false)
+
   /** Deterministic placeholder "decode" for NON-IMAGE media (audio/video
     * codecs are not in the JDK): header-ish fields derived from the
     * payload bytes via MD5 (portable to any engine for verification).

@@ -43,6 +43,17 @@ import org.apache.spark.sql.functions._
   * the bucket count, never the data. Boundary values only steer the
   * EXECUTION layout — results stay exact whatever the sample returns,
   * so the sketch's merge-order nondeterminism cannot reach output.
+  *
+  * STALENESS POLICY: boundaries are sampled per `transform`, from the
+  * exact frame being ranked — multi-stage chains that mutate the value
+  * column between stages re-derive automatically because each stage's
+  * operator samples its OWN input. Boundaries can only go stale when
+  * the frame itself is unstable between the eager sample and job
+  * execution (a source overwritten mid-query, a non-deterministic
+  * generator column); results would still be EXACT (boundaries steer
+  * layout only), so the failure mode is purely a population
+  * concentration — and that is precisely what [[populationGuard]]
+  * turns into an in-plan error instead of a silent single-task sort.
   */
 private[operators] object ValueBucketing {
 

@@ -37,6 +37,12 @@ import graft.util.SparkUtil
   */
 object MediaGen {
 
+  // ImageIO's default stream cache is a TEMP FILE per stream — per-image
+  // disk I/O that serializes 32 codec threads behind the filesystem.
+  // These images are tiny; cache in memory. (Executor-side too: this
+  // object initializes wherever payloadFor first runs.)
+  ImageIO.setUseCache(false)
+
   def widthOf(id: Long): Long = 16L + (id * 37L) % 97L
   def heightOf(id: Long): Long = 16L + (id * 59L) % 53L
   def isGif(id: Long): Boolean = id % 2L == 1L
@@ -125,12 +131,21 @@ object MediaGen {
   }
 
   /** Attach a generated payload column to an id column: the media
-    * "source" of the fixture corpus. A narrow typed `mapPartitions` (no
-    * shuffle, one payload in flight per row); output is
-    * `(idColumn, payload)` — downstream multimodal operators key on the
-    * id, so the projection is deliberately minimal.
+    * "source" of the fixture corpus. A typed `mapPartitions` (one
+    * payload in flight per row); output is `(idColumn, payload)` —
+    * downstream multimodal operators key on the id, so the projection
+    * is deliberately minimal.
+    *
+    * `spreadPartitions = true` (default) round-robins the ids across
+    * `defaultParallelism` tasks first when the input has fewer
+    * partitions: the codec work is CPU-bound, and a small id table
+    * (one parquet row group) would otherwise encode on a single core —
+    * measured 10x on the 5000-doc bench corpus. The exchanged rows are
+    * bare longs, so the repartition is noise next to the encode. Real
+    * media corpora arrive over many files and don't need it.
     */
-  final case class AttachPayload(idColumn: String = "doc_id")
+  final case class AttachPayload(idColumn: String = "doc_id",
+                                 spreadPartitions: Boolean = true)
       extends Wrangler {
     override def preservesSampleSize: Boolean = true
 
@@ -139,8 +154,13 @@ object MediaGen {
       val spark = df.sparkSession
       import spark.implicits._
       val idName = idColumn
-      df.select(col(idColumn).cast("long"))
-        .as[Long]
+      val ids = df.select(col(idColumn).cast("long"))
+      val par = spark.sparkContext.defaultParallelism
+      val spread =
+        if (spreadPartitions && ids.rdd.getNumPartitions < par)
+          ids.repartition(par)
+        else ids
+      spread.as[Long]
         .mapPartitions(_.map(id => (id, payloadFor(id))))
         .toDF(idName, "payload")
     }

@@ -95,6 +95,38 @@ class ValueBucketingSpec extends AnyFunSuite {
     assert(a != d && !a.semanticEquals(d))
   }
 
+  test("boundary staleness: boundaries sampled from a DIFFERENT " +
+    "distribution make the population guard fire, never a silent " +
+    "single-task concentration (round-10 stretch #7)") {
+    // stage 1: uniform over [0, 1000) — 16 healthy equi-depth buckets
+    val stage1 = spark.range(100000L)
+      .select((col("id") % 1000L).cast("double").as("v"))
+    val bs = ValueBucketing.boundaries(stage1, "v", 16, 10000)
+    assert(bs.nonEmpty)
+    // the same boundaries against the SAME frame pass the guard
+    def guarded(df: org.apache.spark.sql.DataFrame) = {
+      val total = df.agg(count(lit(1)).as("__total"))
+      df.select(ValueBucketing.bucketOf(col("v"), bs).as("b"), col("v"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("bc"), (min("v") === max("v")).as("sv"))
+        .crossJoin(broadcast(total))
+        .select(ValueBucketing.populationGuard("stale_test", col("bc"),
+          col("sv"), col("__total"), 16, 10000).as("g"))
+    }
+    assert(guarded(stage1).agg(sum("g")).head().getLong(0) == 100000L)
+    // stage 2 "mutated" the value column: all mass lands past the last
+    // boundary, MULTI-valued (seven distinct values, so the heavy-value
+    // singleton exemption cannot apply) — a stale layout, not a wrong
+    // result. The guard must raise with remediation text.
+    val stage2 = spark.range(100000L)
+      .select((lit(1000000.0) + (col("id") % 7L)).as("v"))
+    val e = intercept[Exception](guarded(stage2).collect())
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(_.contains("no longer match the data")), e)
+  }
+
   test("populationGuard: an oversized multi-valued cell raises in-plan; " +
     "single-valued cells (heavy values) are exempt") {
     val cells = Seq(
