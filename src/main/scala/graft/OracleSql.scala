@@ -214,6 +214,69 @@ object OracleSql {
        |  doc_id <> min(doc_id) OVER (PARTITION BY content_fp) AS is_dup
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Incremental exact dedup (graft.operators.Dedup
+    * .IncrementalExactDedup): the `batchSource` documents are the new
+    * batch, everything else is the already-ingested corpus represented
+    * by its fingerprint index. Null-safe fingerprint joins (null text is
+    * one content class) mirror the Spark side's `<=>`.
+    */
+  def dedupIncremental(batchSource: String): String =
+    s"""WITH f AS (SELECT doc_id, source,
+       |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+       |    AS content_fp FROM documents),
+       |idx AS (SELECT content_fp, MIN(doc_id) AS known_canonical
+       |  FROM f WHERE source <> '$batchSource' GROUP BY content_fp),
+       |b AS (SELECT doc_id, content_fp FROM f
+       |  WHERE source = '$batchSource'),
+       |bc AS (SELECT content_fp, MIN(doc_id) AS batch_canonical
+       |  FROM b GROUP BY content_fp)
+       |SELECT b.doc_id, b.content_fp,
+       |  i.known_canonical IS NOT NULL AS is_known,
+       |  COALESCE(i.known_canonical, bc.batch_canonical) AS canonical_id,
+       |  (i.known_canonical IS NOT NULL
+       |    OR b.doc_id <> bc.batch_canonical) AS is_dup
+       |FROM b
+       |LEFT JOIN idx i ON b.content_fp IS NOT DISTINCT FROM i.content_fp
+       |JOIN bc ON b.content_fp IS NOT DISTINCT FROM bc.content_fp
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-source rollup (graft.operators.SourceQuality.SourceStats):
+    * distinct content classes count null text as one class; doubles are
+    * one IEEE division of exact integers.
+    */
+  private val SourceStatsCte: String =
+    s"""f AS (SELECT source, doc_id, n_chars, lang,
+       |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+       |    AS content_fp FROM documents),
+       |stats AS (SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+       |  COUNT(DISTINCT content_fp) + CASE
+       |    WHEN COUNT(*) > COUNT(content_fp) THEN 1 ELSE 0 END
+       |    AS distinct_classes,
+       |  CAST(COUNT(*) - (COUNT(DISTINCT content_fp) + CASE
+       |    WHEN COUNT(*) > COUNT(content_fp) THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS dup_ratio,
+       |  COUNT(DISTINCT lang) AS n_langs
+       |  FROM f GROUP BY source)""".stripMargin
+
+  def sourceStats: String =
+    s"""WITH $SourceStatsCte
+       |SELECT source, n_docs, mean_chars, distinct_classes, dup_ratio,
+       |  n_langs
+       |FROM stats ORDER BY source""".stripMargin
+
+  def sourceFilter(minMeanChars: Double, maxDupRatio: Double,
+                   minDocs: Long): String =
+    s"""WITH $SourceStatsCte,
+       |pass AS (SELECT source, mean_chars, dup_ratio FROM stats
+       |  WHERE mean_chars >= $minMeanChars AND dup_ratio <= $maxDupRatio
+       |    AND n_docs >= $minDocs)
+       |SELECT d.doc_id, d.source,
+       |  p.mean_chars AS source_mean_chars,
+       |  p.dup_ratio AS source_dup_ratio
+       |FROM documents d JOIN pass p ON d.source = p.source
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Shared CTE chain producing the (possibly doc-frequency-capped)
     * per-document shingle sets as `s(doc_id, sh)`. `maxDocFreq > 0`
     * mirrors [[graft.operators.Dedup.NGramJaccard]]'s capped-set
@@ -1344,6 +1407,68 @@ object OracleSql {
        |  id AS neighbor_id, cosine FROM sc)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** SemDeDup (graft.operators.SemDedup): full spherical-k-means replay —
+    * init = the `k` vectors with the smallest (md5-hash, id), then
+    * `iterations` rounds of {max-cosine-to-center assignment (ties →
+    * smallest cluster, zero-norm centers never selected), rounded-mean
+    * center recompute in truncating integer division (DuckDB `//` ==
+    * Scala Long `/`)} — then within-cluster pairwise cosine >= threshold,
+    * keep-smallest-id. Every arithmetic step is 64-bit-integer exact up
+    * to single IEEE div/sqrt ops, so the replay is bit-identical.
+    */
+  def dedupSemantic(dim: Int, k: Int, iterations: Int,
+                    threshold: Double): String = {
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    // score to center: dot / sqrt(|c|^2); the 1/sqrt(|x|^2) factor is
+    // constant per row, so dropping it cannot change the per-id argmax
+    def assignCte(aName: String, cName: String): String =
+      s"""$aName AS (SELECT id, j FROM (
+         |  SELECT x.id, t.j, row_number() OVER (PARTITION BY x.id ORDER BY
+         |    CASE WHEN t.cnrm = 0 THEN NULL ELSE
+         |      CAST(${dotE("x.q", "t.c")} AS DOUBLE) /
+         |      sqrt(CAST(t.cnrm AS DOUBLE)) END DESC NULLS LAST, t.j ASC
+         |    ) AS rn
+         |  FROM n x CROSS JOIN $cName t) WHERE rn = 1)""".stripMargin
+    // rounded mean, half away from zero, in truncating integer division:
+    // c_i = (2*s + sign(s)*cnt) // (2*cnt)
+    def recomputeCtes(cName: String, aName: String): String =
+      s"""${cName}s AS (SELECT a.j, t.i, SUM(x.q[t.i]) AS s, COUNT(*) AS cnt
+         |  FROM $aName a JOIN n x ON x.id = a.id
+         |  CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) t
+         |  GROUP BY a.j, t.i),
+         |$cName AS (SELECT j, c,
+         |  list_reduce(list_transform(c, v -> v * v), (x, y) -> x + y)
+         |    AS cnrm
+         |  FROM (SELECT j, list((2 * s + CASE WHEN s < 0 THEN -cnt
+         |      WHEN s > 0 THEN cnt ELSE 0 END) // (2 * cnt)
+         |      ORDER BY i) AS c
+         |    FROM ${cName}s GROUP BY j))""".stripMargin
+    val rounds = (0 until iterations).map { r =>
+      recomputeCtes(s"c${r + 1}", s"a$r") + ",\n" +
+        assignCte(s"a${r + 1}", s"c${r + 1}")
+    }
+    s"""$QuantizedVecs,
+       |hh AS (SELECT id,
+       |  CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)
+       |    AS h FROM n),
+       |sel AS (SELECT id, h FROM hh ORDER BY h, id LIMIT $k),
+       |c0 AS (SELECT row_number() OVER (ORDER BY s.h, s.id) - 1 AS j,
+       |  n.q AS c, n.nrm AS cnrm FROM sel s JOIN n ON n.id = s.id),
+       |${(assignCte("a0", "c0") +: rounds).mkString(",\n")},
+       |p AS (SELECT b.id AS id, MIN(a.id) AS dup_of
+       |  FROM a$iterations a JOIN a$iterations b
+       |    ON a.j = b.j AND a.id < b.id
+       |  JOIN n x ON x.id = a.id JOIN n y ON y.id = b.id
+       |  WHERE ${pairCosine(dim)} >= $threshold GROUP BY b.id)
+       |SELECT x.id AS vec_id, CAST(a.j AS BIGINT) AS cluster,
+       |  p.dup_of IS NOT NULL AS is_dup, p.dup_of
+       |FROM n x JOIN a$iterations a ON a.id = x.id
+       |LEFT JOIN p ON p.id = x.id
+       |ORDER BY vec_id""".stripMargin
   }
 
   // -------------------------------------------------------- multimodal

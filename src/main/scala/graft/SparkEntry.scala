@@ -328,6 +328,38 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.EmbeddingNearDup().transform(embs(s, dir))
         .orderBy("id_a", "id_b")),
+    // SemDeDup: spherical k-means (2 Lloyd rounds, deterministic init)
+    // + within-cluster cosine pruning; the oracle replays the FULL
+    // clustering in SQL (integer-exact centers, one IEEE div/sqrt)
+    "dedup_semantic" -> ((s, dir) =>
+      SemDedup(nClusters = 8, iterations = 2, threshold = 0.35)
+        .transform(embs(s, dir))
+        .select("vec_id", "cluster", "is_dup", "dup_of")
+        .orderBy("vec_id")),
+    // incremental ingest: src0 is the new batch, the rest of the corpus
+    // is represented by its fingerprint index only — the corpus text is
+    // never re-shuffled to admit the batch
+    "dedup_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = Dedup.IncrementalExactDedup.fingerprintIndex(
+        d.filter(col("source") =!= "src0"))
+      Dedup.IncrementalExactDedup(idx)
+        .transform(d.filter(col("source") === "src0"))
+        .select("doc_id", "content_fp", "is_known", "canonical_id",
+          "is_dup")
+        .orderBy("doc_id")
+    }),
+    // Gopher-style per-domain rollup + gate: filtering decided at the
+    // SOURCE level, the stats table joins back (AQE-broadcast)
+    "source_stats" -> ((s, dir) =>
+      SourceQuality.SourceStats().transform(docs(s, dir))
+        .orderBy("source")),
+    "source_filter" -> ((s, dir) =>
+      SourceQuality.SourceFilter(minMeanChars = 290.0, maxDupRatio = 0.2)
+        .transform(docs(s, dir))
+        .select("doc_id", "source", "source_mean_chars",
+          "source_dup_ratio")
+        .orderBy("doc_id")),
     // full near-dup decision chain: candidate pairs -> clusters ->
     // keep-the-best-quality-doc-per-cluster (singletons always kept)
     "dedup_canonical" -> ((s, dir) => {
@@ -773,6 +805,10 @@ object SparkEntry {
     "dedup_clusters" -> OracleSql.dedupClusters(0.2, 10L),
     "dedup_canonical" -> OracleSql.dedupCanonical(0.2, 10L),
     "dedup_embedding" -> OracleSql.dedupEmbedding(64, 4, 8, 0.4),
+    "dedup_semantic" -> OracleSql.dedupSemantic(64, 8, 2, 0.35),
+    "dedup_incr" -> OracleSql.dedupIncremental("src0"),
+    "source_stats" -> OracleSql.sourceStats,
+    "source_filter" -> OracleSql.sourceFilter(290.0, 0.2, 1L),
     "asof_join" -> OracleSql.asOfJoin,
     "range_join" -> OracleSql.rangeJoin(2L * 86400000000000L),
     "overlap_join" -> OracleSql.overlapJoin(2L * 86400000000000L,

@@ -76,6 +76,99 @@ object Dedup {
     }
   }
 
+  /** Incremental exact dedup: deduplicate a NEW batch against an already
+    * -ingested corpus without touching the corpus itself — the standard
+    * shape for continuously-fed training corpora, where re-running
+    * [[ExactDedup]] over corpus+batch would re-shuffle 100 TB to admit
+    * 1 TB. The corpus is represented by its FINGERPRINT INDEX
+    * (`content_fp`, `canonical_id`) — ~40 bytes/doc, built once with
+    * [[IncrementalExactDedup.fingerprintIndex]] and persisted; for
+    * repeated ingests write it bucketed by `content_fp`
+    * ([[graft.sources.BucketedTable]]) so each batch join co-locates
+    * against the index with NO index-side shuffle.
+    *
+    * Semantics per batch row: `is_known` — content already in the corpus
+    * (its canonical doc is the corpus one); otherwise the smallest batch
+    * id per fingerprint is canonical, exactly like [[ExactDedup]].
+    * `is_dup = is_known OR id != batch-canonical`; null-text rows are one
+    * content class (null-safe `<=>` joins throughout, like ExactDedup).
+    * Rows are preserved — downstream picks keep-first or drop-all.
+    *
+    * Scale shape: fingerprints are map-side; the batch-canonical agg is a
+    * map-side-combined `groupBy(fp).min(id)` over the BATCH only; the
+    * index probe is an equi-join where AQE broadcasts whichever side is
+    * small (a day's batch against a corpus index, or a small index under
+    * a bulk backfill).
+    */
+  final case class IncrementalExactDedup(index: DataFrame,
+                                         idColumn: String = "doc_id",
+                                         textColumn: String = "text")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+    // the index frame is structural input, not a tunable: keep getParams
+    // to the scalar knobs (a DataFrame has no meaningful repr/rebuild)
+    override def getParams: Seq[(String, Any)] =
+      Seq("idColumn" -> idColumn, "textColumn" -> textColumn)
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      SparkUtil.validateColumns(index, Seq("content_fp", "canonical_id"))
+      Seq("content_fp", "is_known", "canonical_id", "is_dup").foreach { c =>
+        require(!df.columns.exists(_.equalsIgnoreCase(c)),
+          s"Output column `$c` already exists in the input; rename it first")
+      }
+      Seq("__ifp", "__bfp", "__known_canonical", "__batch_canonical")
+        .foreach { c =>
+        require(!df.columns.exists(_.equalsIgnoreCase(c)),
+          s"input must not carry the reserved working column `$c`")
+      }
+      val withFp = df.withColumn("content_fp",
+        md5(regexp_replace(trim(lower(col(textColumn))), "\\s+", " ")))
+      val batchCanon = withFp.groupBy("content_fp")
+        .agg(min(col(idColumn)).as("__batch_canonical"))
+        .withColumnRenamed("content_fp", "__bfp")
+      val known = index.select(col("content_fp").as("__ifp"),
+        col("canonical_id").as("__known_canonical"))
+      withFp
+        .join(known, col("content_fp") <=> col("__ifp"), "left")
+        .join(batchCanon, col("content_fp") <=> col("__bfp"))
+        .withColumn("is_known", col("__known_canonical").isNotNull)
+        .withColumn("canonical_id",
+          coalesce(col("__known_canonical"), col("__batch_canonical")))
+        .withColumn("is_dup",
+          col("is_known") || col(idColumn) =!= col("__batch_canonical"))
+        .select(df.columns.map(col) ++ Seq(col("content_fp"),
+          col("is_known"), col("canonical_id"), col("is_dup")): _*)
+    }
+  }
+
+  object IncrementalExactDedup {
+    /** Build (or rebuild) the corpus fingerprint index: one row per
+      * distinct content fingerprint with its canonical (minimum) doc id.
+      * Map-side partial min, shuffle carries (fp, id) only — never text.
+      */
+    def fingerprintIndex(corpus: DataFrame, idColumn: String = "doc_id",
+                         textColumn: String = "text"): DataFrame = {
+      SparkUtil.validateColumns(corpus, Seq(idColumn, textColumn))
+      corpus.select(md5(regexp_replace(trim(lower(col(textColumn))),
+          "\\s+", " ")).as("content_fp"), col(idColumn))
+        .groupBy("content_fp")
+        .agg(min(col(idColumn)).as("canonical_id"))
+    }
+
+    /** Fold a deduplicated batch back into the index: keep the existing
+      * canonical for known fingerprints, admit the batch canonical for
+      * new ones. Same (fp, id)-only shuffle shape as the initial build.
+      */
+    def updatedIndex(index: DataFrame, dedupedBatch: DataFrame): DataFrame =
+      index.select("content_fp", "canonical_id")
+        .unionByName(dedupedBatch
+          .filter(!col("is_known"))
+          .select(col("content_fp"), col("canonical_id")))
+        .groupBy("content_fp")
+        .agg(min("canonical_id").as("canonical_id"))
+  }
+
   /** N-gram (shingle) Jaccard similarity join via an inverted shingle
     * index, `jaccard = common / (|A| + |B| - common)`.
     *
