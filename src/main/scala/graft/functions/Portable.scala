@@ -204,9 +204,18 @@ object Portable {
     */
   def qDot(a: Column, b: Column): Column = ArrayOps.longArrayDot(a, b)
 
-  /** Cosine from integer dot + squared norms (bit-deterministic). */
+  /** Cosine from integer dot + squared norms (bit-deterministic).
+    * Zero-norm vectors get an explicit NaN: under ANSI mode (Spark 4's
+    * default) the raw `0/0` division would THROW instead of yielding the
+    * NaN that the driver-side scorers (`dot/math.sqrt`) and the DuckDB
+    * oracle produce — the guard restores the one IEEE-semantics answer
+    * all three paths share (and NaN stays "largest" in comparisons and
+    * orderings on both engines).
+    */
   def qCosine(dot: Column, na: Column, nb: Column): Column =
-    dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
+    when(na > 0 && nb > 0,
+      dot.cast("double") / sqrt(na.cast("double") * nb.cast("double")))
+      .otherwise(lit(Double.NaN))
 
   // ---------------------------------------------------------------------
   // Deterministic constant families (embedded as literals into BOTH the
