@@ -71,6 +71,11 @@ object Bench {
     "dedup_embedding" -> Some("Join"),
     "dedup_clusters" -> None,
     "dedup_canonical" -> None, // CC loop runs eagerly inside the builder
+    "dedup_semantic" -> Some("Join"), // within-cluster pair join (Lloyd
+    // rounds run eagerly inside the builder, as in the CC loop)
+    "dedup_incr" -> Some("Join"), // batch x fingerprint-index join
+    "source_stats" -> Some("HashAggregate"), // per-source rollup agg
+    "source_filter" -> Some("Join"), // stats table joined back to docs
     "asof_join" -> Some("Window"),
     "range_join" -> Some("Join"),
     "decontaminate" -> Some("Join"),
