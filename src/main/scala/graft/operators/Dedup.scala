@@ -169,6 +169,201 @@ object Dedup {
         .agg(min("canonical_id").as("canonical_id"))
   }
 
+  /** Incremental NEAR-duplicate detection: score a new ingest batch
+    * against an already-ingested corpus represented only by its MinHash
+    * indexes — the near-dup counterpart of [[IncrementalExactDedup]],
+    * and the shape a continuously-fed 100 TB corpus needs: admitting a
+    * batch must never re-shingle or re-shuffle the corpus text.
+    *
+    * The corpus is carried by TWO persisted tables, both built once with
+    * the builders on the companion:
+    *   - `signatureIndex` (`doc_id`, `sig`): k-wide MinHash signatures,
+    *     ~8k bytes/doc at k=32 — bucket by `doc_id`
+    *     ([[graft.sources.BucketedTable]]) so candidate scoring joins
+    *     co-locate;
+    *   - `bandIndex` (`band`, `key`, `doc_id`): LSH band buckets with
+    *     corpus-hot buckets (> `maxBucket` docs) dropped at BUILD time —
+    *     bucket by (`band`, `key`) so batch probes join with no
+    *     index-side shuffle.
+    *
+    * Per batch, the transform computes batch signatures (one typed
+    * shingle pass over batch text only), drops batch-hot band buckets
+    * from the batch SELF-join (same `maxBucket` rule, applied to batch
+    * counts — the corpus probe keeps all batch bands, since it is
+    * linear in the batch), then emits scored candidate pairs
+    * `(id_a, id_b, est_jaccard, known)`:
+    *   - `known = true`: `id_a` is a CORPUS doc, `id_b` the batch doc
+    *     sharing a band bucket with it;
+    *   - `known = false`: a batch-internal pair, `id_a < id_b` — exactly
+    *     [[MinHashLSHDedup]]'s semantics within the batch.
+    *
+    * The bucket cap is applied PER SIDE (corpus buckets by corpus
+    * counts at build, batch buckets by batch counts at probe) rather
+    * than on the combined population — the price of never recounting
+    * the corpus per ingest; each quadratic cell stays bounded by
+    * `maxBucket²` pairs either way. To fold an admitted batch in, union
+    * the batch rows into both indexes (re-applying the band cap on the
+    * merged counts when rebuilding, or accepting per-ingest capping on
+    * the appended rows).
+    *
+    * Reference near-dup surface: pywrangler has none — this extends the
+    * LSH family (Dedup.scala MinHashLSHDedup) to the ingest loop.
+    */
+  final case class IncrementalMinHashLSH(bandIndex: DataFrame,
+                                         signatureIndex: DataFrame,
+                                         idColumn: String = "doc_id",
+                                         textColumn: String = "text",
+                                         n: Int = 3,
+                                         k: Int = 32,
+                                         bands: Int = 8,
+                                         threshold: Double = 0.25,
+                                         maxBucket: Long = 10000L)
+      extends Wrangler {
+    require(k % bands == 0, "k must be divisible by bands")
+    // the index frames are structural input, not tunables (same contract
+    // as IncrementalExactDedup.index)
+    override def getParams: Seq[(String, Any)] = Seq(
+      "idColumn" -> idColumn, "textColumn" -> textColumn, "n" -> n,
+      "k" -> k, "bands" -> bands, "threshold" -> threshold,
+      "maxBucket" -> maxBucket)
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      SparkUtil.validateColumns(bandIndex, Seq("band", "key", "doc_id"))
+      SparkUtil.validateColumns(signatureIndex, Seq("doc_id", "sig"))
+      val sigs = IncrementalMinHashLSH.signatures(
+        df.select(col(idColumn).as("id"), col(textColumn)),
+        textColumn, n, k)
+      val bandCols = minHashBandCols(k, bands)
+      val banded = sigs.select(col("id"),
+          explode(array(bandCols: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"),
+          col("bk.key").as("key"))
+      val kept =
+        if (maxBucket <= 0) banded
+        else banded.join(
+          banded.groupBy("band", "key").agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") > maxBucket).select("band", "key"),
+          Seq("band", "key"), "left_anti")
+      // batch-internal candidates: MinHashLSHDedup's self-join shape
+      val candBatch = kept.as("a").join(kept.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      // corpus candidates: the batch probe against the persisted band
+      // index — (band, key) equi-join, index-side shuffle-free when the
+      // index is bucketed by (band, key). The probe uses the UNCAPPED
+      // batch bands: the batch-side cap guards the quadratic batch
+      // self-join, while this join is linear in the batch (each batch
+      // row meets at most `maxBucket` index entries per band, the index
+      // cap), so a template-heavy batch must still find its corpus
+      // matches
+      val candCorpus = bandIndex
+        .select(col("band"), col("key"), col("doc_id").as("id_a"))
+        .join(banded.select(col("band"), col("key"), col("id").as("id_b")),
+          Seq("band", "key"))
+        .select("id_a", "id_b").distinct()
+      val sigBatchA = sigs.select(col("id").as("id_a"),
+        col("sig").as("sig_a"))
+      val sigBatchB = sigs.select(col("id").as("id_b"),
+        col("sig").as("sig_b"))
+      val sigCorpus = signatureIndex.select(col("doc_id").as("id_a"),
+        col("sig").as("sig_a"))
+      def score(cand: DataFrame, aSide: DataFrame,
+                known: Boolean): DataFrame =
+        cand.join(aSide, "id_a").join(sigBatchB, "id_b")
+          .withColumn("est_jaccard", round(
+            size(filter(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => (x === y).cast("int")), v => v === 1))
+              .cast("double") / lit(k.toDouble), 6))
+          .filter(col("est_jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), col("est_jaccard"),
+            lit(known).as("known"))
+      score(candBatch, sigBatchA, known = false)
+        .unionByName(score(candCorpus, sigCorpus, known = true))
+    }
+  }
+
+  object IncrementalMinHashLSH {
+    private[operators] def signatures(df: DataFrame, textColumn: String,
+                                      n: Int, k: Int): DataFrame = {
+      val ex = shingleHashRows(df, "id", textColumn, n)
+      val aggs = minHashAggs(col("hv"), k)
+      ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
+        .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
+        .select("id", "sig")
+    }
+
+    /** Corpus signature index (`doc_id`, `sig`): one typed shingle pass
+      * + one map-side-combined agg over (id, hash) rows — text never
+      * shuffles. Persist bucketed by `doc_id`.
+      */
+    def signatureIndex(corpus: DataFrame, idColumn: String = "doc_id",
+                       textColumn: String = "text", n: Int = 3,
+                       k: Int = 32): DataFrame = {
+      SparkUtil.validateColumns(corpus, Seq(idColumn, textColumn))
+      signatures(corpus.select(col(idColumn).as("id"), col(textColumn)),
+          textColumn, n, k)
+        .select(col("id").as("doc_id"), col("sig"))
+    }
+
+    /** Corpus band index (`band`, `key`, `doc_id`) from the signature
+      * index, corpus-hot buckets (> `maxBucket`) dropped at build.
+      * Persist bucketed by (`band`, `key`).
+      */
+    def bandIndex(signatureIndex: DataFrame, k: Int = 32, bands: Int = 8,
+                  maxBucket: Long = 10000L): DataFrame = {
+      require(k % bands == 0, "k must be divisible by bands")
+      SparkUtil.validateColumns(signatureIndex, Seq("doc_id", "sig"))
+      val banded = signatureIndex
+        .select(col("doc_id"), col("sig"),
+          explode(array(minHashBandCols(k, bands): _*)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.key").as("key"),
+          col("doc_id"))
+      if (maxBucket <= 0) banded
+      else banded.join(
+        banded.groupBy("band", "key").agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > maxBucket).select("band", "key"),
+        Seq("band", "key"), "left_anti")
+    }
+
+    /** Fold an ADMITTED batch into both indexes, returning the updated
+      * `(signatureIndex, bandIndex)` for the next ingest — the
+      * persist-and-fold loop's one-call step (the exact-dedup sibling is
+      * [[IncrementalExactDedup.updatedIndex]]).
+      *
+      * Batch text is shingled exactly once here (same one-pass builder
+      * as the probe); corpus text is never touched. Two band-merge
+      * policies, both documented on the transform:
+      *   - `rebuildBands = false` (default): the batch's own band rows
+      *     (capped against BATCH counts) are appended to the existing
+      *     band index. Cost is linear in the batch — the right per-ingest
+      *     shape — but the cap is per-ingest: a bucket that crosses
+      *     `maxBucket` only ACROSS ingests keeps its appended rows, so
+      *     re-derive with `rebuildBands = true` periodically (or at a
+      *     compaction cadence) to re-apply the cap on merged counts;
+      *   - `rebuildBands = true`: re-derives the band index from the
+      *     merged signature index — exact merged-count capping at the
+      *     cost of one corpus-wide (signatures-only, never text) band
+      *     pass.
+      */
+    def foldBatch(signatureIndex: DataFrame, bandIndex: DataFrame,
+                  batch: DataFrame, idColumn: String = "doc_id",
+                  textColumn: String = "text", n: Int = 3, k: Int = 32,
+                  bands: Int = 8, maxBucket: Long = 10000L,
+                  rebuildBands: Boolean = false): (DataFrame, DataFrame) = {
+      SparkUtil.validateColumns(signatureIndex, Seq("doc_id", "sig"))
+      SparkUtil.validateColumns(bandIndex, Seq("band", "key", "doc_id"))
+      val batchSigs = this.signatureIndex(batch, idColumn, textColumn, n, k)
+      val mergedSigs = signatureIndex.unionByName(batchSigs)
+      val mergedBands =
+        if (rebuildBands) this.bandIndex(mergedSigs, k, bands, maxBucket)
+        else bandIndex.unionByName(
+          this.bandIndex(batchSigs, k, bands, maxBucket))
+      (mergedSigs, mergedBands)
+    }
+  }
+
   /** N-gram (shingle) Jaccard similarity join via an inverted shingle
     * index, `jaccard = common / (|A| + |B| - common)`.
     *

@@ -38,14 +38,27 @@ object BucketedTable {
     */
   def write(df: DataFrame, table: String, bucketColumn: String,
             buckets: Int, sortColumns: Seq[String] = Nil,
-            mode: SaveMode = SaveMode.Overwrite): Unit = {
+            mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeMulti(df, table, Seq(bucketColumn), buckets, sortColumns, mode)
+
+  /** Compound-key variant: bucket (and by default sort) on MULTIPLE
+    * columns. A join on exactly those columns in the same order plans
+    * with no Exchange on the bucketed side — the shape the incremental
+    * near-dup band index (`(band, key)` buckets) relies on: a batch
+    * probe shuffles only the batch, never the corpus-sized index.
+    */
+  def writeMulti(df: DataFrame, table: String, bucketColumns: Seq[String],
+                 buckets: Int, sortColumns: Seq[String] = Nil,
+                 mode: SaveMode = SaveMode.Overwrite): Unit = {
     validateName(table)
     require(buckets > 0, "`buckets` must be positive")
-    require(df.columns.exists(_.equalsIgnoreCase(bucketColumn)),
-      s"bucket column `$bucketColumn` not in ${df.columns.mkString(", ")}")
-    val sorts = if (sortColumns.isEmpty) Seq(bucketColumn) else sortColumns
+    require(bucketColumns.nonEmpty, "need at least one bucket column")
+    bucketColumns.foreach(c =>
+      require(df.columns.exists(_.equalsIgnoreCase(c)),
+        s"bucket column `$c` not in ${df.columns.mkString(", ")}"))
+    val sorts = if (sortColumns.isEmpty) bucketColumns else sortColumns
     df.write.mode(mode)
-      .bucketBy(buckets, bucketColumn)
+      .bucketBy(buckets, bucketColumns.head, bucketColumns.tail: _*)
       .sortBy(sorts.head, sorts.tail: _*)
       .saveAsTable(table)
   }

@@ -16,7 +16,7 @@ class BucketedJoinSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def withTables[A](f: => A): A =
-    try f finally Seq("bj_docs", "bj_scores", "bj_docs16")
+    try f finally Seq("bj_docs", "bj_scores", "bj_docs16", "bj_bands")
       .foreach(BucketedTable.drop(spark, _))
 
   /** Disable broadcast so a missing Exchange can only mean bucketing
@@ -52,6 +52,64 @@ class BucketedJoinSpec extends AnyFunSuite {
         val plain = docs.join(scores, "doc_id")
           .queryExecution.executedPlan.toString
         assert(plain.contains("Exchange"), plain)
+      }
+    }
+  }
+
+  test("compound-bucketed band index probes with NO index-side Exchange") {
+    withTables {
+      noBroadcast {
+        // the real incremental near-dup index schema through writeMulti:
+        // (band int, key string, doc_id long), bucketed by (band, key)
+        val corpus = (0L until 120L)
+          .map(i => (i, s"corpus document number $i with shared body text"))
+          .toDF("doc_id", "text")
+        val idx = graft.operators.Dedup.IncrementalMinHashLSH.bandIndex(
+          graft.operators.Dedup.IncrementalMinHashLSH.signatureIndex(corpus))
+        BucketedTable.writeMulti(idx, "bj_bands", Seq("band", "key"), 8)
+
+        // batch bands computed by the real pipeline, then re-materialized
+        // as a local frame so the probe plan's Exchange count isolates
+        // the JOIN's shuffles (the signature pipeline has its own)
+        val batchRows = graft.operators.Dedup.IncrementalMinHashLSH.bandIndex(
+          (120L until 140L)
+            .map(i => (i, s"corpus document number ${i - 120L} with shared body text"))
+            .toDF("doc_id", "text")
+            .transform(d => graft.operators.Dedup.IncrementalMinHashLSH
+              .signatureIndex(d)))
+          .select(col("band"), col("key"), col("doc_id").as("id_b"))
+          .collect().toSeq
+          .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        val batch = batchRows.toDF("band", "key", "id_b")
+
+        // the candCorpus probe join from IncrementalMinHashLSH.transform:
+        // exactly ONE Exchange — the batch side; the corpus-sized index
+        // scan is consumed in place (its write-time shuffle amortized
+        // over every ingest batch)
+        def countExchanges(plan: String): Int =
+          "Exchange".r.findAllMatchIn(plan).size
+        val probe = BucketedTable.read(spark, "bj_bands")
+          .select(col("band"), col("key"), col("doc_id").as("id_a"))
+          .join(batch, Seq("band", "key"))
+        val pPlan = probe.queryExecution.executedPlan.toString
+        assert(countExchanges(pPlan) == 1, pPlan)
+        assert(probe.count() > 0)
+
+        // control: the same probe against a plain parquet copy of the
+        // index shuffles BOTH sides — the assertion above is not vacuous
+        val plainDir = java.nio.file.Files
+          .createTempDirectory("bj_plain").toString
+        try {
+          idx.write.mode("overwrite").parquet(plainDir)
+          val plain = spark.read.parquet(plainDir)
+            .select(col("band"), col("key"), col("doc_id").as("id_a"))
+            .join(batch, Seq("band", "key"))
+            .queryExecution.executedPlan.toString
+          assert(countExchanges(plain) == 2, plain)
+        } finally {
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(plainDir))
+        }
       }
     }
   }
