@@ -1247,7 +1247,8 @@ object Corpus {
         require(!df.columns.exists(_.equalsIgnoreCase(c)),
           s"input must not carry `$c` (an output column)")
       }
-      df.join(broadcast(thresholds), groupColumns)
+      guardNullGroups(df, groupColumns, "QuantileBandFilter")
+        .join(broadcast(thresholds), groupColumns)
         .filter(col(valueColumn) >= col("band_lo") &&
           col(valueColumn) <= col("band_hi"))
     }
@@ -1283,6 +1284,28 @@ object Corpus {
       groupColumns: Seq[String]): Unit =
     SparkUtil.validateColumns(thresholds,
       groupColumns ++ Seq("band_lo", "band_hi"))
+
+  /** In-plan null-group raise for the `transformWith` paths: the
+    * derive-your-own path inherits [[QuantileStats]]' guard, but a
+    * CALLER-SUPPLIED threshold table joins straight onto the group
+    * columns — a null key would silently drop the row through the
+    * broadcast equi-join, violating the row-preservation contract (the
+    * same silent-drop class the round-9 ADVICE flagged on
+    * PercentileRank). Lazy, per-row, codegen'd — no extra pass.
+    */
+  private def guardNullGroups(df: DataFrame, groupColumns: Seq[String],
+      op: String): DataFrame = {
+    val groupSet = groupColumns.toSet
+    df.select(df.columns.toSeq.map { c =>
+      if (groupSet(c))
+        when(col(c).isNull,
+          raise_error(lit(s"$op: group column `$c` must be non-null — " +
+            "a null key would silently drop the row through the " +
+            "threshold join")).cast(SparkUtil.fieldType(df, c)))
+          .otherwise(col(c)).as(c)
+      else col(c)
+    }: _*)
+  }
 
   /** Per-group winsorization: CLAMP `valueColumn` into its own group's
     * closed `[p(lo), p(hi)]` band instead of dropping outliers — the
@@ -1330,10 +1353,94 @@ object Corpus {
         require(!df.columns.exists(_.equalsIgnoreCase(c)),
           s"input must not carry `$c` (an output column)")
       }
-      df.join(broadcast(thresholds), groupColumns)
+      guardNullGroups(df, groupColumns, "QuantileClamp")
+        .join(broadcast(thresholds), groupColumns)
         .withColumn(outCol,
           greatest(least(col(valueColumn), col("band_hi")),
             col("band_lo")))
     }
+  }
+
+  /** Per-group ROBUST SCALING: `(x − median) / (p(hi) − p(lo))` — the
+    * median/IQR z-score (RobustScaler in the sklearn vocabulary the
+    * reference framework mirrors), the normalization that makes quality
+    * scores comparable ACROSS groups before a global gate or a mixing
+    * weight. A mean/stddev z-score is exactly what heavy-tailed corpus
+    * features break (one 100 MB page moves a language's mean arbitrarily);
+    * median and IQR have bounded breakdown, and both ride the same exact
+    * skew-safe equi-depth rank machinery as [[QuantileStats]].
+    *
+    * Row-preserving: every input column passes through plus
+    * `<valueColumn>_robust` (the scaled value, rounded to 6 places for a
+    * cross-engine-stable surface) and the group's `scale_lo` /
+    * `scale_med` / `scale_hi` thresholds (auditability, like the band
+    * operators). A group whose `[p(lo), p(hi)]` band is a single value
+    * has no scale — `<valueColumn>_robust` is NULL for the whole group
+    * (never a divide-by-zero, never a fabricated 0).
+    *
+    * Scale shape: identical to [[QuantileClamp]] — the threshold table
+    * is one row per group (the eager boundary-sampling pass plus one
+    * rank-location aggregation), broadcast-joined back; the scaling
+    * itself is map-side arithmetic. Null group keys raise in-plan
+    * (inherited from [[QuantileStats]]).
+    */
+  final case class RobustScale(groupColumns: Seq[String],
+                               valueColumn: String,
+                               lo: Double = 0.25,
+                               hi: Double = 0.75,
+                               valueBuckets: Int = 256,
+                               accuracy: Int = 10000)
+      extends Wrangler {
+    require(lo > 0 && lo < 0.5 && hi > 0.5 && hi < 1,
+      s"need 0 < lo < 0.5 < hi < 1 (a band straddling the median), " +
+        s"got lo=$lo hi=$hi")
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame =
+      transformWith(df, robustThresholds(df, groupColumns, valueColumn,
+        lo, hi, valueBuckets, accuracy))
+
+    /** Apply the scaling with a CALLER-SUPPLIED threshold table
+      * (`groupColumns` + `scale_lo`/`scale_med`/`scale_hi`, e.g. one
+      * [[Corpus.robustThresholds]] result shared across stages) — the
+      * one-derivation path for composed chains, like
+      * [[QuantileBandFilter.transformWith]].
+      */
+    def transformWith(df: DataFrame, thresholds: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, groupColumns :+ valueColumn)
+      SparkUtil.validateColumns(thresholds,
+        groupColumns ++ Seq("scale_lo", "scale_med", "scale_hi"))
+      val outCol = s"${valueColumn}_robust"
+      Seq("scale_lo", "scale_med", "scale_hi", outCol).foreach { c =>
+        require(!df.columns.exists(_.equalsIgnoreCase(c)),
+          s"input must not carry `$c` (an output column)")
+      }
+      guardNullGroups(df, groupColumns, "RobustScale")
+        .join(broadcast(thresholds), groupColumns)
+        .withColumn(outCol,
+          when(col("scale_hi") === col("scale_lo"),
+            lit(null).cast("double"))
+          .otherwise(round(
+            (col(valueColumn) - col("scale_med")).cast("double") /
+              (col("scale_hi") - col("scale_lo")).cast("double"), 6)))
+    }
+  }
+
+  /** The per-group `p(lo)/median/p(hi)` threshold table for
+    * [[RobustScale]] — one row per group from the exact
+    * [[QuantileStats]] machinery, public for one-derivation composed
+    * chains (the [[bandThresholds]] pattern).
+    */
+  def robustThresholds(df: DataFrame, groupColumns: Seq[String],
+      valueColumn: String, lo: Double = 0.25, hi: Double = 0.75,
+      valueBuckets: Int = 256, accuracy: Int = 10000): DataFrame = {
+    require(lo > 0 && lo < 0.5 && hi > 0.5 && hi < 1,
+      s"need 0 < lo < 0.5 < hi < 1, got lo=$lo hi=$hi")
+    QuantileStats(groupColumns, valueColumn, Seq(lo, 0.5, hi),
+        valueBuckets, accuracy).transform(df)
+      .select((groupColumns.map(col) :+
+        col(quantileName(lo)).as("scale_lo") :+
+        col(quantileName(0.5)).as("scale_med") :+
+        col(quantileName(hi)).as("scale_hi")): _*)
   }
 }

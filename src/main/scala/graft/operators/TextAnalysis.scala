@@ -82,6 +82,54 @@ object TextAnalysis {
     }
   }
 
+  /** Per-document unigram Shannon entropy over whitespace tokens, in
+    * bits: `H = log2(T) − Σ c·log2(c) / T` over the distinct-token
+    * counts `c` (T = total tokens). A repetitiveness / lexical-diversity
+    * quality signal — boilerplate and template pages score low, natural
+    * prose high — used alongside [[QualityScore]] and
+    * [[RepetitionScore]] as a gate input; per-group comparability comes
+    * from composing with [[Corpus.RobustScale]].
+    *
+    * Scale shape: per-doc state is doc-bounded (one token-count map),
+    * computed in one compiled map pass via [[appendFromText]] — NO
+    * shuffle, unlike the equivalent explode + (doc, token) aggregation,
+    * whose keyed shuffle of the full token stream buys nothing the
+    * per-doc map doesn't already have. Row-preserving; null text yields
+    * a null entropy; `round(_, 6)` for a cross-engine-stable surface.
+    */
+  final case class TokenEntropy(textColumn: String = "text")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(textColumn))
+      require(!df.columns.exists(_.equalsIgnoreCase("entropy")),
+        "input must not carry `entropy` (an output column)")
+      val ln2 = Math.log(2.0)
+      appendFromText(df, textColumn, Seq("entropy" -> DoubleT)) { () => text =>
+        if (text == null) Seq(null)
+        else {
+          val toks = graft.functions.Portable.tokensLocal(text)
+          val counts = new java.util.HashMap[String, Array[Int]]()
+          var i = 0
+          while (i < toks.length) {
+            val slot = counts.get(toks(i))
+            if (slot == null) counts.put(toks(i), Array(1))
+            else slot(0) += 1
+            i += 1
+          }
+          val t = toks.length.toDouble
+          var s = 0.0
+          val it = counts.values().iterator()
+          while (it.hasNext) {
+            val c = it.next()(0).toDouble
+            s += c * (Math.log(c) / ln2)
+          }
+          Seq(round6(Math.log(t) / ln2 - s / t))
+        }
+      }
+    }
+  }
+
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
 
   /** Heuristic quality signals: token counts, average token length,

@@ -144,6 +144,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(TextAnalysis.PiiScrub().transform(df)) == 0)
   }
 
+  test("token entropy: pure map-side, zero shuffles — never the " +
+    "(doc, token) keyed aggregation") {
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    assert(shuffles(TextAnalysis.TokenEntropy().transform(df)) == 0)
+  }
+
   test("pipeline composition fuses map-side stages: normalize + quality " +
     "+ filters + dedup cost exactly the dedup window's one shuffle") {
     import graft.operators.TextAnalysis

@@ -260,4 +260,101 @@ class CurriculumMixSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("band_lo"), e.getMessage)
   }
+
+  test("transformWith with a caller-supplied table RAISES on null group " +
+    "keys instead of silently dropping the row through the join") {
+    // the derive path inherits QuantileStats' guard; the caller-table
+    // path joins directly — this pins its own in-plan raise (the
+    // round-9 PercentileRank silent-drop class, third occurrence)
+    val vals = Seq((1L, "g0", 5L), (2L, null.asInstanceOf[String], 7L))
+      .toDF("id", "g", "v")
+    val th = Seq(("g0", 1L, 9L)).toDF("g", "band_lo", "band_hi")
+    val rth = Seq(("g0", 1L, 5L, 9L))
+      .toDF("g", "scale_lo", "scale_med", "scale_hi")
+    for (run <- Seq(
+        () => Corpus.QuantileBandFilter(Seq("g"), "v")
+          .transformWith(vals, th).collect(),
+        () => Corpus.QuantileClamp(Seq("g"), "v")
+          .transformWith(vals, th).collect(),
+        () => Corpus.RobustScale(Seq("g"), "v")
+          .transformWith(vals, rth).collect())) {
+      val e = intercept[Exception] { run() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("must be non-null")), e.toString)
+    }
+  }
+
+  // ---- RobustScale ----
+
+  test("quality_robust: row-preserving median/IQR scaling matches the " +
+    "brute-force discrete quantiles; original column untouched") {
+    val vals = (0 until 300).map { i =>
+      (i.toLong, s"g${i % 3}", ((i * 48271L) % 997L))
+    }.toDF("id", "g", "v")
+    val rows = vals.as[(Long, String, Long)].collect()
+    def q(sorted: Seq[Long], p: Double): Long =
+      sorted((BigDecimal(p.toString) * sorted.size)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toInt - 1)
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.map(_._3).sorted.toSeq
+      val lo = q(sorted, 0.25); val med = q(sorted, 0.5)
+      val hi = q(sorted, 0.75)
+      rs.map(r => (r._1, r._3,
+        BigDecimal((r._3 - med).toDouble / (hi - lo).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.sortBy(_._1)
+    val got = Corpus.RobustScale(Seq("g"), "v")
+      .transform(vals)
+      .select("id", "v", "v_robust")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == expect)
+    assert(got.size == rows.length) // row-preserving, nothing dropped
+  }
+
+  test("quality_robust: a single-valued band yields NULL for the whole " +
+    "group — never a divide-by-zero, never a fabricated 0") {
+    // g0 is constant (IQR = 0); g1 is a clean arithmetic spread
+    val vals = ((0 until 40).map(i => (i.toLong, "g0", 7L)) ++
+      (40 until 80).map(i => (i.toLong, "g1", (i - 40).toLong * 10L)))
+      .toDF("id", "g", "v")
+    val out = Corpus.RobustScale(Seq("g"), "v").transform(vals)
+      .select("id", "g", "v_robust")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val (g0, g1) = out.partition(_._2 == "g0")
+    assert(g0.length == 40 && g0.forall(_._3.isEmpty))
+    assert(g1.length == 40 && g1.forall(_._3.isDefined))
+    // g1: values 0,10,...,390 => p25=90, med=190, p75=290, IQR=200
+    val byId = g1.map(t => t._1 -> t._3.get).toMap
+    assert(byId(40L + 19L) == 0.0) // v = 190 = median
+    assert(byId(40L + 9L) == -0.5) // v = 90 = p25 => (90-190)/200
+    assert(byId(40L + 29L) == 0.5) // v = 290 = p75
+  }
+
+  test("quality_robust: output-column collisions rejected, any case; " +
+    "transformWith matches the derive-your-own path") {
+    val bad = Seq((1L, "g", 5L, 0.0)).toDF("id", "g", "v", "V_ROBUST")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.RobustScale(Seq("g"), "v").transform(bad)
+    }
+    assert(e.getMessage.contains("v_robust"), e.getMessage)
+
+    val vals = (0 until 200).map { i =>
+      (i.toLong, s"g${i % 2}", ((i * 69621L) % 509L))
+    }.toDF("id", "g", "v")
+    val shared = Corpus.robustThresholds(vals, Seq("g"), "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v_robust").as[(Long, Double)].collect()
+        .sortBy(_._1).toSeq
+    assert(canon(Corpus.RobustScale(Seq("g"), "v")
+        .transformWith(vals, shared)) ==
+      canon(Corpus.RobustScale(Seq("g"), "v").transform(vals)))
+    // a table missing the scale columns is rejected up front
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.RobustScale(Seq("g"), "v")
+        .transformWith(vals, vals.select("g"))
+    }
+    assert(e2.getMessage.contains("scale_lo"), e2.getMessage)
+  }
 }

@@ -285,6 +285,39 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r.getAs[Double]("stopword_ratio") == math.rint(1.0 / 3.0 * 1e6) / 1e6)
   }
 
+  test("TokenEntropy: closed-form values, null text, case folding, " +
+    "row preservation") {
+    val df = Seq(
+      (1L, "a a a a"),          // single class -> exactly 0 bits
+      (2L, "a b c d"),          // 4 uniform classes -> exactly 2 bits
+      (3L, "a a b b"),          // 2 uniform classes -> exactly 1 bit
+      (4L, "a A b"),            // folds to (a:2, b:1)
+      (5L, null.asInstanceOf[String]),
+      (6L, ""))                 // one empty token -> 0 bits
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.TokenEntropy().transform(df)
+      .select("doc_id", "entropy").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(0.0))
+    assert(got(2L).contains(2.0))
+    assert(got(3L).contains(1.0))
+    // H(2/3, 1/3) = log2(3) - 2/3
+    val h3 = BigDecimal(Math.log(3.0) / Math.log(2.0) -
+        (2.0 * (Math.log(2.0) / Math.log(2.0))) / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(4L).contains(h3))
+    assert(got(5L).isEmpty)   // null text -> null entropy, row kept
+    assert(got(6L).contains(0.0))
+    assert(got.size == 6)     // row-preserving
+    // output-column collision rejected, any case
+    val bad = Seq((1L, "x", 0.0)).toDF("doc_id", "text", "ENTROPY")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.TokenEntropy().transform(bad)
+    }
+    assert(e.getMessage.contains("entropy"))
+  }
+
   test("MediaFeatures stub path (non-image media) stays deterministic and bounded") {
     // audio/video placeholder: text bytes carry no image magic, so the
     // documented stub fires ONLY behind the explicit opt-in (the real
