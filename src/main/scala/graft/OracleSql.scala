@@ -45,6 +45,22 @@ object OracleSql {
        |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_regex_tokens
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Per-doc unigram Shannon entropy (bits): `log2(T) − Σ c·log2(c)/T`
+    * over distinct-token counts. Mirrors
+    * [[graft.operators.TextAnalysis.TokenEntropy]]; null text keeps its
+    * row with a NULL entropy via the join back.
+    */
+  def textEntropy: String =
+    s"""WITH t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents
+       |  WHERE text IS NOT NULL),
+       |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+       |h AS (SELECT doc_id,
+       |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+       |  FROM c GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang, h.entropy
+       |FROM documents d LEFT JOIN h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def textQuality: String = {
     val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
@@ -343,6 +359,65 @@ object OracleSql {
        |              JOIN sig y ON y.doc_id = c.id_b)
        |SELECT * FROM est WHERE est_jaccard >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Incremental MinHash near-dup (graft.operators.Dedup
+    * .IncrementalMinHashLSH): the corpus (`source <> batchSource`) is
+    * probed only through its signature/band indexes; the batch is
+    * `source = batchSource`. Bucket caps per side — corpus buckets by
+    * corpus counts (index build), batch buckets by batch counts on the
+    * batch SELF-join only (the corpus probe keeps all batch bands).
+    * `known = true` pairs carry the corpus doc as `id_a`.
+    */
+  def dedupIncrementalMinHash(batchSource: String, k: Int, bands: Int,
+                              threshold: Double,
+                              maxBucket: Long = 10000L): String = {
+    val r = k / bands
+    val sigCols = (0 until k).map { i =>
+      s"list_min(list_transform(hs, x -> (${Portable.minHashA(i)} * x + " +
+        s"${Portable.minHashB(i)}) % ${Portable.MinHashP})) AS s$i"
+    }.mkString(",\n  ")
+    def bandSelects(rel: String) = (0 until bands).map { b =>
+      val key = (0 until r).map(j => s"s${b * r + j}").mkString(", '-', ")
+      s"SELECT doc_id, $b AS band, concat($key) AS key FROM $rel"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$ShingleHashes,
+       |sig0 AS (SELECT doc_id,
+       |  $sigCols
+       |  FROM h),
+       |sig AS (SELECT s.*, d.source FROM sig0 s
+       |  JOIN documents d USING (doc_id)),
+       |csig AS (SELECT * FROM sig WHERE source <> '$batchSource'),
+       |bsig AS (SELECT * FROM sig WHERE source = '$batchSource'),
+       |cb0 AS (
+       |  ${bandSelects("csig")}),
+       |cb AS (SELECT * FROM cb0 t WHERE ${bucketCapPredicate(
+            "cb0", Seq("band", "key"), maxBucket)}),
+       |bb0 AS (
+       |  ${bandSelects("bsig")}),
+       |bb AS (SELECT * FROM bb0 t WHERE ${bucketCapPredicate(
+            "bb0", Seq("band", "key"), maxBucket)}),
+       |candb AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bb a JOIN bb b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |candc AS (SELECT DISTINCT c.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM cb c JOIN bb0 b ON c.band = b.band AND c.key = b.key),
+       |estb AS (SELECT c.id_a, c.id_b,
+       |  round(CAST($agree AS DOUBLE) / $k.0, 6) AS est_jaccard,
+       |  FALSE AS known
+       |  FROM candb c JOIN bsig x ON x.doc_id = c.id_a
+       |               JOIN bsig y ON y.doc_id = c.id_b),
+       |estc AS (SELECT c.id_a, c.id_b,
+       |  round(CAST($agree AS DOUBLE) / $k.0, 6) AS est_jaccard,
+       |  TRUE AS known
+       |  FROM candc c JOIN csig x ON x.doc_id = c.id_a
+       |               JOIN bsig y ON y.doc_id = c.id_b)
+       |SELECT * FROM (SELECT * FROM estb UNION ALL SELECT * FROM estc)
+       |WHERE est_jaccard >= $threshold
+       |ORDER BY known, id_a, id_b""".stripMargin
   }
 
   /** Hot-bucket cap as an ANSI NOT-EXISTS predicate over `cols` of
@@ -1228,6 +1303,33 @@ object OracleSql {
        |  CAST(greatest(least(d.n_chars, th.band_hi), th.band_lo)
        |    AS BIGINT) AS n_chars_winsor,
        |  th.band_lo, th.band_hi
+       |FROM documents d JOIN th USING (lang)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-group robust scaling `(x − median) / (p(hi) − p(lo))` with
+    * discrete-quantile thresholds and NULL where the band is a single
+    * value. Mirrors [[graft.operators.Corpus.RobustScale]] over
+    * (lang, n_chars).
+    */
+  def qualityRobust(lo: Double, hi: Double): String =
+    s"""WITH r AS (SELECT lang, n_chars AS v,
+       |  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM documents),
+       |th AS (SELECT lang,
+       |  CAST(max(CASE WHEN rn = CAST(ceil($lo * cnt) AS BIGINT)
+       |    THEN v END) AS BIGINT) AS scale_lo,
+       |  CAST(max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+       |    THEN v END) AS BIGINT) AS scale_med,
+       |  CAST(max(CASE WHEN rn = CAST(ceil($hi * cnt) AS BIGINT)
+       |    THEN v END) AS BIGINT) AS scale_hi
+       |  FROM r GROUP BY lang)
+       |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       |  CASE WHEN th.scale_hi = th.scale_lo THEN NULL
+       |    ELSE round(CAST(d.n_chars - th.scale_med AS DOUBLE)
+       |      / CAST(th.scale_hi - th.scale_lo AS DOUBLE), 6) END
+       |    AS n_chars_robust,
+       |  th.scale_lo, th.scale_med, th.scale_hi
        |FROM documents d JOIN th USING (lang)
        |ORDER BY doc_id""".stripMargin
 

@@ -224,6 +224,12 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
           "punct_ratio", "quality_score")
         .orderBy("doc_id")),
+    // per-doc unigram Shannon entropy: the repetitiveness / lexical-
+    // diversity gate signal — one compiled map pass, no shuffle
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.TokenEntropy().transform(docs(s, dir))
+        .select("doc_id", "lang", "entropy")
+        .orderBy("doc_id")),
     "sessionize" -> ((s, dir) =>
       Sessionize("ts", 50000000000000L, Seq("user_id"), Seq("event_id"))
         .transform(events(s, dir))
@@ -348,6 +354,18 @@ object SparkEntry {
         .select("doc_id", "content_fp", "is_known", "canonical_id",
           "is_dup")
         .orderBy("doc_id")
+    }),
+    // incremental NEAR-dup: the corpus is probed only through its
+    // persisted MinHash signature/band indexes — batch text is the only
+    // text that shingles
+    "dedup_incr_minhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpusSigs = Dedup.IncrementalMinHashLSH.signatureIndex(
+        d.filter(col("source") =!= "src0"))
+      Dedup.IncrementalMinHashLSH(
+          Dedup.IncrementalMinHashLSH.bandIndex(corpusSigs), corpusSigs)
+        .transform(d.filter(col("source") === "src0"))
+        .orderBy("known", "id_a", "id_b")
     }),
     // Gopher-style per-domain rollup + gate: filtering decided at the
     // SOURCE level, the stats table joins back (AQE-broadcast)
@@ -577,6 +595,19 @@ object SparkEntry {
           col("band_lo").cast("long").as("band_lo"),
           col("band_hi").cast("long").as("band_hi"))
         .orderBy("doc_id")),
+    // per-group median/IQR robust scaling: normalize quality features
+    // ACROSS languages before any global gate — same threshold-table +
+    // broadcast-join shape as the winsorization above
+    "quality_robust" -> ((s, dir) =>
+      Corpus.RobustScale(Seq("lang"), "n_chars")
+        .transform(docs(s, dir))
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("n_chars_robust"),
+          col("scale_lo").cast("long").as("scale_lo"),
+          col("scale_med").cast("long").as("scale_med"),
+          col("scale_hi").cast("long").as("scale_hi"))
+        .orderBy("doc_id")),
     // the composed pretraining prep path: chunk the corpus, then pack
     // chunks into contiguous fixed-token-budget training sequences via
     // ShardPack's exact two-phase prefix sum (token weights, chunk-key
@@ -788,6 +819,7 @@ object SparkEntry {
   private def extendedOracles: Map[String, String] = Map(
     "text_tokens" -> OracleSql.textTokens,
     "text_quality" -> OracleSql.textQuality,
+    "text_entropy" -> OracleSql.textEntropy,
     "text_repetition" -> OracleSql.textRepetition,
     "pii_scrub" -> OracleSql.piiScrub,
     "pipeline_ingest" -> OracleSql.pipelineIngest(20L),
@@ -807,6 +839,8 @@ object SparkEntry {
     "dedup_embedding" -> OracleSql.dedupEmbedding(64, 4, 8, 0.4),
     "dedup_semantic" -> OracleSql.dedupSemantic(64, 8, 2, 0.35),
     "dedup_incr" -> OracleSql.dedupIncremental("src0"),
+    "dedup_incr_minhash" ->
+      OracleSql.dedupIncrementalMinHash("src0", 32, 8, 0.25),
     "source_stats" -> OracleSql.sourceStats,
     "source_filter" -> OracleSql.sourceFilter(290.0, 0.2, 1L),
     "asof_join" -> OracleSql.asOfJoin,
@@ -816,6 +850,7 @@ object SparkEntry {
     "funnel_steps" -> OracleSql.funnelSteps,
     "funnel_report" -> OracleSql.funnelReport,
     "quality_winsor" -> OracleSql.qualityWinsor(0.1, 0.9),
+    "quality_robust" -> OracleSql.qualityRobust(0.25, 0.75),
     "sample_stratified" -> OracleSql.sampleStratified(
       Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft"),
     "sample_quota" -> OracleSql.sampleQuota(

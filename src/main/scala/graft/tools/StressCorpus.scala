@@ -225,6 +225,28 @@ object StressCorpus {
       r.getLong(0)
     }
 
+    // ----- per-doc unigram entropy at corpus scale with EXACT dyadic
+    // closed forms: even docs "x x y z" have H = 2 − 2/4 = 1.5 bits
+    // exactly; odd docs "x y z w" have H = 2.0 exactly — both IEEE-exact
+    // so the invariant is equality, not tolerance. One compiled map
+    // pass, no shuffle (PlanShapeSpec pins the plan; this pins the wall)
+    time(s"text_entropy docs=$nDocs (dyadic closed forms)") {
+      val ent = spark.range(nDocs.toLong)
+        .select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(2L)) === 0, lit("x x y z"))
+            .otherwise(lit("x y z w")).as("text"))
+      val out = graft.operators.TextAnalysis.TokenEntropy().transform(ent)
+      val r = out.agg(count(lit(1)),
+        sum(when(pmod(col("doc_id"), lit(2L)) === 0 &&
+            col("entropy") =!= 1.5, 1L).otherwise(0L)),
+        sum(when(pmod(col("doc_id"), lit(2L)) === 1 &&
+            col("entropy") =!= 2.0, 1L).otherwise(0L))).collect()(0)
+      require(r.getLong(0) == nDocs.toLong && r.getLong(1) == 0L &&
+          r.getLong(2) == 0L,
+        s"entropy drift: $r")
+      r.getLong(0)
+    }
+
     // ----- bloom-prefiltered decontamination vs the exact row above:
     // same semantics, posting stream pruned map-side before the join
     time(s"decontaminate_bloom docs=$nDocs eval=1/1000") {
@@ -275,6 +297,166 @@ object StressCorpus {
       require(dups == nDocs / 2 - 1,
         s"hot-fp dedup wrong: $dups dups, expected ${nDocs / 2 - 1}")
       dups
+    }
+
+    // ----- incremental ingest against a corpus-sized fingerprint index:
+    // the corpus (all-distinct text) is represented ONLY by its index;
+    // the batch is 1/4 corpus-size with a known class mix — j%4==0 hits
+    // a corpus fingerprint, j%4==1 is new-unique, j%4 in {2,3} form
+    // batch-internal pairs. Closed form: known = B/4, dups = B/2
+    // (known + the odd half of each pair), and the folded index grows
+    // by exactly the B/2 new content classes
+    time(s"dedup_incr corpus=$nDocs batch=${nDocs / 4} (dups)") {
+      val batchN = nDocs.toLong / 4
+      val corpus = spark.range(nDocs.toLong)
+        .select(col("id").as("doc_id"),
+          concat(lit("corpus doc "), col("id")).as("text"))
+      val batch = spark.range(batchN)
+        .select((col("id") + nDocs.toLong).as("doc_id"),
+          when(pmod(col("id"), lit(4L)) === 0,
+              concat(lit("corpus doc "), col("id")))
+            .when(pmod(col("id"), lit(4L)) === 1,
+              concat(lit("batch new "), col("id")))
+            .otherwise(concat(lit("batch pair "),
+              col("id") - pmod(col("id"), lit(4L)) + 2))
+            .as("text"))
+      val index = Dedup.IncrementalExactDedup.fingerprintIndex(corpus)
+        .localCheckpoint() // persisted-index shape: built once, reused
+      val out = Dedup.IncrementalExactDedup(index).transform(batch)
+      val r = out.agg(
+        sum(when(col("is_known"), 1L).otherwise(0L)),
+        sum(when(col("is_dup"), 1L).otherwise(0L))).collect()(0)
+      require(r.getLong(0) == batchN / 4 && r.getLong(1) == batchN / 2,
+        s"incremental classes wrong: $r, expected (${batchN / 4}, " +
+          s"${batchN / 2})")
+      val folded = Dedup.IncrementalExactDedup.updatedIndex(index, out)
+        .count()
+      require(folded == nDocs.toLong + batchN / 2,
+        s"folded index $folded, expected ${nDocs.toLong + batchN / 2}")
+      r.getLong(1)
+    }
+
+    // ----- incremental NEAR-dup at corpus scale: 2M token-disjoint
+    // corpus docs (every shingle carries the doc id) are represented by
+    // their signature/band indexes; the 500k batch has the same class
+    // mix as the exact-incremental row — j%4==0 copies corpus doc j
+    // (known pair at est 1.0), j%4==1 is new-unique, j%4 in {2,3} form
+    // batch-internal pairs (est 1.0). The run pins threshold = 1.0:
+    // identical shingle sets agree on ALL 32 components, while at 2M
+    // docs the 32-bit shingle-hash space has birthday collisions that
+    // push a handful of token-DISJOINT pairs to ~9/32 agreement (0.28,
+    // measured — ordinary MinHash estimator noise that the default 0.25
+    // threshold admits by design), so only the exact-copy closed form
+    // is load-independent
+    time(s"dedup_incr_minhash corpus=$nDocs batch=${nDocs / 4} (pairs)") {
+      val batchN = nDocs.toLong / 4
+      def txt(idCol: org.apache.spark.sql.Column) = concat(
+        lit("x"), idCol, lit(" y"), idCol, lit(" z"), idCol,
+        lit(" w"), idCol, lit(" v"), idCol, lit(" u"), idCol)
+      val corpus = spark.range(nDocs.toLong)
+        .select(col("id").as("doc_id"), txt(col("id")).as("text"))
+      val batch = spark.range(batchN)
+        .select((col("id") + nDocs.toLong).as("doc_id"),
+          when(pmod(col("id"), lit(4L)) === 0, txt(col("id")))
+            .when(pmod(col("id"), lit(4L)) === 1,
+              txt(col("id") + lit(10L) * nDocs))
+            .otherwise(txt(col("id") - pmod(col("id"), lit(4L))
+              + lit(2L) + lit(20L) * nDocs))
+            .as("text"))
+      val sigIdx = Dedup.IncrementalMinHashLSH.signatureIndex(corpus)
+      val bandIdx = Dedup.IncrementalMinHashLSH.bandIndex(sigIdx)
+        .localCheckpoint() // persisted-index shape
+      val out = Dedup.IncrementalMinHashLSH(bandIdx,
+          sigIdx.localCheckpoint(), threshold = 1.0).transform(batch)
+      val r = out.agg(
+        sum(when(col("known"), 1L).otherwise(0L)),
+        sum(when(!col("known"), 1L).otherwise(0L)),
+        min("est_jaccard"),
+        sum(when(col("known") &&
+            col("id_a") =!= col("id_b") - nDocs.toLong, 1L).otherwise(0L)),
+        sum(when(!col("known") && col("id_b") =!= col("id_a") + 1L, 1L)
+          .otherwise(0L))).collect()(0)
+      require(r.getLong(0) == batchN / 4 && r.getLong(1) == batchN / 4 &&
+          r.getDouble(2) == 1.0 && r.getLong(3) == 0L && r.getLong(4) == 0L,
+        s"incremental minhash invariants broken: $r")
+      r.getLong(0) + r.getLong(1)
+    }
+
+    // ----- per-source rollup + gate at corpus scale: 1000 sources over
+    // the full row count, mean_chars = 100 + s by construction, even
+    // sources carry a 50%-hot duplicate class (dup_ratio ~0.5), odd
+    // sources are all-unique (dup_ratio 0). The gate keeps odd sources
+    // with s >= 500 => exactly 250 sources x (n/1000) rows survive
+    def sourcedDocs: DataFrame = spark.range(nRows)
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), pmod(col("id"), lit(1000L))).as("source"),
+        (lit(100L) + pmod(col("id"), lit(1000L))).as("n_chars"),
+        when(expr("(id % 1000) % 2 = 0 and (id div 1000) % 2 = 0"),
+            concat(lit("dup "), pmod(col("id"), lit(1000L))))
+          .otherwise(concat(lit("u "), col("id"))).as("text"),
+        lit("en").as("lang"))
+    time(s"source_stats n=$nRows sources=1000 hot-dup-class") {
+      val stats = graft.operators.SourceQuality.SourceStats()
+        .transform(sourcedDocs).collect()
+      require(stats.length == 1000, s"${stats.length} sources")
+      // every source: n/1000 rows; even s: 1 hot class + n/2000 uniques
+      val perSrc = nRows / 1000L
+      stats.foreach { row =>
+        val s = row.getString(0).drop(1).toLong
+        val n = row.getLong(1)
+        val mean = row.getDouble(2)
+        val classes = row.getLong(3)
+        require(n == perSrc && mean == (100L + s).toDouble,
+          s"source s$s: n=$n mean=$mean")
+        val expected = if (s % 2 == 0) 1L + perSrc / 2 else perSrc
+        require(classes == expected,
+          s"source s$s: $classes classes, expected $expected")
+      }
+      stats.length.toLong
+    }
+    time(s"source_filter n=$nRows keep odd s>=500 (rows)") {
+      val kept = graft.operators.SourceQuality.SourceFilter(
+          minMeanChars = 600.0, maxDupRatio = 0.1)
+        .transform(sourcedDocs).count()
+      require(kept == 250L * (nRows / 1000L),
+        s"gate kept $kept rows, expected ${250L * (nRows / 1000L)}")
+      kept
+    }
+
+    // ----- semantic dedup with a geometrically-pinned oracle: vectors
+    // are signed 2-hot directions (448 classes: 112 coordinate pairs x 4
+    // sign patterns), so same-class cosine is EXACTLY 1.0 and
+    // cross-class cosine is exactly 0, +/-0.5 or -1 — all below the
+    // 0.75 threshold. Same-class vectors are bitwise IDENTICAL, so they
+    // take the same argmax cluster unconditionally (merely-parallel
+    // vectors would not be enough: near-tied center scores can round
+    // differently under different magnitudes). Whatever partition of
+    // classes the Lloyd rounds settle on, is_dup == (id >= 448) and
+    // dup_of == id % 448 hold EXACTLY
+    time(s"dedup_semantic vecs=${nDocs / 4} classes=448 k=448") {
+      val n = nDocs.toLong / 4
+      val semVecs = spark.range(n).select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 15), k -> cast(
+            (case when k = ((id % 448) div 4) div 7
+              then (case when id % 2 = 0 then 1.0 else -1.0 end)
+              when k = (((id % 448) div 4) div 7
+                        + 1 + ((id % 448) div 4) % 7) % 16
+              then (case when (id div 2) % 2 = 0 then 1.0 else -1.0 end)
+              else 0.0 end) as float))""").as("embedding"))
+      val out = graft.operators.SemDedup(nClusters = 448, iterations = 2,
+          threshold = 0.75, maxClusterSize = 100000L)
+        .transform(semVecs)
+      val r = out.agg(count(lit(1)),
+        sum(when(col("is_dup"), 1L).otherwise(0L)),
+        sum(when(col("is_dup") =!= (col("vec_id") >= 448L), 1L)
+          .otherwise(0L)),
+        sum(when(col("is_dup") &&
+            col("dup_of") =!= pmod(col("vec_id"), lit(448L)), 1L)
+          .otherwise(0L))).collect()(0)
+      require(r.getLong(0) == n && r.getLong(1) == n - 448L &&
+          r.getLong(2) == 0L && r.getLong(3) == 0L,
+        s"semantic dedup invariants broken: $r (n=$n)")
+      r.getLong(1)
     }
 
     // ----- deterministic training-order shuffle: the two-phase prefix
@@ -497,6 +679,46 @@ object StressCorpus {
       // a degenerate threshold table (e.g. min/max) would clamp nothing
       require(r.getLong(5) > nRows / 10L && r.getLong(5) < nRows * 3L / 10L,
         s"implausible out-of-band count ${r.getLong(5)}")
+      r.getLong(0)
+    }
+
+    // ----- per-group robust scaling at 50M rows with an ANALYTIC value
+    // layout: group g = id % 32 sees each value of 0..(n/32 - 1) exactly
+    // once, so the sorted order is the identity and every quantile (and
+    // thus every scaled value) is closed-form: med = n/32/2 - 1 + ...,
+    // max scaled = (max - med) / IQR = exactly 1.0, the p25/p75 rows
+    // scale to exactly -0.5 / +0.5, and exactly 32 rows (one median per
+    // group) scale to exactly 0.0
+    time(s"quality_robust n=$nRows groups=32 (analytic)") {
+      val perG = nRows / 32L
+      val analytic = spark.range(nRows)
+        .select(col("id").as("doc_id"),
+          pmod(col("id"), lit(32L)).as("g"),
+          expr("id div 32").as("v"))
+      val out = Corpus.RobustScale(Seq("g"), "v").transform(analytic)
+      // per-group sorted values are 0..perG-1: rank ceil(q*perG) holds
+      // value ceil(q*perG) - 1
+      def qv(q: java.math.BigDecimal): Long =
+        q.multiply(new java.math.BigDecimal(perG))
+          .setScale(0, java.math.RoundingMode.CEILING).longValue() - 1L
+      val lo = qv(new java.math.BigDecimal("0.25"))
+      val med = qv(new java.math.BigDecimal("0.5"))
+      val hi = qv(new java.math.BigDecimal("0.75"))
+      val r = out.agg(count(lit(1)),
+        max("v_robust"), // (perG-1 - med)/(hi - lo)
+        sum(when(col("v_robust") === 0.0, 1L).otherwise(0L)),
+        sum(when(col("v") === lo && col("v_robust") =!= -0.5, 1L)
+          .otherwise(0L)),
+        sum(when(col("v") === hi && col("v_robust") =!= 0.5, 1L)
+          .otherwise(0L)),
+        sum(when(col("v_robust").isNull, 1L).otherwise(0L))).collect()(0)
+      val wantMax = BigDecimal((perG - 1L - med).toDouble
+          / (hi - lo).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      require(r.getLong(0) == nRows && r.getDouble(1) == wantMax &&
+          r.getLong(2) == 32L && r.getLong(3) == 0L && r.getLong(4) == 0L &&
+          r.getLong(5) == 0L,
+        s"robust-scale drift: $r (want max=$wantMax)")
       r.getLong(0)
     }
 
