@@ -113,6 +113,24 @@ class BenchGuardSpec extends AnyFunSuite {
       s"non-query rows parsed: ${rows.keySet -- SparkEntry.queries.keySet}")
   }
 
+  test("contract-line budget: the current query set fits the driver's " +
+    "2000-char tail window at 4-digit-ms medians") {
+    // mirrors Bench.main's contract construction (round-11: 80 queries
+    // of 3-decimal seconds hit 1979 chars and overflowed the window).
+    // 4-digit ms = every median under 10 s, the realistic envelope —
+    // a new query that pushes past the budget should fail HERE, in the
+    // suite, not in the driver's official run (which degrades to the
+    // sidecar-adjudicated empty inline map)
+    val qs = SparkEntry.queries.keySet.toSeq.sorted
+      .map(n => "\"" + n + "\":9999").mkString("{", ",", "}")
+    val contract = """{"metric":"total","value":9999.9999,""" +
+      """"unit":"sec","qunit":"ms","bid":1765432109,"queries":""" + qs +
+      ""","sf":"/root/testdata/sf0.1"}"""
+    assert(contract.length <= 1920,
+      s"projected contract is ${contract.length} chars (> 1920): " +
+        "shorten query names or accept sidecar-only per-query data")
+  }
+
   test("breaching: worst-ratio-first, gate-filtered, capped, " +
     "deterministic") {
     val medians = Map("a" -> 10.0, "b" -> 1.0, "c" -> 9.0, "d" -> 5.0,

@@ -8,26 +8,80 @@ Parses the round-5 re-record table in BASELINE.md (rows like
 per-query ratios, flagging anything over the 2x gate.
 """
 import json
+import os
 import re
 import sys
 
 
+def _sidecar_path():
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "bench_full.json")
+
+
+def _scaled(obj):
+    """Per-query values in SECONDS: contracts carry "qunit":"ms" with
+    integer-millisecond values (round-11 — 80+ queries of 3-decimal
+    seconds outgrew the driver's 2000-char tail window); older contracts
+    and bench_full.json are plain seconds. -1 failure markers pass
+    through unscaled. Isolated-rerun medians live in the bench_full.json
+    sidecar written by the same run (not inline — contract budget); they
+    are merged back as "<q>_rerun" entries ONLY when the sidecar's "bid"
+    matches the contract's (a stale sidecar must not adjudicate a newer
+    artifact)."""
+    scale = 1000.0 if obj.get("qunit") == "ms" else 1.0
+    qs = {q: (t / scale if t >= 0 else t)
+          for q, t in obj["queries"].items()}
+    side = _sidecar_path()
+    if obj.get("bid") is not None and os.path.exists(side):
+        try:
+            sobj = json.load(open(side))
+        except json.JSONDecodeError:
+            sobj = {}
+        if sobj.get("bid") == obj["bid"]:
+            if not qs:  # overflow-degraded contract: empty inline map
+                print("[check_gate] empty inline queries map; using "
+                      "bid-matched sidecar queries")
+                qs = {q: t for q, t in sobj.get("queries", {}).items()}
+            for q, r in sobj.get("reruns", {}).items():
+                qs[q + "_rerun"] = r["median"]  # sidecar is seconds
+        elif sobj.get("reruns"):
+            print("[check_gate] sidecar bid mismatch "
+                  f"({sobj.get('bid')} != {obj['bid']}): ignoring its "
+                  "reruns; re-run Bench to regenerate")
+    return qs
+
+
 def load_queries(path):
     """Accept any of: raw Bench run output (the contract line is the last
-    line containing "metric"), a bare contract JSON object, or the
-    driver's checked-in BENCH_rNN.json artifact (pretty-printed wrapper
-    whose "parsed" field holds the contract and whose "tail" is a
-    fragment — round-6 ADVICE: the old line scan crashed on it)."""
+    line containing "metric"), a bare contract JSON object, the driver's
+    checked-in BENCH_rNN.json artifact (pretty-printed wrapper whose
+    "parsed" field holds the contract and whose "tail" is a fragment —
+    round-6 ADVICE: the old line scan crashed on it), or — when an
+    artifact's parsed contract is null (the tail-window overflow failure
+    mode) — the full-precision bench_full.json sidecar the same official
+    run wrote next to this script's repo."""
     text = open(path).read()
     try:
         whole = json.loads(text)
         if isinstance(whole, dict):
             if isinstance(whole.get("queries"), dict):
-                return whole["queries"]  # bare contract object
+                return _scaled(whole)  # bare contract object
             parsed = whole.get("parsed")
             if isinstance(parsed, dict) and isinstance(
                     parsed.get("queries"), dict):
-                return parsed["queries"]  # driver artifact wrapper
+                return _scaled(parsed)  # driver artifact wrapper
+            if "parsed" in whole and parsed is None:
+                # overflow artifact: fall back to the sidecar from the
+                # same run (seconds, full precision)
+                side = _sidecar_path()
+                if os.path.exists(side):
+                    sobj = json.load(open(side))
+                    qs = dict(sobj.get("queries", {}))
+                    for q, r in sobj.get("reruns", {}).items():
+                        qs[q + "_rerun"] = r["median"]
+                    print(f"[check_gate] {path} parsed=null; using "
+                          f"sidecar {os.path.normpath(side)}")
+                    return qs
     except json.JSONDecodeError:
         pass
     for line in reversed(text.splitlines()):
@@ -38,7 +92,7 @@ def load_queries(path):
         except json.JSONDecodeError:
             continue
         if isinstance(obj, dict) and isinstance(obj.get("queries"), dict):
-            return obj["queries"]
+            return _scaled(obj)
     sys.exit(f"check_gate.py: no bench contract found in {path} — expected "
              "raw Bench output, a contract JSON object, or a BENCH_rNN.json "
              "driver artifact")
