@@ -290,7 +290,7 @@ object OracleSql {
        |SELECT d.doc_id, d.source,
        |  p.mean_chars AS source_mean_chars,
        |  p.dup_ratio AS source_dup_ratio
-       |FROM documents d JOIN pass p ON d.source = p.source
+       |FROM documents d JOIN pass p ON d.source IS NOT DISTINCT FROM p.source
        |ORDER BY d.doc_id""".stripMargin
 
   /** Shared CTE chain producing the (possibly doc-frequency-capped)

@@ -89,10 +89,15 @@ object SourceQuality {
         .select(col("source").as("__src"),
           col("mean_chars").as("source_mean_chars"),
           col("dup_ratio").as("source_dup_ratio"))
-      // plain equi-join: AQE broadcasts the stats side when it fits; an
-      // explicit broadcast hint would pin millions-of-domains corpora
-      // into driver memory instead of letting runtime stats decide
-      df.join(stats, col(sourceColumn) === col("__src"))
+      // NULL-SAFE equi-join: a null source is a real source class (the
+      // stats rollup groups it like any other), so a doc whose null
+      // source PASSES the gate must survive — a plain `===` would
+      // silently drop it through the join (the ExactDedup round-10
+      // null-text class). AQE broadcasts the stats side when it fits;
+      // an explicit broadcast hint would pin millions-of-domains
+      // corpora into driver memory instead of letting runtime stats
+      // decide
+      df.join(stats, col(sourceColumn) <=> col("__src"))
         .drop("__src")
     }
   }

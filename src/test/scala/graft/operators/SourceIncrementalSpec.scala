@@ -114,6 +114,22 @@ class SourceIncrementalSpec extends AnyFunSuite {
     assert(out(5L) == ((15.0, 0.0)))
   }
 
+  test("SourceFilter: a NULL source is a real source class — docs whose " +
+    "null source passes the gate survive the null-safe join") {
+    // two null-source docs, all-unique text (dup_ratio 0, mean 20) plus
+    // a failing named source; a plain === join would drop rows 1-2 even
+    // though their source passes every gate (the ExactDedup null-text
+    // silent-drop class)
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], "unique one", 20L, "en"),
+      (2L, null.asInstanceOf[String], "unique two", 20L, "en"),
+      (3L, "srcLow", "short", 2L, "en"))
+      .toDF("doc_id", "source", "text", "n_chars", "lang")
+    val out = SourceQuality.SourceFilter(minMeanChars = 10.0)
+      .transform(docs).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+  }
+
   test("SourceFilter: maxDupRatio drops the duplicated source; minDocs " +
     "drops the thin one") {
     val byDup = SourceQuality.SourceFilter(maxDupRatio = 0.1)
