@@ -76,6 +76,7 @@ object Bench {
     "dedup_incr" -> Some("Join"), // batch x fingerprint-index join
     "dedup_incr_minhash" -> Some("Join"), // batch bands x band-index probe
     "source_stats" -> Some("HashAggregate"), // per-source rollup agg
+    "corpus_report" -> Some("HashAggregate"), // one-row corpus summary
     "source_filter" -> Some("Join"), // stats table joined back to docs
     "asof_join" -> Some("Window"),
     "range_join" -> Some("Join"),

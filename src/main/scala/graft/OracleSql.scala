@@ -281,6 +281,31 @@ object OracleSql {
        |  n_langs
        |FROM stats ORDER BY source""".stripMargin
 
+  /** One-row whole-corpus summary. Mirrors
+    * [[graft.operators.SourceQuality.CorpusReport]]: distinct counts
+    * exclude nulls (SQL COUNT(DISTINCT)), null text is one content
+    * class, doubles are single divisions of exact integers rounded to 6.
+    */
+  def corpusReport: String =
+    s"""WITH f AS (SELECT source, n_chars, lang, text,
+       |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+       |    AS content_fp FROM documents),
+       |cls AS (SELECT COUNT(DISTINCT content_fp) + CASE
+       |  WHEN COUNT(*) > COUNT(content_fp) THEN 1 ELSE 0 END AS classes,
+       |  COUNT(*) AS n FROM f)
+       |SELECT COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT f.source) AS n_sources,
+       |  COUNT(DISTINCT f.lang) AS n_langs,
+       |  CAST(SUM(f.n_chars) AS BIGINT) AS total_chars,
+       |  round(CAST(SUM(f.n_chars) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_chars,
+       |  CAST(SUM(CASE WHEN f.text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_null_text,
+       |  ANY_VALUE(cls.classes) AS distinct_classes,
+       |  round(CAST(COUNT(*) - ANY_VALUE(cls.classes) AS DOUBLE)
+       |    / COUNT(*), 6) AS dup_ratio
+       |FROM f, cls""".stripMargin
+
   def sourceFilter(minMeanChars: Double, maxDupRatio: Double,
                    minDocs: Long): String =
     s"""WITH $SourceStatsCte,

@@ -367,6 +367,15 @@ object SparkEntry {
         .transform(d.filter(col("source") === "src0"))
         .orderBy("known", "id_a", "id_b")
     }),
+    // one-row whole-corpus analyst summary (the funnel_report motif at
+    // corpus level): one shuffle of pre-aggregated partials
+    "corpus_report" -> ((s, dir) =>
+      graft.operators.SourceQuality.CorpusReport()
+        .transform(docs(s, dir))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("total_chars"), round(col("mean_chars"), 6).as("mean_chars"),
+          col("n_null_text"), col("distinct_classes"),
+          round(col("dup_ratio"), 6).as("dup_ratio"))),
     // Gopher-style per-domain rollup + gate: filtering decided at the
     // SOURCE level, the stats table joins back (AQE-broadcast)
     "source_stats" -> ((s, dir) =>
@@ -842,6 +851,7 @@ object SparkEntry {
     "dedup_incr_minhash" ->
       OracleSql.dedupIncrementalMinHash("src0", 32, 8, 0.25),
     "source_stats" -> OracleSql.sourceStats,
+    "corpus_report" -> OracleSql.corpusReport,
     "source_filter" -> OracleSql.sourceFilter(290.0, 0.2, 1L),
     "asof_join" -> OracleSql.asOfJoin,
     "range_join" -> OracleSql.rangeJoin(2L * 86400000000000L),

@@ -101,4 +101,46 @@ object SourceQuality {
         .drop("__src")
     }
   }
+
+  /** ONE-ROW corpus summary — the whole-corpus analyst table, the same
+    * motif as `funnel_report` over the funnel and `session_stats` over
+    * sessionization: document/source/language counts, char totals,
+    * null-text count and the exact-duplicate ratio (content classes via
+    * the family's normalized md5 fingerprint, null text one class).
+    *
+    * Scale shape: a single global aggregation over a narrow projection —
+    * every measure partial-aggregates map-side (the distinct counts ride
+    * Catalyst's Expand-based partial-distinct, keyed by the uniform
+    * fingerprint/source/lang values), so the one-row result costs one
+    * shuffle of pre-aggregated partials, never a row-level collect.
+    * Doubles are single IEEE divisions of exact 64-bit integers.
+    */
+  final case class CorpusReport(sourceColumn: String = "source",
+                                textColumn: String = "text",
+                                charsColumn: String = "n_chars",
+                                langColumn: String = "lang")
+      extends Wrangler {
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df,
+        Seq(sourceColumn, textColumn, charsColumn, langColumn))
+      val classes = (count_distinct(col("__fp")) +
+        when(count(lit(1)) > count(col("__fp")), lit(1L)).otherwise(lit(0L)))
+      df.select(col(sourceColumn).as("__source"),
+          col(charsColumn).cast("long").as("__chars"),
+          fp(textColumn).as("__fp"),
+          col(langColumn).as("__lang"),
+          col(textColumn).isNull.as("__tnull"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("__source")).as("n_sources"),
+          count_distinct(col("__lang")).as("n_langs"),
+          sum(col("__chars")).as("total_chars"),
+          (sum(col("__chars")).cast("double") / count(lit(1)))
+            .as("mean_chars"),
+          sum(when(col("__tnull"), 1L).otherwise(0L)).as("n_null_text"),
+          classes.as("distinct_classes"),
+          ((count(lit(1)) - classes).cast("double") / count(lit(1)))
+            .as("dup_ratio"))
+    }
+  }
 }

@@ -414,6 +414,25 @@ object StressCorpus {
       }
       stats.length.toLong
     }
+    // one-row corpus rollup over the same layout: every output measure
+    // closed-form (total chars is an arithmetic series; global distinct
+    // content classes sum per-source because the dup/unique classes
+    // embed their source id)
+    time(s"corpus_report n=$nRows (one-row rollup)") {
+      val r = graft.operators.SourceQuality.CorpusReport()
+        .transform(sourcedDocs).collect()(0)
+      val perSrc = nRows / 1000L
+      val wantChars = 100L * nRows + perSrc * (999L * 1000L / 2L)
+      val wantClasses = 500L * (1L + perSrc / 2L) + 500L * perSrc
+      require(r.getAs[Long]("n_docs") == nRows &&
+          r.getAs[Long]("n_sources") == 1000L &&
+          r.getAs[Long]("n_langs") == 1L &&
+          r.getAs[Long]("total_chars") == wantChars &&
+          r.getAs[Long]("n_null_text") == 0L &&
+          r.getAs[Long]("distinct_classes") == wantClasses,
+        s"corpus report drift: $r (want chars=$wantChars classes=$wantClasses)")
+      r.getAs[Long]("n_docs")
+    }
     time(s"source_filter n=$nRows keep odd s>=500 (rows)") {
       val kept = graft.operators.SourceQuality.SourceFilter(
           minMeanChars = 600.0, maxDupRatio = 0.1)

@@ -114,15 +114,22 @@ class BenchGuardSpec extends AnyFunSuite {
   }
 
   test("contract-line budget: the current query set fits the driver's " +
-    "2000-char tail window at 4-digit-ms medians") {
+    "2000-char tail window with every median at its 2x-gate ceiling") {
     // mirrors Bench.main's contract construction (round-11: 80 queries
     // of 3-decimal seconds hit 1979 chars and overflowed the window).
-    // 4-digit ms = every median under 10 s, the realistic envelope —
-    // a new query that pushes past the budget should fail HERE, in the
-    // suite, not in the driver's official run (which degrades to the
-    // sidecar-adjudicated empty inline map)
+    // Envelope: every query simultaneously at TWICE its baseline row —
+    // the gate bound; anything past it is a breach that the isolated
+    // re-run adjudicates, and a truly pathological run degrades to the
+    // sidecar-backed empty inline map instead of losing the artifact.
+    // A new query that pushes past the budget should fail HERE, in the
+    // suite, not in the driver's official run
+    val baseline = Bench.parseBaseline(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BASELINE.md")))
     val qs = SparkEntry.queries.keySet.toSeq.sorted
-      .map(n => "\"" + n + "\":9999").mkString("{", ",", "}")
+      .map { n =>
+        val ms = math.round(baseline.getOrElse(n, 9.999) * 2 * 1000)
+        "\"" + n + "\":" + ms
+      }.mkString("{", ",", "}")
     val contract = """{"metric":"total","value":9999.9999,""" +
       """"unit":"sec","qunit":"ms","bid":1765432109,"queries":""" + qs +
       ""","sf":"/root/testdata/sf0.1"}"""

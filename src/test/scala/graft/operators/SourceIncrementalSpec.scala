@@ -114,6 +114,27 @@ class SourceIncrementalSpec extends AnyFunSuite {
     assert(out(5L) == ((15.0, 0.0)))
   }
 
+  test("CorpusReport: one exact row — counts, totals, null text as one " +
+    "content class, null source/lang excluded from distinct counts") {
+    val docs = Seq(
+      (1L, "srcA", "same text", 10L, "en"),
+      (2L, "srcA", "same  TEXT", 20L, "en"),   // normalizes onto row 1
+      (3L, "srcB", null.asInstanceOf[String], 30L, "de"),
+      (4L, null.asInstanceOf[String], null.asInstanceOf[String], 40L,
+        null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text", "n_chars", "lang")
+    val r = SourceQuality.CorpusReport().transform(docs).head()
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_sources") == 2L)    // null source not counted
+    assert(r.getAs[Long]("n_langs") == 2L)      // null lang not counted
+    assert(r.getAs[Long]("total_chars") == 100L)
+    assert(r.getAs[Double]("mean_chars") == 25.0)
+    assert(r.getAs[Long]("n_null_text") == 2L)
+    // classes: {same text} + the null class = 2
+    assert(r.getAs[Long]("distinct_classes") == 2L)
+    assert(r.getAs[Double]("dup_ratio") == 0.5)
+  }
+
   test("SourceFilter: a NULL source is a real source class — docs whose " +
     "null source passes the gate survive the null-safe join") {
     // two null-source docs, all-unique text (dup_ratio 0, mean 20) plus
