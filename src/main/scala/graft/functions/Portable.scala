@@ -230,6 +230,38 @@ object Portable {
   def minHashA(i: Int): Long = 2 * (tokenHashLocal(s"mh-a:$i") % 536870912L) + 1
   def minHashB(i: Int): Long = tokenHashLocal(s"mh-b:$i")
 
+  /** Per-document k-wide MinHash signature computed LOCALLY in one JVM
+    * pass — exact mirror of the explode + `min((a_i*h + b_i) mod P)`
+    * aggregation path (Dedup.minHashAggs over [[shingleHashRows]]): same
+    * shingles, same [[tokenHashLocal]] hash, same coefficients, so the
+    * two formulations are interchangeable row-for-row. The per-row shape
+    * is what STREAMING ingest needs: a streaming groupBy(id) aggregation
+    * would be stateful, while one doc's shingle set always fits memory.
+    * Returns null when the doc has no shingles (matching the agg path,
+    * where such docs simply produce no row).
+    */
+  def minHashSigLocal(text: String, n: Int, k: Int): Array[Long] = {
+    val sh = shinglesLocal(text, n)
+    if (sh.isEmpty) null
+    else {
+      val a = Array.tabulate(k)(minHashA)
+      val b = Array.tabulate(k)(minHashB)
+      val out = Array.fill(k)(Long.MaxValue)
+      var j = 0
+      while (j < sh.length) {
+        val h = tokenHashLocal(sh(j))
+        var i = 0
+        while (i < k) {
+          val v = (a(i) * h + b(i)) % MinHashP
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      out
+    }
+  }
+
   /** Random-hyperplane component r(plane j, dim i) in [-1000, 1000]. */
   def hyperplane(j: Int, i: Int): Long = tokenHashLocal(s"hp:$j:$i") % 2001L - 1000L
 
