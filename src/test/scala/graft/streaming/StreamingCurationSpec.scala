@@ -192,4 +192,71 @@ class StreamingCurationSpec extends AnyFunSuite {
       assert(got.contains(("g1", 9.5, 9.0)), got)
     } finally { thQuery.stop(); clampQuery.stop() }
   }
+
+  test("streaming robust scaling: closed-window p25/p50/p75 thresholds " +
+    "scale the next window's values — the streaming face of RobustScale") {
+    // the RobustScale composition over the same emitted-thresholds
+    // side-input: (v - p50) / (p75 - p25), NULL when the band is a
+    // single value, exactly the batch operator's contract
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{broadcast, col, lit, round, row_number, when}
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.QEvent]
+    val thresholds = new graft.streaming.StreamingQuantileStats(Seq("g"),
+      "v", quantiles = Seq(0.25, 0.5, 0.75), windowDuration = "10 seconds")
+      .transform(input.toDF().withWatermark("ts", "2 seconds"))
+    val thQuery = thresholds.writeStream.format("memory")
+      .queryName("sq_robust_th").outputMode("append").start()
+    val scaled = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Option[Double])]
+    val scaleQuery = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val th = spark.table("sq_robust_th")
+        if (!th.isEmpty) {
+          import org.apache.spark.sql.expressions.Window
+          val latest = th.withColumn("__rn",
+            row_number().over(Window.partitionBy("g")
+              .orderBy(col("window_end").desc)))
+            .filter(col("__rn") === 1)
+            .select(col("g"), col("p25").as("scale_lo"),
+              col("p50").as("scale_med"), col("p75").as("scale_hi"))
+          batch.join(broadcast(latest), "g")
+            .withColumn("v_robust",
+              when(col("scale_hi") === col("scale_lo"),
+                lit(null).cast("double"))
+              .otherwise(round(
+                (col("v") - col("scale_med")).cast("double") /
+                  (col("scale_hi") - col("scale_lo")).cast("double"), 6)))
+            .select("g", "v", "v_robust")
+            .collect().foreach(r => scaled.synchronized {
+              scaled += ((r.getString(0), r.getDouble(1),
+                if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+            })
+        }
+        ()
+      }.start()
+    try {
+      def ev(g: String, sec: Long, v: Double) =
+        graft.streaming.QEvent(g, new java.sql.Timestamp(sec * 1000L), v)
+      // window [0,10): g1 values 0,10,..,70 -> p25 = 10, p50 = 30,
+      // p75 = 50 (discrete rank ceil(q*8)); IQR = 40
+      input.addData((0 until 8).map(i =>
+        ev("g1", i.toLong, i * 10.0)): _*)
+      // and a constant group: p25 == p75 -> NULL scale for its rows
+      input.addData((0 until 4).map(i => ev("gc", i.toLong, 7.0)): _*)
+      thQuery.processAllAvailable(); scaleQuery.processAllAvailable()
+      input.addData(ev("g1", 30, 0.0), ev("gc", 30, 0.0)) // close [0,10)
+      thQuery.processAllAvailable(); scaleQuery.processAllAvailable()
+      // next docs scale with the closed window's thresholds:
+      // 30 -> 0.0 (the median), 50 -> 0.5, 0 -> -0.75
+      input.addData(ev("g1", 31, 30.0), ev("g1", 32, 50.0),
+        ev("g1", 33, 0.0), ev("gc", 34, 9.0))
+      thQuery.processAllAvailable(); scaleQuery.processAllAvailable()
+      val got = scaled.synchronized(scaled.toSet)
+      assert(got.contains(("g1", 30.0, Some(0.0))), got)
+      assert(got.contains(("g1", 50.0, Some(0.5))), got)
+      assert(got.contains(("g1", 0.0, Some(-0.75))), got)
+      assert(got.contains(("gc", 9.0, None)), got) // single-valued band
+    } finally { thQuery.stop(); scaleQuery.stop() }
+  }
 }
