@@ -75,6 +75,7 @@ object Bench {
     // rounds run eagerly inside the builder, as in the CC loop)
     "dedup_incr" -> Some("Join"), // batch x fingerprint-index join
     "dedup_incr_minhash" -> Some("Join"), // batch bands x band-index probe
+    "dedup_incr_semantic" -> Some("Join"), // batch x cluster-members join
     "source_stats" -> Some("HashAggregate"), // per-source rollup agg
     "corpus_report" -> Some("HashAggregate"), // one-row corpus summary
     "source_filter" -> Some("Join"), // stats table joined back to docs
@@ -351,16 +352,20 @@ object Bench {
     // past the driver's ~2000-char tail window before sbt's trailing
     // `[success] Total time` line (~76 chars) is even counted (round-11
     // finding: the 80-query line hit 1 979 and the guard below fired).
-    // Integer ms costs 2 chars/query less at identical precision and
-    // keeps ~10 more rounds of query growth inside the window;
+    // Integer ms costs 2 chars/query less at identical precision;
     // tools/check_gate.py reads "qunit" and rescales against the
-    // seconds-denominated BASELINE.md rows
-    // rerun entries live in the adjudication line and the bench_full
-    // sidecar (matched to this contract by "bid"), NOT inline — at cap
-    // reruns the old inline entries alone were ~144 chars of budget
-    val qs = results.map { case (k, p) =>
-      "\"" + k + "\":" + p.fold("-1")(x => math.round(x.median * 1000).toString)
-    }.mkString("{", ",", "}")
+    // seconds-denominated BASELINE.md rows.
+    // The inline map is a GREEDY PREFIX (failures first, then largest
+    // medians) of whatever fits the budget — the bid-matched
+    // bench_full.json sidecar always carries the COMPLETE per-query set
+    // (check_gate overlays it), so query-count growth can never
+    // overflow the window again; a dropped tail is reported on its own
+    // detail line, never silently.
+    // Rerun entries live in the adjudication line and the sidecar, NOT
+    // inline — at cap reruns the old inline entries were ~144 chars
+    val entriesMs: Seq[(String, Long)] = results.map { case (k, p) =>
+      k -> p.fold(-1L)(x => math.round(x.median * 1000))
+    }
     val spread = results.collect { case (k, Some(p)) =>
       "\"" + k + "\":" + f"${p.std}%.4f"
     }.mkString("{", ",", "}")
@@ -416,23 +421,45 @@ object Bench {
     // the driver parses the contract out of the run's LAST ~2000 chars;
     // a line that outgrows the window comes back `parsed: null` SILENTLY
     // (it cost rounds 1-4 their bench numbers). Budget: 2000 minus sbt's
-    // trailing success line (76 chars measured) minus newlines. If the
-    // full inline map ever outgrows it (every median 5-digit ms under a
-    // host-load catastrophe, or ~15 more queries of name growth), the
-    // line degrades to an EMPTY queries map rather than crashing the
-    // official artifact: check_gate reads the full per-query data from
-    // the bid-matched bench_full.json sidecar in that case
+    // trailing success line (76 chars measured) minus newlines
     def line(q: String) =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","qunit":"ms","bid":$bid,"queries":$q,"sf":"$sfDir"}"""
-    val contract =
-      if (line(qs).length <= 1920) line(qs)
-      else {
-        println(s"""{"detail":"overflow","inlineChars":${line(qs).length}}""")
-        line("{}")
-      }
+    val (qs, droppedInline) = inlineQueries(entriesMs,
+      1920 - line("{}").length + 2)
+    if (droppedInline > 0)
+      println(s"""{"detail":"inlineDropped","count":$droppedInline,""" +
+        s""""note":"full per-query set in bench_full.json (bid $bid)"}""")
+    val contract = line(qs)
     require(contract.length <= 1920, // unreachable unless sfDir is huge
-      s"[bench] contract line is ${contract.length} chars even with an " +
-        "empty queries map — shorten the sf dir path")
+      s"[bench] contract line is ${contract.length} chars even after " +
+        "the greedy inline fit — shorten the sf dir path")
     println(contract)
+  }
+
+  /** Greedy inline fit for the contract's queries map: failure markers
+    * (-1) always ride inline, then the LARGEST medians — the entries a
+    * reader of the raw artifact most wants — until `budget` chars of
+    * `{...}` map are spent. Returns the map JSON and how many entries
+    * were left to the sidecar.
+    */
+  private[graft] def inlineQueries(entries: Seq[(String, Long)],
+                                   budget: Int): (String, Int) = {
+    val ordered = entries.sortBy { case (k, v) =>
+      (if (v < 0) 0 else 1, -v, k)
+    }
+    val sb = new StringBuilder("{")
+    var dropped = 0
+    var first = true
+    ordered.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + v
+      val extra = entry.length + (if (first) 0 else 1)
+      if (sb.length + extra + 1 <= budget) {
+        if (!first) sb.append(',')
+        sb.append(entry)
+        first = false
+      } else dropped += 1
+    }
+    sb.append('}')
+    (sb.toString, dropped)
   }
 }

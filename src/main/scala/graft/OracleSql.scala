@@ -1545,47 +1545,67 @@ object OracleSql {
     * keep-smallest-id. Every arithmetic step is 64-bit-integer exact up
     * to single IEEE div/sqrt ops, so the replay is bit-identical.
     */
-  def dedupSemantic(dim: Int, k: Int, iterations: Int,
-                    threshold: Double): String = {
+  /** Spherical-assignment CTE: each vec of `src` to its argmax center
+    * in `cName` (score = dot / sqrt(|c|^2); the 1/sqrt(|x|^2) factor is
+    * constant per row, so dropping it cannot change the per-id argmax).
+    */
+  private def semAssignCte(dim: Int)(aName: String, cName: String,
+                                     src: String): String = {
     def dotE(a: String, b: String) =
       s"list_reduce(list_transform(range(1, ${dim + 1}), " +
         s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
-    // score to center: dot / sqrt(|c|^2); the 1/sqrt(|x|^2) factor is
-    // constant per row, so dropping it cannot change the per-id argmax
-    def assignCte(aName: String, cName: String): String =
-      s"""$aName AS (SELECT id, j FROM (
-         |  SELECT x.id, t.j, row_number() OVER (PARTITION BY x.id ORDER BY
-         |    CASE WHEN t.cnrm = 0 THEN NULL ELSE
-         |      CAST(${dotE("x.q", "t.c")} AS DOUBLE) /
-         |      sqrt(CAST(t.cnrm AS DOUBLE)) END DESC NULLS LAST, t.j ASC
-         |    ) AS rn
-         |  FROM n x CROSS JOIN $cName t) WHERE rn = 1)""".stripMargin
-    // rounded mean, half away from zero, in truncating integer division:
-    // c_i = (2*s + sign(s)*cnt) // (2*cnt)
-    def recomputeCtes(cName: String, aName: String): String =
-      s"""${cName}s AS (SELECT a.j, t.i, SUM(x.q[t.i]) AS s, COUNT(*) AS cnt
-         |  FROM $aName a JOIN n x ON x.id = a.id
-         |  CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) t
-         |  GROUP BY a.j, t.i),
-         |$cName AS (SELECT j, c,
-         |  list_reduce(list_transform(c, v -> v * v), (x, y) -> x + y)
-         |    AS cnrm
-         |  FROM (SELECT j, list((2 * s + CASE WHEN s < 0 THEN -cnt
-         |      WHEN s > 0 THEN cnt ELSE 0 END) // (2 * cnt)
-         |      ORDER BY i) AS c
-         |    FROM ${cName}s GROUP BY j))""".stripMargin
+    s"""$aName AS (SELECT id, j FROM (
+       |  SELECT x.id, t.j, row_number() OVER (PARTITION BY x.id ORDER BY
+       |    CASE WHEN t.cnrm = 0 THEN NULL ELSE
+       |      CAST(${dotE("x.q", "t.c")} AS DOUBLE) /
+       |      sqrt(CAST(t.cnrm AS DOUBLE)) END DESC NULLS LAST, t.j ASC
+       |    ) AS rn
+       |  FROM $src x CROSS JOIN $cName t) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Rounded-mean center recompute over assignment `aName` of `src`
+    * members: c_i = (2*s + sign(s)*cnt) // (2*cnt) — half away from
+    * zero in truncating integer division.
+    */
+  private def semRecomputeCtes(dim: Int)(cName: String, aName: String,
+                                         src: String): String =
+    s"""${cName}s AS (SELECT a.j, t.i, SUM(x.q[t.i]) AS s, COUNT(*) AS cnt
+       |  FROM $aName a JOIN $src x ON x.id = a.id
+       |  CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) t
+       |  GROUP BY a.j, t.i),
+       |$cName AS (SELECT j, c,
+       |  list_reduce(list_transform(c, v -> v * v), (x, y) -> x + y)
+       |    AS cnrm
+       |  FROM (SELECT j, list((2 * s + CASE WHEN s < 0 THEN -cnt
+       |      WHEN s > 0 THEN cnt ELSE 0 END) // (2 * cnt)
+       |      ORDER BY i) AS c
+       |    FROM ${cName}s GROUP BY j))""".stripMargin
+
+  /** Hash-picked-init + `iterations` Lloyd rounds over `src`, ending in
+    * assignment `a<iterations>` — the clustering replay shared by the
+    * batch and incremental semantic-dedup oracles.
+    */
+  private def semClusteringCtes(dim: Int, k: Int, iterations: Int,
+                                src: String): String = {
     val rounds = (0 until iterations).map { r =>
-      recomputeCtes(s"c${r + 1}", s"a$r") + ",\n" +
-        assignCte(s"a${r + 1}", s"c${r + 1}")
+      semRecomputeCtes(dim)(s"c${r + 1}", s"a$r", src) + ",\n" +
+        semAssignCte(dim)(s"a${r + 1}", s"c${r + 1}", src)
     }
-    s"""$QuantizedVecs,
-       |hh AS (SELECT id,
+    s"""hh AS (SELECT id,
        |  CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)
-       |    AS h FROM n),
+       |    AS h FROM $src),
        |sel AS (SELECT id, h FROM hh ORDER BY h, id LIMIT $k),
        |c0 AS (SELECT row_number() OVER (ORDER BY s.h, s.id) - 1 AS j,
-       |  n.q AS c, n.nrm AS cnrm FROM sel s JOIN n ON n.id = s.id),
-       |${(assignCte("a0", "c0") +: rounds).mkString(",\n")},
+       |  $src.q AS c, $src.nrm AS cnrm
+       |  FROM sel s JOIN $src ON $src.id = s.id),
+       |${(semAssignCte(dim)("a0", "c0", src) +: rounds).mkString(",\n")}"""
+      .stripMargin
+  }
+
+  def dedupSemantic(dim: Int, k: Int, iterations: Int,
+                    threshold: Double): String =
+    s"""$QuantizedVecs,
+       |${semClusteringCtes(dim, k, iterations, "n")},
        |p AS (SELECT b.id AS id, MIN(a.id) AS dup_of
        |  FROM a$iterations a JOIN a$iterations b
        |    ON a.j = b.j AND a.id < b.id
@@ -1595,6 +1615,41 @@ object OracleSql {
        |  p.dup_of IS NOT NULL AS is_dup, p.dup_of
        |FROM n x JOIN a$iterations a ON a.id = x.id
        |LEFT JOIN p ON p.id = x.id
+       |ORDER BY vec_id""".stripMargin
+
+  /** Incremental SemDeDup: replay the CORPUS clustering (vec_id %
+    * `modulus` <> 0), derive the centers as the rounded-mean of the
+    * final corpus assignment — exactly how the Spark side re-derives
+    * them from the member index — assign the batch (vec_id % `modulus`
+    * = 0) to those centers, then score batch × corpus-members and
+    * batch × batch within clusters. Mirrors
+    * [[graft.operators.IncrementalSemDedup]].
+    */
+  def dedupIncrementalSemantic(dim: Int, k: Int, iterations: Int,
+                               threshold: Double,
+                               modulus: Long): String = {
+    val cF = s"c${iterations + 1}"
+    s"""$QuantizedVecs,
+       |nc AS (SELECT * FROM n WHERE id % $modulus <> 0),
+       |nb AS (SELECT * FROM n WHERE id % $modulus = 0),
+       |${semClusteringCtes(dim, k, iterations, "nc")},
+       |${semRecomputeCtes(dim)(cF, s"a$iterations", "nc")},
+       |${semAssignCte(dim)("ab", cF, "nb")},
+       |mc AS (SELECT b.id AS id, MIN(a.id) AS mc
+       |  FROM a$iterations a JOIN ab b ON a.j = b.j
+       |  JOIN nc x ON x.id = a.id JOIN nb y ON y.id = b.id
+       |  WHERE ${pairCosine(dim)} >= $threshold GROUP BY b.id),
+       |mb AS (SELECT b.id AS id, MIN(a.id) AS mb
+       |  FROM ab a JOIN ab b ON a.j = b.j AND a.id < b.id
+       |  JOIN nb x ON x.id = a.id JOIN nb y ON y.id = b.id
+       |  WHERE ${pairCosine(dim)} >= $threshold GROUP BY b.id)
+       |SELECT x.id AS vec_id, CAST(ab.j AS BIGINT) AS cluster,
+       |  mc.mc IS NOT NULL AS is_known,
+       |  (mc.mc IS NOT NULL OR mb.mb IS NOT NULL) AS is_dup,
+       |  least(mc.mc, mb.mb) AS dup_of
+       |FROM nb x JOIN ab ON ab.id = x.id
+       |LEFT JOIN mc ON mc.id = x.id
+       |LEFT JOIN mb ON mb.id = x.id
        |ORDER BY vec_id""".stripMargin
   }
 

@@ -342,6 +342,20 @@ object SparkEntry {
         .transform(embs(s, dir))
         .select("vec_id", "cluster", "is_dup", "dup_of")
         .orderBy("vec_id")),
+    // incremental semantic ingest: vec_id % 4 == 0 is the new batch,
+    // the rest of the corpus is represented by its (vec_id, cluster,
+    // q, nrm) member index only — centers re-derive from the index, the
+    // corpus embeddings are never re-clustered or re-scored
+    "dedup_incr_semantic" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val idx = IncrementalSemDedup.memberIndex(
+        e.filter(pmod(col("vec_id"), lit(4L)) =!= 0),
+        nClusters = 8, iterations = 2)
+      IncrementalSemDedup(idx, threshold = 0.35)
+        .transform(e.filter(pmod(col("vec_id"), lit(4L)) === 0))
+        .select("vec_id", "cluster", "is_known", "is_dup", "dup_of")
+        .orderBy("vec_id")
+    }),
     // incremental ingest: src0 is the new batch, the rest of the corpus
     // is represented by its fingerprint index only — the corpus text is
     // never re-shuffled to admit the batch
@@ -847,6 +861,8 @@ object SparkEntry {
     "dedup_canonical" -> OracleSql.dedupCanonical(0.2, 10L),
     "dedup_embedding" -> OracleSql.dedupEmbedding(64, 4, 8, 0.4),
     "dedup_semantic" -> OracleSql.dedupSemantic(64, 8, 2, 0.35),
+    "dedup_incr_semantic" ->
+      OracleSql.dedupIncrementalSemantic(64, 8, 2, 0.35, 4L),
     "dedup_incr" -> OracleSql.dedupIncremental("src0"),
     "dedup_incr_minhash" ->
       OracleSql.dedupIncrementalMinHash("src0", 32, 8, 0.25),

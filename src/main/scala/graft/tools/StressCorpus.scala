@@ -478,6 +478,74 @@ object StressCorpus {
       r.getLong(1)
     }
 
+    // ----- incremental semantic dedup at corpus scale, same signed
+    // 2-hot geometry (class vectors are bitwise identical, so they take
+    // one argmax cluster unconditionally — the invariants hold for ANY
+    // cluster partition). Corpus: n/4 vecs over the 448 seen classes
+    // (class = id % 448, min id of a class IS the class). Batch (ids
+    // offset by the corpus size): even j copies corpus class (j/2)%448
+    // -> known, dup_of = the class; odd j takes one of 32 UNSEEN
+    // classes u = (j div 2) % 32 (coordinate pairs 112..119) -> never
+    // known, dup within the batch of the first odd j with its class
+    time(s"dedup_incr_semantic corpus=${nDocs / 4} batch=${nDocs / 16}") {
+      val nC = nDocs.toLong / 4
+      val nB = nDocs.toLong / 16
+      def twoHot(classExpr: String) =
+        expr(s"""transform(sequence(0, 15), dd -> cast(
+          (case when dd = (($classExpr) div 4) div 7
+            then (case when ($classExpr) % 2 = 0 then 1.0 else -1.0 end)
+          when dd = ((($classExpr) div 4) div 7
+                     + 1 + (($classExpr) div 4) % 7) % 16
+            then (case when (($classExpr) div 2) % 2 = 0
+                  then 1.0 else -1.0 end)
+          else 0.0 end) as float))""")
+      val corpus = spark.range(nC).select(col("id").as("vec_id"),
+        twoHot("id % 448").as("embedding"))
+      // unseen classes: the corpus algebra covers coordinate pairs with
+      // offsets 1..7; the 8 offset-8 pairs (d, d+8) x 4 sign patterns
+      // are its exact complement — 32 genuine 2-hot directions the
+      // corpus never emits (cross-class cosine stays 0 / ±0.5 / −1)
+      def unseenTwoHot(uExpr: String) =
+        expr(s"""transform(sequence(0, 15), dd -> cast(
+          (case when dd = ($uExpr) div 4
+            then (case when ($uExpr) % 2 = 0 then 1.0 else -1.0 end)
+          when dd = ($uExpr) div 4 + 8
+            then (case when (($uExpr) div 2) % 2 = 0
+                  then 1.0 else -1.0 end)
+          else 0.0 end) as float))""")
+      val batch = spark.range(nB).select((col("id") + nC).as("vec_id"),
+        when(pmod(col("id"), lit(2L)) === 0,
+            twoHot("(id div 2) % 448"))
+          .otherwise(unseenTwoHot("(id div 2) % 32")).as("embedding"))
+      // stabilized index: assignment is a FIXPOINT of its re-derived
+      // centers, so batch copies provably land in their corpus twin's
+      // cluster — without it, ~0.2% of copies missed their known pair
+      // through boundary drift between the clustering's own centers and
+      // the re-derived ones (measured here before the builder grew
+      // `stabilizeRounds`)
+      val idx = graft.operators.IncrementalSemDedup.memberIndex(corpus,
+        nClusters = 448, iterations = 2, stabilizeRounds = 50)
+      val out = graft.operators.IncrementalSemDedup(idx,
+          threshold = 0.75, maxClusterSize = 100000L)
+        .transform(batch)
+      // j = vec_id - nC; expected knowns/dups are pure id algebra
+      // (`div` = integer division — Column `/` on longs is DOUBLE)
+      val even = expr(s"(vec_id - $nC) % 2 = 0")
+      val r = out.agg(count(lit(1)),
+        sum(when(even && (!col("is_known") ||
+            col("dup_of") =!= expr(s"((vec_id - $nC) div 2) % 448")), 1L)
+          .otherwise(0L)),
+        sum(when(!even && col("is_known"), 1L).otherwise(0L)),
+        sum(when(!even && !col("is_dup"), 1L).otherwise(0L)),
+        sum(when(!even && col("is_dup") && col("dup_of") =!=
+            expr(s"$nC + 2 * (((vec_id - $nC) div 2) % 32) + 1"), 1L)
+          .otherwise(0L))).collect()(0)
+      require(r.getLong(0) == nB && r.getLong(1) == 0L &&
+          r.getLong(2) == 0L && r.getLong(3) == 32L && r.getLong(4) == 0L,
+        s"incremental semantic invariants broken: $r")
+      r.getLong(0)
+    }
+
     // ----- deterministic training-order shuffle: the two-phase prefix
     // sum must hold an EXACT permutation at corpus scale — checked
     // algebraically (max = n-1 and sum = n(n-1)/2 over distinct

@@ -113,29 +113,34 @@ class BenchGuardSpec extends AnyFunSuite {
       s"non-query rows parsed: ${rows.keySet -- SparkEntry.queries.keySet}")
   }
 
-  test("contract-line budget: the current query set fits the driver's " +
-    "2000-char tail window with every median at its 2x-gate ceiling") {
-    // mirrors Bench.main's contract construction (round-11: 80 queries
-    // of 3-decimal seconds hit 1979 chars and overflowed the window).
-    // Envelope: every query simultaneously at TWICE its baseline row —
-    // the gate bound; anything past it is a breach that the isolated
-    // re-run adjudicates, and a truly pathological run degrades to the
-    // sidecar-backed empty inline map instead of losing the artifact.
-    // A new query that pushes past the budget should fail HERE, in the
-    // suite, not in the driver's official run
-    val baseline = Bench.parseBaseline(java.nio.file.Files.readString(
-      java.nio.file.Paths.get("BASELINE.md")))
-    val qs = SparkEntry.queries.keySet.toSeq.sorted
-      .map { n =>
-        val ms = math.round(baseline.getOrElse(n, 9.999) * 2 * 1000)
-        "\"" + n + "\":" + ms
-      }.mkString("{", ",", "}")
-    val contract = """{"metric":"total","value":9999.9999,""" +
-      """"unit":"sec","qunit":"ms","bid":1765432109,"queries":""" + qs +
-      ""","sf":"/root/testdata/sf0.1"}"""
-    assert(contract.length <= 1920,
-      s"projected contract is ${contract.length} chars (> 1920): " +
-        "shorten query names or accept sidecar-only per-query data")
+  test("contract-line inline fit: greedy prefix always fits the budget, " +
+    "keeps failures and the largest medians, reports the dropped tail") {
+    // the inline map can no longer overflow by construction (round-11:
+    // 80 queries of 3-decimal seconds hit 1979 chars and overflowed the
+    // driver's ~2000-char tail window) — whatever doesn't fit rides the
+    // bid-matched bench_full.json sidecar that check_gate overlays.
+    // Exercise the fit with the REAL query set at a catastrophic
+    // every-median-5-digit-ms envelope
+    val entries = SparkEntry.queries.keySet.toSeq.sorted.zipWithIndex
+      .map { case (n, i) => n -> (if (i == 0) -1L else 10000L + i) }
+    val fixed = """{"metric":"total","value":9999.9999,""" +
+      """"unit":"sec","qunit":"ms","bid":1765432109,"queries":{},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    val budget = 1920 - fixed.length + 2
+    val (qs, dropped) = Bench.inlineQueries(entries, budget)
+    assert(qs.length <= budget, s"${qs.length} > $budget")
+    assert(fixed.length - 2 + qs.length <= 1920)
+    // the failure marker always rides inline
+    assert(qs.contains(":-1"), qs)
+    // the largest median rides inline; drops (if any) are the smallest
+    val maxName = entries.maxBy(_._2)._1
+    assert(qs.contains("\"" + maxName + "\":"), qs)
+    assert(dropped >= 0 && dropped < entries.size)
+    // at a generous budget nothing drops and every entry appears
+    val (all, none) = Bench.inlineQueries(entries, 100000)
+    assert(none == 0)
+    entries.foreach { case (n, v) =>
+      assert(all.contains("\"" + n + "\":" + v), n) }
   }
 
   test("breaching: worst-ratio-first, gate-filtered, capped, " +

@@ -122,6 +122,99 @@ class SemDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cluster"))
   }
 
+  // ---- IncrementalSemDedup ----
+
+  test("incremental: corpus matches are known with the corpus id; new " +
+    "directions are new; batch-internal pairs keep the smallest batch " +
+    "id — and corpus members are never re-emitted") {
+    val corpus = vecs(xish ++ yish: _*)
+    val idx = IncrementalSemDedup.memberIndex(corpus, nClusters = 2,
+      iterations = 2)
+    val batch = vecs(
+      100L -> Seq(1.0f, 0.015f, 0f, 0f),  // x-ish: corpus near-dup
+      101L -> Seq(0f, 0f, 1.0f, 0.01f),   // z-ish: new direction
+      102L -> Seq(0f, 0f, 0.99f, 0.02f))  // z-ish: pair of 101
+    val out = IncrementalSemDedup(idx, threshold = 0.9)
+      .transform(batch)
+      .select("vec_id", "is_known", "is_dup", "dup_of")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out.size == 3) // batch rows only, row-preserving
+    assert(out(100L)._1 && out(100L)._2 && out(100L)._3.contains(10L))
+    assert(out(101L) == ((false, false, None)))
+    // 101/102 share a cluster (whichever the derived centers give) and
+    // the min-id rule keeps 101
+    assert(out(102L)._2 && !out(102L)._1 && out(102L)._3.contains(101L))
+  }
+
+  test("incremental: the min-id rule spans corpus AND batch — a batch " +
+    "vec matching both takes the smaller corpus id") {
+    val corpus = vecs(xish: _*)
+    val idx = IncrementalSemDedup.memberIndex(corpus, nClusters = 1,
+      iterations = 1)
+    val batch = vecs(
+      200L -> Seq(1.0f, 0.01f, 0f, 0f),
+      201L -> Seq(0.99f, 0.015f, 0f, 0f))
+    val out = IncrementalSemDedup(idx, threshold = 0.9)
+      .transform(batch)
+      .select("vec_id", "is_known", "dup_of")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2))).toMap
+    // both match corpus id 10 (smaller than any batch id)
+    assert(out(200L) == ((true, 10L)))
+    assert(out(201L) == ((true, 10L)))
+  }
+
+  test("incremental: over-cap corpus cell fails loud at transform time; " +
+    "output-column collisions rejected; empty index yields empty typed " +
+    "frame") {
+    val corpus = vecs(xish: _*)
+    val idx = IncrementalSemDedup.memberIndex(corpus, nClusters = 1,
+      iterations = 1)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalSemDedup(idx, maxClusterSize = 2L)
+        .transform(vecs(300L -> Seq(1f, 0f, 0f, 0f)))
+    }
+    assert(e.getMessage.contains("re-cluster"), e.getMessage)
+
+    val bad = vecs(1L -> Seq(1f, 0f, 0f, 0f))
+      .withColumn("is_known", org.apache.spark.sql.functions.lit(true))
+    val e2 = intercept[IllegalArgumentException](
+      IncrementalSemDedup(idx).transform(bad))
+    assert(e2.getMessage.contains("is_known"))
+
+    val emptyIdx = IncrementalSemDedup.memberIndex(
+      vecs().select($"vec_id", $"embedding"))
+    val out = IncrementalSemDedup(idx.filter(
+        org.apache.spark.sql.functions.lit(false)))
+      .transform(vecs(1L -> Seq(1f, 0f, 0f, 0f)))
+    assert(out.count() == 0)
+    assert(out.columns.contains("is_known"))
+    assert(emptyIdx.count() == 0)
+  }
+
+  test("incremental: a stabilized index is a FIXPOINT of its re-derived " +
+    "centers — reassigning every member against them reproduces the " +
+    "recorded clusters exactly") {
+    val corpus = vecs(xish ++ yish: _*)
+    val idx = IncrementalSemDedup.memberIndex(corpus, nClusters = 2,
+      iterations = 1, stabilizeRounds = 20).localCheckpoint()
+    val asg = idx.select(
+      org.apache.spark.sql.functions.col("vec_id").as("id"),
+      org.apache.spark.sql.functions.col("cluster"),
+      org.apache.spark.sql.functions.col("q"),
+      org.apache.spark.sql.functions.col("nrm"))
+    val dim = 4
+    val centers = SemDedup.roundedMeanCenters(asg, 2, dim)
+    val re = SemDedup.assignToCenters(asg.select("id", "q", "nrm"),
+        centers, dim)
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    val recorded = idx.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    assert(re == recorded)
+  }
+
   test("mismatched embedding dimensions fail loud with the offending id") {
     val df = Seq(
       (1L, Seq(1.0f, 0f, 0f, 0f)),

@@ -38,10 +38,17 @@ def _scaled(obj):
         except json.JSONDecodeError:
             sobj = {}
         if sobj.get("bid") == obj["bid"]:
-            if not qs:  # overflow-degraded contract: empty inline map
-                print("[check_gate] empty inline queries map; using "
-                      "bid-matched sidecar queries")
-                qs = {q: t for q, t in sobj.get("queries", {}).items()}
+            # the inline map is a greedy prefix (largest medians first);
+            # the sidecar from the SAME run carries the complete set —
+            # overlay it, keeping inline values where present (identical
+            # anyway, both written by one run)
+            full = {q: t for q, t in sobj.get("queries", {}).items()}
+            missing = [q for q in full if q not in qs]
+            if missing:
+                print(f"[check_gate] overlaying {len(missing)} sidecar "
+                      "entries not inlined in the contract")
+            full.update(qs)
+            qs = full
             for q, r in sobj.get("reruns", {}).items():
                 qs[q + "_rerun"] = r["median"]  # sidecar is seconds
         elif sobj.get("reruns"):
