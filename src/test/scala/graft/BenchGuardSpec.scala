@@ -113,6 +113,24 @@ class BenchGuardSpec extends AnyFunSuite {
       s"non-query rows parsed: ${rows.keySet -- SparkEntry.queries.keySet}")
   }
 
+  test("every baseline row carries a recording-provenance tag, so " +
+    "re-records stay documented by construction") {
+    // r10 paid a round of adjudication debt because events-family rows
+    // had drifted from their recording context; since then every row
+    // states WHEN its median was recorded — "(rN sweep)", "(rN new)",
+    // "(rN re-record)" — and this guard makes an untagged row (a future
+    // value edit that drops the annotation) a suite failure, not a
+    // judge finding
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BASELINE.md"))
+    val untagged = "(?m)^\\| (\\w+) \\| ([0-9.]+)([^|]*)\\|$".r
+      .findAllMatchIn(text)
+      .filterNot(m => m.group(3).contains("(r"))
+      .map(_.group(1)).toSeq
+    assert(untagged.isEmpty, s"baseline rows without a (rN ...) " +
+      s"provenance tag: $untagged")
+  }
+
   test("contract-line inline fit: greedy prefix always fits the budget, " +
     "keeps failures and the largest medians, reports the dropped tail") {
     // the inline map can no longer overflow by construction (round-11:
