@@ -86,6 +86,8 @@ object Bench {
     "decontaminate_neardup" -> Some("Join"),
     "decontaminate_report" -> Some("Join"),
     "sample_quota" -> Some("Window"),
+    "sample_dsir" -> Some("Window"), // boundary-bucket rank windows
+    "dsir_incr" -> Some("Window"),
     "mix_budget" -> Some("Window"),
     "sample_cluster" -> Some("Window"),
     "text_logprob" -> Some("Join"),

@@ -714,6 +714,89 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** DSIR importance resampling: add-one-smoothed hashed-unigram
+    * target-vs-raw log-likelihood ratio scores on the scaled-long
+    * lattice, exact top-`ceil(fraction * n)` selection ordered by
+    * `(score DESC, md5 bucket, doc_id)`. The oracle replays the FULL
+    * method — feature hashing, smoothing, integer score sums and the
+    * deterministic tie-break — so the Spark side's no-global-sort
+    * boundary-bucket selection must land on the identical kept set.
+    * Mirrors [[graft.operators.Dsir.ImportanceResample]].
+    */
+  def dsirResample(targetValue: String, fraction: Double,
+                   numFeatures: Int, salt: String): String =
+    s"""WITH d AS (SELECT doc_id, text, source FROM documents),
+       |p AS (SELECT doc_id,
+       |    COALESCE(source = '$targetValue', FALSE) AS tgt,
+       |    unnest($Toks) AS tok FROM d),
+       |f AS (SELECT doc_id, tgt,
+       |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % $numFeatures
+       |      AS f FROM p),
+       |c AS (SELECT f, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+       |    sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+       |  FROM f GROUP BY f),
+       |t AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS v FROM c),
+       |lr AS (SELECT f, CAST(round((ln((ct + 1.0) / (tt + v)) -
+       |    ln((cr + 1.0) / (tr + v))) * 1000000) AS BIGINT) AS lr
+       |  FROM c CROSS JOIN t),
+       |s AS (SELECT f.doc_id, sum(lr) AS sc
+       |  FROM f JOIN lr USING (f) GROUP BY f.doc_id),
+       |sc AS (SELECT d.doc_id, COALESCE(s.sc, 0) AS dsir_score,
+       |    substr(md5('$salt:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS th
+       |  FROM d LEFT JOIN s USING (doc_id)),
+       |k AS (SELECT CAST(ceil($fraction * count(*)) AS BIGINT) AS k
+       |  FROM d),
+       |r AS (SELECT doc_id, dsir_score, row_number()
+       |    OVER (ORDER BY dsir_score DESC, th, doc_id) AS rn FROM sc)
+       |SELECT doc_id, CAST(dsir_score AS BIGINT) AS dsir_score
+       |FROM r CROSS JOIN k WHERE rn <= k.k
+       |ORDER BY doc_id""".stripMargin
+
+  /** Incremental DSIR: the batch (one source) scored against feature
+    * counts fitted on the REST of the corpus, batch-top-`ceil(f*n)`
+    * kept. The oracle replays the fit, the scoring — including the
+    * zero-count smoothed ratio for batch features the corpus never
+    * saw — and the deterministic tie-break. Mirrors
+    * [[graft.operators.Dsir.IncrementalResample]] over
+    * [[graft.operators.Dsir.featureCounts]].
+    */
+  def dsirIncremental(batchSource: String, targetValue: String,
+                      fraction: Double, numFeatures: Int,
+                      salt: String): String =
+    s"""WITH c AS (SELECT text, source FROM documents
+       |  WHERE source <> '$batchSource'),
+       |b AS (SELECT doc_id, text FROM documents
+       |  WHERE source = '$batchSource'),
+       |cp AS (SELECT COALESCE(source = '$targetValue', FALSE) AS tgt,
+       |    unnest($Toks) AS tok FROM c),
+       |cf AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+       |      % $numFeatures AS f,
+       |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+       |    sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+       |  FROM cp GROUP BY f),
+       |t AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS v FROM cf),
+       |lr AS (SELECT f, CAST(round((ln((ct + 1.0) / (tt + v)) -
+       |    ln((cr + 1.0) / (tr + v))) * 1000000) AS BIGINT) AS lr
+       |  FROM cf CROSS JOIN t),
+       |bp AS (SELECT doc_id, unnest($Toks) AS tok FROM b),
+       |bf AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8)
+       |      AS BIGINT) % $numFeatures AS f FROM bp),
+       |s AS (SELECT bf.doc_id, sum(COALESCE(lr.lr,
+       |    CAST(round((ln(1.0 / (t.tt + t.v)) -
+       |      ln(1.0 / (t.tr + t.v))) * 1000000) AS BIGINT))) AS sc
+       |  FROM bf LEFT JOIN lr USING (f) CROSS JOIN t
+       |  GROUP BY bf.doc_id),
+       |sc AS (SELECT b.doc_id, COALESCE(s.sc, 0) AS dsir_score,
+       |    substr(md5('$salt:' || CAST(b.doc_id AS VARCHAR)), 1, 8) AS th
+       |  FROM b LEFT JOIN s USING (doc_id)),
+       |k AS (SELECT CAST(ceil($fraction * count(*)) AS BIGINT) AS k
+       |  FROM b),
+       |r AS (SELECT doc_id, dsir_score, row_number()
+       |    OVER (ORDER BY dsir_score DESC, th, doc_id) AS rn FROM sc)
+       |SELECT doc_id, CAST(dsir_score AS BIGINT) AS dsir_score
+       |FROM r CROSS JOIN k WHERE rn <= k.k
+       |ORDER BY doc_id""".stripMargin
+
   /** Token-budget mixture: hash-ordered inclusive running token sum per
     * stratum, kept while within budget. Mirrors
     * [[graft.operators.Corpus.MixBudget]].

@@ -522,6 +522,28 @@ object SparkEntry {
         .transform(docs(s, dir))
         .select("doc_id", "lang", "n_tokens", "cum_tokens", "sample_bucket")
         .orderBy("doc_id")),
+    // DSIR importance resampling: docs scored by hashed-unigram
+    // target-vs-raw log-likelihood ratio (src0 as the target domain),
+    // exact deterministic top-20% kept via the equi-depth boundary-
+    // bucket selection — no global sort
+    "sample_dsir" -> ((s, dir) =>
+      Dsir.ImportanceResample(targetValue = "src0", fraction = 0.2)
+        .transform(docs(s, dir))
+        .select("doc_id", "dsir_score")
+        .orderBy("doc_id")),
+    // DSIR at ingest: the src0 batch scored against feature counts
+    // fitted on the REST of the corpus (src1 as the target domain),
+    // top 25% of the batch kept — corpus text is never re-read;
+    // unseen batch features score the zero-count smoothed ratio
+    "dsir_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val counts = Dsir.featureCounts(
+        d.filter(col("source") =!= "src0"), "src1")
+      Dsir.IncrementalResample(counts, fraction = 0.25)
+        .transform(d.filter(col("source") === "src0"))
+        .select("doc_id", "dsir_score")
+        .orderBy("doc_id")
+    }),
     // diversity-preserving subsample: IVF centroid assignment + per-
     // cluster hash-order quota (dense embedding regions capped, sparse
     // regions survive whole)
@@ -879,6 +901,9 @@ object SparkEntry {
     "quality_robust" -> OracleSql.qualityRobust(0.25, 0.75),
     "sample_stratified" -> OracleSql.sampleStratified(
       Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft"),
+    "sample_dsir" -> OracleSql.dsirResample("src0", 0.2, 4096, "graft"),
+    "dsir_incr" ->
+      OracleSql.dsirIncremental("src0", "src1", 0.25, 4096, "graft"),
     "sample_quota" -> OracleSql.sampleQuota(
       Seq("en" -> 120L, "de" -> 60L), 25L, "graft"),
     "mix_budget" -> OracleSql.mixBudget(

@@ -1,0 +1,408 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Wrangler
+import graft.functions.Portable
+import graft.util.SparkUtil
+
+/** Importance-resampling data selection (DSIR): score every document
+  * by how much more likely its hashed unigram features are under a
+  * TARGET domain's feature distribution than under the rest of the
+  * corpus, then keep exactly the top `fraction` of documents — the
+  * "select web data that looks like my high-quality seed corpus"
+  * primitive of LLM pretraining curation (Xie et al. 2023, "Data
+  * Selection for Language Models via Importance Resampling").
+  *
+  * Beyond-reference operator: the reference engine has no selection
+  * surface at all; this follows the published method re-expressed in
+  * the library's own conventions (tokenisation from
+  * [[graft.functions.Portable.tokens]], md5 feature hashing and the
+  * deterministic md5-order tie-break of
+  * [[Sampling.StratifiedSample]]/[[Corpus.MixBudget]], the scaled-long
+  * score lattice of [[Corpus.UnigramLogProb]], and the equi-depth
+  * rank machinery of [[Corpus.QuantileStats]]).
+  *
+  * Two surfaces share one scoring + selection core:
+  *   - [[ImportanceResample]] — one-shot over a standing corpus (the
+  *     corpus is its own raw-distribution estimate);
+  *   - [[featureCounts]] / [[IncrementalResample]] / [[foldBatch]] —
+  *     the ingest-loop form (cf. [[Dedup.IncrementalExactDedup]]):
+  *     fit sufficient statistics once, persist them (<= `numFeatures`
+  *     rows), score every incoming batch against them, fold the batch
+  *     back in. Admitting a batch never re-reads corpus text.
+  */
+object Dsir {
+
+  /** md5-prefix feature hash of a token: `md5-prefix(tok) mod
+    * numFeatures`, the hashed-unigram bucket of the published method.
+    */
+  private def featureOf(tok: Column, numFeatures: Int): Column =
+    pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"),
+      lit(numFeatures.toLong))
+
+  /** Working / output names both operators forbid on input. */
+  private val Reserved = Set("__tok", "__tgt", "__f", "__t",
+    "__r", "__v", "__lr", "__dlr", "__s", "__th", "__b", "__bc",
+    "__vlo", "__vhi", "__tot", "__above", "__k", "__q", "__one",
+    "__bnd", "__keep", "__rn", "__hb", "__hc", "__hab", "__q2",
+    "__rn2", "dsir_score")
+
+  private def requireNoReserved(df: DataFrame): Unit =
+    require(!df.columns.exists(c => Reserved(c.toLowerCase)),
+      s"input must not carry ${Reserved.mkString("/")} columns " +
+        "(matching is case-insensitive, like Spark's resolution)")
+
+  /** Sufficient statistics of a fitted corpus: one row per hashed
+    * feature PRESENT in the corpus with its occurrence counts in
+    * target documents (`targetColumn === targetValue`) and in the
+    * rest — at most `numFeatures` rows, so the table broadcasts, and
+    * counts are plain sums, so tables FOLD additively across batches
+    * ([[foldBatch]]). Build once over the standing corpus, persist,
+    * and feed [[IncrementalResample]]; `numFeatures` must match
+    * between fit and score.
+    *
+    * Scale shape: one map-side-combined aggregation over the token
+    * posting — text is read once and never shuffled (the shuffle
+    * carries (feature, flag) pairs into <= `numFeatures` cells).
+    */
+  def featureCounts(corpus: DataFrame, targetValue: String,
+                    textColumn: String = "text",
+                    targetColumn: String = "source",
+                    numFeatures: Int = 4096): DataFrame = {
+    SparkUtil.validateColumns(corpus, Seq(textColumn, targetColumn))
+    corpus.select(
+        coalesce(col(targetColumn) === lit(targetValue), lit(false))
+          .as("__tgt"),
+        explode(Portable.tokens(col(textColumn))).as("__tok"))
+      .select(col("__tgt"),
+        featureOf(col("__tok"), numFeatures).as("feature"))
+      .groupBy("feature")
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_target"),
+        sum(when(col("__tgt"), 0L).otherwise(1L)).as("n_raw"))
+  }
+
+  /** Fold an ingested batch's occurrences into a persisted
+    * feature-count table (the [[Dedup.IncrementalExactDedup.updatedIndex]]
+    * move): counts add, new features append. Same <= `numFeatures`-cell
+    * aggregation shape as the initial fit.
+    */
+  def foldBatch(counts: DataFrame, batch: DataFrame, targetValue: String,
+                textColumn: String = "text",
+                targetColumn: String = "source",
+                numFeatures: Int = 4096): DataFrame = {
+    SparkUtil.validateColumns(counts, Seq("feature", "n_target", "n_raw"))
+    counts.select("feature", "n_target", "n_raw")
+      .unionByName(
+        featureCounts(batch, targetValue, textColumn, targetColumn,
+          numFeatures))
+      .groupBy("feature")
+      .agg(sum("n_target").as("n_target"), sum("n_raw").as("n_raw"))
+  }
+
+  /** Per-document add-one-smoothed log-likelihood-ratio scores of `df`
+    * against a feature-count table: with `ct/cr` a feature's counts,
+    * `T/R` the table's totals and `V` its row count, the feature's
+    * log-ratio is `ln((ct+1)/(T+V)) - ln((cr+1)/(R+V))`, rounded to
+    * 1e-6 and held as a scaled LONG (the [[Corpus.UnigramLogProb]]
+    * lattice, so per-document sums are exact integer arithmetic under
+    * any partitioning). Features ABSENT from the table score the
+    * ct = cr = 0 ratio — the smoothing's own value for never-seen
+    * content, so out-of-vocabulary batch tokens down-weight exactly as
+    * the published estimator prescribes instead of dropping out. A
+    * document's score is the sum over its token OCCURRENCES; null-text
+    * / token-less documents score exactly 0 (the empty product's log)
+    * and rank mid-field instead of silently vanishing.
+    *
+    * Returns the NARROW `(id, dsir_score)` frame — 16 bytes a row.
+    * The table rides two broadcasts (per-feature ratios + the 1-row
+    * totals); the only wide ops are the <= `numFeatures`-cell totals
+    * aggregation and the doc-keyed partial-aggregated sum.
+    */
+  private def scoreAgainst(df: DataFrame, counts: DataFrame,
+                           idColumn: String, textColumn: String,
+                           numFeatures: Int,
+                           emptyModelError: Option[String]): DataFrame = {
+    val idc = col(idColumn)
+    // a null id cannot join its score back and its tie hex would be
+    // null (Spark orders nulls first, DuckDB last — the selection
+    // would silently disagree with the oracle): raise in-plan, the
+    // library's null-group convention (cf. QuantileStats)
+    val idG = when(idc.isNull,
+      raise_error(lit(s"Dsir: id column `$idColumn` must be " +
+        "non-null — selection order is keyed on it"))
+        .cast(SparkUtil.fieldType(df, idColumn)))
+      .otherwise(idc).as(idColumn)
+
+    val totals = counts.agg(sum("n_target").as("__t"),
+      sum("n_raw").as("__r"), count(lit(1)).as("__v"))
+    def ratio(ct: Column, cr: Column): Column = round((
+        log((ct + 1).cast("double") /
+          (col("__t") + col("__v")).cast("double")) -
+        log((cr + 1).cast("double") /
+          (col("__r") + col("__v")).cast("double"))) * 1e6)
+      .cast("long")
+    val lr = counts.crossJoin(broadcast(totals))
+      .select(col("feature").as("__f"),
+        ratio(col("n_target"), col("n_raw")).as("__lr"))
+    // the zero-count ratio for features the table never saw; an EMPTY
+    // table is a fit-side error for the incremental form (every score
+    // would be null) — raise in-plan rather than emit a null ordering
+    val unseen = emptyModelError match {
+      case Some(msg) => when(col("__v") === 0,
+          raise_error(lit(msg)).cast("long"))
+        .otherwise(ratio(lit(0L), lit(0L)))
+      case None => ratio(lit(0L), lit(0L))
+    }
+    val dflt = totals.select(unseen.as("__dlr"))
+    val posting = df.select(idc,
+        explode(Portable.tokens(col(textColumn))).as("__tok"))
+      .select(idc, featureOf(col("__tok"), numFeatures).as("__f"))
+    val scores = posting.join(broadcast(lr), Seq("__f"), "left")
+      .crossJoin(broadcast(dflt))
+      .select(idc, coalesce(col("__lr"), col("__dlr")).as("__lr"))
+      .groupBy(idc).agg(sum("__lr").as("__s"))
+    df.select(idG)
+      .join(scores, Seq(idColumn), "left")
+      .select(idc, coalesce(col("__s"), lit(0L)).as("dsir_score"))
+  }
+
+  /** Exact top-`ceil(fraction * n)` of a NARROW `(id, dsir_score)`
+    * frame by the TOTAL order `(dsir_score DESC, md5("salt:id") ASC,
+    * id ASC)` — unique, reproducible across engines and cluster sizes,
+    * oracle-checkable — WITHOUT a global sort. The score column rides
+    * the family's sampled equi-depth buckets ([[ValueBucketing]]);
+    * per-bucket counts classify every bucket as keep-all / drop / THE
+    * boundary bucket by comparing running higher-bucket totals against
+    * `k` (exact DECIMAL arithmetic, cf. QuantileStats.rankOf); only
+    * boundary rows are ever rank-windowed. Identical scores always
+    * share a bucket, so the count algebra cannot split a tie class:
+    *   - a multi-valued boundary bucket rank-windows its own rows,
+    *     population bounded by [[ValueBucketing.populationGuard]];
+    *   - a SINGLE-valued boundary bucket (one heavy tie class holding
+    *     the cut — even 50% of the corpus) never sorts in one task:
+    *     its rows split by their 16-bit md5-prefix into hash cells
+    *     ([[Corpus.MixBudget]]'s two-phase prefix pattern), the cell
+    *     counts re-run the same keep-all/boundary algebra against the
+    *     bucket quota, and only the ONE partial cell (~|tie| / 65536
+    *     rows) is rank-windowed.
+    * The two tiny classification windows run unpartitioned over the
+    * COUNT tables only — bounded by `valueBuckets` respectively 65536
+    * rows, never the data. Boundary sampling is the family's one eager
+    * driver action; the kept SET is invariant to what the sketch
+    * returns (boundaries steer layout only — a shifted boundary moves
+    * rows between the keep-all and boundary classes, not in or out of
+    * the final top-k). Callers localCheckpoint `scored` (unless opted
+    * out) so the sampling action and every branch below read 16-byte
+    * materialized rows, never a scoring re-run.
+    */
+  private def selectTopFraction(scored: DataFrame, idColumn: String,
+                                fraction: Double, valueBuckets: Int,
+                                accuracy: Int, salt: String,
+                                opName: String): DataFrame = {
+    val idc = col(idColumn)
+    val sd = col("dsir_score").cast("double")
+    val bs = ValueBucketing.boundaries(scored, "dsir_score",
+      valueBuckets, accuracy)
+    val bucketed = scored
+      .withColumn("__th", Sampling.bucketHex(salt, idc))
+      .withColumn("__b", ValueBucketing.bucketOf(sd, bs))
+    val bCounts = bucketed.groupBy("__b").agg(
+      count(lit(1)).as("__bc"),
+      min("dsir_score").as("__vlo"), max("dsir_score").as("__vhi"))
+    val total = bCounts.agg(sum("__bc").as("__tot"))
+    // running count of HIGHER buckets (selection is descending) — an
+    // unpartitioned window over the count table only, <= ~2x
+    // `valueBuckets` rows (cf. QuantileStats' per-group prefix)
+    val classed = bCounts.crossJoin(broadcast(total))
+      .withColumn("__bc", ValueBucketing.populationGuard(
+        opName, col("__bc"),
+        col("__vlo") === col("__vhi"), col("__tot"), valueBuckets,
+        accuracy))
+      .withColumn("__above", coalesce(
+        sum("__bc").over(Window.orderBy(col("__b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__k", ceil(
+        lit(new java.math.BigDecimal(fraction.toString)) *
+          col("__tot")).cast("long"))
+      .withColumn("__keep",
+        col("__above") + col("__bc") <= col("__k"))
+      .withColumn("__bnd",
+        !col("__keep") && col("__above") < col("__k"))
+      .withColumn("__q", col("__k") - col("__above"))
+      .withColumn("__one", col("__vlo") === col("__vhi"))
+      .select("__b", "__keep", "__bnd", "__q", "__one")
+    val tagged = bucketed.join(broadcast(classed), Seq("__b"))
+
+    val keepAll = tagged.filter(col("__keep"))
+    // multi-valued boundary bucket: rank its own rows, population
+    // bounded by the equi-depth guard above
+    val bndMulti = tagged.filter(col("__bnd") && !col("__one"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__b").orderBy(
+          col("dsir_score").desc, col("__th").asc, idc.asc))
+        .cast("long"))
+      .filter(col("__rn") <= col("__q"))
+    // single-valued boundary bucket (a heavy tie class holding the
+    // cut): scores are all equal, so order inside is purely
+    // (md5, id) — split by the 16-bit md5 prefix and re-run the
+    // keep-all / boundary count algebra per hash cell
+    val bndSingle = tagged.filter(col("__bnd") && col("__one"))
+      .drop("__keep", "__bnd", "__one") // re-bound per hash cell below
+      .withColumn("__hb",
+        conv(substring(col("__th"), 1, 4), 16, 10).cast("long"))
+    val hCounts = bndSingle.groupBy("__b", "__hb")
+      .agg(count(lit(1)).as("__hc"), first(col("__q")).as("__q"))
+    val hClassed = hCounts
+      .withColumn("__hab", coalesce(
+        sum("__hc").over(Window.partitionBy("__b")
+          .orderBy(col("__hb").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__keep",
+        col("__hab") + col("__hc") <= col("__q"))
+      .withColumn("__bnd",
+        !col("__keep") && col("__hab") < col("__q"))
+      .withColumn("__q2", col("__q") - col("__hab"))
+      .select("__b", "__hb", "__keep", "__bnd", "__q2")
+    val hTagged = bndSingle.drop("__q")
+      .join(broadcast(hClassed), Seq("__b", "__hb"))
+    val hKeep = hTagged.filter(col("__keep"))
+    val hBnd = hTagged.filter(col("__bnd"))
+      .withColumn("__rn2", row_number().over(
+        Window.partitionBy("__b", "__hb")
+          .orderBy(col("__th").asc, idc.asc)).cast("long"))
+      .filter(col("__rn2") <= col("__q2"))
+
+    val keptCols = Seq(idc, col("dsir_score"))
+    keepAll.select(keptCols: _*)
+      .unionByName(bndMulti.select(keptCols: _*))
+      .unionByName(hKeep.select(keptCols: _*))
+      .unionByName(hBnd.select(keptCols: _*))
+  }
+
+  /** Keep the `ceil(fraction * n)` documents with the highest
+    * importance score, exactly and deterministically — the one-shot
+    * form, where the corpus being selected is also the raw side of the
+    * estimate (target = rows whose `targetColumn` equals
+    * `targetValue`).
+    *
+    * Scoring and the per-feature log-ratio lattice: [[scoreAgainst]]
+    * (here every feature is in the table by construction). Selection
+    * and its bounds: [[selectTopFraction]].
+    *
+    * Output: kept rows, all input columns preserved plus `dsir_score`
+    * (scaled long).
+    *
+    * Scale shape: scoring is one bounded feature aggregation
+    * (`numFeatures` cells, map-side partial), a broadcast score-table
+    * join against the exploded posting (a Zipf-hot token is a
+    * broadcast lookup, never a window partition) and one doc-keyed
+    * partial-aggregated sum. The ENTIRE selection then runs ids-only
+    * (the library's rank-machinery convention, cf.
+    * [[Interleave.InterleaveShuffle]]): the `(id, dsir_score)` frame —
+    * 16 bytes a row — is cut ONCE with `localCheckpoint` when
+    * `cacheScores` is set (the [[Similarity.CosineTopK]] trade), so
+    * the eager boundary sampling and every selection branch read the
+    * materialized narrow rows instead of re-running the scoring joins,
+    * and document text is touched exactly twice end to end: the token
+    * explode, and the final id-keyed join that re-attaches input
+    * columns to KEPT rows only.
+    */
+  final case class ImportanceResample(targetValue: String,
+                                      fraction: Double,
+                                      idColumn: String = "doc_id",
+                                      textColumn: String = "text",
+                                      targetColumn: String = "source",
+                                      numFeatures: Int = 4096,
+                                      valueBuckets: Int = 256,
+                                      accuracy: Int = 10000,
+                                      salt: String = "graft",
+                                      cacheScores: Boolean = true)
+      extends Wrangler {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"`fraction` must be in (0, 1], got $fraction")
+    require(numFeatures >= 1 && numFeatures <= (1 << 20),
+      "`numFeatures` must be in [1, 2^20] — the score table is " +
+        s"broadcast, so it must stay driver-sized; got $numFeatures")
+    require(valueBuckets >= 1, "`valueBuckets` must be >= 1")
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df,
+        Seq(idColumn, textColumn, targetColumn))
+      requireNoReserved(df)
+      val counts = featureCounts(df, targetValue, textColumn,
+        targetColumn, numFeatures)
+      val scoredLazy = scoreAgainst(df, counts, idColumn, textColumn,
+        numFeatures, emptyModelError = None)
+      val scored =
+        if (cacheScores) scoredLazy.localCheckpoint() else scoredLazy
+      val kept = selectTopFraction(scored, idColumn, fraction,
+        valueBuckets, accuracy, salt, "ImportanceResample")
+      // re-attach the input columns to KEPT rows only — the one time
+      // document text rides a shuffle after the token explode
+      val outCols = df.columns.map(col).toSeq :+ col("dsir_score")
+      df.join(kept, Seq(idColumn)).select(outCols: _*)
+    }
+  }
+
+  /** DSIR at ingest: score a NEW batch against an already-fitted
+    * corpus and keep the batch's own top `ceil(fraction * n)` — the
+    * selection member of the incremental ingest family
+    * ([[Dedup.IncrementalExactDedup]] / [[Dedup.IncrementalMinHashLSH]]
+    * / [[SemDedup]]'s incremental form). The corpus is represented
+    * ONLY by its persisted feature-count table ([[featureCounts]],
+    * <= `numFeatures` rows), so admitting a batch costs one batch-side
+    * token pass plus two broadcast lookups — corpus text is never
+    * re-read or re-shuffled; [[foldBatch]] then folds the admitted
+    * batch's occurrences back into the table so the estimate tracks
+    * the growing corpus. `numFeatures` must match the fit.
+    *
+    * Batch features the corpus never saw score the ct = cr = 0
+    * smoothed ratio (never dropped); an EMPTY table fails loud
+    * in-plan. Selection, determinism and the no-global-sort bounds
+    * are exactly [[ImportanceResample]]'s ([[selectTopFraction]]).
+    */
+  final case class IncrementalResample(counts: DataFrame,
+                                       fraction: Double,
+                                       idColumn: String = "doc_id",
+                                       textColumn: String = "text",
+                                       numFeatures: Int = 4096,
+                                       valueBuckets: Int = 256,
+                                       accuracy: Int = 10000,
+                                       salt: String = "graft",
+                                       cacheScores: Boolean = true)
+      extends Wrangler {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"`fraction` must be in (0, 1], got $fraction")
+    require(numFeatures >= 1 && numFeatures <= (1 << 20),
+      "`numFeatures` must be in [1, 2^20] — the score table is " +
+        s"broadcast, so it must stay driver-sized; got $numFeatures")
+    require(valueBuckets >= 1, "`valueBuckets` must be >= 1")
+    // the count table is structural input, not a tunable (cf.
+    // IncrementalExactDedup): keep getParams to the scalar knobs
+    override def getParams: Seq[(String, Any)] = Seq(
+      "fraction" -> fraction, "idColumn" -> idColumn,
+      "textColumn" -> textColumn, "numFeatures" -> numFeatures,
+      "valueBuckets" -> valueBuckets, "accuracy" -> accuracy,
+      "salt" -> salt, "cacheScores" -> cacheScores)
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      SparkUtil.validateColumns(counts,
+        Seq("feature", "n_target", "n_raw"))
+      requireNoReserved(df)
+      val scoredLazy = scoreAgainst(df, counts, idColumn, textColumn,
+        numFeatures, emptyModelError = Some(
+          "IncrementalResample: empty feature-count table — fit " +
+            "featureCounts on a non-empty corpus first"))
+      val scored =
+        if (cacheScores) scoredLazy.localCheckpoint() else scoredLazy
+      val kept = selectTopFraction(scored, idColumn, fraction,
+        valueBuckets, accuracy, salt, "IncrementalResample")
+      val outCols = df.columns.map(col).toSeq :+ col("dsir_score")
+      df.join(kept, Seq(idColumn)).select(outCols: _*)
+    }
+  }
+}

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Corpus, Dedup, Dsir, Multimodal, Sampling, Similarity}
 import graft.sources.MediaGen
 
 /** Scale stress for the corpus-curation operators: synthetic inputs far
@@ -266,6 +266,67 @@ object StressCorpus {
       Similarity.ClusterBalancedSample(nlist = 64, quota = 1000L)
         .transform(vecs)
         .agg(sum("cluster_rank"), count(lit(1))).collect()(0).getLong(1)
+    }
+
+    // ----- DSIR importance resampling with a corpus-heavy tie class
+    // holding the cut: single-token docs, even ids are "hot" (the
+    // target domain's only token, score > 0), odd ids are "cold"
+    // (score << 0). fraction=0.6 keeps ALL n/2 hot docs and must then
+    // cut INSIDE the n/2-row single-valued cold class — the path where
+    // a naive rank window would sort 25M equal-score rows in one task;
+    // the hash-cell re-bounding must keep the windowed remainder to
+    // ~|tie|/65536 rows. Closed form: kept == ceil(0.6n) exactly, all
+    // n/2 hot docs kept, and the kept set holds exactly 2 score values
+    def dsirDocs: DataFrame = spark.range(nRows)
+      .select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(2L)) === 0, lit("hot"))
+          .otherwise(lit("cold")).as("text"),
+        when(pmod(col("id"), lit(10L)) === 0, lit("tgt"))
+          .otherwise(lit("raw")).as("source"))
+    time(s"sample_dsir n=$nRows tie=50% at cut") {
+      val k = math.ceil(0.6 * nRows).toLong
+      val out = Dsir.ImportanceResample(targetValue = "tgt",
+          fraction = 0.6).transform(dsirDocs)
+      val r = out.agg(count(lit(1)),
+        sum(when(pmod(col("doc_id"), lit(2L)) === 0, 1L).otherwise(0L)),
+        countDistinct(col("dsir_score"))).collect()(0)
+      require(r.getLong(0) == k && r.getLong(1) == nRows / 2 &&
+          r.getLong(2) == 2L,
+        s"dsir selection drift: kept=${r.getLong(0)} (want $k), " +
+          s"hot=${r.getLong(1)} (want ${nRows / 2}), " +
+          s"scores=${r.getLong(2)} (want 2)")
+      r.getLong(0)
+    }
+
+    // ----- incremental DSIR: the 50M corpus above is represented only
+    // by its feature-count table; the batch (corpus/4) carries three
+    // closed-form score classes — "zz" tokens the corpus NEVER saw
+    // (the zero-count ratio ln((R+V)/(T+V)) ≈ ln(9) — highest), known
+    // "hot" (≈ ln(9/4)) and known "cold" (very negative, 25M-strong in
+    // the corpus). fraction 0.6 keeps the unseen and hot quarters whole
+    // and cuts INSIDE the batch's single-valued cold half — the
+    // hash-cell path again, now through the incremental scorer
+    time(s"dsir_incr corpus=$nRows batch=${nRows / 4}") {
+      val b = nRows / 4
+      val k = math.ceil(0.6 * b).toLong
+      val counts = Dsir.featureCounts(dsirDocs, "tgt")
+      val batch = spark.range(b)
+        .select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(4L)) === 0, lit("hot"))
+            .when(pmod(col("id"), lit(4L)) === 3, lit("zz"))
+            .otherwise(lit("cold")).as("text"))
+      val out = Dsir.IncrementalResample(counts, fraction = 0.6)
+        .transform(batch)
+      val r = out.agg(count(lit(1)),
+        sum(when(pmod(col("doc_id"), lit(4L)).isin(0L, 3L), 1L)
+          .otherwise(0L)),
+        countDistinct(col("dsir_score"))).collect()(0)
+      require(r.getLong(0) == k && r.getLong(1) == b / 2 &&
+          r.getLong(2) == 3L,
+        s"dsir_incr selection drift: kept=${r.getLong(0)} (want $k), " +
+          s"unseen+hot=${r.getLong(1)} (want ${b / 2}), " +
+          s"scores=${r.getLong(2)} (want 3)")
+      r.getLong(0)
     }
 
     time(s"dedup_simhash docs=$nDocs bits=64 chunks=4 maxBucket=1000 (pairs)") {
