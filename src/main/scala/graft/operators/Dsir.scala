@@ -37,15 +37,52 @@ import graft.util.SparkUtil
 object Dsir {
 
   /** md5-prefix feature hash of a token: `md5-prefix(tok) mod
-    * numFeatures`, the hashed-unigram bucket of the published method.
+    * numFeatures`, the hashed-unigram bucket of the published method
+    * ([[Portable.tokenHash]], so the local mirror
+    * [[Portable.tokenHashLocal]] is bit-identical by construction).
     */
   private def featureOf(tok: Column, numFeatures: Int): Column =
-    pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"),
-      lit(numFeatures.toLong))
+    pmod(Portable.tokenHash(tok), lit(numFeatures.toLong))
+
+  /** Driver-held log-ratio table of a feature-count frame: position
+    * `f` holds the scaled-long ratio for feature `f`, absent cells the
+    * zero-count ratio — the LOCAL mirror of [[scoreAgainst]]'s two
+    * broadcasts (same double arithmetic, same HALF_UP rounding as
+    * Spark's `round`), for the streaming gate
+    * ([[graft.streaming.StreamingDsir]]) where per-row scoring runs in
+    * one compiled pass. At most `numFeatures` longs — 8 MB at the
+    * 2^20 cap, the same driver-sized contract the broadcast relies on.
+    */
+  private[graft] def ratioTable(counts: DataFrame, numFeatures: Int,
+                                opName: String): Array[Long] = {
+    SparkUtil.validateColumns(counts, Seq("feature", "n_target", "n_raw"))
+    val rows = counts.select("feature", "n_target", "n_raw").collect()
+    require(rows.nonEmpty,
+      s"$opName: empty feature-count table — fit featureCounts on a " +
+        "non-empty corpus first")
+    var t = 0L
+    var r = 0L
+    rows.foreach { rw => t += rw.getLong(1); r += rw.getLong(2) }
+    val v = rows.length
+    def ratio(ct: Long, cr: Long): Long =
+      java.math.BigDecimal.valueOf(
+          (math.log((ct + 1).toDouble / (t + v)) -
+            math.log((cr + 1).toDouble / (r + v))) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val arr = Array.fill(numFeatures)(ratio(0L, 0L))
+    rows.foreach { rw =>
+      val f = rw.getLong(0)
+      require(f >= 0 && f < numFeatures,
+        s"$opName: feature $f out of [0, $numFeatures) — the table " +
+          "was fitted with a different numFeatures")
+      arr(f.toInt) = ratio(rw.getLong(1), rw.getLong(2))
+    }
+    arr
+  }
 
   /** Working / output names both operators forbid on input. */
   private val Reserved = Set("__tok", "__tgt", "__f", "__t",
-    "__r", "__v", "__lr", "__dlr", "__s", "__th", "__b", "__bc",
+    "__r", "__v", "__mf", "__lr", "__dlr", "__s", "__th", "__b", "__bc",
     "__vlo", "__vhi", "__tot", "__above", "__k", "__q", "__one",
     "__bnd", "__keep", "__rn", "__hb", "__hc", "__hab", "__q2",
     "__rn2", "dsir_score")
@@ -137,7 +174,8 @@ object Dsir {
       .otherwise(idc).as(idColumn)
 
     val totals = counts.agg(sum("n_target").as("__t"),
-      sum("n_raw").as("__r"), count(lit(1)).as("__v"))
+      sum("n_raw").as("__r"), count(lit(1)).as("__v"),
+      max("feature").as("__mf"))
     def ratio(ct: Column, cr: Column): Column = round((
         log((ct + 1).cast("double") /
           (col("__t") + col("__v")).cast("double")) -
@@ -153,6 +191,14 @@ object Dsir {
     val unseen = emptyModelError match {
       case Some(msg) => when(col("__v") === 0,
           raise_error(lit(msg)).cast("long"))
+        // a table holding features >= numFeatures was fitted with a
+        // DIFFERENT numFeatures — scoring through it would silently
+        // mis-bucket every token (the smaller-fit direction is
+        // undetectable; this catches the loud half)
+        .when(col("__mf") >= numFeatures, raise_error(lit(
+            "IncrementalResample: feature-count table carries " +
+              s"features >= numFeatures ($numFeatures) — it was " +
+              "fitted with a different numFeatures")).cast("long"))
         .otherwise(ratio(lit(0L), lit(0L)))
       case None => ratio(lit(0L), lit(0L))
     }

@@ -261,6 +261,18 @@ class DsirSpec extends AnyFunSuite {
     assert(folded == scratch)
   }
 
+  test("incremental: a table fitted with a larger numFeatures raises " +
+    "in-plan instead of silently mis-bucketing") {
+    val counts = Dsir.featureCounts(
+      mixedDocs.toDF("doc_id", "text", "source"), "seed",
+      numFeatures = 4096)
+    val e = intercept[Exception] {
+      Dsir.IncrementalResample(counts, fraction = 0.5, numFeatures = 7)
+        .transform(incrBatch.toDF("doc_id", "text")).collect()
+    }
+    assert(e.getMessage.contains("different numFeatures"))
+  }
+
   test("incremental: empty feature-count table fails loud in-plan") {
     val counts = Dsir.featureCounts(
       Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"),

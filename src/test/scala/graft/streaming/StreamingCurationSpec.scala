@@ -193,6 +193,64 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally { thQuery.stop(); clampQuery.stop() }
   }
 
+  test("the streaming ingest loop composes: incremental dedup against " +
+    "the corpus index, then the DSIR admission gate — matching the " +
+    "batch operators row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, Dsir}
+    // the standing corpus persists as TWO small artifacts: the
+    // fingerprint index (dedup) and the feature-count table (selection)
+    val corpus = Seq(
+      (100L, "known corpus doc", "web"),
+      (101L, "seed w0 w1 w0 w1", "seed"),
+      (102L, "web w2 w3 w2 w3", "web")).toDF("doc_id", "text", "source")
+    val idx = Dedup.IncrementalExactDedup.fingerprintIndex(corpus).cache()
+    val counts = Dsir.featureCounts(corpus, "seed", numFeatures = 64)
+      .cache()
+    val arrivals = Seq(
+      doc(0L, "en", "known  CORPUS doc"),  // corpus content -> dropped
+      doc(1L, "en", "w0 w1 fresh"),        // seed-like -> admitted
+      doc(2L, "en", "w2 w3 w2 junk"),      // web-like -> below the cut
+      doc(3L, "en", "w0 w1 w0 new"))       // seed-like -> admitted
+
+    // the batch replay fixes the expectation AND the cut: score the
+    // unknown arrivals, cut at the top half (ties admit)
+    val batchUnknown = Dedup.IncrementalExactDedup(idx)
+      .transform(arrivals.toDF().select("doc_id", "text"))
+      .filter(!col("is_known"))
+      .select("doc_id", "text")
+    val batchScores = Dsir.IncrementalResample(counts, fraction = 1.0,
+        numFeatures = 64)
+      .transform(batchUnknown)
+      .select("doc_id", "dsir_score")
+      .as[(Long, Long)].collect().toMap
+    val cut = batchScores.values.toSeq.sorted(Ordering[Long].reverse)
+      .apply(1) // admit the top 2 of the 3 unknown arrivals
+    val wantAdmitted = batchScores.filter(_._2 >= cut)
+    assert(wantAdmitted.keySet == Set(1L, 3L)) // layout sanity
+
+    val input = MemoryStream[CurationDoc]
+    val unknown = new StreamingIncrementalDedup(idx,
+        withinStream = false)
+      .transform(input.toDF())
+      .filter(!col("is_known"))
+    val admitted = new StreamingDsir(counts, minScore = cut,
+        numFeatures = 64)
+      .transform(unknown)
+    val query = admitted.writeStream.format("memory")
+      .queryName("ingest_loop").outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+      val got = spark.table("ingest_loop")
+        .select("doc_id", "dsir_score")
+        .as[(Long, Long)].collect().toMap
+      assert(got == wantAdmitted)
+      // the whole loop is stateless at ingest (dedup probe + gate)
+      assert(query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("streaming robust scaling: closed-window p25/p50/p75 thresholds " +
     "scale the next window's values — the streaming face of RobustScale") {
     // the RobustScale composition over the same emitted-thresholds
