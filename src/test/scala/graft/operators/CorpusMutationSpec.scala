@@ -346,6 +346,42 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run, repartition = Some(3))
   }
 
+  test("sample_dsir golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      Dsir.ImportanceResample("seed", fraction = 0.5, numFeatures = 64)
+        .transform(df)
+        .select("doc_id", "dsir_score")
+    // two clean score classes, cut exactly at the class edge so no
+    // md5 tie-break is needed: "good" docs score the positive ratio
+    // (ct=1, cr=2, T=1, R=8, V=2 -> round(ln(20/9)*1e6) = 798508 per
+    // token), "bad bad" docs score 2*round(ln(10/21)*1e6); k = 3 keeps
+    // exactly the good class. Scores are part of the golden, so any
+    // count/class perturbation shows even when the kept SET survives
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, "good", "seed"), Seq(2L, "good", "web"),
+          Seq(3L, "good", "web"), Seq(4L, "bad bad", "web"),
+          Seq(5L, "bad bad", "web"), Seq(6L, "bad bad", "web")),
+        Seq("doc_id:i", "text:s", "source:s"))
+      def expected = PlainFrame.fromPlain(
+        Seq(Seq(1L, 798508L), Seq(2L, 798508L), Seq(3L, 798508L)),
+        Seq("doc_id:i", "dsir_score:i"))
+      override def mutants = Seq(
+        // doc 1 defects to the bad class: the kept set AND the counts
+        // behind every score change
+        ValueMutant("text", 0, "bad bad"),
+        // a second doc turns target: T doubles, the ratio moves
+        ValueMutant("source", 1, "seed"),
+        // a bad doc turns good: the good class outgrows k, and cr
+        // shifts recompute the surviving scores
+        ValueMutant("text", 5, "good"),
+        RandomMutant(count = 1, seed = 11L, columns = Seq("text")))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
   test("bigram_logprob golden: killed mutants + repartition invariance") {
     def run(df: DataFrame): DataFrame =
       Corpus.BigramLogProb().transform(df)
