@@ -363,6 +363,29 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_dsir: selection runs ids-only over the eager checkpoint " +
+    "cut — the bucket exchanges never carry text, and text appears " +
+    "only in the final kept-rows join") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"body text w${i % 7}", if (i % 5 == 0) "seed" else "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Dsir.ImportanceResample("seed", 0.3, numFeatures = 64)
+      .transform(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    // the scoring subtree ran eagerly at transform time (the
+    // localCheckpoint cut): the query's own plan reads the narrow
+    // materialized rows
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan RDD"),
+      plan)
+    // every selection exchange partitions the narrow frame on the
+    // bucket keys — text in one means the full row rode the selection
+    val selExchanges = "(?s)Exchange hashpartitioning\\(__b[^\\n]*".r
+      .findAllIn(plan).toList
+    assert(selExchanges.nonEmpty, plan)
+    assert(!selExchanges.exists(_.contains("text")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("broadcast join: nation side broadcasts, no shuffle for the dim") {
     val l = Seq((1L, 10.0, 0.1)).toDF("l_orderkey", "l_extendedprice",
       "l_discount")

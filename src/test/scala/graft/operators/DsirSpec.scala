@@ -273,6 +273,18 @@ class DsirSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different numFeatures"))
   }
 
+  test("incremental: an empty batch (an empty ingest day) yields an " +
+    "empty kept set, not an error") {
+    val counts = Dsir.featureCounts(
+      mixedDocs.toDF("doc_id", "text", "source"), "seed",
+      numFeatures = 512)
+    val out = Dsir.IncrementalResample(counts, fraction = 0.5,
+        numFeatures = 512)
+      .transform(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "dsir_score"))
+  }
+
   test("incremental: empty feature-count table fails loud in-plan") {
     val counts = Dsir.featureCounts(
       Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"),
