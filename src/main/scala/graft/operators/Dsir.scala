@@ -81,7 +81,7 @@ object Dsir {
   }
 
   /** Working / output names both operators forbid on input. */
-  private val Reserved = Set("__tok", "__tgt", "__f", "__t",
+  private val Reserved = Set("__tok", "__tgt", "__f", "__t", "__c",
     "__r", "__v", "__mf", "__lr", "__dlr", "__s", "__th", "__b", "__bc",
     "__vlo", "__vhi", "__tot", "__above", "__k", "__q", "__one",
     "__bnd", "__keep", "__rn", "__hb", "__hc", "__hab", "__q2",
@@ -163,16 +163,6 @@ object Dsir {
                            numFeatures: Int,
                            emptyModelError: Option[String]): DataFrame = {
     val idc = col(idColumn)
-    // a null id cannot join its score back and its tie hex would be
-    // null (Spark orders nulls first, DuckDB last — the selection
-    // would silently disagree with the oracle): raise in-plan, the
-    // library's null-group convention (cf. QuantileStats)
-    val idG = when(idc.isNull,
-      raise_error(lit(s"Dsir: id column `$idColumn` must be " +
-        "non-null — selection order is keyed on it"))
-        .cast(SparkUtil.fieldType(df, idColumn)))
-      .otherwise(idc).as(idColumn)
-
     val totals = counts.agg(sum("n_target").as("__t"),
       sum("n_raw").as("__r"), count(lit(1)).as("__v"),
       max("feature").as("__mf"))
@@ -210,9 +200,28 @@ object Dsir {
       .crossJoin(broadcast(dflt))
       .select(idc, coalesce(col("__lr"), col("__dlr")).as("__lr"))
       .groupBy(idc).agg(sum("__lr").as("__s"))
-    df.select(idG)
+    // id integrity, raised in-plan (the library's null-group
+    // convention, cf. QuantileStats): a NULL id cannot join its score
+    // back and its tie hex would be null (Spark orders nulls first,
+    // DuckDB last — the selection would silently disagree with the
+    // oracle); a DUPLICATE id would fan out the final kept-rows join,
+    // quietly breaking the exact-k contract. The ids-only count agg
+    // costs no extra exchange — it pre-partitions the join's left side
+    // on the id key
+    val idCounts = df.select(idc).groupBy(idc)
+      .agg(count(lit(1)).as("__c"))
+    val idG = when(idc.isNull,
+        raise_error(lit(s"Dsir: id column `$idColumn` must be " +
+          "non-null — selection order is keyed on it")))
+      .when(col("__c") > 1,
+        raise_error(lit(s"Dsir: id column `$idColumn` must be " +
+          "unique — duplicate ids would fan out the kept-rows join " +
+          "and break the exact-k contract")))
+      .otherwise(idc)
+      .cast(SparkUtil.fieldType(df, idColumn)).as(idColumn)
+    idCounts
       .join(scores, Seq(idColumn), "left")
-      .select(idc, coalesce(col("__s"), lit(0L)).as("dsir_score"))
+      .select(idG, coalesce(col("__s"), lit(0L)).as("dsir_score"))
   }
 
   /** Exact top-`ceil(fraction * n)` of a NARROW `(id, dsir_score)`

@@ -150,6 +150,15 @@ class DsirSpec extends AnyFunSuite {
       Dsir.ImportanceResample("seed", 0.5).transform(bad).collect()
     }
     assert(e.getMessage.contains("must be non-null"))
+    // a duplicate id would fan out the kept-rows join past exact-k:
+    // raised in-plan, including when the duplicates are null-text
+    val dup = Seq((1L, "a b", "seed"), (2L, "c", "web"),
+        (1L, null.asInstanceOf[String], "web"))
+      .toDF("doc_id", "text", "source")
+    val eDup = intercept[Exception] {
+      Dsir.ImportanceResample("seed", 0.5).transform(dup).collect()
+    }
+    assert(eDup.getMessage.contains("must be unique"))
     val clash = Seq((1L, "a", "seed", 9L))
       .toDF("doc_id", "text", "source", "dsir_score")
     val e2 = intercept[IllegalArgumentException] {
