@@ -88,6 +88,7 @@ object Bench {
     "sample_quota" -> Some("Window"),
     "sample_dsir" -> Some("Window"), // boundary-bucket rank windows
     "dsir_incr" -> Some("Window"),
+    "dsir_report" -> Some("Window"),
     "mix_budget" -> Some("Window"),
     "sample_cluster" -> Some("Window"),
     "text_logprob" -> Some("Join"),

@@ -723,9 +723,13 @@ object OracleSql {
     * boundary-bucket selection must land on the identical kept set.
     * Mirrors [[graft.operators.Dsir.ImportanceResample]].
     */
-  def dsirResample(targetValue: String, fraction: Double,
-                   numFeatures: Int, salt: String): String =
-    s"""WITH d AS (SELECT doc_id, text, source FROM documents),
+  /** Shared CTE chain deriving the one-shot DSIR kept set (`r` ranked
+    * by the total selection order, `k` the cut) — the body of
+    * [[dsirResample]] and [[dsirReport]].
+    */
+  private def dsirKeptCtes(targetValue: String, fraction: Double,
+                           numFeatures: Int, salt: String): String =
+    s"""d AS (SELECT doc_id, text, source FROM documents),
        |p AS (SELECT doc_id,
        |    COALESCE(source = '$targetValue', FALSE) AS tgt,
        |    unnest($Toks) AS tok FROM d),
@@ -747,10 +751,36 @@ object OracleSql {
        |k AS (SELECT CAST(ceil($fraction * count(*)) AS BIGINT) AS k
        |  FROM d),
        |r AS (SELECT doc_id, dsir_score, row_number()
-       |    OVER (ORDER BY dsir_score DESC, th, doc_id) AS rn FROM sc)
+       |    OVER (ORDER BY dsir_score DESC, th, doc_id) AS rn FROM sc)""".stripMargin
+
+  def dsirResample(targetValue: String, fraction: Double,
+                   numFeatures: Int, salt: String): String =
+    s"""WITH ${dsirKeptCtes(targetValue, fraction, numFeatures, salt)}
        |SELECT doc_id, CAST(dsir_score AS BIGINT) AS dsir_score
        |FROM r CROSS JOIN k WHERE rn <= k.k
        |ORDER BY doc_id""".stripMargin
+
+  /** Per-source DSIR selection datasheet: input count, kept count,
+    * keep rate (one IEEE division of exact integers) and kept score
+    * mass per source; sources selected away entirely report 0. Mirrors
+    * [[graft.operators.Dsir.SelectionReport]].
+    */
+  def dsirReport(targetValue: String, fraction: Double,
+                 numFeatures: Int, salt: String): String =
+    s"""WITH ${dsirKeptCtes(targetValue, fraction, numFeatures, salt)},
+       |kept AS (SELECT doc_id, dsir_score
+       |  FROM r CROSS JOIN k WHERE rn <= k.k),
+       |i AS (SELECT source, count(*) AS n_in FROM d GROUP BY source),
+       |kk AS (SELECT d.source, count(*) AS n_kept,
+       |    sum(kept.dsir_score) AS score_sum
+       |  FROM kept JOIN d USING (doc_id) GROUP BY d.source)
+       |SELECT i.source, i.n_in,
+       |  COALESCE(kk.n_kept, 0) AS n_kept,
+       |  CAST(COALESCE(kk.n_kept, 0) AS DOUBLE) / CAST(i.n_in AS DOUBLE)
+       |    AS keep_rate,
+       |  CAST(COALESCE(kk.score_sum, 0) AS BIGINT) AS score_sum
+       |FROM i LEFT JOIN kk ON i.source IS NOT DISTINCT FROM kk.source
+       |ORDER BY i.source""".stripMargin
 
   /** Incremental DSIR: the batch (one source) scored against feature
     * counts fitted on the REST of the corpus, batch-top-`ceil(f*n)`

@@ -531,6 +531,12 @@ object SparkEntry {
         .transform(docs(s, dir))
         .select("doc_id", "dsir_score")
         .orderBy("doc_id")),
+    // the selection datasheet: what did the top-20% cut do to the
+    // source mix — per-source in/kept/rate and exact kept score mass
+    "dsir_report" -> ((s, dir) =>
+      Dsir.SelectionReport(targetValue = "src0", fraction = 0.2)
+        .transform(docs(s, dir))
+        .orderBy("source")),
     // DSIR at ingest: the src0 batch scored against feature counts
     // fitted on the REST of the corpus (src1 as the target domain),
     // top 25% of the batch kept — corpus text is never re-read;
@@ -904,6 +910,7 @@ object SparkEntry {
     "sample_dsir" -> OracleSql.dsirResample("src0", 0.2, 4096, "graft"),
     "dsir_incr" ->
       OracleSql.dsirIncremental("src0", "src1", 0.25, 4096, "graft"),
+    "dsir_report" -> OracleSql.dsirReport("src0", 0.2, 4096, "graft"),
     "sample_quota" -> OracleSql.sampleQuota(
       Seq("en" -> 120L, "de" -> 60L), 25L, "graft"),
     "mix_budget" -> OracleSql.mixBudget(

@@ -402,6 +402,64 @@ object Dsir {
     }
   }
 
+  /** Per-source selection datasheet over [[ImportanceResample]] — the
+    * `*_report` family member for selection (cf. [[Funnel]]'s report,
+    * [[Corpus.ContaminationReport]], [[SourceQuality.SourceStats]]):
+    * one row per source with its input count, kept count, keep rate
+    * and the kept rows' exact score mass — the table an analyst reads
+    * to see what importance selection DID to the source mix before
+    * committing a corpus cut.
+    *
+    * Columns: `targetColumn` (pass-through name), `n_in`, `n_kept`
+    * (0 for sources selected away entirely), `keep_rate` (one IEEE
+    * division of exact longs — cross-engine deterministic, the
+    * [[SourceQuality.SourceStats]] convention) and `score_sum` (exact
+    * scaled-long sum over kept rows). A null source is one class,
+    * preserved through a null-safe join (the library's null-group
+    * lens).
+    *
+    * Scale shape: the selection is [[ImportanceResample]] unchanged
+    * (its final join prunes to (id, source) here — text never joins
+    * back); the report adds two map-side-combined per-source
+    * aggregations and a broadcast-sized join between them (rows =
+    * distinct sources).
+    */
+  final case class SelectionReport(targetValue: String,
+                                   fraction: Double,
+                                   idColumn: String = "doc_id",
+                                   textColumn: String = "text",
+                                   targetColumn: String = "source",
+                                   numFeatures: Int = 4096,
+                                   valueBuckets: Int = 256,
+                                   accuracy: Int = 10000,
+                                   salt: String = "graft",
+                                   cacheScores: Boolean = true)
+      extends Wrangler {
+    def transform(df: DataFrame): DataFrame = {
+      Seq("n_in", "n_kept", "keep_rate", "score_sum", "__ks").foreach {
+        c =>
+          require(!df.columns.exists(_.equalsIgnoreCase(c)),
+            s"Output/working column `$c` already exists in the input; " +
+              "rename it first")
+      }
+      val kept = ImportanceResample(targetValue, fraction, idColumn,
+        textColumn, targetColumn, numFeatures, valueBuckets, accuracy,
+        salt, cacheScores).transform(df)
+      val inAgg = df.groupBy(col(targetColumn))
+        .agg(count(lit(1)).as("n_in"))
+      val keptAgg = kept.groupBy(col(targetColumn).as("__ks"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum("dsir_score").as("score_sum"))
+      inAgg.join(keptAgg, col(targetColumn) <=> col("__ks"), "left")
+        .select(col(targetColumn),
+          col("n_in"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (coalesce(col("n_kept"), lit(0L)).cast("double") /
+            col("n_in").cast("double")).as("keep_rate"),
+          coalesce(col("score_sum"), lit(0L)).as("score_sum"))
+    }
+  }
+
   /** DSIR at ingest: score a NEW batch against an already-fitted
     * corpus and keep the batch's own top `ceil(fraction * n)` — the
     * selection member of the incremental ingest family

@@ -329,6 +329,25 @@ object StressCorpus {
       r.getLong(0)
     }
 
+    // ----- the selection datasheet over the same corpus: per-source
+    // counts are fully closed-form — "tgt" docs (n/10, all hot) keep
+    // 100%; "raw" keeps its 20M hot docs + the 5M cold slice = 25/45
+    time(s"dsir_report corpus=$nRows") {
+      val rows = Dsir.SelectionReport(targetValue = "tgt",
+          fraction = 0.6).transform(dsirDocs)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val (tIn, tKept, tRate) = rows("tgt")
+      val (rIn, rKept, rRate) = rows("raw")
+      require(rows.size == 2 &&
+          tIn == nRows / 10 && tKept == nRows / 10 && tRate == 1.0 &&
+          rIn == nRows - nRows / 10 &&
+          rKept == math.ceil(0.6 * nRows).toLong - nRows / 10 &&
+          rRate == rKept.toDouble / rIn,
+        s"dsir_report drift: $rows")
+      rows.size.toLong
+    }
+
     time(s"dedup_simhash docs=$nDocs bits=64 chunks=4 maxBucket=1000 (pairs)") {
       // 64-bit simhash with 16-bit chunks: at millions of docs the
       // 8-bit chunks of the 32-bit default concentrate (2^8 values for

@@ -187,6 +187,23 @@ class DsirSpec extends AnyFunSuite {
       "dsir_score"))
   }
 
+  test("selection report: per-source in/kept/rate/score mass equals " +
+    "the replay; a null source is one class") {
+    val docs = mixedDocs.map { case (id, tx, src) =>
+      (id, tx, if (id == 11L) null else src) // one null-source class
+    }
+    val kept = bruteForce(docs, "seed", 0.3, 512).toMap
+    val want = docs.groupBy(_._3).map { case (src, grp) =>
+      val k = grp.count(d => kept.contains(d._1)).toLong
+      (src, grp.size.toLong, k, k.toDouble / grp.size,
+        grp.flatMap(d => kept.get(d._1)).sum)
+    }.toSet
+    val got = Dsir.SelectionReport("seed", 0.3, numFeatures = 512)
+      .transform(docs.toDF("doc_id", "text", "source"))
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(got == want)
+  }
+
   // ---- incremental form: fit on a corpus, score/select a batch ----
 
   /** Local replay of the incremental path: fit counts on `corpus`,
