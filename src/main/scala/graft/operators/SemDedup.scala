@@ -109,7 +109,21 @@ final case class SemDedup(idColumn: String = "vec_id",
       .groupBy("id_b").agg(min("id_a").as("dup_of"))
       .withColumnRenamed("id_b", "__did")
 
-    val flags = assigned.select(col("id").as("__sid"), col("cluster"))
+    // id integrity raised in-plan (the family's exact-output lens): a
+    // duplicate id would fan out the final flag join past row
+    // preservation — and identical ids can never pair (the
+    // `id_a < id_b` rule excludes them), so their duplication would
+    // also go UNFLAGGED. The ids-only count agg doubles as the flag
+    // base; `first(cluster)` is THE cluster whenever no raise fires
+    val flags = assigned.groupBy(col("id"))
+      .agg(count(lit(1)).as("__c"), first(col("cluster")).as("cluster"))
+      .select(when(col("__c") > 1, raise_error(lit(
+          s"SemDedup: id column `$idColumn` must be unique — " +
+            "duplicate ids would fan out the flag join past row " +
+            "preservation, and their own pairs are excluded by the " +
+            "id_a < id_b rule")).cast("long"))
+          .otherwise(col("id")).as("__sid"),
+        col("cluster"))
       .join(dups, col("__sid") === col("__did"), "left")
       .select(col("__sid"), col("cluster"),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
@@ -390,7 +404,18 @@ final case class IncrementalSemDedup(memberIndex: DataFrame,
       .filter(col("cosine") >= threshold)
       .groupBy("id_b").agg(min("id_a").as("__mb"))
 
-    val flags = assigned.select(col("id").as("__sid"), col("cluster"))
+    // id integrity raised in-plan — the SemDedup lens applied to the
+    // batch: duplicate batch ids would fan out the flag join past row
+    // preservation and their own batch-internal pairs are excluded by
+    // the id_a < id_b rule
+    val flags = assigned.groupBy(col("id"))
+      .agg(count(lit(1)).as("__c"), first(col("cluster")).as("cluster"))
+      .select(when(col("__c") > 1, raise_error(lit(
+          s"IncrementalSemDedup: id column `$idColumn` must be " +
+            "unique — duplicate batch ids would fan out the flag " +
+            "join past row preservation")).cast("long"))
+          .otherwise(col("id")).as("__sid"),
+        col("cluster"))
       .join(mc.withColumnRenamed("id_b", "__cid"),
         col("__sid") === col("__cid"), "left")
       .join(mb.withColumnRenamed("id_b", "__bid"),

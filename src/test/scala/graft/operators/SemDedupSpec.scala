@@ -58,6 +58,22 @@ class SemDedupSpec extends AnyFunSuite {
       Seq(10L, 11L, 12L))
   }
 
+  test("duplicate ids raise in-plan instead of fanning out the flag " +
+    "join (their own pairs are excluded by the id_a < id_b rule)") {
+    val dup = vecs(10L -> Seq(1.0f, 0f, 0f, 0f),
+      10L -> Seq(0f, 1.0f, 0f, 0f), 11L -> Seq(1.0f, 0.01f, 0f, 0f))
+    val e = intercept[Exception] {
+      SemDedup(nClusters = 2, iterations = 1).transform(dup).collect()
+    }
+    assert(e.getMessage.contains("must be unique"))
+    val idx = IncrementalSemDedup.memberIndex(
+      vecs(xish: _*), nClusters = 2, iterations = 1)
+    val e2 = intercept[Exception] {
+      IncrementalSemDedup(idx).transform(dup).collect()
+    }
+    assert(e2.getMessage.contains("must be unique"))
+  }
+
   test("deterministic: two runs produce identical assignments and flags") {
     val df = vecs(xish ++ yish: _*)
     def run() = SemDedup(nClusters = 3, iterations = 2, threshold = 0.5)
