@@ -406,20 +406,15 @@ object Bench {
     // (a stale sidecar from an earlier run must not adjudicate a newer
     // artifact)
     val bid = System.currentTimeMillis() / 1000L
-    try {
-      val full = ("{\"bid\":" + bid + ",\"unit\":\"sec\",\"queries\":" +
-        results.map { case (k, p) =>
-          "\"" + k + "\":" + p.fold("-1")(x => f"${x.median}%.4f")
-        }.mkString("{", ",", "}") +
-        ",\"reruns\":" + reruns.map { case (k, m, lo) =>
-          "\"" + k + "\":{\"median\":" + f"$m%.4f" +
-            ",\"loadavg\":" + f"$lo%.1f" + "}"
-        }.mkString("{", ",", "}") +
-        s""","spread":$spread,"loadavgMax":$loadJson,"sf":"$sfDir"}""")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_full.json"),
-        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () } // best-effort: never fail the run
+    val sidecarOk =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_full.json"),
+          sidecarJson(bid, results.map { case (k, p) => k -> p.map(_.median) },
+            reruns, spread, loadJson, sfDir)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        true
+      } catch { case _: Throwable => false }
     spark.stop()
     // the driver parses the contract out of the run's LAST ~2000 chars;
     // a line that outgrows the window comes back `parsed: null` SILENTLY
@@ -437,7 +432,38 @@ object Bench {
       s"[bench] contract line is ${contract.length} chars even after " +
         "the greedy inline fit — shorten the sf dir path")
     println(contract)
+    // gate completeness (round-11 VERDICT #4): entries dropped from the
+    // inline greedy prefix exist ONLY in the sidecar — if its write
+    // failed, those queries (and any reruns) just escaped the 2x gate.
+    // Fail the run AFTER the contract printed (the driver still parses
+    // the line from the tail; the nonzero rc flags the incomplete gate).
+    require(sidecarOk || (droppedInline == 0 && reruns.isEmpty),
+      s"[bench] bench_full.json write FAILED while $droppedInline " +
+        s"inline-dropped queries and ${reruns.size} reruns depend on it " +
+        "— the gate would silently lose them; fix the working-dir " +
+        "write permission and re-run")
   }
+
+  /** The full-precision sidecar document: EVERY query's median (the
+    * inline contract map is only a greedy prefix of these), rerun
+    * provenance, spread, loadavg, and the bid tying it to its contract
+    * line. check_gate.py overlays it; completeness is pinned by
+    * BenchGuardSpec.
+    */
+  private[graft] def sidecarJson(bid: Long,
+                                 medians: Seq[(String, Option[Double])],
+                                 reruns: Seq[(String, Double, Double)],
+                                 spread: String, loadJson: String,
+                                 sfDir: String): String =
+    "{\"bid\":" + bid + ",\"unit\":\"sec\",\"queries\":" +
+      medians.map { case (k, p) =>
+        "\"" + k + "\":" + p.fold("-1")(x => f"$x%.4f")
+      }.mkString("{", ",", "}") +
+      ",\"reruns\":" + reruns.map { case (k, m, lo) =>
+        "\"" + k + "\":{\"median\":" + f"$m%.4f" +
+          ",\"loadavg\":" + f"$lo%.1f" + "}"
+      }.mkString("{", ",", "}") +
+      s""","spread":$spread,"loadavgMax":$loadJson,"sf":"$sfDir"}"""
 
   /** Greedy inline fit for the contract's queries map: failure markers
     * (-1) always ride inline, then the LARGEST medians — the entries a

@@ -345,12 +345,13 @@ final case class IncrementalSemDedup(memberIndex: DataFrame,
     // one task that whole cell
     val meta = index.agg(max("cluster"), count(lit(1)),
       max(size(col("q")))).collect()(0)
-    if (meta.isNullAt(0))
-      return df.withColumn("cluster", lit(null).cast("long"))
-        .withColumn("is_known", lit(null).cast("boolean"))
-        .withColumn("is_dup", lit(null).cast("boolean"))
-        .withColumn("dup_of", lit(null).cast("long"))
-        .filter(lit(false))
+    // an empty member index cannot assign the batch to any cluster —
+    // silently dropping the batch would violate preservesSampleSize
+    // (round-11 ADVICE); same contract as Dsir.IncrementalResample's
+    // empty feature-count table
+    require(!meta.isNullAt(0),
+      "IncrementalSemDedup: empty member index — build memberIndex on a " +
+        "non-empty corpus first")
     val nClusters = meta.getLong(0).toInt + 1
     val dim = meta.getInt(2)
     val cellSizes = index.groupBy("cluster").agg(count(lit(1)).as("n"))

@@ -161,6 +161,33 @@ class BenchGuardSpec extends AnyFunSuite {
       assert(all.contains("\"" + n + "\":" + v), n) }
   }
 
+  test("sidecar completeness: bench_full.json carries EVERY query key " +
+    "(the inline contract is only a greedy prefix), plus reruns and the " +
+    "bid tying it to the contract — so inline + sidecar jointly cover " +
+    "the full SparkEntry.queries set (round-11 VERDICT #4)") {
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+    val medians = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i == 1) None else Some(0.001 * (i + 1)))
+    }
+    val reruns = Seq((names.head, 1.2345, 2.5))
+    val json = Bench.sidecarJson(42L, medians, reruns,
+      "{}", "{}", "/tmp/sf")
+    names.foreach { n =>
+      assert(json.contains("\"" + n + "\":"), s"sidecar missing $n") }
+    assert(json.contains("\"bid\":42"))
+    assert(json.contains("\"" + names.head + "\":{\"median\":1.2345"))
+    assert(json.contains(":-1"), "failure marker must ride the sidecar too")
+    // and the union property directly: at ANY inline budget, sidecar
+    // keys ∪ inline keys == the full query set (sidecar is total, so
+    // this holds however savage the inline drop)
+    val entries = names.zipWithIndex.map { case (n, i) => n -> (100L + i) }
+    val (qs, dropped) = Bench.inlineQueries(entries, 300)
+    assert(dropped > 0, "budget 300 should force drops with this set")
+    val inlineKeys = names.filter(n => qs.contains("\"" + n + "\":")).toSet
+    val sidecarKeys = names.filter(n => json.contains("\"" + n + "\":")).toSet
+    assert((inlineKeys ++ sidecarKeys) == names.toSet)
+  }
+
   test("breaching: worst-ratio-first, gate-filtered, capped, " +
     "deterministic") {
     val medians = Map("a" -> 10.0, "b" -> 1.0, "c" -> 9.0, "d" -> 5.0,

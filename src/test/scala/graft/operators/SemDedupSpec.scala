@@ -183,8 +183,9 @@ class SemDedupSpec extends AnyFunSuite {
   }
 
   test("incremental: over-cap corpus cell fails loud at transform time; " +
-    "output-column collisions rejected; empty index yields empty typed " +
-    "frame") {
+    "output-column collisions rejected; empty index fails loud (the " +
+    "operator preserves sample size — a silent empty result would drop " +
+    "the batch)") {
     val corpus = vecs(xish: _*)
     val idx = IncrementalSemDedup.memberIndex(corpus, nClusters = 1,
       iterations = 1)
@@ -202,11 +203,11 @@ class SemDedupSpec extends AnyFunSuite {
 
     val emptyIdx = IncrementalSemDedup.memberIndex(
       vecs().select($"vec_id", $"embedding"))
-    val out = IncrementalSemDedup(idx.filter(
-        org.apache.spark.sql.functions.lit(false)))
-      .transform(vecs(1L -> Seq(1f, 0f, 0f, 0f)))
-    assert(out.count() == 0)
-    assert(out.columns.contains("is_known"))
+    val e3 = intercept[IllegalArgumentException](
+      IncrementalSemDedup(idx.filter(
+          org.apache.spark.sql.functions.lit(false)))
+        .transform(vecs(1L -> Seq(1f, 0f, 0f, 0f))))
+    assert(e3.getMessage.contains("non-empty corpus"), e3.getMessage)
     assert(emptyIdx.count() == 0)
   }
 

@@ -18,6 +18,13 @@ def _sidecar_path():
                         "..", "bench_full.json")
 
 
+# Set when a bid-bearing contract could not be overlaid with its sidecar
+# (missing/unreadable/mismatched) — the inline map may then be an
+# incomplete greedy prefix, so baseline rows absent from it become a
+# hard gate failure instead of a silent escape.
+_OVERLAY_FAILED = []
+
+
 def _scaled(obj):
     """Per-query values in SECONDS: contracts carry "qunit":"ms" with
     integer-millisecond values (round-11 — 80+ queries of 3-decimal
@@ -32,11 +39,13 @@ def _scaled(obj):
     qs = {q: (t / scale if t >= 0 else t)
           for q, t in obj["queries"].items()}
     side = _sidecar_path()
-    if obj.get("bid") is not None and os.path.exists(side):
-        try:
-            sobj = json.load(open(side))
-        except json.JSONDecodeError:
-            sobj = {}
+    if obj.get("bid") is not None:
+        sobj = {}
+        if os.path.exists(side):
+            try:
+                sobj = json.load(open(side))
+            except json.JSONDecodeError:
+                sobj = {}
         if sobj.get("bid") == obj["bid"]:
             # the inline map is a greedy prefix (largest medians first);
             # the sidecar from the SAME run carries the complete set —
@@ -51,10 +60,20 @@ def _scaled(obj):
             qs = full
             for q, r in sobj.get("reruns", {}).items():
                 qs[q + "_rerun"] = r["median"]  # sidecar is seconds
-        elif sobj.get("reruns"):
-            print("[check_gate] sidecar bid mismatch "
-                  f"({sobj.get('bid')} != {obj['bid']}): ignoring its "
-                  "reruns; re-run Bench to regenerate")
+        else:
+            # the inline map may be an incomplete greedy prefix — without
+            # the matching sidecar, any dropped query escapes the gate.
+            # Warn LOUDLY; the baseline-coverage check below turns this
+            # into a hard failure if rows actually went missing.
+            why = ("absent" if not os.path.exists(side) else
+                   "unreadable" if not sobj else
+                   f"bid mismatch ({sobj.get('bid')} != {obj['bid']})")
+            print(f"[check_gate] WARNING: contract has bid={obj['bid']} "
+                  f"but sidecar {os.path.normpath(side)} is {why} — the "
+                  "inline query map may be an incomplete greedy prefix; "
+                  "reruns (if any) are lost. Re-run Bench in the repo to "
+                  "regenerate bench_full.json.")
+            _OVERLAY_FAILED.append(why)
     return qs
 
 
@@ -78,16 +97,27 @@ def load_queries(path):
                     parsed.get("queries"), dict):
                 return _scaled(parsed)  # driver artifact wrapper
             if "parsed" in whole and parsed is None:
-                # overflow artifact: fall back to the sidecar from the
-                # same run (seconds, full precision)
+                # overflow artifact: fall back to the sidecar, but the
+                # artifact carries no parsed bid to tie them together —
+                # sanity-check sf and say loudly that the fallback is
+                # unverified (a stale sidecar from an unrelated run must
+                # not silently adjudicate this artifact).
                 side = _sidecar_path()
                 if os.path.exists(side):
                     sobj = json.load(open(side))
+                    wsf, ssf = whole.get("sf"), sobj.get("sf")
+                    if wsf is not None and ssf is not None and wsf != ssf:
+                        sys.exit(f"check_gate.py: {path} parsed=null and "
+                                 f"sidecar sf={ssf} != artifact sf={wsf} — "
+                                 "stale sidecar; re-run Bench")
                     qs = dict(sobj.get("queries", {}))
                     for q, r in sobj.get("reruns", {}).items():
                         qs[q + "_rerun"] = r["median"]
-                    print(f"[check_gate] {path} parsed=null; using "
-                          f"sidecar {os.path.normpath(side)}")
+                    print(f"[check_gate] WARNING: {path} parsed=null; "
+                          f"using sidecar {os.path.normpath(side)} with NO "
+                          "bid tie to the artifact (sf "
+                          f"{'matches' if wsf == ssf else 'unchecked'}) — "
+                          "treat its values and reruns as unverified")
                     return qs
     except json.JSONDecodeError:
         pass
@@ -157,5 +187,16 @@ if missing:
     print("NO BASELINE ROW:", ", ".join(missing))
 if failed:
     print("QUERY FAILED (recorded -1):", ", ".join(failed))
+# Reverse coverage: baseline rows with no contract query. Benign when a
+# query was retired (remove its row), but when the sidecar overlay failed
+# these are exactly the greedy-prefix drops escaping the gate → hard fail.
+absent = sorted(q for q in baseline if q not in queries)
+if absent:
+    print("BASELINE ROW WITHOUT CONTRACT QUERY:", ", ".join(absent))
+    if _OVERLAY_FAILED:
+        print(f"[check_gate] FAIL: sidecar overlay unavailable "
+              f"({_OVERLAY_FAILED[0]}) and {len(absent)} baseline "
+              "queries are missing from the inline contract — these "
+              "escaped the 2x gate")
 print(f"{len(breaches)} breaches" + (f": {breaches}" if breaches else ""))
-sys.exit(1 if breaches or failed else 0)
+sys.exit(1 if breaches or failed or (absent and _OVERLAY_FAILED) else 0)
