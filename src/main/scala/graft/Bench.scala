@@ -90,6 +90,7 @@ object Bench {
     "dsir_incr" -> Some("Window"),
     "dsir_report" -> Some("Window"),
     "mix_budget" -> Some("Window"),
+    "mix_budget_w" -> Some("Window"), // same prefix-sum core, external weights
     "sample_cluster" -> Some("Window"),
     "text_logprob" -> Some("Join"),
     "text_bigram_lp" -> Some("Join"), // posting x per-bigram score table
@@ -98,9 +99,11 @@ object Bench {
     "shard_pack" -> Some("MapPartitions"),
     "sample_stratified" -> Some("md5"),
     "chunk_split" -> Some("Generate"), // posexplode of the start list
+    "chunk_w" -> Some("Generate"), // same, external token array
     "shuffle_interleave" -> Some("Window"),
     "curriculum_order" -> Some("Window"),
     "mix_temperature" -> Some("Window"),
+    "mix_temp_w" -> Some("Window"), // same core in regex-token units
     "quality_band" -> Some("Window"), // QuantileStats' rank-location pass
     "quality_winsor" -> Some("Window"), // same rank-location thresholds
     "quality_robust" -> Some("Window"), // same thresholds, 3 quantiles
@@ -110,6 +113,7 @@ object Bench {
     "funnel_steps" -> Some("Window"), // the conditional-min chain
     "funnel_report" -> Some("Window"), // same chain + 1-row pivot agg
     "sequence_pack" -> Some("MapPartitions"), // ShardPack's typed pass
+    "seq_pack_w" -> Some("MapPartitions"), // same, BPE-ish chunk counts
     "pipeline_pretrain" -> Some("MapPartitions"), // final ShardPack stage
     "tfidf_topk" -> Some("Window"),
     "ml_quantized_dot" -> Some("long_array_dot"),
@@ -123,6 +127,7 @@ object Bench {
     "mm_resize" -> Some("SerializeFromObject"),
     "mm_features" -> Some("SerializeFromObject"),
     "mm_framesample" -> Some("SerializeFromObject"),
+    "mm_audio" -> Some("SerializeFromObject"), // typed WAV-decode map pass
     "text_tokens" -> Some("split("),
     "text_quality" -> Some("SerializeFromObject"),
     "text_entropy" -> Some("SerializeFromObject"), // compiled map pass

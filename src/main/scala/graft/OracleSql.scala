@@ -15,6 +15,15 @@ object OracleSql {
   /** Whitespace tokens of trimmed lower-cased text (DuckDB side). */
   private val Toks = """string_split_regex(trim(lower(text)), '\s+')"""
 
+  /** BPE-ish regex tokenization (letter runs, digit runs, single
+    * symbols) — the external-tokenizer stand-in the weighted budget /
+    * chunking queries feed through `tokenCountColumn` /
+    * `tokenArrayColumn`; mirrors `TextAnalysis.TokenCount`'s
+    * `n_regex_tokens` definition.
+    */
+  private val BpeToks =
+    """regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')"""
+
   private def tokHash(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 8) AS BIGINT)"
 
@@ -832,11 +841,12 @@ object OracleSql {
     * [[graft.operators.Corpus.MixBudget]].
     */
   def mixBudget(budgets: Seq[(String, Long)], defaultBudget: Long,
-                salt: String): String = {
+                salt: String,
+                weightSql: String = s"len($Toks)"): String = {
     val cases = budgets.map { case (s, b) => s"WHEN '$s' THEN $b" }
       .mkString(" ")
     s"""WITH t AS (SELECT doc_id, lang,
-       |  CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents),
+       |  CAST($weightSql AS BIGINT) AS n_tokens FROM documents),
        |s AS (SELECT *,
        |  substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8)
        |    AS sample_bucket FROM t),
@@ -856,9 +866,10 @@ object OracleSql {
     * double ops, then the same deterministic md5-order prefix keep as
     * [[mixBudget]]. Mirrors [[graft.operators.Corpus.MixTemperature]].
     */
-  def mixTemperature(totalBudget: Long, salt: String): String =
+  def mixTemperature(totalBudget: Long, salt: String,
+                     weightSql: String = s"len($Toks)"): String =
     s"""WITH t AS (SELECT doc_id, source,
-       |  CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents),
+       |  CAST($weightSql AS BIGINT) AS n_tokens FROM documents),
        |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS T
        |  FROM t GROUP BY source),
        |w AS (SELECT source,
@@ -880,6 +891,27 @@ object OracleSql {
        |  b.mix_budget
        |FROM c JOIN b USING (source) WHERE c.cum_tokens <= b.mix_budget
        |ORDER BY doc_id""".stripMargin
+
+  /** [[mixBudget]] driven by the table's own `n_chars` column — the
+    * externally-supplied-count path (`tokenCountColumn`). */
+  def mixBudgetChars(budgets: Seq[(String, Long)], defaultBudget: Long,
+                     salt: String): String =
+    mixBudget(budgets, defaultBudget, salt, "n_chars")
+
+  /** [[mixTemperature]] in BPE-ish regex-token units (the
+    * `tokenCountColumn` path fed by `TokenCount.n_regex_tokens`). */
+  def mixTemperatureBpe(totalBudget: Long, salt: String): String =
+    mixTemperature(totalBudget, salt, s"len($BpeToks)")
+
+  /** [[chunkSplit]] over the BPE-ish regex token array (the
+    * `tokenArrayColumn` path). */
+  def chunkSplitBpe(chunkTokens: Int, overlapTokens: Int): String =
+    chunkSplit(chunkTokens, overlapTokens, BpeToks)
+
+  /** [[sequencePack]] over the BPE-ish regex token array. */
+  def sequencePackBpe(chunkTokens: Int, overlapTokens: Int,
+                      budgetTokens: Long): String =
+    sequencePack(chunkTokens, overlapTokens, budgetTokens, BpeToks)
 
   /** Near-duplicate benchmark decontamination: MinHash signatures per
     * side, banded train-vs-eval candidate join, signature-agreement
@@ -944,9 +976,10 @@ object OracleSql {
     * [[graft.operators.ChunkSplit]]: starts are the stride multiples
     * below `max(n - overlap, 1)`, every doc yields >= 1 chunk.
     */
-  def chunkSplit(chunkTokens: Int, overlapTokens: Int): String = {
+  def chunkSplit(chunkTokens: Int, overlapTokens: Int,
+                 tkSql: String = Toks): String = {
     val stride = chunkTokens - overlapTokens
-    s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+    s"""WITH t AS (SELECT doc_id, $tkSql AS tk FROM documents),
        |s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
        |c AS (SELECT doc_id, tk, n,
        |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))
@@ -966,9 +999,9 @@ object OracleSql {
     * `ChunkSplit |> ShardPack` composition.
     */
   def sequencePack(chunkTokens: Int, overlapTokens: Int,
-                   budgetTokens: Long): String = {
+                   budgetTokens: Long, tkSql: String = Toks): String = {
     val stride = chunkTokens - overlapTokens
-    s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+    s"""WITH t AS (SELECT doc_id, $tkSql AS tk FROM documents),
        |s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
        |c AS (SELECT doc_id, n,
        |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))
@@ -1795,6 +1828,37 @@ object OracleSql {
        |  CAST((n_frames + 3) // 4 AS BIGINT) AS frame_stride,
        |  CAST(corner_px AS BIGINT) AS corner_px
        |FROM m ORDER BY doc_id""".stripMargin
+
+  /** The AudioGen fixture generator's closed forms (graft.sources
+    * .AudioGen): sample rate, channel count, frame count and EVERY
+    * 16-bit PCM sample are pure integer functions of doc_id. The Spark
+    * side routes real WAV payloads through `javax.sound.sampled`, so
+    * agreement here — `sample_sum` folds over the full decoded sample
+    * stream — proves the actual codec round-trips the generator's
+    * truth; DuckDB never decodes audio, it recomputes the ground truth
+    * (the lateral `range` regenerates each document's flat sample
+    * index space).
+    */
+  def mmAudio: String =
+    s"""WITH p AS (SELECT doc_id,
+       |  8000 + (doc_id % 5) * 2000 AS sample_rate,
+       |  1 + doc_id % 2 AS channels,
+       |  200 + (doc_id * 31) % 800 AS n_frames
+       |  FROM documents),
+       |u AS (SELECT doc_id,
+       |  unnest(range(0, n_frames * channels)) AS j FROM p),
+       |s AS (SELECT doc_id,
+       |  sum((doc_id * 7 + j * 13) % 65536 - 32768) AS sample_sum
+       |  FROM u GROUP BY doc_id)
+       |SELECT p.doc_id, 'wav' AS fmt,
+       |  CAST(p.sample_rate AS BIGINT) AS sample_rate,
+       |  CAST(p.channels AS BIGINT) AS channels,
+       |  CAST(p.n_frames AS BIGINT) AS n_frames,
+       |  CAST(p.n_frames * 1000 // p.sample_rate AS BIGINT)
+       |    AS duration_ms,
+       |  CAST((p.doc_id * 7) % 65536 - 32768 AS BIGINT) AS first_sample,
+       |  CAST(s.sample_sum AS BIGINT) AS sample_sum
+       |FROM p JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Fit-in-box resize over the generator dims; integer scale algebra,
     * nearest-neighbor corner preservation (out(0,0) = in(0,0)). Mirrors

@@ -209,6 +209,16 @@ object SparkEntry {
     graft.sources.MediaGen.AttachPayload()
       .transform(docs(spark, dir).select("doc_id"))
 
+  /** Audio fixture corpus: REAL WAV payloads (JDK `javax.sound.sampled`
+    * encode) generated deterministically from `doc_id`
+    * (graft.sources.AudioGen) — format header fields and the full
+    * sample stream have closed forms the DuckDB oracle recomputes, so
+    * `mm_audio` verifies the actual WAV decode, sample data included.
+    */
+  private def audio(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.AudioGen.AttachPayload()
+      .transform(docs(spark, dir).select("doc_id"))
+
   /** Text-analysis / dedup / similarity / multimodal / relational query
     * surface (the 100 TB training-data-pipeline extensions). Each pairs
     * with a bit-deterministic DuckDB oracle from [[OracleSql]].
@@ -522,6 +532,16 @@ object SparkEntry {
         .transform(docs(s, dir))
         .select("doc_id", "lang", "n_tokens", "cum_tokens", "sample_bucket")
         .orderBy("doc_id")),
+    // the same mixture budgeted in an EXTERNAL per-document count
+    // column (here the table's own n_chars — the tokenCountColumn
+    // path a real BPE tokenizer's counts ride): the exact prefix-sum
+    // algebra is unchanged, only the weight source moves
+    "mix_budget_w" -> ((s, dir) =>
+      Corpus.MixBudget(Map("en" -> 100000L, "de" -> 40000L),
+        defaultBudget = 15000L, tokenCountColumn = "n_chars")
+        .transform(docs(s, dir))
+        .select("doc_id", "lang", "n_tokens", "cum_tokens", "sample_bucket")
+        .orderBy("doc_id")),
     // DSIR importance resampling: docs scored by hashed-unigram
     // target-vs-raw log-likelihood ratio (src0 as the target domain),
     // exact deterministic top-20% kept via the equi-depth boundary-
@@ -578,6 +598,17 @@ object SparkEntry {
         .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens",
           "chunk_text")
         .orderBy("doc_id", "chunk_idx")),
+    // chunking over an EXTERNAL token array (tokenArrayColumn — the
+    // path a real tokenizer's output rides): BPE-ish regex tokens
+    // computed upstream, same window/stride algebra
+    "chunk_w" -> ((s, dir) =>
+      ChunkSplit(chunkTokens = 24, overlapTokens = 6,
+          tokenArrayColumn = "btk")
+        .transform(docs(s, dir).withColumn("btk", regexp_extract_all(
+          lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))))
+        .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens",
+          "chunk_text")
+        .orderBy("doc_id", "chunk_idx")),
     // deterministic training-order shuffle: exact md5-permutation
     // positions via two-phase prefix sums, round-robin shard interleave
     "shuffle_interleave" -> ((s, dir) =>
@@ -604,6 +635,18 @@ object SparkEntry {
     "mix_temperature" -> ((s, dir) =>
       Corpus.MixTemperature(totalBudget = 10000L)
         .transform(docs(s, dir))
+        .select("doc_id", "source", "n_tokens", "cum_tokens",
+          "sample_bucket", "mix_budget")
+        .orderBy("doc_id")),
+    // temperature mixture in TOKENIZER-token units: TokenCount's
+    // BPE-ish n_regex_tokens feeds tokenCountColumn, so the per-source
+    // totals, sqrt weights, budgets and the prefix keep all run in the
+    // external unit (the real-pipeline composition: a token-accounting
+    // stage upstream of the mixer)
+    "mix_temp_w" -> ((s, dir) =>
+      Corpus.MixTemperature(totalBudget = 12000L,
+          tokenCountColumn = "n_regex_tokens")
+        .transform(TextAnalysis.TokenCount().transform(docs(s, dir)))
         .select("doc_id", "source", "n_tokens", "cum_tokens",
           "sample_bucket", "mix_budget")
         .orderBy("doc_id")),
@@ -668,6 +711,23 @@ object SparkEntry {
           sizeColumn = "n_chunk_tokens", targetBytes = 256L)
         .transform(ChunkSplit(chunkTokens = 32, overlapTokens = 8)
           .transform(docs(s, dir))
+          .withColumn("chunk_key",
+            col("doc_id") * 100000L + col("chunk_idx")))
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
+        .orderBy("doc_id", "chunk_idx")),
+    // the same chunk->pack composition measured end-to-end in
+    // TOKENIZER-token units: external BPE-ish token arrays drive the
+    // chunker, and ShardPack's exact prefix sum packs on the resulting
+    // per-chunk counts — proving the weighted path through BOTH stages
+    "seq_pack_w" -> ((s, dir) =>
+      Corpus.ShardPack(orderColumn = "chunk_key",
+          sizeColumn = "n_chunk_tokens", targetBytes = 256L)
+        .transform(ChunkSplit(chunkTokens = 32, overlapTokens = 8,
+            tokenArrayColumn = "btk")
+          .transform(docs(s, dir).withColumn("btk", regexp_extract_all(
+            lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"),
+            lit(0))))
           .withColumn("chunk_key",
             col("doc_id") * 100000L + col("chunk_idx")))
         .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
@@ -829,6 +889,15 @@ object SparkEntry {
       Multimodal.FrameSample().transform(
         Multimodal.MediaFeatures().transform(media(s, dir)))
         .orderBy("doc_id", "frame_idx")),
+    // REAL javax.sound.sampled WAV decode: header fields + sample-level
+    // probes (first sample, sum over EVERY decoded PCM sample) against
+    // the generator's closed forms — byte_len stays out of the oracle
+    // (container-header detail), pinned in MultimodalSpec instead
+    "mm_audio" -> ((s, dir) =>
+      Multimodal.AudioFeatures().transform(audio(s, dir))
+        .select("doc_id", "fmt", "sample_rate", "channels", "n_frames",
+          "duration_ms", "first_sample", "sample_sum")
+        .orderBy("doc_id")),
     "q1_pricing" -> ((s, dir) => {
       val l = s.read.parquet(s"$dir/lineitem.parquet")
       val cents = (c: Column) => round(c * 100).cast("long")
@@ -915,6 +984,11 @@ object SparkEntry {
       Seq("en" -> 120L, "de" -> 60L), 25L, "graft"),
     "mix_budget" -> OracleSql.mixBudget(
       Seq("en" -> 20000L, "de" -> 8000L), 3000L, "graft"),
+    "mix_budget_w" -> OracleSql.mixBudgetChars(
+      Seq("en" -> 100000L, "de" -> 40000L), 15000L, "graft"),
+    "mix_temp_w" -> OracleSql.mixTemperatureBpe(12000L, "graft"),
+    "chunk_w" -> OracleSql.chunkSplitBpe(24, 6),
+    "seq_pack_w" -> OracleSql.sequencePackBpe(32, 8, 256L),
     "sample_cluster" -> OracleSql.clusterBalancedSample(64, 16, 20L, "graft"),
     "text_logprob" -> OracleSql.unigramLogProb,
     "text_bigram_lp" -> OracleSql.bigramLogProb,
@@ -950,6 +1024,7 @@ object SparkEntry {
     "mm_resize" -> OracleSql.mmResize(40L, 30L),
     "mm_features" -> OracleSql.mmFeatures,
     "mm_framesample" -> OracleSql.mmFrameSample,
+    "mm_audio" -> OracleSql.mmAudio,
     "q1_pricing" -> OracleSql.q1Pricing,
     "join_revenue_nation" -> OracleSql.revenueByNation,
     "top_customers" -> OracleSql.topCustomers(10),

@@ -29,6 +29,17 @@ import graft.util.SparkUtil
   * family. Beyond-reference surface (the reference has no text layer);
   * framework contract per src/pywrangler/base.py:12-131.
   *
+  * Tokenization is the whitespace convention by default; real context
+  * windows are measured in TOKENIZER tokens, so `tokenArrayColumn`
+  * switches the source to an externally-computed `array<string>` token
+  * column (a real BPE tokenizer's output, a regex tokenization, ...) —
+  * the window/stride algebra and the output schema are unchanged,
+  * `textColumn` is then unread, and a null array fails loud. Note the
+  * empty-document convention differs by source: the whitespace path
+  * gives an empty document ONE empty token; an external empty array is
+  * taken as-is (zero tokens) — both still yield exactly one (empty)
+  * chunk.
+  *
   * @param chunkTokens   tokens per chunk window (>= 1)
   * @param overlapTokens tokens shared between consecutive chunks
   *                      (in [0, chunkTokens))
@@ -36,7 +47,8 @@ import graft.util.SparkUtil
 final case class ChunkSplit(chunkTokens: Int = 64,
                             overlapTokens: Int = 16,
                             idColumn: String = "doc_id",
-                            textColumn: String = "text")
+                            textColumn: String = "text",
+                            tokenArrayColumn: String = "")
     extends Wrangler {
   require(chunkTokens >= 1, "chunkTokens must be >= 1")
   require(overlapTokens >= 0 && overlapTokens < chunkTokens,
@@ -46,15 +58,35 @@ final case class ChunkSplit(chunkTokens: Int = 64,
   private val stride = chunkTokens - overlapTokens
 
   def transform(df: DataFrame): DataFrame = {
-    SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+    val external = tokenArrayColumn.nonEmpty
+    SparkUtil.validateColumns(df, Seq(idColumn,
+      if (external) tokenArrayColumn else textColumn))
+    if (external) {
+      val t = SparkUtil.fieldType(df, tokenArrayColumn)
+      require(t == org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType) ||
+          t == org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, containsNull = false),
+        s"ChunkSplit: `$tokenArrayColumn` must be array<string>, got " +
+          t.simpleString)
+    }
     // fail-loudly (curation convention): null text would make
-    // size(tokens) = -1 and sequence() a negative range
-    val toks = df
-      .select(col(idColumn),
+    // size(tokens) = -1 and sequence() a negative range — a null
+    // external array likewise
+    val tkSource =
+      if (external)
+        when(col(tokenArrayColumn).isNull,
+          raise_error(lit(
+            s"ChunkSplit: `$tokenArrayColumn` must be non-null"))
+            .cast("array<string>"))
+          .otherwise(col(tokenArrayColumn))
+      else
         when(col(textColumn).isNull,
           raise_error(lit(s"ChunkSplit: `$textColumn` must be non-null"))
             .cast("array<string>"))
-          .otherwise(tokens(col(textColumn))).as("__tk"))
+          .otherwise(tokens(col(textColumn)))
+    val toks = df
+      .select(col(idColumn), tkSource.as("__tk"))
       .withColumn("__n", size(col("__tk")).cast("long"))
     // inclusive-stop sequence over the stride multiples < max(n-overlap,1)
     val starts = sequence(lit(0L),

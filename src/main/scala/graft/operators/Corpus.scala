@@ -991,9 +991,16 @@ object Corpus {
     *
     * A document is kept iff its INCLUSIVE running token sum is within
     * budget; unlisted strata use `defaultBudget` (0 = dropped).
+    * Tokens are whitespace tokens by default (same definition as
+    * [[TextAnalysis.TokenCount]]); real pipelines budget in TOKENIZER
+    * tokens, so `tokenCountColumn` switches the weight to an
+    * externally-computed per-document count column (BPE counts from a
+    * real tokenizer, `n_regex_tokens`, byte lengths, ...) — the exact
+    * prefix-sum algebra is unchanged, `textColumn` is then unread, and
+    * null/negative counts fail loud in-plan.
     * Row-preserving on the kept set: every input column passes through,
-    * plus `n_tokens` (whitespace tokens, same definition as
-    * [[TextAnalysis.TokenCount]]), `cum_tokens` and `sample_bucket`;
+    * plus `n_tokens` (the per-document weight used, whatever its
+    * source), `cum_tokens` and `sample_bucket`;
     * same-named input columns are OVERWRITTEN (dropped before the
     * join-back — curation frames routinely already carry `n_tokens`
     * from a quality stage, and a duplicate-named pair would poison
@@ -1017,7 +1024,8 @@ object Corpus {
                              textColumn: String = "text",
                              defaultBudget: Long = 0L,
                              hashBuckets: Int = 256,
-                             salt: String = "graft")
+                             salt: String = "graft",
+                             tokenCountColumn: String = "")
       extends Wrangler {
     require(defaultBudget >= 0L, "defaultBudget must be >= 0")
     require(budgets.values.forall(_ >= 0L), "budgets must be >= 0")
@@ -1030,7 +1038,8 @@ object Corpus {
         case (acc, (s, b)) => when(col("s") === s, lit(b)).otherwise(acc)
       }
       val kept = budgetedTokenKeep(df, strataColumn, idColumn, textColumn,
-        hashBuckets, salt, "MixBudget")(_.withColumn("__budget", budgetCol))
+        hashBuckets, salt, "MixBudget", tokenCountColumn)(
+        _.withColumn("__budget", budgetCol))
       // row-preserving on the kept set: every input column passes
       // through (a mixture stage that loses the document text is
       // useless downstream) — only narrow columns rode the windows,
@@ -1060,22 +1069,49 @@ object Corpus {
     */
   private def budgetedTokenKeep(df: DataFrame, strataColumn: String,
       idColumn: String, textColumn: String, hashBuckets: Int,
-      salt: String, opName: String)(
+      salt: String, opName: String, tokenCountColumn: String = "")(
       attachBudget: DataFrame => DataFrame): DataFrame = {
-    SparkUtil.validateColumns(df, Seq(strataColumn, idColumn, textColumn))
+    val external = tokenCountColumn.nonEmpty
+    SparkUtil.validateColumns(df, Seq(strataColumn, idColumn) :+
+      (if (external) tokenCountColumn else textColumn))
     // output columns overwrite same-named input columns (pre-join
     // drop); the source columns must not collide with them or the
-    // drop would sever the join key / strata / text source
+    // drop would sever the join key / strata / weight source. One
+    // sanctioned exception: an EXTERNAL count column named `n_tokens`
+    // (the natural name a quality stage writes) — the kept frame's
+    // `n_tokens` output carries exactly its values, so the pre-join
+    // drop loses nothing
     Seq("n_tokens", "cum_tokens", "sample_bucket").foreach { c =>
-      require(!Seq(strataColumn, idColumn, textColumn)
-          .exists(_.equalsIgnoreCase(c)),
-        s"`$c` is an output column; it cannot be the strata/id/text column")
+      val sources = Seq(strataColumn, idColumn) ++
+        (if (external) { if (c == "n_tokens") Nil else Seq(tokenCountColumn) }
+         else Seq(textColumn))
+      require(!sources.exists(_.equalsIgnoreCase(c)),
+        s"`$c` is an output column; it cannot be the strata/id/" +
+          "text/count column")
     }
     // fail-loudly guards (curation convention, cf. QuantileStats):
     // a null stratum would silently DROP rows at the offsets equi-join
     // (null keys never match) while the SQL oracle keeps them; a null
     // id nulls the hash bucket; null text makes size(split(null)) = -1
     // — a NEGATIVE weight silently corrupting every later prefix sum.
+    // An external count column gets the same treatment: null or
+    // negative counts raise in-plan instead of corrupting the sum.
+    val weight =
+      if (external)
+        when(col(tokenCountColumn).isNull ||
+            col(tokenCountColumn).cast("long").isNull,
+          raise_error(lit(s"$opName: `$tokenCountColumn` must be " +
+            "non-null and castable to long")).cast("long"))
+          .when(col(tokenCountColumn).cast("long") < 0L,
+            raise_error(lit(s"$opName: `$tokenCountColumn` must be " +
+              ">= 0 — a negative token count would corrupt the " +
+              "prefix sum")).cast("long"))
+          .otherwise(col(tokenCountColumn).cast("long"))
+      else
+        when(col(textColumn).isNull,
+          raise_error(lit(s"$opName: `$textColumn` must be non-null"))
+            .cast("long"))
+          .otherwise(size(tokens(col(textColumn))).cast("long"))
     val narrow = df
       .select(
         when(col(strataColumn).isNull,
@@ -1086,10 +1122,7 @@ object Corpus {
           raise_error(lit(s"$opName: `$idColumn` must be non-null " +
             "and castable to long")).cast("long"))
           .otherwise(col(idColumn).cast("long")).as("k"),
-        when(col(textColumn).isNull,
-          raise_error(lit(s"$opName: `$textColumn` must be non-null"))
-            .cast("long"))
-          .otherwise(size(tokens(col(textColumn))).cast("long")).as("w"))
+        weight.as("w"))
       .withColumn("sample_bucket", Sampling.bucketHex(salt, col("k")))
       // first 4 hex chars = uniform 16-bit int, scaled into
       // [0, hashBuckets) by DIVISION — a monotone map, so range-bucket
@@ -1148,7 +1181,11 @@ object Corpus {
     *
     * Row-preserving on the kept set; appends `n_tokens`, `cum_tokens`,
     * `sample_bucket` and the stratum's `mix_budget` (auditability:
-    * the budget each kept row was admitted under).
+    * the budget each kept row was admitted under). As with
+    * [[MixBudget]], `tokenCountColumn` swaps the whitespace count for
+    * an external per-document token count — both the per-stratum
+    * totals T_s (hence the temperature weights) and the prefix keep
+    * then run in the external unit.
     */
   final case class MixTemperature(totalBudget: Long,
                                   alpha: Double = 0.5,
@@ -1156,7 +1193,8 @@ object Corpus {
                                   idColumn: String = "doc_id",
                                   textColumn: String = "text",
                                   hashBuckets: Int = 256,
-                                  salt: String = "graft")
+                                  salt: String = "graft",
+                                  tokenCountColumn: String = "")
       extends Wrangler {
     require(totalBudget >= 0L, "totalBudget must be >= 0")
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
@@ -1166,7 +1204,7 @@ object Corpus {
 
     def transform(df: DataFrame): DataFrame = {
       val kept = budgetedTokenKeep(df, strataColumn, idColumn, textColumn,
-        hashBuckets, salt, "MixTemperature") { narrow =>
+        hashBuckets, salt, "MixTemperature", tokenCountColumn) { narrow =>
         val totals = narrow.groupBy("s").agg(sum("w").as("__T"))
         // sqrt IS correctly rounded (IEEE 754) — see scaladoc; scaled
         // to 1e6 and rounded to a LONG so the normalizer sum below is

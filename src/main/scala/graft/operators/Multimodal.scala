@@ -19,11 +19,13 @@ import graft.util.SparkUtil
   * Image decode is REAL: PNG / JPEG / GIF payloads go through the JDK's
   * `javax.imageio` (headless-safe, no external dependency) — header
   * fields, frame counts (animated GIF) and pixel data all come from the
-  * actual codec. Audio/video codecs are not bundled with the JDK, so
-  * non-image media can opt into a clearly-documented deterministic
-  * placeholder ([[Multimodal.decodeStub]], `stubNonImage = true`);
-  * by default an undecodable payload FAILS LOUD with the offending id
-  * rather than fabricating data.
+  * actual codec. Audio decode is REAL too: WAV payloads go through the
+  * JDK's `javax.sound.sampled` ([[AudioFeatures]]), format header and
+  * every PCM sample. Only VIDEO has no JDK codec, so it can opt into a
+  * clearly-documented deterministic placeholder
+  * ([[Multimodal.decodeStub]], `stubNonImage = true`); by default an
+  * undecodable payload FAILS LOUD with the offending id rather than
+  * fabricating data.
   *
   * At 100 TB the decode is the classic embarrassingly-parallel map: no
   * shuffle, bounded memory per partition (one payload at a time via the
@@ -37,10 +39,12 @@ object Multimodal {
   // MediaGen's matching setting; either object may initialize first)
   ImageIO.setUseCache(false)
 
-  /** Deterministic placeholder "decode" for NON-IMAGE media (audio/video
-    * codecs are not in the JDK): header-ish fields derived from the
-    * payload bytes via MD5 (portable to any engine for verification).
-    * Only reachable behind an explicit `stubNonImage = true` opt-in.
+  /** Deterministic placeholder "decode" for VIDEO media (the one media
+    * class without a JDK codec — images decode via `javax.imageio`,
+    * WAV audio via `javax.sound.sampled`/[[AudioFeatures]]): header-ish
+    * fields derived from the payload bytes via MD5 (portable to any
+    * engine for verification). Only reachable behind an explicit
+    * `stubNonImage = true` opt-in.
     */
   private[operators] def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
     val h = graft.functions.Portable.md5Prefix(
@@ -170,6 +174,117 @@ object Multimodal {
       df.select(col("doc_id"),
           explode(sequence(lit(0L), col("n_frames") - 1,
             col("frame_stride"))).as("frame_idx"))
+    }
+  }
+
+  /** WAV sniff from RIFF/WAVE magic; None → not a WAV container. */
+  private[operators] def sniffWav(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E'
+
+  /** Decoded view of a WAV payload: format header fields plus the
+    * sample-level probes ([[AudioFeatureRow]] semantics). */
+  private[operators] final case class DecodedAudio(
+      sampleRate: Long, channels: Long, nFrames: Long,
+      firstSample: Long, sampleSum: Long)
+
+  /** Real `javax.sound.sampled` decode of a WAV payload: the JDK's own
+    * WAV codec parses the container, and every PCM sample is read and
+    * folded into `firstSample`/`sampleSum` — pixel-level-equivalent
+    * probes proving the codec actually decoded sample data. Throws
+    * `IllegalArgumentException` naming `id` on any undecodable payload.
+    * Only 16-bit PCM is accepted (the WAV profile the generator and
+    * real speech corpora use); other bit depths fail loud rather than
+    * approximating.
+    */
+  private[operators] def decodeAudio(id: Long, payload: Array[Byte]): DecodedAudio = {
+    if (!sniffWav(payload)) throw new IllegalArgumentException(
+      s"media $id: payload is not a WAV container (RIFF/WAVE magic not " +
+        s"found in ${if (payload == null) 0 else payload.length} bytes)")
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"media $id: corrupt WAV payload (${payload.length} bytes): $e", e)
+      }
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16,
+        s"media $id: only 16-bit PCM WAV is supported, got " +
+          s"${fmt.getSampleSizeInBits}-bit")
+      val channels = fmt.getChannels
+      val frames = ais.getFrameLength
+      val data =
+        try ais.readAllBytes()
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"media $id: truncated WAV sample data: $e", e)
+        }
+      val n = data.length / 2
+      if (frames >= 0 && n != frames * channels)
+        throw new IllegalArgumentException(
+          s"media $id: WAV sample data holds $n samples but the header " +
+            s"declares ${frames * channels}")
+      val big = fmt.isBigEndian
+      var j = 0
+      var sum = 0L
+      var first = 0L
+      while (j < n) {
+        val lo = data(2 * j) & 0xFF
+        val hi = data(2 * j + 1) & 0xFF
+        val s = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort.toLong
+        if (j == 0) first = s
+        sum += s
+        j += 1
+      }
+      DecodedAudio(fmt.getSampleRate.toLong, channels.toLong,
+        if (frames >= 0) frames else n.toLong / channels, first, sum)
+    } finally ais.close()
+  }
+
+  /** Typed output row of [[AudioFeatures]] (field order = schema). */
+  private[operators] final case class AudioFeatureRow(
+      doc_id: Long, fmt: String, byte_len: Long, sample_rate: Long,
+      channels: Long, n_frames: Long, duration_ms: Long,
+      first_sample: Long, sample_sum: Long)
+
+  /** Extract audio features from a binary WAV payload column — the
+    * audio sibling of [[MediaFeatures]], and the operator that retires
+    * the audio stub ([[decodeStub]] now covers only video, the one
+    * media class without a JDK codec). Real `javax.sound.sampled`
+    * decode: format header fields plus two sample-level probes
+    * (`first_sample`, and `sample_sum` folded over EVERY decoded PCM
+    * sample) that a header-only parse could not produce.
+    * `duration_ms = n_frames * 1000 / sample_rate` (exact integer
+    * division, cross-engine stable). Undecodable payloads fail loud
+    * with the id.
+    *
+    * Same 100 TB shape as the image path: embarrassingly parallel typed
+    * `mapPartitions`, one payload decoded at a time, no shuffle.
+    */
+  final case class AudioFeatures(idColumn: String = "doc_id",
+                                 payloadColumn: String = "payload")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, payloadColumn))
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(idColumn).cast("long"), col(payloadColumn).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            val d = decodeAudio(id, payload)
+            AudioFeatureRow(id, "wav", payload.length.toLong, d.sampleRate,
+              d.channels, d.nFrames, d.nFrames * 1000L / d.sampleRate,
+              d.firstSample, d.sampleSum)
+          }
+        }
+        .toDF()
     }
   }
 

@@ -207,6 +207,33 @@ object StressCorpus {
         .agg(sum("cum_tokens"), count(lit(1))).collect()(0).getLong(1)
     }
 
+    // ----- the EXTERNAL-count mixture path at the same 50M scale: the
+    // weighted prefix sum must be bit-identical to the text path when
+    // the external counts equal the whitespace counts — varying weights
+    // (1..5 tokens), 8 strata, compared by (count, sum(doc_id),
+    // sum(cum_tokens)) per run plus a zero-violation budget check
+    time(s"mix_budget_w n=$nRows strata=8 budget=1M external==text") {
+      val wRows = spark.range(nRows)
+        .select(col("id").as("doc_id"),
+          concat(lit("l"), pmod(col("id"), lit(8L))).as("lang"),
+          (pmod(col("id"), lit(5L)) + 1L).as("w"))
+      def sig(df: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = {
+        val r = df.agg(count(lit(1)), sum("doc_id"), sum("cum_tokens"),
+          sum(when(col("cum_tokens") > 1000000L, 1L).otherwise(0L)))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val ext = sig(Corpus.MixBudget(Map.empty, defaultBudget = 1000000L,
+          tokenCountColumn = "w")
+        .transform(wRows))
+      val txt = sig(Corpus.MixBudget(Map.empty, defaultBudget = 1000000L)
+        .transform(wRows.withColumn("text",
+          expr("trim(repeat('t ', w))")).drop("w")))
+      require(ext == txt, s"external-vs-text mixture drift: $ext != $txt")
+      require(ext._4 == 0L, s"budget violations: ${ext._4}")
+      ext._1
+    }
+
     // ----- unigram logprob over the synthetic docs (hot + rare vocab)
     time(s"text_logprob docs=$nDocs") {
       Corpus.UnigramLogProb().transform(docs)
@@ -1109,6 +1136,38 @@ object StressCorpus {
         r.getLong(2) == ef && r.getLong(3) == ec,
         s"decode drift: got $r, want ($ew, $eh, $ef, $ec)")
       r.getLong(4)
+    }
+    // ----- audio: REAL WAV encode -> javax.sound.sampled decode at
+    // corpus scale. Same closed-form protocol as mm_features: header
+    // fields AND the full-sample-stream sums must agree bit-for-bit
+    // with the AudioGen integer forms or the driver sums drift.
+    time(s"mm_audio n=$nMedia real WAV decode") {
+      val feats = Multimodal.AudioFeatures()
+        .transform(graft.sources.AudioGen.AttachPayload()
+          .transform(mediaIds))
+      val r = feats.agg(sum("sample_rate"), sum("channels"),
+        sum("n_frames"), sum("first_sample"), sum("sample_sum"),
+        count(lit(1))).collect()(0)
+      var (er, ec, ef, e0, es) = (0L, 0L, 0L, 0L, 0L)
+      var i = 0L
+      while (i < nMedia) {
+        val ch = graft.sources.AudioGen.channelsOf(i)
+        val fr = graft.sources.AudioGen.framesOf(i)
+        er += graft.sources.AudioGen.sampleRateOf(i); ec += ch; ef += fr
+        e0 += graft.sources.AudioGen.sampleOf(i, 0L)
+        // per-doc sample sum in closed form over the flat index: the
+        // modular series repeats with period lcm-bounded by 65536; a
+        // direct O(n) integer loop is cheap enough here and is the
+        // same independent recompute the spec uses
+        var j = 0L
+        val n = fr * ch
+        while (j < n) { es += graft.sources.AudioGen.sampleOf(i, j); j += 1L }
+        i += 1L
+      }
+      require(r.getLong(0) == er && r.getLong(1) == ec &&
+        r.getLong(2) == ef && r.getLong(3) == e0 && r.getLong(4) == es,
+        s"WAV decode drift: got $r, want ($er, $ec, $ef, $e0, $es)")
+      r.getLong(5)
     }
     time(s"mm_resize n=$nMedia decode+NN+reencode") {
       val out = Multimodal.Resize(maxW = 40L, maxH = 30L)

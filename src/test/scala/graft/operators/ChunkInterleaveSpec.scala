@@ -56,6 +56,58 @@ class ChunkInterleaveSpec extends AnyFunSuite {
     assert(empty._3 == 1L && empty._4 == "")
   }
 
+  test("external tokenArrayColumn: precomputed whitespace tokens " +
+    "reproduce the default path bit-for-bit; text is unread") {
+    val base = docs(Seq((1 to 50).map(i => s"w$i").mkString(" "),
+      "alpha beta gamma"))
+    val viaText = ChunkSplit(chunkTokens = 16, overlapTokens = 4)
+      .transform(base)
+      .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens",
+        "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val viaArray = ChunkSplit(chunkTokens = 16, overlapTokens = 4,
+        tokenArrayColumn = "tk")
+      .transform(base
+        .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
+        .drop("text")) // the external path must not require text
+      .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens",
+        "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(viaArray.toSeq == viaText.toSeq)
+  }
+
+  test("external tokenArrayColumn: an EMPTY external array (a real " +
+    "tokenizer's empty output, unlike the whitespace [\"\"] convention) " +
+    "still yields exactly one zero-token chunk") {
+    val df = Seq((7L, Seq.empty[String]), (8L, Seq("a", "b", "c")))
+      .toDF("doc_id", "tk")
+    val got = ChunkSplit(chunkTokens = 4, overlapTokens = 1,
+        tokenArrayColumn = "tk")
+      .transform(df)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.count(_._1 == 7L) == 1)
+    val empty = got.find(_._1 == 7L).get
+    assert(empty._3 == 0L && empty._4 == "")
+    val full = got.find(_._1 == 8L).get
+    assert(full._3 == 3L && full._4 == "a b c")
+  }
+
+  test("external tokenArrayColumn: null array and a non-array<string> " +
+    "column fail loudly") {
+    val nullArr = Seq((1L, null.asInstanceOf[Seq[String]]))
+      .toDF("doc_id", "tk")
+    assertThrows[Exception](
+      ChunkSplit(tokenArrayColumn = "tk").transform(nullArr).collect())
+    val wrongType = Seq((1L, Seq(1, 2, 3))).toDF("doc_id", "tk")
+    val e = intercept[IllegalArgumentException](
+      ChunkSplit(tokenArrayColumn = "tk").transform(wrongType))
+    assert(e.getMessage.contains("array<string>"), e.getMessage)
+    val missing = Seq((1L, "x")).toDF("doc_id", "text")
+    assertThrows[Exception](
+      ChunkSplit(tokenArrayColumn = "nope").transform(missing))
+  }
+
   test("null text fails loudly") {
     val df = Seq((1L, "ok")).toDF("doc_id", "text")
       .withColumn("text", when(col("doc_id") === 1L, lit(null: String)))

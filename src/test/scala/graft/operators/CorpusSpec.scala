@@ -515,6 +515,68 @@ class CorpusSpec extends AnyFunSuite {
     assert(run(65536) == base)
   }
 
+  test("mix_budget: external tokenCountColumn drives the SAME exact " +
+    "prefix algebra — whitespace counts supplied externally reproduce " +
+    "the default path bit-for-bit, and text is unread") {
+    val cols = Seq("doc_id", "lang", "n_tokens", "cum_tokens",
+      "sample_bucket")
+    def run(df: org.apache.spark.sql.DataFrame, cc: String) =
+      Corpus.MixBudget(Map("en" -> 40L), defaultBudget = 25L,
+          tokenCountColumn = cc)
+        .transform(df).orderBy("doc_id")
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, String, Long, Long, String)].collect().toSeq
+    val viaText = run(mixDocs, "")
+    // the external frame carries NO text column at all
+    val external = mixDocs
+      .withColumn("w", expr("doc_id % 7 + 1")).drop("text")
+    assert(run(external, "w") == viaText)
+    // the natural upstream name n_tokens is sanctioned as the count
+    // column (its values ARE the output n_tokens)
+    assert(run(external.withColumnRenamed("w", "n_tokens"),
+      "n_tokens") == viaText)
+  }
+
+  test("mix_budget: null and negative external counts fail loudly — a " +
+    "negative weight would silently corrupt every later prefix sum") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.MixBudget(Map("en" -> 100L), tokenCountColumn = "w")
+        .transform(df).collect()
+    assertThrows[Exception](run(
+      Seq((1L, "en", null.asInstanceOf[java.lang.Long]))
+        .toDF("doc_id", "lang", "w")))
+    val neg = intercept[Exception](run(
+      Seq((1L, "en", 3L), (2L, "en", -1L)).toDF("doc_id", "lang", "w")))
+    assert(neg.getMessage.contains("negative") ||
+      neg.getCause != null && neg.getCause.getMessage.contains("negative"))
+    // a count column that shares a NON-sanctioned output name is rejected
+    assertThrows[IllegalArgumentException](
+      Corpus.MixBudget(Map("en" -> 100L), tokenCountColumn = "cum_tokens")
+        .transform(Seq((1L, "en", 3L)).toDF("doc_id", "lang", "cum_tokens")))
+  }
+
+  test("mix_temperature: external counts rescale the per-stratum " +
+    "totals, weights AND the keep — equivalent to the default when the " +
+    "external counts are the whitespace counts") {
+    val cols = Seq("doc_id", "lang", "n_tokens", "cum_tokens",
+      "sample_bucket", "mix_budget")
+    def run(df: org.apache.spark.sql.DataFrame, cc: String) =
+      Corpus.MixTemperature(totalBudget = 60L, strataColumn = "lang",
+          tokenCountColumn = cc)
+        .transform(df).orderBy("doc_id")
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, String, Long, Long, String, Long)].collect().toSeq
+    val viaText = run(mixDocs, "")
+    val external = mixDocs
+      .withColumn("w", expr("doc_id % 7 + 1")).drop("text")
+    assert(run(external, "w") == viaText)
+    // doubled counts halve (roughly) the kept set under the same total
+    // budget — the budget really is denominated in the external unit
+    val doubled = run(external.withColumn("w", col("w") * 2L), "w")
+    assert(doubled.map(_._1).toSet.subsetOf(viaText.map(_._1).toSet))
+    assert(doubled.size < viaText.size)
+  }
+
   // ----------------------------------------------- NearDupDecontaminate
 
   test("neardup decontaminate: flags a light paraphrase the exact " +

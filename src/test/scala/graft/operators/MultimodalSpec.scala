@@ -99,6 +99,74 @@ class MultimodalSpec extends AnyFunSuite {
       e3.getCause.getMessage.contains("media 42"))
   }
 
+  // ------------------------------------------------------- WAV audio
+
+  test("AudioGen payloads are real RIFF/WAVE containers, deterministic, " +
+    "and sized header + 2 bytes per sample") {
+    val p = graft.sources.AudioGen.payloadFor(3L)
+    assert(new String(p.take(4), "US-ASCII") == "RIFF")
+    assert(new String(p.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(graft.sources.AudioGen.payloadFor(3L).toSeq == p.toSeq)
+    val n = graft.sources.AudioGen.framesOf(3L) *
+      graft.sources.AudioGen.channelsOf(3L)
+    assert(p.length >= 44 + n * 2, s"${p.length} vs ${44 + n * 2}")
+  }
+
+  test("AudioFeatures: real javax.sound.sampled decode matches the " +
+    "generator closed forms — header fields AND the full sample stream") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 7L, 100L, 999L)
+    val df = graft.sources.AudioGen.AttachPayload()
+      .transform(ids.toDF("doc_id"))
+    val rows = Multimodal.AudioFeatures().transform(df)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- ids) {
+      val r = rows(id)
+      assert(r.getAs[String]("fmt") == "wav")
+      assert(r.getAs[Long]("sample_rate") ==
+        graft.sources.AudioGen.sampleRateOf(id))
+      assert(r.getAs[Long]("channels") ==
+        graft.sources.AudioGen.channelsOf(id))
+      val frames = graft.sources.AudioGen.framesOf(id)
+      assert(r.getAs[Long]("n_frames") == frames)
+      assert(r.getAs[Long]("duration_ms") ==
+        frames * 1000L / graft.sources.AudioGen.sampleRateOf(id))
+      assert(r.getAs[Long]("first_sample") ==
+        graft.sources.AudioGen.sampleOf(id, 0L))
+      val n = frames * graft.sources.AudioGen.channelsOf(id)
+      val expSum = (0L until n)
+        .map(graft.sources.AudioGen.sampleOf(id, _)).sum
+      assert(r.getAs[Long]("sample_sum") == expSum,
+        s"id=$id sample_sum drift")
+      assert(r.getAs[Long]("byte_len") >= 44L + n * 2L)
+    }
+  }
+
+  test("AudioFeatures: corrupt / truncated / non-WAV payloads fail " +
+    "loud with the offending id") {
+    val junk = Seq((51L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)))
+      .toDF("doc_id", "payload")
+    val e1 = intercept[org.apache.spark.SparkException](
+      Multimodal.AudioFeatures().transform(junk).collect())
+    assert(e1.getMessage.contains("media 51") ||
+      e1.getCause.getMessage.contains("media 51"))
+
+    // RIFF/WAVE magic intact but the sample data chopped mid-stream
+    val full = graft.sources.AudioGen.payloadFor(6L)
+    val truncated = Seq((52L, full.take(full.length / 2)))
+      .toDF("doc_id", "payload")
+    val e2 = intercept[org.apache.spark.SparkException](
+      Multimodal.AudioFeatures().transform(truncated).collect())
+    assert(e2.getMessage.contains("media 52") ||
+      e2.getCause.getMessage.contains("media 52"))
+
+    // an IMAGE payload is not audio — the sniff rejects it by id
+    val png = Seq((53L, MediaGen.payloadFor(4L))).toDF("doc_id", "payload")
+    val e3 = intercept[org.apache.spark.SparkException](
+      Multimodal.AudioFeatures().transform(png).collect())
+    assert(e3.getMessage.contains("media 53") ||
+      e3.getCause.getMessage.contains("media 53"))
+  }
+
   test("stubNonImage routes ONLY non-image payloads to the placeholder") {
     val df = Seq(
       (1L, MediaGen.payloadFor(2L)),                    // real PNG
