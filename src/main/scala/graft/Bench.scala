@@ -70,6 +70,7 @@ object Bench {
     "dedup_simhash" -> Some("Join"),
     "dedup_embedding" -> Some("Join"),
     "dedup_clusters" -> None,
+    "win_quantiles" -> None, // the streaming query runs eagerly inside the builder
     "dedup_canonical" -> None, // CC loop runs eagerly inside the builder
     "dedup_semantic" -> Some("Join"), // within-cluster pair join (Lloyd
     // rounds run eagerly inside the builder, as in the CC loop)
@@ -87,6 +88,7 @@ object Bench {
     "decontaminate_report" -> Some("Join"),
     "sample_quota" -> Some("Window"),
     "sample_dsir" -> Some("Window"), // boundary-bucket rank windows
+    "dsir_bigram" -> Some("Window"), // same selection, bigram features
     "dsir_incr" -> Some("Window"),
     "dsir_report" -> Some("Window"),
     "mix_budget" -> Some("Window"),
@@ -121,6 +123,7 @@ object Bench {
     "ann_lsh" -> Some("Window"),
     "ann_lsh_multi" -> Some("Window"),
     "ann_ivf" -> Some("Window"),
+    "ann_ivf_incr" -> Some("Window"), // probe join + the rank window
     "text_boilerplate" -> Some("Join"),
     "text_dupspans" -> Some("Window"), // the per-doc span-merge windows
     "text_stripspans" -> Some("Window"), // same span machinery + rebuild
@@ -136,6 +139,8 @@ object Bench {
     "text_fingerprint" -> Some("SerializeFromObject"),
     "text_repetition" -> Some("SerializeFromObject"),
     "pii_scrub" -> Some("regexp_replace"),
+    "url_canonical" -> Some("regexp_replace"), // the canonical regex chain
+    "host_stats" -> Some("HashAggregate"), // per-host partial-agg rollup
     "q1_pricing" -> Some("HashAggregate"),
     "join_revenue_nation" -> Some("Join"),
     "top_customers" -> Some("Join"),

@@ -737,11 +737,25 @@ object OracleSql {
     * [[dsirResample]] and [[dsirReport]].
     */
   private def dsirKeptCtes(targetValue: String, fraction: Double,
-                           numFeatures: Int, salt: String): String =
+                           numFeatures: Int, salt: String,
+                           ngram: Int = 1): String = {
+    // ngram = 2: space-joined consecutive token pairs (1-based list
+    // slots; range's exclusive stop makes a < 2-token doc contribute
+    // nothing — the Spark side's empty arrays_zip)
+    val posting =
+      if (ngram == 1)
+        s"""p AS (SELECT doc_id,
+           |    COALESCE(source = '$targetValue', FALSE) AS tgt,
+           |    unnest($Toks) AS tok FROM d),""".stripMargin
+      else
+        s"""p0 AS (SELECT doc_id,
+           |    COALESCE(source = '$targetValue', FALSE) AS tgt,
+           |    $Toks AS tk FROM d),
+           |p AS (SELECT doc_id, tgt,
+           |    unnest(list_transform(range(1, len(tk)),
+           |      i -> tk[i] || ' ' || tk[i + 1])) AS tok FROM p0),""".stripMargin
     s"""d AS (SELECT doc_id, text, source FROM documents),
-       |p AS (SELECT doc_id,
-       |    COALESCE(source = '$targetValue', FALSE) AS tgt,
-       |    unnest($Toks) AS tok FROM d),
+       |$posting
        |f AS (SELECT doc_id, tgt,
        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % $numFeatures
        |      AS f FROM p),
@@ -761,10 +775,12 @@ object OracleSql {
        |  FROM d),
        |r AS (SELECT doc_id, dsir_score, row_number()
        |    OVER (ORDER BY dsir_score DESC, th, doc_id) AS rn FROM sc)""".stripMargin
+  }
 
   def dsirResample(targetValue: String, fraction: Double,
-                   numFeatures: Int, salt: String): String =
-    s"""WITH ${dsirKeptCtes(targetValue, fraction, numFeatures, salt)}
+                   numFeatures: Int, salt: String,
+                   ngram: Int = 1): String =
+    s"""WITH ${dsirKeptCtes(targetValue, fraction, numFeatures, salt, ngram)}
        |SELECT doc_id, CAST(dsir_score AS BIGINT) AS dsir_score
        |FROM r CROSS JOIN k WHERE rn <= k.k
        |ORDER BY doc_id""".stripMargin
@@ -1682,6 +1698,57 @@ object OracleSql {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Incremental IVF probe (graft.operators.Similarity
+    * .IncrementalIvfTopK): the corpus (ids >= `splitId`) is fitted into
+    * the member index — centroids are the corpus vectors with the
+    * `nlist` smallest (md5, id), every corpus vector assigned to its
+    * max-cosine centroid — and the query batch (ids < `splitId`, NOT in
+    * the corpus) probes its `nprobe` closest lists with exact re-rank
+    * inside. Mirrors the fit + probe pair end-to-end.
+    */
+  def annIvfIncr(dim: Int, nlist: Int, nprobe: Int, k: Int,
+                 splitId: Long): String = {
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def cosE(a: String, b: String, na: String, nb: String) =
+      s"CAST(${dotE(a, b)} AS DOUBLE) / " +
+        s"sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
+    s"""$QuantizedVecs,
+       |nc AS (SELECT * FROM n WHERE id >= $splitId),
+       |nq AS (SELECT * FROM n WHERE id < $splitId),
+       |hh AS (SELECT id,
+       |  CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)
+       |    AS h FROM nc),
+       |sel AS (SELECT id, h FROM hh ORDER BY h, id LIMIT $nlist),
+       |cents AS (SELECT row_number() OVER (ORDER BY s.h, s.id) AS cid,
+       |  nc.q AS cq, nc.nrm AS cnrm FROM sel s JOIN nc ON nc.id = s.id),
+       |asgn0 AS (SELECT nc.id, nc.q, nc.nrm, c.cid,
+       |  row_number() OVER (PARTITION BY nc.id ORDER BY
+       |    ${cosE("nc.q", "c.cq", "nc.nrm", "c.cnrm")} DESC, c.cid ASC)
+       |    AS rn
+       |  FROM nc CROSS JOIN cents c),
+       |asgn AS (SELECT id, q, nrm, cid FROM asgn0 WHERE rn = 1),
+       |probes0 AS (SELECT nq.id AS query_id, nq.q AS qq, nq.nrm AS qnrm,
+       |  c.cid,
+       |  row_number() OVER (PARTITION BY nq.id ORDER BY
+       |    ${cosE("nq.q", "c.cq", "nq.nrm", "c.cnrm")} DESC, c.cid ASC)
+       |    AS rn
+       |  FROM nq CROSS JOIN cents c),
+       |probes AS (SELECT query_id, qq, qnrm, cid FROM probes0
+       |  WHERE rn <= $nprobe),
+       |sc AS (SELECT a.id, p.query_id,
+       |  round(${cosE("a.q", "p.qq", "a.nrm", "p.qnrm")}, 6) AS cosine
+       |  FROM asgn a JOIN probes p ON a.cid = p.cid
+       |  WHERE a.id <> p.query_id),
+       |r AS (SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, id ASC) AS rank,
+       |  id AS neighbor_id, cosine FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** SemDeDup (graft.operators.SemDedup): full spherical-k-means replay —
     * init = the `k` vectors with the smallest (md5-hash, id), then
     * `iterations` rounds of {max-cosine-to-center assignment (ties →
@@ -1798,6 +1865,120 @@ object OracleSql {
        |LEFT JOIN mb ON mb.id = x.id
        |ORDER BY vec_id""".stripMargin
   }
+
+  // --------------------------------------------------------- streaming
+
+  /** Batch replay of the streaming windowed-quantile query
+    * (`win_quantiles`): tumbling epoch-aligned 1-day windows on the
+    * raw epoch-ns lattice, exact discrete quantiles at 1-based rank
+    * `ceil(q*n)` — valid as the oracle because every window holds far
+    * fewer rows than the GK sketch accuracy, where
+    * `percentile_approx` degenerates to the exact discrete quantile.
+    */
+  def winQuantiles: String =
+    s"""WITH e AS (SELECT epoch_ns(ts) AS tns, event_type, value
+       |  FROM events),
+       |w AS (SELECT tns - tns % 86400000000000 AS w_start, event_type,
+       |  value FROM e),
+       |r AS (SELECT w_start, event_type, value,
+       |  row_number() OVER (PARTITION BY w_start, event_type
+       |    ORDER BY value) AS rn,
+       |  count(*) OVER (PARTITION BY w_start, event_type) AS n FROM w),
+       |q AS (SELECT w_start, event_type, max(n) AS n,
+       |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+       |    THEN value END) AS p50,
+       |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+       |    THEN value END) AS p90
+       |  FROM r GROUP BY w_start, event_type)
+       |SELECT CAST(w_start AS BIGINT) AS w_start, event_type,
+       |  CAST(n AS BIGINT) AS n, p50, p90
+       |FROM q ORDER BY w_start, event_type""".stripMargin
+
+  // --------------------------------------------------------------- web
+
+  /** The messy-URL fixture (`SparkEntry.webUrls`) rebuilt in SQL —
+    * byte-identical strings from the same doc_id arithmetic. */
+  // NOTE: concatenation `||`s sit at line ENDS — this literal is
+  // interpolated into webCanonCtes' stripMargin string, where a
+  // line-leading `||` would be eaten as a margin character
+  private val WebUrl =
+    """CASE WHEN doc_id % 7 = 6 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+      |ELSE
+      |  (CASE doc_id % 7 WHEN 2 THEN 'HTTP://' WHEN 4 THEN 'HTTPS://'
+      |        WHEN 3 THEN 'https://' ELSE 'http://' END) ||
+      |  (CASE WHEN (doc_id % 7) % 2 = 0 THEN 'www.' ELSE '' END) ||
+      |  'site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' ||
+      |  (CASE doc_id % 7 WHEN 2 THEN ':80' WHEN 3 THEN ':443'
+      |        WHEN 5 THEN ':8080' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 1 THEN '/a//b' ELSE '' END) ||
+      |  '/p' || CAST(doc_id % 11 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 7 IN (0, 4) THEN '/' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 IN (0, 2, 4) THEN '?utm_source=x&b=2&a=1'
+      |        WHEN doc_id % 7 = 1 THEN '?b=2&a=1'
+      |        WHEN doc_id % 7 = 3 THEN '?gclid=99' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 IN (0, 3) THEN '#frag' ELSE '' END)
+      |END""".stripMargin
+
+  /** The canonicalization algebra of [[graft.operators.Web]] replayed
+    * step-for-step (DuckDB deltas are syntax only: `\\1` backrefs and
+    * the explicit `'g'` flag). Produces per-row
+    * `(doc_id, url, url_canonical, host)` CTE `canon`.
+    */
+  private def webCanonCtes: String =
+    s"""t AS (SELECT doc_id, $WebUrl AS url FROM documents),
+       |w0 AS (SELECT doc_id, url, trim(url) AS u FROM t),
+       |w AS (SELECT doc_id, url, u,
+       |  regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://') AS ok,
+       |  lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+       |    AS scheme,
+       |  regexp_replace(regexp_replace(u,
+       |    '^[a-zA-Z][a-zA-Z0-9+.-]*://', '', 'g'), '#.*$$', '', 'g')
+       |    AS rest FROM w0),
+       |a AS (SELECT *,
+       |  regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
+       |    '^[^@]*@', '', 'g') AS hostport,
+       |  regexp_replace(rest, '^[^/?#]*', '') AS pathq FROM w),
+       |b AS (SELECT *,
+       |  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+       |  regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '',
+       |    'g')), '^www\\.', '', 'g') AS host0,
+       |  regexp_replace(regexp_replace(
+       |    regexp_extract(pathq, '^([^?]*)', 1), '/{2,}', '/', 'g'),
+       |    '/+$$', '', 'g') AS path,
+       |  regexp_extract(pathq, '[?](.*)$$', 1) AS query0 FROM a),
+       |c AS (SELECT *, list_filter(string_split(query0, '&'),
+       |    p -> NOT regexp_matches(p,
+       |      '^(utm_[^&=]*|fbclid|gclid)(=.*)?$$') AND p <> '')
+       |    AS plist FROM b),
+       |d AS (SELECT *, array_to_string(list_sort(plist), '&') AS sq
+       |  FROM c),
+       |canon AS (SELECT doc_id, url,
+       |  CASE WHEN ok THEN scheme || '://' || host0 ||
+       |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |          OR (scheme = 'https' AND port = '443') THEN ''
+       |          ELSE ':' || port END) ||
+       |    path ||
+       |    (CASE WHEN len(sq) > 0 THEN '?' || sq ELSE '' END)
+       |  ELSE NULL END AS url_canonical,
+       |  CASE WHEN ok THEN host0 ELSE NULL END AS host FROM d)""".stripMargin
+
+  def urlCanonical: String =
+    s"""WITH $webCanonCtes
+       |SELECT doc_id, url, url_canonical, host FROM canon
+       |ORDER BY doc_id""".stripMargin
+
+  def hostStats: String =
+    s"""WITH $webCanonCtes,
+       |g AS (SELECT host, count(*) AS n_docs,
+       |  count(DISTINCT url_canonical) +
+       |    (CASE WHEN count(*) > count(url_canonical) THEN 1 ELSE 0 END)
+       |    AS distinct_urls
+       |  FROM canon GROUP BY host)
+       |SELECT host, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(distinct_urls AS BIGINT) AS distinct_urls,
+       |  CAST(n_docs - distinct_urls AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |    AS dup_url_ratio
+       |FROM g ORDER BY host""".stripMargin
 
   // -------------------------------------------------------- multimodal
 

@@ -9,9 +9,10 @@ import graft.functions.Portable
 import graft.util.SparkUtil
 
 /** Importance-resampling data selection (DSIR): score every document
-  * by how much more likely its hashed unigram features are under a
-  * TARGET domain's feature distribution than under the rest of the
-  * corpus, then keep exactly the top `fraction` of documents — the
+  * by how much more likely its hashed n-gram features (unigrams by
+  * default, bigrams with `ngram = 2` — the paper's feature space) are
+  * under a TARGET domain's feature distribution than under the rest of
+  * the corpus, then keep exactly the top `fraction` of documents — the
   * "select web data that looks like my high-quality seed corpus"
   * primitive of LLM pretraining curation (Xie et al. 2023, "Data
   * Selection for Language Models via Importance Resampling").
@@ -43,6 +44,38 @@ object Dsir {
     */
   private def featureOf(tok: Column, numFeatures: Int): Column =
     pmod(Portable.tokenHash(tok), lit(numFeatures.toLong))
+
+  /** The hashed-feature posting of `df`: one row per feature
+    * OCCURRENCE, carrying `keep` (simple named columns of `df`) plus
+    * the feature cell as `__feat`. `ngram = 1` hashes tokens (the
+    * default of the published method); `ngram = 2` hashes
+    * space-joined bigrams — Xie et al.'s n-gram feature space — via
+    * the codegen'd slice + arrays_zip shape of
+    * [[Corpus.BigramLogProb]] (the interpreted transform/sequence HOF
+    * measured 6x slower at corpus scale). Documents with fewer than
+    * `ngram` tokens contribute NO occurrences — under bigram features
+    * a 0/1-token document scores exactly 0, the same empty-product
+    * convention as null text under unigrams.
+    */
+  private def featurePosting(df: DataFrame, keep: Seq[String],
+                             textColumn: String, numFeatures: Int,
+                             ngram: Int): DataFrame = {
+    require(ngram == 1 || ngram == 2, s"ngram must be 1 or 2, got $ngram")
+    val toks = Portable.tokens(col(textColumn))
+    val keepC = keep.map(col)
+    if (ngram == 1)
+      df.select(keepC :+ explode(toks).as("__tok"): _*)
+        .select(keepC :+ featureOf(col("__tok"), numFeatures)
+          .as("__feat"): _*)
+    else {
+      val len = greatest(size(toks) - 1, lit(0))
+      df.select(keepC :+ explode(arrays_zip(
+          slice(toks, lit(1), len), slice(toks, lit(2), len))).as("__p"): _*)
+        .select(keepC :+ featureOf(concat_ws(" ",
+          col("__p").getField("0"), col("__p").getField("1")),
+          numFeatures).as("__feat"): _*)
+    }
+  }
 
   /** Driver-held log-ratio table of a feature-count frame: position
     * `f` holds the scaled-long ratio for feature `f`, absent cells the
@@ -81,7 +114,8 @@ object Dsir {
   }
 
   /** Working / output names both operators forbid on input. */
-  private val Reserved = Set("__tok", "__tgt", "__f", "__t", "__c",
+  private val Reserved = Set("__tok", "__tgt", "__feat", "__p", "__f",
+    "__t", "__c",
     "__r", "__v", "__mf", "__lr", "__dlr", "__s", "__th", "__b", "__bc",
     "__vlo", "__vhi", "__tot", "__above", "__k", "__q", "__one",
     "__bnd", "__keep", "__rn", "__hb", "__hc", "__hab", "__q2",
@@ -108,14 +142,15 @@ object Dsir {
   def featureCounts(corpus: DataFrame, targetValue: String,
                     textColumn: String = "text",
                     targetColumn: String = "source",
-                    numFeatures: Int = 4096): DataFrame = {
+                    numFeatures: Int = 4096,
+                    ngram: Int = 1): DataFrame = {
     SparkUtil.validateColumns(corpus, Seq(textColumn, targetColumn))
-    corpus.select(
-        coalesce(col(targetColumn) === lit(targetValue), lit(false))
-          .as("__tgt"),
-        explode(Portable.tokens(col(textColumn))).as("__tok"))
-      .select(col("__tgt"),
-        featureOf(col("__tok"), numFeatures).as("feature"))
+    val flagged = corpus.select(
+      coalesce(col(targetColumn) === lit(targetValue), lit(false))
+        .as("__tgt"),
+      col(textColumn))
+    featurePosting(flagged, Seq("__tgt"), textColumn, numFeatures, ngram)
+      .select(col("__tgt"), col("__feat").as("feature"))
       .groupBy("feature")
       .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_target"),
         sum(when(col("__tgt"), 0L).otherwise(1L)).as("n_raw"))
@@ -129,12 +164,13 @@ object Dsir {
   def foldBatch(counts: DataFrame, batch: DataFrame, targetValue: String,
                 textColumn: String = "text",
                 targetColumn: String = "source",
-                numFeatures: Int = 4096): DataFrame = {
+                numFeatures: Int = 4096,
+                ngram: Int = 1): DataFrame = {
     SparkUtil.validateColumns(counts, Seq("feature", "n_target", "n_raw"))
     counts.select("feature", "n_target", "n_raw")
       .unionByName(
         featureCounts(batch, targetValue, textColumn, targetColumn,
-          numFeatures))
+          numFeatures, ngram))
       .groupBy("feature")
       .agg(sum("n_target").as("n_target"), sum("n_raw").as("n_raw"))
   }
@@ -161,7 +197,8 @@ object Dsir {
   private def scoreAgainst(df: DataFrame, counts: DataFrame,
                            idColumn: String, textColumn: String,
                            numFeatures: Int,
-                           emptyModelError: Option[String]): DataFrame = {
+                           emptyModelError: Option[String],
+                           ngram: Int = 1): DataFrame = {
     val idc = col(idColumn)
     val totals = counts.agg(sum("n_target").as("__t"),
       sum("n_raw").as("__r"), count(lit(1)).as("__v"),
@@ -193,9 +230,9 @@ object Dsir {
       case None => ratio(lit(0L), lit(0L))
     }
     val dflt = totals.select(unseen.as("__dlr"))
-    val posting = df.select(idc,
-        explode(Portable.tokens(col(textColumn))).as("__tok"))
-      .select(idc, featureOf(col("__tok"), numFeatures).as("__f"))
+    val posting = featurePosting(df.select(idc, col(textColumn)),
+        Seq(idColumn), textColumn, numFeatures, ngram)
+      .select(idc, col("__feat").as("__f"))
     val scores = posting.join(broadcast(lr), Seq("__f"), "left")
       .crossJoin(broadcast(dflt))
       .select(idc, coalesce(col("__lr"), col("__dlr")).as("__lr"))
@@ -374,7 +411,8 @@ object Dsir {
                                       valueBuckets: Int = 256,
                                       accuracy: Int = 10000,
                                       salt: String = "graft",
-                                      cacheScores: Boolean = true)
+                                      cacheScores: Boolean = true,
+                                      ngram: Int = 1)
       extends Wrangler {
     require(fraction > 0.0 && fraction <= 1.0,
       s"`fraction` must be in (0, 1], got $fraction")
@@ -382,15 +420,17 @@ object Dsir {
       "`numFeatures` must be in [1, 2^20] — the score table is " +
         s"broadcast, so it must stay driver-sized; got $numFeatures")
     require(valueBuckets >= 1, "`valueBuckets` must be >= 1")
+    require(ngram == 1 || ngram == 2, s"`ngram` must be 1 or 2 " +
+      s"(hashed unigrams or hashed bigrams), got $ngram")
 
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df,
         Seq(idColumn, textColumn, targetColumn))
       requireNoReserved(df)
       val counts = featureCounts(df, targetValue, textColumn,
-        targetColumn, numFeatures)
+        targetColumn, numFeatures, ngram)
       val scoredLazy = scoreAgainst(df, counts, idColumn, textColumn,
-        numFeatures, emptyModelError = None)
+        numFeatures, emptyModelError = None, ngram)
       val scored =
         if (cacheScores) scoredLazy.localCheckpoint() else scoredLazy
       val kept = selectTopFraction(scored, idColumn, fraction,
@@ -485,7 +525,8 @@ object Dsir {
                                        valueBuckets: Int = 256,
                                        accuracy: Int = 10000,
                                        salt: String = "graft",
-                                       cacheScores: Boolean = true)
+                                       cacheScores: Boolean = true,
+                                       ngram: Int = 1)
       extends Wrangler {
     require(fraction > 0.0 && fraction <= 1.0,
       s"`fraction` must be in (0, 1], got $fraction")
@@ -493,13 +534,18 @@ object Dsir {
       "`numFeatures` must be in [1, 2^20] — the score table is " +
         s"broadcast, so it must stay driver-sized; got $numFeatures")
     require(valueBuckets >= 1, "`valueBuckets` must be >= 1")
+    // `ngram` must match the fit, like the smaller-numFeatures
+    // direction: a mismatch is structurally undetectable (both feature
+    // spaces are [0, numFeatures) hash cells) — the fit's ngram is part
+    // of the persisted table's contract
+    require(ngram == 1 || ngram == 2, s"`ngram` must be 1 or 2, got $ngram")
     // the count table is structural input, not a tunable (cf.
     // IncrementalExactDedup): keep getParams to the scalar knobs
     override def getParams: Seq[(String, Any)] = Seq(
       "fraction" -> fraction, "idColumn" -> idColumn,
       "textColumn" -> textColumn, "numFeatures" -> numFeatures,
       "valueBuckets" -> valueBuckets, "accuracy" -> accuracy,
-      "salt" -> salt, "cacheScores" -> cacheScores)
+      "salt" -> salt, "cacheScores" -> cacheScores, "ngram" -> ngram)
 
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
@@ -509,7 +555,7 @@ object Dsir {
       val scoredLazy = scoreAgainst(df, counts, idColumn, textColumn,
         numFeatures, emptyModelError = Some(
           "IncrementalResample: empty feature-count table — fit " +
-            "featureCounts on a non-empty corpus first"))
+            "featureCounts on a non-empty corpus first"), ngram)
       val scored =
         if (cacheScores) scoredLazy.localCheckpoint() else scoredLazy
       val kept = selectTopFraction(scored, idColumn, fraction,

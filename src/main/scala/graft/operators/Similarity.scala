@@ -209,6 +209,189 @@ object Similarity {
     }
   }
 
+  // ---------------------------------------------------- incremental IVF
+
+  /** Shared IVF-index machinery for the ingest loop: the deterministic
+    * coarse-quantizer pick and the centroid-ranking scan, EXACTLY the
+    * arithmetic [[IvfTopK]] uses inline (strict total order `(cosine
+    * desc, cid asc)` under `Ordering.Double.TotalOrdering`, so zero-norm
+    * NaN rows land deterministically).
+    */
+  private[operators] def localDot(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** The `nlist` vectors of `quant` (columns `id`, `q`, `nrm`) with the
+    * smallest `(md5(id), id)` as 1-based centroids — [[IvfTopK]]'s
+    * trainless coarse quantizer, re-derivable from any frame that holds
+    * the corpus vectors (in particular the persisted member index, the
+    * property the ingest loop rests on).
+    */
+  private[operators] def pickCentroids(quant: DataFrame, nlist: Int)
+      : Array[(Int, Array[Long], Long)] = {
+    val spark = quant.sparkSession
+    import spark.implicits._
+    quant
+      .withColumn("hh", tokenHash(col("id").cast("string")))
+      .orderBy("hh", "id").limit(nlist)
+      .select("id", "q", "nrm")
+      .as[(Long, Array[Long], Long)].collect()
+      .zipWithIndex.map { case ((_, q, nrm), i) => (i + 1, q, nrm) }
+  }
+
+  /** Cluster ids by `(cosine desc, cid asc)` for one vector. */
+  private[operators] def rankedClusterIds(
+      centroids: Array[(Int, Array[Long], Long)],
+      q: Array[Long], nrm: Long): Seq[Int] =
+    centroids.map { case (cid, cq, cnrm) =>
+      (cid, localDot(q, cq).toDouble /
+        math.sqrt(nrm.toDouble * cnrm.toDouble))
+    }.sortBy { case (cid, c) => (-c, cid) }.map(_._1).toSeq
+
+  /** Persisted-index IVF for the ingest loop — the ANN sibling of the
+    * incremental dedup family ([[Dedup.IncrementalExactDedup]] /
+    * [[SemDedup.IncrementalSemDedup]]): fit once on the corpus
+    * ([[memberIndex]]), persist the `(vec_id, cluster, q, nrm)` rows,
+    * then let every query batch probe the index WITHOUT re-clustering
+    * (or even re-reading) the corpus — the corpus's only footprint at
+    * probe time is the index scan feeding one cluster equi-join.
+    *
+    * The coarse quantizer is [[IvfTopK]]'s deterministic pick, which is
+    * what makes the index self-describing: the centroids are corpus
+    * vectors, so they re-derive from the index itself ([[pickCentroids]]
+    * over the stored rows) — no separate centroid table to version.
+    * `nlist` must match the fit (guarded: the index cannot hold a
+    * cluster id above `nlist`).
+    */
+  object IncrementalIvf {
+
+    /** Fit: assign every corpus vector to its max-cosine centroid under
+      * the deterministic pick. Returns the member index
+      * `(vec_id, cluster, q, nrm)` to persist.
+      */
+    def memberIndex(corpus: DataFrame, idColumn: String = "vec_id",
+                    vecColumn: String = "embedding", nlist: Int = 16,
+                    cacheCorpus: Boolean = false): DataFrame = {
+      SparkUtil.validateColumns(corpus, Seq(idColumn, vecColumn))
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val quantLazy = quantizedRows(corpus.select(col(idColumn).as("id"),
+        col(vecColumn)), "id", vecColumn, Array.empty, 0)
+        .select("id", "q", "nrm")
+      val quant = if (cacheCorpus) quantLazy.localCheckpoint() else quantLazy
+      val centroids = pickCentroids(quant, nlist)
+      if (centroids.isEmpty)
+        return spark.emptyDataset[(Long, Long, Array[Long], Long)]
+          .toDF("vec_id", "cluster", "q", "nrm")
+      quant.as[(Long, Array[Long], Long)]
+        .map { case (id, q, nrm) =>
+          (id, rankedClusterIds(centroids, q, nrm).head.toLong, q, nrm)
+        }
+        .toDF("vec_id", "cluster", "q", "nrm")
+    }
+
+    /** Ingest new CORPUS vectors into a fitted index: assign them
+      * against the RE-DERIVED centers and append. Duplicate ids fail
+      * loud in-plan (a dup `vec_id` would fan out every later probe's
+      * candidate set — the exact-output-count lens). Same drift
+      * contract as [[SemDedup.IncrementalSemDedup]]: the centroid set
+      * stays the FIT's (new vectors never displace a centroid even if
+      * their id-hash is smaller), so re-fit at a compaction cadence;
+      * fold == refit exactly when the batch would not alter the pick.
+      */
+    def foldBatch(index: DataFrame, batch: DataFrame,
+                  idColumn: String = "vec_id",
+                  vecColumn: String = "embedding",
+                  nlist: Int = 16): DataFrame = {
+      SparkUtil.validateColumns(index, Seq("vec_id", "cluster", "q", "nrm"))
+      SparkUtil.validateColumns(batch, Seq(idColumn, vecColumn))
+      val spark = index.sparkSession
+      import spark.implicits._
+      val centroids = pickCentroids(
+        index.select(col("vec_id").as("id"), col("q"), col("nrm")), nlist)
+      require(centroids.nonEmpty,
+        "IncrementalIvf.foldBatch: empty member index — fit memberIndex " +
+          "on a non-empty corpus first")
+      val assigned = quantizedRows(batch.select(col(idColumn).as("id"),
+          col(vecColumn)), "id", vecColumn, Array.empty, 0)
+        .select("id", "q", "nrm").as[(Long, Array[Long], Long)]
+        .map { case (id, q, nrm) =>
+          (id, rankedClusterIds(centroids, q, nrm).head.toLong, q, nrm)
+        }
+        .toDF("vec_id", "cluster", "q", "nrm")
+      val dup = index.select(col("vec_id")).withColumn("__dup", lit(true))
+      index.unionByName(assigned
+        .join(dup, Seq("vec_id"), "left")
+        .withColumn("cluster", when(col("__dup"),
+            raise_error(concat(lit("IncrementalIvf.foldBatch: vec_id "),
+              col("vec_id").cast("string"),
+              lit(" already exists in the index — duplicate ids would " +
+                "fan out every probe's candidate set")))
+            .cast("long"))
+          .otherwise(col("cluster")))
+        .drop("__dup"))
+    }
+  }
+
+  /** Probe a persisted [[IncrementalIvf.memberIndex]] with a batch of
+    * query vectors: queries rank the re-derived centroids, probe their
+    * `nprobe` closest inverted lists through ONE cluster equi-join
+    * against the index, and re-rank exactly inside — identical probe
+    * arithmetic to [[IvfTopK]], with the corpus replaced by its index.
+    * Output schema matches the ANN family
+    * (`query_id, rank, neighbor_id, cosine`); an empty index fails loud
+    * (same contract as the other incremental operators).
+    */
+  final case class IncrementalIvfTopK(memberIndex: DataFrame,
+                                      idColumn: String = "vec_id",
+                                      vecColumn: String = "embedding",
+                                      nlist: Int = 16,
+                                      nprobe: Int = 4,
+                                      k: Int = 5)
+      extends Wrangler {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    // the index frame is structural input, not a tunable (the
+    // incremental-family convention)
+    override def getParams: Seq[(String, Any)] = Seq(
+      "idColumn" -> idColumn, "vecColumn" -> vecColumn,
+      "nlist" -> nlist, "nprobe" -> nprobe, "k" -> k)
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
+      SparkUtil.validateColumns(memberIndex,
+        Seq("vec_id", "cluster", "q", "nrm"))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val index = memberIndex.select(col("vec_id").cast("long").as("id"),
+        col("cluster").cast("long"), col("q"), col("nrm").cast("long"))
+      val meta = index.agg(max("cluster"), count(lit(1))).collect()(0)
+      require(!meta.isNullAt(0),
+        "IncrementalIvfTopK: empty member index — fit memberIndex on a " +
+          "non-empty corpus first")
+      require(meta.getLong(0) <= nlist,
+        s"IncrementalIvfTopK: index holds cluster id ${meta.getLong(0)} " +
+          s"> nlist=$nlist — the index was fit with a different nlist")
+      val centroids = pickCentroids(index, nlist)
+      val probes = quantizedRows(df.select(col(idColumn).as("id"),
+          col(vecColumn)), "id", vecColumn, Array.empty, 0)
+        .select("id", "q", "nrm").as[(Long, Array[Long], Long)]
+        .flatMap { case (id, q, nrm) =>
+          rankedClusterIds(centroids, q, nrm).take(nprobe)
+            .map(c => (id, q, nrm, c.toLong))
+        }
+        .toDF("query_id", "qq", "qnrm", "cluster")
+      val scored = index.join(probes, Seq("cluster"))
+        .filter(col("id") =!= col("query_id"))
+        .withColumn("cosine", round(qCosine(
+          qDot(col("q"), col("qq")), col("nrm"), col("qnrm")), 6))
+      ranked(scored, k)
+    }
+  }
+
   /** Cluster-balanced embedding subsample: every vector is assigned to
     * its max-cosine centroid under the SAME deterministic coarse
     * quantizer as [[IvfTopK]] (the `nlist` corpus vectors with the

@@ -54,6 +54,25 @@ object AnnRecall {
       Similarity.IvfTopK(queries, k = k).transform(embs))
     recall("ivf nlist=16 nprobe=8",
       Similarity.IvfTopK(queries, nprobe = 8, k = k).transform(embs))
+
+    // incremental probe: the bench split (corpus = vec_id >= 8 fitted
+    // into the member index, batch = vec_id < 8 probing it) has its own
+    // exact truth — brute force over the SAME disjoint corpus
+    val corpus = embs.filter(col("vec_id") >= 8)
+    val batch = embs.filter(col("vec_id") < 8)
+    // CosineTopK scores transform's input (the corpus) against the
+    // queries frame — exactly the split truth, batch-vs-batch excluded
+    // by construction
+    val incrTruth = topSets(
+      Similarity.CosineTopK(_ => batch, k = k).transform(corpus))
+    val incrOut = topSets(Similarity.IncrementalIvfTopK(
+        Similarity.IncrementalIvf.memberIndex(corpus), k = k)
+      .transform(batch))
+    val ri = incrTruth.map { case (q, t) =>
+      incrOut.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / incrTruth.size
+    println(f"[ann-recall] ivf incr nlist=16 nprobe=4 (ann_ivf_incr)  " +
+      f"recall@$k = $ri%.3f")
     spark.stop()
   }
 }

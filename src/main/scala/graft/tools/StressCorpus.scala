@@ -653,6 +653,93 @@ object StressCorpus {
       r.getLong(0)
     }
 
+    // ----- incremental IVF probe at corpus scale, same signed 2-hot
+    // geometry: the corpus (class = id % 448, same-class vectors
+    // bitwise identical) is fitted ONCE into the member index; each
+    // batch query is an exact copy of one class, so its probe list
+    // provably contains its twins' cluster (identical vectors rank the
+    // centroids identically) and rank 1 must be cosine EXACTLY 1.0 at
+    // neighbor_id == the class id (the class minimum, ids 0..447 —
+    // rank ties break id-asc and cross-class cosines are 0/±0.5/−1).
+    // Batch deliberately small relative to the corpus: identical-vector
+    // classes concentrate lists, so candidate volume is corpus-sized
+    // per probed cluster — the honest adversarial shape for the join.
+    time(s"ann_ivf_incr corpus=${nDocs / 4} batch=2048") {
+      val nC = nDocs.toLong / 4
+      def twoHotIvf(classExpr: String) =
+        expr(s"""transform(sequence(0, 15), dd -> cast(
+          (case when dd = (($classExpr) div 4) div 7
+            then (case when ($classExpr) % 2 = 0 then 1.0 else -1.0 end)
+          when dd = ((($classExpr) div 4) div 7
+                     + 1 + (($classExpr) div 4) % 7) % 16
+            then (case when (($classExpr) div 2) % 2 = 0
+                  then 1.0 else -1.0 end)
+          else 0.0 end) as float))""")
+      val corpus = spark.range(nC).select(col("id").as("vec_id"),
+        twoHotIvf("id % 448").as("embedding"))
+      val idx = Similarity.IncrementalIvf.memberIndex(corpus, nlist = 16,
+        cacheCorpus = true)
+      val batch = spark.range(2048L).select((col("id") + nC).as("vec_id"),
+        twoHotIvf("id % 448").as("embedding"))
+      val out = Similarity.IncrementalIvfTopK(idx, nlist = 16,
+          nprobe = 4, k = 5)
+        .transform(batch)
+      val r = out.agg(
+        countDistinct(col("query_id")),
+        sum(when(col("rank") === 1L && (col("cosine") =!= 1.0 ||
+            col("neighbor_id") =!= pmod(col("query_id") - nC, lit(448L))),
+          1L).otherwise(0L))).collect()(0)
+      require(r.getLong(0) == 2048L && r.getLong(1) == 0L,
+        s"incremental IVF probe invariants broken: $r")
+      r.getLong(0)
+    }
+
+    // ----- per-host rollup under HOT-HOST skew: 90% of 50M urls on ONE
+    // host (the real web-corpus shape — a crawl is dominated by a few
+    // domains), every 10th url of the hot host a canonical duplicate
+    // of url 0 (same page behind rotating tracking params). The rollup
+    // must partial-aggregate map-side — a host-keyed row shuffle would
+    // put 45M rows in one task. All counts closed-form.
+    time(s"host_stats n=$nRows hot-host=90%") {
+      val urls = spark.range(nRows).select(
+        when(pmod(col("id"), lit(10L)) < 9L,
+          // hot host: ids with id%10<9; among them the id%90<9 slice
+          // rotates tracking params over the SAME canonical page "0"
+          concat(lit("http://WWW.hot.example.com/page/"),
+            when(pmod(col("id"), lit(90L)) < 9L, lit("0"))
+              .otherwise(pmod(col("id"), lit(1000000L)).cast("string")),
+            lit("?utm_source=s"), pmod(col("id"), lit(7L)).cast("string"),
+            lit("&x=1")))
+          .otherwise(concat(lit("http://site"),
+            pmod(col("id"), lit(997L)).cast("string"),
+            lit(".example.com/p"), col("id").cast("string")))
+          .as("url"))
+      val r = graft.operators.Web.HostStats().transform(urls)
+        .agg(count(lit(1)),
+          sum(when(col("host") === "hot.example.com", col("n_docs"))
+            .otherwise(0L)),
+          max(when(col("host") === "hot.example.com",
+            col("distinct_urls")))).collect()(0)
+      // closed forms: hot rows are id%10<9 -> exactly 9n/10; hosts are
+      // hot + the 997 cold id%997 classes. Hot distinct canonicals:
+      // hot-ness depends only on v = id%1e6 (10 | 1e6), while the
+      // page-0 collapse (id%90<9) does NOT (1e6 % 90 = 10) — for every
+      // hot v, id = v and id = v+1e6 land on different id%90 cosets,
+      // so each hot v contributes its own page string "v" via some
+      // non-collapsed id (needs nRows >= 2e6, multiple of 1e6), and
+      // the collapsed page-"0" class merges with v=0's: exactly the
+      // 900 000 hot residues
+      val hot = 9L * nRows / 10L
+      require(nRows >= 2000000L && nRows % 1000000L == 0L,
+        "stress invariant needs nRows a multiple of 1e6, >= 2e6")
+      require(r.getLong(0) == 998L, // hot + 997 cold hosts
+        s"host count drift: ${r.getLong(0)}")
+      require(r.getLong(1) == hot, s"hot-host docs drift: $r")
+      require(r.getLong(2) == 900000L,
+        s"hot-host distinct drift: got ${r.getLong(2)}, want 900000")
+      r.getLong(0)
+    }
+
     // ----- deterministic training-order shuffle: the two-phase prefix
     // sum must hold an EXACT permutation at corpus scale — checked
     // algebraically (max = n-1 and sum = n(n-1)/2 over distinct

@@ -155,6 +155,71 @@ class DsirPropertySpec extends AnyFunSuite {
     }
   }
 
+  private def bigrams(t: String): Seq[String] = {
+    val tk = toks(t)
+    if (tk.length < 2) Seq.empty else tk.sliding(2).map(_.mkString(" ")).toSeq
+  }
+
+  private def bigramCountsOf(corpus: Seq[(String, Boolean)],
+                             numFeatures: Int): Map[Long, (Long, Long)] =
+    corpus.flatMap { case (text, tgt) =>
+      bigrams(text).map(b => (tgt, feat(b, numFeatures)))
+    }.groupBy(_._2).map { case (f, hits) =>
+      f -> (hits.count(_._1).toLong, hits.count(!_._1).toLong)
+    }
+
+  test("ngram = 2: ImportanceResample equals the local bigram replay " +
+    "(0/1-token docs score exactly 0), and the incremental fit folds " +
+    "additively — fold == refit on the merged corpus") {
+    val rnd = new Random(20260818L)
+    for (trial <- 1 to 4) {
+      val vocab = Seq(3, 2, 6, 12)(trial - 1)
+      val nf = Seq(7, 16, 64, 512)(trial - 1)
+      val vb = Seq(1, 4, 16, 256)(trial - 1)
+      val fraction = Seq(0.5, 0.25, 0.37, 0.8)(trial - 1)
+      val docs = drawDocs(rnd, 140, vocab, 0.3)
+      // bigram replay: per-doc score = sum over the bigram stream
+      val byF = bigramCountsOf(docs.map(d => (d._2, d._3 == "seed")), nf)
+      val t = byF.values.map(_._1).sum
+      val r = byF.values.map(_._2).sum
+      val v = byF.size
+      def ratio(ct: Long, cr: Long): Long =
+        roundHalfUp((math.log((ct + 1).toDouble / (t + v)) -
+          math.log((cr + 1).toDouble / (r + v))) * 1e6)
+      val scores = docs.map { case (id, text, _) =>
+        id -> bigrams(text).map { b =>
+          val f = feat(b, nf)
+          byF.get(f).map(c => ratio(c._1, c._2)).getOrElse(ratio(0L, 0L))
+        }.sum
+      }.toMap
+      val want = topK(scores, fraction, "graft")
+      val got = Dsir.ImportanceResample("seed", fraction,
+          numFeatures = nf, valueBuckets = vb, ngram = 2)
+        .transform(docs.toDF("doc_id", "text", "source"))
+        .select("doc_id", "dsir_score")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"bigram trial $trial vocab=$vocab nf=$nf")
+      // short docs really do score the empty sum
+      docs.filter(d => toks(d._2).length < 2).foreach { d =>
+        assert(scores(d._1) == 0L)
+      }
+      // fold == refit for the bigram sufficient statistics
+      val half = docs.size / 2
+      val (a, b) = docs.splitAt(half)
+      def cdf(xs: Seq[(Long, String, String)]) =
+        xs.toDF("doc_id", "text", "source")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("feature", "n_target", "n_raw")
+          .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val folded = Dsir.foldBatch(
+        Dsir.featureCounts(cdf(a), "seed", numFeatures = nf, ngram = 2),
+        cdf(b), "seed", numFeatures = nf, ngram = 2)
+      val refit = Dsir.featureCounts(cdf(docs), "seed",
+        numFeatures = nf, ngram = 2)
+      assert(canon(folded) == canon(refit), s"bigram fold drift $trial")
+    }
+  }
+
   test("cacheScores=false returns the identical kept set (the lineage " +
     "cut is layout only, like the boundary sketch)") {
     val rnd = new Random(20260817L)

@@ -258,6 +258,75 @@ class TextDedupSpec extends AnyFunSuite {
     assert(run(cache = false) == run(cache = true))
   }
 
+  test("IncrementalIvf: fold == refit when the batch cannot displace " +
+    "the centroid pick; probing finds folded vectors exactly") {
+    val rnd = new scala.util.Random(13)
+    val corpusRows = (0L until 20L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val corpus = vecDF(corpusRows: _*)
+    val idx = Similarity.IncrementalIvf.memberIndex(corpus, nlist = 4)
+    // choose batch ids whose md5 hash exceeds the 4th-smallest corpus
+    // hash, so refit's deterministic centroid pick is UNCHANGED by the
+    // batch — the exact fold == refit regime the scaladoc states
+    val cutoff = (0L until 20L)
+      .map(i => Portable.tokenHashLocal(i.toString)).sorted.apply(3)
+    val batchIds = (100L until 300L)
+      .filter(i => Portable.tokenHashLocal(i.toString) > cutoff).take(5)
+    assert(batchIds.size == 5, "fixture: need 5 non-displacing ids")
+    val batchRows = batchIds.map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val folded = Similarity.IncrementalIvf.foldBatch(idx,
+      vecDF(batchRows: _*), nlist = 4)
+    val refit = Similarity.IncrementalIvf.memberIndex(
+      vecDF((corpusRows ++ batchRows): _*), nlist = 4)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cluster", $"q", $"nrm")
+        .as[(Long, Long, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    assert(canon(folded) == canon(refit))
+    // probe: a query identical to a folded vector must surface it at
+    // rank 1 with cosine exactly 1.0
+    val probe = Similarity.IncrementalIvfTopK(folded, nlist = 4,
+        nprobe = 4, k = 3)
+      .transform(vecDF(9999L -> batchRows.head._2))
+      .select("rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(probe.head == ((1L, batchRows.head._1, 1.0)))
+  }
+
+  test("IncrementalIvf guards: duplicate fold ids, empty index, and an " +
+    "nlist mismatch all fail loud") {
+    val rnd = new scala.util.Random(17)
+    val corpus = vecDF((0L until 12L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f)): _*)
+    val idx = Similarity.IncrementalIvf.memberIndex(corpus, nlist = 4)
+    // folding an id the index already holds raises in-plan
+    val e1 = intercept[Exception](
+      Similarity.IncrementalIvf.foldBatch(idx,
+        vecDF(3L -> Seq.fill(8)(0.5f)), nlist = 4).collect())
+    assert(e1.getMessage.contains("already exists") ||
+      (e1.getCause != null &&
+        e1.getCause.getMessage.contains("already exists")))
+    // empty index: probe and fold both fail loud
+    val empty = idx.filter(org.apache.spark.sql.functions.lit(false))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.IncrementalIvfTopK(empty)
+        .transform(vecDF(1L -> Seq.fill(8)(1f))))
+    assert(e2.getMessage.contains("empty member index"))
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.IncrementalIvf.foldBatch(empty,
+        vecDF(1L -> Seq.fill(8)(1f))))
+    assert(e3.getMessage.contains("empty member index"))
+    // an index fit with nlist=8 probed with nlist=4 is a config drift
+    val idx8 = Similarity.IncrementalIvf.memberIndex(corpus, nlist = 8)
+    if (idx8.agg(org.apache.spark.sql.functions.max($"cluster"))
+        .as[Long].collect().head > 4L) {
+      val e4 = intercept[IllegalArgumentException](
+        Similarity.IncrementalIvfTopK(idx8, nlist = 4)
+          .transform(vecDF(1L -> Seq.fill(8)(1f))))
+      assert(e4.getMessage.contains("different nlist"))
+    }
+  }
+
   test("LanguageId: argmax with first-wins tie-break and und fallback") {
     val df = docsDF(
       1L -> "the cat and the dog",   // en

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-computed canonicalization cases for the Web layer — the DuckDB
+  * oracle pins the full fixture sweep; these pin the individual
+  * normalization rules and the guards on explicit examples.
+  */
+class WebSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canonOf(urls: (Long, String)*): Map[Long, (String, String)] =
+    Web.UrlCanonicalize().transform(urls.toDF("doc_id", "url"))
+      .select("doc_id", "url_canonical", "host")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("canonicalization: every documented rule on explicit examples") {
+    val got = canonOf(
+      // case, www., default port, trailing slash, tracking params,
+      // unsorted params, fragment — all at once
+      1L -> "HTTP://User:pw@WWW.Ex.COM:80/A//b/?utm_source=z&b=2&a=1#f",
+      // https default port; gclid; root path
+      2L -> "https://ex.com:443/?gclid=9",
+      // non-default port kept; params already clean stay sorted
+      3L -> "http://ex.com:8080/p?b=2&a=1",
+      // bare authority; no query
+      4L -> "http://www.ex.com",
+      // only tracking params -> query disappears entirely
+      5L -> "http://ex.com/p?utm_a=1&utm_b=2&fbclid=x",
+      // a param NAMED LIKE a tracking prefix but longer is kept
+      6L -> "http://ex.com/p?fbclidX=5",
+      // scheme-less and null are the malformed class
+      7L -> "ex.com/p",
+      8L -> null)
+    assert(got(1L) == (("http://ex.com/A/b?a=1&b=2", "ex.com")))
+    assert(got(2L) == (("https://ex.com", "ex.com")))
+    assert(got(3L) == (("http://ex.com:8080/p?a=1&b=2", "ex.com")))
+    assert(got(4L) == (("http://ex.com", "ex.com")))
+    assert(got(5L) == (("http://ex.com/p", "ex.com")))
+    assert(got(6L) == (("http://ex.com/p?fbclidX=5", "ex.com")))
+    assert(got(7L) == ((null, null)))
+    assert(got(8L) == ((null, null)))
+  }
+
+  test("host_stats: canonical collapse drives the dup ratio; malformed " +
+    "urls are one null-host class") {
+    val df = Seq(
+      (1L, "http://www.A.com/x/"),
+      (2L, "HTTP://a.com:80/x?utm_s=1"),   // same page as 1
+      (3L, "http://a.com/y"),
+      (4L, "http://b.com/z"),
+      (5L, "junk"), (6L, "junk2")).toDF("doc_id", "url")
+    val got = Web.HostStats().transform(df)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => Option(r._1) -> ((r._2, r._3, r._4))).toMap
+    assert(got(Some("a.com")) == ((3L, 2L, 1.0 / 3.0)))
+    assert(got(Some("b.com")) == ((1L, 1L, 0.0)))
+    // malformed: 2 docs, all-null canonicals = ONE class
+    assert(got(None) == ((2L, 1L, 0.5)))
+  }
+
+  test("guards: missing url column and output-name collisions fail loud") {
+    assertThrows[Exception](
+      Web.UrlCanonicalize().transform(Seq((1L, "x")).toDF("doc_id", "t")))
+    assertThrows[IllegalArgumentException](
+      Web.UrlCanonicalize().transform(
+        Seq(("http://a.com", "h")).toDF("url", "host")))
+  }
+}
