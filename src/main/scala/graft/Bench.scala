@@ -71,6 +71,8 @@ object Bench {
     "dedup_embedding" -> Some("Join"),
     "dedup_clusters" -> None,
     "win_quantiles" -> None, // the streaming query runs eagerly inside the builder
+    "win_stats" -> None, // same eager streaming-to-memory-sink shape
+    "host_filter" -> Some("Join"), // host stats joined back null-safely
     "dedup_canonical" -> None, // CC loop runs eagerly inside the builder
     "dedup_semantic" -> Some("Join"), // within-cluster pair join (Lloyd
     // rounds run eagerly inside the builder, as in the CC loop)

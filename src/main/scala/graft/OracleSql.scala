@@ -1894,6 +1894,54 @@ object OracleSql {
        |  CAST(n AS BIGINT) AS n, p50, p90
        |FROM q ORDER BY w_start, event_type""".stripMargin
 
+  /** Batch replay of the sliding-window streaming stats
+    * (`win_stats`): duration 2 days, slide 1 day — every event
+    * attributes to exactly the two epoch-aligned day-start windows
+    * covering it; counts/sums/maxes over integer cents are exact.
+    */
+  def winStats: String =
+    s"""WITH e AS (SELECT epoch_ns(ts) AS tns, event_type,
+       |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+       |w AS (SELECT event_type, vc,
+       |  unnest([tns - tns % 86400000000000 - 86400000000000,
+       |          tns - tns % 86400000000000]) AS w_start FROM e)
+       |SELECT CAST(w_start AS BIGINT) AS w_start, event_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(vc) AS BIGINT) AS sum_value,
+       |  CAST(max(vc) AS BIGINT) AS max_value
+       |FROM w GROUP BY w_start, event_type
+       |ORDER BY w_start, event_type""".stripMargin
+
+  /** Host-level gate composition (`host_filter`): the messy-url fixture
+    * canonicalized, per-host SourceStats over the documents' text, the
+    * gate thresholds applied host-level, survivors joined back
+    * null-safely (the malformed-url null host is a real class). Mirrors
+    * `SourceQuality.SourceFilter(sourceColumn = "host")` over
+    * `Web.UrlCanonicalize`.
+    */
+  def hostFilter(minMeanChars: Double): String =
+    s"""WITH $webCanonCtes,
+       |doc AS (SELECT d.doc_id, d.text, d.n_chars, d.lang, c.host
+       |  FROM documents d JOIN canon c USING (doc_id)),
+       |st AS (SELECT host, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+       |  count(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+',
+       |    ' ', 'g'))) +
+       |    (CASE WHEN count(*) > count(text) THEN 1 ELSE 0 END)
+       |    AS classes
+       |  FROM doc GROUP BY host),
+       |g AS (SELECT host, mean_chars,
+       |  CAST(n_docs - classes AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |    AS dup_ratio
+       |  FROM st WHERE mean_chars >= $minMeanChars
+       |    AND CAST(n_docs - classes AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |      <= 1.0 AND n_docs >= 1)
+       |SELECT doc.doc_id, doc.host,
+       |  g.mean_chars AS source_mean_chars,
+       |  g.dup_ratio AS source_dup_ratio
+       |FROM doc JOIN g ON doc.host IS NOT DISTINCT FROM g.host
+       |ORDER BY doc.doc_id""".stripMargin
+
   // --------------------------------------------------------------- web
 
   /** The messy-URL fixture (`SparkEntry.webUrls`) rebuilt in SQL —

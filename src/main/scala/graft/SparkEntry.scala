@@ -226,9 +226,52 @@ object SparkEntry {
     * malformed (scheme-less) class — the DuckDB oracle rebuilds the
     * same strings and replays the same canonicalization algebra.
     */
-  private def webUrls(spark: SparkSession, dir: String): DataFrame = {
+  private def webUrls(spark: SparkSession, dir: String): DataFrame =
+    withMessyUrl(docs(spark, dir).select(col("doc_id")))
+
+  /** The events table as a STREAMING frame with a TimestampType `ts`
+    * (µs precision) — the streaming-oracle-query input. Same
+    * footer-adaptive unit handling as [[events]]; the file-stream
+    * source wants a DIRECTORY, so the one events file is selected out
+    * of the sf dir with a glob filter.
+    */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val natural = s.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val raw = s.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    import org.apache.spark.sql.types.LongType
+    val ns = natural match {
+      case LongType => raw
+      case _ => raw.withColumn("ts", col("ts") * lit(1000L))
+    }
+    ns.withColumn("ts",
+      timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+  }
+
+  /** Run a streaming frame to completion through a COMPLETE-mode
+    * memory sink (deterministic: every open aggregate emitted, no
+    * append-mode watermark races) and return the sink table.
+    */
+  private def runToMemorySink(out: DataFrame): DataFrame = {
+    val s = out.sparkSession
+    val qn = "win_sink_" + java.util.UUID.randomUUID()
+      .toString.replace("-", "")
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
+  /** Append the messy `url` column to any frame carrying `doc_id`. */
+  private def withMessyUrl(df: DataFrame): DataFrame = {
     val m = pmod(col("doc_id"), lit(7L))
-    docs(spark, dir).select(col("doc_id")).withColumn("url",
+    df.withColumn("url",
       when(m === 6L,
         concat(lit("not a url "), col("doc_id").cast("string")))
         .otherwise(concat(
@@ -963,33 +1006,10 @@ object SparkEntry {
     // quantiles. The streaming work runs eagerly inside the builder
     // (the CC-loop convention; plan signature None)
     "win_quantiles" -> ((s, dir) => {
-      val path = s"$dir/events.parquet"
-      val natural = s.read.parquet(path).schema("ts").dataType
-      // the file-stream source wants a DIRECTORY; select the one
-      // events file out of the sf dir with a glob filter
-      val raw = s.readStream
-        .schema("event_id LONG, ts LONG, user_id LONG, " +
-          "event_type STRING, value DOUBLE, props STRING")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-      import org.apache.spark.sql.types.LongType
-      val ns = natural match {
-        case LongType => raw
-        case _ => raw.withColumn("ts", col("ts") * lit(1000L))
-      }
-      val evs = ns.withColumn("ts",
-        timestamp_micros((col("ts") / lit(1000L)).cast("long")))
       val out = new graft.streaming.StreamingQuantileStats(
         Seq("event_type"), "value", Seq(0.5, 0.9),
-        windowDuration = "1 day").transform(evs)
-      val qn = "win_q_sink_" + java.util.UUID.randomUUID()
-        .toString.replace("-", "")
-      val q = out.writeStream.outputMode("complete").format("memory")
-        .queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qn)
+        windowDuration = "1 day").transform(eventStream(s, dir))
+      runToMemorySink(out)
         .select((unix_micros(col("window_start")) * lit(1000L))
             .as("w_start"),
           col("event_type"), col("n"), col("p50"), col("p90"))
@@ -999,12 +1019,40 @@ object SparkEntry {
       Web.UrlCanonicalize().transform(webUrls(s, dir))
         .select("doc_id", "url", "url_canonical", "host")
         .orderBy("doc_id")),
+    // the second streaming oracle row: SLIDING windows (2-day windows
+    // every 1 day — each event attributes to exactly two windows)
+    // through StreamingWindowedStats over integer-cents values, so
+    // sums are exact and the DuckDB replay is bit-identical
+    "win_stats" -> ((s, dir) => {
+      val evs = eventStream(s, dir)
+        .withColumn("vc", round(col("value") * 100).cast("long"))
+      val out = new graft.streaming.StreamingWindowedStats("2 days",
+          Some("1 day"), keyColumn = "event_type", tsColumn = "ts",
+          valueColumn = "vc").transform(evs)
+      val t = runToMemorySink(out)
+      t.select((unix_micros(col("window_start")) * lit(1000L))
+            .as("w_start"),
+          col("event_type"), col("n_events"), col("sum_value"),
+          col("max_value"))
+        .orderBy("w_start", "event_type")
+    }),
     // per-host rollup over the canonicalized urls (docs, distinct
     // canonical urls with the null-malformed class, dup ratio) — the
     // host-level gate input (SourceFilter with sourceColumn = host)
     "host_stats" -> ((s, dir) =>
       Web.HostStats().transform(webUrls(s, dir))
         .orderBy("host")),
+    // host-level gating as pure composition: canonicalize, then the
+    // EXISTING SourceFilter gates documents by their HOST's text-
+    // quality rollup (sourceColumn = host; the null/malformed host is
+    // a real class through the null-safe join)
+    "host_filter" -> ((s, dir) =>
+      graft.operators.SourceQuality.SourceFilter(minMeanChars = 299.0,
+          sourceColumn = "host")
+        .transform(Web.UrlCanonicalize().transform(
+          withMessyUrl(docs(s, dir))))
+        .select("doc_id", "host", "source_mean_chars", "source_dup_ratio")
+        .orderBy("doc_id")),
     "q1_pricing" -> ((s, dir) => {
       val l = s.read.parquet(s"$dir/lineitem.parquet")
       val cents = (c: Column) => round(c * 100).cast("long")
@@ -1137,6 +1185,8 @@ object SparkEntry {
     "mm_audio" -> OracleSql.mmAudio,
     "url_canonical" -> OracleSql.urlCanonical,
     "win_quantiles" -> OracleSql.winQuantiles,
+    "win_stats" -> OracleSql.winStats,
+    "host_filter" -> OracleSql.hostFilter(299.0),
     "host_stats" -> OracleSql.hostStats,
     "q1_pricing" -> OracleSql.q1Pricing,
     "join_revenue_nation" -> OracleSql.revenueByNation,
