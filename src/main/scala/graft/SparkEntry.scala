@@ -254,7 +254,10 @@ object SparkEntry {
 
   /** Run a streaming frame to completion through a COMPLETE-mode
     * memory sink (deterministic: every open aggregate emitted, no
-    * append-mode watermark races) and return the sink table.
+    * append-mode watermark races) and return the materialized result.
+    * The sink's temp view is dropped before returning (bench reps
+    * would otherwise accumulate one full result table per run) — the
+    * localCheckpoint cut makes the returned frame independent of it.
     */
   private def runToMemorySink(out: DataFrame): DataFrame = {
     val s = out.sparkSession
@@ -265,7 +268,9 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(qn)
+    val t = s.table(qn).localCheckpoint()
+    s.catalog.dropTempView(qn)
+    t
   }
 
   /** Append the messy `url` column to any frame carrying `doc_id`. */

@@ -251,6 +251,53 @@ class PlanShapeSpec extends AnyFunSuite {
     bigWindows.foreach(l => assert(l.contains("__rb"), l))
   }
 
+  test("mix_budget external tokenCountColumn: the plan keeps the SAME " +
+    "shuffle count and bucketed-window shape as the text path — the " +
+    "weight source swap is free") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = spark.range(60).select(col("id").as("doc_id"),
+      expr("case when id % 2 = 0 then 'en' else 'de' end").as("lang"))
+    val viaText = Corpus.MixBudget(Map("en" -> 50L), defaultBudget = 40L)
+      .transform(base.withColumn("text", expr("'a b c'")))
+    val viaCount = Corpus.MixBudget(Map("en" -> 50L), defaultBudget = 40L,
+        tokenCountColumn = "w")
+      .transform(base.withColumn("w", expr("doc_id % 5 + 1")))
+    assert(shuffles(viaCount) == shuffles(viaText))
+    val plan = viaCount.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .filter(_.contains("cum_tokens"))
+      .foreach(l => assert(l.contains("__rb"), l))
+  }
+
+  test("url canonicalization: pure map-side, zero shuffles; chunking an " +
+    "external token array stays zero-shuffle too") {
+    import org.apache.spark.sql.functions.{col, concat, lit, split}
+    val urls = spark.range(50).select(col("id").as("doc_id"),
+      concat(lit("http://h"), col("id") % 7, lit(".com/p?b=2&a=1"))
+        .as("url"))
+    assert(shuffles(Web.UrlCanonicalize().transform(urls)) == 0)
+    val toks = spark.range(50).select(col("id").as("doc_id"),
+      split(concat(lit("a b c d e f "), col("id")), " ").as("tk"))
+    assert(shuffles(ChunkSplit(chunkTokens = 3, overlapTokens = 1,
+      tokenArrayColumn = "tk").transform(toks)) == 0)
+  }
+
+  test("host_stats: ONE rollup pass — the count-distinct rides the " +
+    "two-level partial-agg plan, never a per-host window or row " +
+    "collect") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val urls = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("http://h"), col("id") % 7, lit(".com/p"),
+        col("id") % 50).as("url"))
+    val out = Web.HostStats().transform(urls)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // two-level distinct agg: at most 2 exchanges (host+url partial,
+    // then host), both of PRE-AGGREGATED rows
+    assert(shuffles(out) <= 2, plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("text_logprob: token counts are an agg + equi-join, NEVER a " +
     "per-token whole-partition window (Zipf-hot tokens)") {
     val docs = (0L until 40L)
