@@ -15,7 +15,7 @@ package graft.operators
   * round-9 ADVICE class slipped into two operators independently; one
   * shared instance keeps the contract in one place.
   */
-private[operators] object HeapPrune {
+private[graft] object HeapPrune {
   /** Entries are `(key, score)`. */
   val worstFirstByScore: Ordering[(Long, Double)] =
     new Ordering[(Long, Double)] {

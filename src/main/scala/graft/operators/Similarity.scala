@@ -230,7 +230,7 @@ object Similarity {
     * the corpus vectors (in particular the persisted member index, the
     * property the ingest loop rests on).
     */
-  private[operators] def pickCentroids(quant: DataFrame, nlist: Int)
+  private[graft] def pickCentroids(quant: DataFrame, nlist: Int)
       : Array[(Int, Array[Long], Long)] = {
     val spark = quant.sparkSession
     import spark.implicits._
@@ -243,7 +243,7 @@ object Similarity {
   }
 
   /** Cluster ids by `(cosine desc, cid asc)` for one vector. */
-  private[operators] def rankedClusterIds(
+  private[graft] def rankedClusterIds(
       centroids: Array[(Int, Array[Long], Long)],
       q: Array[Long], nrm: Long): Seq[Int] =
     centroids.map { case (cid, cq, cnrm) =>
