@@ -248,8 +248,11 @@ object SparkEntry {
       case LongType => raw
       case _ => raw.withColumn("ts", col("ts") * lit(1000L))
     }
-    ns.withColumn("ts",
-      timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    // `div`, not `/`: Column./ is DOUBLE division, imprecise at
+    // epoch-ns magnitude (~1.7e18 >> 2^53 — ±128 ns error flips ~1.5%
+    // of µs-aligned values by one microsecond); div is exact 64-bit
+    // integer division, matching the oracle's integer epoch_ns algebra
+    ns.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Run a streaming frame to completion through a COMPLETE-mode

@@ -79,6 +79,17 @@ final case class ChunkSplit(chunkTokens: Int = 64,
           raise_error(lit(
             s"ChunkSplit: `$tokenArrayColumn` must be non-null"))
             .cast("array<string>"))
+          // null ELEMENTS would desync the counts from the text:
+          // size() counts them but array_join silently drops them, so
+          // n_chunk_tokens would exceed the emitted chunk_text's
+          // tokens (array_compact is a codegen'd collection op — no
+          // interpreted lambda on this hot path)
+          .when(size(array_compact(col(tokenArrayColumn))) =!=
+              size(col(tokenArrayColumn)),
+            raise_error(lit(s"ChunkSplit: `$tokenArrayColumn` must " +
+              "not contain null elements — they count in " +
+              "n_chunk_tokens but vanish from chunk_text"))
+              .cast("array<string>"))
           .otherwise(col(tokenArrayColumn))
       else
         when(col(textColumn).isNull,

@@ -1106,6 +1106,15 @@ object Corpus {
             raise_error(lit(s"$opName: `$tokenCountColumn` must be " +
               ">= 0 — a negative token count would corrupt the " +
               "prefix sum")).cast("long"))
+          // a FRACTIONAL count (a double column holding 3.7, or 0.9 —
+          // which would silently zero a document's weight) truncates
+          // under cast(long); that is silent corruption, not a count
+          .when(col(tokenCountColumn).cast("double") =!=
+              col(tokenCountColumn).cast("long").cast("double"),
+            raise_error(concat(
+              lit(s"$opName: `$tokenCountColumn` must be integral, " +
+                "got: "), col(tokenCountColumn).cast("string")))
+              .cast("long"))
           .otherwise(col(tokenCountColumn).cast("long"))
       else
         when(col(textColumn).isNull,

@@ -146,6 +146,13 @@ object Multimodal {
         .mapPartitions { it =>
           it.map { case (id, payload) =>
             if (stub && sniffFormat(payload).isEmpty) {
+              // the stub covers VIDEO only (no JDK codec): a WAV is
+              // REAL, decodable audio — fabricating header fields for
+              // it would be exactly the dishonesty the stub opt-in is
+              // scoped to avoid
+              if (sniffWav(payload)) throw new IllegalArgumentException(
+                s"media $id: payload is WAV audio — decode it with " +
+                  "AudioFeatures (the stub is for video only)")
               val (w, h, frames) = decodeStub(payload)
               MediaFeatureRow(id, "stub", payload.length.toLong, w, h,
                 frames, (frames + ms - 1) / ms, -1L)
@@ -215,6 +222,13 @@ object Multimodal {
       require(fmt.getSampleSizeInBits == 16,
         s"media $id: only 16-bit PCM WAV is supported, got " +
           s"${fmt.getSampleSizeInBits}-bit")
+      // header-supplied divisors: a crafted fmt chunk can declare
+      // zero — fail with the id, never a bare ArithmeticException
+      // (channels divides the frame fallback below, sample_rate the
+      // caller's duration_ms)
+      require(fmt.getChannels > 0 && fmt.getSampleRate > 0,
+        s"media $id: corrupt WAV header (channels=${fmt.getChannels}, " +
+          s"sampleRate=${fmt.getSampleRate})")
       val channels = fmt.getChannels
       val frames = ais.getFrameLength
       val data =

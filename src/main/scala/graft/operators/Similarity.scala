@@ -151,9 +151,6 @@ object Similarity {
                            cacheCorpus: Boolean = false)
       extends Wrangler {
 
-    private def cos(dot: Long, na: Long, nb: Long): Double =
-      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
-
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
       val spark = df.sparkSession
@@ -163,41 +160,28 @@ object Similarity {
         .select("id", "q", "nrm")
       val quant = if (cacheCorpus) quantLazy.localCheckpoint() else quantLazy
 
-      // deterministic centroid pick: nlist smallest (md5(id), id)
-      val centroids = quant
-        .withColumn("hh", tokenHash(col("id").cast("string")))
-        .orderBy("hh", "id").limit(nlist)
-        .select("id", "q", "nrm")
-        .as[(Long, Array[Long], Long)].collect()
-        .zipWithIndex.map { case ((_, q, nrm), i) => (i + 1, q, nrm) }
+      // deterministic centroid pick + the (cosine desc, cid asc)
+      // ranking scan — ONE shared implementation with the incremental
+      // and streaming probes ([[pickCentroids]]/[[rankedClusterIds]]):
+      // the bit-for-bit contract (hash order, 1-based cids,
+      // TotalOrdering tie-break) must never drift between the
+      // operators the oracle pins against each other
+      val centroids = pickCentroids(quant, nlist)
       if (centroids.isEmpty)
         // empty corpus: no lists to probe — empty result, same schema
         return spark.emptyDataset[(Long, Long, Long, Double)]
           .toDF("query_id", "rank", "neighbor_id", "cosine")
 
-      def dot(a: Array[Long], b: Array[Long]): Long = {
-        var acc = 0L; var i = 0
-        val n = math.min(a.length, b.length)
-        while (i < n) { acc += a(i) * b(i); i += 1 }
-        acc
-      }
-      /** clusters by cosine desc, centroid id asc (strict-improvement
-        * scan == first-max-wins tie-break, mirroring the oracle's
-        * ORDER BY cos DESC, cid ASC).
-        */
-      def rankedClusters(q: Array[Long], nrm: Long): Seq[Int] =
-        centroids.map { case (cid, cq, cnrm) =>
-          (cid, cos(dot(q, cq), nrm, cnrm))
-        }.sortBy { case (cid, c) => (-c, cid) }.map(_._1).toSeq
-
       val corpus = quant.as[(Long, Array[Long], Long)]
-        .map { case (id, q, nrm) => (id, q, nrm, rankedClusters(q, nrm).head) }
+        .map { case (id, q, nrm) =>
+          (id, q, nrm, rankedClusterIds(centroids, q, nrm).head) }
         .toDF("id", "q", "nrm", "cluster")
       val probes = quantizedRows(queries(df).select(col(idColumn).as("id"),
         col(vecColumn)), "id", vecColumn, Array.empty, 0)
         .select("id", "q", "nrm").as[(Long, Array[Long], Long)]
         .flatMap { case (id, q, nrm) =>
-          rankedClusters(q, nrm).take(nprobe).map(c => (id, q, nrm, c))
+          rankedClusterIds(centroids, q, nrm).take(nprobe)
+            .map(c => (id, q, nrm, c))
         }
         .toDF("query_id", "qq", "qnrm", "cluster")
 
@@ -294,13 +278,19 @@ object Similarity {
     }
 
     /** Ingest new CORPUS vectors into a fitted index: assign them
-      * against the RE-DERIVED centers and append. Duplicate ids fail
-      * loud in-plan (a dup `vec_id` would fan out every later probe's
-      * candidate set — the exact-output-count lens). Same drift
-      * contract as [[SemDedup.IncrementalSemDedup]]: the centroid set
-      * stays the FIT's (new vectors never displace a centroid even if
-      * their id-hash is smaller), so re-fit at a compaction cadence;
-      * fold == refit exactly when the batch would not alter the pick.
+      * against the RE-DERIVED centers and append. Two in-plan guards
+      * keep every LATER probe honest:
+      *   - duplicate ids fail loud (a dup `vec_id` would fan out every
+      *     probe's candidate set — the exact-output-count lens);
+      *   - a batch id whose md5 hash would ENTER the fit's
+      *     `nlist`-smallest pick fails loud: probes re-derive the
+      *     centroids from the grown index, so a displacing id would
+      *     silently re-number the centroid set while the stored
+      *     `cluster` labels keep the fit's numbering — every later
+      *     probe would then join new-numbering probe cids against
+      *     old-numbering labels. Fold == refit is thus ENFORCED, not
+      *     just documented; a displacing batch means re-fit
+      *     `memberIndex` on the merged corpus (the compaction move).
       */
     def foldBatch(index: DataFrame, batch: DataFrame,
                   idColumn: String = "vec_id",
@@ -310,11 +300,19 @@ object Similarity {
       SparkUtil.validateColumns(batch, Seq(idColumn, vecColumn))
       val spark = index.sparkSession
       import spark.implicits._
-      val centroids = pickCentroids(
-        index.select(col("vec_id").as("id"), col("q"), col("nrm")), nlist)
+      val slim = index.select(col("vec_id").as("id"), col("q"), col("nrm"))
+      val centroids = pickCentroids(slim, nlist)
       require(centroids.nonEmpty,
         "IncrementalIvf.foldBatch: empty member index — fit memberIndex " +
           "on a non-empty corpus first")
+      // the pick cutoff: the LARGEST (md5, id) among the picked
+      // centroids — any new id at or below it displaces the pick. An
+      // index still smaller than nlist means EVERY new id enters the
+      // pick, so nothing can fold without displacement there
+      val cut = slim.withColumn("hh", tokenHash(col("id").cast("string")))
+        .orderBy("hh", "id").limit(nlist)
+        .select("hh", "id").as[(Long, Long)].collect().last
+      val underFit = centroids.length < nlist
       val assigned = quantizedRows(batch.select(col(idColumn).as("id"),
           col(vecColumn)), "id", vecColumn, Array.empty, 0)
         .select("id", "q", "nrm").as[(Long, Array[Long], Long)]
@@ -323,6 +321,9 @@ object Similarity {
         }
         .toDF("vec_id", "cluster", "q", "nrm")
       val dup = index.select(col("vec_id")).withColumn("__dup", lit(true))
+      val hh = tokenHash(col("vec_id").cast("string"))
+      val displaces = lit(underFit) || hh < cut._1 ||
+        (hh === cut._1 && col("vec_id") < cut._2)
       index.unionByName(assigned
         .join(dup, Seq("vec_id"), "left")
         .withColumn("cluster", when(col("__dup"),
@@ -330,6 +331,15 @@ object Similarity {
               col("vec_id").cast("string"),
               lit(" already exists in the index — duplicate ids would " +
                 "fan out every probe's candidate set")))
+            .cast("long"))
+          .when(displaces,
+            raise_error(concat(lit("IncrementalIvf.foldBatch: vec_id "),
+              col("vec_id").cast("string"),
+              lit(" would displace the fit's centroid pick (its md5 " +
+                "hash enters the nlist smallest) — the stored cluster " +
+                "labels would silently mismatch the re-derived " +
+                "centroids at probe time; re-fit memberIndex on the " +
+                "merged corpus instead")))
             .cast("long"))
           .otherwise(col("cluster")))
         .drop("__dup"))
@@ -344,6 +354,14 @@ object Similarity {
     * Output schema matches the ANN family
     * (`query_id, rank, neighbor_id, cosine`); an empty index fails loud
     * (same contract as the other incremental operators).
+    *
+    * The `nlist` guard catches only the LOUD direction (an index whose
+    * labels exceed `nlist`); probing a smaller-fit index with a LARGER
+    * `nlist` is structurally undetectable — the extra derived centroids
+    * own zero index rows, so probe budget silently goes to empty lists
+    * and recall degrades. Like `IncrementalResample`'s
+    * smaller-numFeatures direction, the fit's `nlist` is part of the
+    * persisted index's contract: carry it with the table.
     */
   final case class IncrementalIvfTopK(memberIndex: DataFrame,
                                       idColumn: String = "vec_id",
@@ -436,22 +454,13 @@ object Similarity {
         col(vecColumn)), "id", vecColumn, Array.empty, 0)
         .select("id", "q", "nrm")
       val quant = if (cacheCorpus) quantLazy.localCheckpoint() else quantLazy
-      // deterministic centroid pick (shared with IvfTopK)
-      val centroids = quant
-        .withColumn("hh", tokenHash(col("id").cast("string")))
-        .orderBy("hh", "id").limit(nlist)
-        .select("id", "q", "nrm")
-        .as[(Long, Array[Long], Long)].collect()
-        .zipWithIndex.map { case ((_, q, nrm), i) => (i + 1, q, nrm) }
+      // the SHARED deterministic centroid pick ([[pickCentroids]], one
+      // implementation with the IVF family)
+      val centroids = pickCentroids(quant, nlist)
       // an empty corpus needs no special case: no rows ever reach the
       // assignment closure, so the empty centroid array is never read,
       // and the join below yields an empty frame with the full schema
-      def dot(a: Array[Long], b: Array[Long]): Long = {
-        var acc = 0L; var i = 0
-        val n = math.min(a.length, b.length)
-        while (i < n) { acc += a(i) * b(i); i += 1 }
-        acc
-      }
+      def dot(a: Array[Long], b: Array[Long]): Long = localDot(a, b)
       val assigned = quant.as[(Long, Array[Long], Long)]
         .map { case (id, q, nrm) =>
           // scan under the TOTAL order (cosine desc, cid asc) —

@@ -99,6 +99,15 @@ class ChunkInterleaveSpec extends AnyFunSuite {
       .toDF("doc_id", "tk")
     assertThrows[Exception](
       ChunkSplit(tokenArrayColumn = "tk").transform(nullArr).collect())
+    // null ELEMENTS would desync n_chunk_tokens (size counts them)
+    // from chunk_text (array_join drops them) — raise instead
+    val nullElem = Seq((1L, Seq("a", null.asInstanceOf[String], "b")))
+      .toDF("doc_id", "tk")
+    val ee = intercept[Exception](
+      ChunkSplit(tokenArrayColumn = "tk").transform(nullElem).collect())
+    assert(ee.getMessage.contains("null elements") ||
+      (ee.getCause != null &&
+        ee.getCause.getMessage.contains("null elements")))
     val wrongType = Seq((1L, Seq(1, 2, 3))).toDF("doc_id", "tk")
     val e = intercept[IllegalArgumentException](
       ChunkSplit(tokenArrayColumn = "tk").transform(wrongType))

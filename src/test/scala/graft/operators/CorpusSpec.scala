@@ -549,6 +549,20 @@ class CorpusSpec extends AnyFunSuite {
       Seq((1L, "en", 3L), (2L, "en", -1L)).toDF("doc_id", "lang", "w")))
     assert(neg.getMessage.contains("negative") ||
       neg.getCause != null && neg.getCause.getMessage.contains("negative"))
+    // a FRACTIONAL count would silently truncate under cast(long)
+    // (0.9 zeroes a document's weight) — raise instead; integral
+    // doubles pass
+    val frac = intercept[Exception](
+      Corpus.MixBudget(Map("en" -> 100L), tokenCountColumn = "w")
+        .transform(Seq((1L, "en", 3.7)).toDF("doc_id", "lang", "w"))
+        .collect())
+    assert(frac.getMessage.contains("integral") ||
+      frac.getCause != null &&
+        frac.getCause.getMessage.contains("integral"))
+    val ok = Corpus.MixBudget(Map("en" -> 100L), tokenCountColumn = "w")
+      .transform(Seq((1L, "en", 3.0)).toDF("doc_id", "lang", "w"))
+      .select("n_tokens").as[Long].collect()
+    assert(ok.toSeq == Seq(3L))
     // a count column that shares a NON-sanctioned output name is rejected
     assertThrows[IllegalArgumentException](
       Corpus.MixBudget(Map("en" -> 100L), tokenCountColumn = "cum_tokens")

@@ -165,6 +165,28 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.AudioFeatures().transform(png).collect())
     assert(e3.getMessage.contains("media 53") ||
       e3.getCause.getMessage.contains("media 53"))
+
+    // a crafted header declaring sample rate 0 fails WITH the id,
+    // never a bare division error (the fmt chunk's rate field sits at
+    // bytes 24..27 of the canonical RIFF header, little-endian)
+    val zeroRate = graft.sources.AudioGen.payloadFor(6L).clone()
+    zeroRate(24) = 0; zeroRate(25) = 0; zeroRate(26) = 0; zeroRate(27) = 0
+    val e4 = intercept[org.apache.spark.SparkException](
+      Multimodal.AudioFeatures().transform(
+        Seq((61L, zeroRate)).toDF("doc_id", "payload")).collect())
+    assert(e4.getMessage.contains("media 61") ||
+      e4.getCause.getMessage.contains("media 61"))
+  }
+
+  test("MediaFeatures stubNonImage REJECTS WAV audio — the stub covers " +
+    "video only; real audio must go through AudioFeatures, never the " +
+    "fabricating placeholder") {
+    val df = Seq((71L, graft.sources.AudioGen.payloadFor(3L)))
+      .toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.MediaFeatures(stubNonImage = true).transform(df).collect())
+    assert(e.getMessage.contains("AudioFeatures") ||
+      e.getCause.getMessage.contains("AudioFeatures"))
   }
 
   test("stubNonImage routes ONLY non-image payloads to the placeholder") {

@@ -293,6 +293,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(probe.head == ((1L, batchRows.head._1, 1.0)))
   }
 
+  test("IncrementalIvf.foldBatch: an id whose hash would DISPLACE the " +
+    "fit's centroid pick fails loud — stored cluster labels would " +
+    "silently mismatch the re-derived centroids at probe time") {
+    val rnd = new scala.util.Random(31)
+    val corpusRows = (0L until 20L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val idx = Similarity.IncrementalIvf.memberIndex(
+      vecDF(corpusRows: _*), nlist = 4)
+    // an id hashing BELOW the 4th-smallest corpus hash displaces
+    val cutoff = (0L until 20L)
+      .map(i => Portable.tokenHashLocal(i.toString)).sorted.apply(3)
+    val bad = (100L until 3000L)
+      .find(i => Portable.tokenHashLocal(i.toString) < cutoff).get
+    val e = intercept[Exception](
+      Similarity.IncrementalIvf.foldBatch(idx,
+        vecDF(bad -> Seq.fill(8)(0.5f)), nlist = 4).collect())
+    assert(e.getMessage.contains("displace") ||
+      (e.getCause != null && e.getCause.getMessage.contains("displace")))
+    // an index smaller than nlist cannot fold at all (everything
+    // displaces) — loud, with the re-fit remediation
+    val tiny = Similarity.IncrementalIvf.memberIndex(
+      vecDF(corpusRows.take(2): _*), nlist = 4)
+    val e2 = intercept[Exception](
+      Similarity.IncrementalIvf.foldBatch(tiny,
+        vecDF(500L -> Seq.fill(8)(0.5f)), nlist = 4).collect())
+    assert(e2.getMessage.contains("displace") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("displace")))
+  }
+
   test("IncrementalIvf guards: duplicate fold ids, empty index, and an " +
     "nlist mismatch all fail loud") {
     val rnd = new scala.util.Random(17)
