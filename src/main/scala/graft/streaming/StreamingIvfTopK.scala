@@ -88,14 +88,48 @@ final class StreamingIvfTopK(memberIndex: DataFrame,
           .map(c => (ts, id, q, nrm, c.toLong))
       }
       .toDF(tsColumn, "query_id", "qq", "qnrm", "cluster")
-      .withWatermark(tsColumn, watermarkDelay)
     val scored = probes.join(index, Seq("cluster"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cosine", round(Portable.qCosine(
         Portable.qDot(col("q"), col("qq")), col("nrm"), col("qnrm")), 6))
+    // STATELESS map-side prune before the stateful agg — the batch
+    // design's move (Similarity.ranked), per (event, query) so the
+    // window assignment downstream is untouched: the candidate stream
+    // entering the aggregator shrinks from inverted-list volume to
+    // partitions x queries x k, and the ScalaAggregator's per-row
+    // buffer encode/decode stops dominating (measured 465 s -> the
+    // stress row's tens of seconds on the 62M-candidate burst). The
+    // prune uses the SAME total order as the aggregator, so results
+    // are bit-identical.
+    val kk = k
+    // event time rides the prune as primitive epoch-µs (a Timestamp
+    // object codec per candidate row measurably dominates at
+    // inverted-list volumes) and is rebuilt losslessly after
+    val pruned = scored.select(unix_micros(col(tsColumn)).as("__us"),
+        col("query_id"), col("id"), col("cosine"))
+      .as[(Long, Long, Long, Double)]
+      .mapPartitions { it =>
+        val worstFirst = HeapPrune.worstFirstByScore
+        val heaps = scala.collection.mutable.LinkedHashMap
+          .empty[(Long, Long),
+            scala.collection.mutable.PriorityQueue[(Long, Double)]]
+        it.foreach { case (us, qid, id, cos) =>
+          val h = heaps.getOrElseUpdate((us, qid),
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          h.enqueue((id, cos))
+          if (h.size > kk) h.dequeue()
+        }
+        heaps.iterator.flatMap { case ((us, qid), h) =>
+          h.iterator.map { case (id, cos) => (us, qid, id, cos) }
+        }
+      }
+      .toDF("__us", "query_id", "id", "cosine")
+      .withColumn(tsColumn, timestamp_micros(col("__us")))
+      .drop("__us")
+      .withWatermark(tsColumn, watermarkDelay)
     val topk = udaf(new StreamingIvfTopK.TopKAgg(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    scored
+    pruned
       .groupBy(window(col(tsColumn), windowDuration), col("query_id"))
       .agg(topk(col("id"), col("cosine")).as("__top"))
       .select(col("window.start").as("window_start"),

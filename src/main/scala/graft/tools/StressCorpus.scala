@@ -13,6 +13,10 @@ import graft.sources.MediaGen
   * (aggregate over the operator's OUTPUT columns — nothing prunable).
   */
 object StressCorpus {
+
+  /** Streaming-stress query event (top level for the Encoder). */
+  final case class StressVec(ts: java.sql.Timestamp, vec_id: Long,
+                             embedding: Seq[Float])
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(2000000)
     val nRows = args.lift(1).map(_.toLong).getOrElse(50000000L)
@@ -692,6 +696,71 @@ object StressCorpus {
       require(r.getLong(0) == 2048L && r.getLong(1) == 0L,
         s"incremental IVF probe invariants broken: $r")
       r.getLong(0)
+    }
+
+    // ----- the STREAMING probe against the same 500k-member index:
+    // 2048 class-copy query vectors arrive on a MemoryStream, and every
+    // closed (window, query) must emit rank-1 cosine EXACTLY 1.0 at
+    // neighbor_id == the class minimum — the O(k)-state TopK aggregator
+    // survives the same adversarial list concentration as the batch
+    // probe, through real microbatch execution
+    time(s"stream_ivf corpus=${nDocs / 4} stream=2048") {
+      val nC = nDocs.toLong / 4
+      def twoHotStream(classExpr: String) =
+        expr(s"""transform(sequence(0, 15), dd -> cast(
+          (case when dd = (($classExpr) div 4) div 7
+            then (case when ($classExpr) % 2 = 0 then 1.0 else -1.0 end)
+          when dd = ((($classExpr) div 4) div 7
+                     + 1 + (($classExpr) div 4) % 7) % 16
+            then (case when (($classExpr) div 2) % 2 = 0
+                  then 1.0 else -1.0 end)
+          else 0.0 end) as float))""")
+      val corpus = spark.range(nC).select(col("id").as("vec_id"),
+        twoHotStream("id % 448").as("embedding"))
+      val idx = Similarity.IncrementalIvf.memberIndex(corpus,
+        nlist = 16, cacheCorpus = true).localCheckpoint()
+      // local mirror of the 2-hot algebra for driver-side stream events
+      def twoHotLocal(cls: Long): Seq[Float] = {
+        val d1 = ((cls / 4) / 7).toInt
+        val d2 = (((cls / 4) / 7 + 1 + (cls / 4) % 7) % 16).toInt
+        val v = Array.fill(16)(0f)
+        v(d1) = if (cls % 2 == 0) 1f else -1f
+        v(d2) = if ((cls / 2) % 2 == 0) 1f else -1f
+        v.toSeq
+      }
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val input = MemoryStream[StressVec]
+      val out = new graft.streaming.StreamingIvfTopK(idx,
+          windowDuration = "1 minute", watermarkDelay = "0 seconds",
+          nlist = 16, nprobe = 4, k = 5)
+        .transform(input.toDF())
+      val q = out.writeStream.format("memory")
+        .queryName("stress_sivf").outputMode("append").start()
+      try {
+        input.addData((0L until 2048L).map(j =>
+          StressVec(new java.sql.Timestamp(30000L), nC + j,
+            twoHotLocal(j % 448L))))
+        q.processAllAvailable()
+        // flush the window past the watermark
+        input.addData(StressVec(new java.sql.Timestamp(3600000L),
+          nC + 99999L, twoHotLocal(0L)))
+        q.processAllAvailable()
+        val r = spark.table("stress_sivf")
+          .filter(col("query_id") < nC + 2048L)
+          .agg(countDistinct(col("query_id")),
+            sum(when(col("rank") === 1L && (col("cosine") =!= 1.0 ||
+                col("neighbor_id") =!=
+                  pmod(col("query_id") - nC, lit(448L))), 1L)
+              .otherwise(0L))).collect()(0)
+        require(r.getLong(0) == 2048L && r.getLong(1) == 0L,
+          s"streaming IVF probe invariants broken: $r")
+        r.getLong(0)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("stress_sivf")
+      }
     }
 
     // ----- per-host rollup under HOT-HOST skew: 90% of 50M urls on ONE
