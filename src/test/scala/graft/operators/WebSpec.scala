@@ -63,6 +63,35 @@ class WebSpec extends AnyFunSuite {
     assert(got(None) == ((2L, 1L, 0.5)))
   }
 
+  test("canonicalization is IDEMPOTENT: a canonical url is its own " +
+    "fixed point (re-canonicalizing changes nothing) across a messy " +
+    "random sweep") {
+    val rnd = new scala.util.Random(37)
+    val schemes = Seq("http://", "HTTP://", "https://", "HTTPS://", "ftp://")
+    val hosts = Seq("www.Ex.COM", "ex.com", "a.b.example.org", "WWW.X.IO")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/p", "/a//b/", "/A/B/C///")
+    val queries = Seq("", "?b=2&a=1", "?utm_x=1&a=1", "?gclid=9",
+      "?a=1&&b=2&", "?fbclidX=1&utm_=2")
+    val frags = Seq("", "#f", "#a#b")
+    val urls = (0 until 300).map { i =>
+      (i.toLong, schemes(rnd.nextInt(schemes.size)) +
+        hosts(rnd.nextInt(hosts.size)) + ports(rnd.nextInt(ports.size)) +
+        paths(rnd.nextInt(paths.size)) +
+        queries(rnd.nextInt(queries.size)) + frags(rnd.nextInt(frags.size)))
+    }
+    val first = Web.UrlCanonicalize().transform(urls.toDF("doc_id", "url"))
+      .select("doc_id", "url_canonical")
+      .as[(Long, String)].collect().toSeq
+    assert(first.forall(_._2 != null))
+    val second = Web.UrlCanonicalize().transform(
+        first.toDF("doc_id", "url"))
+      .select("doc_id", "url_canonical")
+      .as[(Long, String)].collect().toSeq
+    assert(second.sortBy(_._1) == first.sortBy(_._1),
+      "canonical urls must be fixed points")
+  }
+
   test("guards: missing url column and output-name collisions fail loud") {
     assertThrows[Exception](
       Web.UrlCanonicalize().transform(Seq((1L, "x")).toDF("doc_id", "t")))
