@@ -1954,11 +1954,13 @@ object OracleSql {
       |ELSE
       |  (CASE doc_id % 7 WHEN 2 THEN 'HTTP://' WHEN 4 THEN 'HTTPS://'
       |        WHEN 3 THEN 'https://' ELSE 'http://' END) ||
-      |  (CASE WHEN (doc_id % 7) % 2 = 0 THEN 'www.' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 4 THEN 'www.www.'
+      |        WHEN (doc_id % 7) % 2 = 0 THEN 'www.' ELSE '' END) ||
       |  'site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' ||
       |  (CASE doc_id % 7 WHEN 2 THEN ':80' WHEN 3 THEN ':443'
       |        WHEN 5 THEN ':8080' ELSE '' END) ||
-      |  (CASE WHEN doc_id % 7 = 1 THEN '/a//b' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 1 THEN '/a//b%zz' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 5 THEN '/e%41%2f%7e' ELSE '' END) ||
       |  '/p' || CAST(doc_id % 11 AS VARCHAR) ||
       |  (CASE WHEN doc_id % 7 IN (0, 4) THEN '/' ELSE '' END) ||
       |  (CASE WHEN doc_id % 7 IN (0, 2, 4) THEN '?utm_source=x&b=2&a=1'
@@ -1975,13 +1977,24 @@ object OracleSql {
   private def webCanonCtes: String =
     s"""t AS (SELECT doc_id, $WebUrl AS url FROM documents),
        |w0 AS (SELECT doc_id, url, trim(url) AS u FROM t),
-       |w AS (SELECT doc_id, url, u,
+       |w1 AS (SELECT doc_id, url, u,
        |  regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://') AS ok,
        |  lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
        |    AS scheme,
        |  regexp_replace(regexp_replace(u,
        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://', '', 'g'), '#.*$$', '', 'g')
-       |    AS rest FROM w0),
+       |    AS rest0 FROM w0),
+       |w AS (SELECT doc_id, url, u, ok, scheme,
+       |  array_to_string(list_transform(string_split(rest0, '%'),
+       |    (p, i) -> CASE
+       |      WHEN i = 1 THEN p
+       |      WHEN regexp_matches(p, '^[0-9A-Fa-f]{2}') AND
+       |           regexp_matches(upper(p[1:2]),
+       |             '^(4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E|3[0-9]|2[DE])$$')
+       |        THEN decode(unhex(upper(p[1:2]))) || p[3:]
+       |      WHEN regexp_matches(p, '^[0-9A-Fa-f]{2}')
+       |        THEN '%' || upper(p[1:2]) || p[3:]
+       |      ELSE '%' || p END), '') AS rest FROM w1),
        |a AS (SELECT *,
        |  regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
        |    '^[^@]*@', '', 'g') AS hostport,
@@ -1989,7 +2002,7 @@ object OracleSql {
        |b AS (SELECT *,
        |  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
        |  regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '',
-       |    'g')), '^www\\.', '', 'g') AS host0,
+       |    'g')), '^(www\\.)+', '', 'g') AS host0,
        |  regexp_replace(regexp_replace(
        |    regexp_extract(pathq, '^([^?]*)', 1), '/{2,}', '/', 'g'),
        |    '/+$$', '', 'g') AS path,

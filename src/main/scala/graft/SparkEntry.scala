@@ -285,12 +285,17 @@ object SparkEntry {
         .otherwise(concat(
           when(m === 2L, lit("HTTP://")).when(m === 4L, lit("HTTPS://"))
             .when(m === 3L, lit("https://")).otherwise(lit("http://")),
-          when(m % 2L === 0L, lit("www.")).otherwise(lit("")),
+          // m=4 carries a DOUBLE www. prefix — the host run-strip case
+          when(m === 4L, lit("www.www."))
+            .when(m % 2L === 0L, lit("www.")).otherwise(lit("")),
           lit("site"), pmod(col("doc_id"), lit(5L)).cast("string"),
           lit(".example.com"),
           when(m === 2L, lit(":80")).when(m === 3L, lit(":443"))
             .when(m === 5L, lit(":8080")).otherwise(lit("")),
-          when(m === 1L, lit("/a//b")).otherwise(lit("")),
+          when(m === 1L, lit("/a//b%zz")).otherwise(lit("")),
+          // m=5 exercises percent normalization: %41 decodes to A,
+          // %2f survives as %2F (uppercased), %7e decodes to ~
+          when(m === 5L, lit("/e%41%2f%7e")).otherwise(lit("")),
           lit("/p"), pmod(col("doc_id"), lit(11L)).cast("string"),
           when(m === 0L || m === 4L, lit("/")).otherwise(lit("")),
           when(m === 0L || m === 2L || m === 4L,

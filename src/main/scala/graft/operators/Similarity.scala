@@ -280,7 +280,8 @@ object Similarity {
     /** Ingest new CORPUS vectors into a fitted index: assign them
       * against the RE-DERIVED centers and append. Two in-plan guards
       * keep every LATER probe honest:
-      *   - duplicate ids fail loud (a dup `vec_id` would fan out every
+      *   - duplicate ids fail loud — against the existing index AND
+      *     within the batch itself (a dup `vec_id` would fan out every
       *     probe's candidate set — the exact-output-count lens);
       *   - a batch id whose md5 hash would ENTER the fit's
       *     `nlist`-smallest pick fails loud: probes re-derive the
@@ -324,13 +325,20 @@ object Similarity {
       val hh = tokenHash(col("vec_id").cast("string"))
       val displaces = lit(underFit) || hh < cut._1 ||
         (hh === cut._1 && col("vec_id") < cut._2)
+      // two rows sharing a vec_id WITHIN the batch both pass the
+      // index left-join — count batch-internal occurrences too (same
+      // vec_id shuffle key as the join; batch-sized, never index-sized)
+      val batchN = count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id"))
       index.unionByName(assigned
+        .withColumn("__bn", batchN)
         .join(dup, Seq("vec_id"), "left")
-        .withColumn("cluster", when(col("__dup"),
+        .withColumn("cluster", when(col("__dup") || col("__bn") > 1,
             raise_error(concat(lit("IncrementalIvf.foldBatch: vec_id "),
               col("vec_id").cast("string"),
-              lit(" already exists in the index — duplicate ids would " +
-                "fan out every probe's candidate set")))
+              lit(" is duplicated (already in the index, or repeated " +
+                "within the batch) — duplicate ids would fan out " +
+                "every probe's candidate set")))
             .cast("long"))
           .when(displaces,
             raise_error(concat(lit("IncrementalIvf.foldBatch: vec_id "),
@@ -342,7 +350,7 @@ object Similarity {
                 "merged corpus instead")))
             .cast("long"))
           .otherwise(col("cluster")))
-        .drop("__dup"))
+        .drop("__dup", "__bn"))
     }
   }
 

@@ -332,9 +332,26 @@ class TextDedupSpec extends AnyFunSuite {
     val e1 = intercept[Exception](
       Similarity.IncrementalIvf.foldBatch(idx,
         vecDF(3L -> Seq.fill(8)(0.5f)), nlist = 4).collect())
-    assert(e1.getMessage.contains("already exists") ||
+    assert(e1.getMessage.contains("duplicated") ||
       (e1.getCause != null &&
-        e1.getCause.getMessage.contains("already exists")))
+        e1.getCause.getMessage.contains("duplicated")))
+    // two rows sharing a vec_id WITHIN one batch also raise (ADVICE
+    // r12: they both pass the index left-join) — use a non-displacing
+    // id so the dup guard, not the displacement guard, is what fires
+    val cutoff = (0L until 12L)
+      .map(i => Portable.tokenHashLocal(i.toString)).sorted.apply(3)
+    val freshId = (100L until 3000L)
+      .find(i => Portable.tokenHashLocal(i.toString) > cutoff).get
+    val eDup = intercept[Exception](
+      Similarity.IncrementalIvf.foldBatch(idx,
+        vecDF(freshId -> Seq.fill(8)(0.5f),
+              freshId -> Seq.fill(8)(0.25f)), nlist = 4).collect())
+    assert(eDup.getMessage.contains("duplicated") ||
+      (eDup.getCause != null &&
+        eDup.getCause.getMessage.contains("duplicated")))
+    // and the same non-displacing id folded ONCE still folds fine
+    assert(Similarity.IncrementalIvf.foldBatch(idx,
+      vecDF(freshId -> Seq.fill(8)(0.5f)), nlist = 4).count() == 13L)
     // empty index: probe and fold both fail loud
     val empty = idx.filter(org.apache.spark.sql.functions.lit(false))
     val e2 = intercept[IllegalArgumentException](

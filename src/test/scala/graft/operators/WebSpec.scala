@@ -35,7 +35,22 @@ class WebSpec extends AnyFunSuite {
       6L -> "http://ex.com/p?fbclidX=5",
       // scheme-less and null are the malformed class
       7L -> "ex.com/p",
-      8L -> null)
+      8L -> null,
+      // the RUN of www. prefixes strips in one pass (ADVICE r12):
+      // a canonical host is a fixed point even for double-www inputs
+      9L -> "http://www.www.ex.com/x",
+      // the documented degenerate collapse: host becomes bare 'com'
+      10L -> "http://www.com/x",
+      // percent normalization: unreserved octets decode (%41→A,
+      // %7e→~, %2E→.), others keep an UPPERCASED escape (%2f→%2F)
+      11L -> "http://ex.com/a%41b%2fc%7e%2E",
+      // %2F never splits a path segment (decode happens, slash
+      // collapse runs on REAL slashes only)
+      12L -> "http://ex.com/a%2f/b//c",
+      // malformed escapes pass through byte-identically
+      13L -> "http://ex.com/%zz%",
+      // encoded unreserved in the HOST decodes then lowercases
+      14L -> "http://ex%41mple.com/x")
     assert(got(1L) == (("http://ex.com/A/b?a=1&b=2", "ex.com")))
     assert(got(2L) == (("https://ex.com", "ex.com")))
     assert(got(3L) == (("http://ex.com:8080/p?a=1&b=2", "ex.com")))
@@ -44,6 +59,12 @@ class WebSpec extends AnyFunSuite {
     assert(got(6L) == (("http://ex.com/p?fbclidX=5", "ex.com")))
     assert(got(7L) == ((null, null)))
     assert(got(8L) == ((null, null)))
+    assert(got(9L) == (("http://ex.com/x", "ex.com")))
+    assert(got(10L) == (("http://com/x", "com")))
+    assert(got(11L) == (("http://ex.com/aAb%2Fc~.", "ex.com")))
+    assert(got(12L) == (("http://ex.com/a%2F/b/c", "ex.com")))
+    assert(got(13L) == (("http://ex.com/%zz%", "ex.com")))
+    assert(got(14L) == (("http://example.com/x", "example.com")))
   }
 
   test("host_stats: canonical collapse drives the dup ratio; malformed " +
@@ -68,11 +89,13 @@ class WebSpec extends AnyFunSuite {
     "random sweep") {
     val rnd = new scala.util.Random(37)
     val schemes = Seq("http://", "HTTP://", "https://", "HTTPS://", "ftp://")
-    val hosts = Seq("www.Ex.COM", "ex.com", "a.b.example.org", "WWW.X.IO")
+    val hosts = Seq("www.Ex.COM", "ex.com", "a.b.example.org", "WWW.X.IO",
+      "www.www.Ex.COM", "WWW.www.WWW.x.io")
     val ports = Seq("", ":80", ":443", ":8080")
-    val paths = Seq("", "/", "/p", "/a//b/", "/A/B/C///")
+    val paths = Seq("", "/", "/p", "/a//b/", "/A/B/C///",
+      "/e%41%2f%7e", "/x%zz%", "/%2525", "/a%2f/b//c%7E")
     val queries = Seq("", "?b=2&a=1", "?utm_x=1&a=1", "?gclid=9",
-      "?a=1&&b=2&", "?fbclidX=1&utm_=2")
+      "?a=1&&b=2&", "?fbclidX=1&utm_=2", "?a=%41&b=%2f")
     val frags = Seq("", "#f", "#a#b")
     val urls = (0 until 300).map { i =>
       (i.toLong, schemes(rnd.nextInt(schemes.size)) +
