@@ -143,6 +143,7 @@ object Bench {
     "pii_scrub" -> Some("regexp_replace"),
     "url_canonical" -> Some("regexp_replace"), // the canonical regex chain
     "host_stats" -> Some("HashAggregate"), // per-host partial-agg rollup
+    "bpe_encode" -> Some("MapPartitions"), // broadcast-vocab trie encode
     "q1_pricing" -> Some("HashAggregate"),
     "join_revenue_nation" -> Some("Join"),
     "top_customers" -> Some("Join"),

@@ -2041,6 +2041,76 @@ object OracleSql {
        |    AS dup_url_ratio
        |FROM g ORDER BY host""".stripMargin
 
+  // ---------------------------------------------------------- tokenize
+
+  /** `Tokenize.BpeEncode` replayed in SQL — the ENCODE itself, not a
+    * fixture of expected ids. The vocab CTEs rebuild the query's
+    * corpus-derived vocab (top-10 words, all single chars in both
+    * forms, top-10 3-char suffixes; ids = rank of piece). The encode is
+    * a STEP TABLE (for every distinct word and cursor position, the
+    * longest matching piece — first-form at pos 1, continuation-form
+    * after) plus a recursive CTE doing the pure pointer walk
+    * pos → pos + consumed; aggregates stay OUT of the recursive term,
+    * which DuckDB (like most engines) disallows. Greedy MaxMatch is
+    * exactly one step per position, so the walk is deterministic and
+    * the completed rows are the ones where pos ran off the word end.
+    */
+  def bpeEncode: String =
+    """WITH RECURSIVE
+      |words AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(l))) AS pos,
+      |         unnest(l) AS word
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+      |        FROM documents)),
+      |w AS (SELECT doc_id, pos, word FROM words WHERE word <> ''),
+      |freq AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+      |tw AS (SELECT word AS piece FROM freq
+      |  ORDER BY cnt DESC, word ASC LIMIT 10),
+      |chars AS (SELECT DISTINCT substr(word, i, 1) AS c
+      |  FROM (SELECT word, unnest(generate_series(1, len(word))) AS i
+      |        FROM (SELECT DISTINCT word FROM w))),
+      |charp AS (SELECT c AS piece FROM chars
+      |  UNION SELECT '##' || c FROM chars),
+      |suff AS (SELECT piece FROM (
+      |    SELECT '##' || substr(word, len(word) - 2, 3) AS piece,
+      |           count(*) AS cnt
+      |    FROM w WHERE len(word) >= 5 GROUP BY 1)
+      |  ORDER BY cnt DESC, piece ASC LIMIT 10),
+      |vp AS (SELECT DISTINCT piece FROM (SELECT piece FROM tw
+      |  UNION ALL SELECT piece FROM charp
+      |  UNION ALL SELECT piece FROM suff)),
+      |vocab AS (SELECT piece,
+      |  CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS id FROM vp),
+      |dw AS (SELECT DISTINCT word FROM w),
+      |positions AS (SELECT word,
+      |  unnest(generate_series(1, len(word))) AS pos FROM dw),
+      |step AS (SELECT p.word, p.pos,
+      |    max_by(v.id, CASE WHEN p.pos = 1 THEN len(v.piece)
+      |                      ELSE len(v.piece) - 2 END) AS id,
+      |    max(CASE WHEN p.pos = 1 THEN len(v.piece)
+      |             ELSE len(v.piece) - 2 END) AS plen
+      |  FROM positions p JOIN vocab v ON
+      |    (p.pos = 1 AND v.piece NOT LIKE '##%'
+      |     AND substr(p.word, 1, len(v.piece)) = v.piece)
+      |    OR (p.pos > 1 AND v.piece LIKE '##%' AND len(v.piece) > 2
+      |        AND substr(p.word, p.pos, len(v.piece) - 2)
+      |            = substr(v.piece, 3))
+      |  GROUP BY p.word, p.pos),
+      |rec AS (
+      |  SELECT word, 1 AS pos, CAST([] AS BIGINT[]) AS ids FROM dw
+      |  UNION ALL
+      |  SELECT r.word, r.pos + s.plen, list_append(r.ids, s.id)
+      |  FROM rec r JOIN step s ON s.word = r.word AND s.pos = r.pos
+      |  WHERE r.pos <= len(r.word)),
+      |enc AS (SELECT word, ids FROM rec WHERE pos = len(word) + 1),
+      |dt AS (SELECT w.doc_id, flatten(list(e.ids ORDER BY w.pos)) AS ids
+      |  FROM w JOIN enc e USING (word) GROUP BY w.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(len(dt.ids), 0) AS BIGINT) AS n_bpe_tokens,
+      |  coalesce(array_to_string(dt.ids, ' '), '') AS ids_str
+      |FROM documents d LEFT JOIN dt USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // -------------------------------------------------------- multimodal
 
   /** The MediaGen fixture generator's closed forms (graft.sources

@@ -305,6 +305,44 @@ object SparkEntry {
           when(m === 0L || m === 3L, lit("#frag")).otherwise(lit("")))))
   }
 
+  /** The corpus-derived subword vocab the `bpe_encode` query provides as
+    * "the caller": top-10 whole words by (freq desc, word asc), every
+    * single character of every word in BOTH first and `##`-continuation
+    * form (the coverage guarantee — greedy MaxMatch can then never
+    * dead-end), and the top-10 3-char word-suffix continuation pieces.
+    * Ids are the rank of the piece string (`row_number` over piece),
+    * so both engines number pieces identically. Sized so most of the
+    * fixture's 31 words genuinely SPLIT (top-150 would make every word
+    * a whole-word piece and never exercise continuation matching).
+    */
+  private def bpeFixtureVocab(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = d
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val top = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(10)
+      .select(col("word").as("piece"))
+    val chars = words.distinct()
+      .select(explode(sequence(lit(1), length(col("word")))).as("i"),
+        col("word"))
+      .select(expr("substring(word, i, 1)").as("c")).distinct()
+    val charPieces = chars.select(col("c").as("piece"))
+      .unionByName(chars.select(concat(lit("##"), col("c")).as("piece")))
+    val suff = words.filter(length(col("word")) >= 5)
+      .select(concat(lit("##"),
+        expr("substring(word, length(word) - 2, 3)")).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece").asc).limit(10)
+      .select("piece")
+    // the vocab is a few hundred pieces — the single-partition
+    // row_number window is a driver-bounded fixture builder, not a
+    // corpus-scale operator
+    top.unionByName(charPieces).unionByName(suff).distinct()
+      .withColumn("id",
+        row_number().over(Window.orderBy("piece")).cast("long"))
+  }
+
   /** Text-analysis / dedup / similarity / multimodal / relational query
     * surface (the 100 TB training-data-pipeline extensions). Each pairs
     * with a bit-deterministic DuckDB oracle from [[OracleSql]].
@@ -1066,6 +1104,20 @@ object SparkEntry {
           withMessyUrl(docs(s, dir))))
         .select("doc_id", "host", "source_mean_chars", "source_dup_ratio")
         .orderBy("doc_id")),
+    // native greedy longest-match subword encode (WordPiece MaxMatch)
+    // against a corpus-derived vocab the query builds as "the caller":
+    // top-10 whole words, every single character in first AND
+    // continuation form (coverage guarantee), top-10 3-char suffix
+    // continuation pieces. Ids = rank of the piece string, so both
+    // engines number identically. The oracle replays the ENCODE itself
+    // with a step table + recursive CTE — not a fixture of expected ids
+    "bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Tokenize.BpeEncode(bpeFixtureVocab(d)).transform(d)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          array_join(col("bpe_ids").cast("array<string>"), " ").as("ids_str"))
+        .orderBy("doc_id")
+    }),
     "q1_pricing" -> ((s, dir) => {
       val l = s.read.parquet(s"$dir/lineitem.parquet")
       val cents = (c: Column) => round(c * 100).cast("long")
@@ -1197,6 +1249,7 @@ object SparkEntry {
     "mm_framesample" -> OracleSql.mmFrameSample,
     "mm_audio" -> OracleSql.mmAudio,
     "url_canonical" -> OracleSql.urlCanonical,
+    "bpe_encode" -> OracleSql.bpeEncode,
     "win_quantiles" -> OracleSql.winQuantiles,
     "win_stats" -> OracleSql.winStats,
     "host_filter" -> OracleSql.hostFilter(299.0),

@@ -142,6 +142,29 @@ object StressCorpus {
         .agg(sum("n_overlap"), count(lit(1))).collect()(0).getLong(0)
     }
 
+    // ----- subword encode: every doc of the 8-token generator walks the
+    // broadcast trie (map-side only). Vocab = chars a-g/0-9 in both
+    // forms + whole-word "the", so the token count is CLOSED-FORM
+    // without the operator: each coded word encodes char-by-char
+    // (= its length), "the" encodes as ONE piece instead of three →
+    // sum(n_bpe_tokens) == sum(non-space chars) − 2·nDocs, exactly.
+    time(s"bpe_encode docs=$nDocs vocab=35") {
+      import spark.implicits._
+      val pieces = (('a' to 'g') ++ ('0' to '9')).map(_.toString)
+      val vocab = (pieces ++ pieces.map("##" + _) :+ "the")
+        .zipWithIndex.map { case (p, i) => (p, i.toLong) }
+        .toDF("piece", "id")
+      val out = graft.operators.Tokenize.BpeEncode(vocab).transform(docs)
+      val got = out.agg(sum("n_bpe_tokens"), count(lit(1))).collect()(0)
+      val expected = docs.agg(
+        sum(length(translate(col("text"), " ", "")))).collect()(0).getLong(0) -
+        2L * nDocs
+      require(got.getLong(1) == nDocs, s"row drift: $got")
+      require(got.getLong(0) == expected,
+        s"token-count drift: ${got.getLong(0)} != $expected")
+      got.getLong(0)
+    }
+
     // ----- dedup-family envelope: an ADVERSARIAL corpus — hot
     // boilerplate shingles (a constant 5-token template tail in EVERY
     // document, df = nDocs) plus genuine near-dup clusters (5 docs per

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-computed greedy longest-match (WordPiece MaxMatch) goldens for
+  * [[Tokenize.BpeEncode]] — the DuckDB oracle pins the corpus-scale
+  * replay (`bpe_encode`); these pin the algorithm and the guards on
+  * explicit examples.
+  */
+class TokenizeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // vocab: hello=7 hel=1 ##lo=2 h=3 ##e=4 ##l=5 ##o=6 x=8
+  private def vocab = Seq(
+    ("hello", 7L), ("hel", 1L), ("##lo", 2L), ("h", 3L),
+    ("##e", 4L), ("##l", 5L), ("##o", 6L), ("x", 8L))
+    .toDF("piece", "id")
+
+  private def encode(unk: Option[Long], texts: (Long, String)*): Map[Long, (Long, Seq[Long])] =
+    Tokenize.BpeEncode(vocab, unkId = unk)
+      .transform(texts.toDF("doc_id", "text"))
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("greedy longest-match: whole words, splits, multi-word docs, " +
+    "case folding, null text") {
+    val got = encode(None,
+      1L -> "hello",          // whole-word piece wins over hel+##lo
+      2L -> "hell",           // hel + ##l
+      3L -> "helloo",         // hello + ##o (longest FIRST, then cont)
+      4L -> "hello hell x",   // words concatenate in order
+      5L -> "HELLO",          // lowercase=true folds before matching
+      6L -> "  hello   x ",   // whitespace runs and edges drop
+      7L -> null)             // null text = empty encode, row kept
+    assert(got(1L) == ((1L, Seq(7L))))
+    assert(got(2L) == ((2L, Seq(1L, 5L))))
+    assert(got(3L) == ((2L, Seq(7L, 6L))))
+    assert(got(4L) == ((4L, Seq(7L, 1L, 5L, 8L))))
+    assert(got(5L) == ((1L, Seq(7L))))
+    assert(got(6L) == ((2L, Seq(7L, 8L))))
+    assert(got(7L) == ((0L, Seq.empty[Long])))
+  }
+
+  test("un-encodable word: whole-word UNK with unkId (partial tokens " +
+    "roll back), fail-loud naming doc and word without") {
+    // hellq: hel consumed, ##l consumed, then q dead-ends -> the
+    // already-emitted [1, 5] must NOT leak around the UNK
+    val got = encode(Some(0L), 1L -> "hellq hello")
+    assert(got(1L) == ((2L, Seq(0L, 7L))))
+    val e = intercept[Exception](encode(None, 42L -> "hellq"))
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("42") && msg.contains("hellq"))
+  }
+
+  test("vocab guards: duplicate piece, empty piece, bare continuation " +
+    "prefix, null id, oversized vocab, missing columns") {
+    def enc(v: org.apache.spark.sql.DataFrame,
+            maxVocab: Int = 1 << 22): Unit =
+      Tokenize.BpeEncode(v, maxVocab = maxVocab)
+        .transform(Seq((1L, "x")).toDF("doc_id", "text")).collect()
+    assertThrows[IllegalArgumentException](
+      enc(Seq(("x", 1L), ("x", 2L)).toDF("piece", "id")))
+    assertThrows[IllegalArgumentException](
+      enc(Seq(("", 1L)).toDF("piece", "id")))
+    assertThrows[IllegalArgumentException](
+      enc(Seq(("##", 1L), ("x", 2L)).toDF("piece", "id")))
+    assertThrows[IllegalArgumentException](
+      enc(Seq(("x", "1")).toDF("piece", "id")
+        .withColumn("id", org.apache.spark.sql.functions.lit(null))))
+    assertThrows[IllegalArgumentException](
+      enc(Seq(("x", 1L), ("y", 2L), ("z", 3L)).toDF("piece", "id"),
+        maxVocab = 2))
+    assertThrows[Exception](
+      enc(Seq(("x", 1L)).toDF("notpiece", "id")))
+    // a piece CONTAINING # mid-string is a normal first-form piece
+    val ok = Tokenize.BpeEncode(Seq(("a#b", 5L)).toDF("piece", "id"))
+      .transform(Seq((1L, "a#b")).toDF("doc_id", "text"))
+      .as[(Long, Long, Seq[Long])].collect().head
+    assert(ok == ((1L, 1L, Seq(5L))))
+  }
+
+  test("plan shape: encode is map-side only — zero exchanges after the " +
+    "driver-bounded vocab collect") {
+    val df = spark.range(64).selectExpr("id AS doc_id",
+      "'hello hell x' AS text")
+    val out = Tokenize.BpeEncode(vocab).transform(df)
+    val shuffles = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, "BpeEncode must not shuffle the corpus")
+  }
+}
