@@ -149,11 +149,19 @@ object Dsir {
       coalesce(col(targetColumn) === lit(targetValue), lit(false))
         .as("__tgt"),
       col(textColumn))
-    featurePosting(flagged, Seq("__tgt"), textColumn, numFeatures, ngram)
-      .select(col("__tgt"), col("__feat").as("feature"))
-      .groupBy("feature")
-      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_target"),
-        sum(when(col("__tgt"), 0L).otherwise(1L)).as("n_raw"))
+    // the fit's (numFeatures, ngram) ride the table itself in column
+    // metadata (parquet-round-trip safe): the two structurally
+    // undetectable drift directions — smaller numFeatures, different
+    // ngram, both hashing into the same [0, numFeatures) cells — become
+    // in-data errors at probe/fold time
+    SparkUtil.withFitParams(
+      featurePosting(flagged, Seq("__tgt"), textColumn, numFeatures, ngram)
+        .select(col("__tgt"), col("__feat").as("feature"))
+        .groupBy("feature")
+        .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_target"),
+          sum(when(col("__tgt"), 0L).otherwise(1L)).as("n_raw")),
+      "feature",
+      Map("numFeatures" -> numFeatures.toLong, "ngram" -> ngram.toLong))
   }
 
   /** Fold an ingested batch's occurrences into a persisted
@@ -167,12 +175,19 @@ object Dsir {
                 numFeatures: Int = 4096,
                 ngram: Int = 1): DataFrame = {
     SparkUtil.validateColumns(counts, Seq("feature", "n_target", "n_raw"))
-    counts.select("feature", "n_target", "n_raw")
-      .unionByName(
-        featureCounts(batch, targetValue, textColumn, targetColumn,
-          numFeatures, ngram))
-      .groupBy("feature")
-      .agg(sum("n_target").as("n_target"), sum("n_raw").as("n_raw"))
+    SparkUtil.requireFitParam(counts, "feature", "numFeatures",
+      numFeatures.toLong, "Dsir.foldBatch")
+    SparkUtil.requireFitParam(counts, "feature", "ngram", ngram.toLong,
+      "Dsir.foldBatch")
+    SparkUtil.withFitParams(
+      counts.select("feature", "n_target", "n_raw")
+        .unionByName(
+          featureCounts(batch, targetValue, textColumn, targetColumn,
+            numFeatures, ngram))
+        .groupBy("feature")
+        .agg(sum("n_target").as("n_target"), sum("n_raw").as("n_raw")),
+      "feature",
+      Map("numFeatures" -> numFeatures.toLong, "ngram" -> ngram.toLong))
   }
 
   /** Per-document add-one-smoothed log-likelihood-ratio scores of `df`
@@ -535,9 +550,11 @@ object Dsir {
         s"broadcast, so it must stay driver-sized; got $numFeatures")
     require(valueBuckets >= 1, "`valueBuckets` must be >= 1")
     // `ngram` must match the fit, like the smaller-numFeatures
-    // direction: a mismatch is structurally undetectable (both feature
-    // spaces are [0, numFeatures) hash cells) — the fit's ngram is part
-    // of the persisted table's contract
+    // direction: both feature spaces are the same [0, numFeatures)
+    // hash cells, so a mismatch used to be structurally undetectable —
+    // the fit now records (numFeatures, ngram) in the table's column
+    // metadata and transform() verifies them in data (tables built
+    // before the metadata fall back to the prose contract)
     require(ngram == 1 || ngram == 2, s"`ngram` must be 1 or 2, got $ngram")
     // the count table is structural input, not a tunable (cf.
     // IncrementalExactDedup): keep getParams to the scalar knobs
@@ -551,6 +568,10 @@ object Dsir {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
       SparkUtil.validateColumns(counts,
         Seq("feature", "n_target", "n_raw"))
+      SparkUtil.requireFitParam(counts, "feature", "numFeatures",
+        numFeatures.toLong, "IncrementalResample")
+      SparkUtil.requireFitParam(counts, "feature", "ngram", ngram.toLong,
+        "IncrementalResample")
       requireNoReserved(df)
       val scoredLazy = scoreAgainst(df, counts, idColumn, textColumn,
         numFeatures, emptyModelError = Some(

@@ -352,7 +352,21 @@ final case class IncrementalSemDedup(memberIndex: DataFrame,
     require(!meta.isNullAt(0),
       "IncrementalSemDedup: empty member index — build memberIndex on a " +
         "non-empty corpus first")
-    val nClusters = meta.getLong(0).toInt + 1
+    // prefer the fit's RECORDED k (self-describing index): deriving it
+    // as max(cluster)+1 silently shrinks the center set when the fit's
+    // top cluster ids hold no members. A recorded k below the observed
+    // labels is index corruption — fail loud, never truncate
+    val maxLabel = meta.getLong(0).toInt
+    val nClusters =
+      graft.util.SparkUtil.fitParam(memberIndex, "cluster", "nClusters")
+        .map { k =>
+          require(k > maxLabel,
+            s"IncrementalSemDedup: index records fit nClusters=$k but " +
+              s"holds a cluster label $maxLabel — the index is corrupt " +
+              "or was edited; re-fit memberIndex")
+          k.toInt
+        }
+        .getOrElse(maxLabel + 1)
     val dim = meta.getInt(2)
     val cellSizes = index.groupBy("cluster").agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect().toMap
@@ -452,10 +466,16 @@ object IncrementalSemDedup {
                   cacheCorpus: Boolean = true,
                   stabilizeRounds: Int = 0): DataFrame = {
     SparkUtil.validateColumns(corpus, Seq(idColumn, vecColumn))
+    // the fit's k rides the index in column metadata: probes used to
+    // derive k as max(cluster)+1, which silently SHRINKS the center set
+    // when the fit's top cluster ids end up empty — batch vectors then
+    // assign against fewer centers than the corpus did
     SemDedup.clusterAssignments(corpus, idColumn, vecColumn, nClusters,
         iterations, cacheCorpus, stabilizeRounds)
-      .map(_.select(col("id").as("vec_id"), col("cluster"), col("q"),
-        col("nrm")))
+      .map(a => SparkUtil.withFitParams(
+        a.select(col("id").as("vec_id"), col("cluster"), col("q"),
+          col("nrm")),
+        "cluster", Map("nClusters" -> nClusters.toLong)))
       .getOrElse(corpus.sparkSession.emptyDataFrame)
   }
 }

@@ -267,14 +267,21 @@ object Similarity {
         .select("id", "q", "nrm")
       val quant = if (cacheCorpus) quantLazy.localCheckpoint() else quantLazy
       val centroids = pickCentroids(quant, nlist)
+      // the fit's nlist rides the index itself (column metadata survives
+      // the parquet round trip) — probes and folds verify it in data
+      // instead of trusting prose (the self-describing-index contract)
       if (centroids.isEmpty)
-        return spark.emptyDataset[(Long, Long, Array[Long], Long)]
-          .toDF("vec_id", "cluster", "q", "nrm")
-      quant.as[(Long, Array[Long], Long)]
-        .map { case (id, q, nrm) =>
-          (id, rankedClusterIds(centroids, q, nrm).head.toLong, q, nrm)
-        }
-        .toDF("vec_id", "cluster", "q", "nrm")
+        return SparkUtil.withFitParams(
+          spark.emptyDataset[(Long, Long, Array[Long], Long)]
+            .toDF("vec_id", "cluster", "q", "nrm"),
+          "cluster", Map("nlist" -> nlist.toLong))
+      SparkUtil.withFitParams(
+        quant.as[(Long, Array[Long], Long)]
+          .map { case (id, q, nrm) =>
+            (id, rankedClusterIds(centroids, q, nrm).head.toLong, q, nrm)
+          }
+          .toDF("vec_id", "cluster", "q", "nrm"),
+        "cluster", Map("nlist" -> nlist.toLong))
     }
 
     /** Ingest new CORPUS vectors into a fitted index: assign them
@@ -299,6 +306,8 @@ object Similarity {
                   nlist: Int = 16): DataFrame = {
       SparkUtil.validateColumns(index, Seq("vec_id", "cluster", "q", "nrm"))
       SparkUtil.validateColumns(batch, Seq(idColumn, vecColumn))
+      SparkUtil.requireFitParam(index, "cluster", "nlist", nlist.toLong,
+        "IncrementalIvf.foldBatch")
       val spark = index.sparkSession
       import spark.implicits._
       val slim = index.select(col("vec_id").as("id"), col("q"), col("nrm"))
@@ -330,7 +339,10 @@ object Similarity {
       // vec_id shuffle key as the join; batch-sized, never index-sized)
       val batchN = count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("vec_id"))
-      index.unionByName(assigned
+      // re-attach the fit metadata explicitly (union takes the left
+      // child's schema, but the grown index must stay self-describing
+      // regardless of plan internals)
+      SparkUtil.withFitParams(index.unionByName(assigned
         .withColumn("__bn", batchN)
         .join(dup, Seq("vec_id"), "left")
         .withColumn("cluster", when(col("__dup") || col("__bn") > 1,
@@ -350,7 +362,7 @@ object Similarity {
                 "merged corpus instead")))
             .cast("long"))
           .otherwise(col("cluster")))
-        .drop("__dup", "__bn"))
+        .drop("__dup", "__bn")), "cluster", Map("nlist" -> nlist.toLong))
     }
   }
 
@@ -363,13 +375,15 @@ object Similarity {
     * (`query_id, rank, neighbor_id, cosine`); an empty index fails loud
     * (same contract as the other incremental operators).
     *
-    * The `nlist` guard catches only the LOUD direction (an index whose
-    * labels exceed `nlist`); probing a smaller-fit index with a LARGER
-    * `nlist` is structurally undetectable — the extra derived centroids
-    * own zero index rows, so probe budget silently goes to empty lists
-    * and recall degrades. Like `IncrementalResample`'s
-    * smaller-numFeatures direction, the fit's `nlist` is part of the
-    * persisted index's contract: carry it with the table.
+    * The fit's `nlist` now rides the index itself ([[IncrementalIvf
+    * .memberIndex]] records it in the `cluster` column's metadata,
+    * which survives the parquet round trip), so BOTH mismatch
+    * directions fail loud here — including the formerly-undetectable
+    * larger-`nlist` probe of a smaller-fit index, where the extra
+    * derived centroids own zero rows and probe budget silently went to
+    * empty lists. A hand-built index without the metadata falls back
+    * to the structural guard only (labels must not exceed `nlist`) —
+    * for those, the fit's `nlist` remains a prose contract.
     */
   final case class IncrementalIvfTopK(memberIndex: DataFrame,
                                       idColumn: String = "vec_id",
@@ -390,6 +404,8 @@ object Similarity {
       SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
       SparkUtil.validateColumns(memberIndex,
         Seq("vec_id", "cluster", "q", "nrm"))
+      SparkUtil.requireFitParam(memberIndex, "cluster", "nlist",
+        nlist.toLong, "IncrementalIvfTopK")
       val spark = df.sparkSession
       import spark.implicits._
       val index = memberIndex.select(col("vec_id").cast("long").as("id"),

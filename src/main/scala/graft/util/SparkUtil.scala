@@ -33,6 +33,57 @@ object SparkUtil {
           "parameter settings."))
       .dataType
 
+  /** Key prefix for fit parameters carried in column metadata. */
+  private val FitKeyPrefix = "graft.fit."
+
+  /** Make a persisted index self-describing: attach the FIT parameters
+    * to `anchor`'s column metadata. Spark stores the full StructType —
+    * metadata included — in the parquet footer
+    * (`org.apache.spark.sql.parquet.row.metadata`) and restores it on
+    * read, so the fit/probe contract travels WITH the table through
+    * write → read round trips instead of living in prose. Existing
+    * metadata keys outside the `graft.fit.` namespace are preserved.
+    */
+  def withFitParams(df: DataFrame, anchor: String,
+                    params: Map[String, Long]): DataFrame = {
+    val existing = df.schema.fields.find(_.name.equalsIgnoreCase(anchor))
+      .map(_.metadata)
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(existing)
+    params.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      b.putLong(FitKeyPrefix + k, v)
+    }
+    df.withColumn(anchor, col(anchor).as(anchor, b.build()))
+  }
+
+  /** Read one fit parameter back from `anchor`'s column metadata; None
+    * when absent (a hand-built or pre-metadata index — callers fall
+    * back to the documented prose contract).
+    */
+  def fitParam(df: DataFrame, anchor: String, key: String): Option[Long] = {
+    df.schema.fields.find(_.name.equalsIgnoreCase(anchor))
+      .map(_.metadata)
+      .filter(_.contains(FitKeyPrefix + key))
+      .map(_.getLong(FitKeyPrefix + key))
+  }
+
+  /** Fail loud when a self-describing index's recorded fit parameter
+    * disagrees with the caller's configured value — the silent
+    * fit/probe config-drift directions (larger-nlist probes, smaller
+    * numFeatures, shrunken k) become in-data errors. An index WITHOUT
+    * the metadata passes: the prose contract still governs legacy
+    * tables.
+    */
+  def requireFitParam(df: DataFrame, anchor: String, key: String,
+                      configured: Long, who: String): Unit =
+    fitParam(df, anchor, key).foreach { recorded =>
+      require(recorded == configured,
+        s"$who: the index records fit $key=$recorded but the caller " +
+          s"configured $key=$configured — fit and probe/fold parameters " +
+          "must match; re-fit the index or fix the caller's parameter")
+    }
+
   /** Build sort-order Column list from names + per-column ascending flags.
     * `reverse = true` flips every direction (used by the last-start/last-end
     * fast path; reference: pyspark/util.py:60-102).

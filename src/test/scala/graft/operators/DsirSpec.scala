@@ -292,11 +292,24 @@ class DsirSpec extends AnyFunSuite {
     val counts = Dsir.featureCounts(
       mixedDocs.toDF("doc_id", "text", "source"), "seed",
       numFeatures = 4096)
+    // since r13 the table's recorded fit metadata fires first, naming
+    // both values; the in-plan structural raise remains the fallback
+    // for legacy metadata-less tables (FitParamsSpec pins both)
     val e = intercept[Exception] {
       Dsir.IncrementalResample(counts, fraction = 0.5, numFeatures = 7)
         .transform(incrBatch.toDF("doc_id", "text")).collect()
     }
-    assert(e.getMessage.contains("different numFeatures"))
+    assert(e.getMessage.contains("numFeatures=4096") &&
+      e.getMessage.contains("numFeatures=7"))
+    // the structural guard itself, on a metadata-stripped table
+    val legacy = counts.withColumn("feature",
+      org.apache.spark.sql.functions.col("feature")
+        .as("feature", org.apache.spark.sql.types.Metadata.empty))
+    val e2 = intercept[Exception] {
+      Dsir.IncrementalResample(legacy, fraction = 0.5, numFeatures = 7)
+        .transform(incrBatch.toDF("doc_id", "text")).collect()
+    }
+    assert(e2.getMessage.contains("different numFeatures"))
   }
 
   test("incremental: an empty batch (an empty ingest day) yields an " +

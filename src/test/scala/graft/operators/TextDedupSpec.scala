@@ -352,25 +352,26 @@ class TextDedupSpec extends AnyFunSuite {
     // and the same non-displacing id folded ONCE still folds fine
     assert(Similarity.IncrementalIvf.foldBatch(idx,
       vecDF(freshId -> Seq.fill(8)(0.5f)), nlist = 4).count() == 13L)
-    // empty index: probe and fold both fail loud
+    // empty index: probe and fold both fail loud (nlist matches the
+    // fit so the emptiness error — not the r13 metadata check — fires)
     val empty = idx.filter(org.apache.spark.sql.functions.lit(false))
     val e2 = intercept[IllegalArgumentException](
-      Similarity.IncrementalIvfTopK(empty)
+      Similarity.IncrementalIvfTopK(empty, nlist = 4)
         .transform(vecDF(1L -> Seq.fill(8)(1f))))
     assert(e2.getMessage.contains("empty member index"))
     val e3 = intercept[IllegalArgumentException](
       Similarity.IncrementalIvf.foldBatch(empty,
-        vecDF(1L -> Seq.fill(8)(1f))))
+        vecDF(1L -> Seq.fill(8)(1f)), nlist = 4))
     assert(e3.getMessage.contains("empty member index"))
-    // an index fit with nlist=8 probed with nlist=4 is a config drift
+    // an index fit with nlist=8 probed with nlist=4 is a config drift —
+    // since r13 the index's recorded fit metadata names both values
+    // (FitParamsSpec pins the structural fallback for legacy indexes)
     val idx8 = Similarity.IncrementalIvf.memberIndex(corpus, nlist = 8)
-    if (idx8.agg(org.apache.spark.sql.functions.max($"cluster"))
-        .as[Long].collect().head > 4L) {
-      val e4 = intercept[IllegalArgumentException](
-        Similarity.IncrementalIvfTopK(idx8, nlist = 4)
-          .transform(vecDF(1L -> Seq.fill(8)(1f))))
-      assert(e4.getMessage.contains("different nlist"))
-    }
+    val e4 = intercept[IllegalArgumentException](
+      Similarity.IncrementalIvfTopK(idx8, nlist = 4)
+        .transform(vecDF(1L -> Seq.fill(8)(1f))))
+    assert(e4.getMessage.contains("nlist=8") &&
+      e4.getMessage.contains("nlist=4"))
   }
 
   test("LanguageId: argmax with first-wins tie-break and und fallback") {
