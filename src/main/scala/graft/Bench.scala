@@ -133,6 +133,7 @@ object Bench {
     "mm_features" -> Some("SerializeFromObject"),
     "mm_framesample" -> Some("SerializeFromObject"),
     "mm_audio" -> Some("SerializeFromObject"), // typed WAV-decode map pass
+    "mm_video" -> Some("SerializeFromObject"), // typed AVI-decode map pass
     "text_tokens" -> Some("split("),
     "text_quality" -> Some("SerializeFromObject"),
     "text_entropy" -> Some("SerializeFromObject"), // compiled map pass

@@ -2172,6 +2172,34 @@ object OracleSql {
        |  CAST(s.sample_sum AS BIGINT) AS sample_sum
        |FROM p JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** The VideoGen generator's closed forms (graft.sources.VideoGen):
+    * MJPEG-in-AVI container fields and the per-frame uniform pixel
+    * probes — frames are uniform gray precisely so the lossy JPEG
+    * codec round-trips bit-exactly (DC-only blocks) and the corner
+    * sum over EVERY decoded frame has a pure integer closed form.
+    * The Spark side walks the REAL RIFF container and decodes every
+    * frame with `javax.imageio`; agreement proves container parse AND
+    * pixel decode. `generate_series` cannot take a correlated bound in
+    * DuckDB, so frames unnest to the generator's max (7) and filter.
+    */
+  def mmVideo: String =
+    s"""WITH fr AS (SELECT doc_id,
+       |  unnest(generate_series(0, 6)) AS f FROM documents),
+       |cs AS (SELECT doc_id,
+       |  sum((doc_id * 31 + f * 17) % 256) AS corner_sum
+       |  FROM fr WHERE f < 2 + doc_id % 6 GROUP BY doc_id)
+       |SELECT d.doc_id, 'mjpeg_avi' AS fmt,
+       |  CAST(16 + (d.doc_id * 41) % 89 AS BIGINT) AS width,
+       |  CAST(16 + (d.doc_id * 53) % 47 AS BIGINT) AS height,
+       |  CAST(2 + d.doc_id % 6 AS BIGINT) AS n_frames,
+       |  CAST(10 + d.doc_id % 20 AS BIGINT) AS fps,
+       |  CAST((2 + d.doc_id % 6) * 1000 // (10 + d.doc_id % 20)
+       |    AS BIGINT) AS duration_ms,
+       |  CAST((d.doc_id * 31) % 256 AS BIGINT) AS corner_px,
+       |  CAST(cs.corner_sum AS BIGINT) AS corner_sum
+       |FROM documents d JOIN cs USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Fit-in-box resize over the generator dims; integer scale algebra,
     * nearest-neighbor corner preservation (out(0,0) = in(0,0)). Mirrors
     * [[graft.operators.Multimodal.Resize]].

@@ -219,6 +219,18 @@ object SparkEntry {
     graft.sources.AudioGen.AttachPayload()
       .transform(docs(spark, dir).select("doc_id"))
 
+  /** Video fixture corpus: REAL MJPEG-in-AVI payloads (RIFF container +
+    * JDK JPEG frames, graft.sources.VideoGen) generated
+    * deterministically from `doc_id` — container fields, per-frame
+    * uniform pixel values (JPEG DC-only blocks round-trip bit-exactly)
+    * and the cross-frame corner sum have closed forms the DuckDB
+    * oracle recomputes, so `mm_video` verifies the actual container
+    * walk AND the per-frame JPEG decode.
+    */
+  private def video(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.VideoGen.AttachPayload()
+      .transform(docs(spark, dir).select("doc_id"))
+
   /** Web-corpus URL fixture: deliberately MESSY urls derived
     * deterministically from `doc_id` — case-shifted schemes/hosts,
     * `www.` prefixes, default and explicit ports, duplicate/trailing
@@ -1043,6 +1055,15 @@ object SparkEntry {
         .select("doc_id", "fmt", "sample_rate", "channels", "n_frames",
           "duration_ms", "first_sample", "sample_sum")
         .orderBy("doc_id")),
+    // REAL MJPEG-in-AVI decode (r13, the stub retired): RIFF container
+    // walk + per-frame javax.imageio JPEG decode; corner_px/corner_sum
+    // are pixel probes over frame 0 / EVERY frame — byte_len stays out
+    // of the oracle (encoder-dependent), pinned in VideoSpec instead
+    "mm_video" -> ((s, dir) =>
+      Multimodal.VideoFeatures().transform(video(s, dir))
+        .select("doc_id", "fmt", "width", "height", "n_frames", "fps",
+          "duration_ms", "corner_px", "corner_sum")
+        .orderBy("doc_id")),
     // URL canonicalization: scheme/host case, www., default ports,
     // slash runs, tracking params, param order and fragments all
     // collapse; malformed urls yield the null class — pure codegen'd
@@ -1248,6 +1269,7 @@ object SparkEntry {
     "mm_features" -> OracleSql.mmFeatures,
     "mm_framesample" -> OracleSql.mmFrameSample,
     "mm_audio" -> OracleSql.mmAudio,
+    "mm_video" -> OracleSql.mmVideo,
     "url_canonical" -> OracleSql.urlCanonical,
     "bpe_encode" -> OracleSql.bpeEncode,
     "win_quantiles" -> OracleSql.winQuantiles,

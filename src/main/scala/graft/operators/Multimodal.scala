@@ -16,16 +16,18 @@ import graft.util.SparkUtil
   * with typed metadata; decode / feature-extraction runs per-partition
   * over the binary batches.
   *
-  * Image decode is REAL: PNG / JPEG / GIF payloads go through the JDK's
-  * `javax.imageio` (headless-safe, no external dependency) — header
-  * fields, frame counts (animated GIF) and pixel data all come from the
-  * actual codec. Audio decode is REAL too: WAV payloads go through the
-  * JDK's `javax.sound.sampled` ([[AudioFeatures]]), format header and
-  * every PCM sample. Only VIDEO has no JDK codec, so it can opt into a
-  * clearly-documented deterministic placeholder
-  * ([[Multimodal.decodeStub]], `stubNonImage = true`); by default an
-  * undecodable payload FAILS LOUD with the offending id rather than
-  * fabricating data.
+  * Every decode is REAL — no placeholders remain in the family:
+  * PNG / JPEG / GIF payloads go through the JDK's `javax.imageio`
+  * (headless-safe, no external dependency) — header fields, frame
+  * counts (animated GIF) and pixel data all come from the actual
+  * codec; WAV audio goes through the JDK's `javax.sound.sampled`
+  * ([[AudioFeatures]]), format header and every PCM sample; video is
+  * MJPEG-in-AVI ([[VideoFeatures]]) — a real RIFF container walk with
+  * every frame chunk decoded by the JDK JPEG codec. An undecodable
+  * payload FAILS LOUD with the offending id rather than fabricating
+  * data, and a payload routed to the wrong operator is redirected by
+  * its container magic (WAV → [[AudioFeatures]], AVI →
+  * [[VideoFeatures]]).
   *
   * At 100 TB the decode is the classic embarrassingly-parallel map: no
   * shuffle, bounded memory per partition (one payload at a time via the
@@ -38,22 +40,6 @@ object Multimodal {
   // stream, which serializes parallel decode behind disk I/O (see
   // MediaGen's matching setting; either object may initialize first)
   ImageIO.setUseCache(false)
-
-  /** Deterministic placeholder "decode" for VIDEO media (the one media
-    * class without a JDK codec — images decode via `javax.imageio`,
-    * WAV audio via `javax.sound.sampled`/[[AudioFeatures]]): header-ish
-    * fields derived from the payload bytes via MD5 (portable to any
-    * engine for verification). Only reachable behind an explicit
-    * `stubNonImage = true` opt-in.
-    */
-  private[operators] def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
-    val h = graft.functions.Portable.md5Prefix(
-      MessageDigest.getInstance("MD5").digest(payload))
-    val width = h % 1280L
-    val height = h % 720L
-    val frames = payload.length % 16L + 1L
-    (width, height, frames)
-  }
 
   /** Image-format sniff from magic bytes; None → not a (supported) image. */
   private[operators] def sniffFormat(payload: Array[Byte]): Option[String] = {
@@ -83,8 +69,7 @@ object Multimodal {
   private[operators] def decodeImage(id: Long, payload: Array[Byte]): DecodedImage = {
     val fmt = sniffFormat(payload).getOrElse(throw new IllegalArgumentException(
       s"media $id: payload is not a decodable image (PNG/JPEG/GIF magic " +
-        s"not found in ${if (payload == null) 0 else payload.length} bytes); " +
-        "use stubNonImage=true only for non-image media"))
+        s"not found in ${if (payload == null) 0 else payload.length} bytes)"))
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -118,9 +103,11 @@ object Multimodal {
     * frame-0 corner pixel (band-0 sample — proves pixels were decoded)
     * and the sampling stride for `maxSample` frames.
     *
-    * Undecodable payloads fail loud with the id; `stubNonImage = true`
-    * routes them to the documented audio/video placeholder instead
-    * (`fmt = "stub"`, corner −1).
+    * Undecodable payloads fail loud with the id; a payload that is
+    * really a WAV or AVI container is redirected by its magic to
+    * [[AudioFeatures]] / [[VideoFeatures]] in the error message —
+    * every media class now has a REAL decoder, so no placeholder
+    * path exists.
     *
     * Implemented as a typed `Dataset.mapPartitions` — the per-partition
     * iterator is where the codec streams payload batches — which stays
@@ -130,8 +117,7 @@ object Multimodal {
     */
   final case class MediaFeatures(idColumn: String = "doc_id",
                                  payloadColumn: String = "payload",
-                                 maxSample: Int = 4,
-                                 stubNonImage: Boolean = false)
+                                 maxSample: Int = 4)
       extends Wrangler {
     require(maxSample >= 1, "maxSample must be positive")
     override def preservesSampleSize: Boolean = true
@@ -140,30 +126,23 @@ object Multimodal {
       SparkUtil.validateColumns(df, Seq(idColumn, payloadColumn))
       val spark = df.sparkSession
       import spark.implicits._
-      val (ms, stub) = (maxSample, stubNonImage)
+      val ms = maxSample
       df.select(col(idColumn).cast("long"), col(payloadColumn).cast("binary"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, payload) =>
-            if (stub && sniffFormat(payload).isEmpty) {
-              // the stub covers VIDEO only (no JDK codec): a WAV is
-              // REAL, decodable audio — fabricating header fields for
-              // it would be exactly the dishonesty the stub opt-in is
-              // scoped to avoid
-              if (sniffWav(payload)) throw new IllegalArgumentException(
-                s"media $id: payload is WAV audio — decode it with " +
-                  "AudioFeatures (the stub is for video only)")
-              val (w, h, frames) = decodeStub(payload)
-              MediaFeatureRow(id, "stub", payload.length.toLong, w, h,
-                frames, (frames + ms - 1) / ms, -1L)
-            } else {
-              val d = decodeImage(id, payload)
-              // ceil division: at most maxSample sampled frames
-              val stride = (d.nFrames + ms - 1) / ms
-              MediaFeatureRow(id, d.fmt, payload.length.toLong,
-                d.width.toLong, d.height.toLong, d.nFrames.toLong,
-                stride.toLong, d.corner.toLong)
-            }
+            if (sniffWav(payload)) throw new IllegalArgumentException(
+              s"media $id: payload is WAV audio — decode it with " +
+                "AudioFeatures")
+            if (sniffAvi(payload)) throw new IllegalArgumentException(
+              s"media $id: payload is an AVI container — decode it with " +
+                "VideoFeatures")
+            val d = decodeImage(id, payload)
+            // ceil division: at most maxSample sampled frames
+            val stride = (d.nFrames + ms - 1) / ms
+            MediaFeatureRow(id, d.fmt, payload.length.toLong,
+              d.width.toLong, d.height.toLong, d.nFrames.toLong,
+              stride.toLong, d.corner.toLong)
           }
         }
         .toDF()
@@ -266,9 +245,7 @@ object Multimodal {
       first_sample: Long, sample_sum: Long)
 
   /** Extract audio features from a binary WAV payload column — the
-    * audio sibling of [[MediaFeatures]], and the operator that retires
-    * the audio stub ([[decodeStub]] now covers only video, the one
-    * media class without a JDK codec). Real `javax.sound.sampled`
+    * audio sibling of [[MediaFeatures]]. Real `javax.sound.sampled`
     * decode: format header fields plus two sample-level probes
     * (`first_sample`, and `sample_sum` folded over EVERY decoded PCM
     * sample) that a header-only parse could not produce.
@@ -296,6 +273,175 @@ object Multimodal {
             AudioFeatureRow(id, "wav", payload.length.toLong, d.sampleRate,
               d.channels, d.nFrames, d.nFrames * 1000L / d.sampleRate,
               d.firstSample, d.sampleSum)
+          }
+        }
+        .toDF()
+    }
+  }
+
+  /** AVI sniff from RIFF/AVI magic; false → not an AVI container. */
+  private[operators] def sniffAvi(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'A' && payload(9) == 'V' &&
+      payload(10) == 'I' && payload(11) == ' '
+
+  /** Decoded view of an MJPEG-AVI payload: container header fields plus
+    * frame-level probes — every `00dc` frame chunk goes through the
+    * REAL `javax.imageio` JPEG decode, and `corner`/`cornerSum` are
+    * pixel-level evidence of it (the [[DecodedImage]] convention). */
+  private[operators] final case class DecodedVideo(
+      width: Long, height: Long, nFrames: Long, fps: Long,
+      corner: Long, cornerSum: Long)
+
+  /** Real RIFF/AVI container walk + per-frame JPEG decode. The AVI
+    * layout is public knowledge (Microsoft's RIFF/AVI spec): a RIFF
+    * file is fourcc-keyed chunks, `LIST hdrl` holds `avih` (main
+    * header) and `LIST strl` → `strh`/`strf` (stream headers),
+    * `LIST movi` holds the `##dc` frame chunks; chunk sizes are
+    * little-endian and chunks pad to even offsets. Every structural
+    * violation — bad magic, a chunk overrunning the container, missing
+    * headers, a non-video or non-MJPG stream, frame dims disagreeing
+    * with the header, fewer decodable frames than the header declares —
+    * fails loud naming `id`, never fabricates fields.
+    */
+  private[operators] def decodeVideo(id: Long, payload: Array[Byte]): DecodedVideo = {
+    if (!sniffAvi(payload)) throw new IllegalArgumentException(
+      s"media $id: payload is not an AVI container (RIFF/AVI magic not " +
+        s"found in ${if (payload == null) 0 else payload.length} bytes)")
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"media $id: corrupt AVI: $msg")
+    def u32(off: Int): Long = {
+      if (off + 4 > payload.length) fail(s"size field at $off runs past payload end")
+      (payload(off) & 0xFFL) | ((payload(off + 1) & 0xFFL) << 8) |
+        ((payload(off + 2) & 0xFFL) << 16) | ((payload(off + 3) & 0xFFL) << 24)
+    }
+    def fourcc(off: Int): String = {
+      if (off + 4 > payload.length) fail(s"fourcc at $off runs past payload end")
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    val riffSize = u32(4)
+    if (8L + riffSize > payload.length)
+      fail(s"RIFF declares ${riffSize} bytes but payload holds ${payload.length - 8}")
+    val end0 = (8L + riffSize).toInt
+
+    var totalFrames = -1L
+    var w = -1L
+    var h = -1L
+    var rate = -1L
+    var scale = -1L
+    var strLength = -1L
+    var sawVids = false
+    var sawMjpgStrf = false
+    var framesDecoded = 0L
+    var corner = -1L
+    var cornerSum = 0L
+
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var off = start
+      while (off < end) {
+        if (off + 8 > end) fail(s"truncated chunk header at $off")
+        val cc = fourcc(off)
+        val size = u32(off + 4)
+        val dataOff = off + 8
+        if (dataOff + size > end)
+          fail(s"chunk $cc at $off declares $size bytes, overrunning its container")
+        cc match {
+          case "LIST" =>
+            if (size < 4) fail(s"LIST at $off too small for a type")
+            // recurse into hdrl/strl/movi; depth-capped against crafted
+            // self-nesting (real AVIs nest 2 deep)
+            if (depth < 8) walk(dataOff + 4, (dataOff + size).toInt, depth + 1)
+          case "avih" =>
+            if (size < 40) fail(s"avih holds $size bytes (< 40)")
+            totalFrames = u32(dataOff + 16)
+            w = u32(dataOff + 32)
+            h = u32(dataOff + 36)
+          case "strh" =>
+            if (size < 40) fail(s"strh holds $size bytes (< 40)")
+            val fccType = fourcc(dataOff)
+            if (fccType == "vids") {
+              sawVids = true
+              val handler = fourcc(dataOff + 4)
+              if (handler != "MJPG")
+                fail(s"video stream handler is $handler, not MJPG")
+              scale = u32(dataOff + 20)
+              rate = u32(dataOff + 24)
+              strLength = u32(dataOff + 32)
+            }
+          case "strf" =>
+            if (size >= 20 && fourcc(dataOff + 16) == "MJPG")
+              sawMjpgStrf = true
+          case c if c.length == 4 && c.endsWith("dc") =>
+            val frame = java.util.Arrays.copyOfRange(
+              payload, dataOff, (dataOff + size).toInt)
+            val d = decodeImage(id, frame)
+            if (d.fmt != "jpeg")
+              fail(s"frame $framesDecoded is ${d.fmt}, not JPEG")
+            if (w >= 0 && (d.width.toLong != w || d.height.toLong != h))
+              fail(s"frame $framesDecoded is ${d.width}x${d.height} but " +
+                s"the header declares ${w}x$h")
+            if (framesDecoded == 0L) corner = d.corner.toLong
+            cornerSum += d.corner.toLong
+            framesDecoded += 1L
+          case _ => () // unknown chunks (idx1, junk) skip by size
+        }
+        off = (dataOff + size + (size & 1L)).toInt
+      }
+    }
+    walk(12, end0, 0)
+
+    if (totalFrames < 0) fail("no avih main header")
+    if (!sawVids) fail("no vids stream header")
+    if (!sawMjpgStrf) fail("stream format is not MJPG")
+    if (scale <= 0 || rate <= 0) fail(s"bad rate/scale ($rate/$scale)")
+    if (framesDecoded == 0L) fail("no decodable video frames")
+    if (framesDecoded != totalFrames)
+      fail(s"header declares $totalFrames frames but $framesDecoded " +
+        "decoded (truncated movi?)")
+    if (strLength >= 0 && strLength != framesDecoded)
+      fail(s"stream header declares $strLength frames but " +
+        s"$framesDecoded decoded")
+    DecodedVideo(w, h, framesDecoded, rate / scale, corner, cornerSum)
+  }
+
+  /** Typed output row of [[VideoFeatures]] (field order = schema). */
+  private[operators] final case class VideoFeatureRow(
+      doc_id: Long, fmt: String, byte_len: Long, width: Long, height: Long,
+      n_frames: Long, fps: Long, duration_ms: Long, corner_px: Long,
+      corner_sum: Long)
+
+  /** Extract video features from a binary MJPEG-AVI payload column —
+    * the operator that retires the video stub, the last placeholder in
+    * the multimodal family: the RIFF/AVI container walk and the
+    * per-frame `javax.imageio` JPEG decode are both REAL
+    * ([[decodeVideo]]), and `corner_px`/`corner_sum` (frame-0 corner,
+    * corner summed over EVERY decoded frame) are pixel-level probes a
+    * header-only parse could not produce.
+    * `duration_ms = n_frames * 1000 / fps` (exact integer division,
+    * cross-engine stable). Undecodable payloads fail loud with the id.
+    *
+    * Same 100 TB shape as the image/audio paths: embarrassingly
+    * parallel typed `mapPartitions`, one payload decoded at a time, no
+    * shuffle.
+    */
+  final case class VideoFeatures(idColumn: String = "doc_id",
+                                 payloadColumn: String = "payload")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, payloadColumn))
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(idColumn).cast("long"), col(payloadColumn).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            val d = decodeVideo(id, payload)
+            VideoFeatureRow(id, "mjpeg_avi", payload.length.toLong,
+              d.width, d.height, d.nFrames, d.fps,
+              d.nFrames * 1000L / d.fps, d.corner, d.cornerSum)
           }
         }
         .toDF()

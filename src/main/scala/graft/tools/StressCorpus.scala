@@ -1348,6 +1348,36 @@ object StressCorpus {
         s"WAV decode drift: got $r, want ($er, $ec, $ef, $e0, $es)")
       r.getLong(5)
     }
+    // ----- video: REAL MJPEG-in-AVI encode -> RIFF walk + per-frame
+    // javax.imageio JPEG decode at corpus scale. Same closed-form
+    // protocol: container fields AND the per-frame pixel probes
+    // (corner_sum folds EVERY decoded frame's corner) must agree
+    // bit-for-bit with the VideoGen integer forms — the uniform-frame
+    // design makes even the lossy frame codec exact.
+    time(s"mm_video n=$nMedia real AVI decode") {
+      val feats = Multimodal.VideoFeatures()
+        .transform(graft.sources.VideoGen.AttachPayload()
+          .transform(mediaIds))
+      val r = feats.agg(sum("width"), sum("height"), sum("n_frames"),
+        sum("fps"), sum("corner_px"), sum("corner_sum"),
+        count(lit(1))).collect()(0)
+      var (ew, eh, ef, eps, ec, ecs) = (0L, 0L, 0L, 0L, 0L, 0L)
+      var i = 0L
+      while (i < nMedia) {
+        ew += graft.sources.VideoGen.widthOf(i)
+        eh += graft.sources.VideoGen.heightOf(i)
+        ef += graft.sources.VideoGen.framesOf(i)
+        eps += graft.sources.VideoGen.fpsOf(i)
+        ec += graft.sources.VideoGen.cornerOf(i)
+        ecs += graft.sources.VideoGen.cornerSumOf(i)
+        i += 1L
+      }
+      require(r.getLong(0) == ew && r.getLong(1) == eh &&
+        r.getLong(2) == ef && r.getLong(3) == eps &&
+        r.getLong(4) == ec && r.getLong(5) == ecs,
+        s"AVI decode drift: got $r, want ($ew,$eh,$ef,$eps,$ec,$ecs)")
+      r.getLong(6)
+    }
     time(s"mm_resize n=$nMedia decode+NN+reencode") {
       val out = Multimodal.Resize(maxW = 40L, maxH = 30L)
         .transform(MediaGen.AttachPayload().transform(mediaIds))

@@ -178,29 +178,28 @@ class MultimodalSpec extends AnyFunSuite {
       e4.getCause.getMessage.contains("media 61"))
   }
 
-  test("MediaFeatures stubNonImage REJECTS WAV audio — the stub covers " +
-    "video only; real audio must go through AudioFeatures, never the " +
-    "fabricating placeholder") {
-    val df = Seq((71L, graft.sources.AudioGen.payloadFor(3L)))
+  test("MediaFeatures redirects WAV and AVI payloads to their REAL " +
+    "decoders by container magic — no placeholder path exists (r13: " +
+    "the stub is retired)") {
+    val wav = Seq((71L, graft.sources.AudioGen.payloadFor(3L)))
       .toDF("doc_id", "payload")
     val e = intercept[org.apache.spark.SparkException](
-      Multimodal.MediaFeatures(stubNonImage = true).transform(df).collect())
+      Multimodal.MediaFeatures().transform(wav).collect())
     assert(e.getMessage.contains("AudioFeatures") ||
       e.getCause.getMessage.contains("AudioFeatures"))
-  }
-
-  test("stubNonImage routes ONLY non-image payloads to the placeholder") {
-    val df = Seq(
-      (1L, MediaGen.payloadFor(2L)),                    // real PNG
-      (2L, Array[Byte](9, 9, 9, 9, 9, 9, 9, 9, 9, 9)), // opaque (audio/video)
-    ).toDF("doc_id", "payload")
-    val rows = Multimodal.MediaFeatures(stubNonImage = true).transform(df)
-      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
-    assert(rows(1L).getAs[String]("fmt") == "png")
-    assert(rows(1L).getAs[Long]("width") == MediaGen.widthOf(2L))
-    assert(rows(2L).getAs[String]("fmt") == "stub")
-    assert(rows(2L).getAs[Long]("corner_px") == -1L)
-    assert(rows(2L).getAs[Long]("n_frames") == 10L % 16L + 1L)
+    val avi = Seq((72L, graft.sources.VideoGen.payloadFor(3L)))
+      .toDF("doc_id", "payload")
+    val e2 = intercept[org.apache.spark.SparkException](
+      Multimodal.MediaFeatures().transform(avi).collect())
+    assert(e2.getMessage.contains("VideoFeatures") ||
+      e2.getCause.getMessage.contains("VideoFeatures"))
+    // an opaque payload with no known magic fails loud with the id
+    val junk = Seq((73L, Array[Byte](9, 9, 9, 9, 9, 9, 9, 9, 9, 9)))
+      .toDF("doc_id", "payload")
+    val e3 = intercept[org.apache.spark.SparkException](
+      Multimodal.MediaFeatures().transform(junk).collect())
+    assert(e3.getMessage.contains("media 73") ||
+      e3.getCause.getMessage.contains("media 73"))
   }
 
   test("Resize: nearest-neighbor pixels verified against an independent recompute") {

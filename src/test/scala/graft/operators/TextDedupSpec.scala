@@ -434,22 +434,14 @@ class TextDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("entropy"))
   }
 
-  test("MediaFeatures stub path (non-image media) stays deterministic and bounded") {
-    // audio/video placeholder: text bytes carry no image magic, so the
-    // documented stub fires ONLY behind the explicit opt-in (the real
-    // javax.imageio decode path is pinned in MultimodalSpec)
+  test("MediaFeatures rejects non-image payloads loud (r13: the stub " +
+    "is retired — every media class has a real decoder)") {
     val df = docsDF(1L -> "some payload text")
       .withColumn("payload", encode($"text", "UTF-8"))
-    val feats = Multimodal.MediaFeatures(stubNonImage = true).transform(df)
-    val r = feats.head()
-    assert(r.getAs[String]("fmt") == "stub")
-    assert(r.getAs[Long]("byte_len") == 17L)
-    assert(r.getAs[Long]("n_frames") == 17L % 16 + 1)
-    assert(r.getAs[Long]("corner_px") == -1L)
-    val frames = Multimodal.FrameSample().transform(feats)
-      .select("frame_idx").as[Long].collect().toSeq
-    val stride = r.getAs[Long]("frame_stride")
-    assert(frames == (0L until r.getAs[Long]("n_frames") by stride).toSeq)
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.MediaFeatures().transform(df).collect())
+    assert(e.getMessage.contains("media 1") ||
+      (e.getCause != null && e.getCause.getMessage.contains("media 1")))
   }
 
   test("connectedComponents: chains merge, components stay separate") {
