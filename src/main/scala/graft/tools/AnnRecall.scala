@@ -73,6 +73,54 @@ object AnnRecall {
     }.sum / incrTruth.size
     println(f"[ann-recall] ivf incr nlist=16 nprobe=4 (ann_ivf_incr)  " +
       f"recall@$k = $ri%.3f")
+
+    // ---- fold-drift (round-12 verdict #7): recall@5 BEFORE vs AFTER
+    // several foldBatch ingests WITHOUT refit. Folds cannot displace
+    // centroids (enforced in-plan), but they bloat the fit's inverted
+    // lists unevenly — a folded vector near a cell boundary lands in a
+    // list the probe may not visit. Protocol: hold out ~25% of the
+    // corpus as 3 ingest batches (the nlist smallest-hash ids stay in
+    // the fit so no fold displaces), measure probe recall against the
+    // exact truth over WHATEVER the index holds at each step.
+    {
+      val allIds = corpus.select(col("vec_id")).as[Long].collect().sorted
+      val mustFit = allIds
+        .sortBy(id => (graft.functions.Portable.tokenHashLocal(
+          id.toString), id))
+        .take(16).toSet
+      val foldIds = allIds.filter(id => id % 4 == 3 && !mustFit(id))
+      val foldBatches = foldIds.grouped((foldIds.length + 2) / 3).toSeq
+      val fit0 = corpus.filter(!col("vec_id").isInCollection(foldIds))
+
+      def recallAt(index: DataFrame, held: DataFrame): Double = {
+        val t = topSets(Similarity.CosineTopK(_ => batch, k = k)
+          .transform(held))
+        val o = topSets(Similarity.IncrementalIvfTopK(index, k = k)
+          .transform(batch))
+        t.map { case (q, s) =>
+          o.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+        }.sum / t.size
+      }
+
+      var idx = Similarity.IncrementalIvf.memberIndex(fit0)
+        .localCheckpoint()
+      println(f"[ann-recall] ivf incr FOLD-DRIFT fit(${allIds.length -
+        foldIds.length}) recall@$k = ${recallAt(idx, fit0)}%.3f")
+      var held = fit0
+      foldBatches.zipWithIndex.foreach { case (ids, i) =>
+        val b = corpus.filter(col("vec_id").isInCollection(ids))
+        idx = Similarity.IncrementalIvf.foldBatch(idx, b)
+          .localCheckpoint()
+        held = held.unionByName(b)
+        println(f"[ann-recall] ivf incr FOLD-DRIFT after fold ${i + 1} " +
+          f"(+${ids.length}) recall@$k = ${recallAt(idx, held)}%.3f")
+      }
+      // the compaction move: a full refit over the same grown corpus —
+      // the number the folded index should be compared against
+      val refit = Similarity.IncrementalIvf.memberIndex(held)
+      println(f"[ann-recall] ivf incr FOLD-DRIFT refit(${allIds.length}) " +
+        f"recall@$k = ${recallAt(refit, held)}%.3f")
+    }
     spark.stop()
   }
 }
