@@ -72,6 +72,7 @@ object Bench {
     "dedup_clusters" -> None,
     "win_quantiles" -> None, // the streaming query runs eagerly inside the builder
     "win_stats" -> None, // same eager streaming-to-memory-sink shape
+    "win_gate" -> None, // two eager streaming phases (thresholds, gate)
     "host_filter" -> Some("Join"), // host stats joined back null-safely
     "dedup_canonical" -> None, // CC loop runs eagerly inside the builder
     "dedup_semantic" -> Some("Join"), // within-cluster pair join (Lloyd

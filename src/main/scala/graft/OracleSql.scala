@@ -1894,6 +1894,35 @@ object OracleSql {
        |  CAST(n AS BIGINT) AS n, p50, p90
        |FROM q ORDER BY w_start, event_type""".stripMargin
 
+  /** Batch replay of the stream-static quantile gate (`win_gate`):
+    * per-(day-window, event_type) exact p90 (the `winQuantiles` rank
+    * algebra — the streaming sketch is exact in this regime), then
+    * every event joins the PREVIOUS window's threshold for its type
+    * (q.w_start + 1 day = event's w_start) and survives iff
+    * value <= p90. First-window events have no threshold and drop —
+    * the same conservative admission rule as the Spark composition.
+    */
+  def winGate: String =
+    s"""WITH e AS (SELECT event_id, epoch_ns(ts) AS tns, event_type,
+       |  value FROM events),
+       |w AS (SELECT event_id, tns - tns % 86400000000000 AS w_start,
+       |  event_type, value FROM e),
+       |r AS (SELECT w_start, event_type, value,
+       |  row_number() OVER (PARTITION BY w_start, event_type
+       |    ORDER BY value) AS rn,
+       |  count(*) OVER (PARTITION BY w_start, event_type) AS n FROM w),
+       |q AS (SELECT w_start, event_type,
+       |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+       |    THEN value END) AS p90
+       |  FROM r GROUP BY w_start, event_type)
+       |SELECT CAST(w.event_id AS BIGINT) AS event_id,
+       |  CAST(w.w_start AS BIGINT) AS w_start,
+       |  w.event_type, w.value, q.p90
+       |FROM w JOIN q ON q.w_start + 86400000000000 = w.w_start
+       |  AND q.event_type = w.event_type
+       |WHERE w.value <= q.p90
+       |ORDER BY w.event_id""".stripMargin
+
   /** Batch replay of the sliding-window streaming stats
     * (`win_stats`): duration 2 days, slide 1 day — every event
     * attributes to exactly the two epoch-aligned day-start windows

@@ -274,11 +274,12 @@ object SparkEntry {
     * would otherwise accumulate one full result table per run) — the
     * localCheckpoint cut makes the returned frame independent of it.
     */
-  private def runToMemorySink(out: DataFrame): DataFrame = {
+  private def runToMemorySink(out: DataFrame,
+                              mode: String = "complete"): DataFrame = {
     val s = out.sparkSession
     val qn = "win_sink_" + java.util.UUID.randomUUID()
       .toString.replace("-", "")
-    val q = out.writeStream.outputMode("complete").format("memory")
+    val q = out.writeStream.outputMode(mode).format("memory")
       .queryName(qn)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -1091,6 +1092,33 @@ object SparkEntry {
       Web.UrlCanonicalize().transform(webUrls(s, dir))
         .select("doc_id", "url", "url_canonical", "host")
         .orderBy("doc_id")),
+    // stream-static quantile GATING — the composition the
+    // StreamingQuantileStats scaladoc promises (r12 verdict stretch
+    // #8): phase 1 emits per-(window, event_type) p90 thresholds
+    // through REAL microbatch execution; phase 2 joins them back onto
+    // the NEXT window's stream as the gate (stream-static inner join,
+    // stateless, append mode — no watermark races) and keeps events at
+    // or under their group's PREVIOUS-window p90. First-window events
+    // have no threshold yet and are not admitted (the conservative
+    // gate convention; the oracle replays the same rule)
+    "win_gate" -> ((s, dir) => {
+      val th = runToMemorySink(new graft.streaming.StreamingQuantileStats(
+          Seq("event_type"), "value", Seq(0.9), windowDuration = "1 day")
+        .transform(eventStream(s, dir)))
+        .select(col("window_end").as("th_end"),
+          col("event_type").as("th_type"), col("p90"))
+      val evs = eventStream(s, dir)
+        .withColumn("w_start",
+          window(col("ts"), "1 day").getField("start"))
+      val gated = evs
+        .join(th, col("w_start") === col("th_end") &&
+          col("event_type") === col("th_type"))
+        .filter(col("value") <= col("p90"))
+        .select(col("event_id"),
+          (unix_micros(col("w_start")) * lit(1000L)).as("w_start"),
+          col("event_type"), col("value"), col("p90"))
+      runToMemorySink(gated, "append").orderBy("event_id")
+    }),
     // the second streaming oracle row: SLIDING windows (2-day windows
     // every 1 day — each event attributes to exactly two windows)
     // through StreamingWindowedStats over integer-cents values, so
@@ -1273,6 +1301,7 @@ object SparkEntry {
     "url_canonical" -> OracleSql.urlCanonical,
     "bpe_encode" -> OracleSql.bpeEncode,
     "win_quantiles" -> OracleSql.winQuantiles,
+    "win_gate" -> OracleSql.winGate,
     "win_stats" -> OracleSql.winStats,
     "host_filter" -> OracleSql.hostFilter(299.0),
     "host_stats" -> OracleSql.hostStats,
