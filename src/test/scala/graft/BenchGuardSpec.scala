@@ -106,7 +106,7 @@ class BenchGuardSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- rows.keySet
     assert(missing.isEmpty, s"baseline rows missing for: $missing")
     // spot-pin two known values so a format drift is caught loudly
-    assert(rows("interval_lsfe") == 0.603) // "(r10 sweep)" suffix ok
+    assert(rows("interval_lsfe") == 0.663) // "(r13 sweep)" suffix ok
     assert(rows("dedup_clusters") == 3.737) // "(r7 re-record)" suffix ok
     // superseded r3-vacuous rows and prose tables must NOT leak in
     assert(rows.keySet.forall(k => SparkEntry.queries.contains(k)),
