@@ -146,6 +146,8 @@ object Bench {
     "url_canonical" -> Some("regexp_replace"), // the canonical regex chain
     "host_stats" -> Some("HashAggregate"), // per-host partial-agg rollup
     "bpe_encode" -> Some("MapPartitions"), // broadcast-vocab trie encode
+    "chunk_bpe" -> Some("MapPartitions"), // encode feeds the chunker
+    "mix_bpe" -> Some("MapPartitions"), // encode counts feed the budget
     "q1_pricing" -> Some("HashAggregate"),
     "join_revenue_nation" -> Some("Join"),
     "top_customers" -> Some("Join"),

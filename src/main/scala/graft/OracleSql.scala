@@ -2085,8 +2085,22 @@ object OracleSql {
     * the completed rows are the ones where pos ran off the word end.
     */
   def bpeEncode: String =
-    """WITH RECURSIVE
-      |words AS (
+    s"""WITH RECURSIVE
+      |$bpeCtes
+      |SELECT d.doc_id,
+      |  CAST(coalesce(len(dt.ids), 0) AS BIGINT) AS n_bpe_tokens,
+      |  coalesce(array_to_string(dt.ids, ' '), '') AS ids_str
+      |FROM documents d LEFT JOIN dt USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** The shared encode CTE chain (ends in `dt(doc_id, ids, pcs)`):
+    * corpus-derived vocab, step table and recursive pointer walk —
+    * carrying BOTH the token ids and the piece STRINGS so the composed
+    * queries (`chunk_bpe`, `mix_bpe`) replay exactly one encode.
+    * Callers prefix `WITH RECURSIVE`.
+    */
+  private def bpeCtes: String =
+    """words AS (
       |  SELECT doc_id, unnest(generate_series(1, len(l))) AS pos,
       |         unnest(l) AS word
       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
@@ -2116,6 +2130,8 @@ object OracleSql {
       |step AS (SELECT p.word, p.pos,
       |    max_by(v.id, CASE WHEN p.pos = 1 THEN len(v.piece)
       |                      ELSE len(v.piece) - 2 END) AS id,
+      |    max_by(v.piece, CASE WHEN p.pos = 1 THEN len(v.piece)
+      |                         ELSE len(v.piece) - 2 END) AS piece,
       |    max(CASE WHEN p.pos = 1 THEN len(v.piece)
       |             ELSE len(v.piece) - 2 END) AS plen
       |  FROM positions p JOIN vocab v ON
@@ -2126,19 +2142,66 @@ object OracleSql {
       |            = substr(v.piece, 3))
       |  GROUP BY p.word, p.pos),
       |rec AS (
-      |  SELECT word, 1 AS pos, CAST([] AS BIGINT[]) AS ids FROM dw
+      |  SELECT word, 1 AS pos, CAST([] AS BIGINT[]) AS ids,
+      |         CAST([] AS VARCHAR[]) AS pcs FROM dw
       |  UNION ALL
-      |  SELECT r.word, r.pos + s.plen, list_append(r.ids, s.id)
+      |  SELECT r.word, r.pos + s.plen, list_append(r.ids, s.id),
+      |         list_append(r.pcs, s.piece)
       |  FROM rec r JOIN step s ON s.word = r.word AND s.pos = r.pos
       |  WHERE r.pos <= len(r.word)),
-      |enc AS (SELECT word, ids FROM rec WHERE pos = len(word) + 1),
-      |dt AS (SELECT w.doc_id, flatten(list(e.ids ORDER BY w.pos)) AS ids
-      |  FROM w JOIN enc e USING (word) GROUP BY w.doc_id)
-      |SELECT d.doc_id,
-      |  CAST(coalesce(len(dt.ids), 0) AS BIGINT) AS n_bpe_tokens,
-      |  coalesce(array_to_string(dt.ids, ' '), '') AS ids_str
-      |FROM documents d LEFT JOIN dt USING (doc_id)
-      |ORDER BY d.doc_id""".stripMargin
+      |enc AS (SELECT word, ids, pcs FROM rec WHERE pos = len(word) + 1),
+      |dt AS (SELECT w.doc_id,
+      |  flatten(list(e.ids ORDER BY w.pos)) AS ids,
+      |  flatten(list(e.pcs ORDER BY w.pos)) AS pcs
+      |  FROM w JOIN enc e USING (word) GROUP BY w.doc_id)""".stripMargin
+
+  /** [[chunkSplit]]'s window/stride algebra over the REAL subword
+    * pieces of [[bpeCtes]] — the end-to-end composition `chunk_bpe`:
+    * the engine's own encode drives the chunker, no external token
+    * column. */
+  def chunkBpe(chunkTokens: Int, overlapTokens: Int): String = {
+    val stride = chunkTokens - overlapTokens
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |t AS (SELECT d.doc_id,
+       |  coalesce(dt.pcs, CAST([] AS VARCHAR[])) AS tk
+       |  FROM documents d LEFT JOIN dt USING (doc_id)),
+       |s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+       |c AS (SELECT doc_id, tk, n,
+       |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))
+       |    AS cs FROM s)
+       |SELECT doc_id,
+       |  CAST(cs // $stride AS BIGINT) AS chunk_idx,
+       |  CAST(cs AS BIGINT) AS chunk_start,
+       |  CAST(least($chunkTokens, n - cs) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(list_slice(tk, cs + 1, cs + $chunkTokens), ' ')
+       |    AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** [[mixBudget]]'s exact prefix-sum admission driven by the REAL
+    * subword token counts of [[bpeCtes]] — the composition `mix_bpe`:
+    * budgets measured in the engine's own tokenizer units. */
+  def mixBudgetBpe(budgets: Seq[(String, Long)], defaultBudget: Long,
+                   salt: String): String = {
+    val cases = budgets.map { case (s, b) => s"WHEN '$s' THEN $b" }
+      .mkString(" ")
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |t AS (SELECT d.doc_id, d.lang,
+       |  CAST(coalesce(len(dt.ids), 0) AS BIGINT) AS n_tokens
+       |  FROM documents d LEFT JOIN dt USING (doc_id)),
+       |s AS (SELECT *,
+       |  substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    AS sample_bucket FROM t),
+       |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+       |    ORDER BY sample_bucket, doc_id ROWS UNBOUNDED PRECEDING)
+       |    AS cum_tokens FROM s)
+       |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT)
+       |    AS cum_tokens, sample_bucket
+       |FROM c WHERE cum_tokens <= CASE lang $cases ELSE $defaultBudget END
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // -------------------------------------------------------- multimodal
 

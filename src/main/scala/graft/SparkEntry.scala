@@ -1167,6 +1167,33 @@ object SparkEntry {
           array_join(col("bpe_ids").cast("array<string>"), " ").as("ids_str"))
         .orderBy("doc_id")
     }),
+    // the end-to-end composition the tokenizer exists for: the engine's
+    // OWN encode (emitPieces) drives the chunker's external-token path —
+    // no regex stand-in, no externally-supplied column
+    "chunk_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val enc = Tokenize.BpeEncode(bpeFixtureVocab(d), emitPieces = true)
+        .transform(d)
+      ChunkSplit(chunkTokens = 24, overlapTokens = 6,
+          tokenArrayColumn = "bpe_pieces")
+        .transform(enc)
+        .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens",
+          "chunk_text")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+    // token-budget mixture in the engine's OWN tokenizer units: the
+    // encode's n_bpe_tokens drives MixBudget's tokenCountColumn path
+    "mix_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val counts = Tokenize.BpeEncode(bpeFixtureVocab(d)).transform(d)
+        .select("doc_id", "n_bpe_tokens")
+      Corpus.MixBudget(Map("en" -> 50000L, "de" -> 20000L),
+          defaultBudget = 8000L, tokenCountColumn = "n_bpe_tokens")
+        .transform(d.join(counts, Seq("doc_id")))
+        .select("doc_id", "lang", "n_tokens", "cum_tokens",
+          "sample_bucket")
+        .orderBy("doc_id")
+    }),
     "q1_pricing" -> ((s, dir) => {
       val l = s.read.parquet(s"$dir/lineitem.parquet")
       val cents = (c: Column) => round(c * 100).cast("long")
@@ -1300,6 +1327,9 @@ object SparkEntry {
     "mm_video" -> OracleSql.mmVideo,
     "url_canonical" -> OracleSql.urlCanonical,
     "bpe_encode" -> OracleSql.bpeEncode,
+    "chunk_bpe" -> OracleSql.chunkBpe(24, 6),
+    "mix_bpe" -> OracleSql.mixBudgetBpe(
+      Seq("en" -> 50000L, "de" -> 20000L), 8000L, "graft"),
     "win_quantiles" -> OracleSql.winQuantiles,
     "win_gate" -> OracleSql.winGate,
     "win_stats" -> OracleSql.winStats,

@@ -96,11 +96,23 @@ object Tokenize {
   private[operators] final case class BpeRow(
       doc_id: Long, n_bpe_tokens: Long, bpe_ids: Array[Long])
 
+  /** [[BpeRow]] plus the matched piece STRINGS (`emitPieces = true`) —
+    * what downstream chunkers consume ([[Chunking.ChunkSplit]]'s
+    * `tokenArrayColumn`). Continuation pieces keep their prefix, so the
+    * emitted pieces are exactly the vocab rows that matched. */
+  private[operators] final case class BpePieceRow(
+      doc_id: Long, n_bpe_tokens: Long, bpe_ids: Array[Long],
+      bpe_pieces: Array[String])
+
   /** Encode `textColumn` into subword token ids against `vocab`
     * (`pieceColumn` string, `vocabIdColumn` long; continuation pieces
     * carry `continuationPrefix`). Output: one row per input row —
     * `(doc_id, n_bpe_tokens, bpe_ids)` ([[Multimodal.MediaFeatures]]'s
-    * typed-projection convention; join back on the id for the rest).
+    * typed-projection convention; join back on the id for the rest);
+    * `emitPieces = true` adds `bpe_pieces` (the matched piece strings,
+    * continuation prefix kept; UNK emits `unkPiece`) — the column
+    * [[Chunking.ChunkSplit]]'s `tokenArrayColumn` consumes, making the
+    * encode → chunk → pack chain self-contained.
     * Null text encodes to the empty array (a real row, never dropped).
     *
     * Vocab contract (all fail loud): pieces non-null, non-empty,
@@ -116,7 +128,9 @@ object Tokenize {
                              vocabIdColumn: String = "id",
                              continuationPrefix: String = "##",
                              unkId: Option[Long] = None,
+                             unkPiece: String = "<unk>",
                              lowercase: Boolean = true,
+                             emitPieces: Boolean = false,
                              maxVocab: Int = 1 << 22)
       extends Wrangler {
     require(continuationPrefix.nonEmpty, "continuationPrefix must be non-empty")
@@ -127,7 +141,8 @@ object Tokenize {
       "textColumn" -> textColumn, "idColumn" -> idColumn,
       "pieceColumn" -> pieceColumn, "vocabIdColumn" -> vocabIdColumn,
       "continuationPrefix" -> continuationPrefix, "unkId" -> unkId,
-      "lowercase" -> lowercase, "maxVocab" -> maxVocab)
+      "unkPiece" -> unkPiece, "lowercase" -> lowercase,
+      "emitPieces" -> emitPieces, "maxVocab" -> maxVocab)
     override def preservesSampleSize: Boolean = true
 
     def transform(df: DataFrame): DataFrame = {
@@ -170,52 +185,86 @@ object Tokenize {
       val bcFirst = spark.sparkContext.broadcast(firstArr)
       val bcCont = spark.sparkContext.broadcast(contArr)
       val (txt, idc, lc, unk) = (textColumn, idColumn, lowercase, unkId)
+      val (pfx, unkP, pieces) = (continuationPrefix, unkPiece, emitPieces)
       val textExpr =
         if (lc) lower(col(txt).cast("string")) else col(txt).cast("string")
-      df.select(col(idc).cast("long"), textExpr.as("__t"))
+      val typed = df.select(col(idc).cast("long"), textExpr.as("__t"))
         .as[(Long, String)]
-        .mapPartitions { it =>
-          val firstTrie = new Trie
-          bcFirst.value.foreach { case (p, id) => firstTrie.add(p, id) }
-          val contTrie = new Trie
-          bcCont.value.foreach { case (p, id) => contTrie.add(p, id) }
+
+      // per-doc greedy walk shared by both output shapes; `pcs` is null
+      // when pieces aren't emitted (no per-token string work then)
+      def encodeInto(firstTrie: Trie, contTrie: Trie, docId: Long,
+                     text: String, out: ArrayBuffer[Long],
+                     pcs: ArrayBuffer[String]): Unit = {
+        if (text == null) return
+        val words = text.split("\\s+")
+        var wi = 0
+        while (wi < words.length) {
+          val w = words(wi)
+          if (w.nonEmpty) {
+            val mark = out.length
+            var pos = 0
+            var dead = false
+            while (pos < w.length && !dead) {
+              val trie = if (pos == 0) firstTrie else contTrie
+              val len = trie.longest(w, pos)
+              if (len <= 0) dead = true
+              else {
+                out += trie.lastId
+                if (pcs != null)
+                  pcs += (if (pos == 0) w.substring(pos, pos + len)
+                          else pfx + w.substring(pos, pos + len))
+                pos += len
+              }
+            }
+            if (dead) {
+              out.takeInPlace(mark)
+              if (pcs != null) pcs.takeInPlace(mark)
+              unk match {
+                case Some(u) => // whole-word UNK
+                  out += u
+                  if (pcs != null) pcs += unkP
+                case None => throw new IllegalArgumentException(
+                  s"BpeEncode: doc $docId word `$w` is not encodable " +
+                    s"at offset $pos and no unkId is configured — " +
+                    "add the missing pieces (single characters in " +
+                    "both forms guarantee coverage) or set unkId")
+              }
+            }
+          }
+          wi += 1
+        }
+      }
+
+      def tries(): (Trie, Trie) = {
+        val firstTrie = new Trie
+        bcFirst.value.foreach { case (p, id) => firstTrie.add(p, id) }
+        val contTrie = new Trie
+        bcCont.value.foreach { case (p, id) => contTrie.add(p, id) }
+        (firstTrie, contTrie)
+      }
+
+      if (pieces)
+        typed.mapPartitions { it =>
+          val (f, c) = tries()
+          val out = new ArrayBuffer[Long](256)
+          val pcs = new ArrayBuffer[String](256)
+          it.map { case (docId, text) =>
+            out.clear(); pcs.clear()
+            encodeInto(f, c, docId, text, out, pcs)
+            BpePieceRow(docId, out.length.toLong, out.toArray, pcs.toArray)
+          }
+        }.toDF()
+      else
+        typed.mapPartitions { it =>
+          val (f, c) = tries()
           val out = new ArrayBuffer[Long](256)
           it.map { case (docId, text) =>
             out.clear()
-            if (text != null) {
-              val words = text.split("\\s+")
-              var wi = 0
-              while (wi < words.length) {
-                val w = words(wi)
-                if (w.nonEmpty) {
-                  val mark = out.length
-                  var pos = 0
-                  var dead = false
-                  while (pos < w.length && !dead) {
-                    val trie = if (pos == 0) firstTrie else contTrie
-                    val len = trie.longest(w, pos)
-                    if (len <= 0) dead = true
-                    else { out += trie.lastId; pos += len }
-                  }
-                  if (dead) {
-                    out.takeInPlace(mark)
-                    unk match {
-                      case Some(u) => out += u // whole-word UNK
-                      case None => throw new IllegalArgumentException(
-                        s"BpeEncode: doc $docId word `$w` is not encodable " +
-                          s"at offset $pos and no unkId is configured — " +
-                          "add the missing pieces (single characters in " +
-                          "both forms guarantee coverage) or set unkId")
-                    }
-                  }
-                }
-                wi += 1
-              }
-            }
+            encodeInto(f, c, docId, text, out, null)
             BpeRow(docId, out.length.toLong, out.toArray)
           }
-        }
-        .toDF()
+        }.toDF()
     }
   }
 }

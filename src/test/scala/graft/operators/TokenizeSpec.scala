@@ -55,6 +55,27 @@ class TokenizeSpec extends AnyFunSuite {
     assert(msg.contains("42") && msg.contains("hellq"))
   }
 
+  test("emitPieces: the matched piece strings come back verbatim " +
+    "(continuation prefix kept), UNK emits unkPiece, rollback trims " +
+    "pieces in lockstep with ids") {
+    val got = Tokenize.BpeEncode(vocab, unkId = Some(0L),
+        emitPieces = true)
+      .transform(Seq((1L, "hello hell hellq x")).toDF("doc_id", "text"))
+      .as[(Long, Long, Seq[Long], Seq[String])].collect().head
+    assert(got == ((1L, 5L, Seq(7L, 1L, 5L, 0L, 8L),
+      Seq("hello", "hel", "##l", "<unk>", "x"))))
+    // the pieces column is exactly what ChunkSplit's external-token
+    // path consumes — the end-to-end composition chunk_bpe rides this
+    val enc = Tokenize.BpeEncode(vocab, emitPieces = true)
+      .transform(Seq((1L, "hello hell x")).toDF("doc_id", "text"))
+    val chunks = ChunkSplit(chunkTokens = 3, overlapTokens = 1,
+        tokenArrayColumn = "bpe_pieces")
+      .transform(enc)
+      .select("chunk_idx", "chunk_text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(chunks == Seq((0L, "hello hel ##l"), (1L, "##l x")))
+  }
+
   test("vocab guards: duplicate piece, empty piece, bare continuation " +
     "prefix, null id, oversized vocab, missing columns") {
     def enc(v: org.apache.spark.sql.DataFrame,
