@@ -146,6 +146,7 @@ object Bench {
     "url_canonical" -> Some("regexp_replace"), // the canonical regex chain
     "host_stats" -> Some("HashAggregate"), // per-host partial-agg rollup
     "bpe_encode" -> Some("MapPartitions"), // broadcast-vocab trie encode
+    "bpe_vocab" -> Some("HashAggregate"), // bounded frequency aggs + ranks
     "chunk_bpe" -> Some("MapPartitions"), // encode feeds the chunker
     "mix_bpe" -> Some("MapPartitions"), // encode counts feed the budget
     "q1_pricing" -> Some("HashAggregate"),

@@ -2155,6 +2155,14 @@ object OracleSql {
       |  flatten(list(e.pcs ORDER BY w.pos)) AS pcs
       |  FROM w JOIN enc e USING (word) GROUP BY w.doc_id)""".stripMargin
 
+  /** The vocab derivation of [[bpeCtes]] alone (`bpe_vocab` — mirrors
+    * `Tokenize.VocabBuild` at the fixture defaults): frequency ranks,
+    * char coverage in both forms, suffix pieces, piece-rank ids. */
+  def bpeVocab: String =
+    s"""WITH RECURSIVE
+       |$bpeCtes
+       |SELECT piece, id FROM vocab ORDER BY id""".stripMargin
+
   /** [[chunkSplit]]'s window/stride algebra over the REAL subword
     * pieces of [[bpeCtes]] — the end-to-end composition `chunk_bpe`:
     * the engine's own encode drives the chunker, no external token

@@ -318,43 +318,16 @@ object SparkEntry {
           when(m === 0L || m === 3L, lit("#frag")).otherwise(lit("")))))
   }
 
-  /** The corpus-derived subword vocab the `bpe_encode` query provides as
-    * "the caller": top-10 whole words by (freq desc, word asc), every
-    * single character of every word in BOTH first and `##`-continuation
-    * form (the coverage guarantee — greedy MaxMatch can then never
-    * dead-end), and the top-10 3-char word-suffix continuation pieces.
-    * Ids are the rank of the piece string (`row_number` over piece),
-    * so both engines number pieces identically. Sized so most of the
-    * fixture's 31 words genuinely SPLIT (top-150 would make every word
-    * a whole-word piece and never exercise continuation matching).
+  /** The corpus-derived subword vocab the bpe-family queries provide as
+    * "the caller": `Tokenize.VocabBuild` at its defaults — top-10 whole
+    * words, every single character in both forms (the coverage
+    * guarantee), top-10 3-char suffix continuation pieces, ids = rank
+    * of the piece string. Sized so most of the fixture's 31 words
+    * genuinely SPLIT (top-150 would make every word a whole-word piece
+    * and never exercise continuation matching).
     */
-  private def bpeFixtureVocab(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = d
-      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
-    val top = words.groupBy("word").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word").asc).limit(10)
-      .select(col("word").as("piece"))
-    val chars = words.distinct()
-      .select(explode(sequence(lit(1), length(col("word")))).as("i"),
-        col("word"))
-      .select(expr("substring(word, i, 1)").as("c")).distinct()
-    val charPieces = chars.select(col("c").as("piece"))
-      .unionByName(chars.select(concat(lit("##"), col("c")).as("piece")))
-    val suff = words.filter(length(col("word")) >= 5)
-      .select(concat(lit("##"),
-        expr("substring(word, length(word) - 2, 3)")).as("piece"))
-      .groupBy("piece").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("piece").asc).limit(10)
-      .select("piece")
-    // the vocab is a few hundred pieces — the single-partition
-    // row_number window is a driver-bounded fixture builder, not a
-    // corpus-scale operator
-    top.unionByName(charPieces).unionByName(suff).distinct()
-      .withColumn("id",
-        row_number().over(Window.orderBy("piece")).cast("long"))
-  }
+  private def bpeFixtureVocab(d: DataFrame): DataFrame =
+    Tokenize.VocabBuild().transform(d)
 
   /** Text-analysis / dedup / similarity / multimodal / relational query
     * surface (the 100 TB training-data-pipeline extensions). Each pairs
@@ -1167,6 +1140,13 @@ object SparkEntry {
           array_join(col("bpe_ids").cast("array<string>"), " ").as("ids_str"))
         .orderBy("doc_id")
     }),
+    // the LEARN leg: the vocab construction itself is an operator and
+    // its derivation (frequency ranks, char coverage, suffix pieces,
+    // piece-rank ids) is oracle-replayed row for row
+    "bpe_vocab" -> ((s, dir) =>
+      Tokenize.VocabBuild().transform(docs(s, dir))
+        .select("piece", "id")
+        .orderBy("id")),
     // the end-to-end composition the tokenizer exists for: the engine's
     // OWN encode (emitPieces) drives the chunker's external-token path —
     // no regex stand-in, no externally-supplied column
@@ -1327,6 +1307,7 @@ object SparkEntry {
     "mm_video" -> OracleSql.mmVideo,
     "url_canonical" -> OracleSql.urlCanonical,
     "bpe_encode" -> OracleSql.bpeEncode,
+    "bpe_vocab" -> OracleSql.bpeVocab,
     "chunk_bpe" -> OracleSql.chunkBpe(24, 6),
     "mix_bpe" -> OracleSql.mixBudgetBpe(
       Seq("en" -> 50000L, "de" -> 20000L), 8000L, "graft"),

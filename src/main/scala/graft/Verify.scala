@@ -21,6 +21,15 @@ object Verify {
     // json) for local iteration; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a typo'd filter name would otherwise write an EMPTY dump (and
+    // clobber oracle_sql.json with {}) under exit code 0 — vacuous
+    // success over a prior complete artifact
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -352,10 +352,12 @@ final case class IncrementalSemDedup(memberIndex: DataFrame,
     require(!meta.isNullAt(0),
       "IncrementalSemDedup: empty member index — build memberIndex on a " +
         "non-empty corpus first")
-    // prefer the fit's RECORDED k (self-describing index): deriving it
-    // as max(cluster)+1 silently shrinks the center set when the fit's
-    // top cluster ids hold no members. A recorded k below the observed
-    // labels is index corruption — fail loud, never truncate
+    // prefer the fit's RECORDED k (self-describing index). Behavioral
+    // note: this cannot change assignments — clusters absent from the
+    // index derive zero-norm centers that assignToCenters skips either
+    // way — the recorded k is here for the INTEGRITY check: a recorded
+    // k below the observed labels is an edited/corrupt index, raised
+    // loud instead of silently truncating the center table
     val maxLabel = meta.getLong(0).toInt
     val nClusters =
       graft.util.SparkUtil.fitParam(memberIndex, "cluster", "nClusters")
@@ -466,10 +468,12 @@ object IncrementalSemDedup {
                   cacheCorpus: Boolean = true,
                   stabilizeRounds: Int = 0): DataFrame = {
     SparkUtil.validateColumns(corpus, Seq(idColumn, vecColumn))
-    // the fit's k rides the index in column metadata: probes used to
-    // derive k as max(cluster)+1, which silently SHRINKS the center set
-    // when the fit's top cluster ids end up empty — batch vectors then
-    // assign against fewer centers than the corpus did
+    // the fit's k rides the index in column metadata. NOTE the honest
+    // scope: empty fit clusters derive zero-norm DEAD centers that
+    // assignToCenters skips, so k-from-metadata vs max(label)+1 cannot
+    // change any assignment — the metadata exists for the integrity
+    // check (a recorded k BELOW an observed label = edited/corrupt
+    // index, raised at probe time) and for self-description
     SemDedup.clusterAssignments(corpus, idColumn, vecColumn, nClusters,
         iterations, cacheCorpus, stabilizeRounds)
       .map(a => SparkUtil.withFitParams(

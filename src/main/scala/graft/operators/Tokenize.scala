@@ -92,6 +92,71 @@ object Tokenize {
     }
   }
 
+  /** Corpus-derived subword vocab construction — the LEARN leg of the
+    * learn → encode → compose chain: the `topWords` most frequent whole
+    * words (first-form pieces), every single character of every word in
+    * BOTH first and continuation form (the COVERAGE guarantee — greedy
+    * MaxMatch over a char-complete vocab can never dead-end), and the
+    * `topSuffixes` most frequent `suffixLen`-char word suffixes as
+    * continuation pieces. Ties break deterministically by
+    * (freq desc, piece asc); ids are the rank of the piece string, so
+    * any engine replaying the same derivation numbers identically.
+    *
+    * Output: `(piece, id)` — exactly [[BpeEncode]]'s vocab contract.
+    *
+    * 100 TB shape: two bounded aggregations (distinct words, then
+    * per-piece counts — both map-side partial) and top-k limits; the
+    * single-partition `row_number` window runs over the RESULT vocab
+    * (a few hundred to ~100k rows), never the corpus. Real corpora cap
+    * the distinct-word explosion upstream (the aggregations are
+    * count-distinct-shaped); suffix derivation only reads words of
+    * length >= suffixLen + 2, so a first-position char always remains.
+    */
+  final case class VocabBuild(textColumn: String = "text",
+                              topWords: Int = 10,
+                              suffixLen: Int = 3,
+                              topSuffixes: Int = 10,
+                              continuationPrefix: String = "##",
+                              lowercase: Boolean = true)
+      extends Wrangler {
+    require(topWords >= 0, "topWords must be >= 0")
+    require(suffixLen >= 1, "suffixLen must be >= 1")
+    require(topSuffixes >= 0, "topSuffixes must be >= 0")
+    require(continuationPrefix.nonEmpty,
+      "continuationPrefix must be non-empty")
+    override def preservesSampleSize: Boolean = false
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(textColumn))
+      import org.apache.spark.sql.expressions.Window
+      val textExpr = if (lowercase) lower(col(textColumn).cast("string"))
+        else col(textColumn).cast("string")
+      val words = df.select(explode(split(textExpr, "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+      val top = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc).limit(topWords)
+        .select(col("word").as("piece"))
+      val chars = words.distinct()
+        .select(explode(sequence(lit(1), length(col("word")))).as("i"),
+          col("word"))
+        .select(expr("substring(word, i, 1)").as("c")).distinct()
+      val charPieces = chars.select(col("c").as("piece"))
+        .unionByName(chars.select(
+          concat(lit(continuationPrefix), col("c")).as("piece")))
+      val suff = words
+        .filter(length(col("word")) >= suffixLen + 2)
+        .select(concat(lit(continuationPrefix),
+          expr(s"substring(word, length(word) - ${suffixLen - 1}, " +
+            s"$suffixLen)")).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("piece").asc).limit(topSuffixes)
+        .select("piece")
+      top.unionByName(charPieces).unionByName(suff).distinct()
+        .withColumn("id",
+          row_number().over(Window.orderBy("piece")).cast("long"))
+    }
+  }
+
   /** Typed output row (field order = output schema). */
   private[operators] final case class BpeRow(
       doc_id: Long, n_bpe_tokens: Long, bpe_ids: Array[Long])
@@ -166,6 +231,17 @@ object Tokenize {
       require(rows.map(_._1).distinct.length == rows.length,
         "BpeEncode: vocab pieces must be distinct — duplicate pieces " +
           "make the encode ambiguous")
+      // id integrity: two pieces sharing an id (or unkId shadowing a
+      // real id) would conflate distinct tokens in bpe_ids — silently
+      // wrong counts/dedup downstream, the quiet-corruption class
+      require(rows.map(_._2).distinct.length == rows.length,
+        "BpeEncode: vocab ids must be distinct — two pieces sharing an " +
+          "id would encode distinct tokens identically")
+      unkId.foreach { u =>
+        require(!rows.exists(_._2 == u),
+          s"BpeEncode: unkId=$u collides with a vocab piece's id — OOV " +
+            "words would be indistinguishable from that piece")
+      }
       val prefix = continuationPrefix
       val (contRaw, firstRaw) = rows.partition(_._1.startsWith(prefix))
       contRaw.foreach { case (p, _) =>
@@ -193,11 +269,14 @@ object Tokenize {
 
       // per-doc greedy walk shared by both output shapes; `pcs` is null
       // when pieces aren't emitted (no per-token string work then)
-      def encodeInto(firstTrie: Trie, contTrie: Trie, docId: Long,
+      def encodeInto(ws: java.util.regex.Pattern, firstTrie: Trie,
+                     contTrie: Trie, docId: Long,
                      text: String, out: ArrayBuffer[Long],
                      pcs: ArrayBuffer[String]): Unit = {
         if (text == null) return
-        val words = text.split("\\s+")
+        // pattern hoisted per partition: String.split("\\s+") would
+        // recompile the regex per DOCUMENT on this hot path
+        val words = ws.split(text)
         var wi = 0
         while (wi < words.length) {
           val w = words(wi)
@@ -236,32 +315,32 @@ object Tokenize {
         }
       }
 
-      def tries(): (Trie, Trie) = {
+      def tries(): (java.util.regex.Pattern, Trie, Trie) = {
         val firstTrie = new Trie
         bcFirst.value.foreach { case (p, id) => firstTrie.add(p, id) }
         val contTrie = new Trie
         bcCont.value.foreach { case (p, id) => contTrie.add(p, id) }
-        (firstTrie, contTrie)
+        (java.util.regex.Pattern.compile("\\s+"), firstTrie, contTrie)
       }
 
       if (pieces)
         typed.mapPartitions { it =>
-          val (f, c) = tries()
+          val (ws, f, c) = tries()
           val out = new ArrayBuffer[Long](256)
           val pcs = new ArrayBuffer[String](256)
           it.map { case (docId, text) =>
             out.clear(); pcs.clear()
-            encodeInto(f, c, docId, text, out, pcs)
+            encodeInto(ws, f, c, docId, text, out, pcs)
             BpePieceRow(docId, out.length.toLong, out.toArray, pcs.toArray)
           }
         }.toDF()
       else
         typed.mapPartitions { it =>
-          val (f, c) = tries()
+          val (ws, f, c) = tries()
           val out = new ArrayBuffer[Long](256)
           it.map { case (docId, text) =>
             out.clear()
-            encodeInto(f, c, docId, text, out, null)
+            encodeInto(ws, f, c, docId, text, out, null)
             BpeRow(docId, out.length.toLong, out.toArray)
           }
         }.toDF()

@@ -149,12 +149,10 @@ object VideoGen {
         list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
     val movi = list("movi",
       frames.map(chunk("00dc", _)).reduce(_ ++ _))
-    list("AVI ", hdrl ++ movi) match {
-      // a RIFF FILE is `RIFF size 'AVI ' ...` — the same layout as a
-      // LIST chunk with the outer fourcc swapped
-      case bytes =>
-        fcc("RIFF") ++ bytes.drop(4)
-    }
+    // a RIFF FILE is `RIFF size 'AVI ' ...` — the same layout as a
+    // LIST chunk with the outer fourcc swapped
+    val bytes = list("AVI ", hdrl ++ movi)
+    fcc("RIFF") ++ bytes.drop(4)
   }
 
   /** Attach a generated MJPEG-AVI payload column to an id column — the

@@ -89,7 +89,10 @@ object AnnRecall {
           id.toString), id))
         .take(16).toSet
       val foldIds = allIds.filter(id => id % 4 == 3 && !mustFit(id))
-      val foldBatches = foldIds.grouped((foldIds.length + 2) / 3).toSeq
+      // tiny corpora can leave nothing to fold (grouped(0) would throw)
+      val foldBatches =
+        if (foldIds.isEmpty) Seq.empty
+        else foldIds.grouped(math.max(1, (foldIds.length + 2) / 3)).toSeq
       val fit0 = corpus.filter(!col("vec_id").isInCollection(foldIds))
 
       def recallAt(index: DataFrame, held: DataFrame): Double = {

@@ -106,20 +106,21 @@ class FitParamsSpec extends AnyFunSuite {
       fraction = 0.5, numFeatures = 2048).transform(batch).count() > 0L)
   }
 
-  test("SemDedup: the index records the fit's k; trailing EMPTY fit " +
-    "clusters no longer shrink the derived center set; a recorded k " +
-    "below an observed label is corruption and raises") {
+  test("SemDedup: the index records the fit's k (self-description + " +
+    "the integrity check — empty clusters derive DEAD centers either " +
+    "way, so assignment is unaffected); a recorded k below an " +
+    "observed label is corruption and raises") {
     // 4 near-identical vectors, k=8: most clusters end up empty, so
-    // max(label)+1 under-reports the fit's k
+    // max(label)+1 under-reports the fit's k (harmlessly — the absent
+    // clusters' centers are zero-norm and skipped; the recorded k is
+    // for the corruption check below, not for assignment)
     val tight = vecDF((0L until 4L).map(i =>
       i -> Seq.tabulate(8)(d => 1f + (if (d == 0) i * 1e-4f else 0f))): _*)
     val idx = IncrementalSemDedup.memberIndex(tight, nClusters = 8)
     assert(SparkUtil.fitParam(idx, "cluster", "nClusters") == Some(8L))
     val maxLabel = idx.agg(max("cluster")).as[Long].collect().head
     assert(maxLabel < 7L, "fixture: the fit must leave empty clusters")
-    // the probe runs against the recorded k (all 8 centers derive; the
-    // empty cells contribute zero-population centers) — and an
-    // identical batch vector is found
+    // the probe still finds an identical batch vector
     val got = IncrementalSemDedup(idx, threshold = 0.9)
       .transform(vecDF(100L -> Seq.tabulate(8)(d => 1f)))
       .select("is_known").as[Boolean].collect()

@@ -96,11 +96,51 @@ class TokenizeSpec extends AnyFunSuite {
         maxVocab = 2))
     assertThrows[Exception](
       enc(Seq(("x", 1L)).toDF("notpiece", "id")))
+    // id integrity (review finding): duplicate ids conflate tokens;
+    // an unkId shadowing a real id makes OOV indistinguishable from it
+    assertThrows[IllegalArgumentException](
+      enc(Seq(("x", 8L), ("y", 8L)).toDF("piece", "id")))
+    assertThrows[IllegalArgumentException](
+      Tokenize.BpeEncode(Seq(("x", 8L)).toDF("piece", "id"),
+        unkId = Some(8L))
+        .transform(Seq((1L, "x")).toDF("doc_id", "text")).collect())
     // a piece CONTAINING # mid-string is a normal first-form piece
     val ok = Tokenize.BpeEncode(Seq(("a#b", 5L)).toDF("piece", "id"))
       .transform(Seq((1L, "a#b")).toDF("doc_id", "text"))
       .as[(Long, Long, Seq[Long])].collect().head
     assert(ok == ((1L, 1L, Seq(5L))))
+  }
+
+  test("VocabBuild: deterministic derivation — top words by (freq desc, " +
+    "word asc), char coverage in BOTH forms, suffix pieces, ids = rank " +
+    "of piece; the built vocab always encodes its own corpus") {
+    val docs = Seq(
+      (1L, "aa bb aa cc"),
+      (2L, "aa bb ddddd"),
+      (3L, "AA ddddd eeddd")).toDF("doc_id", "text")
+    val v = Tokenize.VocabBuild(topWords = 2, suffixLen = 3,
+        topSuffixes = 1).transform(docs)
+      .as[(String, Long)].collect().sortBy(_._2).toSeq
+    // words: aa(3) bb(2) cc(1) ddddd(2) eeddd(1) -> top-2 = aa, bb
+    // chars: a b c d e both forms; suffixes (len>=5): ddd(3 incl eeddd)
+    val pieces = v.map(_._1)
+    assert(pieces.toSet == Set("aa", "bb",
+      "a", "b", "c", "d", "e", "##a", "##b", "##c", "##d", "##e",
+      "##ddd"))
+    // ids are the rank of the piece string
+    assert(v == v.sortBy(_._1).zipWithIndex.map {
+      case ((p, _), i) => (p, i + 1L) })
+    // coverage property: the built vocab encodes its own corpus with
+    // zero dead-ends (char completeness in both forms)
+    val enc = Tokenize.BpeEncode(
+        Tokenize.VocabBuild().transform(docs)).transform(docs)
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(enc.length == 3 && enc.forall(_._2 > 0))
+    // guards
+    assertThrows[IllegalArgumentException](
+      Tokenize.VocabBuild(suffixLen = 0))
+    assertThrows[Exception](Tokenize.VocabBuild()
+      .transform(Seq((1L, "x")).toDF("doc_id", "nottext")))
   }
 
   test("plan shape: encode is map-side only — zero exchanges after the " +
