@@ -165,6 +165,38 @@ object StressCorpus {
       got.getLong(0)
     }
 
+    // ----- the LEARN leg at the same scale: VocabBuild's output has a
+    // CLOSED-FORM structure over the generator corpus — the word
+    // alphabet is {a..g, t, h, 0..9} (19 chars, both forms; "the" is
+    // the only alphabetic-tail word), no single-char words (so top-10
+    // words never collide with char pieces), and len-5+ words (the
+    // c/e counter words past id 5M) feed exactly top-10 3-char
+    // suffixes. Run with nDocs >= 10M so the suffix class is populated.
+    time(s"bpe_vocab docs=$nDocs (structural closed form)") {
+      import spark.implicits._
+      val v = graft.operators.Tokenize.VocabBuild().transform(docs)
+        .as[(String, Long)].collect()
+      val (contArr, firstArr) = v.map(_._1).partition(_.startsWith("##"))
+      val firstChars = firstArr.filter(_.length == 1).toSet
+      val contChars = contArr.filter(_.length == 3)
+        .map(_.substring(2)).toSet
+      require(firstChars == contChars,
+        s"char coverage must be two-form symmetric: $firstChars vs $contChars")
+      require((('a' to 'g') ++ Seq('t', 'h') ++ ('0' to '9')).forall(c =>
+        firstChars(c.toString)), s"char coverage drift: $firstChars")
+      val topWords = firstArr.filter(_.length > 1)
+      require(topWords.length == 10 && topWords.contains("the"),
+        s"top-word drift: ${topWords.toSeq.sorted}")
+      val suffixes = contArr.filter(_.length == 5)
+      require(suffixes.length == 10, s"suffix drift: ${suffixes.length}")
+      require(v.length ==
+        topWords.length + 2 * firstChars.size + suffixes.length,
+        s"unexpected piece class: ${v.length} pieces")
+      require(v.map(_._2).sorted.toSeq == (1L to v.length.toLong),
+        "ids must be the dense piece ranks")
+      v.length.toLong
+    }
+
     // ----- dedup-family envelope: an ADVERSARIAL corpus — hot
     // boilerplate shingles (a constant 5-token template tail in EVERY
     // document, df = nDocs) plus genuine near-dup clusters (5 docs per
