@@ -148,6 +148,7 @@ object Bench {
     "bpe_encode" -> Some("MapPartitions"), // broadcast-vocab trie encode
     "bpe_vocab" -> Some("HashAggregate"), // bounded frequency aggs + ranks
     "chunk_bpe" -> Some("MapPartitions"), // encode feeds the chunker
+    "seq_pack_bpe" -> Some("MapPartitions"), // encode->chunk->pack chain
     "mix_bpe" -> Some("MapPartitions"), // encode counts feed the budget
     "q1_pricing" -> Some("HashAggregate"),
     "join_revenue_nation" -> Some("Join"),

@@ -2187,6 +2187,34 @@ object OracleSql {
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** [[sequencePack]]'s chunk+pack algebra over the REAL subword pieces
+    * of [[bpeCtes]] — the full pretraining-prep chain `seq_pack_bpe`:
+    * learn → encode → chunk → pack, all in the engine's own units. */
+  def seqPackBpeNative(chunkTokens: Int, overlapTokens: Int,
+                       budgetTokens: Long): String = {
+    val stride = chunkTokens - overlapTokens
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |t AS (SELECT d.doc_id,
+       |  coalesce(dt.pcs, CAST([] AS VARCHAR[])) AS tk
+       |  FROM documents d LEFT JOIN dt USING (doc_id)),
+       |s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+       |c AS (SELECT doc_id, n,
+       |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))
+       |    AS cs FROM s),
+       |c2 AS (SELECT doc_id, cs // $stride AS chunk_idx,
+       |  least($chunkTokens, n - cs) AS sz,
+       |  doc_id * 100000 + cs // $stride AS ck FROM c),
+       |r AS (SELECT *, SUM(sz) OVER (ORDER BY ck
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM c2)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(sz AS BIGINT) AS n_chunk_tokens,
+       |  CAST(cum AS BIGINT) AS cum_tokens,
+       |  CAST((cum - sz) // $budgetTokens AS BIGINT) AS pack_id
+       |FROM r ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** [[mixBudget]]'s exact prefix-sum admission driven by the REAL
     * subword token counts of [[bpeCtes]] — the composition `mix_bpe`:
     * budgets measured in the engine's own tokenizer units. */

@@ -1161,6 +1161,24 @@ object SparkEntry {
           "chunk_text")
         .orderBy("doc_id", "chunk_idx")
     }),
+    // the FULL pretraining-prep chain in engine units: learn (vocab) →
+    // encode (pieces) → chunk (windows) → pack (exact prefix sum) —
+    // every stage the engine's own, nothing externally supplied
+    "seq_pack_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val enc = Tokenize.BpeEncode(bpeFixtureVocab(d), emitPieces = true)
+        .transform(d)
+      Corpus.ShardPack(orderColumn = "chunk_key",
+          sizeColumn = "n_chunk_tokens", targetBytes = 256L)
+        .transform(ChunkSplit(chunkTokens = 24, overlapTokens = 6,
+            tokenArrayColumn = "bpe_pieces")
+          .transform(enc)
+          .withColumn("chunk_key",
+            col("doc_id") * 100000L + col("chunk_idx")))
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // token-budget mixture in the engine's OWN tokenizer units: the
     // encode's n_bpe_tokens drives MixBudget's tokenCountColumn path
     "mix_bpe" -> ((s, dir) => {
@@ -1309,6 +1327,7 @@ object SparkEntry {
     "bpe_encode" -> OracleSql.bpeEncode,
     "bpe_vocab" -> OracleSql.bpeVocab,
     "chunk_bpe" -> OracleSql.chunkBpe(24, 6),
+    "seq_pack_bpe" -> OracleSql.seqPackBpeNative(24, 6, 256L),
     "mix_bpe" -> OracleSql.mixBudgetBpe(
       Seq("en" -> 50000L, "de" -> 20000L), 8000L, "graft"),
     "win_quantiles" -> OracleSql.winQuantiles,
