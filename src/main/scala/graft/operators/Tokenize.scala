@@ -223,6 +223,13 @@ object Tokenize {
       require(rows.length <= maxVocab,
         s"BpeEncode: vocab exceeds maxVocab=$maxVocab pieces — a subword " +
           "vocab is bounded; a corpus-scale frame here is a wiring bug")
+      // the incremental-family empty-structural-input contract
+      // (IncrementalIvf / SemDedup / IncrementalResample all raise):
+      // an empty vocab would UNK or kill every word — a wiring bug,
+      // never a meaningful encode
+      require(rows.nonEmpty,
+        "BpeEncode: empty vocab — build it (e.g. Tokenize.VocabBuild) " +
+          "on a non-empty corpus first")
       rows.foreach { case (p, id) =>
         require(p != null && p.nonEmpty,
           "BpeEncode: vocab contains a null/empty piece")

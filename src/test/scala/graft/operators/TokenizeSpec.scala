@@ -104,6 +104,14 @@ class TokenizeSpec extends AnyFunSuite {
       Tokenize.BpeEncode(Seq(("x", 8L)).toDF("piece", "id"),
         unkId = Some(8L))
         .transform(Seq((1L, "x")).toDF("doc_id", "text")).collect())
+    // the incremental-family empty-structural-input contract
+    assertThrows[IllegalArgumentException](
+      enc(Seq.empty[(String, Long)].toDF("piece", "id")))
+    // VocabBuild over an all-null/empty corpus yields the empty vocab
+    // that guard refuses downstream
+    assert(Tokenize.VocabBuild().transform(
+      Seq((1L, null: String), (2L, "  ")).toDF("doc_id", "text"))
+      .count() == 0L)
     // a piece CONTAINING # mid-string is a normal first-form piece
     val ok = Tokenize.BpeEncode(Seq(("a#b", 5L)).toDF("piece", "id"))
       .transform(Seq((1L, "a#b")).toDF("doc_id", "text"))
