@@ -2108,6 +2108,7 @@ object OracleSql {
       |w AS (SELECT doc_id, pos, word FROM words WHERE word <> ''),
       |freq AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
       |tw AS (SELECT word AS piece FROM freq
+      |  WHERE word NOT LIKE '##%'
       |  ORDER BY cnt DESC, word ASC LIMIT 10),
       |chars AS (SELECT DISTINCT substr(word, i, 1) AS c
       |  FROM (SELECT word, unnest(generate_series(1, len(word))) AS i

@@ -102,15 +102,21 @@ object Tokenize {
     * (freq desc, piece asc); ids are the rank of the piece string, so
     * any engine replaying the same derivation numbers identically.
     *
-    * Output: `(piece, id)` — exactly [[BpeEncode]]'s vocab contract.
+    * Output: `(piece, id)` — exactly [[BpeEncode]]'s vocab contract:
+    * words that themselves START with `continuationPrefix` are
+    * excluded from the top-word leg (BpeEncode classifies pieces
+    * lexically, so such a word could never be a first-form piece —
+    * the bare-prefix word would even raise), and their characters
+    * still enter through the char-coverage leg.
     *
-    * 100 TB shape: two bounded aggregations (distinct words, then
-    * per-piece counts — both map-side partial) and top-k limits; the
-    * single-partition `row_number` window runs over the RESULT vocab
-    * (a few hundred to ~100k rows), never the corpus. Real corpora cap
-    * the distinct-word explosion upstream (the aggregations are
-    * count-distinct-shaped); suffix derivation only reads words of
-    * length >= suffixLen + 2, so a first-position char always remains.
+    * 100 TB shape: ONE corpus pass — the per-word frequency
+    * aggregation (map-side partial) — localCheckpointed at
+    * distinct-word size, from which all three legs (top words, char
+    * coverage, suffix counts as sums of word counts) derive without
+    * re-reading text; the single-partition `row_number` window runs
+    * over the RESULT vocab (a few hundred to ~100k rows), never the
+    * corpus. Suffix derivation only reads words of length >=
+    * suffixLen + 2, so a first-position char always remains.
     */
   final case class VocabBuild(textColumn: String = "text",
                               topWords: Int = 10,
@@ -131,24 +137,37 @@ object Tokenize {
       import org.apache.spark.sql.expressions.Window
       val textExpr = if (lowercase) lower(col(textColumn).cast("string"))
         else col(textColumn).cast("string")
-      val words = df.select(explode(split(textExpr, "\\s+")).as("word"))
+      // ONE corpus pass: everything below derives from the bounded
+      // per-word frequency table (distinct words x (word, cnt)) — the
+      // localCheckpoint keeps the three derivations from re-scanning
+      // the corpus
+      val freq = df
+        .select(explode(split(textExpr, "\\s+")).as("word"))
         .filter(col("word") =!= "")
-      val top = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      // a word that ITSELF starts with the continuation prefix cannot
+      // be a first-form piece (BpeEncode classifies pieces lexically:
+      // anything `##`-prefixed is a continuation piece) — learning it
+      // as a whole word would either raise (the bare-prefix word) or
+      // silently reclassify; exclude such words from the top-word leg
+      val top = freq.filter(!col("word").startsWith(continuationPrefix))
         .orderBy(col("cnt").desc, col("word").asc).limit(topWords)
         .select(col("word").as("piece"))
-      val chars = words.distinct()
+      val chars = freq
         .select(explode(sequence(lit(1), length(col("word")))).as("i"),
           col("word"))
         .select(expr("substring(word, i, 1)").as("c")).distinct()
       val charPieces = chars.select(col("c").as("piece"))
         .unionByName(chars.select(
           concat(lit(continuationPrefix), col("c")).as("piece")))
-      val suff = words
+      // suffix frequency over word OCCURRENCES = sum of word counts
+      val suff = freq
         .filter(length(col("word")) >= suffixLen + 2)
         .select(concat(lit(continuationPrefix),
           expr(s"substring(word, length(word) - ${suffixLen - 1}, " +
-            s"$suffixLen)")).as("piece"))
-        .groupBy("piece").agg(count(lit(1)).as("cnt"))
+            s"$suffixLen)")).as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum("cnt").as("cnt"))
         .orderBy(col("cnt").desc, col("piece").asc).limit(topSuffixes)
         .select("piece")
       top.unionByName(charPieces).unionByName(suff).distinct()

@@ -169,9 +169,10 @@ object StressCorpus {
     // CLOSED-FORM structure over the generator corpus — the word
     // alphabet is {a..g, t, h, 0..9} (19 chars, both forms; "the" is
     // the only alphabetic-tail word), no single-char words (so top-10
-    // words never collide with char pieces), and len-5+ words (the
-    // c/e counter words past id 5M) feed exactly top-10 3-char
-    // suffixes. Run with nDocs >= 10M so the suffix class is populated.
+    // words never collide with char pieces), and len-5+ words feed
+    // exactly top-10 3-char suffixes (e-words "e1000"+ reach length 5
+    // from id 500k, c-words "c1000"+ from id 1M — the suffix class is
+    // populated for nDocs >= ~1M; recorded runs use 50M).
     time(s"bpe_vocab docs=$nDocs (structural closed form)") {
       import spark.implicits._
       val v = graft.operators.Tokenize.VocabBuild().transform(docs)

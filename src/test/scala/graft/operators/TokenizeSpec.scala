@@ -129,7 +129,9 @@ class TokenizeSpec extends AnyFunSuite {
     val v = Tokenize.VocabBuild(topWords = 2, suffixLen = 3,
         topSuffixes = 1).transform(docs)
       .as[(String, Long)].collect().sortBy(_._2).toSeq
-    // words: aa(3) bb(2) cc(1) ddddd(2) eeddd(1) -> top-2 = aa, bb
+    // words: aa(4: two in doc1 + doc2 + case-folded doc3) bb(2) cc(1)
+    // ddddd(2) eeddd(1) -> top-2 = aa, bb (bb beats ddddd on the
+    // (freq desc, word asc) tie-break)
     // chars: a b c d e both forms; suffixes (len>=5): ddd(3 incl eeddd)
     val pieces = v.map(_._1)
     assert(pieces.toSet == Set("aa", "bb",
@@ -144,6 +146,23 @@ class TokenizeSpec extends AnyFunSuite {
         Tokenize.VocabBuild().transform(docs)).transform(docs)
       .as[(Long, Long, Seq[Long])].collect()
     assert(enc.length == 3 && enc.forall(_._2 > 0))
+    // a corpus word that ITSELF starts with the continuation prefix
+    // (markdown headings) is excluded from the top-word leg — it could
+    // never be a first-form piece and the bare '##' would raise — but
+    // its characters still enter through char coverage, so the
+    // learn -> encode chain stays alive on such corpora
+    val md = Seq((1L, "## ## ##foo plain")).toDF("doc_id", "text")
+    val mdv = Tokenize.VocabBuild(topWords = 3).transform(md)
+    val mdPieces = mdv.as[(String, Long)].collect().map(_._1).toSet
+    // the bare-prefix word never becomes a piece (it would raise);
+    // "##foo" survives only as the legitimate SUFFIX continuation
+    // piece (matching "foo" mid-word), never as a whole-word piece —
+    // and 'plain' (the only prefix-free word) takes a top slot
+    assert(!mdPieces.contains("##"))
+    assert(mdPieces.contains("#") && mdPieces.contains("plain"))
+    val mdEnc = Tokenize.BpeEncode(mdv).transform(md)
+      .as[(Long, Long, Seq[Long])].collect().head
+    assert(mdEnc._2 > 0L)
     // guards
     assertThrows[IllegalArgumentException](
       Tokenize.VocabBuild(suffixLen = 0))
