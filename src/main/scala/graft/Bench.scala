@@ -147,6 +147,8 @@ object Bench {
     "host_stats" -> Some("HashAggregate"), // per-host partial-agg rollup
     "bpe_encode" -> Some("MapPartitions"), // broadcast-vocab trie encode
     "bpe_vocab" -> Some("HashAggregate"), // bounded frequency aggs + ranks
+    "bpe_learn" -> Some("HashAggregate"), // per-round pair-count aggs
+    "seq_pack_learn" -> Some("MapPartitions"), // learn->encode->chunk->pack
     "chunk_bpe" -> Some("MapPartitions"), // encode feeds the chunker
     "seq_pack_bpe" -> Some("MapPartitions"), // encode->chunk->pack chain
     "mix_bpe" -> Some("MapPartitions"), // encode counts feed the budget

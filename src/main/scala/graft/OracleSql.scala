@@ -2100,14 +2100,25 @@ object OracleSql {
     * Callers prefix `WITH RECURSIVE`.
     */
   private def bpeCtes: String =
+    s"""$bpeWordCtes,
+      |$bpeVocabCtes,
+      |$bpeEncodeCtes""".stripMargin
+
+  /** Corpus → per-doc word stream + word-frequency table (the shared
+    * head of both vocab constructions). */
+  private def bpeWordCtes: String =
     """words AS (
       |  SELECT doc_id, unnest(generate_series(1, len(l))) AS pos,
       |         unnest(l) AS word
       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
       |        FROM documents)),
       |w AS (SELECT doc_id, pos, word FROM words WHERE word <> ''),
-      |freq AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
-      |tw AS (SELECT word AS piece FROM freq
+      |freq AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)""".stripMargin
+
+  /** The `VocabBuild` frequency-heuristic derivation, ending in
+    * `vocab(piece, id)`. */
+  private def bpeVocabCtes: String =
+    """tw AS (SELECT word AS piece FROM freq
       |  WHERE word NOT LIKE '##%'
       |  ORDER BY cnt DESC, word ASC LIMIT 10),
       |chars AS (SELECT DISTINCT substr(word, i, 1) AS c
@@ -2124,8 +2135,89 @@ object OracleSql {
       |  UNION ALL SELECT piece FROM charp
       |  UNION ALL SELECT piece FROM suff)),
       |vocab AS (SELECT piece,
-      |  CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS id FROM vp),
-      |dw AS (SELECT DISTINCT word FROM w),
+      |  CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS id FROM vp)""".stripMargin
+
+  /** `Tokenize.BpeLearn` replayed in SQL — the MERGE ROUNDS themselves,
+    * not a fixture of expected pieces: the whole learn state (per-word
+    * symbolization + merges so far) rides ONE ROW of a recursive CTE as
+    * list-of-struct values, and each round's pair counting, hazard
+    * filter, deterministic argmax (count desc, pair asc — encoded as a
+    * `(negcount, a, b)` struct sort) and greedy left-to-right merge
+    * apply are pure scalar list-lambda algebra, which is what DuckDB's
+    * recursive term permits (no aggregates over the recursive
+    * relation). Every adjacent occurrence scores (duplicates share the
+    * argmax, so no struct-distinct is needed — DuckDB cannot
+    * `list_distinct` structs). `list_slice(acc, 1, len-1)`, NOT
+    * `acc[:-1]`: DuckDB slice bounds are INCLUSIVE (`[:-1]` keeps the
+    * whole list — Python intuition silently breaks the merge).
+    * Ends in `vlearn(piece, merge_rank)` + `vocab(piece, id)` — the
+    * same `vocab` contract [[bpeEncodeCtes]] consumes, so the learned
+    * vocab drives the SAME oracle encode replay.
+    */
+  private def bpeLearnCtes(nMerges: Int): String =
+    s"""init AS (SELECT list({w: word, cnt: cnt, syms:
+      |    list_transform(generate_series(1, len(word)),
+      |      i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+      |           ELSE '##' || substr(word, i, 1) END)} ORDER BY word) AS ws
+      |  FROM freq),
+      |lrn AS (
+      |  SELECT 0 AS r, ws, CAST([] AS VARCHAR[]) AS merges FROM init
+      |  UNION ALL
+      |  SELECT r + 1,
+      |    list_transform(ws, wd -> {w: wd.w, cnt: wd.cnt,
+      |      syms: list_reduce(
+      |        list_prepend(CAST([] AS VARCHAR[]),
+      |          list_transform(wd.syms, s -> [s])),
+      |        (acc, x) -> CASE
+      |          WHEN len(acc) > 0 AND acc[-1] = bp.a AND x[1] = bp.b
+      |          THEN list_append(list_slice(acc, 1, len(acc) - 1),
+      |            bp.a || CASE WHEN bp.b LIKE '##%' THEN bp.b[3:]
+      |                    ELSE bp.b END)
+      |          ELSE list_concat(acc, x) END)}),
+      |    list_append(merges,
+      |      bp.a || CASE WHEN bp.b LIKE '##%' THEN bp.b[3:] ELSE bp.b END)
+      |  FROM (
+      |    SELECT r, ws, merges,
+      |      list_sort(list_transform(
+      |        list_filter(cand,
+      |          p -> NOT (p.a NOT LIKE '##%' AND
+      |            (p.a || CASE WHEN p.b LIKE '##%' THEN p.b[3:]
+      |                    ELSE p.b END) LIKE '##%')),
+      |        p -> {negc: -list_sum(list_transform(cand, c ->
+      |                CASE WHEN c.a = p.a AND c.b = p.b THEN c.cnt
+      |                     ELSE 0 END)),
+      |              a: p.a, b: p.b}))[1] AS bp
+      |    FROM (
+      |      SELECT r, ws, merges,
+      |        flatten(list_transform(ws, wd ->
+      |          list_transform(generate_series(1, len(wd.syms) - 1),
+      |            i -> {a: wd.syms[i], b: wd.syms[i + 1], cnt: wd.cnt})))
+      |          AS cand
+      |      FROM lrn WHERE r < $nMerges)
+      |  ) WHERE bp IS NOT NULL
+      |),
+      |lfinal AS (SELECT ws, merges FROM lrn ORDER BY r DESC LIMIT 1),
+      |basep AS (SELECT DISTINCT
+      |    unnest(list_transform(generate_series(1, len(word)),
+      |      i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+      |           ELSE '##' || substr(word, i, 1) END)) AS piece
+      |  FROM freq),
+      |mrg AS (SELECT u.piece AS piece, u.rank AS rank FROM (
+      |    SELECT unnest(list_transform(merges,
+      |      (m, i) -> {piece: m, rank: i})) AS u FROM lfinal)),
+      |allp AS (SELECT piece, 0 AS merge_rank FROM basep
+      |  UNION ALL SELECT piece, rank FROM mrg),
+      |vlearn AS (SELECT piece, min(merge_rank) AS merge_rank FROM allp
+      |  GROUP BY piece),
+      |vocab AS (SELECT piece,
+      |  CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS id
+      |  FROM vlearn)""".stripMargin
+
+  /** The greedy-MaxMatch encode replay (step table + recursive pointer
+    * walk), parameterized by whichever `vocab(piece, id)` CTE precedes
+    * it; ends in `dt(doc_id, ids, pcs)`. */
+  private def bpeEncodeCtes: String =
+    """dw AS (SELECT DISTINCT word FROM w),
       |positions AS (SELECT word,
       |  unnest(generate_series(1, len(word))) AS pos FROM dw),
       |step AS (SELECT p.word, p.pos,
@@ -2155,6 +2247,49 @@ object OracleSql {
       |  flatten(list(e.ids ORDER BY w.pos)) AS ids,
       |  flatten(list(e.pcs ORDER BY w.pos)) AS pcs
       |  FROM w JOIN enc e USING (word) GROUP BY w.doc_id)""".stripMargin
+
+  /** `bpe_learn`: the real BPE merge learning replayed round by round
+    * ([[bpeLearnCtes]]) — base symbols at rank 0, merged pieces at
+    * their 1-based merge round, ids = piece rank. */
+  def bpeLearn(nMerges: Int): String =
+    s"""WITH RECURSIVE
+       |$bpeWordCtes,
+       |${bpeLearnCtes(nMerges)}
+       |SELECT v.piece, v.id,
+       |  CAST(l.merge_rank AS BIGINT) AS merge_rank
+       |FROM vocab v JOIN vlearn l USING (piece)
+       |ORDER BY v.id""".stripMargin
+
+  /** `seq_pack_learn` — the full chain with the LEARNED vocab: BPE
+    * merge learning ([[bpeLearnCtes]]) → the same greedy-MaxMatch
+    * encode replay ([[bpeEncodeCtes]] rides whatever `vocab` precedes
+    * it) → chunk windows → exact prefix-sum pack. */
+  def seqPackBpeLearned(nMerges: Int, chunkTokens: Int,
+                        overlapTokens: Int, budgetTokens: Long): String = {
+    val stride = chunkTokens - overlapTokens
+    s"""WITH RECURSIVE
+       |$bpeWordCtes,
+       |${bpeLearnCtes(nMerges)},
+       |$bpeEncodeCtes,
+       |t AS (SELECT d.doc_id,
+       |  coalesce(dt.pcs, CAST([] AS VARCHAR[])) AS tk
+       |  FROM documents d LEFT JOIN dt USING (doc_id)),
+       |s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+       |c AS (SELECT doc_id, n,
+       |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))
+       |    AS cs FROM s),
+       |c2 AS (SELECT doc_id, cs // $stride AS chunk_idx,
+       |  least($chunkTokens, n - cs) AS sz,
+       |  doc_id * 100000 + cs // $stride AS ck FROM c),
+       |r AS (SELECT *, SUM(sz) OVER (ORDER BY ck
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM c2)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(sz AS BIGINT) AS n_chunk_tokens,
+       |  CAST(cum AS BIGINT) AS cum_tokens,
+       |  CAST((cum - sz) // $budgetTokens AS BIGINT) AS pack_id
+       |FROM r ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 
   /** The vocab derivation of [[bpeCtes]] alone (`bpe_vocab` — mirrors
     * `Tokenize.VocabBuild` at the fixture defaults): frequency ranks,
@@ -2316,17 +2451,23 @@ object OracleSql {
        |  unnest(generate_series(0, 6)) AS f FROM documents),
        |cs AS (SELECT doc_id,
        |  sum((doc_id * 31 + f * 17) % 256) AS corner_sum
-       |  FROM fr WHERE f < 2 + doc_id % 6 GROUP BY doc_id)
+       |  FROM fr WHERE f < 2 + doc_id % 6 GROUP BY doc_id),
+       |rs AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 5 = 4 THEN 30000 ELSE 10 + doc_id % 20 END
+       |    AS fps_num,
+       |  CASE WHEN doc_id % 5 = 4 THEN 1001 ELSE 1 END AS fps_den
+       |  FROM documents)
        |SELECT d.doc_id, 'mjpeg_avi' AS fmt,
        |  CAST(16 + (d.doc_id * 41) % 89 AS BIGINT) AS width,
        |  CAST(16 + (d.doc_id * 53) % 47 AS BIGINT) AS height,
        |  CAST(2 + d.doc_id % 6 AS BIGINT) AS n_frames,
-       |  CAST(10 + d.doc_id % 20 AS BIGINT) AS fps,
-       |  CAST((2 + d.doc_id % 6) * 1000 // (10 + d.doc_id % 20)
+       |  CAST(rs.fps_num AS BIGINT) AS fps_num,
+       |  CAST(rs.fps_den AS BIGINT) AS fps_den,
+       |  CAST((2 + d.doc_id % 6) * 1000 * rs.fps_den // rs.fps_num
        |    AS BIGINT) AS duration_ms,
        |  CAST((d.doc_id * 31) % 256 AS BIGINT) AS corner_px,
        |  CAST(cs.corner_sum AS BIGINT) AS corner_sum
-       |FROM documents d JOIN cs USING (doc_id)
+       |FROM documents d JOIN cs USING (doc_id) JOIN rs USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
   /** Fit-in-box resize over the generator dims; integer scale algebra,

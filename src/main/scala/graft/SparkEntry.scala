@@ -1035,8 +1035,8 @@ object SparkEntry {
     // of the oracle (encoder-dependent), pinned in VideoSpec instead
     "mm_video" -> ((s, dir) =>
       Multimodal.VideoFeatures().transform(video(s, dir))
-        .select("doc_id", "fmt", "width", "height", "n_frames", "fps",
-          "duration_ms", "corner_px", "corner_sum")
+        .select("doc_id", "fmt", "width", "height", "n_frames", "fps_num",
+          "fps_den", "duration_ms", "corner_px", "corner_sum")
         .orderBy("doc_id")),
     // URL canonicalization: scheme/host case, www., default ports,
     // slash runs, tracking params, param order and fragments all
@@ -1167,6 +1167,34 @@ object SparkEntry {
     "seq_pack_bpe" -> ((s, dir) => {
       val d = docs(s, dir)
       val enc = Tokenize.BpeEncode(bpeFixtureVocab(d), emitPieces = true)
+        .transform(d)
+      Corpus.ShardPack(orderColumn = "chunk_key",
+          sizeColumn = "n_chunk_tokens", targetBytes = 256L)
+        .transform(ChunkSplit(chunkTokens = 24, overlapTokens = 6,
+            tokenArrayColumn = "bpe_pieces")
+          .transform(enc)
+          .withColumn("chunk_key",
+            col("doc_id") * 100000L + col("chunk_idx")))
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+    // REAL BPE merge learning (r14): iterative pair-merge selection —
+    // the oracle replays every merge ROUND (pair counts, deterministic
+    // argmax, greedy left-to-right apply) as recursive-CTE list
+    // algebra, then re-derives the same (piece, id, merge_rank) table
+    "bpe_learn" -> ((s, dir) =>
+      Tokenize.BpeLearn(nMerges = 20).transform(docs(s, dir))
+        .select("piece", "id", "merge_rank")
+        .orderBy("id")),
+    // the full chain on the LEARNED vocab: merge learning → greedy
+    // MaxMatch encode → chunk → exact prefix-sum pack — the oracle
+    // replays the learning AND the encode inside one query
+    "seq_pack_learn" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val enc = Tokenize.BpeEncode(
+          Tokenize.BpeLearn(nMerges = 20).transform(d).drop("merge_rank"),
+          emitPieces = true)
         .transform(d)
       Corpus.ShardPack(orderColumn = "chunk_key",
           sizeColumn = "n_chunk_tokens", targetBytes = 256L)
@@ -1326,6 +1354,8 @@ object SparkEntry {
     "url_canonical" -> OracleSql.urlCanonical,
     "bpe_encode" -> OracleSql.bpeEncode,
     "bpe_vocab" -> OracleSql.bpeVocab,
+    "bpe_learn" -> OracleSql.bpeLearn(20),
+    "seq_pack_learn" -> OracleSql.seqPackBpeLearned(20, 24, 6, 256L),
     "chunk_bpe" -> OracleSql.chunkBpe(24, 6),
     "seq_pack_bpe" -> OracleSql.seqPackBpeNative(24, 6, 256L),
     "mix_bpe" -> OracleSql.mixBudgetBpe(

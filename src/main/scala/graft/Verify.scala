@@ -52,7 +52,13 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a FILTERED run writes a suffixed artifact: oracle_sql.json is the
+    // complete-query-set contract a downstream comparator reads, and a
+    // legitimate partial dump clobbering it would make the omitted
+    // queries pass vacuously (r13 ADVICE)
+    val jsonName =
+      if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$jsonName"), json)
     spark.stop()
   }
 }

@@ -291,7 +291,7 @@ object Multimodal {
     * REAL `javax.imageio` JPEG decode, and `corner`/`cornerSum` are
     * pixel-level evidence of it (the [[DecodedImage]] convention). */
   private[operators] final case class DecodedVideo(
-      width: Long, height: Long, nFrames: Long, fps: Long,
+      width: Long, height: Long, nFrames: Long, rate: Long, scale: Long,
       corner: Long, cornerSum: Long)
 
   /** Real RIFF/AVI container walk + per-frame JPEG decode. The AVI
@@ -336,8 +336,16 @@ object Multimodal {
     var framesDecoded = 0L
     var corner = -1L
     var cornerSum = 0L
+    // streams are numbered by strh order (the AVI spec's stream-index
+    // rule); the frame walk decodes ONLY the vids stream's `NNdc`
+    // chunks — a multi-stream file (00wb audio + 01dc video) or a
+    // stray `..dc` chunk of another stream must not land in the pixel
+    // probes
+    var strhSeen = 0
+    var vidsStream = -1
+    var lastStrhWasVids = false
 
-    def walk(start: Int, end: Int, depth: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int, inMovi: Boolean): Unit = {
       var off = start
       while (off < end) {
         if (off + 8 > end) fail(s"truncated chunk header at $off")
@@ -350,8 +358,15 @@ object Multimodal {
           case "LIST" =>
             if (size < 4) fail(s"LIST at $off too small for a type")
             // recurse into hdrl/strl/movi; depth-capped against crafted
-            // self-nesting (real AVIs nest 2 deep)
-            if (depth < 8) walk(dataOff + 4, (dataOff + size).toInt, depth + 1)
+            // self-nesting (real AVIs nest 2 deep). Frame chunks are
+            // only frames inside `LIST movi` (or a `rec ` group within
+            // it) — a `..dc` fourcc anywhere else is NOT frame data
+            val listType = fourcc(dataOff)
+            val childInMovi =
+              listType == "movi" || (inMovi && listType == "rec ")
+            if (depth < 8)
+              walk(dataOff + 4, (dataOff + size).toInt, depth + 1,
+                childInMovi)
           case "avih" =>
             if (size < 40) fail(s"avih holds $size bytes (< 40)")
             totalFrames = u32(dataOff + 16)
@@ -360,8 +375,14 @@ object Multimodal {
           case "strh" =>
             if (size < 40) fail(s"strh holds $size bytes (< 40)")
             val fccType = fourcc(dataOff)
+            lastStrhWasVids = fccType == "vids"
             if (fccType == "vids") {
+              // a second vids strh would silently overwrite rate/scale/
+              // strLength — refuse instead of decoding half-wrong
+              if (sawVids) fail("a second vids stream header — " +
+                "multi-video-stream AVIs are not supported")
               sawVids = true
+              vidsStream = strhSeen
               val handler = fourcc(dataOff + 4)
               if (handler != "MJPG")
                 fail(s"video stream handler is $handler, not MJPG")
@@ -369,10 +390,17 @@ object Multimodal {
               rate = u32(dataOff + 24)
               strLength = u32(dataOff + 32)
             }
+            strhSeen += 1
           case "strf" =>
-            if (size >= 20 && fourcc(dataOff + 16) == "MJPG")
+            // the strf belongs to the immediately-preceding strh of the
+            // same strl — only the VIDEO stream's format must be MJPG
+            // (an audio strf is a WAVEFORMAT and has no biCompression)
+            if (lastStrhWasVids && size >= 20 &&
+              fourcc(dataOff + 16) == "MJPG")
               sawMjpgStrf = true
-          case c if c.length == 4 && c.endsWith("dc") =>
+          case c if inMovi && c.length == 4 && c.charAt(0).isDigit &&
+            c.charAt(1).isDigit && c.endsWith("dc") &&
+            (c.charAt(0) - '0') * 10 + (c.charAt(1) - '0') == vidsStream =>
             val frame = java.util.Arrays.copyOfRange(
               payload, dataOff, (dataOff + size).toInt)
             val d = decodeImage(id, frame)
@@ -384,12 +412,12 @@ object Multimodal {
             if (framesDecoded == 0L) corner = d.corner.toLong
             cornerSum += d.corner.toLong
             framesDecoded += 1L
-          case _ => () // unknown chunks (idx1, junk) skip by size
+          case _ => () // unknown chunks (idx1, junk, other streams' data)
         }
         off = (dataOff + size + (size & 1L)).toInt
       }
     }
-    walk(12, end0, 0)
+    walk(12, end0, 0, inMovi = false)
 
     if (totalFrames < 0) fail("no avih main header")
     if (!sawVids) fail("no vids stream header")
@@ -402,14 +430,14 @@ object Multimodal {
     if (strLength >= 0 && strLength != framesDecoded)
       fail(s"stream header declares $strLength frames but " +
         s"$framesDecoded decoded")
-    DecodedVideo(w, h, framesDecoded, rate / scale, corner, cornerSum)
+    DecodedVideo(w, h, framesDecoded, rate, scale, corner, cornerSum)
   }
 
   /** Typed output row of [[VideoFeatures]] (field order = schema). */
   private[operators] final case class VideoFeatureRow(
       doc_id: Long, fmt: String, byte_len: Long, width: Long, height: Long,
-      n_frames: Long, fps: Long, duration_ms: Long, corner_px: Long,
-      corner_sum: Long)
+      n_frames: Long, fps_num: Long, fps_den: Long, duration_ms: Long,
+      corner_px: Long, corner_sum: Long)
 
   /** Extract video features from a binary MJPEG-AVI payload column —
     * the operator that retires the video stub, the last placeholder in
@@ -418,8 +446,13 @@ object Multimodal {
     * ([[decodeVideo]]), and `corner_px`/`corner_sum` (frame-0 corner,
     * corner summed over EVERY decoded frame) are pixel-level probes a
     * header-only parse could not produce.
-    * `duration_ms = n_frames * 1000 / fps` (exact integer division,
-    * cross-engine stable). Undecodable payloads fail loud with the id.
+    * The frame rate is carried EXACTLY as `fps_num`/`fps_den`
+    * (the container's dwRate/dwScale) — real-world rates are
+    * fractional (NTSC 30000/1001 = 29.97), so a truncated integer fps
+    * column would be silently lossy — and
+    * `duration_ms = n_frames * 1000 * fps_den / fps_num` (one exact
+    * integer division at the END, no compounding truncation).
+    * Undecodable payloads fail loud with the id.
     *
     * Same 100 TB shape as the image/audio paths: embarrassingly
     * parallel typed `mapPartitions`, one payload decoded at a time, no
@@ -440,8 +473,8 @@ object Multimodal {
           it.map { case (id, payload) =>
             val d = decodeVideo(id, payload)
             VideoFeatureRow(id, "mjpeg_avi", payload.length.toLong,
-              d.width, d.height, d.nFrames, d.fps,
-              d.nFrames * 1000L / d.fps, d.corner, d.cornerSum)
+              d.width, d.height, d.nFrames, d.rate, d.scale,
+              d.nFrames * 1000L * d.scale / d.rate, d.corner, d.cornerSum)
           }
         }
         .toDF()

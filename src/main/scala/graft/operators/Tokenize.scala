@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.Wrangler
@@ -170,9 +170,179 @@ object Tokenize {
         .groupBy("piece").agg(sum("cnt").as("cnt"))
         .orderBy(col("cnt").desc, col("piece").asc).limit(topSuffixes)
         .select("piece")
-      top.unionByName(charPieces).unionByName(suff).distinct()
+      val vocab = top.unionByName(charPieces).unionByName(suff).distinct()
         .withColumn("id",
           row_number().over(Window.orderBy("piece")).cast("long"))
+      // the vocab is a persisted index like any other fit artifact: a
+      // consumer configured differently from the learn (lowercase
+      // drift, another continuation prefix) silently UNKs or mis-splits
+      // — record the fit params in column metadata (survives the
+      // parquet footer) so [[BpeEncode]] raises in-data instead
+      SparkUtil.withFitParams(
+        SparkUtil.withFitParamsStr(vocab, "piece", Map(
+          "lowercase" -> lowercase.toString,
+          "continuationPrefix" -> continuationPrefix)),
+        "piece", Map(
+          "topWords" -> topWords.toLong,
+          "suffixLen" -> suffixLen.toLong,
+          "topSuffixes" -> topSuffixes.toLong))
+    }
+  }
+
+  /** REAL byte-pair-encoding merge learning (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units" —
+    * public knowledge), in the WordPiece continuation-prefix spelling
+    * so the output is directly [[BpeEncode]]-compatible. Where
+    * [[VocabBuild]] is a frequency heuristic (top words + char coverage
+    * + suffixes), this is the learning algorithm itself:
+    *
+    *   1. symbolize every distinct word as its character sequence —
+    *      position 0 as a first-form symbol, later positions carrying
+    *      `continuationPrefix` (`"slow"` → `[s, ##l, ##o, ##w]`);
+    *   2. per round, count every ADJACENT symbol pair weighted by word
+    *      frequency (overlapping occurrences each count — Sennrich's
+    *      `get_stats`), pick the argmax deterministically
+    *      (count desc, then (first, second) asc), and merge it
+    *      everywhere with a greedy LEFT-TO-RIGHT scan (after `a b → ab`
+    *      the merged symbol does not re-pair as `a` within the round);
+    *   3. repeat for `nMerges` rounds or until no pair remains.
+    *
+    * The merged symbol keeps the FIRST symbol's form and strips the
+    * second's prefix (`s + ##l → sl`, `##l + ##o → ##lo`). A candidate
+    * pair whose merged FIRST-FORM symbol would itself start with
+    * `continuationPrefix` (only reachable on corpora with words
+    * containing the prefix text, e.g. markdown `## heading`) is
+    * excluded from selection — [[BpeEncode]] classifies pieces
+    * lexically, so emitting such a piece would reclassify it; the
+    * underlying characters keep their base symbols and stay encodable.
+    *
+    * Output: `(piece, id, merge_rank)` — base symbols at rank 0,
+    * merged pieces at their 1-based round number (a piece string
+    * reachable by two different merge paths keeps its FIRST rank);
+    * `id` = rank of the piece string, the [[VocabBuild]] numbering
+    * convention, so any engine replaying the derivation numbers
+    * identically. The `piece`/`id` pair is exactly [[BpeEncode]]'s
+    * vocab contract, and the fit params (lowercase, prefix, nMerges)
+    * ride the `piece` column's metadata.
+    *
+    * 100 TB shape: ONE corpus pass (the map-side-partial word-frequency
+    * aggregation, localCheckpointed at distinct-word size); every merge
+    * round then runs over the BOUNDED distinct-word table, never the
+    * corpus — one pair-count aggregation (map-side partial, shuffle
+    * bounded by the distinct-pair count), a 1-row argmax collect, and a
+    * narrow fold-merge map re-checkpointed to keep lineage flat. The
+    * driver-barrier shape is `nMerges × 2` bounded jobs — linear in
+    * rounds, NOT corpus size — and is capped fail-loud by `maxMerges`
+    * because a runaway round count is a wiring bug, not a workload.
+    */
+  final case class BpeLearn(textColumn: String = "text",
+                            nMerges: Int = 50,
+                            continuationPrefix: String = "##",
+                            lowercase: Boolean = true,
+                            maxMerges: Int = 4096)
+      extends Wrangler {
+    require(nMerges >= 0, "nMerges must be >= 0")
+    require(continuationPrefix.nonEmpty,
+      "continuationPrefix must be non-empty")
+    require(nMerges <= maxMerges,
+      s"BpeLearn: nMerges=$nMerges exceeds maxMerges=$maxMerges — every " +
+        "merge round is a driver-coordinated pass over the distinct-word " +
+        "table (rounds x 2 jobs); raise maxMerges explicitly if a vocab " +
+        "this deep is intended")
+    override def preservesSampleSize: Boolean = false
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(textColumn))
+      import org.apache.spark.sql.expressions.Window
+      val prefix = continuationPrefix
+      val textExpr = if (lowercase) lower(col(textColumn).cast("string"))
+        else col(textColumn).cast("string")
+      // ONE corpus pass — everything after runs on the bounded
+      // distinct-word frequency table
+      val freq = df
+        .select(explode(split(textExpr, "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      // initial symbolization: char 0 first-form, the rest continuation
+      // (`functions.transform` qualified — the wrangler's own
+      // `transform` shadows the import here)
+      val initSyms = org.apache.spark.sql.functions.transform(
+        sequence(lit(1), length(col("word"))),
+        i => {
+          val c = col("word").substr(i, lit(1))
+          when(i === 1, c).otherwise(concat(lit(prefix), c))
+        })
+      var cur = freq.select(col("word"), col("cnt"),
+        initSyms.as("syms")).localCheckpoint()
+      // base symbols derive from the INITIAL symbolization (rank 0)
+      val base = cur.select(explode(col("syms")).as("piece")).distinct()
+        .withColumn("merge_rank", lit(0L))
+
+      def stripPrefix(b: Column): Column =
+        when(b.startsWith(prefix),
+          b.substr(lit(prefix.length + 1), length(b))).otherwise(b)
+
+      val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+      var round = 0
+      var done = false
+      while (round < nMerges && !done) {
+        // adjacent pairs, overlapping occurrences included, weighted by
+        // word frequency (map-side partial agg; shuffle bounded by the
+        // distinct-pair count)
+        val pairs = cur
+          .select(col("cnt"), explode(expr(
+            "transform(slice(syms, 1, size(syms) - 1), (s, i) -> " +
+              "named_struct('a', s, 'b', element_at(syms, i + 2)))"))
+            .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"), col("cnt"))
+          .groupBy("a", "b").agg(sum("cnt").as("c"))
+        val mergedCol = concat(col("a"), stripPrefix(col("b")))
+        val selectable = pairs.filter(
+          !(!col("a").startsWith(prefix) && mergedCol.startsWith(prefix)))
+        val best = selectable
+          .orderBy(col("c").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val (a, b) = (best(0).getString(0), best(0).getString(1))
+          val merged = a + (if (b.startsWith(prefix))
+            b.substring(prefix.length) else b)
+          merges += merged
+          // greedy left-to-right merge: fold the symbol list, replacing
+          // a trailing `a` when `b` follows; the merged symbol is
+          // strictly longer than `a`, so it never re-pairs in-round
+          val (aL, bL, mL) = (lit(a), lit(b), lit(merged))
+          val newSyms = org.apache.spark.sql.functions.aggregate(
+            col("syms"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === aL && x === bL,
+              concat(slice(acc, lit(1), size(acc) - 1), array(mL)))
+              .otherwise(concat(acc, array(x))))
+          // re-checkpoint: each round's symbols feed the next round's
+          // aggregation — without the cut, round N replays N narrow
+          // maps per pass (O(rounds^2) recompute)
+          cur = cur.withColumn("syms", newSyms).localCheckpoint()
+        }
+        round += 1
+      }
+
+      val spark = df.sparkSession
+      import spark.implicits._
+      val mergedDf = merges.toSeq.zipWithIndex
+        .map { case (p, i) => (p, i.toLong + 1L) }
+        .toDF("piece", "merge_rank")
+      val vocab = base.unionByName(mergedDf)
+        .groupBy("piece").agg(min("merge_rank").as("merge_rank"))
+        .withColumn("id",
+          row_number().over(Window.orderBy("piece")).cast("long"))
+        .select("piece", "id", "merge_rank")
+      SparkUtil.withFitParams(
+        SparkUtil.withFitParamsStr(vocab, "piece", Map(
+          "lowercase" -> lowercase.toString,
+          "continuationPrefix" -> continuationPrefix)),
+        "piece", Map("nMerges" -> nMerges.toLong,
+          "mergesDone" -> merges.length.toLong))
     }
   }
 
@@ -232,6 +402,15 @@ object Tokenize {
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
       SparkUtil.validateColumns(vocab, Seq(pieceColumn, vocabIdColumn))
+      // self-describing vocab: a learn-side vocab records how it was
+      // built; an encode configured differently (lowercase drift, a
+      // different continuation prefix) would silently UNK or mis-split
+      // — raise from the recorded contract instead. Metadata-less
+      // (hand-built/legacy) vocabs pass: the prose contract governs.
+      SparkUtil.requireFitParamStr(vocab, pieceColumn, "lowercase",
+        lowercase.toString, "BpeEncode")
+      SparkUtil.requireFitParamStr(vocab, pieceColumn,
+        "continuationPrefix", continuationPrefix, "BpeEncode")
       val spark = df.sparkSession
       import spark.implicits._
       // driver-bounded collect: limit(max+1) keeps a corpus-scale frame

@@ -32,7 +32,16 @@ import graft.util.SparkUtil
   *   - width:    `16 + (id * 41) % 89`   (16..104)
   *   - height:   `16 + (id * 53) % 47`   (16..62)
   *   - frames:   `2 + id % 6`            (2..7)
-  *   - fps:      `10 + id % 20`          (10..29; dwRate=fps, dwScale=1)
+  *   - rate/scale (fps = rate/scale): `id % 5 == 4` → 30000/1001 (the
+  *     NTSC 29.97 fractional rate — real-world rates are NOT integer
+  *     fps, so the decoder's duration arithmetic is exercised on a
+  *     rate that truncates wrong under integer fps); otherwise
+  *     `(10 + id % 20) / 1` (10..29)
+  *   - `id % 3 == 1` → a SECOND (audio) stream: an `auds` strl listed
+  *     BEFORE the vids strl, so the VIDEO stream is stream 01 and its
+  *     frame chunks are `01dc`, interleaved with `00wb` audio data
+  *     chunks in movi — the multi-stream case that distinguishes a
+  *     stream-aware frame walk from "any `..dc` chunk is a frame"
   *   - frame f's uniform gray value: `(id * 31 + f * 17) % 256`
   *   - corner (0,0) of frame 0: `(id * 31) % 256`
   *   - corner sum over frames: Σ_f `(id * 31 + f * 17) % 256`
@@ -44,7 +53,12 @@ object VideoGen {
   def widthOf(id: Long): Long = 16L + (id * 41L) % 89L
   def heightOf(id: Long): Long = 16L + (id * 53L) % 47L
   def framesOf(id: Long): Long = 2L + id % 6L
-  def fpsOf(id: Long): Long = 10L + id % 20L
+  def rateOf(id: Long): Long = if (id % 5L == 4L) 30000L else 10L + id % 20L
+  def scaleOf(id: Long): Long = if (id % 5L == 4L) 1001L else 1L
+  /** Exact `n_frames * 1000 * scale / rate` — never via truncated fps. */
+  def durationMsOf(id: Long): Long =
+    framesOf(id) * 1000L * scaleOf(id) / rateOf(id)
+  def hasAudioOf(id: Long): Boolean = id % 3L == 1L
   def framePixel(id: Long, f: Int): Int = ((id * 31L + f * 17L) % 256L).toInt
   def cornerOf(id: Long): Long = (id * 31L) % 256L
   def cornerSumOf(id: Long): Long =
@@ -93,24 +107,33 @@ object VideoGen {
     bos.toByteArray
   }
 
-  /** Real MJPEG-in-AVI payload bytes for `id`. */
+  /** Real MJPEG-in-AVI payload bytes for `id`. For `hasAudioOf` ids the
+    * container carries TWO streams — an `auds` strl FIRST (so the video
+    * stream is stream 01, its frames `01dc`) with `00wb` PCM data
+    * chunks interleaved frame-by-frame in movi — exactly the layout a
+    * camera muxer emits; a frame walk that treats any `..dc` chunk as
+    * "the" video stream, or that ignores stream numbers, decodes such
+    * files wrong.
+    */
   def payloadFor(id: Long): Array[Byte] = {
     require(id >= 0L, s"VideoGen ids must be non-negative, got $id")
     val w = widthOf(id)
     val h = heightOf(id)
     val n = framesOf(id).toInt
-    val fps = fpsOf(id)
+    val rate = rateOf(id)
+    val scale = scaleOf(id)
+    val audio = hasAudioOf(id)
     val frames = (0 until n).map(jpegFrame(id, _))
     val maxFrame = frames.map(_.length).max.toLong
 
     val avih = {
       val b = new ByteArrayOutputStream(56)
-      b.write(le32(1000000L / fps)) // dwMicroSecPerFrame
+      b.write(le32(1000000L * scale / rate)) // dwMicroSecPerFrame
       b.write(le32(0L)); b.write(le32(0L)) // maxBytesPerSec, padding
       b.write(le32(0L)) // dwFlags
       b.write(le32(n.toLong)) // dwTotalFrames
       b.write(le32(0L)) // dwInitialFrames
-      b.write(le32(1L)) // dwStreams
+      b.write(le32(if (audio) 2L else 1L)) // dwStreams
       b.write(le32(maxFrame)) // dwSuggestedBufferSize
       b.write(le32(w)); b.write(le32(h))
       (0 until 4).foreach(_ => b.write(le32(0L))) // dwReserved
@@ -122,8 +145,8 @@ object VideoGen {
       b.write(le32(0L)) // dwFlags
       b.write(le16(0)); b.write(le16(0)) // wPriority, wLanguage
       b.write(le32(0L)) // dwInitialFrames
-      b.write(le32(1L)) // dwScale
-      b.write(le32(fps)) // dwRate (fps = rate/scale)
+      b.write(le32(scale)) // dwScale
+      b.write(le32(rate)) // dwRate (fps = rate/scale)
       b.write(le32(0L)) // dwStart
       b.write(le32(n.toLong)) // dwLength (frames)
       b.write(le32(maxFrame)) // dwSuggestedBufferSize
@@ -144,11 +167,46 @@ object VideoGen {
       (0 until 4).foreach(_ => b.write(le32(0L)))
       b.toByteArray
     }
-    val hdrl = list("hdrl",
-      chunk("avih", avih) ++
-        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    // 8 kHz mono 8-bit PCM audio stream headers (public WAVEFORMAT
+    // layout) — per-frame silence chunks, 4 bytes each
+    val audStrh = {
+      val b = new ByteArrayOutputStream(56)
+      b.write(fcc("auds")); b.write(le32(0L)) // handler 0 (raw PCM)
+      b.write(le32(0L)) // dwFlags
+      b.write(le16(0)); b.write(le16(0)) // wPriority, wLanguage
+      b.write(le32(0L)) // dwInitialFrames
+      b.write(le32(1L)) // dwScale
+      b.write(le32(8000L)) // dwRate (samples/sec)
+      b.write(le32(0L)) // dwStart
+      b.write(le32(4L * n)) // dwLength (samples)
+      b.write(le32(4L)) // dwSuggestedBufferSize
+      b.write(le32(0xFFFFFFFFL)) // dwQuality
+      b.write(le32(1L)) // dwSampleSize (1 byte/sample)
+      b.write(le16(0)); b.write(le16(0))
+      b.write(le16(0)); b.write(le16(0)) // rcFrame (unused for audio)
+      b.toByteArray
+    }
+    val audStrf = { // WAVEFORMAT: PCM, mono, 8 kHz, 8-bit
+      val b = new ByteArrayOutputStream(16)
+      b.write(le16(1)) // wFormatTag = WAVE_FORMAT_PCM
+      b.write(le16(1)) // nChannels
+      b.write(le32(8000L)) // nSamplesPerSec
+      b.write(le32(8000L)) // nAvgBytesPerSec
+      b.write(le16(1)) // nBlockAlign
+      b.write(le16(8)) // wBitsPerSample
+      b.toByteArray
+    }
+    val vidStrl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+    val audStrl = list("strl",
+      chunk("strh", audStrh) ++ chunk("strf", audStrf))
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      (if (audio) audStrl ++ vidStrl else vidStrl))
+    val vidCc = if (audio) "01dc" else "00dc"
+    val audChunk = chunk("00wb", Array[Byte](0, 0, 0, 0))
     val movi = list("movi",
-      frames.map(chunk("00dc", _)).reduce(_ ++ _))
+      frames.map { fr =>
+        if (audio) audChunk ++ chunk(vidCc, fr) else chunk(vidCc, fr)
+      }.reduce(_ ++ _))
     // a RIFF FILE is `RIFF size 'AVI ' ...` — the same layout as a
     // LIST chunk with the outer fourcc swapped
     val bytes = list("AVI ", hdrl ++ movi)

@@ -1457,24 +1457,28 @@ object StressCorpus {
         .transform(graft.sources.VideoGen.AttachPayload()
           .transform(mediaIds))
       val r = feats.agg(sum("width"), sum("height"), sum("n_frames"),
-        sum("fps"), sum("corner_px"), sum("corner_sum"),
+        sum(col("fps_num") + col("fps_den")), sum("duration_ms"),
+        sum("corner_px"), sum("corner_sum"),
         count(lit(1))).collect()(0)
-      var (ew, eh, ef, eps, ec, ecs) = (0L, 0L, 0L, 0L, 0L, 0L)
+      var (ew, eh, ef, eps, edur, ec, ecs) = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
       var i = 0L
       while (i < nMedia) {
         ew += graft.sources.VideoGen.widthOf(i)
         eh += graft.sources.VideoGen.heightOf(i)
         ef += graft.sources.VideoGen.framesOf(i)
-        eps += graft.sources.VideoGen.fpsOf(i)
+        eps += graft.sources.VideoGen.rateOf(i) +
+          graft.sources.VideoGen.scaleOf(i)
+        edur += graft.sources.VideoGen.durationMsOf(i)
         ec += graft.sources.VideoGen.cornerOf(i)
         ecs += graft.sources.VideoGen.cornerSumOf(i)
         i += 1L
       }
       require(r.getLong(0) == ew && r.getLong(1) == eh &&
         r.getLong(2) == ef && r.getLong(3) == eps &&
-        r.getLong(4) == ec && r.getLong(5) == ecs,
-        s"AVI decode drift: got $r, want ($ew,$eh,$ef,$eps,$ec,$ecs)")
-      r.getLong(6)
+        r.getLong(4) == edur &&
+        r.getLong(5) == ec && r.getLong(6) == ecs,
+        s"AVI decode drift: got $r, want ($ew,$eh,$ef,$eps,$edur,$ec,$ecs)")
+      r.getLong(7)
     }
     time(s"mm_resize n=$nMedia decode+NN+reencode") {
       val out = Multimodal.Resize(maxW = 40L, maxH = 30L)

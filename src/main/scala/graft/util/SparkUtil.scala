@@ -57,6 +57,24 @@ object SparkUtil {
     df.withColumn(anchor, col(anchor).as(anchor, b.build()))
   }
 
+  /** [[withFitParams]] for STRING-valued fit parameters (a tokenizer
+    * vocab's `continuationPrefix`, a boolean rendered canonically as
+    * `"true"`/`"false"`) — same column-metadata carrier, same parquet
+    * footer round trip.
+    */
+  def withFitParamsStr(df: DataFrame, anchor: String,
+                       params: Map[String, String]): DataFrame = {
+    val existing = df.schema.fields.find(_.name.equalsIgnoreCase(anchor))
+      .map(_.metadata)
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(existing)
+    params.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      b.putString(FitKeyPrefix + k, v)
+    }
+    df.withColumn(anchor, col(anchor).as(anchor, b.build()))
+  }
+
   /** Read one fit parameter back from `anchor`'s column metadata; None
     * when absent (a hand-built or pre-metadata index — callers fall
     * back to the documented prose contract).
@@ -78,6 +96,28 @@ object SparkUtil {
   def requireFitParam(df: DataFrame, anchor: String, key: String,
                       configured: Long, who: String): Unit =
     fitParam(df, anchor, key).foreach { recorded =>
+      require(recorded == configured,
+        s"$who: the index records fit $key=$recorded but the caller " +
+          s"configured $key=$configured — fit and probe/fold parameters " +
+          "must match; re-fit the index or fix the caller's parameter")
+    }
+
+  /** [[fitParam]] for string-valued fit parameters. */
+  def fitParamStr(df: DataFrame, anchor: String,
+                  key: String): Option[String] = {
+    df.schema.fields.find(_.name.equalsIgnoreCase(anchor))
+      .map(_.metadata)
+      .filter(_.contains(FitKeyPrefix + key))
+      .map(_.getString(FitKeyPrefix + key))
+  }
+
+  /** [[requireFitParam]] for string-valued fit parameters — same
+    * legacy-table semantics (absent metadata passes, the prose contract
+    * governs).
+    */
+  def requireFitParamStr(df: DataFrame, anchor: String, key: String,
+                         configured: String, who: String): Unit =
+    fitParamStr(df, anchor, key).foreach { recorded =>
       require(recorded == configured,
         s"$who: the index records fit $key=$recorded but the caller " +
           s"configured $key=$configured — fit and probe/fold parameters " +

@@ -106,6 +106,48 @@ class FitParamsSpec extends AnyFunSuite {
       fraction = 0.5, numFeatures = 2048).transform(batch).count() > 0L)
   }
 
+  test("Tokenize vocab: VocabBuild records lowercase/continuationPrefix " +
+    "(string fit params) + the derivation knobs; a mismatched BpeEncode " +
+    "raises instead of silently UNK-ing/mis-splitting; metadata-less " +
+    "vocabs keep the prose contract; parquet round trip preserved") {
+    val docs = Seq((1L, "Hello World"), (2L, "hello spark world"))
+      .toDF("doc_id", "text")
+    val vocab = Tokenize.VocabBuild().transform(docs)
+    assert(SparkUtil.fitParamStr(vocab, "piece", "lowercase") ==
+      Some("true"))
+    assert(SparkUtil.fitParamStr(vocab, "piece", "continuationPrefix") ==
+      Some("##"))
+    assert(SparkUtil.fitParam(vocab, "piece", "topWords") == Some(10L))
+    // the formerly-SILENT direction: encode lowercase=false over a
+    // lowercase-built vocab — "Hello" has no 'H' piece, so with an
+    // unkId set the doc would quietly UNK; the metadata now raises
+    // before any encode runs
+    val e1 = intercept[IllegalArgumentException](
+      Tokenize.BpeEncode(vocab, lowercase = false, unkId = Some(-1L))
+        .transform(docs))
+    assert(e1.getMessage.contains("lowercase=true") &&
+      e1.getMessage.contains("lowercase=false"))
+    val e2 = intercept[IllegalArgumentException](
+      Tokenize.BpeEncode(vocab, continuationPrefix = "@@").transform(docs))
+    assert(e2.getMessage.contains("continuationPrefix"))
+    // parquet round trip: the contract travels WITH the table
+    val dir = java.nio.file.Files.createTempDirectory("fitvocab").toString
+    vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+    val back = spark.read.parquet(s"$dir/vocab")
+    assert(SparkUtil.fitParamStr(back, "piece", "lowercase") ==
+      Some("true"))
+    val e3 = intercept[IllegalArgumentException](
+      Tokenize.BpeEncode(back, lowercase = false).transform(docs))
+    assert(e3.getMessage.contains("lowercase"))
+    // the matching encode runs
+    assert(Tokenize.BpeEncode(back).transform(docs).count() == 2L)
+    // metadata-less (hand-built) vocab: prose contract governs — the
+    // mismatched encode is (still) silently accepted
+    val legacy = stripMeta(vocab, "piece")
+    assert(Tokenize.BpeEncode(legacy, lowercase = false,
+      unkId = Some(-1L)).transform(docs).count() == 2L)
+  }
+
   test("SemDedup: the index records the fit's k (self-description + " +
     "the integrity check — empty clusters derive DEAD centers either " +
     "way, so assignment is unaffected); a recorded k below an " +

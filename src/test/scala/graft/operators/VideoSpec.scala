@@ -20,8 +20,13 @@ class VideoSpec extends AnyFunSuite {
     VideoGen.AttachPayload().transform(ids.toDF("doc_id"))
 
   test("decode matches the generator's closed forms: dims, frame " +
-    "count, fps, frame-0 corner and the corner sum over EVERY frame") {
-    val ids = Seq(0L, 1L, 5L, 17L, 100L, 9999L)
+    "count, exact rate/scale, frame-0 corner and the corner sum over " +
+    "EVERY frame — including NTSC-fractional-rate and audio-interleaved " +
+    "two-stream containers") {
+    // 4, 19: id % 5 == 4 → 30000/1001 (29.97 fps); 1, 19, 100:
+    // id % 3 == 1 → auds stream FIRST, video is stream 01 with 00wb
+    // audio chunks interleaved; 19 is both at once
+    val ids = Seq(0L, 1L, 4L, 5L, 17L, 19L, 100L, 9999L)
     val rows = Multimodal.VideoFeatures().transform(videoDF(ids: _*))
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     ids.foreach { id =>
@@ -30,13 +35,21 @@ class VideoSpec extends AnyFunSuite {
       assert(r.getAs[Long]("width") == VideoGen.widthOf(id), s"id=$id")
       assert(r.getAs[Long]("height") == VideoGen.heightOf(id), s"id=$id")
       assert(r.getAs[Long]("n_frames") == VideoGen.framesOf(id), s"id=$id")
-      assert(r.getAs[Long]("fps") == VideoGen.fpsOf(id), s"id=$id")
+      assert(r.getAs[Long]("fps_num") == VideoGen.rateOf(id), s"id=$id")
+      assert(r.getAs[Long]("fps_den") == VideoGen.scaleOf(id), s"id=$id")
       assert(r.getAs[Long]("corner_px") == VideoGen.cornerOf(id), s"id=$id")
       assert(r.getAs[Long]("corner_sum") == VideoGen.cornerSumOf(id),
         s"id=$id")
-      assert(r.getAs[Long]("duration_ms") ==
-        VideoGen.framesOf(id) * 1000L / VideoGen.fpsOf(id))
+      assert(r.getAs[Long]("duration_ms") == VideoGen.durationMsOf(id),
+        s"id=$id")
     }
+    // the fractional case really is fractional: id 4 has 6 frames at
+    // 30000/1001; truncated integer fps (29) would give
+    // 6 * 1000 / 29 = 206 ms, the exact form 6 * 1000 * 1001 / 30000
+    // = 200 ms
+    assert(VideoGen.rateOf(4L) == 30000L && VideoGen.scaleOf(4L) == 1001L)
+    assert(rows(4L).getAs[Long]("duration_ms") ==
+      VideoGen.framesOf(4L) * 1000L * 1001L / 30000L)
   }
 
   test("uniform frames are the exactness contract: every decoded pixel " +
@@ -88,7 +101,7 @@ class VideoSpec extends AnyFunSuite {
       assert(msg.contains(s"media $id") && msg.contains(needle),
         s"wanted `$needle` in: $msg")
     }
-    val good = VideoGen.payloadFor(7L)
+    val good = VideoGen.payloadFor(6L) // id % 3 != 1: single-stream, 00dc
     // not an AVI at all
     failsWith(1L, "plainly not a riff file".getBytes, "not an AVI")
     // truncated payload: the outer RIFF size catches it first
@@ -102,8 +115,9 @@ class VideoSpec extends AnyFunSuite {
     trunc(6) = ((newSize >> 16) & 0xFF).toByte
     trunc(7) = ((newSize >> 24) & 0xFF).toByte
     failsWith(22L, trunc, "overrunning")
-    // RIFF size field beyond the actual payload
-    val short = good.clone(); short(4) = (short(4) + 64).toByte
+    // RIFF size field beyond the actual payload (+65536 via the third
+    // size byte — bumping the LOW byte can wrap and shrink the size)
+    val short = good.clone(); short(6) = (short(6) + 1).toByte
     failsWith(3L, short, "payload holds")
     // header/frame dimension mismatch: corrupt avih's dwWidth (at
     // avih data offset +32)
@@ -124,6 +138,74 @@ class VideoSpec extends AnyFunSuite {
     (0 until p.length - 4).find(i =>
       p(i) == pat(0) && p(i + 1) == pat(1) &&
         p(i + 2) == pat(2) && p(i + 3) == pat(3)).get
+  }
+
+  /** Splice `ins` into `p` at `at` and bump the little-endian u32 size
+    * fields at each offset in `sizeFixups` by `ins.length` (test helper
+    * for crafting structurally-consistent adversarial containers). */
+  private def splice(p: Array[Byte], at: Int, ins: Array[Byte],
+                     sizeFixups: Seq[Int]): Array[Byte] = {
+    val out = p.take(at) ++ ins ++ p.drop(at)
+    sizeFixups.foreach { off =>
+      val bb = java.nio.ByteBuffer.wrap(out)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(off, bb.getInt(off) + ins.length)
+    }
+    out
+  }
+
+  private def featuresOf(id: Long, payload: Array[Byte]) =
+    Multimodal.VideoFeatures().transform(
+      Seq((id, payload)).toDF("doc_id", "payload")).collect()(0)
+
+  test("a `..dc` chunk OUTSIDE `LIST movi` is container junk, not a " +
+    "frame — the decode ignores it and matches the clean payload") {
+    val id = 6L // no audio: vids is stream 00
+    val good = VideoGen.payloadFor(id)
+    // a top-level 00dc chunk with garbage bytes, spliced between hdrl
+    // and movi; only the outer RIFF size needs fixing up
+    val junk = "00dc".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4)
+    val hdrlOff = indexOfChunk(good, "LIST")
+    val bb = java.nio.ByteBuffer.wrap(good)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val hdrlEnd = hdrlOff + 8 + bb.getInt(hdrlOff + 4)
+    val crafted = splice(good, hdrlEnd, junk, Seq(4))
+    val r = featuresOf(id, crafted)
+    assert(r.getAs[Long]("n_frames") == VideoGen.framesOf(id))
+    assert(r.getAs[Long]("corner_sum") == VideoGen.cornerSumOf(id))
+  }
+
+  test("a `NNdc` chunk of ANOTHER stream inside movi is skipped — only " +
+    "the vids stream's number decodes into the pixel probes") {
+    val id = 6L // vids is stream 00; inject a bogus 05dc inside movi
+    val good = VideoGen.payloadFor(id)
+    val moviOff = indexOfChunk(good, "movi") // LIST type fourcc offset
+    val junk = "05dc".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ Array[Byte](9, 9, 9, 9)
+    // bump the movi LIST's size (its header sits 8 bytes before the
+    // type fourcc) and the outer RIFF size
+    val crafted = splice(good, moviOff + 4, junk, Seq(moviOff - 4, 4))
+    val r = featuresOf(id, crafted)
+    assert(r.getAs[Long]("n_frames") == VideoGen.framesOf(id))
+    assert(r.getAs[Long]("corner_sum") == VideoGen.cornerSumOf(id))
+  }
+
+  test("a second vids stream header fails loud instead of silently " +
+    "overwriting rate/scale/length") {
+    val id = 7L // audio id: the auds strl precedes the vids strl
+    val good = VideoGen.payloadFor(id)
+    // turn the AUDIO stream's strh into a second plausible vids strh:
+    // fccType `auds` → `vids`, handler 0 → `MJPG`
+    val strhOff = indexOfChunk(good, "auds")
+    val crafted = good.clone()
+    "vids".getBytes("US-ASCII").copyToArray(crafted, strhOff)
+    "MJPG".getBytes("US-ASCII").copyToArray(crafted, strhOff + 4)
+    val e = intercept[Exception](featuresOf(id, crafted))
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains(s"media $id") && msg.contains("second vids"),
+      s"wanted `second vids` in: $msg")
   }
 
   test("generator guards: negative ids refused; payloads are real RIFF " +

@@ -28,7 +28,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    with open(f"{out_dir}/oracle_sql.json") as fh:
+    # a SPARK_GRAFT_VERIFY_ONLY run writes the suffixed partial artifact
+    # instead of clobbering the complete one; fall back to it for local
+    # iteration against a fresh outDir
+    import os
+    path = f"{out_dir}/oracle_sql.json"
+    if not os.path.exists(path):
+        path = f"{out_dir}/oracle_sql.partial.json"
+    with open(path) as fh:
         oracles = json.load(fh)
 
     failed = []
