@@ -149,6 +149,9 @@ object Bench {
     "bpe_vocab" -> Some("HashAggregate"), // bounded frequency aggs + ranks
     "bpe_learn" -> Some("HashAggregate"), // per-round pair-count aggs
     "seq_pack_learn" -> Some("MapPartitions"), // learn->encode->chunk->pack
+    "bpe_enc_uni" -> Some("MapPartitions"), // trie encode over non-BMP text
+    "pack_manifest" -> Some("HashAggregate"), // partial-agg pack rollup
+    "pipeline_pretrain_bpe" -> Some("MapPartitions"), // final ShardPack stage
     "chunk_bpe" -> Some("MapPartitions"), // encode feeds the chunker
     "seq_pack_bpe" -> Some("MapPartitions"), // encode->chunk->pack chain
     "mix_bpe" -> Some("MapPartitions"), // encode counts feed the budget

@@ -1525,6 +1525,91 @@ object OracleSql {
     * [[graft.operators.Corpus.ShardPack]] (which computes the identical
     * prefix sum with the two-phase distributed formulation).
     */
+  /** [[shardPack]]'s prefix-sum assignment rolled up per pack —
+    * `Corpus.PackManifest`: straddling packs exceed the budget and pad
+    * zero (`greatest(budget - total, 0)`). */
+  def packManifest(targetBytes: Long): String =
+    s"""WITH r AS (SELECT doc_id, n_chars,
+       |  SUM(n_chars) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents),
+       |s AS (SELECT doc_id, n_chars,
+       |  (cum - n_chars) // $targetBytes AS shard FROM r)
+       |SELECT CAST(shard AS BIGINT) AS pack_id,
+       |  CAST(count(*) AS BIGINT) AS n_seqs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+       |  CAST(greatest($targetBytes - sum(n_chars), 0) AS BIGINT)
+       |    AS pad_tokens,
+       |  CAST(min(doc_id) AS BIGINT) AS first_key,
+       |  CAST(max(doc_id) AS BIGINT) AS last_key
+       |FROM s GROUP BY shard ORDER BY pack_id""".stripMargin
+
+  /** `pipeline_pretrain_bpe` — the flagship composition with every
+    * stage in the engine's own subword units: the band gate and
+    * temperature-mixture algebra of [[pipelinePretrain]], but token
+    * weights, chunk windows and the pack all ride the [[bpeCtes]]
+    * encode (vocab derivation + greedy-MaxMatch replay) instead of the
+    * regex tokenizer. The vocab derives from the FULL corpus (the
+    * encode CTEs' `w` reads all documents); only the GATED stream is
+    * mixed, chunked and packed.
+    */
+  def pipelinePretrainBpe(lo: Double, hi: Double, totalBudget: Long,
+                          salt: String, chunkTokens: Int,
+                          overlapTokens: Int, budgetTokens: Long): String = {
+    val stride = chunkTokens - overlapTokens
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |r0 AS (SELECT doc_id, lang, n_chars,
+       |  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS cnt FROM documents),
+       |th AS (SELECT lang,
+       |  max(CASE WHEN rn = CAST(ceil($lo * cnt) AS BIGINT)
+       |    THEN n_chars END) AS blo,
+       |  max(CASE WHEN rn = CAST(ceil($hi * cnt) AS BIGINT)
+       |    THEN n_chars END) AS bhi
+       |  FROM r0 GROUP BY lang),
+       |g AS (SELECT d.doc_id, d.source FROM documents d
+       |  JOIN th USING (lang)
+       |  WHERE d.n_chars >= th.blo AND d.n_chars <= th.bhi),
+       |t AS (SELECT g.doc_id, g.source,
+       |  CAST(coalesce(len(dt.ids), 0) AS BIGINT) AS n_tokens,
+       |  coalesce(dt.pcs, CAST([] AS VARCHAR[])) AS pcs
+       |  FROM g LEFT JOIN dt USING (doc_id)),
+       |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS T
+       |  FROM t GROUP BY source),
+       |wt AS (SELECT source,
+       |  CAST(round(sqrt(CAST(T AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |    AS wl FROM tot),
+       |nw AS (SELECT CAST(sum(wl) AS BIGINT) AS W FROM wt),
+       |b AS (SELECT source,
+       |  CAST(floor(CAST($totalBudget AS DOUBLE) *
+       |    (CAST(wl AS DOUBLE) / CAST(W AS DOUBLE))) AS BIGINT)
+       |    AS mix_budget FROM wt CROSS JOIN nw),
+       |sb AS (SELECT t.*,
+       |  substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    AS sample_bucket FROM t),
+       |cm AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+       |    ORDER BY sample_bucket, doc_id ROWS UNBOUNDED PRECEDING)
+       |    AS cum_tokens FROM sb),
+       |kept AS (SELECT cm.doc_id, cm.pcs FROM cm JOIN b USING (source)
+       |  WHERE cm.cum_tokens <= b.mix_budget),
+       |s2 AS (SELECT doc_id, CAST(len(pcs) AS BIGINT) AS n FROM kept),
+       |c AS (SELECT doc_id, n,
+       |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))
+       |    AS cs FROM s2),
+       |c2 AS (SELECT doc_id, cs // $stride AS chunk_idx,
+       |  least($chunkTokens, n - cs) AS sz,
+       |  doc_id * 100000 + cs // $stride AS ck FROM c),
+       |r AS (SELECT *, SUM(sz) OVER (ORDER BY ck
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM c2)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(sz AS BIGINT) AS n_chunk_tokens,
+       |  CAST(cum AS BIGINT) AS cum_tokens,
+       |  CAST((cum - sz) // $budgetTokens AS BIGINT) AS pack_id
+       |FROM r ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   def shardPack(targetBytes: Long): String =
     s"""WITH r AS (SELECT doc_id, n_chars,
        |  SUM(n_chars) OVER (ORDER BY doc_id
@@ -2100,27 +2185,28 @@ object OracleSql {
     * Callers prefix `WITH RECURSIVE`.
     */
   private def bpeCtes: String =
-    s"""$bpeWordCtes,
-      |$bpeVocabCtes,
+    s"""${bpeWordCtes()},
+      |${bpeVocabCtes()},
       |$bpeEncodeCtes""".stripMargin
 
   /** Corpus → per-doc word stream + word-frequency table (the shared
-    * head of both vocab constructions). */
-  private def bpeWordCtes: String =
-    """words AS (
+    * head of both vocab constructions); `from` is the doc source
+    * relation (a CTE for synthetic-text variants). */
+  private def bpeWordCtes(from: String = "documents"): String =
+    s"""words AS (
       |  SELECT doc_id, unnest(generate_series(1, len(l))) AS pos,
       |         unnest(l) AS word
-      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
-      |        FROM documents)),
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
+      |        FROM $from)),
       |w AS (SELECT doc_id, pos, word FROM words WHERE word <> ''),
       |freq AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)""".stripMargin
 
   /** The `VocabBuild` frequency-heuristic derivation, ending in
     * `vocab(piece, id)`. */
-  private def bpeVocabCtes: String =
-    """tw AS (SELECT word AS piece FROM freq
+  private def bpeVocabCtes(topWords: Int = 10): String =
+    s"""tw AS (SELECT word AS piece FROM freq
       |  WHERE word NOT LIKE '##%'
-      |  ORDER BY cnt DESC, word ASC LIMIT 10),
+      |  ORDER BY cnt DESC, word ASC LIMIT $topWords),
       |chars AS (SELECT DISTINCT substr(word, i, 1) AS c
       |  FROM (SELECT word, unnest(generate_series(1, len(word))) AS i
       |        FROM (SELECT DISTINCT word FROM w))),
@@ -2248,12 +2334,46 @@ object OracleSql {
       |  flatten(list(e.pcs ORDER BY w.pos)) AS pcs
       |  FROM w JOIN enc e USING (word) GROUP BY w.doc_id)""".stripMargin
 
+  /** The non-ASCII synthetic corpus of `bpe_enc_uni` (shared with
+    * `SparkEntry.withUniText`): CJK, surrogate-pair emoji / musical
+    * symbols, a combining mark, and one case-folding ASCII word — the
+    * JVM walks these as UTF-16 units while DuckDB counts codepoints,
+    * which is exactly the seam the query pins.
+    */
+  private def uniTextCase(col: String): String =
+    s"""CASE $col WHEN 0 THEN '日本語' WHEN 1 THEN 'データ処理'
+       |  WHEN 2 THEN '🚀🚀go' WHEN 3 THEN 'école'
+       |  WHEN 4 THEN '𝄞clef' ELSE 'Bits' END""".stripMargin
+
+  /** `bpe_enc_uni`: the encode replay over NON-BMP text — vocab built
+    * at topWords=2 so most words genuinely SPLIT into char pieces
+    * (surrogate-pair chars in BOTH forms, combining marks as their own
+    * codepoints) and suffix continuation pieces crossing CJK. Agreement
+    * with the UTF-16-walking engine is the well-formed-pieces
+    * prefix-chain argument of `Tokenize.BpeEncode`, here made an
+    * oracle-gated fact.
+    */
+  def bpeEncUni: String =
+    s"""WITH RECURSIVE
+      |ut AS (SELECT doc_id,
+      |  ${uniTextCase("doc_id % 6")} || ' ' ||
+      |  ${uniTextCase("(doc_id + 1) % 6")} || ' ' ||
+      |  ${uniTextCase("doc_id % 3")} AS text FROM documents),
+      |${bpeWordCtes("ut")},
+      |${bpeVocabCtes(2)},
+      |$bpeEncodeCtes
+      |SELECT u.doc_id,
+      |  CAST(coalesce(len(dt.ids), 0) AS BIGINT) AS n_bpe_tokens,
+      |  coalesce(array_to_string(dt.ids, ' '), '') AS ids_str
+      |FROM ut u LEFT JOIN dt USING (doc_id)
+      |ORDER BY u.doc_id""".stripMargin
+
   /** `bpe_learn`: the real BPE merge learning replayed round by round
     * ([[bpeLearnCtes]]) — base symbols at rank 0, merged pieces at
     * their 1-based merge round, ids = piece rank. */
   def bpeLearn(nMerges: Int): String =
     s"""WITH RECURSIVE
-       |$bpeWordCtes,
+       |${bpeWordCtes()},
        |${bpeLearnCtes(nMerges)}
        |SELECT v.piece, v.id,
        |  CAST(l.merge_rank AS BIGINT) AS merge_rank
@@ -2268,7 +2388,7 @@ object OracleSql {
                         overlapTokens: Int, budgetTokens: Long): String = {
     val stride = chunkTokens - overlapTokens
     s"""WITH RECURSIVE
-       |$bpeWordCtes,
+       |${bpeWordCtes()},
        |${bpeLearnCtes(nMerges)},
        |$bpeEncodeCtes,
        |t AS (SELECT d.doc_id,

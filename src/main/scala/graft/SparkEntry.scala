@@ -318,6 +318,29 @@ object SparkEntry {
           when(m === 0L || m === 3L, lit("#frag")).otherwise(lit("")))))
   }
 
+  /** Non-ASCII synthetic text for `bpe_enc_uni` (mirrored by
+    * `OracleSql.uniTextCase`): CJK, surrogate-pair emoji and musical
+    * symbols (2 UTF-16 units per codepoint on the JVM), a COMBINING
+    * acute (e + U+0301, two codepoints), and one case-folding ASCII
+    * word. The JVM trie walks UTF-16 units while the DuckDB oracle
+    * counts codepoints — agreement is the well-formed-pieces
+    * prefix-chain argument in [[operators.Tokenize.BpeEncode]], pinned
+    * here as an oracle-gated fact.
+    */
+  private def withUniText(d: DataFrame): DataFrame = {
+    def word(m: Column): Column =
+      when(m === 0L, lit("日本語"))
+        .when(m === 1L, lit("データ処理"))
+        .when(m === 2L, lit("🚀🚀go"))
+        .when(m === 3L, lit("école"))
+        .when(m === 4L, lit("𝄞clef"))
+        .otherwise(lit("Bits"))
+    d.withColumn("text", concat_ws(" ",
+      word(pmod(col("doc_id"), lit(6L))),
+      word(pmod(col("doc_id") + 1L, lit(6L))),
+      word(pmod(col("doc_id"), lit(3L)))))
+  }
+
   /** The corpus-derived subword vocab the bpe-family queries provide as
     * "the caller": `Tokenize.VocabBuild` at its defaults — top-10 whole
     * words, every single character in both forms (the coverage
@@ -880,6 +903,43 @@ object SparkEntry {
           col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    // the flagship pretraining-prep composition in the engine's OWN
+    // token units (r14): band gate → BpeEncode against the corpus
+    // vocab → temperature mixture budgeted in n_bpe_tokens → BPE-piece
+    // chunking → exact prefix-sum pack, with the localCheckpoint cut
+    // before ShardPack's two passes (the pipeline_pretrain discipline).
+    // The oracle replays the vocab, the encode, the gate, the mixture
+    // and the pack inside one query
+    "pipeline_pretrain_bpe" -> ((s, dir) => {
+      import graft.pipeline.{Pipeline, Stage}
+      val d = docs(s, dir)
+      // the vocab is learned ONCE on the full corpus (an input
+      // artifact, the fixture convention); the encode runs on the
+      // GATED stream only — gate-then-encode is the scale-right order
+      val vocab = Tokenize.VocabBuild().transform(d)
+      val p = new Pipeline(Seq(
+        Stage(Corpus.QuantileBandFilter(Seq("lang"), "n_chars")),
+        Stage.of("encode")(g => g.join(
+          Tokenize.BpeEncode(vocab, emitPieces = true).transform(g),
+          Seq("doc_id"))),
+        // phase-boundary cut: MixTemperature's budget derivation and
+        // its admission join are separate subtrees of one plan — each
+        // would re-run the gate + trie encode without the cut
+        Stage.of("cut_enc")(_.localCheckpoint()),
+        Stage(Corpus.MixTemperature(totalBudget = 8000L,
+          tokenCountColumn = "n_bpe_tokens")),
+        Stage(ChunkSplit(chunkTokens = 24, overlapTokens = 6,
+          tokenArrayColumn = "bpe_pieces")),
+        Stage.of("chunk_key")(_.withColumn("chunk_key",
+          col("doc_id") * 100000L + col("chunk_idx"))),
+        Stage.of("cut")(_.localCheckpoint()),
+        Stage(Corpus.ShardPack(orderColumn = "chunk_key",
+          sizeColumn = "n_chunk_tokens", targetBytes = 256L))))
+      p.transform(d)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "tfidf_topk" -> ((s, dir) =>
       TfIdf(k = 3).transform(docs(s, dir))
         .orderBy("doc_id", "rank")),
@@ -940,6 +1000,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
           col("cum_bytes"), col("shard"))
         .orderBy("doc_id")),
+    // the per-pack manifest a trainer reads (r14): one partial-agg
+    // rollup over the pack output — n_seqs, token total, pad to
+    // budget, first/last key; straddling packs exceed budget and pad 0
+    "pack_manifest" -> ((s, dir) =>
+      Corpus.PackManifest(budgetBytes = 20000L).transform(
+        Corpus.ShardPack(targetBytes = 20000L).transform(docs(s, dir)))
+        .orderBy("pack_id")),
     // the two newest extension surfaces composed end to end and
     // oracle-gated: the session-registered `long_array_dot` Catalyst
     // expression (SQL surface, codegen'd primitive loop) running INSIDE a
@@ -1179,6 +1246,19 @@ object SparkEntry {
           col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    // the encode over NON-BMP text (r14): surrogate-pair emoji/musical
+    // symbols, CJK, combining marks — topWords=2 so words genuinely
+    // split into char pieces (surrogate chars in BOTH forms) and
+    // suffix continuation pieces; the oracle counts codepoints, the
+    // engine walks UTF-16 units, and the hash match pins the seam
+    "bpe_enc_uni" -> ((s, dir) => {
+      val u = withUniText(docs(s, dir))
+      Tokenize.BpeEncode(Tokenize.VocabBuild(topWords = 2).transform(u))
+        .transform(u)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          array_join(col("bpe_ids").cast("array<string>"), " ").as("ids_str"))
+        .orderBy("doc_id")
+    }),
     // REAL BPE merge learning (r14): iterative pair-merge selection —
     // the oracle replays every merge ROUND (pair counts, deterministic
     // argmax, greedy left-to-right apply) as recursive-CTE list
@@ -1326,6 +1406,9 @@ object SparkEntry {
     "sequence_pack" -> OracleSql.sequencePack(32, 8, 256L),
     "pipeline_pretrain" -> OracleSql.pipelinePretrain(0.1, 0.9, 8000L,
       "graft", 32, 8, 256L),
+    "pipeline_pretrain_bpe" -> OracleSql.pipelinePretrainBpe(0.1, 0.9,
+      8000L, "graft", 24, 6, 256L),
+    "pack_manifest" -> OracleSql.packManifest(20000L),
     "tfidf_topk" -> OracleSql.tfIdfTopK(3),
     "decontaminate" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
     "decontaminate_bloom" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
@@ -1356,6 +1439,7 @@ object SparkEntry {
     "bpe_vocab" -> OracleSql.bpeVocab,
     "bpe_learn" -> OracleSql.bpeLearn(20),
     "seq_pack_learn" -> OracleSql.seqPackBpeLearned(20, 24, 6, 256L),
+    "bpe_enc_uni" -> OracleSql.bpeEncUni,
     "chunk_bpe" -> OracleSql.chunkBpe(24, 6),
     "seq_pack_bpe" -> OracleSql.seqPackBpeNative(24, 6, 256L),
     "mix_bpe" -> OracleSql.mixBudgetBpe(

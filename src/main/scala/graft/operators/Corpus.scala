@@ -849,6 +849,45 @@ object Corpus {
     }
   }
 
+  /** Per-pack rollup of [[ShardPack]] output — the artifact a trainer
+    * actually consumes: one row per pack with its sequence count, token
+    * total, padding to the pack budget, and the first/last order key
+    * (so a reader can locate a pack's key range without scanning it).
+    *
+    * `pad_tokens = max(budget - n_tokens, 0)`: a row STRADDLING the
+    * budget boundary belongs to the pack where its cumulative offset
+    * starts ([[ShardPack]]'s `floor(before/target)` rule), so a pack
+    * can legitimately exceed the budget and then pads zero.
+    *
+    * 100 TB shape: ONE aggregation — the map side reduces every
+    * partition to at most its distinct-pack count before the exchange
+    * (partial agg), so the shuffle carries per-partition pack partials,
+    * never rows. No window, no sort, no second pass over the pack
+    * output.
+    */
+  final case class PackManifest(packColumn: String = "shard",
+                                sizeColumn: String = "n_chars",
+                                orderColumn: String = "doc_id",
+                                budgetBytes: Long = 100000L)
+      extends Wrangler {
+    require(budgetBytes >= 1, "`budgetBytes` must be >= 1")
+    override def preservesSampleSize: Boolean = false
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df,
+        Seq(packColumn, sizeColumn, orderColumn))
+      df.groupBy(col(packColumn).cast("long").as("pack_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col(sizeColumn).cast("long")).as("n_tokens"),
+          min(col(orderColumn).cast("long")).as("first_key"),
+          max(col(orderColumn).cast("long")).as("last_key"))
+        .withColumn("pad_tokens",
+          greatest(lit(budgetBytes) - col("n_tokens"), lit(0L)))
+        .select("pack_id", "n_seqs", "n_tokens", "pad_tokens",
+          "first_key", "last_key")
+    }
+  }
+
   /** Corpus-bigram conditional log-probability quality score — the
     * next rung of the language-model filter ladder above
     * [[UnigramLogProb]] (a CCNet-style perplexity proxy): per

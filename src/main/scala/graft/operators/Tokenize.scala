@@ -432,6 +432,39 @@ object Tokenize {
         require(p != null && p.nonEmpty,
           "BpeEncode: vocab contains a null/empty piece")
         require(id != null, s"BpeEncode: vocab piece `$p` has a null id")
+        // Unicode contract: pieces must be WELL-FORMED UTF-16 (no
+        // unpaired surrogate). The trie walks UTF-16 units, the
+        // engine's own vocab constructions and the SQL oracle count
+        // codepoints — the two longest-match orders agree because
+        // pieces matching at one cursor form a PREFIX CHAIN (each is a
+        // prefix of the text there, hence of each other), and along
+        // well-formed prefix extensions both unit count and codepoint
+        // count grow strictly together; only a piece ending in a lone
+        // high surrogate could add units without completing a
+        // codepoint, and that is exactly what this guard excludes. It
+        // also makes every match boundary codepoint-aligned, so no
+        // emitted piece can split a surrogate pair of well-formed text.
+        // In practice Spark's UTF8String conversion already sanitizes
+        // lone surrogates at the column boundary (TokenizeUnicodeSpec
+        // pins that), so this is a backstop invariant, not a hot path.
+        var ci = 0
+        while (ci < p.length) {
+          val c = p.charAt(ci)
+          if (Character.isHighSurrogate(c)) {
+            require(ci + 1 < p.length &&
+              Character.isLowSurrogate(p.charAt(ci + 1)),
+              s"BpeEncode: vocab piece `$p` (id $id) contains an " +
+                "unpaired high surrogate — pieces must be well-formed " +
+                "UTF-16 or greedy matching could split a codepoint")
+            ci += 2
+          } else {
+            require(!Character.isLowSurrogate(c),
+              s"BpeEncode: vocab piece `$p` (id $id) contains an " +
+                "unpaired low surrogate — pieces must be well-formed " +
+                "UTF-16 or greedy matching could split a codepoint")
+            ci += 1
+          }
+        }
       }
       require(rows.map(_._1).distinct.length == rows.length,
         "BpeEncode: vocab pieces must be distinct — duplicate pieces " +

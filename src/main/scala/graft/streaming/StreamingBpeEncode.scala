@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Tokenize
+
+/** Streaming subword encode against a STATIC (persisted,
+  * self-describing) vocab — the tokenize leg of the streaming ingest
+  * family ([[StreamingDsir]] / [[StreamingIncrementalDedup]]
+  * convention: the fit artifact is batch-built, the stream consumes
+  * it). Documents arriving on a stream encode to the SAME token ids
+  * the batch encoder produces, bit-identically, because the operator
+  * IS [[Tokenize.BpeEncode]]: a stateless typed map pass, legal on a
+  * streaming Dataset as-is.
+  *
+  * Cost shape per micro-batch: the vocab is collected and validated
+  * ONCE at plan-build time (here, not per batch — including the
+  * self-describing fit-param check, so a lowercase/prefix drift
+  * against the persisted vocab raises before the stream starts) and
+  * broadcast; what repeats per batch is only the per-partition TRIE
+  * COMPILE from the broadcast arrays. That is O(vocab chars) of local
+  * hashmap inserts — microseconds at the 10^4-piece scale, low
+  * milliseconds at 10^5 (measured by the `streaming bpe encode` stress
+  * row against a 113k-piece vocab) — beside which a micro-batch's own
+  * fixed cost (offset commit, task scheduling) dominates by orders of
+  * magnitude. Caching compiled tries across batches would buy nothing
+  * measurable and would pin executor memory for the cache's lifetime,
+  * so the tries stay batch-local by design.
+  *
+  * Reference streaming surface: none (pywrangler is batch-only).
+  */
+final class StreamingBpeEncode(vocab: DataFrame,
+                               textColumn: String = "text",
+                               idColumn: String = "doc_id",
+                               continuationPrefix: String = "##",
+                               unkId: Option[Long] = None,
+                               lowercase: Boolean = true,
+                               emitPieces: Boolean = false) {
+
+  /** `df` must be a streaming DataFrame; output appends one row per
+    * input row (`doc_id`, `n_bpe_tokens`, `bpe_ids`[, `bpe_pieces`]) —
+    * stateless, so every sink mode works and no watermark is needed.
+    */
+  def transform(df: DataFrame): DataFrame = {
+    require(df.isStreaming,
+      "StreamingBpeEncode.transform needs a streaming DataFrame; use " +
+        "Tokenize.BpeEncode for batch corpora")
+    Tokenize.BpeEncode(vocab, textColumn = textColumn,
+      idColumn = idColumn, continuationPrefix = continuationPrefix,
+      unkId = unkId, lowercase = lowercase, emitPieces = emitPieces)
+      .transform(df)
+  }
+}

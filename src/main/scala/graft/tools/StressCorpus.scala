@@ -50,6 +50,22 @@ object StressCorpus {
       r.getLong(0)
     }
 
+    // ----- the per-pack manifest rollup over the same 50M-row pack:
+    // one partial agg; conservation invariants are exact (every row in
+    // exactly one pack, token totals preserved, pack ids dense)
+    time(s"pack_manifest n=$nRows target=1MiB") {
+      val m = Corpus.PackManifest(budgetBytes = 1L << 20)
+        .transform(Corpus.ShardPack(targetBytes = 1L << 20)
+          .transform(sized))
+      val r = m.agg(sum("n_seqs"), sum("n_tokens"), count(lit(1)),
+        max("pack_id")).collect()(0)
+      val total = sized.agg(sum("n_chars")).collect()(0).getLong(0)
+      require(r.getLong(0) == nRows, s"sequence conservation: $r")
+      require(r.getLong(1) == total, s"token conservation: $r")
+      require(r.getLong(2) == r.getLong(3) + 1L, s"pack ids not dense: $r")
+      r.getLong(2)
+    }
+
     // ----- exact grouped quantiles: 50M values over 32 groups
     val grouped = spark.range(nRows)
       .select(pmod(col("id"), lit(32L)).as("g"),
@@ -196,6 +212,101 @@ object StressCorpus {
       require(v.map(_._2).sorted.toSeq == (1L to v.length.toLong),
         "ids must be the dense piece ranks")
       v.length.toLong
+    }
+
+    // ----- REAL BPE merge learning at the same scale, nMerges=2 with a
+    // CLOSED-FORM merge sequence: "the" rides EVERY document, so
+    // (t,##h) and (##h,##e) tie at nDocs — far above every digit-pair
+    // accumulation (the largest, (c,##leading-digit), tops out near
+    // 0.22*nDocs) — and the deterministic (count desc, pair asc) argmax
+    // picks (##h,##e) ('#' < 't'), then (t,##he). Base symbols are
+    // exactly first-form {a..g,t} + continuation {##0..##9,##h,##e}
+    // (h and digits never lead a word) = 20 pieces; + 2 merges = 22.
+    // Assumes nDocs large enough that every digit appears (>= ~1000).
+    time(s"bpe_learn docs=$nDocs merges=2 (closed-form merge sequence)") {
+      import spark.implicits._
+      val v = graft.operators.Tokenize.BpeLearn(nMerges = 2)
+        .transform(docs).as[(String, Long, Long)].collect()
+      require(v.exists(p => p._1 == "##he" && p._3 == 1L),
+        s"merge 1 drift: ${v.filter(_._3 > 0L).toSeq}")
+      require(v.exists(p => p._1 == "the" && p._3 == 2L),
+        s"merge 2 drift: ${v.filter(_._3 > 0L).toSeq}")
+      require(v.length == 22 && v.count(_._3 == 0L) == 20,
+        s"piece-class drift: ${v.length} pieces")
+      require(v.map(_._2).sorted.toSeq == (1L to v.length.toLong),
+        "ids must be the dense piece ranks")
+      v.length.toLong
+    }
+
+    // ----- the rounds x jobs shape at a REAL merge depth: 16 rounds
+    // over the same distinct-word table (the documented driver-barrier
+    // cost — each round is one pair-count agg + one localCheckpoint).
+    // Structural invariants only: the deep merge sequence depends on
+    // digit-pair accumulations with no hand closed form.
+    time(s"bpe_learn docs=$nDocs merges=16 (rounds x jobs shape)") {
+      import spark.implicits._
+      val out = graft.operators.Tokenize.BpeLearn(nMerges = 16)
+        .transform(docs)
+      val v = out.as[(String, Long, Long)].collect()
+      require(graft.util.SparkUtil.fitParam(out, "piece", "mergesDone")
+        .contains(16L), "the pair supply cannot dry up at this scale")
+      require(v.count(_._3 == 0L) == 20 && v.count(_._3 > 0L) <= 16,
+        s"piece-class drift: ${v.length}")
+      require(v.map(_._1).distinct.length == v.length, "dup pieces")
+      require(v.map(_._2).sorted.toSeq == (1L to v.length.toLong),
+        "ids must be the dense piece ranks")
+      v.length.toLong
+    }
+
+    // ----- streaming encode: the SAME trie encode on a MemoryStream in
+    // 6 micro-batches against a ~72k-piece vocab ("w0".."w35999" whole
+    // words in both forms + char coverage). Every word is a whole-word
+    // piece, so the token count is closed-form (8 per doc); the row's
+    // time bounds the per-batch trie-compile overhead the scaladoc of
+    // StreamingBpeEncode cites (6 compiles of ~72k pieces ride inside
+    // it — if compiles dominated, this row would blow past the batch
+    // encode rows).
+    time(s"streaming bpe_encode batches=6 vocab=~72k") {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val nStream = math.min(nDocs, 300000L)
+      val words = spark.range(36000L)
+        .select(concat(lit("w"), col("id")).as("piece"))
+      val chars = (('w' +: ('0' to '9')).map(_.toString))
+      val vocab = words.select(col("piece"))
+        .unionByName(words.select(concat(lit("##"), col("piece"))
+          .as("piece")))
+        .unionByName(chars.flatMap(c => Seq(c, "##" + c))
+          .toDF("piece"))
+        .withColumn("id", monotonically_increasing_id())
+        .localCheckpoint()
+      def textOf(i: Long): String =
+        (0 until 8).map(j => "w" + ((i * 8 + j) % 36000L)).mkString(" ")
+      val input = MemoryStream[graft.streaming.StreamEvent]
+      val out = new graft.streaming.StreamingBpeEncode(vocab,
+          idColumn = "order", textColumn = "marker")
+        .transform(input.toDF())
+      val q = out.writeStream.format("memory")
+        .queryName("stress_sbpe").outputMode("append").start()
+      try {
+        val perBatch = nStream / 6L
+        (0L until 6L).foreach { b =>
+          input.addData((b * perBatch until (b + 1) * perBatch).map(i =>
+            graft.streaming.StreamEvent("g", new java.sql.Timestamp(1000L), i,
+              textOf(i))))
+          q.processAllAvailable()
+        }
+        val r = spark.table("stress_sbpe")
+          .agg(sum("n_bpe_tokens"), count(lit(1))).collect()(0)
+        require(r.getLong(1) == perBatch * 6L, s"row drift: $r")
+        require(r.getLong(0) == perBatch * 6L * 8L,
+          s"token-count drift: $r (whole-word pieces = 8 tokens/doc)")
+        r.getLong(1)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("stress_sbpe")
+      }
     }
 
     // ----- dedup-family envelope: an ADVERSARIAL corpus — hot

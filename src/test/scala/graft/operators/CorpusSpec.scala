@@ -328,6 +328,50 @@ class CorpusSpec extends AnyFunSuite {
     assert(run(13) == base)
   }
 
+  // ---------------------------------------------------- PackManifest
+
+  test("pack_manifest: per-pack rollup — sequence counts, token " +
+    "totals, pad to budget (straddling packs exceed and pad 0), " +
+    "first/last key ranges") {
+    val d = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 3L))
+      .toDF("doc_id", "n_chars")
+    // cum starts: 0,10,20,30,50 → shards 0,0,0,1,2: pack 0 holds 30
+    // tokens (> budget 25, pad 0); pack 1 holds 20 (pad 5); pack 2
+    // holds 3 (pad 22)
+    val m = Corpus.PackManifest(budgetBytes = 25L).transform(
+      Corpus.ShardPack(targetBytes = 25L).transform(d))
+      .orderBy("pack_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(m.toSeq == Seq(
+      (0L, 3L, 30L, 0L, 1L, 3L),
+      (1L, 1L, 20L, 5L, 4L, 4L),
+      (2L, 1L, 3L, 22L, 5L, 5L)))
+  }
+
+  test("pack_manifest: plans as ONE partial+final aggregate — the map " +
+    "side reduces to per-partition pack partials before the single " +
+    "agg exchange (no window, no second pass, no exchange beyond the " +
+    "pack's own plus the partial-agg merge)") {
+    val d = (1L to 50L).map(k => (k, k % 7 + 1)).toDF("doc_id", "n_chars")
+    val plan = Corpus.PackManifest(budgetBytes = 20L).transform(
+      Corpus.ShardPack(targetBytes = 20L).transform(d))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      plan)
+    assert(!plan.contains("Window"), plan)
+    // exactly two exchanges: ShardPack's bucket repartition and the
+    // partial-agg merge
+    assert(plan.split("Exchange").length - 1 == 2, plan)
+  }
+
+  test("pack_manifest: validates columns and the budget") {
+    assertThrows[IllegalArgumentException](
+      Corpus.PackManifest(budgetBytes = 0L))
+    val d = Seq((1L, 2L)).toDF("doc_id", "n_chars")
+    assertThrows[IllegalArgumentException](
+      Corpus.PackManifest().transform(d)) // no `shard` column
+  }
+
   test("shard_pack: sparse keys with a far outlier still sum exactly") {
     // one huge key stretches the bucket width so most rows share bucket 0
     val keys = (0L until 200L).map(_ * 3 + 7) :+ 1000000000L
