@@ -127,6 +127,7 @@ object Bench {
     "ann_lsh_multi" -> Some("Window"),
     "ann_ivf" -> Some("Window"),
     "ann_ivf_incr" -> Some("Window"), // probe join + the rank window
+    "ann_ivf_pq" -> Some("MapPartitions"), // the per-partition ADC scan
     "text_boilerplate" -> Some("Join"),
     "text_dupspans" -> Some("Window"), // the per-doc span-merge windows
     "text_stripspans" -> Some("Window"), // same span machinery + rebuild
@@ -148,6 +149,7 @@ object Bench {
     "bpe_encode" -> Some("MapPartitions"), // broadcast-vocab trie encode
     "bpe_vocab" -> Some("HashAggregate"), // bounded frequency aggs + ranks
     "bpe_learn" -> Some("HashAggregate"), // per-round pair-count aggs
+    "bpe_byte" -> Some("MapPartitions"), // byte-mapped trie encode
     "seq_pack_learn" -> Some("MapPartitions"), // learn->encode->chunk->pack
     "bpe_enc_uni" -> Some("MapPartitions"), // trie encode over non-BMP text
     "pack_manifest" -> Some("HashAggregate"), // partial-agg pack rollup

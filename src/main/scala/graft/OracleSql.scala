@@ -1834,6 +1834,86 @@ object OracleSql {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-PQ top-k with exact refine (graft.operators.SimilarityPq
+    * .IvfPqTopK): the coarse quantizer is annIvf's hash-sampled centroid
+    * pick; the per-subspace codebooks are SLICES of the `ksub` vectors
+    * under the same pick; code assignment is argmin integer L2 (ties →
+    * smallest entry); ADC scores are exact integer sub-dot sums; the
+    * approximate top `k*refine` shortlist re-ranks EXACTLY on the full
+    * vectors. Every step up to the two single divide/sqrt ops is 64-bit
+    * integer exact, so the replay is bit-identical.
+    */
+  def annIvfPq(dim: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int,
+               k: Int, refine: Int, maxQueryId: Long): String = {
+    require(dim % m == 0, s"annIvfPq: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def cosE(a: String, b: String, na: String, nb: String) =
+      s"CAST(${dotE(a, b)} AS DOUBLE) / " +
+        s"sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
+    s"""$QuantizedVecs,
+       |hh AS (SELECT id,
+       |  CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)
+       |    AS h FROM n),
+       |sel AS (SELECT id, h FROM hh ORDER BY h, id LIMIT $nlist),
+       |cents AS (SELECT row_number() OVER (ORDER BY s.h, s.id) AS cid,
+       |  n.q AS cq, n.nrm AS cnrm FROM sel s JOIN n ON n.id = s.id),
+       |asgn0 AS (SELECT n.id, n.q, n.nrm, c.cid,
+       |  row_number() OVER (PARTITION BY n.id ORDER BY
+       |    ${cosE("n.q", "c.cq", "n.nrm", "c.cnrm")} DESC, c.cid ASC)
+       |    AS rn
+       |  FROM n CROSS JOIN cents c),
+       |asgn AS (SELECT id, nrm, cid FROM asgn0 WHERE rn = 1),
+       |probes AS (SELECT id AS query_id, q AS qq, qnrm, cid
+       |  FROM (SELECT id, q, nrm AS qnrm, cid, rn FROM asgn0)
+       |  WHERE id < $maxQueryId AND rn <= $nprobe),
+       |cbsel AS (SELECT id, h FROM hh ORDER BY h, id LIMIT $ksub),
+       |cb AS (SELECT row_number() OVER (ORDER BY s.h, s.id) AS j,
+       |  n.q AS cq FROM cbsel s JOIN n ON n.id = s.id),
+       |subs AS (SELECT unnest(range(0, $m)) AS s),
+       |codes0 AS (SELECT n.id, ss.s, c.j,
+       |  list_reduce(list_transform(range(1, ${dsub + 1}),
+       |    i -> (n.q[ss.s * $dsub + i] - c.cq[ss.s * $dsub + i]) *
+       |         (n.q[ss.s * $dsub + i] - c.cq[ss.s * $dsub + i])),
+       |    (x, y) -> x + y) AS d2
+       |  FROM n CROSS JOIN subs ss CROSS JOIN cb c),
+       |codes AS (SELECT id, s, j FROM (
+       |  SELECT id, s, j, row_number() OVER (PARTITION BY id, s
+       |    ORDER BY d2 ASC, j ASC) AS rn FROM codes0) WHERE rn = 1),
+       |cand AS (SELECT a.id, p.query_id, p.qq, p.qnrm, a.nrm
+       |  FROM asgn a JOIN probes p ON a.cid = p.cid
+       |  WHERE a.id <> p.query_id),
+       |parts AS (SELECT cd.id, c2.query_id,
+       |  list_reduce(list_transform(range(1, ${dsub + 1}),
+       |    i -> cb.cq[cd.s * $dsub + i] * c2.qq[cd.s * $dsub + i]),
+       |    (x, y) -> x + y) AS dp
+       |  FROM cand c2 JOIN codes cd ON cd.id = c2.id
+       |  JOIN cb ON cb.j = cd.j),
+       |approx AS (SELECT id, query_id, sum(dp) AS adot FROM parts
+       |  GROUP BY id, query_id),
+       |acos AS (SELECT ap.id, ap.query_id,
+       |  CAST(ap.adot AS DOUBLE) /
+       |    sqrt(CAST(c.nrm AS DOUBLE) * CAST(c.qnrm AS DOUBLE)) AS ac
+       |  FROM approx ap JOIN cand c
+       |  ON c.id = ap.id AND c.query_id = ap.query_id),
+       |short AS (SELECT id, query_id FROM (SELECT id, query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ac DESC, id ASC) AS rn FROM acos)
+       |  WHERE rn <= ${k * refine}),
+       |sc AS (SELECT s2.id, s2.query_id,
+       |  round(${cosE("x.q", "qv.q", "x.nrm", "qv.nrm")}, 6) AS cosine
+       |  FROM short s2 JOIN n x ON x.id = s2.id
+       |  JOIN n qv ON qv.id = s2.query_id),
+       |r AS (SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, id ASC) AS rank,
+       |  id AS neighbor_id, cosine FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** SemDeDup (graft.operators.SemDedup): full spherical-k-means replay —
     * init = the `k` vectors with the smallest (md5-hash, id), then
     * `iterations` rounds of {max-cosine-to-center assignment (ties →
@@ -2189,17 +2269,39 @@ object OracleSql {
       |${bpeVocabCtes()},
       |$bpeEncodeCtes""".stripMargin
 
+  /** The byte → visible-char alphabet of `Tokenize.byteChar` as a SQL
+    * VARCHAR list literal (entry b+1 = mapped char of byte b). */
+  private lazy val byteMapLit: String =
+    graft.operators.Tokenize.byteAlphabet
+      .map(c => "'" + c.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+
+  /** One word through the byte alphabet: UTF-8 bytes via hex pairs →
+    * table lookup → concatenation (mirrors `Tokenize.byteMapCol`). */
+  private def byteMapSql(w: String): String =
+    s"list_reduce(list_transform(" +
+      s"generate_series(1, octet_length(encode($w))), " +
+      s"i -> ($byteMapLit)[CAST('0x' || " +
+      s"substr(hex(encode($w)), 2 * i - 1, 2) AS INT) + 1]), " +
+      "(a, b) -> a || b)"
+
   /** Corpus → per-doc word stream + word-frequency table (the shared
     * head of both vocab constructions); `from` is the doc source
-    * relation (a CTE for synthetic-text variants). */
-  private def bpeWordCtes(from: String = "documents"): String =
+    * relation (a CTE for synthetic-text variants); `byteMap` replays
+    * the byte-level word mapping so everything downstream (learn,
+    * encode) runs unchanged over byte symbols. */
+  private def bpeWordCtes(from: String = "documents",
+                          byteMap: Boolean = false): String = {
+    val wordExpr = if (byteMap) s"${byteMapSql("word")} AS word"
+      else "word"
     s"""words AS (
       |  SELECT doc_id, unnest(generate_series(1, len(l))) AS pos,
       |         unnest(l) AS word
       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
       |        FROM $from)),
-      |w AS (SELECT doc_id, pos, word FROM words WHERE word <> ''),
+      |w AS (SELECT doc_id, pos, $wordExpr FROM words WHERE word <> ''),
       |freq AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)""".stripMargin
+  }
 
   /** The `VocabBuild` frequency-heuristic derivation, ending in
     * `vocab(piece, id)`. */
@@ -2240,7 +2342,14 @@ object OracleSql {
     * same `vocab` contract [[bpeEncodeCtes]] consumes, so the learned
     * vocab drives the SAME oracle encode replay.
     */
-  private def bpeLearnCtes(nMerges: Int): String =
+  private def bpeLearnCtes(nMerges: Int,
+                           withByteAlphabet: Boolean = false): String = {
+    // byte-level totality: the full byte alphabet enters the base
+    // symbol set at rank 0 in both forms (BpeLearn's baseAlphabet)
+    val alphaUnion = if (!withByteAlphabet) ""
+      else s"""
+        |  UNION SELECT unnest($byteMapLit) AS piece
+        |  UNION SELECT '##' || unnest($byteMapLit) AS piece""".stripMargin
     s"""init AS (SELECT list({w: word, cnt: cnt, syms:
       |    list_transform(generate_series(1, len(word)),
       |      i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
@@ -2283,11 +2392,11 @@ object OracleSql {
       |  ) WHERE bp IS NOT NULL
       |),
       |lfinal AS (SELECT ws, merges FROM lrn ORDER BY r DESC LIMIT 1),
-      |basep AS (SELECT DISTINCT
+      |basep AS (SELECT DISTINCT piece FROM (SELECT
       |    unnest(list_transform(generate_series(1, len(word)),
       |      i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
       |           ELSE '##' || substr(word, i, 1) END)) AS piece
-      |  FROM freq),
+      |  FROM freq$alphaUnion)),
       |mrg AS (SELECT u.piece AS piece, u.rank AS rank FROM (
       |    SELECT unnest(list_transform(merges,
       |      (m, i) -> {piece: m, rank: i})) AS u FROM lfinal)),
@@ -2298,6 +2407,7 @@ object OracleSql {
       |vocab AS (SELECT piece,
       |  CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS id
       |  FROM vlearn)""".stripMargin
+  }
 
   /** The greedy-MaxMatch encode replay (step table + recursive pointer
     * walk), parameterized by whichever `vocab(piece, id)` CTE precedes
@@ -2379,6 +2489,25 @@ object OracleSql {
        |  CAST(l.merge_rank AS BIGINT) AS merge_rank
        |FROM vocab v JOIN vlearn l USING (piece)
        |ORDER BY v.id""".stripMargin
+
+  /** `bpe_byte`: BYTE-LEVEL BPE end-to-end — every word's UTF-8 bytes
+    * through the visible byte alphabet ([[byteMapSql]], mirroring
+    * `Tokenize.byteMapCol` bit-for-bit), merge learning over byte
+    * symbols with the full 256-symbol alphabet at rank 0
+    * ([[bpeLearnCtes]] `withByteAlphabet`), then the same greedy
+    * MaxMatch encode replay. The learn, the mapping AND the encode are
+    * all independently re-derived in SQL — no fixtures.
+    */
+  def bpeByte(nMerges: Int): String =
+    s"""WITH RECURSIVE
+       |${bpeWordCtes("documents", byteMap = true)},
+       |${bpeLearnCtes(nMerges, withByteAlphabet = true)},
+       |$bpeEncodeCtes
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(dt.ids), 0) AS BIGINT) AS n_bpe_tokens,
+       |  coalesce(array_to_string(dt.ids, ' '), '') AS ids_str
+       |FROM documents d LEFT JOIN dt USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** `seq_pack_learn` — the full chain with the LEARNED vocab: BPE
     * merge learning ([[bpeLearnCtes]]) → the same greedy-MaxMatch

@@ -1063,6 +1063,14 @@ object SparkEntry {
         .transform(e.filter(col("vec_id") < 8))
         .orderBy("query_id", "rank")
     }),
+    // IVF-PQ with exact refine: the billion-vector-scale index shape —
+    // members carry m=8 codes + norm instead of the 64-dim vector; the
+    // oracle replays codebook pick, code assignment, ADC scan, shortlist
+    // and exact re-rank end-to-end
+    "ann_ivf_pq" -> ((s, dir) =>
+      SimilarityPq.IvfPqTopK(df => df.filter(col("vec_id") < 8))
+        .transform(embs(s, dir))
+        .orderBy("query_id", "rank")),
     "text_boilerplate" -> ((s, dir) =>
       // maxDocFreq 10 on the 500-doc synthetic corpus: the template
       // n-grams of the generator actually trip the hot threshold
@@ -1267,6 +1275,22 @@ object SparkEntry {
       Tokenize.BpeLearn(nMerges = 20).transform(docs(s, dir))
         .select("piece", "id", "merge_rank")
         .orderBy("id")),
+    // BYTE-LEVEL BPE (GPT-2-style byte alphabet): words become UTF-8
+    // byte-symbol strings, merges are learned over byte symbols, and
+    // the full 256-symbol alphabet at rank 0 makes the encode TOTAL
+    // (no UNK on any input). The oracle re-derives the byte mapping,
+    // the merge rounds AND the encode in SQL.
+    "bpe_byte" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Tokenize.BpeEncode(
+          Tokenize.BpeLearn(nMerges = 12, byteLevel = true,
+            baseAlphabet = Tokenize.byteAlphabet).transform(d),
+          byteLevel = true)
+        .transform(d)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          array_join(col("bpe_ids").cast("array<string>"), " ").as("ids_str"))
+        .orderBy("doc_id")
+    }),
     // the full chain on the LEARNED vocab: merge learning → greedy
     // MaxMatch encode → chunk → exact prefix-sum pack — the oracle
     // replays the learning AND the encode inside one query
@@ -1428,6 +1452,7 @@ object SparkEntry {
     "ann_lsh_multi" -> OracleSql.annLshMulti(64, 6, 4, 5, 8),
     "ann_ivf" -> OracleSql.annIvf(64, 16, 4, 5, 8),
     "ann_ivf_incr" -> OracleSql.annIvfIncr(64, 16, 4, 5, 8),
+    "ann_ivf_pq" -> OracleSql.annIvfPq(64, 16, 4, 8, 16, 5, 4, 8),
     "text_boilerplate" -> OracleSql.textBoilerplate(10L),
     "mm_resize" -> OracleSql.mmResize(40L, 30L),
     "mm_features" -> OracleSql.mmFeatures,
@@ -1438,6 +1463,7 @@ object SparkEntry {
     "bpe_encode" -> OracleSql.bpeEncode,
     "bpe_vocab" -> OracleSql.bpeVocab,
     "bpe_learn" -> OracleSql.bpeLearn(20),
+    "bpe_byte" -> OracleSql.bpeByte(12),
     "seq_pack_learn" -> OracleSql.seqPackBpeLearned(20, 24, 6, 256L),
     "bpe_enc_uni" -> OracleSql.bpeEncUni,
     "chunk_bpe" -> OracleSql.chunkBpe(24, 6),

@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Wrangler
+import graft.functions.Portable._
+import graft.util.SparkUtil
+
+/** Product-quantized IVF ANN — the IVFADC architecture (Jégou, Douze,
+  * Schmid 2011, "Product Quantization for Nearest Neighbor Search" —
+  * public knowledge; FAISS's `IndexIVFPQ` is the reference
+  * implementation shape): the corpus member index stores, per vector,
+  * only its coarse cluster, `m` sub-quantizer codes and the exact
+  * squared norm — the full embedding is DROPPED. At 100 TB this is the
+  * difference between an index of `m` small ints per vector (e.g. 8)
+  * and one of `dim` longs (e.g. 64): ~30x less index to scan, shuffle
+  * and cache, which is why IVF-PQ (not IVF-flat) is what actually runs
+  * at billion-vector scale.
+  *
+  * Search is ADC (asymmetric distance computation): each query builds
+  * ONE `m x ksub` lookup table of sub-space dot products against the
+  * codebooks, then every candidate scores in `m` table lookups instead
+  * of a `dim`-wide dot. The approximate top `k * refine` shortlist is
+  * then re-ranked EXACTLY against the full vectors (FAISS's
+  * `IndexRefineFlat` composition), so the output cosines are exact and
+  * the PQ approximation only affects which candidates reach the
+  * shortlist (recall), never the reported scores.
+  *
+  * Determinism (the cross-engine oracle contract): both quantizers are
+  * trainless — the coarse centroids are [[Similarity.pickCentroids]]'s
+  * `(md5(id), id)`-smallest corpus vectors, and the per-subspace
+  * codebooks are SLICES of the `ksub` vectors under the same pick — so
+  * codebook entry `j` of subspace `s` is `picked(j).q[s*dsub ..
+  * (s+1)*dsub)`. Code assignment is argmin integer L2 (ties to the
+  * smallest entry id), ADC sums are exact integer dots, and the only
+  * floating step is the final single divide/sqrt — bit-deterministic in
+  * any engine (the [[graft.functions.Portable]] argument).
+  */
+object SimilarityPq {
+
+  /** Per-subspace PQ codebooks derived from `quant` (columns `id`, `q`,
+    * `nrm`): the `ksub` corpus vectors with the smallest `(md5(id), id)`
+    * — [[Similarity.pickCentroids]], the same trainless pick as the
+    * coarse quantizer — sliced into `m` equal sub-vectors. Returns
+    * `[sub](entry)(component)`; entries are 0-based here, stored codes
+    * are 1-based (the centroid-id convention, and what the SQL oracle
+    * numbers). Empty corpus => empty array. Fails loud when the vector
+    * width does not split into `m` equal subspaces.
+    */
+  private[operators] def codebooks(quant: DataFrame, m: Int, ksub: Int)
+      : Array[Array[Array[Long]]] = {
+    val picked = Similarity.pickCentroids(quant, ksub)
+    if (picked.isEmpty) return Array.empty
+    val dim = picked.head._2.length
+    require(dim % m == 0,
+      s"SimilarityPq: embedding dim=$dim does not split into m=$m equal " +
+        "subspaces — configure m to a divisor of the vector width")
+    val dsub = dim / m
+    picked.foreach { case (j, q, _) =>
+      require(q.length == dim,
+        s"SimilarityPq: codebook source vector $j has ${q.length} dims, " +
+          s"expected $dim — mixed vector widths in the corpus")
+    }
+    Array.tabulate(m) { s =>
+      picked.map { case (_, q, _) => q.slice(s * dsub, (s + 1) * dsub) }
+    }
+  }
+
+  /** PQ-encode one quantized vector: per subspace, the 1-based index of
+    * the codebook entry with the smallest integer L2 distance (ties to
+    * the smallest entry).
+    */
+  private[operators] def encodeCodes(cb: Array[Array[Array[Long]]],
+                                     q: Array[Long]): Array[Int] = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    require(q.length == m * dsub,
+      s"SimilarityPq: vector has ${q.length} dims, the codebooks were " +
+        s"derived at ${m * dsub} — mixed vector widths in the corpus")
+    Array.tabulate(m) { s =>
+      val entries = cb(s)
+      var bestJ = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < entries.length) {
+        val e = entries(j)
+        var d = 0L
+        var i = 0
+        while (i < dsub) {
+          val t = q(s * dsub + i) - e(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; bestJ = j }
+        j += 1
+      }
+      bestJ + 1
+    }
+  }
+
+  /** The per-query ADC lookup table, flat `[s * ksubActual + (j-1)]` =
+    * exact integer dot of codebook entry `j` of subspace `s` with the
+    * query's sub-vector `s`.
+    */
+  private[operators] def adcTable(cb: Array[Array[Array[Long]]],
+                                  qq: Array[Long]): Array[Long] = {
+    val m = cb.length
+    val kk = cb(0).length
+    val dsub = cb(0)(0).length
+    val t = new Array[Long](m * kk)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < kk) {
+        val e = cb(s)(j)
+        var d = 0L
+        var i = 0
+        while (i < dsub) { d += e(i) * qq(s * dsub + i); i += 1 }
+        t(s * kk + j) = d
+        j += 1
+      }
+      s += 1
+    }
+    t
+  }
+
+  /** IVF-PQ top-k with exact refine: coarse-quantize the corpus into
+    * `nlist` inverted lists, PQ-encode every member to `m` codes +
+    * exact norm (dropping the full vector from the index — the
+    * compression the operator exists for), ADC-score each query's
+    * `nprobe` probed lists, shortlist the approximate top `k * refine`,
+    * and re-rank that shortlist EXACTLY against the full vectors.
+    * Output schema matches the ANN family
+    * (`query_id, rank, neighbor_id, cosine` — cosines exact).
+    *
+    * Scale shape: the centroids and codebooks are tiny and driver-held
+    * (any IVF-PQ index works this way); corpus encode is an
+    * embarrassingly parallel typed map; the probe join is an equi-join
+    * on cluster id scanning the CODES index, never full vectors; the
+    * ADC table is built once per (partition, query) and candidates
+    * score in `m` lookups; and only `queries x k x refine` rows — a
+    * broadcastable shortlist — ever touch the full-vector table again,
+    * through a broadcast semi-join re-rank. `refine` is the recall
+    * knob: at 100 TB you raise it (or `nprobe`) instead of ever scoring
+    * full vectors in the scan.
+    */
+  final case class IvfPqTopK(queries: DataFrame => DataFrame,
+                             idColumn: String = "vec_id",
+                             vecColumn: String = "embedding",
+                             nlist: Int = 16,
+                             nprobe: Int = 4,
+                             m: Int = 8,
+                             ksub: Int = 16,
+                             k: Int = 5,
+                             refine: Int = 4,
+                             cacheCorpus: Boolean = false,
+                             maxQueriesPerPartition: Long = 1000000L)
+      extends Wrangler {
+    require(nlist >= 1, "nlist must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(m >= 1, "m must be >= 1")
+    require(ksub >= 1, "ksub must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    require(refine >= 1, "refine must be >= 1")
+    override def preservesSampleSize: Boolean = false
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val quantLazy = quantizedRows(df.select(col(idColumn).as("id"),
+        col(vecColumn)), "id", vecColumn, Array.empty, 0)
+        .select("id", "q", "nrm")
+      val quant = if (cacheCorpus) quantLazy.localCheckpoint() else quantLazy
+
+      val cents = Similarity.pickCentroids(quant, nlist)
+      if (cents.isEmpty)
+        // empty corpus: no lists to probe — empty result, same schema
+        return spark.emptyDataset[(Long, Long, Long, Double)]
+          .toDF("query_id", "rank", "neighbor_id", "cosine")
+      val cb = codebooks(quant, m, ksub)
+      val bcCb = spark.sparkContext.broadcast(cb)
+
+      // PQ member index: cluster + m codes + exact norm; the full
+      // vector is DROPPED here — it is only ever seen again by the
+      // shortlist re-rank below
+      val index = quant.as[(Long, Array[Long], Long)]
+        .map { case (id, q, nrm) =>
+          (id, Similarity.rankedClusterIds(cents, q, nrm).head.toLong,
+            encodeCodes(bcCb.value, q), nrm)
+        }
+        .toDF("id", "cluster", "codes", "nrm")
+
+      val qs = quantizedRows(queries(df).select(col(idColumn).as("id"),
+        col(vecColumn)), "id", vecColumn, Array.empty, 0)
+        .select("id", "q", "nrm")
+      val probes = qs.as[(Long, Array[Long], Long)]
+        .flatMap { case (id, q, nrm) =>
+          Similarity.rankedClusterIds(cents, q, nrm).take(nprobe)
+            .map(c => (id, q, nrm, c.toLong))
+        }
+        .toDF("query_id", "qq", "qnrm", "cluster")
+
+      // ADC scan: the probe join carries the query vector to the
+      // candidate rows; each partition lazily builds ONE lookup table
+      // per distinct query (m*ksub integer dots), then every candidate
+      // scores in m table lookups. Same bounded-queries contract (and
+      // fail-loud guard) as [[Similarity.ranked]]'s heap prune.
+      val joined = index.join(probes, Seq("cluster"))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id"), col("codes"), col("nrm"),
+          col("qq"), col("qnrm"))
+        .as[(Long, Long, Array[Int], Long, Array[Long], Long)]
+      val maxQ = maxQueriesPerPartition
+      val approx = joined.mapPartitions { it =>
+        val cbv = bcCb.value
+        val kk = cbv(0).length
+        val tables = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+        it.map { case (qid, id, codes, nrm, qq, qnrm) =>
+          if (!tables.contains(qid) && tables.size >= maxQ)
+            throw new IllegalStateException(
+              s"SimilarityPq: partition saw more than $maxQ distinct " +
+                "query ids — the ADC scan holds one lookup table per " +
+                "query; raise maxQueriesPerPartition explicitly if a " +
+                "query set this large is intended")
+          val t = tables.getOrElseUpdate(qid, adcTable(cbv, qq))
+          var adot = 0L
+          var s = 0
+          while (s < codes.length) {
+            adot += t(s * kk + (codes(s) - 1)); s += 1
+          }
+          // same zero-norm NaN convention as Portable.qCosine
+          val c = if (nrm > 0 && qnrm > 0)
+            adot.toDouble / math.sqrt(nrm.toDouble * qnrm.toDouble)
+          else Double.NaN
+          (qid, id, c)
+        }
+      }.toDF("query_id", "id", "cosine")
+
+      // approximate shortlist, then EXACT re-rank: only these
+      // queries*k*refine ids ever touch the full-vector table again
+      val short = Similarity.ranked(approx, k * refine)
+        .select(col("query_id"), col("neighbor_id"))
+      val qside = qs.select(col("id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("qnrm"))
+      val exact = quant
+        .join(broadcast(short), col("id") === col("neighbor_id"))
+        .join(broadcast(qside), Seq("query_id"))
+        .withColumn("cosine", round(qCosine(
+          qDot(col("q"), col("qq")), col("nrm"), col("qnrm")), 6))
+      exact
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("id").asc)))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id").as("neighbor_id"), col("cosine"))
+    }
+  }
+}

@@ -46,6 +46,59 @@ import graft.util.SparkUtil
   */
 object Tokenize {
 
+  /** Byte → visible-char alphabet for BYTE-LEVEL BPE (the convention
+    * popularized by GPT-2's published byte-level encoder — public
+    * knowledge; implemented here from the rule, not the code):
+    * printable bytes keep their own codepoint (33–126, 161–172,
+    * 174–255), every other byte maps to 256+k in byte order. Every
+    * byte is thus a DISTINCT single-codepoint BMP char (all < U+0144 —
+    * one UTF-16 unit, never a surrogate), so arbitrary byte streams
+    * become plain strings the existing learn/encode machinery handles
+    * unchanged, and a vocab seeded with all 256 single-byte symbols
+    * can never dead-end: byte-level encode is TOTAL (no UNK, ever).
+    */
+  private[operators] val byteChar: Array[Char] = {
+    val printable =
+      ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Char](256)
+    var next = 256
+    (0 until 256).foreach { b =>
+      if (printable(b)) arr(b) = b.toChar
+      else { arr(b) = next.toChar; next += 1 }
+    }
+    arr
+  }
+
+  /** The 256 mapped byte symbols — pass as [[BpeLearn]]'s
+    * `baseAlphabet` (with `byteLevel = true`) for total, UNK-free
+    * byte-level encoding of ANY input text.
+    */
+  def byteAlphabet: Seq[String] = byteChar.map(_.toString).toSeq
+
+  /** One word's UTF-8 bytes through [[byteChar]] (the per-word hot-path
+    * form the trie encode uses). */
+  private[operators] def byteMapLocal(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(byteChar(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** The same mapping as codegen'd built-ins (hex of the UTF-8 bytes →
+    * per-pair table lookup) — what [[BpeLearn]]'s one corpus pass uses,
+    * and exactly the formulation the DuckDB oracle replays. */
+  private[operators] def byteMapCol(w: Column): Column = {
+    val mapLit = array(byteChar.map(c => lit(c.toString)).toSeq: _*)
+    val hexs = hex(encode(w, "UTF-8"))
+    array_join(
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(1), (length(hexs) / lit(2)).cast("int")),
+        i => element_at(mapLit,
+          conv(hexs.substr(i * 2 - 1, lit(2)), 16, 10).cast("int") + 1)),
+      "")
+  }
+
   /** Char-keyed longest-match trie. Built PER PARTITION from the
     * broadcast piece arrays (nodes never serialize); `longest` walks
     * once from `pos`, remembering the deepest terminal. Instances are
@@ -181,7 +234,11 @@ object Tokenize {
       SparkUtil.withFitParams(
         SparkUtil.withFitParamsStr(vocab, "piece", Map(
           "lowercase" -> lowercase.toString,
-          "continuationPrefix" -> continuationPrefix)),
+          "continuationPrefix" -> continuationPrefix,
+          // VocabBuild always learns in char space; recording the
+          // byte-level bit keeps a byte-level ENCODE of this vocab
+          // fail-loud (the same drift class as lowercase)
+          "byteLevel" -> "false")),
         "piece", Map(
           "topWords" -> topWords.toLong,
           "suffixLen" -> suffixLen.toLong,
@@ -234,12 +291,24 @@ object Tokenize {
     * driver-barrier shape is `nMerges × 2` bounded jobs — linear in
     * rounds, NOT corpus size — and is capped fail-loud by `maxMerges`
     * because a runaway round count is a wiring bug, not a workload.
+    *
+    * BYTE-LEVEL mode (`byteLevel = true`): each word's UTF-8 bytes are
+    * mapped through the visible byte alphabet ([[byteChar]]) before
+    * symbolization, so merges are learned over byte symbols — and with
+    * `baseAlphabet = byteAlphabet` every single-byte symbol enters the
+    * vocab at rank 0 in both forms, making the learned vocab TOTAL:
+    * [[BpeEncode]] (`byteLevel = true`) can then encode ANY text with
+    * no UNK, the property char-level vocabs cannot give on unseen
+    * characters. The mapping is codegen'd built-ins (hex of the UTF-8
+    * bytes → table lookup), replayed verbatim by the SQL oracle.
     */
   final case class BpeLearn(textColumn: String = "text",
                             nMerges: Int = 50,
                             continuationPrefix: String = "##",
                             lowercase: Boolean = true,
-                            maxMerges: Int = 4096)
+                            maxMerges: Int = 4096,
+                            byteLevel: Boolean = false,
+                            baseAlphabet: Seq[String] = Nil)
       extends Wrangler {
     require(nMerges >= 0, "nMerges must be >= 0")
     require(continuationPrefix.nonEmpty,
@@ -249,19 +318,34 @@ object Tokenize {
         "merge round is a driver-coordinated pass over the distinct-word " +
         "table (rounds x 2 jobs); raise maxMerges explicitly if a vocab " +
         "this deep is intended")
+    baseAlphabet.foreach { c =>
+      require(c != null && c.nonEmpty,
+        "BpeLearn: baseAlphabet contains a null/empty symbol")
+      require(!c.startsWith(continuationPrefix),
+        s"BpeLearn: baseAlphabet symbol `$c` starts with the " +
+          "continuation prefix — it would be lexically reclassified")
+    }
     override def preservesSampleSize: Boolean = false
 
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(textColumn))
       import org.apache.spark.sql.expressions.Window
+      val spark0 = df.sparkSession
+      import spark0.implicits._
       val prefix = continuationPrefix
       val textExpr = if (lowercase) lower(col(textColumn).cast("string"))
         else col(textColumn).cast("string")
       // ONE corpus pass — everything after runs on the bounded
-      // distinct-word frequency table
+      // distinct-word frequency table. Byte-level mode maps each word's
+      // UTF-8 bytes to the visible byte alphabet HERE (codegen'd
+      // built-ins, replayed verbatim by the oracle), so the merge
+      // machinery below is untouched — it just learns over byte symbols
+      val wordCol =
+        if (byteLevel) byteMapCol(col("word0")) else col("word0")
       val freq = df
-        .select(explode(split(textExpr, "\\s+")).as("word"))
-        .filter(col("word") =!= "")
+        .select(explode(split(textExpr, "\\s+")).as("word0"))
+        .filter(col("word0") =!= "")
+        .select(wordCol.as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
       // initial symbolization: char 0 first-form, the rest continuation
@@ -275,9 +359,15 @@ object Tokenize {
         })
       var cur = freq.select(col("word"), col("cnt"),
         initSyms.as("syms")).localCheckpoint()
-      // base symbols derive from the INITIAL symbolization (rank 0)
-      val base = cur.select(explode(col("syms")).as("piece")).distinct()
-        .withColumn("merge_rank", lit(0L))
+      // base symbols derive from the INITIAL symbolization (rank 0),
+      // plus the caller's baseAlphabet in BOTH forms — with the full
+      // byte alphabet under byteLevel, the learned vocab can encode ANY
+      // input (the no-UNK totality guarantee)
+      val base0 = cur.select(explode(col("syms")).as("piece"))
+      val baseAll = if (baseAlphabet.isEmpty) base0
+        else base0.unionByName(
+          baseAlphabet.flatMap(c => Seq(c, prefix + c)).toDF("piece"))
+      val base = baseAll.distinct().withColumn("merge_rank", lit(0L))
 
       def stripPrefix(b: Column): Column =
         when(b.startsWith(prefix),
@@ -327,8 +417,6 @@ object Tokenize {
         round += 1
       }
 
-      val spark = df.sparkSession
-      import spark.implicits._
       val mergedDf = merges.toSeq.zipWithIndex
         .map { case (p, i) => (p, i.toLong + 1L) }
         .toDF("piece", "merge_rank")
@@ -340,7 +428,8 @@ object Tokenize {
       SparkUtil.withFitParams(
         SparkUtil.withFitParamsStr(vocab, "piece", Map(
           "lowercase" -> lowercase.toString,
-          "continuationPrefix" -> continuationPrefix)),
+          "continuationPrefix" -> continuationPrefix,
+          "byteLevel" -> byteLevel.toString)),
         "piece", Map("nMerges" -> nMerges.toLong,
           "mergesDone" -> merges.length.toLong))
     }
@@ -385,7 +474,8 @@ object Tokenize {
                              unkPiece: String = "<unk>",
                              lowercase: Boolean = true,
                              emitPieces: Boolean = false,
-                             maxVocab: Int = 1 << 22)
+                             maxVocab: Int = 1 << 22,
+                             byteLevel: Boolean = false)
       extends Wrangler {
     require(continuationPrefix.nonEmpty, "continuationPrefix must be non-empty")
     require(maxVocab >= 1, "maxVocab must be positive")
@@ -396,7 +486,8 @@ object Tokenize {
       "pieceColumn" -> pieceColumn, "vocabIdColumn" -> vocabIdColumn,
       "continuationPrefix" -> continuationPrefix, "unkId" -> unkId,
       "unkPiece" -> unkPiece, "lowercase" -> lowercase,
-      "emitPieces" -> emitPieces, "maxVocab" -> maxVocab)
+      "emitPieces" -> emitPieces, "maxVocab" -> maxVocab,
+      "byteLevel" -> byteLevel)
     override def preservesSampleSize: Boolean = true
 
     def transform(df: DataFrame): DataFrame = {
@@ -411,6 +502,8 @@ object Tokenize {
         lowercase.toString, "BpeEncode")
       SparkUtil.requireFitParamStr(vocab, pieceColumn,
         "continuationPrefix", continuationPrefix, "BpeEncode")
+      SparkUtil.requireFitParamStr(vocab, pieceColumn, "byteLevel",
+        byteLevel.toString, "BpeEncode")
       val spark = df.sparkSession
       import spark.implicits._
       // driver-bounded collect: limit(max+1) keeps a corpus-scale frame
@@ -500,6 +593,7 @@ object Tokenize {
       val bcCont = spark.sparkContext.broadcast(contArr)
       val (txt, idc, lc, unk) = (textColumn, idColumn, lowercase, unkId)
       val (pfx, unkP, pieces) = (continuationPrefix, unkPiece, emitPieces)
+      val bl = byteLevel
       val textExpr =
         if (lc) lower(col(txt).cast("string")) else col(txt).cast("string")
       val typed = df.select(col(idc).cast("long"), textExpr.as("__t"))
@@ -517,8 +611,13 @@ object Tokenize {
         val words = ws.split(text)
         var wi = 0
         while (wi < words.length) {
-          val w = words(wi)
-          if (w.nonEmpty) {
+          val wRaw = words(wi)
+          if (wRaw.nonEmpty) {
+            // byte-level: walk the word's UTF-8 bytes through the
+            // visible byte alphabet — the trie/vocab live in mapped
+            // space (what a byteLevel BpeLearn emits), and emitted
+            // pieces are mapped-space strings
+            val w = if (bl) byteMapLocal(wRaw) else wRaw
             val mark = out.length
             var pos = 0
             var dead = false
@@ -542,10 +641,12 @@ object Tokenize {
                   out += u
                   if (pcs != null) pcs += unkP
                 case None => throw new IllegalArgumentException(
-                  s"BpeEncode: doc $docId word `$w` is not encodable " +
-                    s"at offset $pos and no unkId is configured — " +
-                    "add the missing pieces (single characters in " +
-                    "both forms guarantee coverage) or set unkId")
+                  s"BpeEncode: doc $docId word `$wRaw` is not encodable " +
+                    s"at offset $pos${if (bl) " (byte-mapped)" else ""} " +
+                    "and no unkId is configured — add the missing " +
+                    "pieces (single characters in both forms — or the " +
+                    "full byteAlphabet under byteLevel — guarantee " +
+                    "coverage) or set unkId")
               }
             }
           }
