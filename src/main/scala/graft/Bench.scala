@@ -128,6 +128,8 @@ object Bench {
     "ann_ivf" -> Some("Window"),
     "ann_ivf_incr" -> Some("Window"), // probe join + the rank window
     "ann_ivf_pq" -> Some("MapPartitions"), // the per-partition ADC scan
+    "ann_srp" -> Some("long_array_dot"), // projected-space codegen'd scan
+    "mix_epochs" -> Some("Generate"), // the per-copy sequence explode
     "text_boilerplate" -> Some("Join"),
     "text_dupspans" -> Some("Window"), // the per-doc span-merge windows
     "text_stripspans" -> Some("Window"), // same span machinery + rebuild

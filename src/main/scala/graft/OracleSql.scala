@@ -1914,6 +1914,82 @@ object OracleSql {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** SRP top-k with exact refine (graft.operators.Projection.SrpTopK):
+    * deterministic ±1 projection (the sign of the shared hyperplane
+    * constant family, embedded as literals), brute-force shortlist in
+    * projected space, exact full-vector re-rank. Integer-exact up to
+    * the two single divide/sqrt steps.
+    */
+  def annSrp(dim: Int, rdim: Int, k: Int, refine: Int,
+             maxQueryId: Long): String = {
+    def signLit(j: Int): String =
+      (0 until dim).map(i =>
+        if (Portable.hyperplane(j, i) >= 0) "1" else "-1")
+        .mkString("[", ", ", "]")
+    val rpList = (0 until rdim).map { j =>
+      s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+        s"i -> q[i] * (${signLit(j)})[i]), (x, y) -> x + y)"
+    }.mkString("[", ",\n    ", "]")
+    def dotE(a: String, b: String, n: Int) =
+      s"list_reduce(list_transform(range(1, ${n + 1}), " +
+        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    s"""$QuantizedVecs,
+       |proj AS (SELECT id, $rpList AS rp FROM n),
+       |p2 AS (SELECT id, rp,
+       |  list_reduce(list_transform(rp, x -> x * x), (a, b) -> a + b)
+       |    AS rpnrm FROM proj),
+       |qs AS (SELECT id AS query_id, rp AS qrp, rpnrm AS qrpnrm
+       |  FROM p2 WHERE id < $maxQueryId),
+       |sc0 AS (SELECT x.id, qs.query_id,
+       |  CAST(${dotE("x.rp", "qs.qrp", rdim)} AS DOUBLE) /
+       |    sqrt(CAST(x.rpnrm AS DOUBLE) * CAST(qs.qrpnrm AS DOUBLE))
+       |    AS ac
+       |  FROM p2 x CROSS JOIN qs WHERE x.id <> qs.query_id),
+       |short AS (SELECT id, query_id FROM (SELECT id, query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ac DESC, id ASC) AS rn FROM sc0)
+       |  WHERE rn <= ${k * refine}),
+       |sc AS (SELECT s2.id, s2.query_id,
+       |  round(CAST(${dotE("x.q", "qv.q", dim)} AS DOUBLE) /
+       |    sqrt(CAST(x.nrm AS DOUBLE) * CAST(qv.nrm AS DOUBLE)), 6)
+       |    AS cosine
+       |  FROM short s2 JOIN n x ON x.id = s2.id
+       |  JOIN n qv ON qv.id = s2.query_id),
+       |r AS (SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, id ASC) AS rank,
+       |  id AS neighbor_id, cosine FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Epoch-aware upsampling (graft.operators.Sampling.EpochUpsample):
+    * floor(w) copies per row plus one iff the md5 bucket is below the
+    * fractional threshold, exploded to one row per copy. */
+  def mixEpochs(epochs: Seq[(String, Double)], defaultEpochs: Double,
+                salt: String): String = {
+    def whole(w: Double) = math.floor(w).toLong
+    def fracHex(w: Double) = Sampling.thresholdHex(w - math.floor(w))
+    val baseCases = epochs.map { case (s, w) =>
+      s"WHEN '$s' THEN ${whole(w)}" }.mkString(" ")
+    val fracCases = epochs.map { case (s, w) =>
+      s"WHEN '$s' THEN '${fracHex(w)}'" }.mkString(" ")
+    s"""WITH s AS (SELECT doc_id, lang,
+       |  substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    AS sample_bucket
+       |  FROM documents),
+       |m AS (SELECT doc_id, lang, sample_bucket,
+       |  CAST((CASE lang $baseCases ELSE ${whole(defaultEpochs)} END) +
+       |    (CASE WHEN sample_bucket <
+       |       CASE lang $fracCases ELSE '${fracHex(defaultEpochs)}' END
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS n_epochs
+       |  FROM s)
+       |SELECT doc_id, lang, sample_bucket, n_epochs,
+       |  CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
+       |FROM m WHERE n_epochs >= 1
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+
   /** SemDeDup (graft.operators.SemDedup): full spherical-k-means replay —
     * init = the `k` vectors with the smallest (md5-hash, id), then
     * `iterations` rounds of {max-cosine-to-center assignment (ties →

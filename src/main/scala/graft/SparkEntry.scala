@@ -792,6 +792,16 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "cum_tokens",
           "sample_bucket", "mix_budget")
         .orderBy("doc_id")),
+    // epoch-aware upsampling (the multi-epoch data-recipe move): whole
+    // epochs (de 3.0), fractional (zh 2.4, default 1.5 for es), source
+    // drop (fr 0.0) and keep-once (en 1.0) all in one config; pure
+    // map-side explode, realized multiplicity per-row deterministic
+    "mix_epochs" -> ((s, dir) =>
+      Sampling.EpochUpsample(Map("en" -> 1.0, "zh" -> 2.4,
+          "fr" -> 0.0, "de" -> 3.0), defaultEpochs = 1.5)
+        .transform(docs(s, dir))
+        .select("doc_id", "lang", "sample_bucket", "n_epochs", "epoch")
+        .orderBy("doc_id", "epoch")),
     // per-group top-k by score: map-side bounded k-heaps prune before
     // the rank window (partitions x groups x k, never the corpus)
     "top_docs" -> ((s, dir) =>
@@ -1069,6 +1079,14 @@ object SparkEntry {
     // and exact re-rank end-to-end
     "ann_ivf_pq" -> ((s, dir) =>
       SimilarityPq.IvfPqTopK(df => df.filter(col("vec_id") < 8))
+        .transform(embs(s, dir))
+        .orderBy("query_id", "rank")),
+    // SRP prefilter + exact refine: the reduce-then-search architecture
+    // — the scan runs over rdim=16 deterministic ±1 projections, only
+    // the k*refine shortlist touches full vectors; oracle replays the
+    // projection, the projected-space shortlist and the exact re-rank
+    "ann_srp" -> ((s, dir) =>
+      Projection.SrpTopK(df => df.filter(col("vec_id") < 8))
         .transform(embs(s, dir))
         .orderBy("query_id", "rank")),
     "text_boilerplate" -> ((s, dir) =>
@@ -1424,6 +1442,9 @@ object SparkEntry {
     "shuffle_interleave" -> OracleSql.interleaveShuffle(8, "graft"),
     "curriculum_order" -> OracleSql.curriculumOrder(32, 8, "graft"),
     "mix_temperature" -> OracleSql.mixTemperature(10000L, "graft"),
+    "mix_epochs" -> OracleSql.mixEpochs(
+      Seq("en" -> 1.0, "zh" -> 2.4, "fr" -> 0.0, "de" -> 3.0),
+      1.5, "graft-epoch"),
     "quality_band" -> OracleSql.qualityBand(0.1, 0.9),
     "pct_rank" -> OracleSql.pctRank,
     "top_docs" -> OracleSql.topDocsPerGroup(5L),
@@ -1453,6 +1474,7 @@ object SparkEntry {
     "ann_ivf" -> OracleSql.annIvf(64, 16, 4, 5, 8),
     "ann_ivf_incr" -> OracleSql.annIvfIncr(64, 16, 4, 5, 8),
     "ann_ivf_pq" -> OracleSql.annIvfPq(64, 16, 4, 8, 16, 5, 4, 8),
+    "ann_srp" -> OracleSql.annSrp(64, 16, 5, 4, 8),
     "text_boilerplate" -> OracleSql.textBoilerplate(10L),
     "mm_resize" -> OracleSql.mmResize(40L, 30L),
     "mm_features" -> OracleSql.mmFeatures,

@@ -61,6 +61,77 @@ object Sampling {
     }
   }
 
+  /** Epoch-aware source upsampling — the multi-epoch data-recipe move
+    * ("3.4 epochs of books, 1 epoch of web": the fractional-epoch
+    * tables published with GPT-3 / LLaMA — public knowledge): every
+    * row of stratum `s` with `epochs(s) = w` is replicated
+    * `floor(w)` times, plus ONE more iff its md5 bucket compares below
+    * the fractional part's threshold — so the expected multiplicity is
+    * exactly `w`, the realized multiplicity is per-row deterministic
+    * (stable across reruns, engines, cluster sizes), and raising `w`
+    * only ADDS copies (the extra-copy set at `frac` is a subset of the
+    * one at `frac' > frac`, [[StratifiedSample]]'s nesting property).
+    *
+    * Output: one row per COPY, with `sample_bucket` (the deciding hex
+    * bucket), `n_epochs` (this row's realized multiplicity) and
+    * `epoch` (1-based copy number) appended — downstream shuffles
+    * ([[graft.operators.Corpus]]'s interleave) spread the copies;
+    * `w = 0` drops the stratum entirely (a real recipe move, not an
+    * error). Unlisted strata use `defaultEpochs` (1.0 = keep once).
+    *
+    * Scale shape: pure map-side — a when-chain threshold, one md5, and
+    * a `sequence`+`explode`; zero shuffles, output size is exactly
+    * `Σ_s w_s · n_s` by construction. `maxEpochs` caps the fan-out
+    * fail-loud: a 1000x upsample is a wiring bug (recipes run single
+    * digits), and an unchecked explode would amplify the corpus
+    * silently before anything downstream could object.
+    */
+  final case class EpochUpsample(
+      epochs: Map[String, Double],
+      strataColumn: String = "lang",
+      keyColumn: String = "doc_id",
+      defaultEpochs: Double = 1.0,
+      salt: String = "graft-epoch",
+      maxEpochs: Double = 100.0) extends Wrangler {
+    (epochs.toSeq.map { case (s, w) => (s"epochs($s)", w) } :+
+      ("defaultEpochs", defaultEpochs)).foreach { case (name, w) =>
+      require(!w.isNaN && !w.isInfinite && w >= 0.0,
+        s"EpochUpsample: $name=$w must be a finite non-negative epoch " +
+          "count")
+      require(w <= maxEpochs,
+        s"EpochUpsample: $name=$w exceeds maxEpochs=$maxEpochs — an " +
+          "upsample this deep amplifies the corpus size by the same " +
+          "factor; raise maxEpochs explicitly if intended")
+    }
+    override def preservesSampleSize: Boolean = false
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(strataColumn, keyColumn))
+      def whole(w: Double): Long = math.floor(w).toLong
+      def fracHex(w: Double): String = thresholdHex(w - math.floor(w))
+      val baseCol = epochs.foldLeft(lit(whole(defaultEpochs))) {
+        case (acc, (s, w)) =>
+          when(col(strataColumn) === s, lit(whole(w))).otherwise(acc)
+      }
+      val fracCol = epochs.foldLeft(lit(fracHex(defaultEpochs))) {
+        case (acc, (s, w)) =>
+          when(col(strataColumn) === s, lit(fracHex(w))).otherwise(acc)
+      }
+      // Spark's sequence INFERS step -1 when start > stop, so
+      // sequence(1, 0) is [1, 0] — TWO copies where zero are meant; the
+      // n >= 1 guard routes the zero-copy case through the empty array
+      // (explode of an empty array emits no rows)
+      val copies = baseCol +
+        when(col("sample_bucket") < fracCol, 1L).otherwise(0L)
+      df.withColumn("sample_bucket", bucketHex(salt, col(keyColumn)))
+        .withColumn("n_epochs", copies)
+        .withColumn("epoch", explode(
+          when(col("n_epochs") >= 1,
+            sequence(lit(1L), col("n_epochs")))
+            .otherwise(array().cast("array<long>"))))
+    }
+  }
+
   /** Per-stratum quota cap: keep AT MOST `quotas(stratum)` rows per
     * stratum (unlisted strata use `defaultQuota`), selected
     * deterministically by ascending `(md5 bucket, key)` — the

@@ -54,6 +54,17 @@ object AnnRecall {
       Similarity.IvfTopK(queries, k = k).transform(embs))
     recall("ivf nlist=16 nprobe=8",
       Similarity.IvfTopK(queries, nprobe = 8, k = k).transform(embs))
+    recall("ivf-pq m=8 ksub=16 refine=4 (bench ann_ivf_pq)",
+      graft.operators.SimilarityPq.IvfPqTopK(queries, k = k)
+        .transform(embs))
+    recall("ivf-pq refine=16",
+      graft.operators.SimilarityPq.IvfPqTopK(queries, refine = 16, k = k)
+        .transform(embs))
+    recall("srp rdim=16 refine=4 (bench ann_srp)",
+      graft.operators.Projection.SrpTopK(queries, k = k).transform(embs))
+    recall("srp rdim=16 refine=16",
+      graft.operators.Projection.SrpTopK(queries, refine = 16, k = k)
+        .transform(embs))
 
     // incremental probe: the bench split (corpus = vec_id >= 8 fitted
     // into the member index, batch = vec_id < 8 probing it) has its own

@@ -466,6 +466,80 @@ object StressCorpus {
         .agg(sum("cluster_rank"), count(lit(1))).collect()(0).getLong(1)
     }
 
+    // ----- IVF-PQ at corpus scale: the index the probe scans is codes
+    // + norm (4 small ints + 1 long per vector, never the 16-dim
+    // embedding); exactness of the OUTPUT SHAPE is closed-form (8
+    // queries x k rows, ranks dense from 1) and the result must be
+    // bit-stable across runs (trainless fit — nothing stochastic)
+    def annCheck(out: DataFrame, k: Int): Long = {
+      val rows = out.select("query_id", "rank", "neighbor_id", "cosine")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(r => (r._1, r._2)).toSeq
+      require(rows.length == 8 * k, s"expected ${8 * k} rows, got ${rows.length}")
+      rows.groupBy(_._1).foreach { case (q, rs) =>
+        require(rs.map(_._2).sorted == (1L to k.toLong), s"ranks of $q") }
+      rows.hashCode.toLong
+    }
+    time(s"ann_ivf_pq vecs=$nDocs dim=16 nlist=64 m=4 ksub=16") {
+      val op = graft.operators.SimilarityPq.IvfPqTopK(
+        df => df.filter(col("vec_id") < 8),
+        nlist = 64, nprobe = 8, m = 4, ksub = 16, k = 5, refine = 4)
+      val h1 = annCheck(op.transform(vecs), 5)
+      val h2 = annCheck(op.transform(vecs.repartition(48)), 5)
+      require(h1 == h2, "IVF-PQ result drifted across partitionings")
+      h1
+    }
+    time(s"ann_srp vecs=$nDocs dim=16 rdim=8") {
+      val op = graft.operators.Projection.SrpTopK(
+        df => df.filter(col("vec_id") < 8), rdim = 8, k = 5, refine = 4)
+      val h1 = annCheck(op.transform(vecs), 5)
+      val h2 = annCheck(op.transform(vecs.repartition(48)), 5)
+      require(h1 == h2, "SRP result drifted across partitionings")
+      h1
+    }
+
+    // ----- byte-level encode at corpus scale with a CLOSED-FORM token
+    // count: nMerges=0 leaves only single-byte symbols, so every doc
+    // encodes to exactly its non-whitespace UTF-8 byte count —
+    // "héllo wörld" is 6 + 6 bytes (two 2-byte chars) = 12 tokens/doc
+    time(s"bpe_byte encode n=$nDocs (closed-form byte count)") {
+      val bdocs = spark.range(nDocs.toLong)
+        .select(col("id").as("doc_id"), lit("héllo wörld").as("text"))
+      val vocab = graft.operators.Tokenize.BpeLearn(nMerges = 0,
+        byteLevel = true,
+        baseAlphabet = graft.operators.Tokenize.byteAlphabet)
+        .transform(bdocs.limit(1000))
+      val total = graft.operators.Tokenize.BpeEncode(vocab,
+          byteLevel = true)
+        .transform(bdocs)
+        .agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+      require(total == 12L * nDocs, s"byte count drift: $total")
+      total
+    }
+
+    // ----- epoch upsampling at 50M rows: whole-epoch strata are exact
+    // multiples, fractional strata land per-row in {floor, floor+1}
+    // with the total inside the strict bounds; zero-epoch stratum
+    // vanishes. Output size is the operator's own claim — check it
+    time(s"mix_epochs n=$nRows (exact whole-epoch mass)") {
+      val docs = spark.range(nRows)
+        .select(col("id").as("doc_id"),
+          element_at(array(lit("a"), lit("b"), lit("c"), lit("d")),
+            (pmod(col("id"), lit(4L)) + 1).cast("int")).as("lang"))
+      val out = Sampling.EpochUpsample(Map("a" -> 2.0, "b" -> 0.0,
+          "c" -> 1.5, "d" -> 1.0)).transform(docs)
+      val r = out.groupBy("lang").agg(count(lit(1)).as("n"))
+        .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+      val q = nRows / 4
+      require(r("a") == 2 * q, s"whole-epoch mass: $r")
+      require(!r.contains("b"), s"zero-epoch stratum survived: $r")
+      require(r("c") >= q && r("c") <= 2 * q, s"frac bounds: $r")
+      require(math.abs(r("c") - 1.5 * q) < q * 0.01,
+        s"frac mass far from 1.5x: $r")
+      require(r("d") == q, s"keep-once mass: $r")
+      r.values.sum
+    }
+
     // ----- DSIR importance resampling with a corpus-heavy tie class
     // holding the cut: single-token docs, even ids are "hot" (the
     // target domain's only token, score > 0), odd ids are "cold"
