@@ -1914,6 +1914,93 @@ object OracleSql {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Incremental IVF-PQ probe (graft.operators.SimilarityPq
+    * .IncrementalIvfPqTopK): the corpus (ids >= `splitId`) is fitted
+    * into the compressed member index — centroids AND codebooks derive
+    * from the `max(nlist, ksub)` hash-smallest corpus vectors, every
+    * corpus vector PQ-encoded — and the query batch (ids < `splitId`)
+    * probes it with ADC scoring and exact re-rank against the
+    * full-vector corpus (`refineWith`). Mirrors fit + probe + refine
+    * end-to-end.
+    */
+  def annIvfPqIncr(dim: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int,
+                   k: Int, refine: Int, splitId: Long): String = {
+    require(dim % m == 0, s"annIvfPqIncr: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def cosE(a: String, b: String, na: String, nb: String) =
+      s"CAST(${dotE(a, b)} AS DOUBLE) / " +
+        s"sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
+    s"""$QuantizedVecs,
+       |nc AS (SELECT * FROM n WHERE id >= $splitId),
+       |nq AS (SELECT * FROM n WHERE id < $splitId),
+       |hh AS (SELECT id,
+       |  CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)
+       |    AS h FROM nc),
+       |sel AS (SELECT id, h FROM hh ORDER BY h, id LIMIT $nlist),
+       |cents AS (SELECT row_number() OVER (ORDER BY s.h, s.id) AS cid,
+       |  nc.q AS cq, nc.nrm AS cnrm FROM sel s JOIN nc ON nc.id = s.id),
+       |asgn0 AS (SELECT nc.id, nc.nrm, c.cid,
+       |  row_number() OVER (PARTITION BY nc.id ORDER BY
+       |    ${cosE("nc.q", "c.cq", "nc.nrm", "c.cnrm")} DESC, c.cid ASC)
+       |    AS rn
+       |  FROM nc CROSS JOIN cents c),
+       |asgn AS (SELECT id, nrm, cid FROM asgn0 WHERE rn = 1),
+       |probes0 AS (SELECT nq.id AS query_id, nq.q AS qq, nq.nrm AS qnrm,
+       |  c.cid,
+       |  row_number() OVER (PARTITION BY nq.id ORDER BY
+       |    ${cosE("nq.q", "c.cq", "nq.nrm", "c.cnrm")} DESC, c.cid ASC)
+       |    AS rn
+       |  FROM nq CROSS JOIN cents c),
+       |probes AS (SELECT query_id, qq, qnrm, cid FROM probes0
+       |  WHERE rn <= $nprobe),
+       |cbsel AS (SELECT id, h FROM hh ORDER BY h, id LIMIT $ksub),
+       |cb AS (SELECT row_number() OVER (ORDER BY s.h, s.id) AS j,
+       |  nc.q AS cq FROM cbsel s JOIN nc ON nc.id = s.id),
+       |subs AS (SELECT unnest(range(0, $m)) AS s),
+       |codes0 AS (SELECT nc.id, ss.s, c.j,
+       |  list_reduce(list_transform(range(1, ${dsub + 1}),
+       |    i -> (nc.q[ss.s * $dsub + i] - c.cq[ss.s * $dsub + i]) *
+       |         (nc.q[ss.s * $dsub + i] - c.cq[ss.s * $dsub + i])),
+       |    (x, y) -> x + y) AS d2
+       |  FROM nc CROSS JOIN subs ss CROSS JOIN cb c),
+       |codes AS (SELECT id, s, j FROM (
+       |  SELECT id, s, j, row_number() OVER (PARTITION BY id, s
+       |    ORDER BY d2 ASC, j ASC) AS rn FROM codes0) WHERE rn = 1),
+       |cand AS (SELECT a.id, p.query_id, p.qq, p.qnrm, a.nrm
+       |  FROM asgn a JOIN probes p ON a.cid = p.cid
+       |  WHERE a.id <> p.query_id),
+       |parts AS (SELECT cd.id, c2.query_id,
+       |  list_reduce(list_transform(range(1, ${dsub + 1}),
+       |    i -> cb.cq[cd.s * $dsub + i] * c2.qq[cd.s * $dsub + i]),
+       |    (x, y) -> x + y) AS dp
+       |  FROM cand c2 JOIN codes cd ON cd.id = c2.id
+       |  JOIN cb ON cb.j = cd.j),
+       |approx AS (SELECT id, query_id, sum(dp) AS adot FROM parts
+       |  GROUP BY id, query_id),
+       |acos AS (SELECT ap.id, ap.query_id,
+       |  CAST(ap.adot AS DOUBLE) /
+       |    sqrt(CAST(c.nrm AS DOUBLE) * CAST(c.qnrm AS DOUBLE)) AS ac
+       |  FROM approx ap JOIN cand c
+       |  ON c.id = ap.id AND c.query_id = ap.query_id),
+       |short AS (SELECT id, query_id FROM (SELECT id, query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ac DESC, id ASC) AS rn FROM acos)
+       |  WHERE rn <= ${k * refine}),
+       |sc AS (SELECT s2.id, s2.query_id,
+       |  round(${cosE("x.q", "qv.q", "x.nrm", "qv.nrm")}, 6) AS cosine
+       |  FROM short s2 JOIN nc x ON x.id = s2.id
+       |  JOIN nq qv ON qv.id = s2.query_id),
+       |r AS (SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, id ASC) AS rank,
+       |  id AS neighbor_id, cosine FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** SRP top-k with exact refine (graft.operators.Projection.SrpTopK):
     * deterministic ±1 projection (the sign of the shared hyperplane
     * constant family, embedded as literals), brute-force shortlist in

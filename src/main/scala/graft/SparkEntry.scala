@@ -1081,6 +1081,20 @@ object SparkEntry {
       SimilarityPq.IvfPqTopK(df => df.filter(col("vec_id") < 8))
         .transform(embs(s, dir))
         .orderBy("query_id", "rank")),
+    // persisted-index IVF-PQ: the corpus (vec_id >= 8) fits ONCE into
+    // the compressed index (codes + norm; full vectors only on the
+    // pick rows it re-derives its quantizers from), the batch probes
+    // it, and the exact re-rank joins the shortlist back to the
+    // full-vector corpus — fit + probe + refine replayed end-to-end
+    "ann_ivf_pq_incr" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val corpus = e.filter(col("vec_id") >= 8)
+      SimilarityPq.IncrementalIvfPqTopK(
+          SimilarityPq.IncrementalIvfPq.memberIndex(corpus),
+          refineWith = Some(corpus))
+        .transform(e.filter(col("vec_id") < 8))
+        .orderBy("query_id", "rank")
+    }),
     // SRP prefilter + exact refine: the reduce-then-search architecture
     // — the scan runs over rdim=16 deterministic ±1 projections, only
     // the k*refine shortlist touches full vectors; oracle replays the
@@ -1475,6 +1489,7 @@ object SparkEntry {
     "ann_ivf_incr" -> OracleSql.annIvfIncr(64, 16, 4, 5, 8),
     "ann_ivf_pq" -> OracleSql.annIvfPq(64, 16, 4, 8, 16, 5, 4, 8),
     "ann_srp" -> OracleSql.annSrp(64, 16, 5, 4, 8),
+    "ann_ivf_pq_incr" -> OracleSql.annIvfPqIncr(64, 16, 4, 8, 16, 5, 4, 8),
     "text_boilerplate" -> OracleSql.textBoilerplate(10L),
     "mm_resize" -> OracleSql.mmResize(40L, 30L),
     "mm_features" -> OracleSql.mmFeatures,

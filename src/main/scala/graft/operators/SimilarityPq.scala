@@ -124,6 +124,334 @@ object SimilarityPq {
     t
   }
 
+  /** The first `n` index rows in the shared `(md5(id), id)` pick order,
+    * as `(id, q, nrm)` — the rows centroids AND codebooks re-derive
+    * from. `src` must carry `id`, `q`, `nrm` (q possibly null off-pick).
+    */
+  private def pickRows(src: DataFrame, n: Int)
+      : Array[(Long, Array[Long], Long)] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    src.withColumn("hh", tokenHash(col("id").cast("string")))
+      .orderBy("hh", "id").limit(n)
+      .select("id", "q", "nrm")
+      .as[(Long, Array[Long], Long)].collect()
+  }
+
+  /** Centroids (first `nlist` of the pick) and codebooks (slices of the
+    * first `ksub`) from one collected pick — EXACTLY the arithmetic
+    * [[IvfPqTopK]] uses inline, shared so fit, probe and fold can never
+    * drift. Fails loud when a pick row lost its vector (a hand-mangled
+    * index) — that row is the index's own self-description.
+    */
+  private def derive(picked: Array[(Long, Array[Long], Long)],
+                     nlist: Int, m: Int, ksub: Int, who: String)
+      : (Array[(Int, Array[Long], Long)], Array[Array[Array[Long]]]) = {
+    picked.foreach { case (id, q, _) =>
+      require(q != null,
+        s"$who: index pick row vec_id=$id carries no vector — the " +
+          "hash-smallest max(nlist, ksub) rows are the index's " +
+          "self-description (centroids and codebooks re-derive from " +
+          "them); a pick row without `q` means the index was built by " +
+          "something other than IncrementalIvfPq.memberIndex or was " +
+          "mangled in storage")
+    }
+    val cents = picked.take(nlist).zipWithIndex.map {
+      case ((_, q, nrm), i) => (i + 1, q, nrm)
+    }
+    val cbSrc = picked.take(ksub)
+    val dim = cbSrc.head._2.length
+    require(dim % m == 0,
+      s"$who: embedding dim=$dim does not split into m=$m equal " +
+        "subspaces — configure m to a divisor of the vector width")
+    val dsub = dim / m
+    val cb = Array.tabulate(m) { s =>
+      cbSrc.map { case (_, q, _) => q.slice(s * dsub, (s + 1) * dsub) }
+    }
+    (cents, cb)
+  }
+
+  /** Persisted-index IVF-PQ for the ingest loop — the compressed sibling
+    * of [[Similarity.IncrementalIvf]]: fit once into a member index of
+    * `(vec_id, cluster, codes, nrm, q)` where `q` (the full vector) is
+    * kept ONLY for the `max(nlist, ksub)` hash-smallest rows — the rows
+    * the coarse centroids and PQ codebooks re-derive from — and is NULL
+    * everywhere else. The index is thus still ONE self-describing frame
+    * (fit params ride column metadata; the quantizers ride the pick
+    * rows), while its bulk is `m` codes + a norm per vector instead of
+    * the full embedding — the shape that actually persists at
+    * billion-vector scale.
+    *
+    * Probes never re-read or re-encode the corpus; folds append
+    * PQ-encoded batch rows (q = NULL — the displacement guard proves
+    * they cannot enter the pick, so self-description is preserved by
+    * construction).
+    */
+  object IncrementalIvfPq {
+
+    private def emptyIndex(spark: org.apache.spark.sql.SparkSession,
+                           nlist: Int, m: Int, ksub: Int): DataFrame = {
+      import spark.implicits._
+      SparkUtil.withFitParams(
+        spark.emptyDataset[(Long, Long, Array[Int], Long, Array[Long])]
+          .toDF("vec_id", "cluster", "codes", "nrm", "q"),
+        "cluster", Map("nlist" -> nlist.toLong, "m" -> m.toLong,
+          "ksub" -> ksub.toLong))
+    }
+
+    /** Fit: coarse-assign + PQ-encode every corpus vector; keep `q`
+      * only on the pick rows. Returns the index to persist.
+      */
+    def memberIndex(corpus: DataFrame, idColumn: String = "vec_id",
+                    vecColumn: String = "embedding", nlist: Int = 16,
+                    m: Int = 8, ksub: Int = 16,
+                    cacheCorpus: Boolean = false): DataFrame = {
+      SparkUtil.validateColumns(corpus, Seq(idColumn, vecColumn))
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val quantLazy = quantizedRows(corpus.select(col(idColumn).as("id"),
+        col(vecColumn)), "id", vecColumn, Array.empty, 0)
+        .select("id", "q", "nrm")
+      val quant = if (cacheCorpus) quantLazy.localCheckpoint() else quantLazy
+      val picked = pickRows(quant, math.max(nlist, ksub))
+      if (picked.isEmpty) return emptyIndex(spark, nlist, m, ksub)
+      val (cents, cb) =
+        derive(picked, nlist, m, ksub, "IncrementalIvfPq.memberIndex")
+      val keep = picked.map(_._1).toSet
+      val bcCb = spark.sparkContext.broadcast(cb)
+      val bcKeep = spark.sparkContext.broadcast(keep)
+      SparkUtil.withFitParams(
+        quant.as[(Long, Array[Long], Long)].map { case (id, q, nrm) =>
+          (id, Similarity.rankedClusterIds(cents, q, nrm).head.toLong,
+            encodeCodes(bcCb.value, q), nrm,
+            if (bcKeep.value(id)) q else null)
+        }.toDF("vec_id", "cluster", "codes", "nrm", "q"),
+        "cluster", Map("nlist" -> nlist.toLong, "m" -> m.toLong,
+          "ksub" -> ksub.toLong))
+    }
+
+    /** Ingest new corpus vectors into a fitted PQ index: PQ-encode and
+      * coarse-assign them against the RE-DERIVED quantizers and append
+      * with `q = NULL`. The same two fold guards as
+      * [[Similarity.IncrementalIvf.foldBatch]], with the displacement
+      * guard widened to `max(nlist, ksub)` (either pick changing would
+      * silently re-derive DIFFERENT quantizers than the stored codes
+      * were encoded with): duplicate ids raise; a batch id whose hash
+      * enters the pick raises (re-fit on the merged corpus instead).
+      */
+    def foldBatch(index: DataFrame, batch: DataFrame,
+                  idColumn: String = "vec_id",
+                  vecColumn: String = "embedding",
+                  nlist: Int = 16, m: Int = 8,
+                  ksub: Int = 16): DataFrame = {
+      SparkUtil.validateColumns(index,
+        Seq("vec_id", "cluster", "codes", "nrm", "q"))
+      SparkUtil.validateColumns(batch, Seq(idColumn, vecColumn))
+      SparkUtil.requireFitParam(index, "cluster", "nlist", nlist.toLong,
+        "IncrementalIvfPq.foldBatch")
+      SparkUtil.requireFitParam(index, "cluster", "m", m.toLong,
+        "IncrementalIvfPq.foldBatch")
+      SparkUtil.requireFitParam(index, "cluster", "ksub", ksub.toLong,
+        "IncrementalIvfPq.foldBatch")
+      val spark = index.sparkSession
+      import spark.implicits._
+      val slim = index.select(col("vec_id").as("id"), col("q"), col("nrm"))
+      val nPick = math.max(nlist, ksub)
+      val picked = pickRows(slim, nPick)
+      require(picked.nonEmpty,
+        "IncrementalIvfPq.foldBatch: empty member index — fit " +
+          "memberIndex on a non-empty corpus first")
+      val (cents, cb) =
+        derive(picked, nlist, m, ksub, "IncrementalIvfPq.foldBatch")
+      val bcCb = spark.sparkContext.broadcast(cb)
+      // the pick cutoff (largest (md5, id) among the picked rows) — any
+      // new id at or below it would change a pick; an index still
+      // smaller than the pick means EVERY new id enters it
+      val cut = slim.withColumn("hh", tokenHash(col("id").cast("string")))
+        .orderBy("hh", "id").limit(nPick)
+        .select("hh", "id").as[(Long, Long)].collect().last
+      val underFit = picked.length < nPick
+      val assigned = quantizedRows(batch.select(col(idColumn).as("id"),
+          col(vecColumn)), "id", vecColumn, Array.empty, 0)
+        .select("id", "q", "nrm").as[(Long, Array[Long], Long)]
+        .map { case (id, q, nrm) =>
+          (id, Similarity.rankedClusterIds(cents, q, nrm).head.toLong,
+            encodeCodes(bcCb.value, q), nrm, null: Array[Long])
+        }
+        .toDF("vec_id", "cluster", "codes", "nrm", "q")
+      val dup = index.select(col("vec_id")).withColumn("__dup", lit(true))
+      val hh = tokenHash(col("vec_id").cast("string"))
+      val displaces = lit(underFit) || hh < cut._1 ||
+        (hh === cut._1 && col("vec_id") < cut._2)
+      val batchN = count(lit(1)).over(
+        Window.partitionBy("vec_id"))
+      SparkUtil.withFitParams(index.unionByName(assigned
+        .withColumn("__bn", batchN)
+        .join(dup, Seq("vec_id"), "left")
+        .withColumn("cluster", when(col("__dup") || col("__bn") > 1,
+            raise_error(concat(
+              lit("IncrementalIvfPq.foldBatch: vec_id "),
+              col("vec_id").cast("string"),
+              lit(" is duplicated (already in the index, or repeated " +
+                "within the batch) — duplicate ids would fan out " +
+                "every probe's candidate set")))
+            .cast("long"))
+          .when(displaces,
+            raise_error(concat(
+              lit("IncrementalIvfPq.foldBatch: vec_id "),
+              col("vec_id").cast("string"),
+              lit(" would displace the centroid/codebook pick (its " +
+                "md5 hash enters the max(nlist, ksub) smallest) — " +
+                "the stored codes would silently mismatch the " +
+                "re-derived quantizers at probe time; re-fit " +
+                "memberIndex on the merged corpus instead")))
+            .cast("long"))
+          .otherwise(col("cluster")))
+        .drop("__dup", "__bn")),
+        "cluster", Map("nlist" -> nlist.toLong, "m" -> m.toLong,
+          "ksub" -> ksub.toLong))
+    }
+  }
+
+  /** Probe a persisted [[IncrementalIvfPq.memberIndex]] with a batch of
+    * query vectors — identical ADC arithmetic to [[IvfPqTopK]], with
+    * the corpus replaced by its compressed index (centroids and
+    * codebooks re-derive from the index's pick rows; the corpus is
+    * never re-read or re-encoded).
+    *
+    * `refineWith`: the exact-re-rank side. `Some(corpus)` joins the
+    * `k * refine` shortlist back to the FULL vectors (the
+    * source-of-truth table the index was fit from — PQ indexes don't
+    * hold full vectors, that is their point) for exact output cosines,
+    * the [[IvfPqTopK]] refine contract. `None` returns the ADC scan's
+    * own top-k with APPROXIMATE cosines (rounded to 6, deterministic) —
+    * for when the full-vector table is genuinely out of reach at probe
+    * time; rank quality is then bounded by the PQ distortion alone.
+    * Output schema matches the ANN family either way.
+    */
+  final case class IncrementalIvfPqTopK(memberIndex: DataFrame,
+                                        refineWith: Option[DataFrame] = None,
+                                        idColumn: String = "vec_id",
+                                        vecColumn: String = "embedding",
+                                        nlist: Int = 16,
+                                        m: Int = 8,
+                                        ksub: Int = 16,
+                                        nprobe: Int = 4,
+                                        k: Int = 5,
+                                        refine: Int = 4,
+                                        maxQueriesPerPartition: Long =
+                                          1000000L)
+      extends Wrangler {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    require(refine >= 1, "refine must be >= 1")
+    // structural inputs (index, refine corpus) are not tunables
+    override def getParams: Seq[(String, Any)] = Seq(
+      "idColumn" -> idColumn, "vecColumn" -> vecColumn,
+      "nlist" -> nlist, "m" -> m, "ksub" -> ksub, "nprobe" -> nprobe,
+      "k" -> k, "refine" -> refine,
+      "maxQueriesPerPartition" -> maxQueriesPerPartition)
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
+      SparkUtil.validateColumns(memberIndex,
+        Seq("vec_id", "cluster", "codes", "nrm", "q"))
+      SparkUtil.requireFitParam(memberIndex, "cluster", "nlist",
+        nlist.toLong, "IncrementalIvfPqTopK")
+      SparkUtil.requireFitParam(memberIndex, "cluster", "m", m.toLong,
+        "IncrementalIvfPqTopK")
+      SparkUtil.requireFitParam(memberIndex, "cluster", "ksub",
+        ksub.toLong, "IncrementalIvfPqTopK")
+      val spark = df.sparkSession
+      import spark.implicits._
+      val index = memberIndex.select(col("vec_id").cast("long").as("id"),
+        col("cluster").cast("long"), col("codes"),
+        col("nrm").cast("long"), col("q"))
+      val meta = index.agg(max("cluster"), count(lit(1))).collect()(0)
+      require(!meta.isNullAt(0),
+        "IncrementalIvfPqTopK: empty member index — fit memberIndex " +
+          "on a non-empty corpus first")
+      require(meta.getLong(0) <= nlist,
+        s"IncrementalIvfPqTopK: index holds cluster id " +
+          s"${meta.getLong(0)} > nlist=$nlist — the index was fit " +
+          "with a different nlist")
+      val picked = pickRows(
+        index.select(col("id"), col("q"), col("nrm")),
+        math.max(nlist, ksub))
+      val (cents, cb) =
+        derive(picked, nlist, m, ksub, "IncrementalIvfPqTopK")
+      val bcCb = spark.sparkContext.broadcast(cb)
+
+      val qs = quantizedRows(df.select(col(idColumn).as("id"),
+        col(vecColumn)), "id", vecColumn, Array.empty, 0)
+        .select("id", "q", "nrm")
+      val probes = qs.as[(Long, Array[Long], Long)]
+        .flatMap { case (id, q, nrm) =>
+          Similarity.rankedClusterIds(cents, q, nrm).take(nprobe)
+            .map(c => (id, q, nrm, c.toLong))
+        }
+        .toDF("query_id", "qq", "qnrm", "cluster")
+
+      val joined = index.drop("q").join(probes, Seq("cluster"))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id"), col("codes"), col("nrm"),
+          col("qq"), col("qnrm"))
+        .as[(Long, Long, Array[Int], Long, Array[Long], Long)]
+      val maxQ = maxQueriesPerPartition
+      val approx = joined.mapPartitions { it =>
+        val cbv = bcCb.value
+        val kk = cbv(0).length
+        val tables = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+        it.map { case (qid, id, codes, nrm, qq, qnrm) =>
+          if (!tables.contains(qid) && tables.size >= maxQ)
+            throw new IllegalStateException(
+              s"SimilarityPq: partition saw more than $maxQ distinct " +
+                "query ids — the ADC scan holds one lookup table per " +
+                "query; raise maxQueriesPerPartition explicitly if a " +
+                "query set this large is intended")
+          val t = tables.getOrElseUpdate(qid, adcTable(cbv, qq))
+          var adot = 0L
+          var s = 0
+          while (s < codes.length) {
+            adot += t(s * kk + (codes(s) - 1)); s += 1
+          }
+          val c = if (nrm > 0 && qnrm > 0)
+            adot.toDouble / math.sqrt(nrm.toDouble * qnrm.toDouble)
+          else Double.NaN
+          (qid, id, c)
+        }
+      }.toDF("query_id", "id", "cosine")
+
+      refineWith match {
+        case None =>
+          // ADC-approximate top-k (rounded for the stable output
+          // contract; determinism: exact integer ADC + one div/sqrt)
+          Similarity.ranked(approx, k)
+            .withColumn("cosine", round(col("cosine"), 6))
+        case Some(corpus) =>
+          SparkUtil.validateColumns(corpus, Seq(idColumn, vecColumn))
+          val short = Similarity.ranked(approx, k * refine)
+            .select(col("query_id"), col("neighbor_id"))
+          val full = quantizedRows(corpus.select(col(idColumn).as("id"),
+            col(vecColumn)), "id", vecColumn, Array.empty, 0)
+            .select("id", "q", "nrm")
+          val qside = qs.select(col("id").as("query_id"),
+            col("q").as("qq"), col("nrm").as("qnrm"))
+          full
+            .join(broadcast(short), col("id") === col("neighbor_id"))
+            .join(broadcast(qside), Seq("query_id"))
+            .withColumn("cosine", round(qCosine(
+              qDot(col("q"), col("qq")), col("nrm"), col("qnrm")), 6))
+            .withColumn("rank", row_number().over(
+              Window.partitionBy("query_id")
+                .orderBy(col("cosine").desc, col("id").asc)))
+            .filter(col("rank") <= k)
+            .select(col("query_id"), col("rank").cast("long").as("rank"),
+              col("id").as("neighbor_id"), col("cosine"))
+      }
+    }
+  }
+
   /** IVF-PQ top-k with exact refine: coarse-quantize the corpus into
     * `nlist` inverted lists, PQ-encode every member to `m` codes +
     * exact norm (dropping the full vector from the index — the

@@ -105,6 +105,122 @@ class SimilarityPqSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dims"))
   }
 
+  test("incremental ivf-pq: the index is self-describing — full " +
+    "vectors ride ONLY the pick rows; probe == inline IvfPqTopK on the " +
+    "same corpus/queries; fit params survive and mismatches raise") {
+    val data = embs(120)
+    val corpus = data.filter(
+      org.apache.spark.sql.functions.col("vec_id") >= 8)
+    val batch = data.filter(
+      org.apache.spark.sql.functions.col("vec_id") < 8)
+    val idx = SimilarityPq.IncrementalIvfPq.memberIndex(corpus,
+      nlist = 8, m = 4, ksub = 12)
+    // compression invariant: exactly max(nlist, ksub) rows keep q
+    val withQ = idx.filter(org.apache.spark.sql.functions
+      .col("q").isNotNull).count()
+    assert(withQ == 12)
+    assert(idx.count() == 112)
+    val got = collectTopK(SimilarityPq.IncrementalIvfPqTopK(idx,
+      refineWith = Some(corpus), nlist = 8, m = 4, ksub = 12)
+      .transform(batch))
+    // the inline operator fit on the same corpus must agree: give it
+    // the corpus as input and the batch as an EXTERNAL query set
+    val inline = collectTopK(SimilarityPq.IvfPqTopK(_ => batch,
+      nlist = 8, m = 4, ksub = 12).transform(corpus))
+    assert(got == inline)
+    // fit-param drift raises (both directions carried by metadata)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityPq.IncrementalIvfPqTopK(idx, nlist = 8, m = 8,
+        ksub = 12).transform(batch).collect()
+    }
+    assert(e.getMessage.contains("m"))
+  }
+
+  test("incremental ivf-pq: fold == refit in the non-displacing " +
+    "regime; duplicate and displacing ids raise in-plan") {
+    val data = embs(150)
+    // pick the batch as the ids with the LARGEST md5 hashes among the
+    // corpus — they can never enter the hash-SMALLEST pick, so the
+    // fold is non-displacing BY CONSTRUCTION, not by luck
+    val corpusIds = (8L until 150L)
+    val batchIds = corpusIds.sortBy(id =>
+      (graft.functions.Portable.tokenHashLocal(id.toString), id))
+      .takeRight(30).toSet
+    val fitPart = data.filter(
+      org.apache.spark.sql.functions.col("vec_id") >= 8 &&
+        !org.apache.spark.sql.functions.col("vec_id")
+          .isin(batchIds.toSeq: _*))
+    val batch = data.filter(
+      org.apache.spark.sql.functions.col("vec_id")
+        .isin(batchIds.toSeq: _*))
+    val queries = data.filter(
+      org.apache.spark.sql.functions.col("vec_id") < 8)
+    val idx = SimilarityPq.IncrementalIvfPq.memberIndex(fitPart,
+      nlist = 6, m = 4, ksub = 6)
+    val folded = SimilarityPq.IncrementalIvfPq.foldBatch(idx, batch,
+      nlist = 6, m = 4, ksub = 6)
+    val full = data.filter(
+      org.apache.spark.sql.functions.col("vec_id") >= 8)
+    val viaFold = collectTopK(SimilarityPq.IncrementalIvfPqTopK(folded,
+      refineWith = Some(full), nlist = 6, m = 4, ksub = 6)
+      .transform(queries))
+    val viaRefit = collectTopK(SimilarityPq.IncrementalIvfPqTopK(
+      SimilarityPq.IncrementalIvfPq.memberIndex(full, nlist = 6, m = 4,
+        ksub = 6), refineWith = Some(full), nlist = 6, m = 4, ksub = 6)
+      .transform(queries))
+    assert(viaFold == viaRefit)
+    // duplicate id raises in-plan
+    val dup = intercept[Exception] {
+      SimilarityPq.IncrementalIvfPq.foldBatch(folded, batch,
+        nlist = 6, m = 4, ksub = 6).collect()
+    }
+    assert(dup.getMessage.contains("duplicated"))
+    // displacing id raises in-plan: find a fresh id whose hash enters
+    // the pick (deterministic for this fixture — the search space is
+    // fixed and md5 is md5)
+    val pickCut = corpusIds.filterNot(batchIds)
+      .map(id => (graft.functions.Portable.tokenHashLocal(id.toString), id))
+      .sorted.take(6).last
+    val intruder = (1000L until 20000L).find { id =>
+      val h = graft.functions.Portable.tokenHashLocal(id.toString)
+      h < pickCut._1 || (h == pickCut._1 && id < pickCut._2)
+    }
+    assert(intruder.nonEmpty, "fixture drift: no displacing id found")
+    val displBatch = embs(1).withColumn("vec_id",
+      org.apache.spark.sql.functions.lit(intruder.get))
+    val disp = intercept[Exception] {
+      SimilarityPq.IncrementalIvfPq.foldBatch(folded, displBatch,
+        nlist = 6, m = 4, ksub = 6).collect()
+    }
+    assert(disp.getMessage.contains("displace"))
+  }
+
+  test("incremental ivf-pq: refineWith = None returns the ADC-" +
+    "approximate top-k (same ids, approx cosines) and a mangled index " +
+    "(pick row without q) fails loud") {
+    val data = embs(80)
+    val corpus = data.filter(
+      org.apache.spark.sql.functions.col("vec_id") >= 8)
+    val batch = data.filter(
+      org.apache.spark.sql.functions.col("vec_id") < 4)
+    val idx = SimilarityPq.IncrementalIvfPq.memberIndex(corpus,
+      nlist = 4, m = 4, ksub = 8)
+    val approx = collectTopK(SimilarityPq.IncrementalIvfPqTopK(idx,
+      refineWith = None, nlist = 4, m = 4, ksub = 8, refine = 1)
+      .transform(batch))
+    assert(approx.nonEmpty)
+    assert(approx.groupBy(_._1).forall(_._2.length == 5))
+    // mangle: drop q everywhere — the probe must refuse, naming the id
+    val mangled = idx.withColumn("q",
+      org.apache.spark.sql.functions.lit(null)
+        .cast("array<bigint>"))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityPq.IncrementalIvfPqTopK(mangled, nlist = 4, m = 4,
+        ksub = 8).transform(batch).collect()
+    }
+    assert(e.getMessage.contains("no vector"))
+  }
+
   test("ivf-pq: index members carry codes, never the full vector (the " +
     "compression invariant — codes length m, values in [1, ksub])") {
     val data = embs(40)
