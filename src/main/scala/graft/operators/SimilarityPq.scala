@@ -49,7 +49,7 @@ object SimilarityPq {
     * numbers). Empty corpus => empty array. Fails loud when the vector
     * width does not split into `m` equal subspaces.
     */
-  private[operators] def codebooks(quant: DataFrame, m: Int, ksub: Int)
+  private[graft] def codebooks(quant: DataFrame, m: Int, ksub: Int)
       : Array[Array[Array[Long]]] = {
     val picked = Similarity.pickCentroids(quant, ksub)
     if (picked.isEmpty) return Array.empty
@@ -72,7 +72,7 @@ object SimilarityPq {
     * the codebook entry with the smallest integer L2 distance (ties to
     * the smallest entry).
     */
-  private[operators] def encodeCodes(cb: Array[Array[Array[Long]]],
+  private[graft] def encodeCodes(cb: Array[Array[Array[Long]]],
                                      q: Array[Long]): Array[Int] = {
     val m = cb.length
     val dsub = cb(0)(0).length
@@ -102,7 +102,7 @@ object SimilarityPq {
     * exact integer dot of codebook entry `j` of subspace `s` with the
     * query's sub-vector `s`.
     */
-  private[operators] def adcTable(cb: Array[Array[Array[Long]]],
+  private[graft] def adcTable(cb: Array[Array[Array[Long]]],
                                   qq: Array[Long]): Array[Long] = {
     val m = cb.length
     val kk = cb(0).length
@@ -128,7 +128,7 @@ object SimilarityPq {
     * as `(id, q, nrm)` — the rows centroids AND codebooks re-derive
     * from. `src` must carry `id`, `q`, `nrm` (q possibly null off-pick).
     */
-  private def pickRows(src: DataFrame, n: Int)
+  private[graft] def pickRows(src: DataFrame, n: Int)
       : Array[(Long, Array[Long], Long)] = {
     val spark = src.sparkSession
     import spark.implicits._
@@ -144,7 +144,7 @@ object SimilarityPq {
     * drift. Fails loud when a pick row lost its vector (a hand-mangled
     * index) — that row is the index's own self-description.
     */
-  private def derive(picked: Array[(Long, Array[Long], Long)],
+  private[graft] def derive(picked: Array[(Long, Array[Long], Long)],
                      nlist: Int, m: Int, ksub: Int, who: String)
       : (Array[(Int, Array[Long], Long)], Array[Array[Array[Long]]]) = {
     picked.foreach { case (id, q, _) =>

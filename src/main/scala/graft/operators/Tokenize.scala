@@ -439,6 +439,142 @@ object Tokenize {
   private[operators] final case class BpeRow(
       doc_id: Long, n_bpe_tokens: Long, bpe_ids: Array[Long])
 
+  /** Typed decode row. */
+  private[operators] final case class BpeDecodeRow(doc_id: Long, text: String)
+
+  /** Decode subword token ids back to text — the inverse of
+    * [[BpeEncode]] over its own output: a first-form piece STARTS a
+    * word, a continuation piece appends (prefix stripped), words join
+    * with a single space; under `byteLevel` each reassembled word
+    * unmaps from the visible byte alphabet back to its UTF-8 bytes. On
+    * any encode output the round trip is EXACT by construction —
+    * `decode(encode(text))` equals the canonical whitespace-normalized
+    * (and, with `lowercase` encode, case-folded) text — regardless of
+    * vocab or merge depth, because the encode is an exact segmentation
+    * of each word. That identity is the `bpe_roundtrip` oracle: DuckDB
+    * computes the closed form DIRECTLY from the raw text, no encode
+    * replay — the two engines must meet at the same string through
+    * completely different paths.
+    *
+    * Fail-loud contract (the quiet-corruption class): an id not in the
+    * vocab (including an encode-side `unkId` — UNK is lossy by
+    * definition; decoding it silently would fabricate text) and a
+    * CONTINUATION piece at word start (ids no encode could emit) both
+    * raise naming the doc and id. Null id arrays decode to the empty
+    * string (the null-text row convention).
+    *
+    * 100 TB shape: identical to the encode — vocab collected once
+    * (bounded, fail-loud), broadcast; pure map-side typed pass; no
+    * shuffle.
+    */
+  final case class BpeDecode(vocab: DataFrame,
+                             idsColumn: String = "bpe_ids",
+                             idColumn: String = "doc_id",
+                             pieceColumn: String = "piece",
+                             vocabIdColumn: String = "id",
+                             continuationPrefix: String = "##",
+                             byteLevel: Boolean = false,
+                             maxVocab: Int = 1 << 22)
+      extends Wrangler {
+    require(continuationPrefix.nonEmpty, "continuationPrefix must be non-empty")
+    require(maxVocab >= 1, "maxVocab must be positive")
+    override def getParams: Seq[(String, Any)] = Seq(
+      "idsColumn" -> idsColumn, "idColumn" -> idColumn,
+      "pieceColumn" -> pieceColumn, "vocabIdColumn" -> vocabIdColumn,
+      "continuationPrefix" -> continuationPrefix,
+      "byteLevel" -> byteLevel, "maxVocab" -> maxVocab)
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, idsColumn))
+      SparkUtil.validateColumns(vocab, Seq(pieceColumn, vocabIdColumn))
+      SparkUtil.requireFitParamStr(vocab, pieceColumn,
+        "continuationPrefix", continuationPrefix, "BpeDecode")
+      SparkUtil.requireFitParamStr(vocab, pieceColumn, "byteLevel",
+        byteLevel.toString, "BpeDecode")
+      val spark = df.sparkSession
+      import spark.implicits._
+      val rows = vocab
+        .select(col(vocabIdColumn).cast("long"),
+          col(pieceColumn).cast("string"))
+        .limit(maxVocab + 1).as[(java.lang.Long, String)].collect()
+      require(rows.length <= maxVocab,
+        s"BpeDecode: vocab exceeds maxVocab=$maxVocab pieces — a subword " +
+          "vocab is bounded; a corpus-scale frame here is a wiring bug")
+      require(rows.nonEmpty, "BpeDecode: empty vocab")
+      rows.foreach { case (id, p) =>
+        require(id != null && p != null && p.nonEmpty,
+          "BpeDecode: vocab contains a null id or null/empty piece")
+      }
+      require(rows.map(_._1).distinct.length == rows.length,
+        "BpeDecode: vocab ids must be distinct")
+      // inverse byte map (byte-level only): mapped char -> byte
+      val charByte: java.util.HashMap[Character, java.lang.Byte] = {
+        val m = new java.util.HashMap[Character, java.lang.Byte]()
+        if (byteLevel) byteChar.zipWithIndex.foreach { case (c, b) =>
+          m.put(c, b.toByte)
+        }
+        m
+      }
+      val bcVocab = spark.sparkContext.broadcast(
+        rows.map { case (id, p) => (id.longValue, p) })
+      val (pfx, bl) = (continuationPrefix, byteLevel)
+      val typed = df.select(col(idColumn).cast("long"),
+        col(idsColumn).cast("array<long>")).as[(Long, Array[Long])]
+      typed.mapPartitions { it =>
+        val byId = new java.util.HashMap[java.lang.Long, String]()
+        bcVocab.value.foreach { case (id, p) => byId.put(id, p) }
+        def unmap(docId: Long, word: String): String = {
+          val bytes = new Array[Byte](word.length)
+          var i = 0
+          while (i < word.length) {
+            val b = charByte.get(word.charAt(i))
+            if (b == null) throw new IllegalArgumentException(
+              s"BpeDecode: doc $docId piece char " +
+                s"U+${word.charAt(i).toInt.toHexString} is not in the " +
+                "byte alphabet — the vocab was not built byte-level")
+            bytes(i) = b
+            i += 1
+          }
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        }
+        it.map { case (docId, ids) =>
+          if (ids == null || ids.isEmpty) BpeDecodeRow(docId, "")
+          else {
+            val sb = new java.lang.StringBuilder(ids.length * 4)
+            val word = new java.lang.StringBuilder(32)
+            def flush(): Unit = if (word.length() > 0) {
+              if (sb.length() > 0) sb.append(' ')
+              sb.append(if (bl) unmap(docId, word.toString) else word)
+              word.setLength(0)
+            }
+            var i = 0
+            while (i < ids.length) {
+              val p = byId.get(ids(i))
+              if (p == null) throw new IllegalArgumentException(
+                s"BpeDecode: doc $docId token id ${ids(i)} is not in " +
+                  "the vocab — an unkId stream is lossy by definition " +
+                  "and decoding it would fabricate text")
+              if (p.startsWith(pfx)) {
+                if (word.length() == 0) throw new IllegalArgumentException(
+                  s"BpeDecode: doc $docId token id ${ids(i)} (`$p`) is " +
+                    "a continuation piece at word start — no encode " +
+                    "emits this; the id stream is corrupt")
+                word.append(p, pfx.length, p.length)
+              } else {
+                flush()
+                word.append(p)
+              }
+              i += 1
+            }
+            flush()
+            BpeDecodeRow(docId, sb.toString)
+          }
+        }
+      }.toDF()
+    }
+  }
+
   /** [[BpeRow]] plus the matched piece STRINGS (`emitPieces = true`) —
     * what downstream chunkers consume ([[Chunking.ChunkSplit]]'s
     * `tokenArrayColumn`). Continuation pieces keep their prefix, so the

@@ -107,6 +107,59 @@ class TokenizeByteSpec extends AnyFunSuite {
     }
   }
 
+  test("decode: round trip is exact through char-level AND byte-level " +
+    "vocabs (any merge depth), including CJK/emoji/combining marks; " +
+    "null text round-trips to the empty string") {
+    val corpus = Seq((1L, "Low lower  \t Lowest"), (2L, "日本語 🚀🚀go"),
+      (3L, "études études"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val want = Seq((1L, "low lower lowest"), (2L, "日本語 🚀🚀go"),
+      (3L, "études études"), (4L, ""))
+    // byte-level
+    val bv = Tokenize.BpeLearn(nMerges = 5, byteLevel = true,
+      baseAlphabet = Tokenize.byteAlphabet).transform(corpus)
+    val bgot = Tokenize.BpeDecode(bv, byteLevel = true)
+      .transform(Tokenize.BpeEncode(bv, byteLevel = true)
+        .transform(corpus))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(bgot == want)
+    // char-level (vocab covers its own corpus)
+    val cv = Tokenize.BpeLearn(nMerges = 5).transform(corpus)
+    val cgot = Tokenize.BpeDecode(cv)
+      .transform(Tokenize.BpeEncode(cv).transform(corpus))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(cgot == want)
+  }
+
+  test("decode fail-loud contract: unknown id (incl. an encode unkId), " +
+    "continuation piece at word start, and fit-param drift all raise") {
+    val corpus = Seq((1L, "ab ba")).toDF("doc_id", "text")
+    val v = Tokenize.BpeLearn(nMerges = 1).transform(corpus)
+    val maxId = v.agg(org.apache.spark.sql.functions.max("id"))
+      .as[Long].collect().head
+    // unknown id (an unkId stream is the realistic instance)
+    val e1 = intercept[Exception] {
+      Tokenize.BpeDecode(v).transform(
+        Seq((7L, Array(maxId + 100L))).toDF("doc_id", "bpe_ids"))
+        .collect()
+    }
+    assert(e1.getMessage.contains("not in"))
+    // continuation piece at word start
+    val contId = v.filter(org.apache.spark.sql.functions.col("piece")
+      .startsWith("##")).select("id").as[Long].collect().head
+    val e2 = intercept[Exception] {
+      Tokenize.BpeDecode(v).transform(
+        Seq((8L, Array(contId))).toDF("doc_id", "bpe_ids")).collect()
+    }
+    assert(e2.getMessage.contains("word start"))
+    // drift: byte-level decode of a char-level vocab
+    val e3 = intercept[IllegalArgumentException] {
+      Tokenize.BpeDecode(v, byteLevel = true).transform(
+        Seq((9L, Array(1L))).toDF("doc_id", "bpe_ids")).collect()
+    }
+    assert(e3.getMessage.contains("byteLevel"))
+  }
+
   test("byte-level merge learning actually merges byte symbols (a " +
     "frequent pair becomes one token) and stays deterministic across " +
     "repartition") {
