@@ -134,6 +134,7 @@ object Bench {
     "text_boilerplate" -> Some("Join"),
     "text_dupspans" -> Some("Window"), // the per-doc span-merge windows
     "text_stripspans" -> Some("Window"), // same span machinery + rebuild
+    "text_striplines" -> Some("Join"), // hot-line anti-join + rebuild
     "mm_resize" -> Some("SerializeFromObject"),
     "mm_features" -> Some("SerializeFromObject"),
     "mm_framesample" -> Some("SerializeFromObject"),
@@ -153,6 +154,7 @@ object Bench {
     "bpe_vocab" -> Some("HashAggregate"), // bounded frequency aggs + ranks
     "bpe_learn" -> Some("HashAggregate"), // per-round pair-count aggs
     "bpe_byte" -> Some("MapPartitions"), // byte-mapped trie encode
+    "bpe_roundtrip" -> Some("MapPartitions"), // encode + decode passes
     "seq_pack_learn" -> Some("MapPartitions"), // learn->encode->chunk->pack
     "bpe_enc_uni" -> Some("MapPartitions"), // trie encode over non-BMP text
     "pack_manifest" -> Some("HashAggregate"), // partial-agg pack rollup

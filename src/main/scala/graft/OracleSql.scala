@@ -1353,6 +1353,36 @@ object OracleSql {
     * stream with duplicated spans (the [[textDupSpans]] algebra) removed.
     * Mirrors [[graft.operators.Corpus.StripDupSpans]].
     */
+  /** Line-level dedup applied (graft.operators.Corpus.HotLineStrip over
+    * the synthetic multi-line docs of `text_striplines`): exact-line
+    * distinct-doc frequency, strip lines with df > maxDocFreq, rebuild
+    * in line order. Null text (null-propagating concat) is the 0-line
+    * empty-clean_text class.
+    */
+  def textStripLines(maxDocFreq: Long): String =
+    s"""WITH ml AS (SELECT doc_id,
+       |  text || chr(10) || 'Cookie notice: accept all cookies' ||
+       |  chr(10) || lang || ' footer' AS text FROM documents),
+       |l AS (SELECT doc_id,
+       |  unnest(generate_series(1, len(sl))) AS pos, unnest(sl) AS line
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sl
+       |        FROM ml)),
+       |hot AS (SELECT line FROM (
+       |  SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line)
+       |  WHERE df > $maxDocFreq),
+       |kept AS (SELECT l.doc_id, l.pos, l.line FROM l
+       |  ANTI JOIN hot USING (line)),
+       |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines,
+       |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT m.doc_id,
+       |  CAST(coalesce(len(string_split(m.text, chr(10))), 0) AS BIGINT)
+       |    AS n_lines,
+       |  coalesce(r.n_kept_lines, 0) AS n_kept_lines,
+       |  coalesce(r.clean_text, '') AS clean_text
+       |FROM ml m LEFT JOIN reb r USING (doc_id)
+       |ORDER BY m.doc_id""".stripMargin
+
   def textStripSpans(n: Int, minDocFreq: Long): String =
     s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
        |s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens
@@ -2652,6 +2682,22 @@ object OracleSql {
        |  CAST(l.merge_rank AS BIGINT) AS merge_rank
        |FROM vocab v JOIN vlearn l USING (piece)
        |ORDER BY v.id""".stripMargin
+
+  /** `bpe_roundtrip`: the decode identity — `decode(encode(text))`
+    * must equal the canonical whitespace-normalized case-folded text.
+    * The oracle computes that closed form DIRECTLY from the raw text
+    * (split, drop empties, rejoin — no encode replay at all), so the
+    * engine's learn → encode → decode chain and this one-liner must
+    * meet at the same string through completely different paths: any
+    * segmentation, id-assignment, byte-mapping or reassembly defect
+    * shows as a mismatch.
+    */
+  def bpeRoundtrip: String =
+    s"""SELECT doc_id,
+       |  coalesce(array_to_string(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), w -> w <> ''), ' '),
+       |    '') AS text
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** `bpe_byte`: BYTE-LEVEL BPE end-to-end — every word's UTF-8 bytes
     * through the visible byte alphabet ([[byteMapSql]], mirroring

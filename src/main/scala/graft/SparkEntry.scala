@@ -998,6 +998,18 @@ object SparkEntry {
     "text_stripspans" -> ((s, dir) =>
       Corpus.StripDupSpans().transform(docs(s, dir))
         .orderBy("doc_id")),
+    // line-level corpus dedup APPLIED (CCNet's per-line move): the
+    // synthetic multi-line docs carry a corpus-wide cookie banner and a
+    // per-lang footer — at maxDocFreq=150 the banner and the en footer
+    // (218 docs) strip, the minority-lang footers (<150 docs) survive
+    "text_striplines" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit("\nCookie notice: accept all cookies\n"),
+          col("lang"), lit(" footer")).as("text"))
+      Corpus.HotLineStrip(maxDocFreq = 150L).transform(d)
+        .orderBy("doc_id")
+    }),
     "stats_quantiles" -> ((s, dir) =>
       Corpus.QuantileStats(Seq("lang"), "n_chars").transform(docs(s, dir))
         .orderBy("lang")),
@@ -1323,6 +1335,20 @@ object SparkEntry {
           array_join(col("bpe_ids").cast("array<string>"), " ").as("ids_str"))
         .orderBy("doc_id")
     }),
+    // the decode identity: learn → encode → DECODE must reproduce the
+    // canonical whitespace-normalized case-folded text; the oracle
+    // computes that closed form directly from the raw text (no encode
+    // replay), so the whole chain is gated by a one-line independent
+    // derivation
+    "bpe_roundtrip" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = Tokenize.BpeLearn(nMerges = 8, byteLevel = true,
+        baseAlphabet = Tokenize.byteAlphabet).transform(d)
+      Tokenize.BpeDecode(vocab, byteLevel = true)
+        .transform(Tokenize.BpeEncode(vocab, byteLevel = true)
+          .transform(d))
+        .orderBy("doc_id")
+    }),
     // the full chain on the LEARNED vocab: merge learning → greedy
     // MaxMatch encode → chunk → exact prefix-sum pack — the oracle
     // replays the learning AND the encode inside one query
@@ -1478,6 +1504,7 @@ object SparkEntry {
     "vocab_topk" -> OracleSql.vocabTopK(100),
     "text_dupspans" -> OracleSql.textDupSpans(3, 2L),
     "text_stripspans" -> OracleSql.textStripSpans(3, 2L),
+    "text_striplines" -> OracleSql.textStripLines(150L),
     "stats_quantiles" -> OracleSql.statsQuantiles(
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),
     "shard_pack" -> OracleSql.shardPack(20000L),
@@ -1501,6 +1528,7 @@ object SparkEntry {
     "bpe_vocab" -> OracleSql.bpeVocab,
     "bpe_learn" -> OracleSql.bpeLearn(20),
     "bpe_byte" -> OracleSql.bpeByte(12),
+    "bpe_roundtrip" -> OracleSql.bpeRoundtrip,
     "seq_pack_learn" -> OracleSql.seqPackBpeLearned(20, 24, 6, 256L),
     "bpe_enc_uni" -> OracleSql.bpeEncUni,
     "chunk_bpe" -> OracleSql.chunkBpe(24, 6),

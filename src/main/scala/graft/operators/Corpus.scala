@@ -303,6 +303,73 @@ object Corpus {
     }
   }
 
+  /** Line-level corpus deduplication APPLIED — the CCNet/RefinedWeb
+    * per-line dedup move (public knowledge: CCNet drops lines
+    * duplicated across the corpus; RefinedWeb's line-wise filters do
+    * the same for navigation chrome): every line whose EXACT text
+    * occurs in more than `maxDocFreq` DISTINCT documents is removed
+    * from every document — the documents survive, the cookie banners /
+    * nav chrome / signature lines inside them do not. The
+    * line-granularity complement of [[BoilerplateScore]] (which SCORES
+    * by hot n-gram shingles) and [[StripDupSpans]] (which trims
+    * duplicated token spans).
+    *
+    * Semantics: lines are exact `\n`-split strings (blank lines
+    * included — corpus-hot blank lines strip like any other, the CCNet
+    * behavior); document frequency counts a line ONCE per document, so
+    * a line repeated inside one doc is not corpus-hot by itself.
+    * Output (one row per input doc — the typed projection convention):
+    * `doc_id`, `n_lines` (original), `n_kept_lines`, `clean_text`
+    * (surviving lines rejoined with `\n`; `''` when every line was
+    * hot, and for the null-text class — rows are never dropped).
+    *
+    * Scale shape: lines explode map-side (codegen'd split +
+    * posexplode); doc frequency is the [[VocabTopK]] two-phase shape —
+    * a (line, doc) partial count then a plain count, never a
+    * count-distinct; the hot set (df > maxDocFreq) is SMALL BY
+    * DEFINITION and anti-joins the narrow (doc, pos, line) stream
+    * (AQE broadcasts it when it fits); the rebuild is one per-doc
+    * `collect_list` bounded by the longest document. Full text never
+    * shuffles — only its lines, once, into the df aggregation.
+    */
+  final case class HotLineStrip(idColumn: String = "doc_id",
+                                textColumn: String = "text",
+                                maxDocFreq: Long = 100L)
+      extends Wrangler {
+    require(maxDocFreq >= 1, "`maxDocFreq` must be >= 1")
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      val base = df.select(col(idColumn).cast("long").as("doc_id"),
+        col(textColumn).cast("string").as("__text"))
+      val lines = base
+        .select(col("doc_id"),
+          posexplode(split(col("__text"), "\n")).as(Seq("pos", "line")))
+      // doc frequency without count-distinct: (line, doc) partial
+      // counts collapse map-side, then df is a plain count
+      val hot = lines.groupBy("line", "doc_id")
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("line").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDocFreq)
+        .select(col("line"))
+      val kept = lines.join(hot, Seq("line"), "left_anti")
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept_lines"),
+          expr("array_join(transform(array_sort(" +
+            "collect_list(struct(pos, line))), s -> s.line), '\\n')")
+            .as("clean_text"))
+      base
+        .select(col("doc_id"),
+          when(col("__text").isNull, lit(0L))
+            .otherwise(size(split(col("__text"), "\n")).cast("long"))
+            .as("n_lines"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    }
+  }
+
   /** Boilerplate scoring: how much of each document is made of corpus-hot
     * n-gram shingles (shingles whose document frequency exceeds
     * `maxDocFreq` — navigation chrome, license headers, template text).

@@ -517,6 +517,26 @@ object StressCorpus {
       total
     }
 
+    // ----- line-level dedup at 2M multi-line docs with a CLOSED-FORM
+    // strip count: every doc is [unique line, shared banner, unique
+    // line] — the banner (df = nDocs) strips everywhere, both unique
+    // lines survive, so kept == 2 * nDocs EXACTLY and every clean_text
+    // is the two unique lines in order
+    time(s"text_striplines n=$nDocs (closed-form strip mass)") {
+      val mdocs = spark.range(nDocs.toLong)
+        .select(col("id").as("doc_id"),
+          concat(lit("unique head "), col("id"),
+            lit("\nshared banner line\nunique tail "), col("id"))
+            .as("text"))
+      val out = Corpus.HotLineStrip(maxDocFreq = 100L).transform(mdocs)
+      val r = out.agg(sum("n_kept_lines"), sum("n_lines"),
+        count(lit(1))).collect()(0)
+      require(r.getLong(0) == 2L * nDocs, s"kept-line mass: $r")
+      require(r.getLong(1) == 3L * nDocs, s"line mass: $r")
+      require(r.getLong(2) == nDocs.toLong, s"row preservation: $r")
+      r.getLong(0)
+    }
+
     // ----- epoch upsampling at 50M rows: whole-epoch strata are exact
     // multiples, fractional strata land per-row in {floor, floor+1}
     // with the total inside the strict bounds; zero-epoch stratum
