@@ -1359,7 +1359,7 @@ object OracleSql {
     * in line order. Null text (null-propagating concat) is the 0-line
     * empty-clean_text class.
     */
-  def textStripLines(maxDocFreq: Long): String =
+  def textStripLines(maxDocFreq: Long, onlyIds: String = "TRUE"): String =
     s"""WITH ml AS (SELECT doc_id,
        |  text || chr(10) || 'Cookie notice: accept all cookies' ||
        |  chr(10) || lang || ' footer' AS text FROM documents),
@@ -1381,6 +1381,7 @@ object OracleSql {
        |  coalesce(r.n_kept_lines, 0) AS n_kept_lines,
        |  coalesce(r.clean_text, '') AS clean_text
        |FROM ml m LEFT JOIN reb r USING (doc_id)
+       |WHERE $onlyIds
        |ORDER BY m.doc_id""".stripMargin
 
   def textStripSpans(n: Int, minDocFreq: Long): String =

@@ -1010,6 +1010,22 @@ object SparkEntry {
       Corpus.HotLineStrip(maxDocFreq = 150L).transform(d)
         .orderBy("doc_id")
     }),
+    // ...and its ingest-loop face: the corpus (even doc_ids) persists
+    // only as the additive (line, doc_freq) index; the batch (odd ids)
+    // strips against corpus ∪ batch frequencies without corpus text —
+    // the oracle replays the df over the UNION and keeps batch rows
+    "striplines_incr" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit("\nCookie notice: accept all cookies\n"),
+          col("lang"), lit(" footer")).as("text"))
+      Corpus.IncrementalHotLineStrip(
+          Corpus.IncrementalHotLines.lineIndex(
+            d.filter(col("doc_id") % 2 === 0)),
+          maxDocFreq = 150L)
+        .transform(d.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    }),
     "stats_quantiles" -> ((s, dir) =>
       Corpus.QuantileStats(Seq("lang"), "n_chars").transform(docs(s, dir))
         .orderBy("lang")),
@@ -1505,6 +1521,8 @@ object SparkEntry {
     "text_dupspans" -> OracleSql.textDupSpans(3, 2L),
     "text_stripspans" -> OracleSql.textStripSpans(3, 2L),
     "text_striplines" -> OracleSql.textStripLines(150L),
+    "striplines_incr" -> OracleSql.textStripLines(150L,
+      "m.doc_id % 2 = 1"),
     "stats_quantiles" -> OracleSql.statsQuantiles(
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),
     "shard_pack" -> OracleSql.shardPack(20000L),

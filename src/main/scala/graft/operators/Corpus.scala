@@ -370,6 +370,118 @@ object Corpus {
     }
   }
 
+  /** The line-dedup member of the incremental ingest family
+    * ([[Dedup.IncrementalExactDedup]] / [[Dsir]]'s feature counts): the
+    * corpus persists ONLY as its line-frequency index `(line,
+    * doc_freq)` — distinct-doc counts, additively foldable — and each
+    * new batch strips against corpus ∪ batch frequencies WITHOUT
+    * re-reading corpus text.
+    *
+    * Unlike the centroid/codebook indexes, counts have a true zero, so
+    * an EMPTY index is a legitimate cold start (the first batch strips
+    * against itself alone — exactly [[HotLineStrip]] on the batch);
+    * there is also nothing to record as fit params — `maxDocFreq` is a
+    * strip-time knob, not a fit property, and lines are raw text
+    * (no case folding to drift). The caller's contract is the additive
+    * one: fold each batch exactly once (the index holds no doc ids, so
+    * a re-folded batch double-counts — the same contract as any
+    * count-based index).
+    */
+  object IncrementalHotLines {
+
+    private[operators] def explodeLines(df: DataFrame, idColumn: String,
+                                        textColumn: String): DataFrame =
+      df.select(col(idColumn).cast("long").as("doc_id"),
+          col(textColumn).cast("string").as("__text"))
+        .select(col("doc_id"),
+          posexplode(split(col("__text"), "\n")).as(Seq("pos", "line")))
+
+    /** Fit: the additively-foldable `(line, doc_freq)` index (two-phase
+      * distinct-doc counts, no count-distinct). Persist it; fold new
+      * batches with [[foldBatch]].
+      */
+    def lineIndex(corpus: DataFrame, idColumn: String = "doc_id",
+                  textColumn: String = "text"): DataFrame = {
+      SparkUtil.validateColumns(corpus, Seq(idColumn, textColumn))
+      explodeLines(corpus, idColumn, textColumn)
+        .groupBy("line", "doc_id").agg(count(lit(1)).as("__c"))
+        .groupBy("line").agg(count(lit(1)).as("doc_freq"))
+    }
+
+    /** Ingest: fold a new batch's distinct-doc line counts into the
+      * index (pure additive union-sum — `foldBatch(lineIndex(a), b)`
+      * equals `lineIndex(a ∪ b)` exactly, spec-pinned).
+      */
+    def foldBatch(index: DataFrame, batch: DataFrame,
+                  idColumn: String = "doc_id",
+                  textColumn: String = "text"): DataFrame = {
+      SparkUtil.validateColumns(index, Seq("line", "doc_freq"))
+      SparkUtil.validateColumns(batch, Seq(idColumn, textColumn))
+      index.select(col("line"), col("doc_freq").cast("long"))
+        .unionByName(lineIndex(batch, idColumn, textColumn))
+        .groupBy("line").agg(sum("doc_freq").as("doc_freq"))
+    }
+  }
+
+  /** Strip a NEW batch against corpus ∪ batch line frequencies through
+    * the persisted [[IncrementalHotLines.lineIndex]]: a batch line is
+    * hot iff its index count plus its batch distinct-doc count exceeds
+    * `maxDocFreq` — bit-identical to running [[HotLineStrip]] over the
+    * full corpus ∪ batch and keeping the batch's rows (spec-pinned),
+    * with corpus text never read. Output schema matches
+    * [[HotLineStrip]].
+    *
+    * Scale shape: the batch's lines explode map-side and meet the index
+    * in ONE line equi-join (left — unseen lines count 0); the hot set
+    * stays small by definition and anti-joins the batch line stream;
+    * rebuild is the per-doc bounded collect_list.
+    */
+  final case class IncrementalHotLineStrip(lineIndex: DataFrame,
+                                           idColumn: String = "doc_id",
+                                           textColumn: String = "text",
+                                           maxDocFreq: Long = 100L)
+      extends Wrangler {
+    require(maxDocFreq >= 1, "`maxDocFreq` must be >= 1")
+    // the index frame is structural input, not a tunable (the
+    // incremental-family convention)
+    override def getParams: Seq[(String, Any)] = Seq(
+      "idColumn" -> idColumn, "textColumn" -> textColumn,
+      "maxDocFreq" -> maxDocFreq)
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      SparkUtil.validateColumns(lineIndex, Seq("line", "doc_freq"))
+      val base = df.select(col(idColumn).cast("long").as("doc_id"),
+        col(textColumn).cast("string").as("__text"))
+      val lines = IncrementalHotLines.explodeLines(df, idColumn,
+        textColumn)
+      val idx = lineIndex.select(col("line"),
+        col("doc_freq").cast("long").as("__cdf"))
+      val hot = lines.groupBy("line", "doc_id")
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("line").agg(count(lit(1)).as("__bdf"))
+        .join(idx, Seq("line"), "left")
+        .filter(col("__bdf") + coalesce(col("__cdf"), lit(0L))
+          > maxDocFreq)
+        .select(col("line"))
+      val kept = lines.join(hot, Seq("line"), "left_anti")
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept_lines"),
+          expr("array_join(transform(array_sort(" +
+            "collect_list(struct(pos, line))), s -> s.line), '\\n')")
+            .as("clean_text"))
+      base
+        .select(col("doc_id"),
+          when(col("__text").isNull, lit(0L))
+            .otherwise(size(split(col("__text"), "\n")).cast("long"))
+            .as("n_lines"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    }
+  }
+
   /** Boilerplate scoring: how much of each document is made of corpus-hot
     * n-gram shingles (shingles whose document frequency exceeds
     * `maxDocFreq` — navigation chrome, license headers, template text).

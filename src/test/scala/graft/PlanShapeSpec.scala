@@ -150,6 +150,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(TextAnalysis.TokenEntropy().transform(df)) == 0)
   }
 
+  test("epoch upsample: pure map-side, zero shuffles — the explode " +
+    "never repartitions") {
+    val df = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    assert(shuffles(Sampling.EpochUpsample(Map("en" -> 2.5))
+      .transform(df)) == 0)
+  }
+
+  test("subword decode: map-side after the bounded vocab collect — " +
+    "zero shuffles, like the encode") {
+    val corpus = Seq((1L, "ab ba")).toDF("doc_id", "text")
+    val v = Tokenize.BpeLearn(nMerges = 1).transform(corpus)
+    val enc = Tokenize.BpeEncode(v).transform(corpus)
+    assert(shuffles(Tokenize.BpeDecode(v).transform(enc)) == 0)
+  }
+
   test("pipeline composition fuses map-side stages: normalize + quality " +
     "+ filters + dedup cost exactly the dedup window's one shuffle") {
     import graft.operators.TextAnalysis

@@ -49,6 +49,45 @@ class HotLineStripSpec extends AnyFunSuite {
       (7L, 0L, 0L, "")))
   }
 
+  test("incremental: batch strip against the persisted line index == " +
+    "the full-corpus strip restricted to batch docs; fold == refit; " +
+    "cold start (empty index) == the batch alone") {
+    val all = (0 until 40).map { i =>
+      (i.toLong, s"unique $i\nshared banner\n${if (i % 2 == 0) "even side"
+        else "odd side"}")
+    }
+    val corpus = all.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+    val batch = all.filter(_._1 % 2 == 1).toDF("doc_id", "text")
+    val idx = Corpus.IncrementalHotLines.lineIndex(corpus)
+    // banner df 40 > 15 hot; "odd side" df 20 (batch-only) > 15 hot
+    // too — batch-internal mass counts toward the union threshold
+    val got = Corpus.IncrementalHotLineStrip(idx, maxDocFreq = 15L)
+      .transform(batch)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val full = Corpus.HotLineStrip(maxDocFreq = 15L)
+      .transform(all.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].collect()
+      .filter(_._1 % 2 == 1).sortBy(_._1).toSeq
+    assert(got == full)
+    assert(got.forall(r => r._3 == 1L && r._4.startsWith("unique")))
+    // fold == refit, exactly (additive counts)
+    val folded = Corpus.IncrementalHotLines.foldBatch(idx, batch)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val refit = Corpus.IncrementalHotLines.lineIndex(
+      all.toDF("doc_id", "text"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(folded == refit)
+    // cold start: empty index == HotLineStrip over the batch alone
+    val cold = Corpus.IncrementalHotLineStrip(
+        idx.filter(org.apache.spark.sql.functions.lit(false)),
+        maxDocFreq = 15L)
+      .transform(batch)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val alone = Corpus.HotLineStrip(maxDocFreq = 15L).transform(batch)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(cold == alone)
+  }
+
   test("deterministic across repartition; a high threshold keeps " +
     "everything byte-identical") {
     val docs = (0 until 60).map(i =>
