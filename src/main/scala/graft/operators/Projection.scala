@@ -107,24 +107,13 @@ object Projection {
         .select(col("query_id"), col("neighbor_id"))
 
       // exact re-rank on the full vectors — only the shortlist touches
-      // them (the IvfPqTopK refine contract)
+      // them (the shared [[SimilarityPq.exactRerank]] refine contract)
       val qside = quantizedRows(
         queries(df).select(col(idColumn).as("id"), col(vecColumn)),
         "id", vecColumn, Array.empty, 0)
         .select(col("id").as("query_id"), col("q").as("qq"),
           col("nrm").as("qnrm"))
-      val exact = quant
-        .join(broadcast(short), col("id") === col("neighbor_id"))
-        .join(broadcast(qside), Seq("query_id"))
-        .withColumn("cosine", round(qCosine(
-          qDot(col("q"), col("qq")), col("nrm"), col("qnrm")), 6))
-      exact
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("cosine").desc, col("id").asc)))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("id").as("neighbor_id"), col("cosine"))
+      SimilarityPq.exactRerank(quant, short, qside, k)
     }
   }
 }

@@ -124,6 +124,67 @@ object SimilarityPq {
     t
   }
 
+  /** Shared ADC scan over probe-joined candidate rows (`query_id, id,
+    * codes, nrm, qq, qnrm`): one lookup table per (partition, query) —
+    * fail-loud past `maxQ` distinct queries, the [[Similarity.ranked]]
+    * bounded-queries contract — then `m` table lookups per candidate.
+    * Emits `(query_id, id, cosine)` with the deterministic approximate
+    * cosine (NaN for zero norms, the qCosine convention).
+    */
+  private[graft] def adcScan(joined: DataFrame,
+      bcCb: org.apache.spark.broadcast
+        .Broadcast[Array[Array[Array[Long]]]],
+      maxQ: Long): DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    joined.select(col("query_id"), col("id"), col("codes"), col("nrm"),
+        col("qq"), col("qnrm"))
+      .as[(Long, Long, Array[Int], Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cbv = bcCb.value
+        val kk = cbv(0).length
+        val tables = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+        it.map { case (qid, id, codes, nrm, qq, qnrm) =>
+          if (!tables.contains(qid) && tables.size >= maxQ)
+            throw new IllegalStateException(
+              s"SimilarityPq: partition saw more than $maxQ distinct " +
+                "query ids — the ADC scan holds one lookup table per " +
+                "query; raise maxQueriesPerPartition explicitly if a " +
+                "query set this large is intended")
+          val t = tables.getOrElseUpdate(qid, adcTable(cbv, qq))
+          var adot = 0L
+          var s = 0
+          while (s < codes.length) {
+            adot += t(s * kk + (codes(s) - 1)); s += 1
+          }
+          val c = if (nrm > 0 && qnrm > 0)
+            adot.toDouble / math.sqrt(nrm.toDouble * qnrm.toDouble)
+          else Double.NaN
+          (qid, id, c)
+        }
+      }.toDF("query_id", "id", "cosine")
+  }
+
+  /** Shared exact re-rank of a broadcastable shortlist (`query_id,
+    * neighbor_id`) against a full-vector table (`id, q, nrm`) and the
+    * query side (`query_id, qq, qnrm`): exact rounded cosines, top-`k`
+    * per query, the ANN-family output schema. Only these
+    * `queries x k x refine` rows ever touch full vectors.
+    */
+  private[graft] def exactRerank(full: DataFrame, short: DataFrame,
+                                 qside: DataFrame, k: Int): DataFrame =
+    full
+      .join(broadcast(short), col("id") === col("neighbor_id"))
+      .join(broadcast(qside), Seq("query_id"))
+      .withColumn("cosine", round(qCosine(
+        qDot(col("q"), col("qq")), col("nrm"), col("qnrm")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"), col("cosine"))
+
   /** The first `n` index rows in the shared `(md5(id), id)` pick order,
     * as `(id, q, nrm)` — the rows centroids AND codebooks re-derive
     * from. `src` must carry `id`, `q`, `nrm` (q possibly null off-pick).
@@ -392,35 +453,9 @@ object SimilarityPq {
         }
         .toDF("query_id", "qq", "qnrm", "cluster")
 
-      val joined = index.drop("q").join(probes, Seq("cluster"))
-        .filter(col("id") =!= col("query_id"))
-        .select(col("query_id"), col("id"), col("codes"), col("nrm"),
-          col("qq"), col("qnrm"))
-        .as[(Long, Long, Array[Int], Long, Array[Long], Long)]
-      val maxQ = maxQueriesPerPartition
-      val approx = joined.mapPartitions { it =>
-        val cbv = bcCb.value
-        val kk = cbv(0).length
-        val tables = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
-        it.map { case (qid, id, codes, nrm, qq, qnrm) =>
-          if (!tables.contains(qid) && tables.size >= maxQ)
-            throw new IllegalStateException(
-              s"SimilarityPq: partition saw more than $maxQ distinct " +
-                "query ids — the ADC scan holds one lookup table per " +
-                "query; raise maxQueriesPerPartition explicitly if a " +
-                "query set this large is intended")
-          val t = tables.getOrElseUpdate(qid, adcTable(cbv, qq))
-          var adot = 0L
-          var s = 0
-          while (s < codes.length) {
-            adot += t(s * kk + (codes(s) - 1)); s += 1
-          }
-          val c = if (nrm > 0 && qnrm > 0)
-            adot.toDouble / math.sqrt(nrm.toDouble * qnrm.toDouble)
-          else Double.NaN
-          (qid, id, c)
-        }
-      }.toDF("query_id", "id", "cosine")
+      val approx = adcScan(index.drop("q").join(probes, Seq("cluster"))
+        .filter(col("id") =!= col("query_id")),
+        bcCb, maxQueriesPerPartition)
 
       refineWith match {
         case None =>
@@ -437,17 +472,7 @@ object SimilarityPq {
             .select("id", "q", "nrm")
           val qside = qs.select(col("id").as("query_id"),
             col("q").as("qq"), col("nrm").as("qnrm"))
-          full
-            .join(broadcast(short), col("id") === col("neighbor_id"))
-            .join(broadcast(qside), Seq("query_id"))
-            .withColumn("cosine", round(qCosine(
-              qDot(col("q"), col("qq")), col("nrm"), col("qnrm")), 6))
-            .withColumn("rank", row_number().over(
-              Window.partitionBy("query_id")
-                .orderBy(col("cosine").desc, col("id").asc)))
-            .filter(col("rank") <= k)
-            .select(col("query_id"), col("rank").cast("long").as("rank"),
-              col("id").as("neighbor_id"), col("cosine"))
+          exactRerank(full, short, qside, k)
       }
     }
   }
@@ -532,38 +557,10 @@ object SimilarityPq {
       // ADC scan: the probe join carries the query vector to the
       // candidate rows; each partition lazily builds ONE lookup table
       // per distinct query (m*ksub integer dots), then every candidate
-      // scores in m table lookups. Same bounded-queries contract (and
-      // fail-loud guard) as [[Similarity.ranked]]'s heap prune.
-      val joined = index.join(probes, Seq("cluster"))
-        .filter(col("id") =!= col("query_id"))
-        .select(col("query_id"), col("id"), col("codes"), col("nrm"),
-          col("qq"), col("qnrm"))
-        .as[(Long, Long, Array[Int], Long, Array[Long], Long)]
-      val maxQ = maxQueriesPerPartition
-      val approx = joined.mapPartitions { it =>
-        val cbv = bcCb.value
-        val kk = cbv(0).length
-        val tables = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
-        it.map { case (qid, id, codes, nrm, qq, qnrm) =>
-          if (!tables.contains(qid) && tables.size >= maxQ)
-            throw new IllegalStateException(
-              s"SimilarityPq: partition saw more than $maxQ distinct " +
-                "query ids — the ADC scan holds one lookup table per " +
-                "query; raise maxQueriesPerPartition explicitly if a " +
-                "query set this large is intended")
-          val t = tables.getOrElseUpdate(qid, adcTable(cbv, qq))
-          var adot = 0L
-          var s = 0
-          while (s < codes.length) {
-            adot += t(s * kk + (codes(s) - 1)); s += 1
-          }
-          // same zero-norm NaN convention as Portable.qCosine
-          val c = if (nrm > 0 && qnrm > 0)
-            adot.toDouble / math.sqrt(nrm.toDouble * qnrm.toDouble)
-          else Double.NaN
-          (qid, id, c)
-        }
-      }.toDF("query_id", "id", "cosine")
+      // scores in m table lookups ([[adcScan]])
+      val approx = adcScan(index.join(probes, Seq("cluster"))
+        .filter(col("id") =!= col("query_id")),
+        bcCb, maxQueriesPerPartition)
 
       // approximate shortlist, then EXACT re-rank: only these
       // queries*k*refine ids ever touch the full-vector table again
@@ -571,18 +568,7 @@ object SimilarityPq {
         .select(col("query_id"), col("neighbor_id"))
       val qside = qs.select(col("id").as("query_id"), col("q").as("qq"),
         col("nrm").as("qnrm"))
-      val exact = quant
-        .join(broadcast(short), col("id") === col("neighbor_id"))
-        .join(broadcast(qside), Seq("query_id"))
-        .withColumn("cosine", round(qCosine(
-          qDot(col("q"), col("qq")), col("nrm"), col("qnrm")), 6))
-      exact
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("cosine").desc, col("id").asc)))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("id").as("neighbor_id"), col("cosine"))
+      exactRerank(quant, short, qside, k)
     }
   }
 }
