@@ -431,6 +431,14 @@ object Corpus {
     * with corpus text never read. Output schema matches
     * [[HotLineStrip]].
     *
+    * `countBatch = false` is the SERVING face: hotness from the INDEX
+    * frequencies alone (no batch aggregation — the batch's own mass
+    * does not count toward the threshold). That is the only semantics
+    * an unbounded stream can honor (it cannot see its own future), so
+    * it is also the contract [[graft.streaming.StreamingHotLineStrip]]
+    * pins against; use the default for ingest batches, the serving
+    * face for scoring-time cleanup.
+    *
     * Scale shape: the batch's lines explode map-side and meet the index
     * in ONE line equi-join (left — unseen lines count 0); the hot set
     * stays small by definition and anti-joins the batch line stream;
@@ -439,14 +447,15 @@ object Corpus {
   final case class IncrementalHotLineStrip(lineIndex: DataFrame,
                                            idColumn: String = "doc_id",
                                            textColumn: String = "text",
-                                           maxDocFreq: Long = 100L)
+                                           maxDocFreq: Long = 100L,
+                                           countBatch: Boolean = true)
       extends Wrangler {
     require(maxDocFreq >= 1, "`maxDocFreq` must be >= 1")
     // the index frame is structural input, not a tunable (the
     // incremental-family convention)
     override def getParams: Seq[(String, Any)] = Seq(
       "idColumn" -> idColumn, "textColumn" -> textColumn,
-      "maxDocFreq" -> maxDocFreq)
+      "maxDocFreq" -> maxDocFreq, "countBatch" -> countBatch)
 
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
@@ -457,13 +466,16 @@ object Corpus {
         textColumn)
       val idx = lineIndex.select(col("line"),
         col("doc_freq").cast("long").as("__cdf"))
-      val hot = lines.groupBy("line", "doc_id")
-        .agg(count(lit(1)).as("__c"))
-        .groupBy("line").agg(count(lit(1)).as("__bdf"))
-        .join(idx, Seq("line"), "left")
-        .filter(col("__bdf") + coalesce(col("__cdf"), lit(0L))
-          > maxDocFreq)
-        .select(col("line"))
+      val hot =
+        if (countBatch)
+          lines.groupBy("line", "doc_id")
+            .agg(count(lit(1)).as("__c"))
+            .groupBy("line").agg(count(lit(1)).as("__bdf"))
+            .join(idx, Seq("line"), "left")
+            .filter(col("__bdf") + coalesce(col("__cdf"), lit(0L))
+              > maxDocFreq)
+            .select(col("line"))
+        else idx.filter(col("__cdf") > maxDocFreq).select(col("line"))
       val kept = lines.join(hot, Seq("line"), "left_anti")
       val rebuilt = kept.groupBy("doc_id")
         .agg(count(lit(1)).as("n_kept_lines"),
