@@ -131,6 +131,7 @@ object Bench {
     "ann_srp" -> Some("long_array_dot"), // projected-space codegen'd scan
     "ann_ivf_pq_incr" -> Some("MapPartitions"), // ADC scan over the index
     "mix_epochs" -> Some("Generate"), // the per-copy sequence explode
+    "epoch_interleave" -> Some("Window"), // copies through the prefix sum
     "text_boilerplate" -> Some("Join"),
     "text_dupspans" -> Some("Window"), // the per-doc span-merge windows
     "text_stripspans" -> Some("Window"), // same span machinery + rebuild

@@ -2081,18 +2081,18 @@ object OracleSql {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
-  /** Epoch-aware upsampling (graft.operators.Sampling.EpochUpsample):
-    * floor(w) copies per row plus one iff the md5 bucket is below the
-    * fractional threshold, exploded to one row per copy. */
-  def mixEpochs(epochs: Seq[(String, Double)], defaultEpochs: Double,
-                salt: String): String = {
+  /** The per-doc realized epoch count (`m(doc_id, lang, sample_bucket,
+    * n_epochs)`) — the shared head of the epoch-upsample replays. */
+  private def epochCountCtes(epochs: Seq[(String, Double)],
+                             defaultEpochs: Double,
+                             salt: String): String = {
     def whole(w: Double) = math.floor(w).toLong
     def fracHex(w: Double) = Sampling.thresholdHex(w - math.floor(w))
     val baseCases = epochs.map { case (s, w) =>
       s"WHEN '$s' THEN ${whole(w)}" }.mkString(" ")
     val fracCases = epochs.map { case (s, w) =>
       s"WHEN '$s' THEN '${fracHex(w)}'" }.mkString(" ")
-    s"""WITH s AS (SELECT doc_id, lang,
+    s"""s AS (SELECT doc_id, lang,
        |  substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8)
        |    AS sample_bucket
        |  FROM documents),
@@ -2101,12 +2101,47 @@ object OracleSql {
        |    (CASE WHEN sample_bucket <
        |       CASE lang $fracCases ELSE '${fracHex(defaultEpochs)}' END
        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_epochs
-       |  FROM s)
+       |  FROM s)""".stripMargin
+  }
+
+  /** Epoch-aware upsampling (graft.operators.Sampling.EpochUpsample):
+    * floor(w) copies per row plus one iff the md5 bucket is below the
+    * fractional threshold, exploded to one row per copy. */
+  def mixEpochs(epochs: Seq[(String, Double)], defaultEpochs: Double,
+                salt: String): String =
+    s"""WITH ${epochCountCtes(epochs, defaultEpochs, salt)}
        |SELECT doc_id, lang, sample_bucket, n_epochs,
        |  CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
        |FROM m WHERE n_epochs >= 1
        |ORDER BY doc_id, epoch""".stripMargin
-  }
+
+  /** Epoch upsample composed into the deterministic training-order
+    * interleave: every COPY gets its own md5 permutation position (via
+    * the collision-free `copy_id = doc_id * 100 + epoch` key), so the
+    * repeats of an upsampled document land at independent points of the
+    * training order instead of clustering — the property the
+    * composition exists for. Mirrors EpochUpsample →
+    * InterleaveShuffle(idColumn = "copy_id").
+    */
+  def mixEpochsInterleave(epochs: Seq[(String, Double)],
+                          defaultEpochs: Double, saltE: String,
+                          numShards: Int, saltI: String): String =
+    s"""WITH ${epochCountCtes(epochs, defaultEpochs, saltE)},
+       |e AS (SELECT doc_id, lang,
+       |  CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
+       |  FROM m WHERE n_epochs >= 1),
+       |t AS (SELECT doc_id, lang, epoch,
+       |  doc_id * 100 + epoch AS copy_id,
+       |  substr(md5('$saltI:' ||
+       |    CAST(doc_id * 100 + epoch AS VARCHAR)), 1, 8)
+       |    AS shuffle_key FROM e),
+       |r AS (SELECT doc_id, lang, epoch, copy_id, shuffle_key,
+       |  CAST(row_number() OVER (ORDER BY shuffle_key, copy_id) - 1
+       |    AS BIGINT) AS global_pos FROM t)
+       |SELECT doc_id, epoch, copy_id, shuffle_key, global_pos,
+       |  CAST(global_pos % $numShards AS BIGINT) AS shard,
+       |  CAST(global_pos // $numShards AS BIGINT) AS pos_in_shard
+       |FROM r ORDER BY copy_id""".stripMargin
 
   /** SemDeDup (graft.operators.SemDedup): full spherical-k-means replay —
     * init = the `k` vectors with the smallest (md5-hash, id), then

@@ -802,6 +802,19 @@ object SparkEntry {
         .transform(docs(s, dir))
         .select("doc_id", "lang", "sample_bucket", "n_epochs", "epoch")
         .orderBy("doc_id", "epoch")),
+    // ...composed into the training order: each COPY keys the md5
+    // permutation independently (copy_id = doc_id*100 + epoch,
+    // collision-free under the maxEpochs cap), so an upsampled doc's
+    // repeats spread across the order instead of clustering
+    "epoch_interleave" -> ((s, dir) =>
+      InterleaveShuffle(numShards = 8, idColumn = "copy_id")
+        .transform(Sampling.EpochUpsample(Map("en" -> 1.0,
+            "zh" -> 2.4, "fr" -> 0.0, "de" -> 3.0), defaultEpochs = 1.5)
+          .transform(docs(s, dir))
+          .withColumn("copy_id", col("doc_id") * 100 + col("epoch")))
+        .select("doc_id", "epoch", "copy_id", "shuffle_key",
+          "global_pos", "shard", "pos_in_shard")
+        .orderBy("copy_id")),
     // per-group top-k by score: map-side bounded k-heaps prune before
     // the rank window (partitions x groups x k, never the corpus)
     "top_docs" -> ((s, dir) =>
@@ -1501,6 +1514,9 @@ object SparkEntry {
     "mix_epochs" -> OracleSql.mixEpochs(
       Seq("en" -> 1.0, "zh" -> 2.4, "fr" -> 0.0, "de" -> 3.0),
       1.5, "graft-epoch"),
+    "epoch_interleave" -> OracleSql.mixEpochsInterleave(
+      Seq("en" -> 1.0, "zh" -> 2.4, "fr" -> 0.0, "de" -> 3.0),
+      1.5, "graft-epoch", 8, "graft"),
     "quality_band" -> OracleSql.qualityBand(0.1, 0.9),
     "pct_rank" -> OracleSql.pctRank,
     "top_docs" -> OracleSql.topDocsPerGroup(5L),

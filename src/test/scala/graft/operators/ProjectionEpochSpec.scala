@@ -109,6 +109,29 @@ class ProjectionEpochSpec extends AnyFunSuite {
     Sampling.EpochUpsample(Map("en" -> 500.0), maxEpochs = 1000.0)
   }
 
+  test("epoch interleave composition: each COPY gets an independent " +
+    "permutation position — repeats of a doc spread across shards " +
+    "instead of clustering") {
+    val docs = (0 until 200).map(i => (i.toLong, "hi"))
+      .toDF("doc_id", "lang")
+    val up = Sampling.EpochUpsample(Map("hi" -> 3.0)).transform(docs)
+      .withColumn("copy_id", org.apache.spark.sql.functions
+        .col("doc_id") * 100 + org.apache.spark.sql.functions
+        .col("epoch"))
+    val out = InterleaveShuffle(numShards = 8, idColumn = "copy_id")
+      .transform(up)
+      .select("doc_id", "epoch", "global_pos", "shard")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.length == 600)
+    assert(out.map(_._3).sorted == (0L until 600L)) // exact permutation
+    // spread: the 3 copies of a doc land in >1 shard for nearly all
+    // docs (clustered copies would share a shard); md5 makes this
+    // deterministic, so the bound is a fixture fact, not a flake
+    val spread = out.groupBy(_._1).values
+      .count(rs => rs.map(_._4).distinct.length > 1)
+    assert(spread >= 180, s"only $spread/200 docs spread shards")
+  }
+
   test("epoch upsample: deterministic across repartition; zero-copy " +
     "rows emit NOTHING (the sequence(1,0) step-inference hazard)") {
     val docs = (0 until 60).map(i => (i.toLong, if (i % 2 == 0) "keep"
