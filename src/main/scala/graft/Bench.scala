@@ -142,6 +142,7 @@ object Bench {
     "mm_framesample" -> Some("SerializeFromObject"),
     "mm_audio" -> Some("SerializeFromObject"), // typed WAV-decode map pass
     "mm_video" -> Some("SerializeFromObject"), // typed AVI-decode map pass
+    "mm_demux" -> Some("SerializeFromObject"), // typed AVI-demux map pass
     "text_tokens" -> Some("split("),
     "text_quality" -> Some("SerializeFromObject"),
     "text_entropy" -> Some("SerializeFromObject"), // compiled map pass

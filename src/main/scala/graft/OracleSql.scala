@@ -2964,6 +2964,35 @@ object OracleSql {
        |FROM documents d JOIN cs USING (doc_id) JOIN rs USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** AVI audio demux over the VideoGen closed forms: audio containers
+    * (doc_id % 3 = 1) interleave one 4-byte PCM chunk per frame with
+    * sample i = (doc_id*7 + i) % 256; silent containers are the
+    * explicit empty class. Mirrors
+    * [[graft.operators.Multimodal.VideoAudioDemux]].
+    */
+  def mmDemux: String =
+    s"""WITH b AS (SELECT doc_id, doc_id % 3 = 1 AS has_audio,
+       |  2 + doc_id % 6 AS nf FROM documents),
+       |s AS (SELECT doc_id, sum((doc_id * 7 + i) % 256) AS bs
+       |  FROM (SELECT doc_id, unnest(generate_series(0,
+       |    CAST(4 * (2 + doc_id % 6) - 1 AS BIGINT))) AS i
+       |    FROM documents WHERE doc_id % 3 = 1)
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id, b.has_audio,
+       |  CAST(CASE WHEN b.has_audio THEN b.nf ELSE 0 END AS BIGINT)
+       |    AS n_audio_chunks,
+       |  CAST(CASE WHEN b.has_audio THEN 4 * b.nf ELSE 0 END AS BIGINT)
+       |    AS n_audio_bytes,
+       |  CAST(coalesce(s.bs, 0) AS BIGINT) AS byte_sum,
+       |  CAST(CASE WHEN b.has_audio THEN (b.doc_id * 7) % 256 ELSE -1 END
+       |    AS BIGINT) AS first_byte,
+       |  CAST(CASE WHEN b.has_audio THEN 8000 ELSE 0 END AS BIGINT)
+       |    AS sample_rate,
+       |  CAST(CASE WHEN b.has_audio THEN 1 ELSE 0 END AS BIGINT)
+       |    AS channels
+       |FROM b LEFT JOIN s USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
   /** Fit-in-box resize over the generator dims; integer scale algebra,
     * nearest-neighbor corner preservation (out(0,0) = in(0,0)). Mirrors
     * [[graft.operators.Multimodal.Resize]].

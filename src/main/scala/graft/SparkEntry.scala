@@ -1186,6 +1186,12 @@ object SparkEntry {
         .select("doc_id", "fmt", "width", "height", "n_frames", "fps_num",
           "fps_den", "duration_ms", "corner_px", "corner_sum")
         .orderBy("doc_id")),
+    // the demux leg: the auds stream's interleaved PCM chunks extracted
+    // and folded byte-by-byte into oracle-checked probes; silent
+    // containers are the explicit empty class
+    "mm_demux" -> ((s, dir) =>
+      Multimodal.VideoAudioDemux().transform(video(s, dir))
+        .orderBy("doc_id")),
     // URL canonicalization: scheme/host case, www., default ports,
     // slash runs, tracking params, param order and fragments all
     // collapse; malformed urls yield the null class — pure codegen'd
@@ -1557,6 +1563,7 @@ object SparkEntry {
     "mm_framesample" -> OracleSql.mmFrameSample,
     "mm_audio" -> OracleSql.mmAudio,
     "mm_video" -> OracleSql.mmVideo,
+    "mm_demux" -> OracleSql.mmDemux,
     "url_canonical" -> OracleSql.urlCanonical,
     "bpe_encode" -> OracleSql.bpeEncode,
     "bpe_vocab" -> OracleSql.bpeVocab,

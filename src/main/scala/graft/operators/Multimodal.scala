@@ -481,6 +481,166 @@ object Multimodal {
     }
   }
 
+  /** Demuxed view of an AVI's interleaved PCM audio stream. */
+  private[operators] final case class DemuxedAudio(
+      hasAudio: Boolean, nChunks: Long, nBytes: Long, byteSum: Long,
+      firstByte: Long, sampleRate: Long, channels: Long)
+
+  /** Demux the AUDIO stream out of an AVI container — the companion of
+    * [[decodeVideo]] (which decodes only the vids stream and skips
+    * `##wb` data by fourcc): streams are numbered by strh order, the
+    * `auds` stream's `NNwb` data chunks concatenate into the PCM byte
+    * stream, and its WAVEFORMAT strf supplies channels/sample rate.
+    * The same structural fail-loud rules as the video walk (magic,
+    * overruns, truncated headers, a SECOND auds strh); a container with
+    * NO audio stream demuxes to the explicit empty class rather than
+    * an error — silent video is data, not corruption.
+    */
+  private[operators] def demuxAudio(id: Long,
+                                    payload: Array[Byte]): DemuxedAudio = {
+    if (!sniffAvi(payload)) throw new IllegalArgumentException(
+      s"media $id: payload is not an AVI container (RIFF/AVI magic not " +
+        s"found in ${if (payload == null) 0 else payload.length} bytes)")
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"media $id: corrupt AVI: $msg")
+    def u32(off: Int): Long = {
+      if (off + 4 > payload.length) fail(s"size field at $off runs past payload end")
+      (payload(off) & 0xFFL) | ((payload(off + 1) & 0xFFL) << 8) |
+        ((payload(off + 2) & 0xFFL) << 16) | ((payload(off + 3) & 0xFFL) << 24)
+    }
+    def u16(off: Int): Long = {
+      if (off + 2 > payload.length) fail(s"field at $off runs past payload end")
+      (payload(off) & 0xFFL) | ((payload(off + 1) & 0xFFL) << 8)
+    }
+    def fourcc(off: Int): String = {
+      if (off + 4 > payload.length) fail(s"fourcc at $off runs past payload end")
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    val riffSize = u32(4)
+    if (8L + riffSize > payload.length)
+      fail(s"RIFF declares ${riffSize} bytes but payload holds ${payload.length - 8}")
+    val end0 = (8L + riffSize).toInt
+
+    var strhSeen = 0
+    var audsStream = -1
+    var lastStrhWasAuds = false
+    var sawAuds = false
+    var channels = 0L
+    var sampleRate = 0L
+    var nChunks = 0L
+    var nBytes = 0L
+    var byteSum = 0L
+    var firstByte = -1L
+
+    def walk(start: Int, end: Int, depth: Int, inMovi: Boolean): Unit = {
+      var off = start
+      while (off < end) {
+        if (off + 8 > end) fail(s"truncated chunk header at $off")
+        val cc = fourcc(off)
+        val size = u32(off + 4)
+        val dataOff = off + 8
+        if (dataOff + size > end)
+          fail(s"chunk $cc at $off declares $size bytes, overrunning its container")
+        cc match {
+          case "LIST" =>
+            if (size < 4) fail(s"LIST at $off too small for a type")
+            val listType = fourcc(dataOff)
+            val childInMovi =
+              listType == "movi" || (inMovi && listType == "rec ")
+            if (depth < 8)
+              walk(dataOff + 4, (dataOff + size).toInt, depth + 1,
+                childInMovi)
+          case "strh" =>
+            if (size < 40) fail(s"strh holds $size bytes (< 40)")
+            val fccType = fourcc(dataOff)
+            lastStrhWasAuds = fccType == "auds"
+            if (fccType == "auds") {
+              if (sawAuds) fail("a second auds stream header — " +
+                "multi-audio-stream AVIs are not supported")
+              sawAuds = true
+              audsStream = strhSeen
+            }
+            strhSeen += 1
+          case "strf" =>
+            // the auds strf is a WAVEFORMAT: wFormatTag u16,
+            // nChannels u16, nSamplesPerSec u32 (public layout)
+            if (lastStrhWasAuds) {
+              if (size < 8) fail(s"audio strf holds $size bytes (< 8)")
+              channels = u16(dataOff + 2)
+              sampleRate = u32(dataOff + 4)
+            }
+          case c if inMovi && c.length == 4 && c.charAt(0).isDigit &&
+            c.charAt(1).isDigit && c.endsWith("wb") && audsStream >= 0 &&
+            (c.charAt(0) - '0') * 10 + (c.charAt(1) - '0') == audsStream =>
+            var i = dataOff
+            val stop = (dataOff + size).toInt
+            while (i < stop) {
+              val b = payload(i) & 0xFFL
+              if (firstByte < 0) firstByte = b
+              byteSum += b
+              i += 1
+            }
+            nChunks += 1L
+            nBytes += size
+          case _ => ()
+        }
+        off = (dataOff + size + (size & 1L)).toInt
+      }
+    }
+    walk(12, end0, 0, inMovi = false)
+
+    if (!sawAuds) DemuxedAudio(false, 0L, 0L, 0L, -1L, 0L, 0L)
+    else {
+      if (channels <= 0 || sampleRate <= 0)
+        fail(s"auds stream without a usable WAVEFORMAT strf " +
+          s"(channels=$channels rate=$sampleRate)")
+      if (nChunks == 0L) fail("auds stream header but no audio data chunks")
+      DemuxedAudio(true, nChunks, nBytes, byteSum, firstByte,
+        sampleRate, channels)
+    }
+  }
+
+  /** Typed output row of [[VideoAudioDemux]] (field order = schema). */
+  private[operators] final case class DemuxRow(
+      doc_id: Long, has_audio: Boolean, n_audio_chunks: Long,
+      n_audio_bytes: Long, byte_sum: Long, first_byte: Long,
+      sample_rate: Long, channels: Long)
+
+  /** Extract the interleaved AUDIO stream from MJPEG-AVI payloads —
+    * the demux leg of the multimodal family ([[VideoFeatures]] reads
+    * the video stream and skips audio data by fourcc; this reads the
+    * `NNwb` chunks of the auds stream and folds EVERY PCM byte into
+    * oracle-checked probes (`byte_sum`, `first_byte`), so the demux is
+    * proven on content, not just chunk counts). Containers without an
+    * audio stream emit the explicit empty class (`has_audio = false`,
+    * zero counts) — silent video is data, never an error; structural
+    * corruption fails loud with the id.
+    *
+    * Same 100 TB shape as the codec family: embarrassingly parallel
+    * typed `mapPartitions`, one payload at a time, no shuffle.
+    */
+  final case class VideoAudioDemux(idColumn: String = "doc_id",
+                                   payloadColumn: String = "payload")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, payloadColumn))
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(idColumn).cast("long"), col(payloadColumn).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            val d = demuxAudio(id, payload)
+            DemuxRow(id, d.hasAudio, d.nChunks, d.nBytes, d.byteSum,
+              d.firstByte, d.sampleRate, d.channels)
+          }
+        }
+        .toDF()
+    }
+  }
+
   /** Typed output row of [[Resize]]. */
   private[operators] final case class ResizeRow(
       doc_id: Long, fmt: String, width: Long, height: Long, scale_den: Long,

@@ -59,6 +59,17 @@ object VideoGen {
   def durationMsOf(id: Long): Long =
     framesOf(id) * 1000L * scaleOf(id) / rateOf(id)
   def hasAudioOf(id: Long): Boolean = id % 3L == 1L
+  /** Closed-form 8-bit PCM sample `i` of container `id` (audio
+    * containers interleave one 4-byte `00wb` chunk per frame). */
+  def audioSample(id: Long, i: Int): Int = ((id * 7L + i) % 256L).toInt
+  /** Closed-form demux expectations: bytes and byte-sum of the whole
+    * audio stream (0 for no-audio containers). */
+  def audioBytesOf(id: Long): Long =
+    if (hasAudioOf(id)) 4L * framesOf(id) else 0L
+  def audioSumOf(id: Long): Long =
+    if (!hasAudioOf(id)) 0L
+    else (0 until (4 * framesOf(id)).toInt)
+      .map(i => audioSample(id, i).toLong).sum
   def framePixel(id: Long, f: Int): Int = ((id * 31L + f * 17L) % 256L).toInt
   def cornerOf(id: Long): Long = (id * 31L) % 256L
   def cornerSumOf(id: Long): Long =
@@ -202,10 +213,14 @@ object VideoGen {
     val hdrl = list("hdrl", chunk("avih", avih) ++
       (if (audio) audStrl ++ vidStrl else vidStrl))
     val vidCc = if (audio) "01dc" else "00dc"
-    val audChunk = chunk("00wb", Array[Byte](0, 0, 0, 0))
+    // one 4-byte PCM audio chunk interleaved before each video frame,
+    // with CLOSED-FORM sample bytes ([[audioSample]]) so a demuxer's
+    // output is oracle-checkable, not just structurally plausible
+    def audChunk(i: Int): Array[Byte] = chunk("00wb",
+      Array.tabulate(4)(j => audioSample(id, i * 4 + j).toByte))
     val movi = list("movi",
-      frames.map { fr =>
-        if (audio) audChunk ++ chunk(vidCc, fr) else chunk(vidCc, fr)
+      frames.zipWithIndex.map { case (fr, i) =>
+        if (audio) audChunk(i) ++ chunk(vidCc, fr) else chunk(vidCc, fr)
       }.reduce(_ ++ _))
     // a RIFF FILE is `RIFF size 'AVI ' ...` — the same layout as a
     // LIST chunk with the outer fourcc swapped

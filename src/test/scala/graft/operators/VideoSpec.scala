@@ -213,4 +213,54 @@ class VideoSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](VideoGen.payloadFor(-1L))
     assert(Multimodal.sniffAvi(VideoGen.payloadFor(0L)))
   }
+
+  test("audio demux matches the generator's closed forms byte-for-" +
+    "byte; silent containers are the explicit empty class; non-AVI " +
+    "payloads fail loud") {
+    val ids = Seq(0L, 1L, 4L, 7L, 19L, 100L) // 1, 7, 19, 100 have audio
+    val rows = Multimodal.VideoAudioDemux().transform(videoDF(ids: _*))
+      .as[(Long, Boolean, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == ids.sorted)
+    rows.foreach { case (id, hasA, nCh, nB, bSum, fb, sr, ch) =>
+      assert(hasA == VideoGen.hasAudioOf(id), s"has_audio of $id")
+      if (hasA) {
+        assert(nCh == VideoGen.framesOf(id), s"chunks of $id")
+        assert(nB == VideoGen.audioBytesOf(id), s"bytes of $id")
+        assert(bSum == VideoGen.audioSumOf(id), s"byte sum of $id")
+        assert(fb == VideoGen.audioSample(id, 0).toLong, s"first of $id")
+        assert(sr == 8000L && ch == 1L, s"format of $id")
+      } else
+        assert((nCh, nB, bSum, fb, sr, ch) == ((0L, 0L, 0L, -1L, 0L, 0L)),
+          s"empty class of $id")
+    }
+    val e = intercept[Exception] {
+      Multimodal.VideoAudioDemux().transform(
+        Seq((5L, "not an avi".getBytes)).toDF("doc_id", "payload"))
+        .collect()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("media 5") && msg.contains("not an AVI"))
+  }
+
+  test("a second auds stream header fails loud; the demux ignores the " +
+    "VIDEO stream's dc chunks entirely") {
+    val id = 19L // audio container
+    val good = VideoGen.payloadFor(id)
+    val strhOff = indexOfChunk(good, "auds")
+    val crafted = good.clone()
+    // craft the VIDEO strh into a second auds: find the vids strh
+    val vidsOff = indexOfChunk(good, "vids")
+    "auds".getBytes("US-ASCII").copyToArray(crafted, vidsOff)
+    val e = intercept[Exception] {
+      Multimodal.VideoAudioDemux().transform(
+        Seq((id, crafted)).toDF("doc_id", "payload")).collect()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains(s"media $id") && msg.contains("second auds"),
+      s"wanted `second auds` in: $msg")
+    assert(strhOff != vidsOff)
+  }
 }
