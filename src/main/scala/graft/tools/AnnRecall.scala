@@ -135,6 +135,52 @@ object AnnRecall {
       println(f"[ann-recall] ivf incr FOLD-DRIFT refit(${allIds.length}) " +
         f"recall@$k = ${recallAt(refit, held)}%.3f")
     }
+
+    // ---- the SAME fold-drift protocol for the COMPRESSED index: PQ
+    // folds additionally encode new vectors against the FIT's
+    // codebooks (fit-time slices), so drift here measures list bloat
+    // AND stale-codebook distortion together; the displacement guard
+    // covers max(nlist, ksub), so the held-in pick is wider
+    {
+      import graft.operators.SimilarityPq
+      val allIds = corpus.select(col("vec_id")).as[Long].collect().sorted
+      val mustFit = allIds
+        .sortBy(id => (graft.functions.Portable.tokenHashLocal(
+          id.toString), id))
+        .take(16).toSet // max(nlist, ksub) at the bench config
+      val foldIds = allIds.filter(id => id % 4 == 3 && !mustFit(id))
+      val foldBatches =
+        if (foldIds.isEmpty) Seq.empty
+        else foldIds.grouped(math.max(1, (foldIds.length + 2) / 3)).toSeq
+      val fit0 = corpus.filter(!col("vec_id").isInCollection(foldIds))
+
+      def recallAt(index: DataFrame, held: DataFrame): Double = {
+        val t = topSets(Similarity.CosineTopK(_ => batch, k = k)
+          .transform(held))
+        val o = topSets(SimilarityPq.IncrementalIvfPqTopK(index,
+          refineWith = Some(held), k = k).transform(batch))
+        t.map { case (q, s) =>
+          o.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+        }.sum / t.size
+      }
+
+      var idx = SimilarityPq.IncrementalIvfPq.memberIndex(fit0)
+        .localCheckpoint()
+      println(f"[ann-recall] ivf-pq incr FOLD-DRIFT fit(${allIds.length -
+        foldIds.length}) recall@$k = ${recallAt(idx, fit0)}%.3f")
+      var held = fit0
+      foldBatches.zipWithIndex.foreach { case (ids, i) =>
+        val b = corpus.filter(col("vec_id").isInCollection(ids))
+        idx = SimilarityPq.IncrementalIvfPq.foldBatch(idx, b)
+          .localCheckpoint()
+        held = held.unionByName(b)
+        println(f"[ann-recall] ivf-pq incr FOLD-DRIFT after fold " +
+          f"${i + 1} (+${ids.length}) recall@$k = ${recallAt(idx, held)}%.3f")
+      }
+      val refit = SimilarityPq.IncrementalIvfPq.memberIndex(held)
+      println(f"[ann-recall] ivf-pq incr FOLD-DRIFT " +
+        f"refit(${allIds.length}) recall@$k = ${recallAt(refit, held)}%.3f")
+    }
     spark.stop()
   }
 }
