@@ -35,7 +35,8 @@ final class StreamingBpeEncode(vocab: DataFrame,
                                continuationPrefix: String = "##",
                                unkId: Option[Long] = None,
                                lowercase: Boolean = true,
-                               emitPieces: Boolean = false) {
+                               emitPieces: Boolean = false,
+                               byteLevel: Boolean = false) {
 
   /** `df` must be a streaming DataFrame; output appends one row per
     * input row (`doc_id`, `n_bpe_tokens`, `bpe_ids`[, `bpe_pieces`]) —
@@ -47,7 +48,39 @@ final class StreamingBpeEncode(vocab: DataFrame,
         "Tokenize.BpeEncode for batch corpora")
     Tokenize.BpeEncode(vocab, textColumn = textColumn,
       idColumn = idColumn, continuationPrefix = continuationPrefix,
-      unkId = unkId, lowercase = lowercase, emitPieces = emitPieces)
+      unkId = unkId, lowercase = lowercase, emitPieces = emitPieces,
+      byteLevel = byteLevel)
+      .transform(df)
+  }
+}
+
+/** Streaming subword DECODE against the same static self-describing
+  * vocab — the inverse leg on the stream ([[Tokenize.BpeDecode]] is a
+  * stateless typed map pass, so it is legal on a streaming Dataset
+  * as-is, with the vocab collected/validated once at plan-build time
+  * exactly like the encode; fit-param drift — prefix, char/byte level —
+  * raises before the stream starts). With both legs streaming, the
+  * decode identity holds per micro-batch: encode → decode on a stream
+  * reproduces the canonical text bit-identically (spec-pinned).
+  *
+  * Reference streaming surface: none (pywrangler is batch-only).
+  */
+final class StreamingBpeDecode(vocab: DataFrame,
+                               idsColumn: String = "bpe_ids",
+                               idColumn: String = "doc_id",
+                               continuationPrefix: String = "##",
+                               byteLevel: Boolean = false) {
+
+  /** `df` must be a streaming DataFrame carrying the id-array column;
+    * output is one `(doc_id, text)` row per input row — stateless, no
+    * watermark.
+    */
+  def transform(df: DataFrame): DataFrame = {
+    require(df.isStreaming,
+      "StreamingBpeDecode.transform needs a streaming DataFrame; use " +
+        "Tokenize.BpeDecode for batch input")
+    Tokenize.BpeDecode(vocab, idsColumn = idsColumn, idColumn = idColumn,
+      continuationPrefix = continuationPrefix, byteLevel = byteLevel)
       .transform(df)
   }
 }

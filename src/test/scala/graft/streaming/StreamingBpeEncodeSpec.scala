@@ -92,4 +92,38 @@ class StreamingBpeEncodeSpec extends AnyFunSuite {
         .transform(corpus.toDF("doc_id", "text")))
     assert(e.getMessage.contains("streaming"))
   }
+
+  test("streaming decode identity: encode → decode CHAINED in one " +
+    "streaming query reproduces the canonical text per micro-batch; " +
+    "the decode's fit checks also gate the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = persistedVocab
+    val input = MemoryStream[StreamEvent]
+    val out = new StreamingBpeDecode(vocab).transform(
+      new StreamingBpeEncode(vocab, idColumn = "order",
+        textColumn = "marker").transform(input.toDF()))
+    val query = out.writeStream.format("memory").queryName("sbperd")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.take(3).map { case (id, tx) => doc(id, tx) }: _*)
+      query.processAllAvailable()
+      input.addData(corpus.drop(3).map { case (id, tx) => doc(id, tx) }: _*)
+      query.processAllAvailable()
+      val got = spark.table("sbperd").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      val want = corpus.map { case (id, tx) =>
+        (id, if (tx == null) ""
+          else tx.toLowerCase.split("\\s+").filter(_.nonEmpty)
+            .mkString(" "))
+      }
+      assert(got == want)
+      assert(query.lastProgress.stateOperators.isEmpty) // stateless
+    } finally query.stop()
+    // byte-level drift raises at plan-build time
+    val e = intercept[IllegalArgumentException](
+      new StreamingBpeDecode(vocab, byteLevel = true).transform(
+        new StreamingBpeEncode(vocab, idColumn = "order",
+          textColumn = "marker").transform(input.toDF())))
+    assert(e.getMessage.contains("byteLevel"))
+  }
 }
