@@ -165,6 +165,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(Tokenize.BpeDecode(v).transform(enc)) == 0)
   }
 
+  test("ANN exact refine: the shortlist and query sides reach the " +
+    "full-vector table as BROADCAST joins — the re-rank must never " +
+    "sort-merge (or nested-loop) the corpus at 100 TB") {
+    val embs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 31 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qf = (df: DataFrame) =>
+      df.filter(org.apache.spark.sql.functions.col("vec_id") < 4)
+    def plan(df: DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val pq = plan(SimilarityPq.IvfPqTopK(qf, nlist = 4, m = 4, ksub = 8)
+      .transform(embs))
+    assert("BroadcastHashJoin".r.findAllIn(pq).size >= 2, pq.take(2000))
+    assert(!pq.contains("SortMergeJoin"))
+    assert(!pq.contains("CartesianProduct"))
+    val srp = plan(Projection.SrpTopK(qf, rdim = 4).transform(embs))
+    assert("BroadcastHashJoin".r.findAllIn(srp).size >= 2)
+    assert(!srp.contains("SortMergeJoin"))
+  }
+
   test("pipeline composition fuses map-side stages: normalize + quality " +
     "+ filters + dedup cost exactly the dedup window's one shuffle") {
     import graft.operators.TextAnalysis
