@@ -489,6 +489,41 @@ object StressCorpus {
       require(h1 == h2, "IVF-PQ result drifted across partitionings")
       h1
     }
+    // ----- the incremental PQ path at corpus scale: fit the compressed
+    // index on all-but-1000 vectors, probe it, FOLD the held-out batch
+    // (hash-LARGEST ids — non-displacing by construction), and require
+    // probe(folded) == probe(refit over the full corpus) BIT-IDENTICAL:
+    // the fold == refit contract, enforced at 2M rows, not just in the
+    // unit fixture
+    time(s"ann_ivf_pq_incr vecs=$nDocs fold==refit at scale") {
+      val allIds = (8L until nDocs.toLong)
+      val foldIds = allIds
+        .sortBy(id => (graft.functions.Portable.tokenHashLocal(
+          id.toString), id))
+        .takeRight(1000).toSet
+      val corpus = vecs.filter(col("vec_id") >= 8)
+      val fit0 = corpus.filter(!col("vec_id").isInCollection(foldIds))
+      val batch = corpus.filter(col("vec_id").isInCollection(foldIds))
+      val queries = vecs.filter(col("vec_id") < 8)
+      val idx = graft.operators.SimilarityPq.IncrementalIvfPq
+        .memberIndex(fit0, nlist = 64, m = 4, ksub = 16)
+        .localCheckpoint()
+      val folded = graft.operators.SimilarityPq.IncrementalIvfPq
+        .foldBatch(idx, batch, nlist = 64, m = 4, ksub = 16)
+        .localCheckpoint()
+      val refit = graft.operators.SimilarityPq.IncrementalIvfPq
+        .memberIndex(corpus, nlist = 64, m = 4, ksub = 16)
+      def probe(i: DataFrame): Long = annCheck(
+        graft.operators.SimilarityPq.IncrementalIvfPqTopK(i,
+          refineWith = Some(corpus), nlist = 64, m = 4, ksub = 16,
+          nprobe = 8, k = 5).transform(queries), 5)
+      val hFold = probe(folded)
+      val hRefit = probe(refit)
+      require(hFold == hRefit,
+        "folded-index probe != refit probe at 2M vectors")
+      hFold
+    }
+
     time(s"ann_srp vecs=$nDocs dim=16 rdim=8") {
       val op = graft.operators.Projection.SrpTopK(
         df => df.filter(col("vec_id") < 8), rdim = 8, k = 5, refine = 4)
