@@ -128,6 +128,7 @@ object Bench {
     "ann_ivf" -> Some("Window"),
     "ann_ivf_incr" -> Some("Window"), // probe join + the rank window
     "ann_ivf_pq" -> Some("MapPartitions"), // the per-partition ADC scan
+    "ann_ivf_pq_t" -> Some("MapPartitions"), // ADC scan, trained codebooks
     "ann_srp" -> Some("long_array_dot"), // projected-space codegen'd scan
     "ann_ivf_pq_incr" -> Some("MapPartitions"), // ADC scan over the index
     "mix_epochs" -> Some("Generate"), // the per-copy sequence explode

@@ -1945,6 +1945,112 @@ object OracleSql {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-PQ with Lloyd-TRAINED codebooks (graft.operators.SimilarityPq
+    * .IvfPqTopK `train > 0`): the TRAINING replays round by round —
+    * init = the trainless hash-pick slices, each round an argmin-L2
+    * assignment (ties → smallest entry) and a rounded-mean recompute
+    * (half away from zero in truncating integer division, the SemDedup
+    * lattice convention; an empty cell keeps its previous entry) —
+    * then the usual ADC scan + shortlist + exact refine against the
+    * FINAL codebooks. Integer-exact end to end.
+    */
+  def annIvfPqTrained(dim: Int, nlist: Int, nprobe: Int, m: Int,
+                      ksub: Int, k: Int, refine: Int, maxQueryId: Long,
+                      iters: Int): String = {
+    require(dim % m == 0, s"annIvfPqTrained: dim=$dim not divisible by m=$m")
+    require(iters >= 1, "annIvfPqTrained: iters must be >= 1")
+    val dsub = dim / m
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def cosE(a: String, b: String, na: String, nb: String) =
+      s"CAST(${dotE(a, b)} AS DOUBLE) / " +
+        s"sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
+    // assignment of every corpus sub-vector to its argmin-L2 entry of
+    // codebook relation `cbN(s, j, e)`
+    def asgCte(name: String, cbN: String): String =
+      s"""$name AS (SELECT id, s, j FROM (
+         |  SELECT n.id, cb.s, cb.j, row_number() OVER (
+         |    PARTITION BY n.id, cb.s ORDER BY
+         |    list_reduce(list_transform(range(1, ${dsub + 1}),
+         |      i -> (n.q[cb.s * $dsub + i] - cb.e[i]) *
+         |           (n.q[cb.s * $dsub + i] - cb.e[i])),
+         |      (x, y) -> x + y) ASC, cb.j ASC) AS rn
+         |  FROM n CROSS JOIN $cbN cb) WHERE rn = 1)""".stripMargin
+    val rounds = (0 until iters).map { r =>
+      s"""${asgCte(s"asg$r", s"cb$r")},
+         |sm$r AS (SELECT a.s, a.j, t.i,
+         |  SUM(n.q[a.s * $dsub + t.i]) AS sv, COUNT(*) AS cnt
+         |  FROM asg$r a JOIN n ON n.id = a.id
+         |  CROSS JOIN (SELECT unnest(range(1, ${dsub + 1})) AS i) t
+         |  GROUP BY a.s, a.j, t.i),
+         |cb${r + 1} AS (SELECT c.s, c.j,
+         |  CASE WHEN g.ne IS NULL THEN c.e ELSE g.ne END AS e
+         |  FROM cb$r c LEFT JOIN (
+         |    SELECT s, j, list((2 * sv + CASE WHEN sv < 0 THEN -cnt
+         |        WHEN sv > 0 THEN cnt ELSE 0 END) // (2 * cnt)
+         |        ORDER BY i) AS ne
+         |    FROM sm$r GROUP BY s, j) g
+         |  ON g.s = c.s AND g.j = c.j)""".stripMargin
+    }.mkString(",\n")
+    s"""$QuantizedVecs,
+       |hh AS (SELECT id,
+       |  CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)
+       |    AS h FROM n),
+       |sel AS (SELECT id, h FROM hh ORDER BY h, id LIMIT $nlist),
+       |cents AS (SELECT row_number() OVER (ORDER BY s.h, s.id) AS cid,
+       |  n.q AS cq, n.nrm AS cnrm FROM sel s JOIN n ON n.id = s.id),
+       |asgn0 AS (SELECT n.id, n.nrm, c.cid,
+       |  row_number() OVER (PARTITION BY n.id ORDER BY
+       |    ${cosE("n.q", "c.cq", "n.nrm", "c.cnrm")} DESC, c.cid ASC)
+       |    AS rn
+       |  FROM n CROSS JOIN cents c),
+       |asgn AS (SELECT id, nrm, cid FROM asgn0 WHERE rn = 1),
+       |probes AS (SELECT a0.id AS query_id, n.q AS qq, n.nrm AS qnrm,
+       |  a0.cid FROM asgn0 a0 JOIN n ON n.id = a0.id
+       |  WHERE a0.id < $maxQueryId AND a0.rn <= $nprobe),
+       |cbsel AS (SELECT id, h FROM hh ORDER BY h, id LIMIT $ksub),
+       |subs AS (SELECT unnest(range(0, $m)) AS s),
+       |cb0 AS (SELECT ss.s, c.j,
+       |  list_transform(range(1, ${dsub + 1}),
+       |    i -> c.cq[ss.s * $dsub + i]) AS e
+       |  FROM (SELECT row_number() OVER (ORDER BY s2.h, s2.id) AS j,
+       |        n.q AS cq FROM cbsel s2 JOIN n ON n.id = s2.id) c
+       |  CROSS JOIN subs ss),
+       |$rounds,
+       |${asgCte("codes", s"cb$iters")},
+       |cand AS (SELECT a.id, p.query_id, p.qq, p.qnrm, a.nrm
+       |  FROM asgn a JOIN probes p ON a.cid = p.cid
+       |  WHERE a.id <> p.query_id),
+       |parts AS (SELECT cd.id, c2.query_id,
+       |  list_reduce(list_transform(range(1, ${dsub + 1}),
+       |    i -> cb.e[i] * c2.qq[cd.s * $dsub + i]),
+       |    (x, y) -> x + y) AS dp
+       |  FROM cand c2 JOIN codes cd ON cd.id = c2.id
+       |  JOIN cb$iters cb ON cb.s = cd.s AND cb.j = cd.j),
+       |approx AS (SELECT id, query_id, sum(dp) AS adot FROM parts
+       |  GROUP BY id, query_id),
+       |acos AS (SELECT ap.id, ap.query_id,
+       |  CAST(ap.adot AS DOUBLE) /
+       |    sqrt(CAST(c.nrm AS DOUBLE) * CAST(c.qnrm AS DOUBLE)) AS ac
+       |  FROM approx ap JOIN cand c
+       |  ON c.id = ap.id AND c.query_id = ap.query_id),
+       |short AS (SELECT id, query_id FROM (SELECT id, query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ac DESC, id ASC) AS rn FROM acos)
+       |  WHERE rn <= ${k * refine}),
+       |sc AS (SELECT s2.id, s2.query_id,
+       |  round(${cosE("x.q", "qv.q", "x.nrm", "qv.nrm")}, 6) AS cosine
+       |  FROM short s2 JOIN n x ON x.id = s2.id
+       |  JOIN n qv ON qv.id = s2.query_id),
+       |r AS (SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, id ASC) AS rank,
+       |  id AS neighbor_id, cosine FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Incremental IVF-PQ probe (graft.operators.SimilarityPq
     * .IncrementalIvfPqTopK): the corpus (ids >= `splitId`) is fitted
     * into the compressed member index — centroids AND codebooks derive

@@ -1122,6 +1122,15 @@ object SparkEntry {
       SimilarityPq.IvfPqTopK(df => df.filter(col("vec_id") < 8))
         .transform(embs(s, dir))
         .orderBy("query_id", "rank")),
+    // ...with TRAINED codebooks: two Lloyd rounds of per-subspace
+    // integer k-means (the quality step FAISS calls training the PQ);
+    // the oracle replays the TRAINING round by round, then the same
+    // ADC + shortlist + exact refine against the final codebooks
+    "ann_ivf_pq_t" -> ((s, dir) =>
+      SimilarityPq.IvfPqTopK(df => df.filter(col("vec_id") < 8),
+          train = 2, cacheCorpus = true)
+        .transform(embs(s, dir))
+        .orderBy("query_id", "rank")),
     // persisted-index IVF-PQ: the corpus (vec_id >= 8) fits ONCE into
     // the compressed index (codes + norm; full vectors only on the
     // pick rows it re-derives its quantizers from), the batch probes
@@ -1555,6 +1564,8 @@ object SparkEntry {
     "ann_ivf" -> OracleSql.annIvf(64, 16, 4, 5, 8),
     "ann_ivf_incr" -> OracleSql.annIvfIncr(64, 16, 4, 5, 8),
     "ann_ivf_pq" -> OracleSql.annIvfPq(64, 16, 4, 8, 16, 5, 4, 8),
+    "ann_ivf_pq_t" -> OracleSql.annIvfPqTrained(64, 16, 4, 8, 16, 5, 4,
+      8, 2),
     "ann_srp" -> OracleSql.annSrp(64, 16, 5, 4, 8),
     "ann_ivf_pq_incr" -> OracleSql.annIvfPqIncr(64, 16, 4, 8, 16, 5, 4, 8),
     "text_boilerplate" -> OracleSql.textBoilerplate(10L),

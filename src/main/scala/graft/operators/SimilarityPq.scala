@@ -98,6 +98,76 @@ object SimilarityPq {
     }
   }
 
+  /** Lloyd-TRAINED per-subspace codebooks — k-means on the integer
+    * lattice, the quality step up from the trainless pick (what FAISS
+    * calls training the PQ): init = [[codebooks]]' hash-pick slices;
+    * each iteration is ONE corpus pass (typed per-partition partial
+    * sums per (subspace, entry, component), merged driver-side — the
+    * codebooks are driver-held like any PQ quantizer) followed by a
+    * rounded-mean recompute — half away from zero in truncating
+    * integer division, the [[SemDedup]] lattice convention, so the SQL
+    * oracle replays TRAINING itself exactly. An entry whose cell goes
+    * empty keeps its previous value (deterministic, never a 0/0).
+    * Iteration cost is linear in corpus size with a `m * ksub * dsub`
+    * = dim * ksub driver state — pass `cacheCorpus` upstream so the
+    * passes share one materialization.
+    */
+  private[graft] def trainedCodebooks(quant: DataFrame, m: Int,
+                                      ksub: Int, iters: Int)
+      : Array[Array[Array[Long]]] = {
+    var cb = codebooks(quant, m, ksub)
+    if (cb.isEmpty || iters == 0) return cb
+    val spark = quant.sparkSession
+    import spark.implicits._
+    val dsub = cb(0)(0).length
+    val kk = cb(0).length
+    val mm = m
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cb)
+      val (sums, counts) = quant.select("q").as[Array[Long]]
+        .mapPartitions { it =>
+          val cbv = bc.value
+          val s = new Array[Long](mm * kk * dsub)
+          val c = new Array[Long](mm * kk)
+          it.foreach { q =>
+            val codes = encodeCodes(cbv, q)
+            var ss = 0
+            while (ss < mm) {
+              val cell = ss * kk + (codes(ss) - 1)
+              c(cell) += 1
+              var i = 0
+              while (i < dsub) {
+                s(cell * dsub + i) += q(ss * dsub + i); i += 1
+              }
+              ss += 1
+            }
+          }
+          Iterator.single((s, c))
+        }
+        .reduce { (a, b) =>
+          var i = 0
+          while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+          i = 0
+          while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+          a
+        }
+      val prev = cb
+      cb = Array.tabulate(mm) { ss =>
+        Array.tabulate(kk) { j =>
+          val cell = ss * kk + j
+          val cnt = counts(cell)
+          if (cnt == 0L) prev(ss)(j)
+          else Array.tabulate(dsub) { i =>
+            val sv = sums(cell * dsub + i)
+            (2 * sv + (if (sv < 0) -cnt else if (sv > 0) cnt else 0L)) /
+              (2 * cnt)
+          }
+        }
+      }
+    }
+    cb
+  }
+
   /** The per-query ADC lookup table, flat `[s * ksubActual + (j-1)]` =
     * exact integer dot of codebook entry `j` of subspace `s` with the
     * query's sub-vector `s`.
@@ -507,7 +577,8 @@ object SimilarityPq {
                              k: Int = 5,
                              refine: Int = 4,
                              cacheCorpus: Boolean = false,
-                             maxQueriesPerPartition: Long = 1000000L)
+                             maxQueriesPerPartition: Long = 1000000L,
+                             train: Int = 0)
       extends Wrangler {
     require(nlist >= 1, "nlist must be >= 1")
     require(nprobe >= 1, "nprobe must be >= 1")
@@ -515,6 +586,7 @@ object SimilarityPq {
     require(ksub >= 1, "ksub must be >= 1")
     require(k >= 1, "k must be >= 1")
     require(refine >= 1, "refine must be >= 1")
+    require(train >= 0, "train must be >= 0")
     override def preservesSampleSize: Boolean = false
 
     def transform(df: DataFrame): DataFrame = {
@@ -531,7 +603,10 @@ object SimilarityPq {
         // empty corpus: no lists to probe — empty result, same schema
         return spark.emptyDataset[(Long, Long, Long, Double)]
           .toDF("query_id", "rank", "neighbor_id", "cosine")
-      val cb = codebooks(quant, m, ksub)
+      // train = 0 is the trainless hash-pick; train > 0 runs that many
+      // Lloyd rounds over the corpus (one pass each — use cacheCorpus)
+      val cb = if (train > 0) trainedCodebooks(quant, m, ksub, train)
+        else codebooks(quant, m, ksub)
       val bcCb = spark.sparkContext.broadcast(cb)
 
       // PQ member index: cluster + m codes + exact norm; the full

@@ -94,6 +94,33 @@ class SimilarityPqSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("trained codebooks: train=0 is exactly the trainless pick; " +
+    "training is deterministic and partition-invariant; the trained " +
+    "operator still honors the refine contract (full probe + wide " +
+    "shortlist == brute force — training moves the shortlist, the " +
+    "exact re-rank orders it)") {
+    val data = embs(120)
+    val quant = graft.functions.Portable.quantizedRows(
+      data.select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding")),
+      "id", "embedding", Array.empty, 0).select("id", "q", "nrm")
+    def deep(cb: Array[Array[Array[Long]]]) = cb.map(_.map(_.toSeq).toSeq).toSeq
+    assert(deep(SimilarityPq.trainedCodebooks(quant, 4, 8, 0)) ==
+      deep(SimilarityPq.codebooks(quant, 4, 8)))
+    val t1 = deep(SimilarityPq.trainedCodebooks(quant, 4, 8, 3))
+    assert(t1 == deep(SimilarityPq.trainedCodebooks(
+      quant.repartition(7), 4, 8, 3)))
+    assert(t1 != deep(SimilarityPq.codebooks(quant, 4, 8))) // it trains
+    val qf = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(org.apache.spark.sql.functions.col("vec_id") < 4)
+    val brute = collectTopK(Similarity.CosineTopK(qf, k = 5)
+      .transform(data))
+    val trained = collectTopK(SimilarityPq.IvfPqTopK(qf, nlist = 4,
+      nprobe = 4, m = 4, ksub = 8, k = 5, refine = 30, train = 2)
+      .transform(data))
+    assert(trained == brute)
+  }
+
   test("encodeCodes: argmin ties break to the smallest entry; width " +
     "mismatch fails loud") {
     // two identical entries: code must be the first (1-based)
