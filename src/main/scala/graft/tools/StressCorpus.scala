@@ -524,6 +524,28 @@ object StressCorpus {
       hFold
     }
 
+    // ----- PQ TRAINING at corpus scale: each Lloyd round is one pass
+    // of typed partial sums over the (checkpointed) quantized rows;
+    // driver state is m*ksub*dsub longs. Check: training is
+    // bit-stable across partitionings AND actually moves the
+    // codebooks off the trainless init
+    time(s"ann_ivf_pq_t train=2 vecs=$nDocs") {
+      val quant = graft.functions.Portable.quantizedRows(
+        vecs.select(col("vec_id").as("id"), col("embedding")),
+        "id", "embedding", Array.empty, 0)
+        .select("id", "q", "nrm").localCheckpoint()
+      def deep(cb: Array[Array[Array[Long]]]) =
+        cb.map(_.map(_.toSeq).toSeq).toSeq
+      val t1 = deep(graft.operators.SimilarityPq
+        .trainedCodebooks(quant, 4, 16, 2))
+      val t2 = deep(graft.operators.SimilarityPq
+        .trainedCodebooks(quant.repartition(48), 4, 16, 2))
+      require(t1 == t2, "training drifted across partitionings")
+      require(t1 != deep(graft.operators.SimilarityPq
+        .codebooks(quant, 4, 16)), "training was a no-op")
+      t1.hashCode.toLong
+    }
+
     time(s"ann_srp vecs=$nDocs dim=16 rdim=8") {
       val op = graft.operators.Projection.SrpTopK(
         df => df.filter(col("vec_id") < 8), rdim = 8, k = 5, refine = 4)
