@@ -127,10 +127,14 @@ object Bench {
     "ann_lsh_multi" -> Some("Window"),
     "ann_ivf" -> Some("Window"),
     "ann_ivf_incr" -> Some("Window"), // probe join + the rank window
-    "ann_ivf_pq" -> Some("MapPartitions"), // the per-partition ADC scan
-    "ann_ivf_pq_t" -> Some("MapPartitions"), // ADC scan, trained codebooks
-    "ann_srp" -> Some("long_array_dot"), // projected-space codegen'd scan
-    "ann_ivf_pq_incr" -> Some("MapPartitions"), // ADC scan over the index
+    // the four refine-path ANN queries: the ADC/projected scan runs
+    // eagerly inside the builder since the exactRerank shortlist cut
+    // (timed — the builder runs inside the timed thunk, the DSIR
+    // convention); the lazy plan keeps the broadcast re-rank joins
+    "ann_ivf_pq" -> Some("BroadcastHashJoin"),
+    "ann_ivf_pq_t" -> Some("BroadcastHashJoin"),
+    "ann_srp" -> Some("BroadcastHashJoin"),
+    "ann_ivf_pq_incr" -> Some("BroadcastHashJoin"),
     "mix_epochs" -> Some("Generate"), // the per-copy sequence explode
     "epoch_interleave" -> Some("Window"), // copies through the prefix sum
     "text_boilerplate" -> Some("Join"),

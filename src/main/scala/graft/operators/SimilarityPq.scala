@@ -240,20 +240,56 @@ object SimilarityPq {
     * query side (`query_id, qq, qnrm`): exact rounded cosines, top-`k`
     * per query, the ANN-family output schema. Only these
     * `queries x k x refine` rows ever touch full vectors.
+    *
+    * Fail-loud refine-corpus drift guard: a shortlisted `neighbor_id`
+    * ABSENT from the full-vector table raises naming the id and query.
+    * For the PQ index this misuse class is real — the index
+    * deliberately holds no full vectors, so a stale or subset
+    * source-of-truth table would otherwise silently drop neighbors
+    * (fewer than `k` rows, wrong ranks). Shape: the shortlist is the
+    * guard's SPINE — every shortlisted pair must come back from the
+    * full-vector join, so the full scan's result (shortlist-sized) is
+    * broadcast back under the OUTER-PRESERVED shortlist and an
+    * unmatched pair is a concrete null row the plan raises on. The
+    * shortlist feeds both sides of that match, so it is cut eagerly
+    * once (`localCheckpoint` — shortlist-sized by construction,
+    * queries x k x refine; the DSIR/CC-loop eager-builder convention)
+    * rather than recomputing the whole upstream ADC/projection scan
+    * twice. The corpus is still scanned exactly once, all joins stay
+    * BroadcastHashJoin.
     */
-  private[graft] def exactRerank(full: DataFrame, short: DataFrame,
-                                 qside: DataFrame, k: Int): DataFrame =
-    full
+  private[graft] def exactRerank(full: DataFrame, short0: DataFrame,
+                                 qside: DataFrame, k: Int): DataFrame = {
+    val short = short0.localCheckpoint()
+    val matched = full
       .join(broadcast(short), col("id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q"), col("nrm"),
+        lit(true).as("__hit"))
+    short
+      .join(broadcast(matched), Seq("query_id", "neighbor_id"), "left")
+      // the guard rides the `nrm` column: nrm feeds the cosine, the
+      // cosine is the rank window's ORDER key — evaluated for every
+      // row, so the raise can never be pruned away
+      .withColumn("nrm", when(col("__hit").isNull,
+        raise_error(concat(
+          lit("SimilarityPq.exactRerank: shortlisted vec_id "),
+          col("neighbor_id").cast("string"),
+          lit(" (query "), col("query_id").cast("string"),
+          lit(") is absent from the refine table — the full-vector " +
+            "source of truth is stale or a subset of the corpus the " +
+            "index was fit from; refine against the fit corpus")))
+          .cast("long"))
+        .otherwise(col("nrm")))
       .join(broadcast(qside), Seq("query_id"))
       .withColumn("cosine", round(qCosine(
         qDot(col("q"), col("qq")), col("nrm"), col("qnrm")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("id").asc)))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("id").as("neighbor_id"), col("cosine"))
+        col("neighbor_id"), col("cosine"))
+  }
 
   /** The first `n` index rows in the shared `(md5(id), id)` pick order,
     * as `(id, q, nrm)` — the rows centroids AND codebooks re-derive
@@ -531,11 +567,12 @@ object SimilarityPq {
         case None =>
           // ADC-approximate top-k (rounded for the stable output
           // contract; determinism: exact integer ADC + one div/sqrt)
-          Similarity.ranked(approx, k)
+          Similarity.ranked(approx, k, maxQueriesPerPartition)
             .withColumn("cosine", round(col("cosine"), 6))
         case Some(corpus) =>
           SparkUtil.validateColumns(corpus, Seq(idColumn, vecColumn))
-          val short = Similarity.ranked(approx, k * refine)
+          val short = Similarity.ranked(approx, k * refine,
+              maxQueriesPerPartition)
             .select(col("query_id"), col("neighbor_id"))
           val full = quantizedRows(corpus.select(col(idColumn).as("id"),
             col(vecColumn)), "id", vecColumn, Array.empty, 0)
@@ -639,7 +676,10 @@ object SimilarityPq {
 
       // approximate shortlist, then EXACT re-rank: only these
       // queries*k*refine ids ever touch the full-vector table again
-      val short = Similarity.ranked(approx, k * refine)
+      // (maxQueriesPerPartition threads through — the knob the adcScan
+      // error names must also govern the rank prune downstream)
+      val short = Similarity.ranked(approx, k * refine,
+          maxQueriesPerPartition)
         .select(col("query_id"), col("neighbor_id"))
       val qside = qs.select(col("id").as("query_id"), col("q").as("qq"),
         col("nrm").as("qnrm"))

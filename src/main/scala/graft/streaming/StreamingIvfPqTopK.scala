@@ -45,9 +45,12 @@ final class StreamingIvfPqTopK(memberIndex: DataFrame,
                                m: Int = 8,
                                ksub: Int = 16,
                                nprobe: Int = 4,
-                               k: Int = 5) {
+                               k: Int = 5,
+                               maxQueriesPerPartition: Long = 1000000L) {
   require(nprobe >= 1, "nprobe must be >= 1")
   require(k >= 1, "k must be >= 1")
+  require(maxQueriesPerPartition >= 1,
+    "maxQueriesPerPartition must be >= 1")
 
   /** `df` must be a streaming DataFrame; the watermark is (re-)asserted
     * internally (the typed probe flatMap mints fresh attributes — the
@@ -107,16 +110,35 @@ final class StreamingIvfPqTopK(memberIndex: DataFrame,
         col("id"), col("codes"), col("nrm"), col("qq"), col("qnrm"))
       .as[(Long, Long, Long, Array[Int], Long, Array[Long], Long)]
     val kk = k
+    val maxQ = maxQueriesPerPartition
     val pruned = joined.mapPartitions { it =>
       val cbv = bcCb.value
       val ksubActual = cbv(0).length
       val worstFirst = HeapPrune.worstFirstByScore
-      val tables = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+      // the ADC table cache keys by (event-time, query) — the SAME
+      // granularity as the heaps and the downstream window agg. A
+      // recurring monitor query re-sent with an UPDATED vector arrives
+      // as a new (us, qid) event; keying by qid alone would silently
+      // score its candidates against the FIRST event's table whenever
+      // they share a partition (likely — similar vectors probe the
+      // same clusters), breaking the bit-identical-to-batch contract.
+      // Bounded fail-loud like the batch adcScan: one m*ksub table per
+      // entry, a high-cardinality query stream must raise, not grow.
+      val tables = scala.collection.mutable
+        .HashMap.empty[(Long, Long), Array[Long]]
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[(Long, Long),
           scala.collection.mutable.PriorityQueue[(Long, Double)]]
       it.foreach { case (us, qid, id, codes, nrm, qq, qnrm) =>
-        val t = tables.getOrElseUpdate(qid, SimilarityPq.adcTable(cbv, qq))
+        if (!tables.contains((us, qid)) && tables.size >= maxQ)
+          throw new IllegalStateException(
+            s"StreamingIvfPqTopK: partition saw more than $maxQ " +
+              "distinct (event, query) pairs in one micro-batch — the " +
+              "ADC scan holds one lookup table per pair; raise " +
+              "maxQueriesPerPartition explicitly if a query stream " +
+              "this dense is intended")
+        val t = tables.getOrElseUpdate((us, qid),
+          SimilarityPq.adcTable(cbv, qq))
         var adot = 0L
         var s = 0
         while (s < codes.length) {

@@ -248,6 +248,35 @@ class SimilarityPqSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no vector"))
   }
 
+  test("incremental ivf-pq: a refine table missing a shortlisted " +
+    "vec_id fails loud naming the id — a stale/subset source of truth " +
+    "must never silently drop neighbors") {
+    val data = embs(80)
+    val corpus = data.filter(
+      org.apache.spark.sql.functions.col("vec_id") >= 8)
+    val batch = data.filter(
+      org.apache.spark.sql.functions.col("vec_id") < 4)
+    val idx = SimilarityPq.IncrementalIvfPq.memberIndex(corpus,
+      nlist = 4, m = 4, ksub = 8)
+    val full = collectTopK(SimilarityPq.IncrementalIvfPqTopK(idx,
+      refineWith = Some(corpus), nlist = 4, m = 4, ksub = 8)
+      .transform(batch))
+    assert(full.nonEmpty)
+    // drop one known neighbor from the refine corpus — the PQ index
+    // holds no full vectors, so without the guard this would silently
+    // shrink the shortlist (wrong ranks, possibly < k rows)
+    val victim = full.head._3
+    val stale = corpus.filter(
+      org.apache.spark.sql.functions.col("vec_id") =!= victim)
+    val e = intercept[Exception] {
+      SimilarityPq.IncrementalIvfPqTopK(idx, refineWith = Some(stale),
+        nlist = 4, m = 4, ksub = 8).transform(batch).collect()
+    }
+    assert(e.getMessage.contains("absent from the refine table"),
+      e.getMessage)
+    assert(e.getMessage.contains(victim.toString), e.getMessage)
+  }
+
   test("ivf-pq: index members carry codes, never the full vector (the " +
     "compression invariant — codes length m, values in [1, ksub])") {
     val data = embs(40)
