@@ -162,6 +162,8 @@ object Bench {
     "bpe_vocab" -> Some("HashAggregate"), // bounded frequency aggs + ranks
     "bpe_learn" -> Some("HashAggregate"), // per-round pair-count aggs
     "bpe_byte" -> Some("MapPartitions"), // byte-mapped trie encode
+    "bpe_enc_ranked" -> Some("MapPartitions"), // rank-order merge loop
+    "bpe_ranked_byte" -> Some("MapPartitions"), // same, byte symbols
     "bpe_roundtrip" -> Some("MapPartitions"), // encode + decode passes
     "seq_pack_learn" -> Some("MapPartitions"), // learn->encode->chunk->pack
     "bpe_enc_uni" -> Some("MapPartitions"), // trie encode over non-BMP text

@@ -2779,6 +2779,98 @@ object OracleSql {
       |  flatten(list(e.pcs ORDER BY w.pos)) AS pcs
       |  FROM w JOIN enc e USING (word) GROUP BY w.doc_id)""".stripMargin
 
+  /** Merge-RANK-ORDER inference replay (`Tokenize.BpeEncodeRanked`) —
+    * the rank-order application ITSELF, not a fixture: per distinct
+    * word, a recursive CTE carries the symbol list; each step builds
+    * the adjacent-pair candidate list, looks every merged string up in
+    * the learned rank map (rank >= 1 only — base symbols are not
+    * merges), takes the minimum-rank piece via a struct sort (ranks
+    * are unique per piece, so the argmin is total), and applies it to
+    * every adjacent occurrence with the learn-side greedy
+    * left-to-right fold; the walk stops when no pair merges. The rank
+    * and id maps ride one-row CTEs cross-joined into the recursive
+    * term (the `bpeLearnCtes` single-state convention). Consumes
+    * whatever `vlearn(piece, merge_rank)` / `vocab(piece, id)` precede
+    * it; ends in `rdt(doc_id, ids)`.
+    */
+  private def bpeRankedCtes: String =
+    """rmapc AS (SELECT map(
+      |    coalesce(list(piece ORDER BY piece), []),
+      |    coalesce(list(merge_rank ORDER BY piece), [])) AS rm
+      |  FROM vlearn WHERE merge_rank >= 1),
+      |imapc AS (SELECT map(list(piece ORDER BY piece),
+      |    list(id ORDER BY piece)) AS im FROM vocab),
+      |rdw AS (SELECT DISTINCT word FROM w),
+      |rrk AS (
+      |  SELECT word, 0 AS it,
+      |    list_transform(generate_series(1, len(word)),
+      |      i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+      |           ELSE '##' || substr(word, i, 1) END) AS syms
+      |  FROM rdw
+      |  UNION ALL
+      |  SELECT word, it + 1,
+      |    list_reduce(
+      |      list_prepend(CAST([] AS VARCHAR[]),
+      |        list_transform(syms, s -> [s])),
+      |      (acc, x) -> CASE
+      |        WHEN len(acc) > 0 AND acc[-1] ||
+      |            CASE WHEN x[1] LIKE '##%' THEN x[1][3:] ELSE x[1] END
+      |            = bp.p
+      |        THEN list_append(list_slice(acc, 1, len(acc) - 1), bp.p)
+      |        ELSE list_concat(acc, x) END) AS syms
+      |  FROM (
+      |    SELECT word, it, syms,
+      |      list_sort(list_filter(
+      |        list_transform(generate_series(1, len(syms) - 1),
+      |          i -> {r: map_extract(m.rm, syms[i] ||
+      |                  CASE WHEN syms[i + 1] LIKE '##%'
+      |                       THEN syms[i + 1][3:]
+      |                       ELSE syms[i + 1] END)[1],
+      |                p: syms[i] ||
+      |                  CASE WHEN syms[i + 1] LIKE '##%'
+      |                       THEN syms[i + 1][3:]
+      |                       ELSE syms[i + 1] END}),
+      |        c -> c.r IS NOT NULL))[1] AS bp
+      |    FROM rrk, rmapc m)
+      |  WHERE bp IS NOT NULL
+      |),
+      |rfin AS (SELECT word, max_by(syms, it) AS syms FROM rrk
+      |  GROUP BY word),
+      |rdt AS (SELECT w.doc_id,
+      |  flatten(list(
+      |    list_transform(f.syms, s -> map_extract(i.im, s)[1])
+      |    ORDER BY w.pos)) AS ids
+      |  FROM w JOIN rfin f USING (word), imapc i
+      |  GROUP BY w.doc_id)""".stripMargin
+
+  /** `bpe_enc_ranked`: BPE merge learning ([[bpeLearnCtes]]) followed
+    * by the rank-order inference replay ([[bpeRankedCtes]]) — the
+    * learn AND the inference both re-derived in SQL, no fixtures. */
+  def bpeEncRanked(nMerges: Int): String =
+    s"""WITH RECURSIVE
+       |${bpeWordCtes()},
+       |${bpeLearnCtes(nMerges)},
+       |$bpeRankedCtes
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(rdt.ids), 0) AS BIGINT) AS n_bpe_tokens,
+       |  coalesce(array_to_string(rdt.ids, ' '), '') AS ids_str
+       |FROM documents d LEFT JOIN rdt USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** `bpe_ranked_byte`: the same rank-order inference over BYTE-LEVEL
+    * learning — byte mapping, merge rounds and rank-order application
+    * all independently re-derived in SQL. */
+  def bpeRankedByte(nMerges: Int): String =
+    s"""WITH RECURSIVE
+       |${bpeWordCtes("documents", byteMap = true)},
+       |${bpeLearnCtes(nMerges, withByteAlphabet = true)},
+       |$bpeRankedCtes
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(rdt.ids), 0) AS BIGINT) AS n_bpe_tokens,
+       |  coalesce(array_to_string(rdt.ids, ' '), '') AS ids_str
+       |FROM documents d LEFT JOIN rdt USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The non-ASCII synthetic corpus of `bpe_enc_uni` (shared with
     * `SparkEntry.withUniText`): CJK, surrogate-pair emoji / musical
     * symbols, a combining mark, and one case-folding ASCII word — the

@@ -1363,6 +1363,36 @@ object SparkEntry {
       Tokenize.BpeLearn(nMerges = 20).transform(docs(s, dir))
         .select("piece", "id", "merge_rank")
         .orderBy("id")),
+    // merge-RANK-ORDER inference (r15): real BPE encoding — the
+    // lowest-rank adjacent merge applies first (re-picked globally
+    // each step), driven by the merge_rank column the learn emits;
+    // segments differently from greedy MaxMatch on real vocabs
+    // (TokenizeRankedSpec exhibits the divergence). The oracle replays
+    // the learn AND the rank-order application itself.
+    "bpe_enc_ranked" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Tokenize.BpeEncodeRanked(
+          Tokenize.BpeLearn(nMerges = 20).transform(d))
+        .transform(d)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          array_join(col("bpe_ids").cast("array<string>"), " ").as("ids_str"))
+        .orderBy("doc_id")
+    }),
+    // rank-order inference over BYTE-LEVEL learning (r15): the
+    // GPT-2-shaped total encode — byte alphabet at rank 0, learned
+    // merges applied lowest-rank-first; byte mapping, merge rounds and
+    // application all re-derived by the oracle
+    "bpe_ranked_byte" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Tokenize.BpeEncodeRanked(
+          Tokenize.BpeLearn(nMerges = 12, byteLevel = true,
+            baseAlphabet = Tokenize.byteAlphabet).transform(d),
+          byteLevel = true)
+        .transform(d)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          array_join(col("bpe_ids").cast("array<string>"), " ").as("ids_str"))
+        .orderBy("doc_id")
+    }),
     // BYTE-LEVEL BPE (GPT-2-style byte alphabet): words become UTF-8
     // byte-symbol strings, merges are learned over byte symbols, and
     // the full 256-symbol alphabet at rank 0 makes the encode TOTAL
@@ -1579,6 +1609,8 @@ object SparkEntry {
     "bpe_encode" -> OracleSql.bpeEncode,
     "bpe_vocab" -> OracleSql.bpeVocab,
     "bpe_learn" -> OracleSql.bpeLearn(20),
+    "bpe_enc_ranked" -> OracleSql.bpeEncRanked(20),
+    "bpe_ranked_byte" -> OracleSql.bpeRankedByte(12),
     "bpe_byte" -> OracleSql.bpeByte(12),
     "bpe_roundtrip" -> OracleSql.bpeRoundtrip,
     "seq_pack_learn" -> OracleSql.seqPackBpeLearned(20, 24, 6, 256L),

@@ -575,6 +575,226 @@ object Tokenize {
     }
   }
 
+  /** Merge-RANK-ORDER subword inference — real BPE encoding (the GPT-2 /
+    * sentencepiece-BPE inference loop, public knowledge: Sennrich et al.
+    * 2016 apply merges in learned order; sentencepiece's BPE model
+    * selects the best-scoring adjacent pair each step), the inference
+    * algorithm that matches what [[BpeLearn]] actually LEARNS — where
+    * [[BpeEncode]] is greedy MaxMatch (WordPiece inference), which
+    * segments differently on real vocabs (TokenizeRankedSpec exhibits
+    * the divergence).
+    *
+    * Algorithm (per whitespace-separated word, deterministic):
+    * symbolize to characters (position 0 first-form, later positions
+    * `continuationPrefix`-prefixed — [[BpeLearn]]'s initial state);
+    * then repeatedly, among all ADJACENT symbol pairs whose merged
+    * string (`first + strip(second)` — the learn's own spelling) is a
+    * LEARNED vocab piece (`merge_rank >= 1`; rank-0 base symbols are
+    * not merges), pick the piece with the LOWEST merge_rank and merge
+    * every adjacent occurrence of it in one greedy left-to-right scan
+    * (the learn-side apply fold); stop when no pair merges. Ranks >= 1
+    * are unique per piece (one merge per round; a re-reachable string
+    * keeps its first rank), so the argmin is total — no tie-break
+    * needed beyond the piece identity itself.
+    *
+    * This is PIECE-driven application (sentencepiece's convention —
+    * the artifact stores pieces + ranks, not pairs), and it re-picks
+    * the global minimum each step: applying a later merge can create
+    * an adjacency for an EARLIER one, which a single rank-ordered
+    * sweep would miss.
+    *
+    * A word whose final symbols are not all vocab pieces (an unseen
+    * character under a char-level vocab) becomes ONE `unkId` token, or
+    * fails loud with `unkId = None` — [[BpeEncode]]'s whole-word-UNK
+    * contract. Under `byteLevel` with a full-byte-alphabet vocab the
+    * encode is total (no UNK ever), exactly as for MaxMatch.
+    *
+    * 100 TB shape: identical to [[BpeEncode]] — the vocab is collected
+    * once (bounded fail-loud), broadcast as a rank map + id map; pure
+    * map-side typed pass, the text never shuffles. Per-word cost is
+    * O(len^2) map probes (len merges, len candidates each) — words are
+    * bounded, so this stays a compiled per-row loop.
+    */
+  final case class BpeEncodeRanked(vocab: DataFrame,
+                                   textColumn: String = "text",
+                                   idColumn: String = "doc_id",
+                                   pieceColumn: String = "piece",
+                                   vocabIdColumn: String = "id",
+                                   rankColumn: String = "merge_rank",
+                                   continuationPrefix: String = "##",
+                                   unkId: Option[Long] = None,
+                                   lowercase: Boolean = true,
+                                   maxVocab: Int = 1 << 22,
+                                   byteLevel: Boolean = false)
+      extends Wrangler {
+    require(continuationPrefix.nonEmpty,
+      "continuationPrefix must be non-empty")
+    require(maxVocab >= 1, "maxVocab must be positive")
+    override def getParams: Seq[(String, Any)] = Seq(
+      "textColumn" -> textColumn, "idColumn" -> idColumn,
+      "pieceColumn" -> pieceColumn, "vocabIdColumn" -> vocabIdColumn,
+      "rankColumn" -> rankColumn,
+      "continuationPrefix" -> continuationPrefix, "unkId" -> unkId,
+      "lowercase" -> lowercase, "maxVocab" -> maxVocab,
+      "byteLevel" -> byteLevel)
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      SparkUtil.validateColumns(vocab,
+        Seq(pieceColumn, vocabIdColumn, rankColumn))
+      SparkUtil.requireFitParamStr(vocab, pieceColumn, "lowercase",
+        lowercase.toString, "BpeEncodeRanked")
+      SparkUtil.requireFitParamStr(vocab, pieceColumn,
+        "continuationPrefix", continuationPrefix, "BpeEncodeRanked")
+      SparkUtil.requireFitParamStr(vocab, pieceColumn, "byteLevel",
+        byteLevel.toString, "BpeEncodeRanked")
+      val spark = df.sparkSession
+      import spark.implicits._
+      val rows = vocab
+        .select(col(pieceColumn).cast("string"),
+          col(vocabIdColumn).cast("long"), col(rankColumn).cast("long"))
+        .limit(maxVocab + 1)
+        .as[(String, java.lang.Long, java.lang.Long)].collect()
+      require(rows.length <= maxVocab,
+        s"BpeEncodeRanked: vocab exceeds maxVocab=$maxVocab pieces — a " +
+          "subword vocab is bounded; a corpus-scale frame here is a " +
+          "wiring bug")
+      require(rows.nonEmpty,
+        "BpeEncodeRanked: empty vocab — learn it (Tokenize.BpeLearn) " +
+          "on a non-empty corpus first")
+      rows.foreach { case (p, id, r) =>
+        require(p != null && p.nonEmpty,
+          "BpeEncodeRanked: vocab contains a null/empty piece")
+        require(id != null, s"BpeEncodeRanked: piece `$p` has a null id")
+        require(r != null && r >= 0L,
+          s"BpeEncodeRanked: piece `$p` has merge_rank $r — ranks are " +
+            "0 (base symbol) or the 1-based merge round; this vocab " +
+            "was not produced by BpeLearn")
+      }
+      require(rows.map(_._1).distinct.length == rows.length,
+        "BpeEncodeRanked: vocab pieces must be distinct")
+      require(rows.map(_._2).distinct.length == rows.length,
+        "BpeEncodeRanked: vocab ids must be distinct")
+      val learned = rows.filter(_._3 >= 1L)
+      require(learned.map(_._3).distinct.length == learned.length,
+        "BpeEncodeRanked: two pieces share a merge_rank >= 1 — the " +
+          "learn emits ONE merge per round, so the argmin would be " +
+          "ambiguous; this vocab was not produced by BpeLearn")
+      unkId.foreach { u =>
+        require(!rows.exists(_._2 == u),
+          s"BpeEncodeRanked: unkId=$u collides with a vocab piece's id")
+      }
+      val bcVocab = spark.sparkContext.broadcast(
+        rows.map { case (p, id, r) => (p, id.longValue, r.longValue) })
+      val (txt, idc, lc, unk) = (textColumn, idColumn, lowercase, unkId)
+      val (pfx, bl) = (continuationPrefix, byteLevel)
+      val textExpr =
+        if (lc) lower(col(txt).cast("string")) else col(txt).cast("string")
+      val typed = df.select(col(idc).cast("long"), textExpr.as("__t"))
+        .as[(Long, String)]
+      typed.mapPartitions { it =>
+        val ids = new java.util.HashMap[String, java.lang.Long]()
+        val ranks = new java.util.HashMap[String, java.lang.Long]()
+        bcVocab.value.foreach { case (p, id, r) =>
+          ids.put(p, id)
+          if (r >= 1L) ranks.put(p, r)
+        }
+        val ws = java.util.regex.Pattern.compile("\\s+")
+        def strip(s: String): String =
+          if (s.startsWith(pfx)) s.substring(pfx.length) else s
+        val out = new ArrayBuffer[Long](256)
+        val syms = new ArrayBuffer[String](64)
+        val next = new ArrayBuffer[String](64)
+        it.map { case (docId, text) =>
+          out.clear()
+          if (text != null) {
+            val words = ws.split(text)
+            var wi = 0
+            while (wi < words.length) {
+              val wRaw = words(wi)
+              if (wRaw.nonEmpty) {
+                val w = if (bl) byteMapLocal(wRaw) else wRaw
+                syms.clear()
+                var ci = 0
+                while (ci < w.length) {
+                  syms += (if (ci == 0) w.substring(0, 1)
+                           else pfx + w.substring(ci, ci + 1))
+                  ci += 1
+                }
+                // min-rank merge loop: re-pick the global argmin each
+                // step (a later merge can create an adjacency for an
+                // earlier one — a single rank-ordered sweep would miss)
+                var merging = true
+                while (merging && syms.length > 1) {
+                  var bestRank = Long.MaxValue
+                  var bestP: String = null
+                  var i = 0
+                  while (i < syms.length - 1) {
+                    val merged = syms(i) + strip(syms(i + 1))
+                    val r = ranks.get(merged)
+                    if (r != null && r.longValue < bestRank) {
+                      bestRank = r.longValue
+                      bestP = merged
+                    }
+                    i += 1
+                  }
+                  if (bestP == null) merging = false
+                  else {
+                    // greedy left-to-right merge of every adjacent
+                    // occurrence (the learn-side apply fold: a merged
+                    // symbol never re-pairs as its left half in-pass)
+                    next.clear()
+                    var j = 0
+                    while (j < syms.length) {
+                      val s = syms(j)
+                      // the candidate string already carries the left
+                      // symbol's form (concatenation keeps its prefix),
+                      // so the merged symbol IS bestP verbatim
+                      if (next.nonEmpty &&
+                          next.last + strip(s) == bestP) {
+                        next.remove(next.length - 1)
+                        next += bestP
+                      } else next += s
+                      j += 1
+                    }
+                    syms.clear()
+                    syms ++= next
+                  }
+                }
+                // final symbols -> ids; any miss UNKs the whole word
+                // (or raises), the BpeEncode contract
+                val mark = out.length
+                var ok = true
+                var si = 0
+                while (si < syms.length && ok) {
+                  val id = ids.get(syms(si))
+                  if (id == null) ok = false else out += id.longValue
+                  si += 1
+                }
+                if (!ok) {
+                  out.takeInPlace(mark)
+                  unk match {
+                    case Some(u) => out += u
+                    case None => throw new IllegalArgumentException(
+                      s"BpeEncodeRanked: doc $docId word `$wRaw` has a " +
+                        s"post-merge symbol `${syms(si - 1)}` not in " +
+                        "the vocab and no unkId is configured — a " +
+                        "BpeLearn vocab over the same corpus (or the " +
+                        "full byteAlphabet under byteLevel) guarantees " +
+                        "coverage")
+                  }
+                }
+              }
+              wi += 1
+            }
+          }
+          BpeRow(docId, out.length.toLong, out.toArray)
+        }
+      }.toDF()
+    }
+  }
+
   /** [[BpeRow]] plus the matched piece STRINGS (`emitPieces = true`) —
     * what downstream chunkers consume ([[Chunking.ChunkSplit]]'s
     * `tokenArrayColumn`). Continuation pieces keep their prefix, so the

@@ -574,6 +574,29 @@ object StressCorpus {
       total
     }
 
+    // ----- merge-RANK-ORDER inference at corpus scale with a
+    // CLOSED-FORM token count: the nMerges=2 learn on the 8-token
+    // generator deterministically learns ##he (rank 1) then the
+    // (rank 2) — the bpe_learn closed form above — and rank-order
+    // application collapses exactly the per-doc "the" to ONE token
+    // ([t,##h,##e] -> [t,##he] -> [the]) while no learned merge
+    // touches any letter+digit word, so
+    // sum(n_bpe_tokens) == sum(non-space chars) − 2·nDocs EXACTLY
+    time(s"bpe_enc_ranked docs=$nDocs merges=2 (closed form)") {
+      val vocab = graft.operators.Tokenize.BpeLearn(nMerges = 2)
+        .transform(docs)
+      val out = graft.operators.Tokenize.BpeEncodeRanked(vocab)
+        .transform(docs)
+      val got = out.agg(sum("n_bpe_tokens"), count(lit(1))).collect()(0)
+      val expected = docs.agg(
+        sum(length(translate(col("text"), " ", "")))).collect()(0)
+        .getLong(0) - 2L * nDocs
+      require(got.getLong(1) == nDocs, s"row drift: $got")
+      require(got.getLong(0) == expected,
+        s"token-count drift: ${got.getLong(0)} != $expected")
+      got.getLong(0)
+    }
+
     // ----- line-level dedup at 2M multi-line docs with a CLOSED-FORM
     // strip count: every doc is [unique line, shared banner, unique
     // line] — the banner (df = nDocs) strips everywhere, both unique
