@@ -132,6 +132,7 @@ object Bench {
     // (timed — the builder runs inside the timed thunk, the DSIR
     // convention); the lazy plan keeps the broadcast re-rank joins
     "ann_ivf_pq" -> Some("BroadcastHashJoin"),
+    "ann_ivf_pq_res" -> Some("BroadcastHashJoin"),
     "ann_ivf_pq_t" -> Some("BroadcastHashJoin"),
     "ann_srp" -> Some("BroadcastHashJoin"),
     "ann_ivf_pq_incr" -> Some("BroadcastHashJoin"),

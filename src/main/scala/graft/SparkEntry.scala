@@ -1122,6 +1122,18 @@ object SparkEntry {
       SimilarityPq.IvfPqTopK(df => df.filter(col("vec_id") < 8))
         .transform(embs(s, dir))
         .orderBy("query_id", "rank")),
+    // ...with PROJECTION-RESIDUAL encoding (r15): the IVFADC
+    // decomposition under cosine assignment — codes quantize
+    // x − round(α̂c/S) (α̂ the scaled projection coefficient, one extra
+    // long per member), the ADC adds the exact per-(query, list)
+    // centroid term back; measured recall@5 at refine=4: 0.400 vs the
+    // raw-vector 0.325 (AnnRecall, COVERAGE.md). The oracle replays
+    // α̂, residuals, the OFFSET codebook pick and the decomposed ADC.
+    "ann_ivf_pq_res" -> ((s, dir) =>
+      SimilarityPq.IvfPqTopK(df => df.filter(col("vec_id") < 8),
+          residual = true)
+        .transform(embs(s, dir))
+        .orderBy("query_id", "rank")),
     // ...with TRAINED codebooks: two Lloyd rounds of per-subspace
     // integer k-means (the quality step FAISS calls training the PQ);
     // the oracle replays the TRAINING round by round, then the same
@@ -1594,6 +1606,7 @@ object SparkEntry {
     "ann_ivf" -> OracleSql.annIvf(64, 16, 4, 5, 8),
     "ann_ivf_incr" -> OracleSql.annIvfIncr(64, 16, 4, 5, 8),
     "ann_ivf_pq" -> OracleSql.annIvfPq(64, 16, 4, 8, 16, 5, 4, 8),
+    "ann_ivf_pq_res" -> OracleSql.annIvfPqRes(64, 16, 4, 8, 16, 5, 4, 8),
     "ann_ivf_pq_t" -> OracleSql.annIvfPqTrained(64, 16, 4, 8, 16, 5, 4,
       8, 2),
     "ann_srp" -> OracleSql.annSrp(64, 16, 5, 4, 8),

@@ -98,6 +98,85 @@ object SimilarityPq {
     }
   }
 
+  /** The integer scale the projection coefficient α̂ is held at (the
+    * [[graft.functions.Portable]] quantization scale). */
+  private[graft] val AlphaScale = 10000L
+
+  /** Half-away-from-zero rounding of `num / den` (den > 0) in
+    * truncating integer division — the SemDedup lattice convention,
+    * bit-identical in any engine. */
+  private[graft] def halfAway(num: Long, den: Long): Long =
+    (2L * num + (if (num < 0) -den else if (num > 0) den else 0L)) /
+      (2L * den)
+
+  /** PROJECTION residual w.r.t. the assigned coarse centroid — the
+    * IVFADC decomposition (Jégou et al. 2011 §III quantizes
+    * `x − c(x)`) adapted to this family's COSINE geometry: the coarse
+    * assignment is by cosine, so the plain difference `x − c` carries
+    * the magnitude mismatch between x and an arbitrary corpus-vector
+    * centroid — on weakly clustered data it is LARGER than x itself
+    * (E‖x−c‖² ≈ E‖x‖² + E‖c‖²; measured: plain-residual recall@5
+    * 0.200 vs raw 0.325). Projecting first fixes both regimes:
+    *
+    *   α̂ = round(S · dot(x, c) / ‖c‖²)     (scaled integer, S = 10⁴)
+    *   r  = x − round(α̂ · c / S)           (component-wise, exact)
+    *
+    * α̂ → 0 on unclustered data recovers raw PQ; α̂ → S on tight
+    * clusters is classic IVFADC. Both roundings are half-away-from-
+    * zero truncating integer division, so the whole derivation is
+    * bit-replayable in SQL. Returns `(α̂, r)`; a zero-norm centroid
+    * gets α̂ = 0 (r = x, the raw fallback).
+    */
+  private[graft] def residualOf(cents: Array[(Int, Array[Long], Long)],
+                                q: Array[Long], nrm: Long)
+      : (Long, Array[Long]) = {
+    val cid = Similarity.rankedClusterIds(cents, q, nrm).head
+    val cq = cents(cid - 1)._2
+    val cn = cents(cid - 1)._3
+    val alpha =
+      if (cn == 0L) 0L
+      else halfAway(AlphaScale * Similarity.localDot(q, cq), cn)
+    (alpha,
+      Array.tabulate(q.length)(i => q(i) - halfAway(alpha * cq(i),
+        AlphaScale)))
+  }
+
+  /** RESIDUAL per-subspace PQ codebooks: derivation stays trainless
+    * and integer-exact — but the codebook source rows are the `ksub`
+    * hash-pick rows AFTER skipping the first `nlist`: the first
+    * `nlist` rows ARE the coarse centroids, and a centroid's residual
+    * w.r.t. itself is the zero vector, so reusing them (the raw-PQ
+    * pick) would derive a degenerate all-zero codebook (measured:
+    * recall@5 0.125 before the skip). Each source row is replaced by
+    * its PROJECTION residual ([[residualOf]]) before slicing. Fails
+    * loud when the corpus has no rows beyond the centroid pick.
+    */
+  private[graft] def residualCodebooks(quant: DataFrame,
+      cents: Array[(Int, Array[Long], Long)], m: Int, ksub: Int)
+      : Array[Array[Array[Long]]] = {
+    val picked = Similarity.pickCentroids(quant, cents.length + ksub)
+      .drop(cents.length)
+    require(picked.nonEmpty,
+      s"SimilarityPq: residual codebooks need corpus rows beyond the " +
+        s"nlist=${cents.length} centroid pick (a centroid's residual " +
+        "is zero — the codebook would be degenerate); use a smaller " +
+        "nlist or residual = false on a corpus this small")
+    val dim = picked.head._2.length
+    require(dim % m == 0,
+      s"SimilarityPq: embedding dim=$dim does not split into m=$m equal " +
+        "subspaces — configure m to a divisor of the vector width")
+    val dsub = dim / m
+    val res = picked.map { case (j, q, nrm) =>
+      require(q.length == dim,
+        s"SimilarityPq: codebook source vector $j has ${q.length} dims, " +
+          s"expected $dim — mixed vector widths in the corpus")
+      (j, residualOf(cents, q, nrm)._2, nrm)
+    }
+    Array.tabulate(m) { s =>
+      res.map { case (_, r, _) => r.slice(s * dsub, (s + 1) * dsub) }
+    }
+  }
+
   /** Lloyd-TRAINED per-subspace codebooks — k-means on the integer
     * lattice, the quality step up from the trainless pick (what FAISS
     * calls training the PQ): init = [[codebooks]]' hash-pick slices;
@@ -113,9 +192,18 @@ object SimilarityPq {
     * passes share one materialization.
     */
   private[graft] def trainedCodebooks(quant: DataFrame, m: Int,
-                                      ksub: Int, iters: Int)
+                                      ksub: Int, iters: Int,
+                                      residualCents:
+                                        Option[Array[(Int, Array[Long],
+                                          Long)]] = None)
       : Array[Array[Array[Long]]] = {
-    var cb = codebooks(quant, m, ksub)
+    // residual mode: init from the residual pick slices and run every
+    // Lloyd round over residual vectors — the trained codebooks then
+    // live in the same space the member codes are assigned in
+    var cb = residualCents match {
+      case Some(cents) => residualCodebooks(quant, cents, m, ksub)
+      case None => codebooks(quant, m, ksub)
+    }
     if (cb.isEmpty || iters == 0) return cb
     val spark = quant.sparkSession
     import spark.implicits._
@@ -124,12 +212,17 @@ object SimilarityPq {
     val mm = m
     (0 until iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(cb)
-      val (sums, counts) = quant.select("q").as[Array[Long]]
+      val (sums, counts) = quant.select("q", "nrm")
+        .as[(Array[Long], Long)]
         .mapPartitions { it =>
           val cbv = bc.value
           val s = new Array[Long](mm * kk * dsub)
           val c = new Array[Long](mm * kk)
-          it.foreach { q =>
+          it.foreach { case (q0, nrm) =>
+            val q = residualCents match {
+              case Some(cents) => residualOf(cents, q0, nrm)._2
+              case None => q0
+            }
             val codes = encodeCodes(cbv, q)
             var ss = 0
             while (ss < mm) {
@@ -204,17 +297,29 @@ object SimilarityPq {
   private[graft] def adcScan(joined: DataFrame,
       bcCb: org.apache.spark.broadcast
         .Broadcast[Array[Array[Array[Long]]]],
-      maxQ: Long): DataFrame = {
+      maxQ: Long, residual: Boolean = false): DataFrame = {
     val spark = joined.sparkSession
     import spark.implicits._
+    // residual mode (IVFADC, projection form): codes quantize the
+    // projection residual r = x − round(α̂c/S), so the approximate dot
+    // decomposes as (α̂/S)·dot(q, c) + dot(q, r^). The centroid term
+    // `cdot` is exact, computed once per (query, probed list) on the
+    // probe row, and rides the join to every candidate of that list;
+    // the per-member α̂ rides the index row; only the residual part
+    // goes through the lookup table. Arithmetic stays exact-integer
+    // at scale S (α̂·cdot + S·Σtable) until the one final div/sqrt.
+    val (cdotCol, alphaCol) =
+      if (residual) (col("cdot"), col("alpha"))
+      else (lit(0L).as("cdot"), lit(0L).as("alpha"))
     joined.select(col("query_id"), col("id"), col("codes"), col("nrm"),
-        col("qq"), col("qnrm"))
-      .as[(Long, Long, Array[Int], Long, Array[Long], Long)]
+        col("qq"), col("qnrm"), cdotCol, alphaCol)
+      .as[(Long, Long, Array[Int], Long, Array[Long], Long, Long, Long)]
       .mapPartitions { it =>
         val cbv = bcCb.value
         val kk = cbv(0).length
+        val res = residual
         val tables = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
-        it.map { case (qid, id, codes, nrm, qq, qnrm) =>
+        it.map { case (qid, id, codes, nrm, qq, qnrm, cdot, alpha) =>
           if (!tables.contains(qid) && tables.size >= maxQ)
             throw new IllegalStateException(
               s"SimilarityPq: partition saw more than $maxQ distinct " +
@@ -222,14 +327,19 @@ object SimilarityPq {
                 "query; raise maxQueriesPerPartition explicitly if a " +
                 "query set this large is intended")
           val t = tables.getOrElseUpdate(qid, adcTable(cbv, qq))
-          var adot = 0L
+          var tsum = 0L
           var s = 0
           while (s < codes.length) {
-            adot += t(s * kk + (codes(s) - 1)); s += 1
+            tsum += t(s * kk + (codes(s) - 1)); s += 1
           }
-          val c = if (nrm > 0 && qnrm > 0)
-            adot.toDouble / math.sqrt(nrm.toDouble * qnrm.toDouble)
-          else Double.NaN
+          val c =
+            if (nrm > 0 && qnrm > 0) {
+              if (res)
+                (alpha * cdot + AlphaScale * tsum).toDouble /
+                  (AlphaScale *
+                    math.sqrt(nrm.toDouble * qnrm.toDouble))
+              else tsum.toDouble / math.sqrt(nrm.toDouble * qnrm.toDouble)
+            } else Double.NaN
           (qid, id, c)
         }
       }.toDF("query_id", "id", "cosine")
@@ -615,7 +725,8 @@ object SimilarityPq {
                              refine: Int = 4,
                              cacheCorpus: Boolean = false,
                              maxQueriesPerPartition: Long = 1000000L,
-                             train: Int = 0)
+                             train: Int = 0,
+                             residual: Boolean = false)
       extends Wrangler {
     require(nlist >= 1, "nlist must be >= 1")
     require(nprobe >= 1, "nprobe must be >= 1")
@@ -641,30 +752,46 @@ object SimilarityPq {
         return spark.emptyDataset[(Long, Long, Long, Double)]
           .toDF("query_id", "rank", "neighbor_id", "cosine")
       // train = 0 is the trainless hash-pick; train > 0 runs that many
-      // Lloyd rounds over the corpus (one pass each — use cacheCorpus)
-      val cb = if (train > 0) trainedCodebooks(quant, m, ksub, train)
+      // Lloyd rounds over the corpus (one pass each — use cacheCorpus).
+      // residual = the IVFADC-proper decomposition: codebooks live in
+      // (and training runs over) residual space `x − c(x)`
+      val cb =
+        if (train > 0) trainedCodebooks(quant, m, ksub, train,
+          if (residual) Some(cents) else None)
+        else if (residual) residualCodebooks(quant, cents, m, ksub)
         else codebooks(quant, m, ksub)
       val bcCb = spark.sparkContext.broadcast(cb)
+      val res = residual
 
-      // PQ member index: cluster + m codes + exact norm; the full
-      // vector is DROPPED here — it is only ever seen again by the
-      // shortlist re-rank below
+      // PQ member index: cluster + m codes + exact norm (+ the scaled
+      // projection coefficient α̂ in residual mode — one extra long);
+      // the full vector is DROPPED here — it is only ever seen again
+      // by the shortlist re-rank below
       val index = quant.as[(Long, Array[Long], Long)]
         .map { case (id, q, nrm) =>
+          val (alpha, enc) =
+            if (res) {
+              val (a, r) = residualOf(cents, q, nrm)
+              (a, r)
+            } else (0L, q)
           (id, Similarity.rankedClusterIds(cents, q, nrm).head.toLong,
-            encodeCodes(bcCb.value, q), nrm)
+            encodeCodes(bcCb.value, enc), nrm, alpha)
         }
-        .toDF("id", "cluster", "codes", "nrm")
+        .toDF("id", "cluster", "codes", "nrm", "alpha")
 
       val qs = quantizedRows(queries(df).select(col(idColumn).as("id"),
         col(vecColumn)), "id", vecColumn, Array.empty, 0)
         .select("id", "q", "nrm")
+      // residual mode: the exact centroid term dot(q, c) computes ONCE
+      // per (query, probed list) here and rides the join to every
+      // candidate of that list
       val probes = qs.as[(Long, Array[Long], Long)]
         .flatMap { case (id, q, nrm) =>
           Similarity.rankedClusterIds(cents, q, nrm).take(nprobe)
-            .map(c => (id, q, nrm, c.toLong))
+            .map(c => (id, q, nrm, c.toLong,
+              if (res) Similarity.localDot(q, cents(c - 1)._2) else 0L))
         }
-        .toDF("query_id", "qq", "qnrm", "cluster")
+        .toDF("query_id", "qq", "qnrm", "cluster", "cdot")
 
       // ADC scan: the probe join carries the query vector to the
       // candidate rows; each partition lazily builds ONE lookup table
@@ -672,7 +799,7 @@ object SimilarityPq {
       // scores in m table lookups ([[adcScan]])
       val approx = adcScan(index.join(probes, Seq("cluster"))
         .filter(col("id") =!= col("query_id")),
-        bcCb, maxQueriesPerPartition)
+        bcCb, maxQueriesPerPartition, residual = res)
 
       // approximate shortlist, then EXACT re-rank: only these
       // queries*k*refine ids ever touch the full-vector table again

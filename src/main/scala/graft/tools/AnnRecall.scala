@@ -66,6 +66,19 @@ object AnnRecall {
     recall("ivf-pq TRAINED 2 rounds refine=16",
       graft.operators.SimilarityPq.IvfPqTopK(queries, train = 2,
         refine = 16, k = k, cacheCorpus = true).transform(embs))
+    recall("ivf-pq RESIDUAL refine=4 (ann_ivf_pq_res)",
+      graft.operators.SimilarityPq.IvfPqTopK(queries, k = k,
+        residual = true).transform(embs))
+    recall("ivf-pq RESIDUAL refine=16",
+      graft.operators.SimilarityPq.IvfPqTopK(queries, refine = 16, k = k,
+        residual = true).transform(embs))
+    recall("ivf-pq RESIDUAL TRAINED 2 rounds refine=4",
+      graft.operators.SimilarityPq.IvfPqTopK(queries, train = 2, k = k,
+        residual = true, cacheCorpus = true).transform(embs))
+    recall("ivf-pq RESIDUAL TRAINED 2 rounds refine=16",
+      graft.operators.SimilarityPq.IvfPqTopK(queries, train = 2,
+        refine = 16, k = k, residual = true, cacheCorpus = true)
+        .transform(embs))
     recall("srp rdim=16 refine=4 (bench ann_srp)",
       graft.operators.Projection.SrpTopK(queries, k = k).transform(embs))
     recall("srp rdim=16 refine=16",

@@ -248,6 +248,52 @@ class SimilarityPqSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no vector"))
   }
 
+  test("residual ivf-pq: full probe + wide shortlist == brute force " +
+    "(the refine contract holds in residual mode); deterministic " +
+    "across reruns and repartition; recall at the narrow shortlist " +
+    "beats the raw-vector encode on the property fixture") {
+    val data = embs(200)
+    val qf = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val brute = collectTopK(Similarity.CosineTopK(qf, k = 5)
+      .transform(data))
+    val wide = collectTopK(SimilarityPq.IvfPqTopK(qf, nlist = 4,
+        nprobe = 4, m = 4, ksub = 8, k = 5, refine = 50,
+        residual = true)
+      .transform(data))
+    assert(wide == brute)
+    def run(residual: Boolean, df: org.apache.spark.sql.DataFrame) =
+      collectTopK(SimilarityPq.IvfPqTopK(qf, nlist = 8, nprobe = 4,
+        m = 4, ksub = 16, k = 5, refine = 4, residual = residual)
+        .transform(df))
+    val got = run(residual = true, data)
+    assert(run(residual = true, data) == got)
+    assert(run(residual = true, data.repartition(7)) == got)
+    val bruteSet = brute.map(r => (r._1, r._3)).toSet
+    def recall(rows: Seq[(Long, Long, Long, Double)]) =
+      (rows.map(r => (r._1, r._3)).toSet & bruteSet).size.toDouble /
+        bruteSet.size
+    // the projection residual spends the same m/ksub budget on what
+    // the coarse quantizer did NOT explain — on this fixture it must
+    // not lose to raw-vector encoding (sf0.01 measured: 0.400 vs
+    // 0.325 at refine=4, AnnRecall)
+    assert(recall(got) >= recall(run(residual = false, data)),
+      s"residual recall ${recall(got)} below raw")
+  }
+
+  test("residual ivf-pq: a corpus no larger than the centroid pick " +
+    "fails loud (a centroid's own residual is zero — the codebook " +
+    "would be degenerate)") {
+    val data = embs(10)
+    val qf = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityPq.IvfPqTopK(qf, nlist = 16, m = 4, ksub = 8,
+        residual = true).transform(data).collect()
+    }
+    assert(e.getMessage.contains("degenerate"), e.getMessage)
+  }
+
   test("incremental ivf-pq: a refine table missing a shortlisted " +
     "vec_id fails loud naming the id — a stale/subset source of truth " +
     "must never silently drop neighbors") {
