@@ -162,6 +162,7 @@ object Bench {
     "bpe_encode" -> Some("MapPartitions"), // broadcast-vocab trie encode
     "bpe_vocab" -> Some("HashAggregate"), // bounded frequency aggs + ranks
     "bpe_learn" -> Some("HashAggregate"), // per-round pair-count aggs
+    "bpe_learn_deep" -> Some("HashAggregate"), // batched rounds, same aggs
     "bpe_byte" -> Some("MapPartitions"), // byte-mapped trie encode
     "bpe_enc_ranked" -> Some("MapPartitions"), // rank-order merge loop
     "bpe_ranked_byte" -> Some("MapPartitions"), // same, byte symbols

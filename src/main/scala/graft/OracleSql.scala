@@ -2885,6 +2885,127 @@ object OracleSql {
       |  flatten(list(e.pcs ORDER BY w.pos)) AS pcs
       |  FROM w JOIN enc e USING (word) GROUP BY w.doc_id)""".stripMargin
 
+  /** DEEP-VOCAB batched BPE learning replay (`Tokenize.BpeLearn`
+    * `batchMerges > 1`) — the batched rounds themselves: per round,
+    * the candidate pairs sort by (count desc, pair asc), DEDUP to
+    * distinct pairs (adjacent-filter after the sort — the engine's
+    * window is over distinct pairs; DuckDB cannot list_distinct
+    * structs), slice to the `batch * 8` window, then a list_reduce
+    * greedily selects up to `batch` NON-INTERACTING pairs (no symbol
+    * shared with — and no merged-string collision against — an
+    * earlier selection), and ONE left-to-right fold applies them all.
+    * Merges append in selection order; the vocab tail (base symbols,
+    * ranks, ids) is the [[bpeLearnCtes]] contract. Ends in
+    * `vlearn(piece, merge_rank)` + `vocab(piece, id)`.
+    */
+  private def bpeLearnDeepCtes(nMerges: Int, batch: Int): String = {
+    val window = batch * 8
+    s"""init AS (SELECT list({w: word, cnt: cnt, syms:
+      |    list_transform(generate_series(1, len(word)),
+      |      i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+      |           ELSE '##' || substr(word, i, 1) END)} ORDER BY word) AS ws
+      |  FROM freq),
+      |lrn AS (
+      |  SELECT 0 AS r, ws, CAST([] AS VARCHAR[]) AS merges FROM init
+      |  UNION ALL
+      |  SELECT r + 1,
+      |    list_transform(ws, wd -> {w: wd.w, cnt: wd.cnt,
+      |      syms: list_reduce(
+      |        list_prepend(CAST([] AS VARCHAR[]),
+      |          list_transform(wd.syms, s -> [s])),
+      |        (acc, x) -> CASE
+      |          WHEN len(acc) > 0 AND len(list_filter(sel,
+      |              p -> p.a = acc[-1] AND p.b = x[1])) > 0
+      |          THEN list_append(list_slice(acc, 1, len(acc) - 1),
+      |            list_filter(sel,
+      |              p -> p.a = acc[-1] AND p.b = x[1])[1].m)
+      |          ELSE list_concat(acc, x) END)}),
+      |    list_concat(merges, list_transform(sel, p -> p.m))
+      |  FROM (
+      |    SELECT r, ws, merges,
+      |      -- plain list-of-struct accumulator: DuckDB 1.0 drops all
+      |      -- but the last element of a LIST nested INSIDE a struct
+      |      -- accumulator in list_reduce (scalar fields thread fine),
+      |      -- so `used` membership derives from the selections
+      |      -- themselves — a pair interacts iff one of its symbols or
+      |      -- its merged string collides with any field of an earlier
+      |      -- selection. The reject branch must COPY the accumulator
+      |      -- (list_slice) — a pass-through `ELSE acc` after a prior
+      |      -- list_concat corrupts it in DuckDB 1.0 (verified
+      |      -- minimally: accept/reject/accept loses the first accept)
+      |      list_reduce(
+      |        list_prepend(
+      |          CAST([] AS STRUCT(a VARCHAR, b VARCHAR, m VARCHAR)[]),
+      |          list_transform(scanp, p -> [p])),
+      |        (acc, x) -> CASE
+      |          WHEN len(acc) < LEAST($batch, $nMerges - mlen)
+      |            AND len(list_filter(acc, q ->
+      |              q.a IN (x[1].a, x[1].b, x[1].m) OR
+      |              q.b IN (x[1].a, x[1].b, x[1].m) OR
+      |              q.m IN (x[1].a, x[1].b, x[1].m))) = 0
+      |          THEN list_concat(acc, x)
+      |          ELSE list_slice(acc, 1, len(acc)) END) AS sel
+      |    FROM (
+      |      SELECT r, ws, merges, mlen,
+      |        list_transform(
+      |          list_slice(
+      |            list_filter(srt, (p, i) -> i = 1 OR NOT
+      |              (srt[i - 1].a = p.a AND srt[i - 1].b = p.b)),
+      |            1, $window),
+      |          q -> {a: q.a, b: q.b,
+      |                m: q.a || CASE WHEN q.b LIKE '##%' THEN q.b[3:]
+      |                          ELSE q.b END})
+      |          AS scanp
+      |      FROM (
+      |        SELECT r, ws, merges, len(merges) AS mlen,
+      |          list_sort(list_transform(
+      |            list_filter(cand,
+      |              p -> NOT (p.a NOT LIKE '##%' AND
+      |                (p.a || CASE WHEN p.b LIKE '##%' THEN p.b[3:]
+      |                        ELSE p.b END) LIKE '##%')),
+      |            p -> {negc: -list_sum(list_transform(cand, c ->
+      |                    CASE WHEN c.a = p.a AND c.b = p.b THEN c.cnt
+      |                         ELSE 0 END)),
+      |                  a: p.a, b: p.b})) AS srt
+      |        FROM (
+      |          SELECT r, ws, merges,
+      |            flatten(list_transform(ws, wd ->
+      |              list_transform(generate_series(1, len(wd.syms) - 1),
+      |                i -> {a: wd.syms[i], b: wd.syms[i + 1],
+      |                      cnt: wd.cnt})))
+      |              AS cand
+      |          FROM lrn WHERE len(merges) < $nMerges)))
+      |  ) WHERE len(sel) > 0
+      |),
+      |lfinal AS (SELECT ws, merges FROM lrn ORDER BY r DESC LIMIT 1),
+      |basep AS (SELECT DISTINCT piece FROM (SELECT
+      |    unnest(list_transform(generate_series(1, len(word)),
+      |      i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+      |           ELSE '##' || substr(word, i, 1) END)) AS piece
+      |  FROM freq)),
+      |mrg AS (SELECT u.piece AS piece, u.rank AS rank FROM (
+      |    SELECT unnest(list_transform(merges,
+      |      (m, i) -> {piece: m, rank: i})) AS u FROM lfinal)),
+      |allp AS (SELECT piece, 0 AS merge_rank FROM basep
+      |  UNION ALL SELECT piece, rank FROM mrg),
+      |vlearn AS (SELECT piece, min(merge_rank) AS merge_rank FROM allp
+      |  GROUP BY piece),
+      |vocab AS (SELECT piece,
+      |  CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS id
+      |  FROM vlearn)""".stripMargin
+  }
+
+  /** `bpe_learn_deep`: the batched deep-vocab learning rounds replayed
+    * end-to-end ([[bpeLearnDeepCtes]]). */
+  def bpeLearnDeep(nMerges: Int, batch: Int): String =
+    s"""WITH RECURSIVE
+       |${bpeWordCtes()},
+       |${bpeLearnDeepCtes(nMerges, batch)}
+       |SELECT v.piece, v.id,
+       |  CAST(l.merge_rank AS BIGINT) AS merge_rank
+       |FROM vocab v JOIN vlearn l USING (piece)
+       |ORDER BY v.id""".stripMargin
+
   /** Merge-RANK-ORDER inference replay (`Tokenize.BpeEncodeRanked`) —
     * the rank-order application ITSELF, not a fixture: per distinct
     * word, a recursive CTE carries the symbol list; each step builds

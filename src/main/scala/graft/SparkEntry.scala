@@ -1375,6 +1375,17 @@ object SparkEntry {
       Tokenize.BpeLearn(nMerges = 20).transform(docs(s, dir))
         .select("piece", "id", "merge_rank")
         .orderBy("id")),
+    // DEEP-VOCAB batched learning (r15): up to 8 non-interacting
+    // merges per round from the bounded top-64 candidate window —
+    // rounds (the serial driver barrier) cut by ~the batch factor,
+    // the distributed-BPE trade documented on the operator; the
+    // oracle replays the batched rounds (sort, distinct-dedup,
+    // window, greedy non-interacting selection, one multi-pair fold)
+    "bpe_learn_deep" -> ((s, dir) =>
+      Tokenize.BpeLearn(nMerges = 48, batchMerges = 8)
+        .transform(docs(s, dir))
+        .select("piece", "id", "merge_rank")
+        .orderBy("id")),
     // merge-RANK-ORDER inference (r15): real BPE encoding — the
     // lowest-rank adjacent merge applies first (re-picked globally
     // each step), driven by the merge_rank column the learn emits;
@@ -1622,6 +1633,7 @@ object SparkEntry {
     "bpe_encode" -> OracleSql.bpeEncode,
     "bpe_vocab" -> OracleSql.bpeVocab,
     "bpe_learn" -> OracleSql.bpeLearn(20),
+    "bpe_learn_deep" -> OracleSql.bpeLearnDeep(48, 8),
     "bpe_enc_ranked" -> OracleSql.bpeEncRanked(20),
     "bpe_ranked_byte" -> OracleSql.bpeRankedByte(12),
     "bpe_byte" -> OracleSql.bpeByte(12),

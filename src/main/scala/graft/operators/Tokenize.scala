@@ -301,6 +301,23 @@ object Tokenize {
     * no UNK, the property char-level vocabs cannot give on unseen
     * characters. The mapping is codegen'd built-ins (hex of the UTF-8
     * bytes → table lookup), replayed verbatim by the SQL oracle.
+    *
+    * DEEP-VOCAB mode (`batchMerges > 1`): one merge per round makes a
+    * production 32k-merge vocab ~64k serial driver jobs (~90 min of
+    * pure barrier at the measured ~80 ms/job). Batching selects up to
+    * `batchMerges` NON-INTERACTING pairs per round from the top
+    * `batchMerges * 8` candidates in the round's (count desc, pair
+    * asc) order — greedily skipping any pair that shares a symbol
+    * with, or whose merged string collides with, an earlier selection
+    * (so one left-to-right pass applies them all without order
+    * effects) — cutting the barrier count by ~the batch factor. This
+    * is the standard distributed-BPE trade: merges beyond the first
+    * in a round are selected on counts that a sequential learner
+    * would have refreshed, so deep batched vocabs are an
+    * APPROXIMATION of the sequential merge sequence (the bounded
+    * candidate window keeps selection deterministic and
+    * oracle-replayable); `batchMerges = 1` (the default) is exactly
+    * the sequential algorithm, bit-for-bit.
     */
   final case class BpeLearn(textColumn: String = "text",
                             nMerges: Int = 50,
@@ -308,16 +325,21 @@ object Tokenize {
                             lowercase: Boolean = true,
                             maxMerges: Int = 4096,
                             byteLevel: Boolean = false,
-                            baseAlphabet: Seq[String] = Nil)
+                            baseAlphabet: Seq[String] = Nil,
+                            batchMerges: Int = 1)
       extends Wrangler {
     require(nMerges >= 0, "nMerges must be >= 0")
+    require(batchMerges >= 1, "batchMerges must be >= 1")
     require(continuationPrefix.nonEmpty,
       "continuationPrefix must be non-empty")
-    require(nMerges <= maxMerges,
-      s"BpeLearn: nMerges=$nMerges exceeds maxMerges=$maxMerges — every " +
-        "merge round is a driver-coordinated pass over the distinct-word " +
-        "table (rounds x 2 jobs); raise maxMerges explicitly if a vocab " +
-        "this deep is intended")
+    require((nMerges + batchMerges - 1) / math.max(batchMerges, 1)
+        <= maxMerges,
+      s"BpeLearn: nMerges=$nMerges at batchMerges=$batchMerges is " +
+        s"${(nMerges + batchMerges - 1) / math.max(batchMerges, 1)} " +
+        s"rounds, over maxMerges=$maxMerges — every merge round is a " +
+        "driver-coordinated pass over the distinct-word table (rounds " +
+        "x 2 jobs); raise batchMerges (the deep-vocab regime) or " +
+        "maxMerges explicitly if a vocab this deep is intended")
     baseAlphabet.foreach { c =>
       require(c != null && c.nonEmpty,
         "BpeLearn: baseAlphabet contains a null/empty symbol")
@@ -374,9 +396,8 @@ object Tokenize {
           b.substr(lit(prefix.length + 1), length(b))).otherwise(b)
 
       val merges = scala.collection.mutable.ArrayBuffer.empty[String]
-      var round = 0
       var done = false
-      while (round < nMerges && !done) {
+      while (merges.length < nMerges && !done) {
         // adjacent pairs, overlapping occurrences included, weighted by
         // word frequency (map-side partial agg; shuffle bounded by the
         // distinct-pair count)
@@ -390,31 +411,82 @@ object Tokenize {
         val mergedCol = concat(col("a"), stripPrefix(col("b")))
         val selectable = pairs.filter(
           !(!col("a").startsWith(prefix) && mergedCol.startsWith(prefix)))
-        val best = selectable
-          .orderBy(col("c").desc, col("a").asc, col("b").asc)
-          .limit(1).collect()
-        if (best.isEmpty) done = true
-        else {
-          val (a, b) = (best(0).getString(0), best(0).getString(1))
-          val merged = a + (if (b.startsWith(prefix))
-            b.substring(prefix.length) else b)
-          merges += merged
-          // greedy left-to-right merge: fold the symbol list, replacing
-          // a trailing `a` when `b` follows; the merged symbol is
-          // strictly longer than `a`, so it never re-pairs in-round
-          val (aL, bL, mL) = (lit(a), lit(b), lit(merged))
-          val newSyms = org.apache.spark.sql.functions.aggregate(
-            col("syms"), array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, -1) === aL && x === bL,
-              concat(slice(acc, lit(1), size(acc) - 1), array(mL)))
-              .otherwise(concat(acc, array(x))))
-          // re-checkpoint: each round's symbols feed the next round's
-          // aggregation — without the cut, round N replays N narrow
-          // maps per pass (O(rounds^2) recompute)
-          cur = cur.withColumn("syms", newSyms).localCheckpoint()
+        if (batchMerges == 1) {
+          // the sequential algorithm, bit-for-bit
+          val best = selectable
+            .orderBy(col("c").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()
+          if (best.isEmpty) done = true
+          else {
+            val (a, b) = (best(0).getString(0), best(0).getString(1))
+            val merged = a + (if (b.startsWith(prefix))
+              b.substring(prefix.length) else b)
+            merges += merged
+            // greedy left-to-right merge: fold the symbol list,
+            // replacing a trailing `a` when `b` follows; the merged
+            // symbol is strictly longer than `a`, so it never re-pairs
+            // in-round
+            val (aL, bL, mL) = (lit(a), lit(b), lit(merged))
+            val newSyms = org.apache.spark.sql.functions.aggregate(
+              col("syms"), array().cast("array<string>"),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === aL && x === bL,
+                concat(slice(acc, lit(1), size(acc) - 1), array(mL)))
+                .otherwise(concat(acc, array(x))))
+            // re-checkpoint: each round's symbols feed the next round's
+            // aggregation — without the cut, round N replays N narrow
+            // maps per pass (O(rounds^2) recompute)
+            cur = cur.withColumn("syms", newSyms).localCheckpoint()
+          }
+        } else {
+          // the DEEP-VOCAB batched round: bounded candidate window
+          // (deterministic — the order is total, so the prefix is),
+          // greedy non-interacting selection, one multi-pair fold
+          val want = math.min(batchMerges, nMerges - merges.length)
+          val window = batchMerges * 8
+          val cands = selectable
+            .orderBy(col("c").desc, col("a").asc, col("b").asc)
+            .limit(window)
+            .select("a", "b").as[(String, String)].collect()
+          val used = scala.collection.mutable.HashSet.empty[String]
+          val sel = scala.collection.mutable
+            .ArrayBuffer.empty[(String, String, String)]
+          cands.iterator.takeWhile(_ => sel.length < want)
+            .foreach { case (a, b) =>
+              val m = a + (if (b.startsWith(prefix))
+                b.substring(prefix.length) else b)
+              // non-interaction: no shared symbol with an earlier
+              // selection, and no merged-string collision — one
+              // left-to-right pass then applies all selected pairs
+              // with no order effects
+              if (!used(a) && !used(b) && !used(m)) {
+                sel += ((a, b, m))
+                used += a; used += b; used += m
+              }
+            }
+          if (sel.isEmpty) done = true
+          else {
+            merges ++= sel.map(_._3)
+            // pair-keyed lookup: length-prefixed key (codepoint count
+            // — what both engines' length functions return) makes the
+            // (left, right) boundary unambiguous for any symbol text
+            def keyOf(a: String, b: String): String =
+              s"${a.codePointCount(0, a.length)}:$a$b"
+            val mapLit = map(sel.toSeq.flatMap { case (a, b, m) =>
+              Seq(lit(keyOf(a, b)), lit(m)) }: _*)
+            val newSyms = org.apache.spark.sql.functions.aggregate(
+              col("syms"), array().cast("array<string>"),
+              (acc, x) => {
+                val last = element_at(acc, -1)
+                val m = element_at(mapLit,
+                  concat(length(last).cast("string"), lit(":"), last, x))
+                when(size(acc) > 0 && m.isNotNull,
+                  concat(slice(acc, lit(1), size(acc) - 1), array(m)))
+                  .otherwise(concat(acc, array(x)))
+              })
+            cur = cur.withColumn("syms", newSyms).localCheckpoint()
+          }
         }
-        round += 1
       }
 
       val mergedDf = merges.toSeq.zipWithIndex
@@ -431,7 +503,8 @@ object Tokenize {
           "continuationPrefix" -> continuationPrefix,
           "byteLevel" -> byteLevel.toString)),
         "piece", Map("nMerges" -> nMerges.toLong,
-          "mergesDone" -> merges.length.toLong))
+          "mergesDone" -> merges.length.toLong,
+          "batchMerges" -> batchMerges.toLong))
     }
   }
 

@@ -574,6 +574,24 @@ object StressCorpus {
       total
     }
 
+    // ----- the DEEP-VOCAB regime: 1024 merges in batched rounds of 64
+    // (16 driver barriers instead of 1024 — the knob that makes a 32k
+    // vocab ~500 rounds instead of ~64k serial jobs). Structural
+    // invariants (the deep merge sequence has no hand closed form):
+    // merge count reached, ranks dense 1..1024, pieces distinct.
+    time(s"bpe_learn_deep docs=$nDocs merges=1024 batch=64") {
+      import spark.implicits._
+      val out = graft.operators.Tokenize.BpeLearn(nMerges = 1024,
+        batchMerges = 64).transform(docs)
+      val v = out.as[(String, Long, Long)].collect()
+      require(graft.util.SparkUtil.fitParam(out, "piece", "mergesDone")
+        .contains(1024L), "the pair supply cannot dry up at this scale")
+      val ranks = v.filter(_._3 > 0L).map(_._3).sorted.toSeq
+      require(ranks == (1L to 1024L), s"ranks not dense: ${ranks.size}")
+      require(v.map(_._1).distinct.length == v.length, "dup pieces")
+      v.length.toLong
+    }
+
     // ----- merge-RANK-ORDER inference at corpus scale with a
     // CLOSED-FORM token count: the nMerges=2 learn on the 8-token
     // generator deterministically learns ##he (rank 1) then the

@@ -158,6 +158,126 @@ class BpeLearnSpec extends AnyFunSuite {
     (merges.toSeq, ranked.toSeq.sortBy(_._1))
   }
 
+  /** Independent naive DEEP-VOCAB batched reference: per round, sort
+    * the distinct hazard-filtered pairs by (count desc, pair asc),
+    * scan the `batch * 8` window, greedily select up to `batch`
+    * non-interacting pairs (no symbol shared with — and no
+    * merged-string collision against — an earlier selection), apply
+    * them all in ONE left-to-right pass. */
+  private def naiveBpeBatched(words: Map[String, Long], nMerges: Int,
+                              batch: Int): Seq[String] = {
+    val pfx = "##"
+    def strip(b: String) = if (b.startsWith(pfx)) b.drop(2) else b
+    var syms: Map[String, Vector[String]] = words.map { case (w, _) =>
+      w -> (w.take(1) +: w.drop(1).map(c => pfx + c).toVector)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var stop = false
+    while (merges.length < nMerges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, s) <- syms; i <- 0 until s.length - 1) {
+        val (a, b) = (s(i), s(i + 1))
+        val m = a + strip(b)
+        if (!(!a.startsWith(pfx) && m.startsWith(pfx)))
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + words(w)
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val window = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }
+          .take(batch * 8)
+        val want = math.min(batch, nMerges - merges.length)
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val sel = scala.collection.mutable
+          .ArrayBuffer.empty[(String, String, String)]
+        window.foreach { case ((a, b), _) =>
+          val m = a + strip(b)
+          if (sel.length < want && !used(a) && !used(b) && !used(m)) {
+            sel += ((a, b, m)); used ++= Seq(a, b, m)
+          }
+        }
+        if (sel.isEmpty) stop = true
+        else {
+          merges ++= sel.map(_._3)
+          val bySel = sel.map(p => (p._1, p._2) -> p._3).toMap
+          syms = syms.map { case (w, s) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            s.foreach { x =>
+              val m = if (out.nonEmpty) bySel.get((out.last, x)) else None
+              m match {
+                case Some(mm) => out(out.length - 1) = mm
+                case None => out += x
+              }
+            }
+            w -> out.toVector
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("deep-vocab batched learning: golden round — the top " +
+    "non-interacting pairs merge together, interacting candidates " +
+    "wait for the next round") {
+    // hug x3, pug x2, hugs x1 — round-1 sorted pairs: (##u,##g)=6,
+    // (h,##u)=4, (p,##u)=2, (##g,##s)=1. Select ##ug; (h,##u) shares
+    // ##u -> skip; (p,##u) shares -> skip; (##g,##s) shares ##g ->
+    // skip. Round 1 = [##ug] alone (everything interacts), THEN the
+    // sequential continuation — batched == sequential here because
+    // each round's survivors all interact
+    val gotB = learn2(10, 4, "hug hug pug", "hug pug hugs")
+    val gotS = learn(10, "hug hug pug", "hug pug hugs")
+    assert(gotB == gotS)
+    // a corpus where batching genuinely packs a round: ab x2, cd x2
+    // — both pairs non-interacting, merge in ONE round, ranks 1 and 2
+    // in sorted order
+    val got = learn2(2, 4, "ab cd", "ab cd")
+    assert(got.filter(_._3 > 0L) ==
+      Seq(("ab", 4L, 1L), ("cd", 6L, 2L)))
+  }
+
+  private def learn2(nMerges: Int, batch: Int, texts: String*)
+      : Seq[(String, Long, Long)] =
+    Tokenize.BpeLearn(nMerges = nMerges, batchMerges = batch)
+      .transform(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"))
+      .orderBy("id")
+      .as[(String, Long, Long)].collect().toSeq
+
+  test("property: 25 random corpora — batched learning agrees with " +
+    "the independent naive batched reference merge for merge") {
+    val rnd = new scala.util.Random(20260817L)
+    val alphabet = "abcde"
+    (1 to 25).foreach { trial =>
+      val nWords = 2 + rnd.nextInt(10)
+      val ws = (0 until nWords).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+          .mkString
+      }
+      val reps = ws.map(w => w -> (1 + rnd.nextInt(4)))
+      val text = rnd.shuffle(
+        reps.flatMap { case (w, k) => Seq.fill(k)(w) }).mkString(" ")
+      val nMerges = 2 + rnd.nextInt(10)
+      val batch = 2 + rnd.nextInt(3)
+      val got = learn2(nMerges, batch, text)
+      val wordFreq = reps.groupMapReduce(_._1)(_._2.toLong)(_ + _)
+      val expMerges = naiveBpeBatched(wordFreq, nMerges, batch)
+      val gotMerges = got.filter(_._3 > 0L).sortBy(_._3).map(_._1)
+      assert(gotMerges == expMerges,
+        s"trial $trial text=`$text` nMerges=$nMerges batch=$batch")
+    }
+  }
+
+  test("deep-vocab rounds cap: nMerges=5000 passes at batchMerges=128 " +
+    "(40 rounds) where the sequential form raises") {
+    Tokenize.BpeLearn(nMerges = 5000, batchMerges = 128)
+    val e = intercept[IllegalArgumentException](
+      Tokenize.BpeLearn(nMerges = 5000))
+    assert(e.getMessage.contains("maxMerges"))
+  }
+
   test("property: 40 random corpora agree with the independent naive " +
     "reference on every merge and every (piece, merge_rank)") {
     val rnd = new scala.util.Random(20260815L)
