@@ -91,6 +91,10 @@ object Bench {
     "decontaminate_report" -> Some("Join"),
     "sample_quota" -> Some("Window"),
     "sample_dsir" -> Some("Window"), // boundary-bucket rank windows
+    // perceptron rounds run eagerly inside the builder (the DSIR
+    // checkpoint-cut convention); the lazy plan is the typed scoring
+    // pass over the checkpointed feature arrays
+    "quality_classifier" -> Some("MapPartitions"),
     "dsir_bigram" -> Some("Window"), // same selection, bigram features
     "dsir_incr" -> Some("Window"),
     "dsir_report" -> Some("Window"),

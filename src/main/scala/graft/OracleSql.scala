@@ -2885,6 +2885,50 @@ object OracleSql {
       |  flatten(list(e.pcs ORDER BY w.pos)) AS pcs
       |  FROM w JOIN enc e USING (word) GROUP BY w.doc_id)""".stripMargin
 
+  /** Trained quality classifier replay
+    * (`graft.operators.Classifier.QualityClassifier`) — the
+    * full-batch perceptron GD rounds THEMSELVES, unrolled (the
+    * annIvfPqTrained convention): per round, every doc's integer
+    * margin against the previous weights, the misclassified docs'
+    * `y·x` summed per feature into one gradient, weights += gradient;
+    * then the final scoring pass. Features are the DSIR hashed-token
+    * cells; weights exist only for features present in the corpus
+    * (absent cells are identically zero on both engines). Everything
+    * is exact 64-bit integer arithmetic.
+    */
+  def qualityClassifier(positiveValue: String, numFeatures: Int,
+                        rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""m$r AS (SELECT fx.doc_id, fx.tgt, sum(fx.x * w.wt) AS mg
+         |  FROM fx JOIN w${r - 1} w USING (f) GROUP BY 1, 2),
+         |g$r AS (SELECT fx.f,
+         |    sum(CASE WHEN fx.tgt THEN fx.x ELSE -fx.x END) AS gr
+         |  FROM fx JOIN m$r m ON m.doc_id = fx.doc_id
+         |  WHERE (CASE WHEN m.tgt THEN 1 ELSE -1 END) * m.mg <= 0
+         |  GROUP BY fx.f),
+         |w$r AS (SELECT w.f, w.wt + COALESCE(g.gr, 0) AS wt
+         |  FROM w${r - 1} w LEFT JOIN g$r g USING (f))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, text, source FROM documents),
+       |p AS (SELECT doc_id,
+       |    COALESCE(source = '$positiveValue', FALSE) AS tgt,
+       |    unnest($Toks) AS tok FROM d),
+       |f0 AS (SELECT doc_id, tgt,
+       |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % $numFeatures
+       |      AS f FROM p),
+       |fx AS (SELECT doc_id, tgt, f, CAST(count(*) AS BIGINT) AS x
+       |  FROM f0 GROUP BY 1, 2, 3),
+       |w0 AS (SELECT DISTINCT f, CAST(0 AS BIGINT) AS wt FROM fx),
+       |$roundCtes,
+       |s AS (SELECT fx.doc_id, sum(fx.x * w.wt) AS margin
+       |  FROM fx JOIN w$rounds w USING (f) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(s.margin, 0) AS BIGINT) AS quality_margin,
+       |  COALESCE(s.margin, 0) > 0 AS quality_keep
+       |FROM d LEFT JOIN s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** DEEP-VOCAB batched BPE learning replay (`Tokenize.BpeLearn`
     * `batchMerges > 1`) — the batched rounds themselves: per round,
     * the candidate pairs sort by (count desc, pair asc), DEDUP to

@@ -679,6 +679,16 @@ object SparkEntry {
     // target-vs-raw log-likelihood ratio (src0 as the target domain),
     // exact deterministic top-20% kept via the equi-depth boundary-
     // bucket selection — no global sort
+    // TRAINED quality gate (r15): fastText-style hashed-ngram linear
+    // classifier, full-batch perceptron in exact integer arithmetic —
+    // the src0 slice is the curated seed (the DSIR labeling contract);
+    // the oracle replays every GD round (margins, misclassified
+    // gradient, weight update) and the final scoring pass
+    "quality_classifier" -> ((s, dir) =>
+      Classifier.QualityClassifier(positiveValue = "src0", rounds = 8)
+        .transform(docs(s, dir))
+        .select("doc_id", "quality_margin", "quality_keep")
+        .orderBy("doc_id")),
     "sample_dsir" -> ((s, dir) =>
       Dsir.ImportanceResample(targetValue = "src0", fraction = 0.2)
         .transform(docs(s, dir))
@@ -1557,6 +1567,7 @@ object SparkEntry {
     "quality_robust" -> OracleSql.qualityRobust(0.25, 0.75),
     "sample_stratified" -> OracleSql.sampleStratified(
       Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft"),
+    "quality_classifier" -> OracleSql.qualityClassifier("src0", 1024, 8),
     "sample_dsir" -> OracleSql.dsirResample("src0", 0.2, 4096, "graft"),
     "dsir_bigram" -> OracleSql.dsirResample("src0", 0.2, 4096, "graft",
       ngram = 2),

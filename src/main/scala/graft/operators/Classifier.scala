@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Wrangler
+import graft.functions.Portable
+import graft.util.SparkUtil
+
+/** In-engine TRAINED quality gate — a fastText-style hashed-ngram
+  * LINEAR classifier (Joulin et al. 2016 popularized the shape: hash
+  * n-grams into a bounded feature space, classify with a linear
+  * model; CCNet and the GPT-3 pipeline use exactly such a classifier
+  * as the corpus quality gate). Training is FULL-BATCH PERCEPTRON
+  * (Rosenblatt's rule batched): per round, every document scores
+  * `margin = Σ_f w[f]·x[f]` against the current weights, and the
+  * misclassified documents (`y·margin <= 0`, y ∈ {+1, −1}) contribute
+  * `y·x` to one gradient that updates the weights. Everything is
+  * 64-bit INTEGER arithmetic — token counts, weights, margins — so
+  * training and scoring are bit-deterministic in any engine and the
+  * DuckDB oracle replays the GD rounds themselves (`quality_classifier`).
+  *
+  * The LABELED SEED is in-data: rows whose `sourceColumn` equals
+  * `positiveValue` are the positive class (a curated slice — the
+  * CCNet "target domain" convention, the same labeling contract as
+  * [[Dsir.ImportanceResample]]), everything else negative. Both
+  * classes must be non-empty (fail-loud — a one-class "classifier"
+  * is a wiring bug). Features are [[Portable.tokenHash]]-hashed
+  * unigrams (`ngram = 1`) or space-joined bigrams (`ngram = 2`), the
+  * DSIR feature space, so the two gates are directly comparable.
+  *
+  * Output: one row per input row — `(doc_id, quality_margin,
+  * quality_keep)` with `quality_keep = margin > 0` (the typed
+  * projection convention; join back on the id). The margin is the
+  * exact integer score — threshold it differently downstream, or
+  * compose with [[SourceQuality.SourceFilter]] as the trained
+  * complement of the heuristic gate. Docs with no tokens score
+  * exactly 0 (never kept).
+  *
+  * 100 TB shape: the per-doc feature arrays are built ONCE and
+  * localCheckpointed (the DSIR selection cut); each training round is
+  * then ONE map-side job — per-partition gradient partial sums
+  * (`numFeatures` longs of executor state, the
+  * [[SimilarityPq.trainedCodebooks]] pattern) merged driver-side —
+  * with NO doc-level shuffle anywhere; weights are driver-held and
+  * broadcast (at most `numFeatures` longs). Scoring is a pure
+  * map-side pass. Rounds are a fail-loud-capped driver barrier like
+  * BpeLearn's. Overflow envelope: weights are bounded by
+  * rounds × per-cell corpus token count and margins by doc length ×
+  * max weight — at 8 rounds and 2^10 cells this stays far inside
+  * Long even at trillion-token corpora; the arithmetic is unchecked
+  * by design (the [[Portable]] quantized-dot envelope class).
+  */
+object Classifier {
+
+  private def featureOf(tok: Column, numFeatures: Int): Column =
+    pmod(Portable.tokenHash(tok), lit(numFeatures.toLong))
+
+  /** Per-occurrence feature cells of one document as `array<long>`
+    * (x[f] = how often f appears — summing w over occurrences IS
+    * Σ w[f]·x[f]). */
+  private def featArray(textColumn: String, numFeatures: Int,
+                        ngram: Int): Column = {
+    val toks = Portable.tokens(col(textColumn))
+    if (ngram == 1)
+      org.apache.spark.sql.functions.transform(toks,
+        t => featureOf(t, numFeatures))
+    else {
+      val len = greatest(size(toks) - 1, lit(0))
+      org.apache.spark.sql.functions.transform(
+        arrays_zip(slice(toks, lit(1), len), slice(toks, lit(2), len)),
+        p => featureOf(concat_ws(" ",
+          p.getField("0"), p.getField("1")), numFeatures))
+    }
+  }
+
+  final case class QualityClassifier(positiveValue: String,
+                                     sourceColumn: String = "source",
+                                     textColumn: String = "text",
+                                     idColumn: String = "doc_id",
+                                     numFeatures: Int = 1024,
+                                     rounds: Int = 8,
+                                     ngram: Int = 1,
+                                     maxRounds: Int = 256)
+      extends Wrangler {
+    require(numFeatures >= 1, "numFeatures must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    require(ngram == 1 || ngram == 2, s"ngram must be 1 or 2, got $ngram")
+    require(rounds <= maxRounds,
+      s"QualityClassifier: rounds=$rounds exceeds maxRounds=$maxRounds " +
+        "— every round is one driver-coordinated corpus pass; raise " +
+        "maxRounds explicitly if training this long is intended")
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df,
+        Seq(idColumn, sourceColumn, textColumn))
+      val spark = df.sparkSession
+      import spark.implicits._
+      // per-doc feature arrays, built once — training reads this
+      // `rounds` times and scoring once more
+      val docFeats = df.select(col(idColumn).cast("long").as("id"),
+          coalesce(col(sourceColumn) === lit(positiveValue), lit(false))
+            .as("pos"),
+          coalesce(featArray(textColumn, numFeatures, ngram),
+            array().cast("array<long>")).as("feats"))
+        .localCheckpoint()
+      val classes = docFeats.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)),
+        sum(when(col("pos"), 0L).otherwise(1L))).collect()(0)
+      val (nPos, nNeg) =
+        if (classes.isNullAt(0)) (0L, 0L)
+        else (classes.getLong(0), classes.getLong(1))
+      require(nPos > 0L && nNeg > 0L,
+        s"QualityClassifier: need BOTH classes non-empty — $nPos " +
+          s"positive (`$sourceColumn` = `$positiveValue`) vs $nNeg " +
+          "negative rows; a one-class classifier is a wiring bug")
+      val nf = numFeatures
+      var w = new Array[Long](nf)
+      val typed = docFeats.as[(Long, Boolean, Array[Long])]
+      (0 until rounds).foreach { _ =>
+        val bcW = spark.sparkContext.broadcast(w)
+        val grad = typed.mapPartitions { it =>
+          val wv = bcW.value
+          val g = new Array[Long](nf)
+          it.foreach { case (_, pos, feats) =>
+            var m = 0L
+            var i = 0
+            while (i < feats.length) { m += wv(feats(i).toInt); i += 1 }
+            val y = if (pos) 1L else -1L
+            if (y * m <= 0L) {
+              i = 0
+              while (i < feats.length) { g(feats(i).toInt) += y; i += 1 }
+            }
+          }
+          Iterator.single(g)
+        }.reduce { (a, b) =>
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        }
+        w = Array.tabulate(nf)(i => w(i) + grad(i))
+      }
+      val bcW = spark.sparkContext.broadcast(w)
+      typed.mapPartitions { it =>
+        val wv = bcW.value
+        it.map { case (id, _, feats) =>
+          var m = 0L
+          var i = 0
+          while (i < feats.length) { m += wv(feats(i).toInt); i += 1 }
+          (id, m, m > 0L)
+        }
+      }.toDF(idColumn, "quality_margin", "quality_keep")
+    }
+  }
+}

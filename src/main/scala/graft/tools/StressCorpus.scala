@@ -574,6 +574,39 @@ object StressCorpus {
       total
     }
 
+    // ----- trained quality gate at corpus scale with a CLOSED-FORM
+    // solution: balanced classes, one shared noise token (its gradient
+    // cancels exactly), one distinguishing token per class — round 1
+    // trains w[pos] = +n/2, w[neg] = -n/2, w[common] = 0, every later
+    // round is a zero gradient, so margins are EXACTLY ±n/2 and the
+    // gate keeps exactly the positive class. Requires the three tokens
+    // to land in distinct hash cells (checked — a deterministic
+    // fixture fact at nf=1024).
+    time(s"quality_classifier docs=$nDocs rounds=4 (closed form)") {
+      val toks = Seq("common", "excellent", "junk")
+      val cells = toks.map(t =>
+        ((graft.functions.Portable.tokenHashLocal(t) % 1024) + 1024) % 1024)
+      require(cells.distinct.length == 3, s"fixture collision: $cells")
+      val ldocs = spark.range(nDocs.toLong)
+        .select(col("id").as("doc_id"),
+          when(col("id") % 2 === 0, "seed").otherwise("web").as("source"),
+          concat(lit("common "),
+            when(col("id") % 2 === 0, "excellent").otherwise("junk"))
+            .as("text"))
+      val out = graft.operators.Classifier.QualityClassifier(
+          positiveValue = "seed", rounds = 4)
+        .transform(ldocs)
+      val r = out.agg(
+        sum(when(col("quality_keep"), 1L).otherwise(0L)),
+        max("quality_margin"), min("quality_margin"),
+        count(lit(1))).collect()(0)
+      require(r.getLong(3) == nDocs.toLong, s"row preservation: $r")
+      require(r.getLong(0) == nDocs / 2L, s"kept drift: $r")
+      require(r.getLong(1) == nDocs / 2L && r.getLong(2) == -nDocs / 2L,
+        s"margin drift: $r")
+      r.getLong(0)
+    }
+
     // ----- the DEEP-VOCAB regime: 1024 merges in batched rounds of 64
     // (16 driver barriers instead of 1024 — the knob that makes a 32k
     // vocab ~500 rounds instead of ~64k serial jobs). Structural
