@@ -146,6 +146,7 @@ object Bench {
     "text_dupspans" -> Some("Window"), // the per-doc span-merge windows
     "text_stripspans" -> Some("Window"), // same span machinery + rebuild
     "text_striplines" -> Some("Join"), // hot-line anti-join + rebuild
+    "curation_recipe" -> Some("MapPartitions"), // the fused typed pass
     "striplines_incr" -> Some("Join"), // batch lines x the line index
     "mm_resize" -> Some("SerializeFromObject"),
     "mm_features" -> Some("SerializeFromObject"),

@@ -2708,7 +2708,7 @@ object OracleSql {
   private def bpeCtes: String =
     s"""${bpeWordCtes()},
       |${bpeVocabCtes()},
-      |$bpeEncodeCtes""".stripMargin
+      |${bpeEncodeCtes()}""".stripMargin
 
   /** The byte → visible-char alphabet of `Tokenize.byteChar` as a SQL
     * VARCHAR list literal (entry b+1 = mapped char of byte b). */
@@ -2852,9 +2852,11 @@ object OracleSql {
 
   /** The greedy-MaxMatch encode replay (step table + recursive pointer
     * walk), parameterized by whichever `vocab(piece, id)` CTE precedes
-    * it; ends in `dt(doc_id, ids, pcs)`. */
-  private def bpeEncodeCtes: String =
-    """dw AS (SELECT DISTINCT word FROM w),
+    * it AND by the word-stream relation (`doc_id, pos, word` — default
+    * the shared `w`; the curation recipe passes its clean-text words);
+    * ends in `dt(doc_id, ids, pcs)`. */
+  private def bpeEncodeCtes(wordsRel: String = "w"): String =
+    s"""dw AS (SELECT DISTINCT word FROM $wordsRel),
       |positions AS (SELECT word,
       |  unnest(generate_series(1, len(word))) AS pos FROM dw),
       |step AS (SELECT p.word, p.pos,
@@ -2880,10 +2882,81 @@ object OracleSql {
       |  FROM rec r JOIN step s ON s.word = r.word AND s.pos = r.pos
       |  WHERE r.pos <= len(r.word)),
       |enc AS (SELECT word, ids, pcs FROM rec WHERE pos = len(word) + 1),
-      |dt AS (SELECT w.doc_id,
-      |  flatten(list(e.ids ORDER BY w.pos)) AS ids,
-      |  flatten(list(e.pcs ORDER BY w.pos)) AS pcs
-      |  FROM w JOIN enc e USING (word) GROUP BY w.doc_id)""".stripMargin
+      |dt AS (SELECT wr.doc_id,
+      |  flatten(list(e.ids ORDER BY wr.pos)) AS ids,
+      |  flatten(list(e.pcs ORDER BY wr.pos)) AS pcs
+      |  FROM $wordsRel wr JOIN enc e USING (word)
+      |  GROUP BY wr.doc_id)""".stripMargin
+
+  /** The composed curation recipe replay
+    * (`graft.operators.Curation.Recipe` — the streaming ingest loop's
+    * batch face): gate (the DSIR ratio-table score over the RAW text),
+    * strip (corpus-hot lines by document frequency), and the greedy
+    * MaxMatch encode of the CLEAN text against the corpus-derived
+    * vocab — all four derivations (counts, hot set, vocab, encode)
+    * re-derived in ONE SQL query over the same banner-augmented
+    * corpus the engine query builds. Only admitted docs
+    * (score >= minScore) survive.
+    */
+  def curationRecipe(targetValue: String, minScore: Long,
+                     numFeatures: Int, maxDocFreq: Long): String =
+    s"""WITH RECURSIVE
+       |ml AS (SELECT doc_id, source,
+       |  text || chr(10) || 'Cookie notice: accept all cookies' ||
+       |  chr(10) || lang || ' footer' AS text FROM documents),
+       |${bpeWordCtes("ml")},
+       |${bpeVocabCtes()},
+       |gp AS (SELECT doc_id,
+       |    COALESCE(source = '$targetValue', FALSE) AS tgt,
+       |    unnest($Toks) AS tok FROM ml),
+       |gf AS (SELECT doc_id, tgt,
+       |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % $numFeatures
+       |      AS f FROM gp),
+       |gc AS (SELECT f, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+       |    sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+       |  FROM gf GROUP BY f),
+       |gt AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS v
+       |  FROM gc),
+       |glr AS (SELECT f, CAST(round((ln((ct + 1.0) / (tt + v)) -
+       |    ln((cr + 1.0) / (tr + v))) * 1000000) AS BIGINT) AS lr
+       |  FROM gc CROSS JOIN gt),
+       |gsc AS (SELECT gf.doc_id, sum(lr) AS sc
+       |  FROM gf JOIN glr USING (f) GROUP BY gf.doc_id),
+       |adm AS (SELECT m.doc_id, COALESCE(g.sc, 0) AS dsir_score
+       |  FROM ml m LEFT JOIN gsc g USING (doc_id)
+       |  WHERE COALESCE(g.sc, 0) >= $minScore),
+       |l AS (SELECT doc_id,
+       |  unnest(generate_series(1, len(sl))) AS pos, unnest(sl) AS line
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sl
+       |        FROM ml)),
+       |hot AS (SELECT line FROM (
+       |  SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line)
+       |  WHERE df > $maxDocFreq),
+       |kept AS (SELECT l.doc_id, l.pos, l.line FROM l
+       |  ANTI JOIN hot USING (line)),
+       |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines,
+       |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id),
+       |stripd AS (SELECT a.doc_id, a.dsir_score,
+       |  CAST(coalesce(len(string_split(m.text, chr(10))), 0) AS BIGINT)
+       |    AS n_lines,
+       |  coalesce(r.n_kept_lines, 0) AS n_kept_lines,
+       |  coalesce(r.clean_text, '') AS clean_text
+       |  FROM adm a JOIN ml m USING (doc_id)
+       |  LEFT JOIN reb r USING (doc_id)),
+       |cw0 AS (SELECT doc_id,
+       |  unnest(generate_series(1, len(cl))) AS pos, unnest(cl) AS word
+       |  FROM (SELECT doc_id,
+       |    string_split_regex(trim(lower(clean_text)), '\\s+') AS cl
+       |    FROM stripd)),
+       |cw AS (SELECT doc_id, pos, word FROM cw0 WHERE word <> ''),
+       |${bpeEncodeCtes("cw")}
+       |SELECT s.doc_id, s.dsir_score, s.n_lines, s.n_kept_lines,
+       |  s.clean_text,
+       |  CAST(coalesce(len(dt.ids), 0) AS BIGINT) AS n_bpe_tokens,
+       |  coalesce(array_to_string(dt.ids, ' '), '') AS ids_str
+       |FROM stripd s LEFT JOIN dt USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
 
   /** Trained quality classifier replay
     * (`graft.operators.Classifier.QualityClassifier`) — the
@@ -3169,7 +3242,7 @@ object OracleSql {
       |  ${uniTextCase("doc_id % 3")} AS text FROM documents),
       |${bpeWordCtes("ut")},
       |${bpeVocabCtes(2)},
-      |$bpeEncodeCtes
+      |${bpeEncodeCtes()}
       |SELECT u.doc_id,
       |  CAST(coalesce(len(dt.ids), 0) AS BIGINT) AS n_bpe_tokens,
       |  coalesce(array_to_string(dt.ids, ' '), '') AS ids_str
@@ -3216,7 +3289,7 @@ object OracleSql {
     s"""WITH RECURSIVE
        |${bpeWordCtes("documents", byteMap = true)},
        |${bpeLearnCtes(nMerges, withByteAlphabet = true)},
-       |$bpeEncodeCtes
+       |${bpeEncodeCtes()}
        |SELECT d.doc_id,
        |  CAST(coalesce(len(dt.ids), 0) AS BIGINT) AS n_bpe_tokens,
        |  coalesce(array_to_string(dt.ids, ' '), '') AS ids_str
@@ -3233,7 +3306,7 @@ object OracleSql {
     s"""WITH RECURSIVE
        |${bpeWordCtes()},
        |${bpeLearnCtes(nMerges)},
-       |$bpeEncodeCtes,
+       |${bpeEncodeCtes()},
        |t AS (SELECT d.doc_id,
        |  coalesce(dt.pcs, CAST([] AS VARCHAR[])) AS tk
        |  FROM documents d LEFT JOIN dt USING (doc_id)),

@@ -1025,6 +1025,28 @@ object SparkEntry {
     // synthetic multi-line docs carry a corpus-wide cookie banner and a
     // per-lang footer — at maxDocFreq=150 the banner and the en footer
     // (218 docs) strip, the minority-lang footers (<150 docs) survive
+    // the composed ingest recipe (r15): gate (DSIR count table) →
+    // strip (line index) → encode (corpus vocab) fused into ONE
+    // stateless typed pass over the three persisted fit artifacts —
+    // the batch face of StreamingCuration; the oracle re-derives
+    // counts, hot set, vocab AND the encode in one SQL query
+    "curation_recipe" -> ((s, dir) => {
+      val ml = docs(s, dir).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          lit("\nCookie notice: accept all cookies\n"),
+          col("lang"), lit(" footer")).as("text"))
+      Curation.Recipe(
+          Corpus.IncrementalHotLines.lineIndex(ml),
+          Dsir.featureCounts(ml, "src0"),
+          Tokenize.VocabBuild().transform(ml),
+          minScore = 0L, maxDocFreq = 150L)
+        .transform(ml)
+        .select(col("doc_id"), col("dsir_score"), col("n_lines"),
+          col("n_kept_lines"), col("clean_text"), col("n_bpe_tokens"),
+          array_join(col("bpe_ids").cast("array<string>"), " ")
+            .as("ids_str"))
+        .orderBy("doc_id")
+    }),
     "text_striplines" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         concat(col("text"),
@@ -1615,6 +1637,7 @@ object SparkEntry {
     "vocab_topk" -> OracleSql.vocabTopK(100),
     "text_dupspans" -> OracleSql.textDupSpans(3, 2L),
     "text_stripspans" -> OracleSql.textStripSpans(3, 2L),
+    "curation_recipe" -> OracleSql.curationRecipe("src0", 0L, 4096, 150L),
     "text_striplines" -> OracleSql.textStripLines(150L),
     "striplines_incr" -> OracleSql.textStripLines(150L,
       "m.doc_id % 2 = 1"),

@@ -1,0 +1,219 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Wrangler
+import graft.functions.Portable
+import graft.util.SparkUtil
+
+/** The composed ingest recipe — the documented streaming curation loop
+  * (canonicalize → gate → strip against the persisted line index →
+  * encode) wired as ONE operator over the three persisted fit
+  * artifacts: the DSIR feature-count table ([[Dsir.featureCounts]]),
+  * the line-frequency index ([[Corpus.IncrementalHotLines.lineIndex]])
+  * and a self-describing subword vocab ([[Tokenize.VocabBuild]] /
+  * [[Tokenize.BpeLearn]]). Every leg is the EXACT arithmetic of its
+  * standalone face — the ratio table of [[graft.streaming.StreamingDsir]],
+  * the hot-set strip of [[graft.streaming.StreamingHotLineStrip]], the
+  * trie encode of [[Tokenize.BpeEncode]] (the shared
+  * [[Tokenize.WordEncoder]]) — fused into ONE stateless typed pass:
+  * per micro-batch (or batch partition) each document scores, gates,
+  * strips and encodes in a single map step with zero shuffles, zero
+  * state store, and all artifacts broadcast once at plan-build time
+  * (fit-param drift raises before the stream starts).
+  *
+  * Leg order (the loop's contract): the optional URL canonicalization
+  * runs first (`urlColumn` set — [[Web.UrlCanonicalize]]'s codegen'd
+  * chain, `url_canonical` threads to the output); the GATE scores the
+  * RAW text against the count table (a doc the gate drops is never
+  * stripped or encoded — admission is the cheap leg, run it first);
+  * the STRIP removes corpus-hot lines with INDEX frequencies alone
+  * (`countBatch = false` semantics — the only contract an unbounded
+  * stream can honor); the ENCODE tokenizes the CLEAN text (lowercased
+  * per the vocab's own fit params).
+  *
+  * Output: one row per ADMITTED document — `(doc_id[, url_canonical],
+  * dsir_score, n_lines, n_kept_lines, clean_text, n_bpe_tokens,
+  * bpe_ids)`.
+  *
+  * Index maintenance is deliberately OUTSIDE this operator (the
+  * streaming family's documented horizon trade): fold each processed
+  * batch into each persisted index EXACTLY ONCE at compaction cadence
+  * — [[Dsir.foldBatch]], [[Corpus.IncrementalHotLines.foldBatch]],
+  * [[Dedup.IncrementalMinHashLSH]]'s folds — then rebuild the stream
+  * against the updated artifacts (StreamingCurationSpec walks the full
+  * loop across micro-batch boundaries).
+  *
+  * Works on BATCH frames too (it is a stateless map pass — the same
+  * duality as [[Tokenize.BpeEncode]]): the batch face is what the
+  * `curation_recipe` oracle query gates, replaying gate, strip, vocab
+  * derivation and encode in one SQL derivation.
+  */
+object Curation {
+
+  /** The gate + strip legs as one serializable artifact bundle —
+    * broadcast once, shared by [[Recipe]] and the probe leg
+    * ([[graft.streaming.StreamingCuration.dupPairs]]) so the two can
+    * never drift. */
+  private[graft] final class Legs(lr: Array[Long], hot: Set[String],
+                                  nf: Int, minScore: Long)
+      extends Serializable {
+    /** The [[graft.streaming.StreamingDsir]] scoring arithmetic —
+      * null text scores exactly 0. */
+    def score(text: String): Long = {
+      val toks = Portable.tokensLocal(text)
+      var s = 0L
+      if (toks != null) {
+        var i = 0
+        while (i < toks.length) {
+          s += lr((Portable.tokenHashLocal(toks(i)) % nf).toInt)
+          i += 1
+        }
+      }
+      s
+    }
+
+    def admits(score: Long): Boolean = score >= minScore
+
+    /** The [[graft.streaming.StreamingHotLineStrip]] arithmetic:
+      * `(n_lines, n_kept_lines, clean_text)`. */
+    def strip(text: String): (Long, Long, String) =
+      if (text == null) (0L, 0L, "")
+      else {
+        val ls = text.split("\n", -1)
+        val kept = ls.filterNot(hot.contains)
+        (ls.length.toLong, kept.length.toLong, kept.mkString("\n"))
+      }
+  }
+
+  /** Wire the gate + strip artifacts (all fail loud: ratio-table fit
+    * params, the bounded hot-set collect). */
+  private[graft] def buildLegs(lineIndex: DataFrame, counts: DataFrame,
+                               numFeatures: Int, minScore: Long,
+                               maxDocFreq: Long, maxHotLines: Int,
+                               who: String): Legs = {
+    SparkUtil.validateColumns(lineIndex, Seq("line", "doc_freq"))
+    val spark = lineIndex.sparkSession
+    import spark.implicits._
+    val lr = Dsir.ratioTable(counts, numFeatures, who)
+    val hotRows = lineIndex
+      .filter(col("doc_freq").cast("long") > maxDocFreq)
+      .select(col("line").cast("string"))
+      .limit(maxHotLines + 1).as[String].collect()
+    require(hotRows.length <= maxHotLines,
+      s"$who: hot set exceeds maxHotLines=$maxHotLines — a hot set is " +
+        "bounded by corpus-lines / maxDocFreq; a set this large means " +
+        "the threshold is misconfigured for the corpus")
+    new Legs(lr, hotRows.toSet, numFeatures, minScore)
+  }
+
+  final case class Recipe(lineIndex: DataFrame,
+                          counts: DataFrame,
+                          vocab: DataFrame,
+                          minScore: Long,
+                          idColumn: String = "doc_id",
+                          textColumn: String = "text",
+                          urlColumn: Option[String] = None,
+                          maxDocFreq: Long = 100L,
+                          numFeatures: Int = 4096,
+                          maxHotLines: Int = 1 << 22,
+                          pieceColumn: String = "piece",
+                          vocabIdColumn: String = "id",
+                          continuationPrefix: String = "##",
+                          lowercase: Boolean = true,
+                          byteLevel: Boolean = false,
+                          unkId: Option[Long] = None,
+                          maxVocab: Int = 1 << 22)
+      extends Wrangler {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    require(maxHotLines >= 1, "maxHotLines must be positive")
+    // the artifact frames are structural inputs, not tunables
+    override def getParams: Seq[(String, Any)] = Seq(
+      "minScore" -> minScore, "idColumn" -> idColumn,
+      "textColumn" -> textColumn, "urlColumn" -> urlColumn,
+      "maxDocFreq" -> maxDocFreq, "numFeatures" -> numFeatures,
+      "maxHotLines" -> maxHotLines, "pieceColumn" -> pieceColumn,
+      "vocabIdColumn" -> vocabIdColumn,
+      "continuationPrefix" -> continuationPrefix,
+      "lowercase" -> lowercase, "byteLevel" -> byteLevel,
+      "unkId" -> unkId, "maxVocab" -> maxVocab)
+    override def preservesSampleSize: Boolean = false
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df,
+        Seq(idColumn, textColumn) ++ urlColumn)
+      val spark = df.sparkSession
+      import spark.implicits._
+      // ---- artifact wiring, once at plan-build time (all fail loud)
+      val legs = buildLegs(lineIndex, counts, numFeatures, minScore,
+        maxDocFreq, maxHotLines, "Curation.Recipe")
+      val (firstArr, contArr) = Tokenize.collectEncodeVocab(vocab,
+        pieceColumn, vocabIdColumn, continuationPrefix, lowercase,
+        byteLevel, maxVocab, unkId, "Curation.Recipe")
+      val bcLegs = spark.sparkContext.broadcast(legs)
+      val bcFirst = spark.sparkContext.broadcast(firstArr)
+      val bcCont = spark.sparkContext.broadcast(contArr)
+      val (pfx, unk, lc, bl) =
+        (continuationPrefix, unkId, lowercase, byteLevel)
+
+      // the fused per-doc leg chain; None for gated-out docs
+      def curateOne(lg: Legs, enc: Tokenize.WordEncoder,
+                    out: ArrayBuffer[Long])(docId: Long, text: String)
+          : Option[(Long, Long, Long, Long, String, Long, Array[Long])] = {
+        val score = lg.score(text)
+        if (!lg.admits(score)) None
+        else {
+          val (nLines, nKept, clean) = lg.strip(text)
+          out.clear()
+          // BpeEncode lowercases via a column expression; the local
+          // mirror is Locale.ROOT (the Portable.tokensLocal convention)
+          val encText =
+            if (lc) clean.toLowerCase(java.util.Locale.ROOT) else clean
+          enc.encodeInto(docId, encText, out, null)
+          Some((docId, score, nLines, nKept, clean, out.length.toLong,
+            out.toArray))
+        }
+      }
+
+      urlColumn match {
+        case None =>
+          df.select(col(idColumn).cast("long"),
+              col(textColumn).cast("string"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              val enc = new Tokenize.WordEncoder(bcFirst.value,
+                bcCont.value, pfx, bl, unk, "<unk>")
+              val one = curateOne(bcLegs.value, enc,
+                new ArrayBuffer[Long](256)) _
+              it.flatMap { case (id, text) => one(id, text) }
+            }
+            .toDF(idColumn, "dsir_score", "n_lines", "n_kept_lines",
+              "clean_text", "n_bpe_tokens", "bpe_ids")
+        case Some(uc) =>
+          // CANONICALIZE first — the codegen'd column chain, then the
+          // fused typed legs; url_canonical threads to the output
+          Web.UrlCanonicalize(uc).transform(df)
+            .select(col(idColumn).cast("long"),
+              col("url_canonical").cast("string"),
+              col(textColumn).cast("string"))
+            .as[(Long, String, String)]
+            .mapPartitions { it =>
+              val enc = new Tokenize.WordEncoder(bcFirst.value,
+                bcCont.value, pfx, bl, unk, "<unk>")
+              val one = curateOne(bcLegs.value, enc,
+                new ArrayBuffer[Long](256)) _
+              it.flatMap { case (id, url, text) =>
+                one(id, text).map { r =>
+                  (r._1, url, r._2, r._3, r._4, r._5, r._6, r._7)
+                }
+              }
+            }
+            .toDF(idColumn, "url_canonical", "dsir_score", "n_lines",
+              "n_kept_lines", "clean_text", "n_bpe_tokens", "bpe_ids")
+      }
+    }
+  }
+}

@@ -104,7 +104,7 @@ object Tokenize {
     * once from `pos`, remembering the deepest terminal. Instances are
     * partition-local, so the `lastId` out-param is single-threaded.
     */
-  private final class Trie {
+  private[graft] final class Trie {
     private final class Node {
       var terminal = false
       var id = 0L
@@ -876,6 +876,186 @@ object Tokenize {
       doc_id: Long, n_bpe_tokens: Long, bpe_ids: Array[Long],
       bpe_pieces: Array[String])
 
+  /** The encode-side vocab contract, shared verbatim by [[BpeEncode]]
+    * and the fused curation recipe
+    * ([[graft.streaming.StreamingCuration]]): fit-param drift checks,
+    * the bounded collect, every fail-loud piece/id invariant, and the
+    * first-form / continuation partition (continuation pieces returned
+    * STRIPPED of the prefix — trie space). */
+  private[graft] def collectEncodeVocab(vocab: DataFrame,
+      pieceColumn: String, vocabIdColumn: String,
+      continuationPrefix: String, lowercase: Boolean, byteLevel: Boolean,
+      maxVocab: Int, unkId: Option[Long], who: String)
+      : (Array[(String, Long)], Array[(String, Long)]) = {
+    SparkUtil.validateColumns(vocab, Seq(pieceColumn, vocabIdColumn))
+    // self-describing vocab: a learn-side vocab records how it was
+    // built; an encode configured differently (lowercase drift, a
+    // different continuation prefix) would silently UNK or mis-split
+    // — raise from the recorded contract instead. Metadata-less
+    // (hand-built/legacy) vocabs pass: the prose contract governs.
+    SparkUtil.requireFitParamStr(vocab, pieceColumn, "lowercase",
+      lowercase.toString, who)
+    SparkUtil.requireFitParamStr(vocab, pieceColumn,
+      "continuationPrefix", continuationPrefix, who)
+    SparkUtil.requireFitParamStr(vocab, pieceColumn, "byteLevel",
+      byteLevel.toString, who)
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    // driver-bounded collect: limit(max+1) keeps a corpus-scale frame
+    // from ever materializing on the driver before the require fires
+    val rows = vocab
+      .select(col(pieceColumn).cast("string"), col(vocabIdColumn).cast("long"))
+      .limit(maxVocab + 1).as[(String, java.lang.Long)].collect()
+    require(rows.length <= maxVocab,
+      s"$who: vocab exceeds maxVocab=$maxVocab pieces — a subword " +
+        "vocab is bounded; a corpus-scale frame here is a wiring bug")
+    // the incremental-family empty-structural-input contract
+    // (IncrementalIvf / SemDedup / IncrementalResample all raise):
+    // an empty vocab would UNK or kill every word — a wiring bug,
+    // never a meaningful encode
+    require(rows.nonEmpty,
+      s"$who: empty vocab — build it (e.g. Tokenize.VocabBuild) " +
+        "on a non-empty corpus first")
+    rows.foreach { case (p, id) =>
+      require(p != null && p.nonEmpty,
+        s"$who: vocab contains a null/empty piece")
+      require(id != null, s"$who: vocab piece `$p` has a null id")
+      // Unicode contract: pieces must be WELL-FORMED UTF-16 (no
+      // unpaired surrogate). The trie walks UTF-16 units, the
+      // engine's own vocab constructions and the SQL oracle count
+      // codepoints — the two longest-match orders agree because
+      // pieces matching at one cursor form a PREFIX CHAIN (each is a
+      // prefix of the text there, hence of each other), and along
+      // well-formed prefix extensions both unit count and codepoint
+      // count grow strictly together; only a piece ending in a lone
+      // high surrogate could add units without completing a
+      // codepoint, and that is exactly what this guard excludes. It
+      // also makes every match boundary codepoint-aligned, so no
+      // emitted piece can split a surrogate pair of well-formed text.
+      // In practice Spark's UTF8String conversion already sanitizes
+      // lone surrogates at the column boundary (TokenizeUnicodeSpec
+      // pins that), so this is a backstop invariant, not a hot path.
+      var ci = 0
+      while (ci < p.length) {
+        val c = p.charAt(ci)
+        if (Character.isHighSurrogate(c)) {
+          require(ci + 1 < p.length &&
+            Character.isLowSurrogate(p.charAt(ci + 1)),
+            s"$who: vocab piece `$p` (id $id) contains an " +
+              "unpaired high surrogate — pieces must be well-formed " +
+              "UTF-16 or greedy matching could split a codepoint")
+          ci += 2
+        } else {
+          require(!Character.isLowSurrogate(c),
+            s"$who: vocab piece `$p` (id $id) contains an " +
+              "unpaired low surrogate — pieces must be well-formed " +
+              "UTF-16 or greedy matching could split a codepoint")
+          ci += 1
+        }
+      }
+    }
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"$who: vocab pieces must be distinct — duplicate pieces " +
+        "make the encode ambiguous")
+    // id integrity: two pieces sharing an id (or unkId shadowing a
+    // real id) would conflate distinct tokens in bpe_ids — silently
+    // wrong counts/dedup downstream, the quiet-corruption class
+    require(rows.map(_._2).distinct.length == rows.length,
+      s"$who: vocab ids must be distinct — two pieces sharing an " +
+        "id would encode distinct tokens identically")
+    unkId.foreach { u =>
+      require(!rows.exists(_._2 == u),
+        s"$who: unkId=$u collides with a vocab piece's id — OOV " +
+          "words would be indistinguishable from that piece")
+    }
+    val prefix = continuationPrefix
+    val (contRaw, firstRaw) = rows.partition(_._1.startsWith(prefix))
+    contRaw.foreach { case (p, _) =>
+      require(p.length > prefix.length,
+        s"$who: continuation piece `$p` is the bare prefix — it " +
+          "would consume zero characters")
+    }
+    (firstRaw.map { case (p, id) => (p, id.longValue) },
+      contRaw.map { case (p, id) =>
+        (p.substring(prefix.length), id.longValue)
+      })
+  }
+
+  /** Partition-local greedy MaxMatch word encoder over compiled tries
+    * — the hot path of [[BpeEncode]], shared with the fused curation
+    * recipe. `cont` pieces arrive STRIPPED ([[collectEncodeVocab]]'s
+    * trie space); construct one instance per partition. */
+  private[graft] final class WordEncoder(first: Array[(String, Long)],
+                                         cont: Array[(String, Long)],
+                                         pfx: String, byteLevel: Boolean,
+                                         unkId: Option[Long],
+                                         unkPiece: String) {
+    // pattern hoisted per partition: String.split("\\s+") would
+    // recompile the regex per DOCUMENT on this hot path
+    private val ws = java.util.regex.Pattern.compile("\\s+")
+    private val firstTrie = {
+      val t = new Trie
+      first.foreach { case (p, id) => t.add(p, id) }
+      t
+    }
+    private val contTrie = {
+      val t = new Trie
+      cont.foreach { case (p, id) => t.add(p, id) }
+      t
+    }
+
+    /** Per-doc greedy walk; `pcs` is null when pieces aren't emitted
+      * (no per-token string work then). */
+    def encodeInto(docId: Long, text: String, out: ArrayBuffer[Long],
+                   pcs: ArrayBuffer[String]): Unit = {
+      if (text == null) return
+      val words = ws.split(text)
+      var wi = 0
+      while (wi < words.length) {
+        val wRaw = words(wi)
+        if (wRaw.nonEmpty) {
+          // byte-level: walk the word's UTF-8 bytes through the
+          // visible byte alphabet — the trie/vocab live in mapped
+          // space (what a byteLevel BpeLearn emits), and emitted
+          // pieces are mapped-space strings
+          val w = if (byteLevel) byteMapLocal(wRaw) else wRaw
+          val mark = out.length
+          var pos = 0
+          var dead = false
+          while (pos < w.length && !dead) {
+            val trie = if (pos == 0) firstTrie else contTrie
+            val len = trie.longest(w, pos)
+            if (len <= 0) dead = true
+            else {
+              out += trie.lastId
+              if (pcs != null)
+                pcs += (if (pos == 0) w.substring(pos, pos + len)
+                        else pfx + w.substring(pos, pos + len))
+              pos += len
+            }
+          }
+          if (dead) {
+            out.takeInPlace(mark)
+            if (pcs != null) pcs.takeInPlace(mark)
+            unkId match {
+              case Some(u) => // whole-word UNK
+                out += u
+                if (pcs != null) pcs += unkPiece
+              case None => throw new IllegalArgumentException(
+                s"BpeEncode: doc $docId word `$wRaw` is not encodable " +
+                  s"at offset $pos${if (byteLevel) " (byte-mapped)" else ""} " +
+                  "and no unkId is configured — add the missing " +
+                  "pieces (single characters in both forms — or the " +
+                  "full byteAlphabet under byteLevel — guarantee " +
+                  "coverage) or set unkId")
+            }
+          }
+        }
+        wi += 1
+      }
+    }
+  }
+
   /** Encode `textColumn` into subword token ids against `vocab`
     * (`pieceColumn` string, `vocabIdColumn` long; continuation pieces
     * carry `continuationPrefix`). Output: one row per input row —
@@ -921,103 +1101,15 @@ object Tokenize {
 
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
-      SparkUtil.validateColumns(vocab, Seq(pieceColumn, vocabIdColumn))
-      // self-describing vocab: a learn-side vocab records how it was
-      // built; an encode configured differently (lowercase drift, a
-      // different continuation prefix) would silently UNK or mis-split
-      // — raise from the recorded contract instead. Metadata-less
-      // (hand-built/legacy) vocabs pass: the prose contract governs.
-      SparkUtil.requireFitParamStr(vocab, pieceColumn, "lowercase",
-        lowercase.toString, "BpeEncode")
-      SparkUtil.requireFitParamStr(vocab, pieceColumn,
-        "continuationPrefix", continuationPrefix, "BpeEncode")
-      SparkUtil.requireFitParamStr(vocab, pieceColumn, "byteLevel",
-        byteLevel.toString, "BpeEncode")
       val spark = df.sparkSession
       import spark.implicits._
-      // driver-bounded collect: limit(max+1) keeps a corpus-scale frame
-      // from ever materializing on the driver before the require fires
-      val rows = vocab
-        .select(col(pieceColumn).cast("string"), col(vocabIdColumn).cast("long"))
-        .limit(maxVocab + 1).as[(String, java.lang.Long)].collect()
-      require(rows.length <= maxVocab,
-        s"BpeEncode: vocab exceeds maxVocab=$maxVocab pieces — a subword " +
-          "vocab is bounded; a corpus-scale frame here is a wiring bug")
-      // the incremental-family empty-structural-input contract
-      // (IncrementalIvf / SemDedup / IncrementalResample all raise):
-      // an empty vocab would UNK or kill every word — a wiring bug,
-      // never a meaningful encode
-      require(rows.nonEmpty,
-        "BpeEncode: empty vocab — build it (e.g. Tokenize.VocabBuild) " +
-          "on a non-empty corpus first")
-      rows.foreach { case (p, id) =>
-        require(p != null && p.nonEmpty,
-          "BpeEncode: vocab contains a null/empty piece")
-        require(id != null, s"BpeEncode: vocab piece `$p` has a null id")
-        // Unicode contract: pieces must be WELL-FORMED UTF-16 (no
-        // unpaired surrogate). The trie walks UTF-16 units, the
-        // engine's own vocab constructions and the SQL oracle count
-        // codepoints — the two longest-match orders agree because
-        // pieces matching at one cursor form a PREFIX CHAIN (each is a
-        // prefix of the text there, hence of each other), and along
-        // well-formed prefix extensions both unit count and codepoint
-        // count grow strictly together; only a piece ending in a lone
-        // high surrogate could add units without completing a
-        // codepoint, and that is exactly what this guard excludes. It
-        // also makes every match boundary codepoint-aligned, so no
-        // emitted piece can split a surrogate pair of well-formed text.
-        // In practice Spark's UTF8String conversion already sanitizes
-        // lone surrogates at the column boundary (TokenizeUnicodeSpec
-        // pins that), so this is a backstop invariant, not a hot path.
-        var ci = 0
-        while (ci < p.length) {
-          val c = p.charAt(ci)
-          if (Character.isHighSurrogate(c)) {
-            require(ci + 1 < p.length &&
-              Character.isLowSurrogate(p.charAt(ci + 1)),
-              s"BpeEncode: vocab piece `$p` (id $id) contains an " +
-                "unpaired high surrogate — pieces must be well-formed " +
-                "UTF-16 or greedy matching could split a codepoint")
-            ci += 2
-          } else {
-            require(!Character.isLowSurrogate(c),
-              s"BpeEncode: vocab piece `$p` (id $id) contains an " +
-                "unpaired low surrogate — pieces must be well-formed " +
-                "UTF-16 or greedy matching could split a codepoint")
-            ci += 1
-          }
-        }
-      }
-      require(rows.map(_._1).distinct.length == rows.length,
-        "BpeEncode: vocab pieces must be distinct — duplicate pieces " +
-          "make the encode ambiguous")
-      // id integrity: two pieces sharing an id (or unkId shadowing a
-      // real id) would conflate distinct tokens in bpe_ids — silently
-      // wrong counts/dedup downstream, the quiet-corruption class
-      require(rows.map(_._2).distinct.length == rows.length,
-        "BpeEncode: vocab ids must be distinct — two pieces sharing an " +
-          "id would encode distinct tokens identically")
-      unkId.foreach { u =>
-        require(!rows.exists(_._2 == u),
-          s"BpeEncode: unkId=$u collides with a vocab piece's id — OOV " +
-            "words would be indistinguishable from that piece")
-      }
-      val prefix = continuationPrefix
-      val (contRaw, firstRaw) = rows.partition(_._1.startsWith(prefix))
-      contRaw.foreach { case (p, _) =>
-        require(p.length > prefix.length,
-          s"BpeEncode: continuation piece `$p` is the bare prefix — it " +
-            "would consume zero characters")
-      }
-      val firstArr = firstRaw.map { case (p, id) => (p, id.longValue) }
-      val contArr = contRaw.map { case (p, id) =>
-        (p.substring(prefix.length), id.longValue)
-      }
-      // stripped continuation pieces must stay distinct too (`##ab` vs
-      // a hypothetical alternate prefix spelling cannot collide here,
-      // but a caller error like `##ab` + `####ab` with prefix `##`
-      // strips to `ab` vs `##ab` — still distinct; the guard is the
-      // dup check above on the RAW pieces)
+      // the whole vocab contract (fit-param drift, bounded collect,
+      // piece/id invariants, first/continuation partition) lives in
+      // the shared [[collectEncodeVocab]]; stripped continuation
+      // pieces stay distinct because the dup check runs on RAW pieces
+      val (firstArr, contArr) = collectEncodeVocab(vocab, pieceColumn,
+        vocabIdColumn, continuationPrefix, lowercase, byteLevel,
+        maxVocab, unkId, "BpeEncode")
       val bcFirst = spark.sparkContext.broadcast(firstArr)
       val bcCont = spark.sparkContext.broadcast(contArr)
       val (txt, idc, lc, unk) = (textColumn, idColumn, lowercase, unkId)
@@ -1028,87 +1120,26 @@ object Tokenize {
       val typed = df.select(col(idc).cast("long"), textExpr.as("__t"))
         .as[(Long, String)]
 
-      // per-doc greedy walk shared by both output shapes; `pcs` is null
-      // when pieces aren't emitted (no per-token string work then)
-      def encodeInto(ws: java.util.regex.Pattern, firstTrie: Trie,
-                     contTrie: Trie, docId: Long,
-                     text: String, out: ArrayBuffer[Long],
-                     pcs: ArrayBuffer[String]): Unit = {
-        if (text == null) return
-        // pattern hoisted per partition: String.split("\\s+") would
-        // recompile the regex per DOCUMENT on this hot path
-        val words = ws.split(text)
-        var wi = 0
-        while (wi < words.length) {
-          val wRaw = words(wi)
-          if (wRaw.nonEmpty) {
-            // byte-level: walk the word's UTF-8 bytes through the
-            // visible byte alphabet — the trie/vocab live in mapped
-            // space (what a byteLevel BpeLearn emits), and emitted
-            // pieces are mapped-space strings
-            val w = if (bl) byteMapLocal(wRaw) else wRaw
-            val mark = out.length
-            var pos = 0
-            var dead = false
-            while (pos < w.length && !dead) {
-              val trie = if (pos == 0) firstTrie else contTrie
-              val len = trie.longest(w, pos)
-              if (len <= 0) dead = true
-              else {
-                out += trie.lastId
-                if (pcs != null)
-                  pcs += (if (pos == 0) w.substring(pos, pos + len)
-                          else pfx + w.substring(pos, pos + len))
-                pos += len
-              }
-            }
-            if (dead) {
-              out.takeInPlace(mark)
-              if (pcs != null) pcs.takeInPlace(mark)
-              unk match {
-                case Some(u) => // whole-word UNK
-                  out += u
-                  if (pcs != null) pcs += unkP
-                case None => throw new IllegalArgumentException(
-                  s"BpeEncode: doc $docId word `$wRaw` is not encodable " +
-                    s"at offset $pos${if (bl) " (byte-mapped)" else ""} " +
-                    "and no unkId is configured — add the missing " +
-                    "pieces (single characters in both forms — or the " +
-                    "full byteAlphabet under byteLevel — guarantee " +
-                    "coverage) or set unkId")
-              }
-            }
-          }
-          wi += 1
-        }
-      }
-
-      def tries(): (java.util.regex.Pattern, Trie, Trie) = {
-        val firstTrie = new Trie
-        bcFirst.value.foreach { case (p, id) => firstTrie.add(p, id) }
-        val contTrie = new Trie
-        bcCont.value.foreach { case (p, id) => contTrie.add(p, id) }
-        (java.util.regex.Pattern.compile("\\s+"), firstTrie, contTrie)
-      }
-
       if (pieces)
         typed.mapPartitions { it =>
-          val (ws, f, c) = tries()
+          val enc = new WordEncoder(bcFirst.value, bcCont.value, pfx,
+            bl, unk, unkP)
           val out = new ArrayBuffer[Long](256)
           val pcs = new ArrayBuffer[String](256)
           it.map { case (docId, text) =>
             out.clear(); pcs.clear()
-            encodeInto(ws, f, c, docId, text, out, pcs)
+            enc.encodeInto(docId, text, out, pcs)
             BpePieceRow(docId, out.length.toLong, out.toArray, pcs.toArray)
           }
         }.toDF()
       else
         typed.mapPartitions { it =>
-          val (ws, f, c) = tries()
+          val enc = new WordEncoder(bcFirst.value, bcCont.value, pfx,
+            bl, unk, unkP)
           val out = new ArrayBuffer[Long](256)
           it.map { case (docId, text) =>
             out.clear()
-            encodeInto(ws, f, c, docId, text, out, null)
+            enc.encodeInto(docId, text, out, null)
             BpeRow(docId, out.length.toLong, out.toArray)
           }
         }.toDF()

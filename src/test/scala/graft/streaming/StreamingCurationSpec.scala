@@ -25,12 +25,179 @@ import graft.operators.{Sampling, TextAnalysis}
 final case class CurationDoc(doc_id: Long, lang: String, ts: Timestamp,
                              text: String)
 
+/** Arrival row for the fused-recipe tests (the persisted-artifact
+  * loop); `url` exercises the canonicalize leg. */
+final case class CurationArrival(doc_id: Long, ts: Timestamp,
+                                 url: String, text: String)
+
 class StreamingCurationSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
   private def doc(id: Long, lang: String, text: String): CurationDoc =
     CurationDoc(id, lang, new Timestamp((id + 1) * 1000L), text)
+
+  // ---- the fused StreamingCuration recipe over persisted artifacts --
+
+  private val banner = "the shared cookie banner line"
+  // corpus: multi-line docs, seed docs carry `seedword`; the banner is
+  // corpus-hot (df = 4 > maxDocFreq = 2)
+  private def fitCorpus = Seq(
+    (100L, "seed", s"seedword alpha beta gamma delta\n$banner\nuno"),
+    (101L, "seed", s"seedword alpha beta keep fresh\n$banner\ndue"),
+    (102L, "web", s"junk spam noise words here\n$banner\ntre"),
+    (103L, "web", s"other web filler tokens now\n$banner\nqua"))
+    .toDF("doc_id", "source", "text")
+
+  private def arrival(id: Long, text: String): CurationArrival =
+    CurationArrival(id, new Timestamp((id + 1) * 1000L),
+      s"HTTP://Host$id.example.com/p?b=2&a=1", text)
+
+  test("the fused recipe: stream == batch bit-identity across " +
+    "micro-batch boundaries, with exactly ONE fold per batch per " +
+    "persisted index between them; the pass is stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Corpus, Curation, Dsir, Tokenize}
+    val corpus = fitCorpus
+    var lineIdx = Corpus.IncrementalHotLines.lineIndex(corpus)
+      .localCheckpoint()
+    var counts = Dsir.featureCounts(corpus, "seed", numFeatures = 64)
+      .localCheckpoint()
+    val vocab = Tokenize.VocabBuild().transform(corpus).localCheckpoint()
+
+    val batch1 = Seq(
+      arrival(0L, s"seedword alpha beta new one\n$banner\nown tail"),
+      arrival(1L, s"junk spam noise other\n$banner\nweb tail"),
+      arrival(2L, s"seedword gamma delta fresh\n$banner"))
+    val batch2 = Seq(
+      arrival(3L, s"seedword keep fresh beta\n$banner\nlate tail"),
+      arrival(4L, s"spam filler words junk\n$banner"))
+
+    def batchFace(li: org.apache.spark.sql.DataFrame,
+                  ct: org.apache.spark.sql.DataFrame,
+                  rows: Seq[CurationArrival]) =
+      Curation.Recipe(li, ct, vocab, minScore = 1L, maxDocFreq = 2L,
+          numFeatures = 64, urlColumn = Some("url"))
+        .transform(rows.toDF())
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+
+    def stream(li: org.apache.spark.sql.DataFrame,
+               ct: org.apache.spark.sql.DataFrame,
+               rows: Seq[CurationArrival], name: String) = {
+      val input = MemoryStream[CurationArrival]
+      val out = new StreamingCuration(li, ct, vocab, minScore = 1L,
+          urlColumn = Some("url"), maxDocFreq = 2L, numFeatures = 64)
+        .transform(input.toDF())
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(rows: _*)
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.isEmpty,
+          "the fused pass must be stateless")
+        spark.table(name).collect().map(_.toSeq).toSeq
+          .sortBy(_.head.toString)
+      } finally q.stop()
+    }
+
+    // micro-batch 1 against the fit artifacts
+    val got1 = stream(lineIdx, counts, batch1, "cur_recipe_b1")
+    val want1 = batchFace(lineIdx, counts, batch1)
+    assert(got1.nonEmpty && got1 == want1,
+      s"batch-1 divergence:\n$got1\n$want1")
+    // the gate is real: the junk arrival is absent
+    assert(!got1.exists(_.head == 1L))
+    // the strip is real: no clean_text contains the banner
+    assert(got1.forall(r => !r(5).toString.contains(banner)))
+    // the canonicalize leg threads: lowercased host, sorted params
+    assert(got1.forall(r => r(1).toString.startsWith("http://host")))
+
+    // ONE fold per batch per persisted index, then micro-batch 2
+    // against the UPDATED artifacts (the compaction cadence)
+    // arrivals fold as the raw (negative) class — ingested web docs
+    // are unlabeled until curated into the seed
+    val b1df = batch1.toDF()
+      .withColumn("source", org.apache.spark.sql.functions.lit("web"))
+    lineIdx = Corpus.IncrementalHotLines.foldBatch(lineIdx, b1df)
+      .localCheckpoint()
+    counts = Dsir.foldBatch(counts, b1df, "seed", numFeatures = 64)
+      .localCheckpoint()
+    val got2 = stream(lineIdx, counts, batch2, "cur_recipe_b2")
+    val want2 = batchFace(lineIdx, counts, batch2)
+    assert(got2.nonEmpty && got2 == want2,
+      s"batch-2 divergence:\n$got2\n$want2")
+    assert(!got2.exists(_.head == 4L))
+  }
+
+  test("the probe leg shares the gate/strip legs: dupPairs equals the " +
+    "batch minhash probe over the admitted, stripped text — gated-out " +
+    "near-dups and banner-only overlaps never pair") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Corpus, Curation, Dedup, Dsir, Tokenize}
+    val corpus = fitCorpus
+    val lineIdx = Corpus.IncrementalHotLines.lineIndex(corpus)
+      .localCheckpoint()
+    val counts = Dsir.featureCounts(corpus, "seed", numFeatures = 64)
+      .localCheckpoint()
+    val vocab = Tokenize.VocabBuild().transform(corpus).localCheckpoint()
+    // the loop's convention: the corpus the index describes is the
+    // CURATED one — fit the minhash artifacts on stripped corpus text
+    val strippedCorpus = Corpus.HotLineStrip(maxDocFreq = 2L)
+      .transform(corpus)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("clean_text").as("text"))
+    val sigIdx = Dedup.IncrementalMinHashLSH
+      .signatureIndex(strippedCorpus).localCheckpoint()
+    val bandIdx = Dedup.IncrementalMinHashLSH
+      .bandIndex(sigIdx).localCheckpoint()
+
+    val arrivals = Seq(
+      // EXACT copy of corpus 100 (clean text identical post-strip) AND
+      // seed-scored: every band collides — must pair deterministically
+      arrival(0L, s"seedword alpha beta gamma delta\n$banner\nuno"),
+      // exact copy of corpus 102 but NOT admitted (web text, negative
+      // score): must NOT pair — the gate runs before the probe
+      arrival(1L, s"junk spam noise words here\n$banner\ntre"),
+      // admitted, shares ONLY the (stripped) banner with the corpus:
+      // must NOT pair — the probe sees clean text
+      arrival(2L, s"seedword unrelated brand new\n$banner"))
+
+    val cur = new StreamingCuration(lineIdx, counts, vocab,
+      minScore = 1L, maxDocFreq = 2L, numFeatures = 64)
+    val input = MemoryStream[CurationArrival]
+    val out = cur.dupPairs(input.toDF(), bandIdx, sigIdx,
+      threshold = 0.2)
+    val q = out.writeStream.format("memory").queryName("cur_pairs")
+      .outputMode("append").start()
+    val got = try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      // advance the watermark so within-horizon pair dedup flushes
+      input.addData(arrival(90L, "zzz yyy xxx www"))
+      q.processAllAvailable()
+      spark.table("cur_pairs").select("id_a", "id_b", "est_jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    } finally q.stop()
+
+    // the batch face: the SAME legs (gate, strip), then the batch
+    // incremental probe on the clean text
+    val legs = Curation.buildLegs(lineIdx, counts, 64, 1L, 2L,
+      1 << 20, "spec")
+    val cleaned = arrivals
+      .filter(a => legs.admits(legs.score(a.text)))
+      .map(a => (a.doc_id, legs.strip(a.text)._3))
+      .toDF("doc_id", "text")
+    val want = Dedup.IncrementalMinHashLSH(bandIdx, sigIdx,
+        threshold = 0.2)
+      .transform(cleaned)
+      .select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want, s"probe divergence:\n$got\n$want")
+    assert(got.exists(_._2 == 0L), s"admitted near-dup must pair: $got")
+    assert(!got.exists(_._2 == 1L), "gated-out doc leaked to the probe")
+    assert(!got.exists(_._2 == 2L), "banner-only overlap paired — the " +
+      "probe saw unstripped text")
+  }
 
   test("normalize -> quality gate -> dedup -> stratified sample run " +
     "end to end on a stream, matching the batch operators row for row") {
