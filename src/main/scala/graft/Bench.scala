@@ -140,6 +140,7 @@ object Bench {
     "ann_ivf_pq_t" -> Some("BroadcastHashJoin"),
     "ann_srp" -> Some("BroadcastHashJoin"),
     "ann_ivf_pq_incr" -> Some("BroadcastHashJoin"),
+    "ann_pq_incr_res" -> Some("BroadcastHashJoin"),
     "mix_epochs" -> Some("Generate"), // the per-copy sequence explode
     "epoch_interleave" -> Some("Window"), // copies through the prefix sum
     "text_boilerplate" -> Some("Join"),

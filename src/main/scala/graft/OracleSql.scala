@@ -2244,6 +2244,116 @@ object OracleSql {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Incremental IVF-PQ probe with PROJECTION-RESIDUAL encoding
+    * (`IncrementalIvfPq.memberIndex(residual = true)` +
+    * `IncrementalIvfPqTopK(residual = true)`): the corpus
+    * (ids >= `splitId`) fits the compressed residual index — per
+    * member α̂ and residual codes against codebooks sliced from the
+    * residuals of pick rows `nlist+1 .. nlist+ksub` (OFFSET — the
+    * residual index's widened self-description) — and the query batch
+    * probes it with the decomposed ADC and exact re-rank.
+    */
+  def annIvfPqIncrRes(dim: Int, nlist: Int, nprobe: Int, m: Int,
+                      ksub: Int, k: Int, refine: Int,
+                      splitId: Long): String = {
+    require(dim % m == 0,
+      s"annIvfPqIncrRes: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val S = 10000L
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def cosE(a: String, b: String, na: String, nb: String) =
+      s"CAST(${dotE(a, b)} AS DOUBLE) / " +
+        s"sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
+    s"""$QuantizedVecs,
+       |nc AS (SELECT * FROM n WHERE id >= $splitId),
+       |nq AS (SELECT * FROM n WHERE id < $splitId),
+       |hh AS (SELECT id,
+       |  CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)
+       |    AS h FROM nc),
+       |sel AS (SELECT id, h FROM hh ORDER BY h, id LIMIT $nlist),
+       |cents AS (SELECT row_number() OVER (ORDER BY s.h, s.id) AS cid,
+       |  nc.q AS cq, nc.nrm AS cnrm FROM sel s JOIN nc ON nc.id = s.id),
+       |asgn0 AS (SELECT nc.id, nc.nrm, c.cid,
+       |  row_number() OVER (PARTITION BY nc.id ORDER BY
+       |    ${cosE("nc.q", "c.cq", "nc.nrm", "c.cnrm")} DESC, c.cid ASC)
+       |    AS rn
+       |  FROM nc CROSS JOIN cents c),
+       |asgn AS (SELECT id, nrm, cid FROM asgn0 WHERE rn = 1),
+       |am0 AS (SELECT a.id, a.cid, nc.q, nc.nrm, c.cq, c.cnrm,
+       |  ${dotE("nc.q", "c.cq")} AS dxc
+       |  FROM asgn a JOIN nc ON nc.id = a.id
+       |  JOIN cents c ON c.cid = a.cid),
+       |am AS (SELECT id, cid, q, nrm, cq,
+       |  CASE WHEN cnrm = 0 THEN 0
+       |    ELSE (2 * $S * dxc + CASE WHEN dxc < 0 THEN -cnrm
+       |      WHEN dxc > 0 THEN cnrm ELSE 0 END) // (2 * cnrm)
+       |  END AS alpha FROM am0),
+       |resid AS (SELECT id, cid, nrm, alpha,
+       |  list_transform(range(1, ${dim + 1}),
+       |    i -> q[i] - (2 * alpha * cq[i] +
+       |      CASE WHEN alpha * cq[i] < 0 THEN -$S
+       |        WHEN alpha * cq[i] > 0 THEN $S ELSE 0 END) // ${2 * S})
+       |    AS rq
+       |  FROM am),
+       |probes0 AS (SELECT nq.id AS query_id, nq.q AS qq, nq.nrm AS qnrm,
+       |  c.cid, c.cq,
+       |  row_number() OVER (PARTITION BY nq.id ORDER BY
+       |    ${cosE("nq.q", "c.cq", "nq.nrm", "c.cnrm")} DESC, c.cid ASC)
+       |    AS rn
+       |  FROM nq CROSS JOIN cents c),
+       |probes AS (SELECT query_id, qq, qnrm, cid,
+       |  ${dotE("qq", "cq")} AS cdot
+       |  FROM probes0 WHERE rn <= $nprobe),
+       |cbsel AS (SELECT id, h FROM hh ORDER BY h, id
+       |  LIMIT $ksub OFFSET $nlist),
+       |cb AS (SELECT row_number() OVER (ORDER BY s.h, s.id) AS j,
+       |  r.rq AS cq FROM cbsel s JOIN resid r ON r.id = s.id),
+       |subs AS (SELECT unnest(range(0, $m)) AS s),
+       |codes0 AS (SELECT r.id, ss.s, c.j,
+       |  list_reduce(list_transform(range(1, ${dsub + 1}),
+       |    i -> (r.rq[ss.s * $dsub + i] - c.cq[ss.s * $dsub + i]) *
+       |         (r.rq[ss.s * $dsub + i] - c.cq[ss.s * $dsub + i])),
+       |    (x, y) -> x + y) AS d2
+       |  FROM resid r CROSS JOIN subs ss CROSS JOIN cb c),
+       |codes AS (SELECT id, s, j FROM (
+       |  SELECT id, s, j, row_number() OVER (PARTITION BY id, s
+       |    ORDER BY d2 ASC, j ASC) AS rn FROM codes0) WHERE rn = 1),
+       |cand AS (SELECT a.id, a.alpha, p.query_id, p.qq, p.qnrm, a.nrm,
+       |  p.cdot
+       |  FROM resid a JOIN probes p ON a.cid = p.cid
+       |  WHERE a.id <> p.query_id),
+       |parts AS (SELECT cd.id, c2.query_id,
+       |  list_reduce(list_transform(range(1, ${dsub + 1}),
+       |    i -> cb.cq[cd.s * $dsub + i] * c2.qq[cd.s * $dsub + i]),
+       |    (x, y) -> x + y) AS dp
+       |  FROM cand c2 JOIN codes cd ON cd.id = c2.id
+       |  JOIN cb ON cb.j = cd.j),
+       |approx AS (SELECT id, query_id, sum(dp) AS adot FROM parts
+       |  GROUP BY id, query_id),
+       |acos AS (SELECT ap.id, ap.query_id,
+       |  CAST(c.alpha * c.cdot + $S * ap.adot AS DOUBLE) /
+       |    ($S * sqrt(CAST(c.nrm AS DOUBLE) * CAST(c.qnrm AS DOUBLE)))
+       |    AS ac
+       |  FROM approx ap JOIN cand c
+       |  ON c.id = ap.id AND c.query_id = ap.query_id),
+       |short AS (SELECT id, query_id FROM (SELECT id, query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ac DESC, id ASC) AS rn FROM acos)
+       |  WHERE rn <= ${k * refine}),
+       |sc AS (SELECT s2.id, s2.query_id,
+       |  round(${cosE("x.q", "qv.q", "x.nrm", "qv.nrm")}, 6) AS cosine
+       |  FROM short s2 JOIN nc x ON x.id = s2.id
+       |  JOIN nq qv ON qv.id = s2.query_id),
+       |r AS (SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, id ASC) AS rank,
+       |  id AS neighbor_id, cosine FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** SRP top-k with exact refine (graft.operators.Projection.SrpTopK):
     * deterministic ±1 projection (the sign of the shared hyperplane
     * constant family, embedded as literals), brute-force shortlist in

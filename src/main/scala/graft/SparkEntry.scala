@@ -1193,6 +1193,20 @@ object SparkEntry {
     // — the scan runs over rdim=16 deterministic ±1 projections, only
     // the k*refine shortlist touches full vectors; oracle replays the
     // projection, the projected-space shortlist and the exact re-rank
+    // the residual encode on the PERSISTED index (r15): fit the
+    // compressed index with per-member α̂ + residual codes (the pick
+    // widens to nlist + ksub — residual codebooks need rows beyond
+    // the centroids), probe with the decomposed ADC + exact refine
+    "ann_pq_incr_res" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val corpus = e.filter(col("vec_id") >= 8)
+      SimilarityPq.IncrementalIvfPqTopK(
+          SimilarityPq.IncrementalIvfPq.memberIndex(corpus,
+            residual = true),
+          refineWith = Some(corpus), residual = true)
+        .transform(e.filter(col("vec_id") < 8))
+        .orderBy("query_id", "rank")
+    }),
     "ann_srp" -> ((s, dir) =>
       Projection.SrpTopK(df => df.filter(col("vec_id") < 8))
         .transform(embs(s, dir))
@@ -1656,6 +1670,8 @@ object SparkEntry {
       8, 2),
     "ann_srp" -> OracleSql.annSrp(64, 16, 5, 4, 8),
     "ann_ivf_pq_incr" -> OracleSql.annIvfPqIncr(64, 16, 4, 8, 16, 5, 4, 8),
+    "ann_pq_incr_res" ->
+      OracleSql.annIvfPqIncrRes(64, 16, 4, 8, 16, 5, 4, 8),
     "text_boilerplate" -> OracleSql.textBoilerplate(10L),
     "mm_resize" -> OracleSql.mmResize(40L, 30L),
     "mm_features" -> OracleSql.mmFeatures,

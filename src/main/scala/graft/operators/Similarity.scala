@@ -201,7 +201,7 @@ object Similarity {
     * desc, cid asc)` under `Ordering.Double.TotalOrdering`, so zero-norm
     * NaN rows land deterministically).
     */
-  private[operators] def localDot(a: Array[Long], b: Array[Long]): Long = {
+  private[graft] def localDot(a: Array[Long], b: Array[Long]): Long = {
     var acc = 0L; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { acc += a(i) * b(i); i += 1 }

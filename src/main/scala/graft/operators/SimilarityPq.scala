@@ -448,6 +448,46 @@ object SimilarityPq {
     (cents, cb)
   }
 
+  /** [[derive]] for a RESIDUAL index: centroids from the first `nlist`
+    * pick rows, codebooks from the PROJECTION RESIDUALS of pick rows
+    * `nlist+1 .. nlist+ksub` (a centroid's own residual is zero — the
+    * [[residualCodebooks]] degenerate-pick argument), so a residual
+    * index keeps `q` on `nlist + ksub` rows instead of
+    * `max(nlist, ksub)`.
+    */
+  private[graft] def deriveRes(picked: Array[(Long, Array[Long], Long)],
+                     nlist: Int, m: Int, ksub: Int, who: String)
+      : (Array[(Int, Array[Long], Long)], Array[Array[Array[Long]]]) = {
+    picked.foreach { case (id, q, _) =>
+      require(q != null,
+        s"$who: index pick row vec_id=$id carries no vector — a " +
+          "residual index self-describes through its nlist + ksub " +
+          "hash-smallest rows; a pick row without `q` means the index " +
+          "was built by something other than IncrementalIvfPq" +
+          ".memberIndex(residual = true) or was mangled in storage")
+    }
+    val cents = picked.take(nlist).zipWithIndex.map {
+      case ((_, q, nrm), i) => (i + 1, q, nrm)
+    }
+    val cbSrc = picked.slice(nlist, nlist + ksub)
+    require(cbSrc.nonEmpty,
+      s"$who: residual codebooks need corpus rows beyond the " +
+        s"nlist=$nlist centroid pick (a centroid's residual is zero — " +
+        "the codebook would be degenerate); use a smaller nlist or a " +
+        "raw index on a corpus this small")
+    val dim = cbSrc.head._2.length
+    require(dim % m == 0,
+      s"$who: embedding dim=$dim does not split into m=$m equal " +
+        "subspaces — configure m to a divisor of the vector width")
+    val dsub = dim / m
+    val cb = Array.tabulate(m) { s =>
+      cbSrc.map { case (_, q, nrm) =>
+        residualOf(cents, q, nrm)._2.slice(s * dsub, (s + 1) * dsub)
+      }
+    }
+    (cents, cb)
+  }
+
   /** Persisted-index IVF-PQ for the ingest loop — the compressed sibling
     * of [[Similarity.IncrementalIvf]]: fit once into a member index of
     * `(vec_id, cluster, codes, nrm, q)` where `q` (the full vector) is
@@ -466,23 +506,54 @@ object SimilarityPq {
     */
   object IncrementalIvfPq {
 
+    /** The pick width an index self-describes through: a residual
+      * index needs the `ksub` codebook-source rows BEYOND the `nlist`
+      * centroids (their own residuals are zero). */
+    private[graft] def pickCount(nlist: Int, ksub: Int,
+                                 residual: Boolean): Int =
+      if (residual) nlist + ksub else math.max(nlist, ksub)
+
+    private def fitParams(nlist: Int, m: Int, ksub: Int,
+                          residual: Boolean): Map[String, Long] =
+      Map("nlist" -> nlist.toLong, "m" -> m.toLong, "ksub" -> ksub.toLong,
+        "residual" -> (if (residual) 1L else 0L))
+
+    /** Raw (pre-residual) indexes carry no `alpha` column; synthesize
+      * the zero coefficient so folds/unions stay schema-stable. A
+      * RESIDUAL probe of an alpha-less index is a wiring bug. */
+    private[graft] def withAlpha(index: DataFrame, residual: Boolean,
+                                 who: String): DataFrame =
+      if (index.columns.exists(_.equalsIgnoreCase("alpha"))) index
+      else {
+        require(!residual,
+          s"$who: residual = true but the index carries no `alpha` " +
+            "column — it was fit raw (or predates residual encoding); " +
+            "re-fit memberIndex(residual = true)")
+        index.withColumn("alpha", lit(0L))
+      }
+
     private def emptyIndex(spark: org.apache.spark.sql.SparkSession,
-                           nlist: Int, m: Int, ksub: Int): DataFrame = {
+                           nlist: Int, m: Int, ksub: Int,
+                           residual: Boolean): DataFrame = {
       import spark.implicits._
       SparkUtil.withFitParams(
-        spark.emptyDataset[(Long, Long, Array[Int], Long, Array[Long])]
-          .toDF("vec_id", "cluster", "codes", "nrm", "q"),
-        "cluster", Map("nlist" -> nlist.toLong, "m" -> m.toLong,
-          "ksub" -> ksub.toLong))
+        spark.emptyDataset[(Long, Long, Array[Int], Long, Long,
+            Array[Long])]
+          .toDF("vec_id", "cluster", "codes", "nrm", "alpha", "q"),
+        "cluster", fitParams(nlist, m, ksub, residual))
     }
 
     /** Fit: coarse-assign + PQ-encode every corpus vector; keep `q`
       * only on the pick rows. Returns the index to persist.
+      * `residual = true` is the IVFADC projection form ([[residualOf]]):
+      * codes quantize `x − round(α̂c/S)`, the per-member α̂ rides the
+      * index (`alpha`), and the pick widens to `nlist + ksub`.
       */
     def memberIndex(corpus: DataFrame, idColumn: String = "vec_id",
                     vecColumn: String = "embedding", nlist: Int = 16,
                     m: Int = 8, ksub: Int = 16,
-                    cacheCorpus: Boolean = false): DataFrame = {
+                    cacheCorpus: Boolean = false,
+                    residual: Boolean = false): DataFrame = {
       SparkUtil.validateColumns(corpus, Seq(idColumn, vecColumn))
       val spark = corpus.sparkSession
       import spark.implicits._
@@ -490,56 +561,67 @@ object SimilarityPq {
         col(vecColumn)), "id", vecColumn, Array.empty, 0)
         .select("id", "q", "nrm")
       val quant = if (cacheCorpus) quantLazy.localCheckpoint() else quantLazy
-      val picked = pickRows(quant, math.max(nlist, ksub))
-      if (picked.isEmpty) return emptyIndex(spark, nlist, m, ksub)
+      val picked = pickRows(quant, pickCount(nlist, ksub, residual))
+      if (picked.isEmpty)
+        return emptyIndex(spark, nlist, m, ksub, residual)
       val (cents, cb) =
-        derive(picked, nlist, m, ksub, "IncrementalIvfPq.memberIndex")
+        if (residual)
+          deriveRes(picked, nlist, m, ksub, "IncrementalIvfPq.memberIndex")
+        else derive(picked, nlist, m, ksub, "IncrementalIvfPq.memberIndex")
       val keep = picked.map(_._1).toSet
       val bcCb = spark.sparkContext.broadcast(cb)
       val bcKeep = spark.sparkContext.broadcast(keep)
+      val res = residual
       SparkUtil.withFitParams(
         quant.as[(Long, Array[Long], Long)].map { case (id, q, nrm) =>
+          val (alpha, enc) =
+            if (res) residualOf(cents, q, nrm) else (0L, q)
           (id, Similarity.rankedClusterIds(cents, q, nrm).head.toLong,
-            encodeCodes(bcCb.value, q), nrm,
+            encodeCodes(bcCb.value, enc), nrm, alpha,
             if (bcKeep.value(id)) q else null)
-        }.toDF("vec_id", "cluster", "codes", "nrm", "q"),
-        "cluster", Map("nlist" -> nlist.toLong, "m" -> m.toLong,
-          "ksub" -> ksub.toLong))
+        }.toDF("vec_id", "cluster", "codes", "nrm", "alpha", "q"),
+        "cluster", fitParams(nlist, m, ksub, residual))
     }
 
     /** Ingest new corpus vectors into a fitted PQ index: PQ-encode and
       * coarse-assign them against the RE-DERIVED quantizers and append
       * with `q = NULL`. The same two fold guards as
       * [[Similarity.IncrementalIvf.foldBatch]], with the displacement
-      * guard widened to `max(nlist, ksub)` (either pick changing would
-      * silently re-derive DIFFERENT quantizers than the stored codes
-      * were encoded with): duplicate ids raise; a batch id whose hash
-      * enters the pick raises (re-fit on the merged corpus instead).
+      * guard widened to the index's [[pickCount]] (either pick changing
+      * would silently re-derive DIFFERENT quantizers than the stored
+      * codes were encoded with): duplicate ids raise; a batch id whose
+      * hash enters the pick raises (re-fit on the merged corpus
+      * instead). `residual` must match the fit (rides the fit params).
       */
-    def foldBatch(index: DataFrame, batch: DataFrame,
+    def foldBatch(index0: DataFrame, batch: DataFrame,
                   idColumn: String = "vec_id",
                   vecColumn: String = "embedding",
                   nlist: Int = 16, m: Int = 8,
-                  ksub: Int = 16): DataFrame = {
-      SparkUtil.validateColumns(index,
+                  ksub: Int = 16, residual: Boolean = false): DataFrame = {
+      SparkUtil.validateColumns(index0,
         Seq("vec_id", "cluster", "codes", "nrm", "q"))
       SparkUtil.validateColumns(batch, Seq(idColumn, vecColumn))
-      SparkUtil.requireFitParam(index, "cluster", "nlist", nlist.toLong,
+      SparkUtil.requireFitParam(index0, "cluster", "nlist", nlist.toLong,
         "IncrementalIvfPq.foldBatch")
-      SparkUtil.requireFitParam(index, "cluster", "m", m.toLong,
+      SparkUtil.requireFitParam(index0, "cluster", "m", m.toLong,
         "IncrementalIvfPq.foldBatch")
-      SparkUtil.requireFitParam(index, "cluster", "ksub", ksub.toLong,
+      SparkUtil.requireFitParam(index0, "cluster", "ksub", ksub.toLong,
         "IncrementalIvfPq.foldBatch")
+      SparkUtil.requireFitParam(index0, "cluster", "residual",
+        if (residual) 1L else 0L, "IncrementalIvfPq.foldBatch")
+      val index = withAlpha(index0, residual, "IncrementalIvfPq.foldBatch")
       val spark = index.sparkSession
       import spark.implicits._
       val slim = index.select(col("vec_id").as("id"), col("q"), col("nrm"))
-      val nPick = math.max(nlist, ksub)
+      val nPick = pickCount(nlist, ksub, residual)
       val picked = pickRows(slim, nPick)
       require(picked.nonEmpty,
         "IncrementalIvfPq.foldBatch: empty member index — fit " +
           "memberIndex on a non-empty corpus first")
       val (cents, cb) =
-        derive(picked, nlist, m, ksub, "IncrementalIvfPq.foldBatch")
+        if (residual)
+          deriveRes(picked, nlist, m, ksub, "IncrementalIvfPq.foldBatch")
+        else derive(picked, nlist, m, ksub, "IncrementalIvfPq.foldBatch")
       val bcCb = spark.sparkContext.broadcast(cb)
       // the pick cutoff (largest (md5, id) among the picked rows) — any
       // new id at or below it would change a pick; an index still
@@ -548,14 +630,17 @@ object SimilarityPq {
         .orderBy("hh", "id").limit(nPick)
         .select("hh", "id").as[(Long, Long)].collect().last
       val underFit = picked.length < nPick
+      val res = residual
       val assigned = quantizedRows(batch.select(col(idColumn).as("id"),
           col(vecColumn)), "id", vecColumn, Array.empty, 0)
         .select("id", "q", "nrm").as[(Long, Array[Long], Long)]
         .map { case (id, q, nrm) =>
+          val (alpha, enc) =
+            if (res) residualOf(cents, q, nrm) else (0L, q)
           (id, Similarity.rankedClusterIds(cents, q, nrm).head.toLong,
-            encodeCodes(bcCb.value, q), nrm, null: Array[Long])
+            encodeCodes(bcCb.value, enc), nrm, alpha, null: Array[Long])
         }
-        .toDF("vec_id", "cluster", "codes", "nrm", "q")
+        .toDF("vec_id", "cluster", "codes", "nrm", "alpha", "q")
       val dup = index.select(col("vec_id")).withColumn("__dup", lit(true))
       val hh = tokenHash(col("vec_id").cast("string"))
       val displaces = lit(underFit) || hh < cut._1 ||
@@ -578,15 +663,14 @@ object SimilarityPq {
               lit("IncrementalIvfPq.foldBatch: vec_id "),
               col("vec_id").cast("string"),
               lit(" would displace the centroid/codebook pick (its " +
-                "md5 hash enters the max(nlist, ksub) smallest) — " +
+                s"md5 hash enters the $nPick smallest) — " +
                 "the stored codes would silently mismatch the " +
                 "re-derived quantizers at probe time; re-fit " +
                 "memberIndex on the merged corpus instead")))
             .cast("long"))
           .otherwise(col("cluster")))
         .drop("__dup", "__bn")),
-        "cluster", Map("nlist" -> nlist.toLong, "m" -> m.toLong,
-          "ksub" -> ksub.toLong))
+        "cluster", fitParams(nlist, m, ksub, residual))
     }
   }
 
@@ -617,7 +701,8 @@ object SimilarityPq {
                                         k: Int = 5,
                                         refine: Int = 4,
                                         maxQueriesPerPartition: Long =
-                                          1000000L)
+                                          1000000L,
+                                        residual: Boolean = false)
       extends Wrangler {
     require(nprobe >= 1, "nprobe must be >= 1")
     require(k >= 1, "k must be >= 1")
@@ -627,7 +712,8 @@ object SimilarityPq {
       "idColumn" -> idColumn, "vecColumn" -> vecColumn,
       "nlist" -> nlist, "m" -> m, "ksub" -> ksub, "nprobe" -> nprobe,
       "k" -> k, "refine" -> refine,
-      "maxQueriesPerPartition" -> maxQueriesPerPartition)
+      "maxQueriesPerPartition" -> maxQueriesPerPartition,
+      "residual" -> residual)
 
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(idColumn, vecColumn))
@@ -639,11 +725,15 @@ object SimilarityPq {
         "IncrementalIvfPqTopK")
       SparkUtil.requireFitParam(memberIndex, "cluster", "ksub",
         ksub.toLong, "IncrementalIvfPqTopK")
+      SparkUtil.requireFitParam(memberIndex, "cluster", "residual",
+        if (residual) 1L else 0L, "IncrementalIvfPqTopK")
       val spark = df.sparkSession
       import spark.implicits._
-      val index = memberIndex.select(col("vec_id").cast("long").as("id"),
-        col("cluster").cast("long"), col("codes"),
-        col("nrm").cast("long"), col("q"))
+      val index = IncrementalIvfPq.withAlpha(memberIndex, residual,
+          "IncrementalIvfPqTopK")
+        .select(col("vec_id").cast("long").as("id"),
+          col("cluster").cast("long"), col("codes"),
+          col("nrm").cast("long"), col("alpha").cast("long"), col("q"))
       val meta = index.agg(max("cluster"), count(lit(1))).collect()(0)
       require(!meta.isNullAt(0),
         "IncrementalIvfPqTopK: empty member index — fit memberIndex " +
@@ -654,10 +744,13 @@ object SimilarityPq {
           "with a different nlist")
       val picked = pickRows(
         index.select(col("id"), col("q"), col("nrm")),
-        math.max(nlist, ksub))
+        IncrementalIvfPq.pickCount(nlist, ksub, residual))
       val (cents, cb) =
-        derive(picked, nlist, m, ksub, "IncrementalIvfPqTopK")
+        if (residual)
+          deriveRes(picked, nlist, m, ksub, "IncrementalIvfPqTopK")
+        else derive(picked, nlist, m, ksub, "IncrementalIvfPqTopK")
       val bcCb = spark.sparkContext.broadcast(cb)
+      val res = residual
 
       val qs = quantizedRows(df.select(col(idColumn).as("id"),
         col(vecColumn)), "id", vecColumn, Array.empty, 0)
@@ -665,13 +758,14 @@ object SimilarityPq {
       val probes = qs.as[(Long, Array[Long], Long)]
         .flatMap { case (id, q, nrm) =>
           Similarity.rankedClusterIds(cents, q, nrm).take(nprobe)
-            .map(c => (id, q, nrm, c.toLong))
+            .map(c => (id, q, nrm, c.toLong,
+              if (res) Similarity.localDot(q, cents(c - 1)._2) else 0L))
         }
-        .toDF("query_id", "qq", "qnrm", "cluster")
+        .toDF("query_id", "qq", "qnrm", "cluster", "cdot")
 
       val approx = adcScan(index.drop("q").join(probes, Seq("cluster"))
         .filter(col("id") =!= col("query_id")),
-        bcCb, maxQueriesPerPartition)
+        bcCb, maxQueriesPerPartition, residual = res)
 
       refineWith match {
         case None =>

@@ -46,7 +46,8 @@ final class StreamingIvfPqTopK(memberIndex: DataFrame,
                                ksub: Int = 16,
                                nprobe: Int = 4,
                                k: Int = 5,
-                               maxQueriesPerPartition: Long = 1000000L) {
+                               maxQueriesPerPartition: Long = 1000000L,
+                               residual: Boolean = false) {
   require(nprobe >= 1, "nprobe must be >= 1")
   require(k >= 1, "k must be >= 1")
   require(maxQueriesPerPartition >= 1,
@@ -68,24 +69,32 @@ final class StreamingIvfPqTopK(memberIndex: DataFrame,
       "StreamingIvfPqTopK")
     SparkUtil.requireFitParam(memberIndex, "cluster", "ksub",
       ksub.toLong, "StreamingIvfPqTopK")
+    SparkUtil.requireFitParam(memberIndex, "cluster", "residual",
+      if (residual) 1L else 0L, "StreamingIvfPqTopK")
     require(df.isStreaming,
       "StreamingIvfPqTopK.transform needs a streaming DataFrame; use " +
         "SimilarityPq.IncrementalIvfPqTopK for batch probes")
     val spark = df.sparkSession
     import spark.implicits._
-    val index = memberIndex.select(col("vec_id").cast("long").as("id"),
-      col("cluster").cast("long"), col("codes"),
-      col("nrm").cast("long"), col("q"))
+    val index = SimilarityPq.IncrementalIvfPq
+      .withAlpha(memberIndex, residual, "StreamingIvfPqTopK")
+      .select(col("vec_id").cast("long").as("id"),
+        col("cluster").cast("long"), col("codes"),
+        col("nrm").cast("long"), col("alpha").cast("long"), col("q"))
     val picked = SimilarityPq.pickRows(
       index.select(col("id"), col("q"), col("nrm")),
-      math.max(nlist, ksub))
+      SimilarityPq.IncrementalIvfPq.pickCount(nlist, ksub, residual))
     require(picked.nonEmpty,
       "StreamingIvfPqTopK: empty member index — fit " +
         "IncrementalIvfPq.memberIndex on a non-empty corpus first")
     val (cents, cb) =
-      SimilarityPq.derive(picked, nlist, m, ksub, "StreamingIvfPqTopK")
+      if (residual) SimilarityPq.deriveRes(picked, nlist, m, ksub,
+        "StreamingIvfPqTopK")
+      else SimilarityPq.derive(picked, nlist, m, ksub,
+        "StreamingIvfPqTopK")
     val bcCb = spark.sparkContext.broadcast(cb)
     val np = nprobe
+    val res = residual
     val probes = df.select(col(tsColumn), col(idColumn).cast("long"),
         col(vecColumn).cast("array<float>"))
       .as[(java.sql.Timestamp, Long, Array[Float])]
@@ -98,17 +107,20 @@ final class StreamingIvfPqTopK(memberIndex: DataFrame,
           q(i) = v; nrm += v * v; i += 1
         }
         Similarity.rankedClusterIds(cents, q, nrm).take(np)
-          .map(c => (ts, id, q, nrm, c.toLong))
+          .map(c => (ts, id, q, nrm, c.toLong,
+            if (res) Similarity.localDot(q, cents(c - 1)._2) else 0L))
       }
-      .toDF(tsColumn, "query_id", "qq", "qnrm", "cluster")
+      .toDF(tsColumn, "query_id", "qq", "qnrm", "cluster", "cdot")
     // one stateless pass does ADC scoring AND the per-(event, query)
     // best-k prune — the candidate stream entering the stateful agg is
     // partitions x queries x k, never inverted-list volume
     val joined = probes.join(index.drop("q"), Seq("cluster"))
       .filter(col("id") =!= col("query_id"))
       .select(unix_micros(col(tsColumn)).as("__us"), col("query_id"),
-        col("id"), col("codes"), col("nrm"), col("qq"), col("qnrm"))
-      .as[(Long, Long, Long, Array[Int], Long, Array[Long], Long)]
+        col("id"), col("codes"), col("nrm"), col("qq"), col("qnrm"),
+        col("cdot"), col("alpha"))
+      .as[(Long, Long, Long, Array[Int], Long, Array[Long], Long,
+        Long, Long)]
     val kk = k
     val maxQ = maxQueriesPerPartition
     val pruned = joined.mapPartitions { it =>
@@ -129,7 +141,8 @@ final class StreamingIvfPqTopK(memberIndex: DataFrame,
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[(Long, Long),
           scala.collection.mutable.PriorityQueue[(Long, Double)]]
-      it.foreach { case (us, qid, id, codes, nrm, qq, qnrm) =>
+      it.foreach { case (us, qid, id, codes, nrm, qq, qnrm, cdot,
+          alpha) =>
         if (!tables.contains((us, qid)) && tables.size >= maxQ)
           throw new IllegalStateException(
             s"StreamingIvfPqTopK: partition saw more than $maxQ " +
@@ -139,14 +152,21 @@ final class StreamingIvfPqTopK(memberIndex: DataFrame,
               "this dense is intended")
         val t = tables.getOrElseUpdate((us, qid),
           SimilarityPq.adcTable(cbv, qq))
-        var adot = 0L
+        var tsum = 0L
         var s = 0
         while (s < codes.length) {
-          adot += t(s * ksubActual + (codes(s) - 1)); s += 1
+          tsum += t(s * ksubActual + (codes(s) - 1)); s += 1
         }
-        val cos = if (nrm > 0 && qnrm > 0)
-          adot.toDouble / math.sqrt(nrm.toDouble * qnrm.toDouble)
-        else Double.NaN
+        // residual decomposition — bit-identical to the batch
+        // refineWith=None face ([[SimilarityPq.adcScan]])
+        val cos =
+          if (nrm > 0 && qnrm > 0) {
+            if (res)
+              (alpha * cdot + SimilarityPq.AlphaScale * tsum).toDouble /
+                (SimilarityPq.AlphaScale *
+                  math.sqrt(nrm.toDouble * qnrm.toDouble))
+            else tsum.toDouble / math.sqrt(nrm.toDouble * qnrm.toDouble)
+          } else Double.NaN
         val h = heaps.getOrElseUpdate((us, qid),
           scala.collection.mutable.PriorityQueue.empty(worstFirst))
         h.enqueue((id, cos))

@@ -103,6 +103,18 @@ object AnnRecall {
     }.sum / incrTruth.size
     println(f"[ann-recall] ivf incr nlist=16 nprobe=4 (ann_ivf_incr)  " +
       f"recall@$k = $ri%.3f")
+    val pqIncrRes = topSets(graft.operators.SimilarityPq
+      .IncrementalIvfPqTopK(
+        graft.operators.SimilarityPq.IncrementalIvfPq.memberIndex(
+          corpus, residual = true),
+        refineWith = Some(corpus), k = k, residual = true)
+      .transform(batch))
+    val rr = incrTruth.map { case (q, t) =>
+      pqIncrRes.getOrElse(q, Set.empty).intersect(t).size.toDouble /
+        t.size
+    }.sum / incrTruth.size
+    println(f"[ann-recall] ivf-pq incr RESIDUAL (ann_pq_incr_res)    " +
+      f"recall@$k = $rr%.3f")
 
     // ---- fold-drift (round-12 verdict #7): recall@5 BEFORE vs AFTER
     // several foldBatch ingests WITHOUT refit. Folds cannot displace

@@ -323,6 +323,84 @@ class SimilarityPqSpec extends AnyFunSuite {
     assert(e.getMessage.contains(victim.toString), e.getMessage)
   }
 
+  test("residual incremental ivf-pq: the persisted index carries α̂ + " +
+    "residual codes and q on nlist + ksub pick rows; probe == inline " +
+    "residual operator; fold == refit in the non-displacing regime; " +
+    "residual drift raises in BOTH directions") {
+    val data = embs(150)
+    val corpusIds = (8L until 150L)
+    // ids whose hash can never enter the WIDENED (nlist + ksub) pick
+    val batchIds = corpusIds.sortBy(id =>
+      (graft.functions.Portable.tokenHashLocal(id.toString), id))
+      .takeRight(30).toSet
+    val fitPart = data.filter(
+      org.apache.spark.sql.functions.col("vec_id") >= 8 &&
+        !org.apache.spark.sql.functions.col("vec_id")
+          .isin(batchIds.toSeq: _*))
+    val batch = data.filter(
+      org.apache.spark.sql.functions.col("vec_id")
+        .isin(batchIds.toSeq: _*))
+    val queries = data.filter(
+      org.apache.spark.sql.functions.col("vec_id") < 8)
+    val full = data.filter(
+      org.apache.spark.sql.functions.col("vec_id") >= 8)
+    val idx = SimilarityPq.IncrementalIvfPq.memberIndex(full,
+      nlist = 6, m = 4, ksub = 6, residual = true)
+    // self-description: q survives on exactly nlist + ksub rows, α̂
+    // rides every member
+    assert(idx.filter(org.apache.spark.sql.functions
+      .col("q").isNotNull).count() == 12)
+    assert(idx.columns.contains("alpha"))
+    val got = collectTopK(SimilarityPq.IncrementalIvfPqTopK(idx,
+      refineWith = Some(full), nlist = 6, m = 4, ksub = 6,
+      residual = true).transform(queries))
+    val inline = collectTopK(SimilarityPq.IvfPqTopK(_ => queries,
+      nlist = 6, m = 4, ksub = 6, residual = true).transform(full))
+    assert(got.nonEmpty && got == inline)
+    // fold == refit (batch ids are hash-largest — non-displacing at
+    // the widened pick by construction)
+    val folded = SimilarityPq.IncrementalIvfPq.foldBatch(
+      SimilarityPq.IncrementalIvfPq.memberIndex(fitPart, nlist = 6,
+        m = 4, ksub = 6, residual = true),
+      batch, nlist = 6, m = 4, ksub = 6, residual = true)
+    val viaFold = collectTopK(SimilarityPq.IncrementalIvfPqTopK(folded,
+      refineWith = Some(full), nlist = 6, m = 4, ksub = 6,
+      residual = true).transform(queries))
+    assert(viaFold == got)
+    // drift raises both ways (the fit param rides the index)
+    val e1 = intercept[IllegalArgumentException] {
+      SimilarityPq.IncrementalIvfPqTopK(idx, nlist = 6, m = 4,
+        ksub = 6).transform(queries).collect()
+    }
+    assert(e1.getMessage.contains("residual"), e1.getMessage)
+    val rawIdx = SimilarityPq.IncrementalIvfPq.memberIndex(full,
+      nlist = 6, m = 4, ksub = 6)
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityPq.IncrementalIvfPqTopK(rawIdx, nlist = 6, m = 4,
+        ksub = 6, residual = true).transform(queries).collect()
+    }
+    assert(e2.getMessage.contains("residual"), e2.getMessage)
+    // a LEGACY raw index (no alpha column, no residual fit param —
+    // metadata rebuilt from scratch) still probes raw — and a residual
+    // probe of it fails loud
+    val legacy = graft.util.SparkUtil.withFitParams(
+      rawIdx.drop("alpha").withColumn("cluster",
+        org.apache.spark.sql.functions.col("cluster").as("cluster",
+          org.apache.spark.sql.types.Metadata.empty)),
+      "cluster", Map("nlist" -> 6L, "m" -> 4L, "ksub" -> 6L))
+    val legacyGot = collectTopK(SimilarityPq.IncrementalIvfPqTopK(
+      legacy, refineWith = Some(full), nlist = 6, m = 4, ksub = 6)
+      .transform(queries))
+    assert(legacyGot == collectTopK(SimilarityPq.IncrementalIvfPqTopK(
+      rawIdx, refineWith = Some(full), nlist = 6, m = 4, ksub = 6)
+      .transform(queries)))
+    val e3 = intercept[IllegalArgumentException] {
+      SimilarityPq.IncrementalIvfPqTopK(legacy, nlist = 6, m = 4,
+        ksub = 6, residual = true).transform(queries).collect()
+    }
+    assert(e3.getMessage.contains("alpha"), e3.getMessage)
+  }
+
   test("ivf-pq: index members carry codes, never the full vector (the " +
     "compression invariant — codes length m, values in [1, ksub])") {
     val data = embs(40)

@@ -59,11 +59,13 @@ class StreamingCurationSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Corpus, Curation, Dsir, Tokenize}
     val corpus = fitCorpus
+    // plain lazy frames, not localCheckpoint: suites share one JVM and
+    // TextDedupSpec's leak probe unpersists ALL persistent RDDs — a
+    // checkpointed frame cannot recompute after losing its blocks,
+    // while these tiny artifact frames re-derive from literals freely
     var lineIdx = Corpus.IncrementalHotLines.lineIndex(corpus)
-      .localCheckpoint()
     var counts = Dsir.featureCounts(corpus, "seed", numFeatures = 64)
-      .localCheckpoint()
-    val vocab = Tokenize.VocabBuild().transform(corpus).localCheckpoint()
+    val vocab = Tokenize.VocabBuild().transform(corpus)
 
     val batch1 = Seq(
       arrival(0L, s"seedword alpha beta new one\n$banner\nown tail"),
@@ -119,9 +121,7 @@ class StreamingCurationSpec extends AnyFunSuite {
     val b1df = batch1.toDF()
       .withColumn("source", org.apache.spark.sql.functions.lit("web"))
     lineIdx = Corpus.IncrementalHotLines.foldBatch(lineIdx, b1df)
-      .localCheckpoint()
     counts = Dsir.foldBatch(counts, b1df, "seed", numFeatures = 64)
-      .localCheckpoint()
     val got2 = stream(lineIdx, counts, batch2, "cur_recipe_b2")
     val want2 = batchFace(lineIdx, counts, batch2)
     assert(got2.nonEmpty && got2 == want2,
@@ -136,10 +136,8 @@ class StreamingCurationSpec extends AnyFunSuite {
     import graft.operators.{Corpus, Curation, Dedup, Dsir, Tokenize}
     val corpus = fitCorpus
     val lineIdx = Corpus.IncrementalHotLines.lineIndex(corpus)
-      .localCheckpoint()
     val counts = Dsir.featureCounts(corpus, "seed", numFeatures = 64)
-      .localCheckpoint()
-    val vocab = Tokenize.VocabBuild().transform(corpus).localCheckpoint()
+    val vocab = Tokenize.VocabBuild().transform(corpus)
     // the loop's convention: the corpus the index describes is the
     // CURATED one — fit the minhash artifacts on stripped corpus text
     val strippedCorpus = Corpus.HotLineStrip(maxDocFreq = 2L)
@@ -147,9 +145,8 @@ class StreamingCurationSpec extends AnyFunSuite {
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("clean_text").as("text"))
     val sigIdx = Dedup.IncrementalMinHashLSH
-      .signatureIndex(strippedCorpus).localCheckpoint()
-    val bandIdx = Dedup.IncrementalMinHashLSH
-      .bandIndex(sigIdx).localCheckpoint()
+      .signatureIndex(strippedCorpus)
+    val bandIdx = Dedup.IncrementalMinHashLSH.bandIndex(sigIdx)
 
     val arrivals = Seq(
       // EXACT copy of corpus 100 (clean text identical post-strip) AND

@@ -66,6 +66,46 @@ class StreamingIvfPqTopKSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("RESIDUAL index: stream ADC top-k equals the batch " +
+    "refineWith=None residual probe bit-for-bit; residual drift " +
+    "raises before the stream starts") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = SimilarityPq.IncrementalIvfPq.memberIndex(corpus,
+      nlist = 4, m = 4, ksub = 6, residual = true).localCheckpoint()
+    val input = MemoryStream[VecEvent]
+    val out = new StreamingIvfPqTopK(idx, windowDuration = "1 minute",
+        watermarkDelay = "0 seconds", nlist = 4, m = 4, ksub = 6,
+        nprobe = 2, k = 3, residual = true)
+      .transform(input.toDF())
+    val query = out.writeStream.format("memory").queryName("sivfpq_res")
+      .outputMode("append").start()
+    try {
+      input.addData(queryRows.map { case (id, v) =>
+        VecEvent(new Timestamp(30000L), id, v) })
+      query.processAllAvailable()
+      input.addData(VecEvent(new Timestamp(600000L), 999L,
+        Seq.fill(8)(0.1f)))
+      query.processAllAvailable()
+      val got = spark.table("sivfpq_res")
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+        .filter(_._1 != 999L).sorted
+      val want = SimilarityPq.IncrementalIvfPqTopK(idx,
+          refineWith = None, nlist = 4, m = 4, ksub = 6, nprobe = 2,
+          k = 3, residual = true)
+        .transform(queryRows.toDF("vec_id", "embedding"))
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+      assert(want.nonEmpty)
+      assert(got == want)
+    } finally query.stop()
+    val e = intercept[IllegalArgumentException] {
+      new StreamingIvfPqTopK(idx, nlist = 4, m = 4, ksub = 6)
+        .transform(input.toDF())
+    }
+    assert(e.getMessage.contains("residual"), e.getMessage)
+  }
+
   test("the same query_id re-sent WITHIN one micro-batch with an " +
     "updated vector scores each event against its OWN vector — the " +
     "ADC table cache keys by (event, query), not query alone") {
