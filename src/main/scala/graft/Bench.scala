@@ -95,6 +95,8 @@ object Bench {
     // checkpoint-cut convention); the lazy plan is the typed scoring
     // pass over the checkpointed feature arrays
     "quality_classifier" -> Some("MapPartitions"),
+    "quality_clf_bigram" -> Some("MapPartitions"), // bigram features
+    "seq_pack_ranked" -> Some("MapPartitions"), // ShardPack typed pass
     "dsir_bigram" -> Some("Window"), // same selection, bigram features
     "dsir_incr" -> Some("Window"),
     "dsir_report" -> Some("Window"),

@@ -3080,7 +3080,7 @@ object OracleSql {
     * is exact 64-bit integer arithmetic.
     */
   def qualityClassifier(positiveValue: String, numFeatures: Int,
-                        rounds: Int): String = {
+                        rounds: Int, ngram: Int = 1): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""m$r AS (SELECT fx.doc_id, fx.tgt, sum(fx.x * w.wt) AS mg
          |  FROM fx JOIN w${r - 1} w USING (f) GROUP BY 1, 2),
@@ -3092,10 +3092,20 @@ object OracleSql {
          |w$r AS (SELECT w.f, w.wt + COALESCE(g.gr, 0) AS wt
          |  FROM w${r - 1} w LEFT JOIN g$r g USING (f))""".stripMargin
     }.mkString(",\n")
+    val posting =
+      if (ngram == 1)
+        s"""p AS (SELECT doc_id,
+           |    COALESCE(source = '$positiveValue', FALSE) AS tgt,
+           |    unnest($Toks) AS tok FROM d),""".stripMargin
+      else
+        s"""p0 AS (SELECT doc_id,
+           |    COALESCE(source = '$positiveValue', FALSE) AS tgt,
+           |    $Toks AS tk FROM d),
+           |p AS (SELECT doc_id, tgt,
+           |    unnest(list_transform(range(1, len(tk)),
+           |      i -> tk[i] || ' ' || tk[i + 1])) AS tok FROM p0),""".stripMargin
     s"""WITH d AS (SELECT doc_id, text, source FROM documents),
-       |p AS (SELECT doc_id,
-       |    COALESCE(source = '$positiveValue', FALSE) AS tgt,
-       |    unnest($Toks) AS tok FROM d),
+       |$posting
        |f0 AS (SELECT doc_id, tgt,
        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % $numFeatures
        |      AS f FROM p),
@@ -3293,7 +3303,8 @@ object OracleSql {
       |rdt AS (SELECT w.doc_id,
       |  flatten(list(
       |    list_transform(f.syms, s -> map_extract(i.im, s)[1])
-      |    ORDER BY w.pos)) AS ids
+      |    ORDER BY w.pos)) AS ids,
+      |  flatten(list(f.syms ORDER BY w.pos)) AS pcs
       |  FROM w JOIN rfin f USING (word), imapc i
       |  GROUP BY w.doc_id)""".stripMargin
 
@@ -3420,6 +3431,38 @@ object OracleSql {
        |t AS (SELECT d.doc_id,
        |  coalesce(dt.pcs, CAST([] AS VARCHAR[])) AS tk
        |  FROM documents d LEFT JOIN dt USING (doc_id)),
+       |s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+       |c AS (SELECT doc_id, n,
+       |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))
+       |    AS cs FROM s),
+       |c2 AS (SELECT doc_id, cs // $stride AS chunk_idx,
+       |  least($chunkTokens, n - cs) AS sz,
+       |  doc_id * 100000 + cs // $stride AS ck FROM c),
+       |r AS (SELECT *, SUM(sz) OVER (ORDER BY ck
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM c2)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(sz AS BIGINT) AS n_chunk_tokens,
+       |  CAST(cum AS BIGINT) AS cum_tokens,
+       |  CAST((cum - sz) // $budgetTokens AS BIGINT) AS pack_id
+       |FROM r ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** `seq_pack_ranked` — the full pretraining chain with REAL BPE
+    * inference: merge learning ([[bpeLearnCtes]]) → the rank-order
+    * application replay ([[bpeRankedCtes]] — pieces ride `rdt.pcs`) →
+    * chunk windows → exact prefix-sum pack. The [[seqPackBpeLearned]]
+    * tail over the ranked encode's pieces. */
+  def seqPackRanked(nMerges: Int, chunkTokens: Int,
+                    overlapTokens: Int, budgetTokens: Long): String = {
+    val stride = chunkTokens - overlapTokens
+    s"""WITH RECURSIVE
+       |${bpeWordCtes()},
+       |${bpeLearnCtes(nMerges)},
+       |$bpeRankedCtes,
+       |t AS (SELECT d.doc_id,
+       |  coalesce(rdt.pcs, CAST([] AS VARCHAR[])) AS tk
+       |  FROM documents d LEFT JOIN rdt USING (doc_id)),
        |s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
        |c AS (SELECT doc_id, n,
        |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))

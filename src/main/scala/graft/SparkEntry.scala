@@ -689,6 +689,15 @@ object SparkEntry {
         .transform(docs(s, dir))
         .select("doc_id", "quality_margin", "quality_keep")
         .orderBy("doc_id")),
+    // ...on hashed BIGRAM features (tells shuffled word salad from
+    // prose where unigrams cannot — the DSIR ngram=2 feature space);
+    // same oracle-replayed GD rounds over the bigram posting
+    "quality_clf_bigram" -> ((s, dir) =>
+      Classifier.QualityClassifier(positiveValue = "src0", rounds = 4,
+          ngram = 2)
+        .transform(docs(s, dir))
+        .select("doc_id", "quality_margin", "quality_keep")
+        .orderBy("doc_id")),
     "sample_dsir" -> ((s, dir) =>
       Dsir.ImportanceResample(targetValue = "src0", fraction = 0.2)
         .transform(docs(s, dir))
@@ -1512,6 +1521,27 @@ object SparkEntry {
           col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    // the full chain with REAL BPE inference (r15): merge learning →
+    // RANK-ORDER encode (the trainer's own algorithm, emitPieces) →
+    // chunk → exact prefix-sum pack; the oracle replays learning, the
+    // rank-order application AND the pack in one query
+    "seq_pack_ranked" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val enc = Tokenize.BpeEncodeRanked(
+          Tokenize.BpeLearn(nMerges = 20).transform(d),
+          emitPieces = true)
+        .transform(d)
+      Corpus.ShardPack(orderColumn = "chunk_key",
+          sizeColumn = "n_chunk_tokens", targetBytes = 256L)
+        .transform(ChunkSplit(chunkTokens = 24, overlapTokens = 6,
+            tokenArrayColumn = "bpe_pieces")
+          .transform(enc)
+          .withColumn("chunk_key",
+            col("doc_id") * 100000L + col("chunk_idx")))
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // token-budget mixture in the engine's OWN tokenizer units: the
     // encode's n_bpe_tokens drives MixBudget's tokenCountColumn path
     "mix_bpe" -> ((s, dir) => {
@@ -1604,6 +1634,8 @@ object SparkEntry {
     "sample_stratified" -> OracleSql.sampleStratified(
       Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft"),
     "quality_classifier" -> OracleSql.qualityClassifier("src0", 1024, 8),
+    "quality_clf_bigram" ->
+      OracleSql.qualityClassifier("src0", 1024, 4, ngram = 2),
     "sample_dsir" -> OracleSql.dsirResample("src0", 0.2, 4096, "graft"),
     "dsir_bigram" -> OracleSql.dsirResample("src0", 0.2, 4096, "graft",
       ngram = 2),
@@ -1689,6 +1721,7 @@ object SparkEntry {
     "bpe_byte" -> OracleSql.bpeByte(12),
     "bpe_roundtrip" -> OracleSql.bpeRoundtrip,
     "seq_pack_learn" -> OracleSql.seqPackBpeLearned(20, 24, 6, 256L),
+    "seq_pack_ranked" -> OracleSql.seqPackRanked(20, 24, 6, 256L),
     "bpe_enc_uni" -> OracleSql.bpeEncUni,
     "chunk_bpe" -> OracleSql.chunkBpe(24, 6),
     "seq_pack_bpe" -> OracleSql.seqPackBpeNative(24, 6, 256L),

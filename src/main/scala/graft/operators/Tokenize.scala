@@ -696,9 +696,11 @@ object Tokenize {
                                    rankColumn: String = "merge_rank",
                                    continuationPrefix: String = "##",
                                    unkId: Option[Long] = None,
+                                   unkPiece: String = "<unk>",
                                    lowercase: Boolean = true,
                                    maxVocab: Int = 1 << 22,
-                                   byteLevel: Boolean = false)
+                                   byteLevel: Boolean = false,
+                                   emitPieces: Boolean = false)
       extends Wrangler {
     require(continuationPrefix.nonEmpty,
       "continuationPrefix must be non-empty")
@@ -708,8 +710,9 @@ object Tokenize {
       "pieceColumn" -> pieceColumn, "vocabIdColumn" -> vocabIdColumn,
       "rankColumn" -> rankColumn,
       "continuationPrefix" -> continuationPrefix, "unkId" -> unkId,
-      "lowercase" -> lowercase, "maxVocab" -> maxVocab,
-      "byteLevel" -> byteLevel)
+      "unkPiece" -> unkPiece, "lowercase" -> lowercase,
+      "maxVocab" -> maxVocab, "byteLevel" -> byteLevel,
+      "emitPieces" -> emitPieces)
     override def preservesSampleSize: Boolean = true
 
     def transform(df: DataFrame): DataFrame = {
@@ -766,7 +769,11 @@ object Tokenize {
         if (lc) lower(col(txt).cast("string")) else col(txt).cast("string")
       val typed = df.select(col(idc).cast("long"), textExpr.as("__t"))
         .as[(Long, String)]
-      typed.mapPartitions { it =>
+      val pieces = emitPieces
+      val unkP = unkPiece
+      def encodedRows[R](it: Iterator[(Long, String)],
+                         mk: (Long, ArrayBuffer[Long],
+                           ArrayBuffer[String]) => R): Iterator[R] = {
         val ids = new java.util.HashMap[String, java.lang.Long]()
         val ranks = new java.util.HashMap[String, java.lang.Long]()
         bcVocab.value.foreach { case (p, id, r) =>
@@ -777,10 +784,12 @@ object Tokenize {
         def strip(s: String): String =
           if (s.startsWith(pfx)) s.substring(pfx.length) else s
         val out = new ArrayBuffer[Long](256)
+        val pcs = if (pieces) new ArrayBuffer[String](256) else null
         val syms = new ArrayBuffer[String](64)
         val next = new ArrayBuffer[String](64)
         it.map { case (docId, text) =>
           out.clear()
+          if (pcs != null) pcs.clear()
           if (text != null) {
             val words = ws.split(text)
             var wi = 0
@@ -835,20 +844,29 @@ object Tokenize {
                     syms ++= next
                   }
                 }
-                // final symbols -> ids; any miss UNKs the whole word
-                // (or raises), the BpeEncode contract
+                // final symbols -> ids (and, under emitPieces, the
+                // symbol strings themselves — they ARE vocab pieces);
+                // any miss UNKs the whole word (or raises), the
+                // BpeEncode contract
                 val mark = out.length
                 var ok = true
                 var si = 0
                 while (si < syms.length && ok) {
                   val id = ids.get(syms(si))
-                  if (id == null) ok = false else out += id.longValue
+                  if (id == null) ok = false
+                  else {
+                    out += id.longValue
+                    if (pcs != null) pcs += syms(si)
+                  }
                   si += 1
                 }
                 if (!ok) {
                   out.takeInPlace(mark)
+                  if (pcs != null) pcs.takeInPlace(mark)
                   unk match {
-                    case Some(u) => out += u
+                    case Some(u) =>
+                      out += u
+                      if (pcs != null) pcs += unkP
                     case None => throw new IllegalArgumentException(
                       s"BpeEncodeRanked: doc $docId word `$wRaw` has a " +
                         s"post-merge symbol `${syms(si - 1)}` not in " +
@@ -862,9 +880,16 @@ object Tokenize {
               wi += 1
             }
           }
-          BpeRow(docId, out.length.toLong, out.toArray)
+          mk(docId, out, pcs)
         }
-      }.toDF()
+      }
+      if (pieces)
+        typed.mapPartitions(it => encodedRows(it, (docId, out, pcs) =>
+          BpePieceRow(docId, out.length.toLong, out.toArray,
+            pcs.toArray))).toDF()
+      else
+        typed.mapPartitions(it => encodedRows(it, (docId, out, _) =>
+          BpeRow(docId, out.length.toLong, out.toArray))).toDF()
     }
   }
 

@@ -102,6 +102,33 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram features separate word ORDER where unigrams provably " +
+    "cannot: identical per-doc token counts leave the unigram model " +
+    "at margin 0 (balanced gradient), the bigram model gates exactly") {
+    // every doc holds 3 x's and 3 y's — unigram features identical, so
+    // the balanced batch gradient cancels and margins stay 0; bigram
+    // counts differ (xy-heavy vs yx-heavy)
+    val docs = (0L until 20L).map { i =>
+      val p = i % 2 == 0
+      (i, if (p) "seed" else "web",
+        if (p) "x y x y x y" else "y x y x y x")
+    }
+    val uni = Classifier.QualityClassifier(positiveValue = "seed",
+        numFeatures = 257, rounds = 4)
+      .transform(docs.toDF("doc_id", "source", "text"))
+      .select("doc_id", "quality_margin")
+      .as[(Long, Long)].collect()
+    assert(uni.forall(_._2 == 0L), uni.toSeq.toString)
+    val bi = Classifier.QualityClassifier(positiveValue = "seed",
+        numFeatures = 257, rounds = 4, ngram = 2)
+      .transform(docs.toDF("doc_id", "source", "text"))
+      .select("doc_id", "quality_keep")
+      .as[(Long, Boolean)].collect().toMap
+    docs.foreach { case (id, src, _) =>
+      assert(bi(id) == (src == "seed"), s"doc $id")
+    }
+  }
+
   test("fail loud: a one-class corpus raises naming both counts; " +
     "rounds over the barrier cap raise; null text scores exactly 0") {
     val oneClass = Seq((1L, "seed", "a"), (2L, "seed", "b"))

@@ -137,6 +137,40 @@ class TokenizeRankedSpec extends AnyFunSuite {
     assert(dec == "hüg 🚀🚀 pug zzz")
   }
 
+  test("emitPieces: the emitted pieces are exactly the final merge " +
+    "symbols (vocab rows), they reassemble the canonical text, and " +
+    "they drive ChunkSplit's external-token path") {
+    val docs = Seq((1L, "hug hug pug"), (2L, "hug pug hugs"))
+      .toDF("doc_id", "text")
+    val vocab = Tokenize.BpeLearn(nMerges = 10).transform(docs)
+    val enc = Tokenize.BpeEncodeRanked(vocab, emitPieces = true)
+      .transform(docs)
+    val got = enc.select("doc_id", "bpe_ids", "bpe_pieces")
+      .as[(Long, Seq[Long], Seq[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val byId = vocab.as[(String, Long, Long)].collect()
+      .map(r => r._2 -> r._1).toMap
+    got.foreach { case (_, (ids, pcs)) =>
+      assert(ids.map(byId) == pcs) // pieces ARE the matched vocab rows
+    }
+    // reassembly: strip continuation prefixes, split at first-form
+    // pieces — the canonical text comes back
+    def reassemble(pcs: Seq[String]): String = {
+      val words = scala.collection.mutable.ArrayBuffer.empty[String]
+      pcs.foreach { p =>
+        if (p.startsWith("##")) words(words.length - 1) += p.drop(2)
+        else words += p
+      }
+      words.mkString(" ")
+    }
+    assert(reassemble(got(1L)._2) == "hug hug pug")
+    // the chunker consumes the pieces unchanged
+    val chunks = ChunkSplit(chunkTokens = 2, overlapTokens = 0,
+        tokenArrayColumn = "bpe_pieces")
+      .transform(enc)
+    assert(chunks.count() > 0)
+  }
+
   test("fail loud: a char-level vocab missing a character raises " +
     "naming the word (or UNKs the WHOLE word with unkId); duplicate " +
     "merge ranks and a missing merge_rank column raise at build") {
