@@ -96,6 +96,9 @@ object Bench {
     // pass over the checkpointed feature arrays
     "quality_classifier" -> Some("MapPartitions"),
     "quality_clf_bigram" -> Some("MapPartitions"), // bigram features
+    // the weights artifact: training runs eagerly in the builder
+    // (checkpoint-cut rounds); the lazy plan is the tiny sparse frame
+    "quality_weights" -> None,
     "seq_pack_ranked" -> Some("MapPartitions"), // ShardPack typed pass
     "dsir_bigram" -> Some("Window"), // same selection, bigram features
     "dsir_incr" -> Some("Window"),

@@ -3080,7 +3080,14 @@ object OracleSql {
     * is exact 64-bit integer arithmetic.
     */
   def qualityClassifier(positiveValue: String, numFeatures: Int,
-                        rounds: Int, ngram: Int = 1): String = {
+                        rounds: Int, ngram: Int = 1,
+                        finalSelect: String = null): String = {
+    val finalSel = Option(finalSelect).getOrElse(
+      """SELECT d.doc_id,
+        |  CAST(COALESCE(s.margin, 0) AS BIGINT) AS quality_margin,
+        |  COALESCE(s.margin, 0) > 0 AS quality_keep
+        |FROM d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
     val roundCtes = (1 to rounds).map { r =>
       s"""m$r AS (SELECT fx.doc_id, fx.tgt, sum(fx.x * w.wt) AS mg
          |  FROM fx JOIN w${r - 1} w USING (f) GROUP BY 1, 2),
@@ -3115,12 +3122,19 @@ object OracleSql {
        |$roundCtes,
        |s AS (SELECT fx.doc_id, sum(fx.x * w.wt) AS margin
        |  FROM fx JOIN w$rounds w USING (f) GROUP BY 1)
-       |SELECT d.doc_id,
-       |  CAST(COALESCE(s.margin, 0) AS BIGINT) AS quality_margin,
-       |  COALESCE(s.margin, 0) > 0 AS quality_keep
-       |FROM d LEFT JOIN s USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
+       |$finalSel""".stripMargin
   }
+
+  /** The PERSISTED weights artifact (`Classifier.weightsTable`):
+    * the same unrolled GD rounds, final weights out — nonzero cells
+    * only (sparse), ordered by feature. */
+  def qualityWeights(positiveValue: String, numFeatures: Int,
+                     rounds: Int, ngram: Int = 1): String =
+    qualityClassifier(positiveValue, numFeatures, rounds, ngram,
+      finalSelect = s"""SELECT CAST(w.f AS BIGINT) AS feature,
+         |  CAST(w.wt AS BIGINT) AS weight
+         |FROM w$rounds w WHERE w.wt <> 0
+         |ORDER BY feature""".stripMargin)
 
   /** DEEP-VOCAB batched BPE learning replay (`Tokenize.BpeLearn`
     * `batchMerges > 1`) — the batched rounds themselves: per round,

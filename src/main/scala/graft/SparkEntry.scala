@@ -698,6 +698,15 @@ object SparkEntry {
         .transform(docs(s, dir))
         .select("doc_id", "quality_margin", "quality_keep")
         .orderBy("doc_id")),
+    // the PERSISTED weights artifact (r15): the trained gate's
+    // deployable face — nonzero (feature, weight) cells out of the
+    // same oracle-replayed GD rounds; Classifier.Score /
+    // StreamingQualityGate consume it batch or stream
+    "quality_weights" -> ((s, dir) =>
+      Classifier.weightsTable(docs(s, dir), positiveValue = "src0",
+          rounds = 8)
+        .select("feature", "weight")
+        .orderBy("feature")),
     "sample_dsir" -> ((s, dir) =>
       Dsir.ImportanceResample(targetValue = "src0", fraction = 0.2)
         .transform(docs(s, dir))
@@ -1636,6 +1645,7 @@ object SparkEntry {
     "quality_classifier" -> OracleSql.qualityClassifier("src0", 1024, 8),
     "quality_clf_bigram" ->
       OracleSql.qualityClassifier("src0", 1024, 4, ngram = 2),
+    "quality_weights" -> OracleSql.qualityWeights("src0", 1024, 8),
     "sample_dsir" -> OracleSql.dsirResample("src0", 0.2, 4096, "graft"),
     "dsir_bigram" -> OracleSql.dsirResample("src0", 0.2, 4096, "graft",
       ngram = 2),

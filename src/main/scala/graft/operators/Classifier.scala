@@ -105,42 +105,9 @@ object Classifier {
           coalesce(featArray(textColumn, numFeatures, ngram),
             array().cast("array<long>")).as("feats"))
         .localCheckpoint()
-      val classes = docFeats.agg(
-        sum(when(col("pos"), 1L).otherwise(0L)),
-        sum(when(col("pos"), 0L).otherwise(1L))).collect()(0)
-      val (nPos, nNeg) =
-        if (classes.isNullAt(0)) (0L, 0L)
-        else (classes.getLong(0), classes.getLong(1))
-      require(nPos > 0L && nNeg > 0L,
-        s"QualityClassifier: need BOTH classes non-empty — $nPos " +
-          s"positive (`$sourceColumn` = `$positiveValue`) vs $nNeg " +
-          "negative rows; a one-class classifier is a wiring bug")
-      val nf = numFeatures
-      var w = new Array[Long](nf)
       val typed = docFeats.as[(Long, Boolean, Array[Long])]
-      (0 until rounds).foreach { _ =>
-        val bcW = spark.sparkContext.broadcast(w)
-        val grad = typed.mapPartitions { it =>
-          val wv = bcW.value
-          val g = new Array[Long](nf)
-          it.foreach { case (_, pos, feats) =>
-            var m = 0L
-            var i = 0
-            while (i < feats.length) { m += wv(feats(i).toInt); i += 1 }
-            val y = if (pos) 1L else -1L
-            if (y * m <= 0L) {
-              i = 0
-              while (i < feats.length) { g(feats(i).toInt) += y; i += 1 }
-            }
-          }
-          Iterator.single(g)
-        }.reduce { (a, b) =>
-          var i = 0
-          while (i < a.length) { a(i) += b(i); i += 1 }
-          a
-        }
-        w = Array.tabulate(nf)(i => w(i) + grad(i))
-      }
+      val w = trainOn(typed, positiveValue, sourceColumn, numFeatures,
+        rounds, "QualityClassifier")
       val bcW = spark.sparkContext.broadcast(w)
       typed.mapPartitions { it =>
         val wv = bcW.value
@@ -151,6 +118,155 @@ object Classifier {
           (id, m, m > 0L)
         }
       }.toDF(idColumn, "quality_margin", "quality_keep")
+    }
+  }
+
+  /** The full-batch perceptron rounds over a prepared `(id, pos,
+    * feats)` dataset — shared by [[QualityClassifier]] (train + score
+    * inline) and [[weightsTable]] (train + persist), so the two can
+    * never drift. */
+  private def trainOn(
+      typed: org.apache.spark.sql.Dataset[(Long, Boolean, Array[Long])],
+      positiveValue: String, sourceColumn: String, numFeatures: Int,
+      rounds: Int, who: String): Array[Long] = {
+    import org.apache.spark.sql.functions.{sum, when, col, lit}
+    val spark = typed.sparkSession
+    import spark.implicits._
+    val classes = typed.toDF("id", "pos", "feats").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)),
+      sum(when(col("pos"), 0L).otherwise(1L))).collect()(0)
+    val (nPos, nNeg) =
+      if (classes.isNullAt(0)) (0L, 0L)
+      else (classes.getLong(0), classes.getLong(1))
+    require(nPos > 0L && nNeg > 0L,
+      s"$who: need BOTH classes non-empty — $nPos " +
+        s"positive (`$sourceColumn` = `$positiveValue`) vs $nNeg " +
+        "negative rows; a one-class classifier is a wiring bug")
+    val nf = numFeatures
+    var w = new Array[Long](nf)
+    (0 until rounds).foreach { _ =>
+      val bcW = spark.sparkContext.broadcast(w)
+      val grad = typed.mapPartitions { it =>
+        val wv = bcW.value
+        val g = new Array[Long](nf)
+        it.foreach { case (_, pos, feats) =>
+          var m = 0L
+          var i = 0
+          while (i < feats.length) { m += wv(feats(i).toInt); i += 1 }
+          val y = if (pos) 1L else -1L
+          if (y * m <= 0L) {
+            i = 0
+            while (i < feats.length) { g(feats(i).toInt) += y; i += 1 }
+          }
+        }
+        Iterator.single(g)
+      }.reduce { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      w = Array.tabulate(nf)(i => w(i) + grad(i))
+    }
+    w
+  }
+
+  /** Train and PERSIST the classifier as a `(feature, weight)` frame —
+    * the fit artifact the ingest loop deploys (the [[Dsir.featureCounts]]
+    * convention): nonzero cells only (sparse, deterministic), fit
+    * params (`numFeatures`, `rounds`, `ngram` + the positive label)
+    * riding the `feature` column's metadata so every scoring-side
+    * drift direction raises. [[Score]] consumes it on batch OR stream.
+    */
+  def weightsTable(corpus: DataFrame, positiveValue: String,
+                   sourceColumn: String = "source",
+                   textColumn: String = "text",
+                   numFeatures: Int = 1024, rounds: Int = 8,
+                   ngram: Int = 1, maxRounds: Int = 256): DataFrame = {
+    require(numFeatures >= 1, "numFeatures must be >= 1")
+    require(rounds >= 1 && rounds <= maxRounds,
+      s"Classifier.weightsTable: rounds=$rounds outside [1, " +
+        s"$maxRounds] — every round is one driver-coordinated corpus " +
+        "pass; raise maxRounds explicitly if training this long is " +
+        "intended")
+    require(ngram == 1 || ngram == 2, s"ngram must be 1 or 2, got $ngram")
+    SparkUtil.validateColumns(corpus, Seq(sourceColumn, textColumn))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val docFeats = corpus.select(lit(0L).as("id"),
+        coalesce(col(sourceColumn) === lit(positiveValue), lit(false))
+          .as("pos"),
+        coalesce(featArray(textColumn, numFeatures, ngram),
+          array().cast("array<long>")).as("feats"))
+      .localCheckpoint()
+    val w = trainOn(docFeats.as[(Long, Boolean, Array[Long])],
+      positiveValue, sourceColumn, numFeatures, rounds,
+      "Classifier.weightsTable")
+    SparkUtil.withFitParamsStr(
+      SparkUtil.withFitParams(
+        w.zipWithIndex.collect { case (wt, f) if wt != 0L =>
+          (f.toLong, wt)
+        }.toSeq.toDF("feature", "weight"),
+        "feature", Map("numFeatures" -> numFeatures.toLong,
+          "rounds" -> rounds.toLong, "ngram" -> ngram.toLong)),
+      "feature", Map("positiveValue" -> positiveValue))
+  }
+
+  /** Score documents against a PERSISTED [[weightsTable]] — a pure
+    * map-side pass, legal on batch and streaming frames alike (the
+    * [[Tokenize.BpeEncode]] duality); the deployable face of the
+    * trained gate for the ingest loop. Output: `(doc_id,
+    * quality_margin, quality_keep)`, bit-identical to training-side
+    * scoring by construction (spec-pinned). Fit drift (numFeatures,
+    * ngram) raises before the plan runs.
+    */
+  final case class Score(weights: DataFrame,
+                         idColumn: String = "doc_id",
+                         textColumn: String = "text",
+                         numFeatures: Int = 1024,
+                         ngram: Int = 1)
+      extends Wrangler {
+    require(numFeatures >= 1 && numFeatures <= (1 << 20),
+      "numFeatures must be in [1, 2^20] — the weight array is " +
+        s"driver-held; got $numFeatures")
+    require(ngram == 1 || ngram == 2, s"ngram must be 1 or 2, got $ngram")
+    override def getParams: Seq[(String, Any)] = Seq(
+      "idColumn" -> idColumn, "textColumn" -> textColumn,
+      "numFeatures" -> numFeatures, "ngram" -> ngram)
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      SparkUtil.validateColumns(weights, Seq("feature", "weight"))
+      SparkUtil.requireFitParam(weights, "feature", "numFeatures",
+        numFeatures.toLong, "Classifier.Score")
+      SparkUtil.requireFitParam(weights, "feature", "ngram",
+        ngram.toLong, "Classifier.Score")
+      val spark = df.sparkSession
+      import spark.implicits._
+      val rows = weights.select(col("feature").cast("long"),
+          col("weight").cast("long"))
+        .as[(Long, Long)].collect()
+      val w = new Array[Long](numFeatures)
+      rows.foreach { case (f, wt) =>
+        require(f >= 0 && f < numFeatures,
+          s"Classifier.Score: feature $f out of [0, $numFeatures) — " +
+            "the weights were trained with a different numFeatures")
+        w(f.toInt) = wt
+      }
+      val bcW = spark.sparkContext.broadcast(w)
+      df.select(col(idColumn).cast("long").as("id"),
+          coalesce(featArray(textColumn, numFeatures, ngram),
+            array().cast("array<long>")).as("feats"))
+        .as[(Long, Array[Long])]
+        .mapPartitions { it =>
+          val wv = bcW.value
+          it.map { case (id, feats) =>
+            var m = 0L
+            var i = 0
+            while (i < feats.length) { m += wv(feats(i).toInt); i += 1 }
+            (id, m, m > 0L)
+          }
+        }.toDF(idColumn, "quality_margin", "quality_keep")
     }
   }
 }

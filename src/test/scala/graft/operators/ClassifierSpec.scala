@@ -129,6 +129,41 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted weights: train -> weightsTable -> Score equals " +
+    "direct train-then-score margin for margin; fit drift raises") {
+    val docs = (0L until 30L).map { i =>
+      val p = i % 3 == 0
+      (i, if (p) "seed" else "web",
+        s"shared noise ${if (p) "fine prose words" else "junk spam"} t$i")
+    }
+    val df = docs.toDF("doc_id", "source", "text")
+    val direct = Classifier.QualityClassifier(positiveValue = "seed",
+        numFeatures = 64, rounds = 5)
+      .transform(df)
+      .select("doc_id", "quality_margin", "quality_keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val w = Classifier.weightsTable(df, positiveValue = "seed",
+      numFeatures = 64, rounds = 5)
+    // the artifact is sparse and self-describing
+    assert(w.filter("weight = 0").count() == 0)
+    assert(graft.util.SparkUtil.fitParam(w, "feature", "rounds")
+      == Some(5L))
+    val scored = Classifier.Score(w, numFeatures = 64)
+      .transform(df.select("doc_id", "text"))
+      .select("doc_id", "quality_margin", "quality_keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(scored == direct)
+    // drift raises: numFeatures and ngram both directions
+    val e = intercept[IllegalArgumentException] {
+      Classifier.Score(w, numFeatures = 128).transform(df)
+    }
+    assert(e.getMessage.contains("numFeatures"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Classifier.Score(w, numFeatures = 64, ngram = 2).transform(df)
+    }
+    assert(e2.getMessage.contains("ngram"), e2.getMessage)
+  }
+
   test("fail loud: a one-class corpus raises naming both counts; " +
     "rounds over the barrier cap raise; null text scores exactly 0") {
     val oneClass = Seq((1L, "seed", "a"), (2L, "seed", "b"))
