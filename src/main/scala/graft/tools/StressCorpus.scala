@@ -524,6 +524,75 @@ object StressCorpus {
       hFold
     }
 
+    // ----- the RESIDUAL index at the same scale: fold == refit with
+    // the WIDENED (nlist + ksub) pick — the batch is the hash-largest
+    // 1000 ids, so it cannot displace the widened pick either
+    time(s"ann_pq_incr_res vecs=$nDocs fold==refit at scale") {
+      val allIds = (8L until nDocs.toLong)
+      val foldIds = allIds
+        .sortBy(id => (graft.functions.Portable.tokenHashLocal(
+          id.toString), id))
+        .takeRight(1000).toSet
+      val corpus = vecs.filter(col("vec_id") >= 8)
+      val fit0 = corpus.filter(!col("vec_id").isInCollection(foldIds))
+      val batch = corpus.filter(col("vec_id").isInCollection(foldIds))
+      val queries = vecs.filter(col("vec_id") < 8)
+      val idx = graft.operators.SimilarityPq.IncrementalIvfPq
+        .memberIndex(fit0, nlist = 64, m = 4, ksub = 16,
+          residual = true)
+        .localCheckpoint()
+      val folded = graft.operators.SimilarityPq.IncrementalIvfPq
+        .foldBatch(idx, batch, nlist = 64, m = 4, ksub = 16,
+          residual = true)
+        .localCheckpoint()
+      val refit = graft.operators.SimilarityPq.IncrementalIvfPq
+        .memberIndex(corpus, nlist = 64, m = 4, ksub = 16,
+          residual = true)
+      def probe(i: DataFrame): Long = annCheck(
+        graft.operators.SimilarityPq.IncrementalIvfPqTopK(i,
+          refineWith = Some(corpus), nlist = 64, m = 4, ksub = 16,
+          nprobe = 8, k = 5, residual = true).transform(queries), 5)
+      val hFold = probe(folded)
+      val hRefit = probe(refit)
+      require(hFold == hRefit,
+        "residual folded-index probe != refit probe at 2M vectors")
+      hFold
+    }
+
+    // ----- the composed curation recipe at 2M docs: the gate admits
+    // EXACTLY the seed-shaped half (per-class text is constant up to
+    // the unique tail, so per-class scores separate deterministically),
+    // the strip keeps exactly 2 of 3 lines per admitted doc, and rows
+    // are one-per-admitted-doc — all structural facts checked exactly
+    time(s"curation_recipe docs=$nDocs (closed-form admissions)") {
+      val banner = "the shared cookie banner line"
+      val cdocs = spark.range(nDocs.toLong)
+        .select(col("id").as("doc_id"),
+          when(col("id") % 2 === 0, "seed").otherwise("web")
+            .as("source"),
+          concat(
+            when(col("id") % 2 === 0, lit("seedword fine prose words "))
+              .otherwise(lit("junk spam noise words ")),
+            col("id"), lit("\n" + banner + "\ntail "), col("id"))
+            .as("text"))
+      val out = graft.operators.Curation.Recipe(
+          graft.operators.Corpus.IncrementalHotLines.lineIndex(cdocs),
+          graft.operators.Dsir.featureCounts(cdocs, "seed"),
+          graft.operators.Tokenize.VocabBuild().transform(cdocs),
+          minScore = 1L, maxDocFreq = 1000L)
+        .transform(cdocs)
+      val r = out.agg(count(lit(1)), sum("n_lines"),
+        sum("n_kept_lines"), min(col("doc_id") % 2),
+        max(col("doc_id") % 2), sum("n_bpe_tokens")).collect()(0)
+      require(r.getLong(0) == nDocs / 2L, s"admission drift: $r")
+      require(r.getLong(3) == 0L && r.getLong(4) == 0L,
+        s"a web doc leaked through the gate: $r")
+      require(r.getLong(1) == 3L * (nDocs / 2L) &&
+        r.getLong(2) == 2L * (nDocs / 2L), s"strip drift: $r")
+      require(r.getLong(5) > 0L, s"encode drift: $r")
+      r.getLong(0)
+    }
+
     // ----- PQ TRAINING at corpus scale: each Lloyd round is one pass
     // of typed partial sums over the (checkpointed) quantized rows;
     // driver state is m*ksub*dsub longs. Check: training is
