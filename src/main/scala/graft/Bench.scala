@@ -142,6 +142,7 @@ object Bench {
     // convention); the lazy plan keeps the broadcast re-rank joins
     "ann_ivf_pq" -> Some("BroadcastHashJoin"),
     "ann_ivf_pq_res" -> Some("BroadcastHashJoin"),
+    "ann_ivf_pq_rt" -> Some("BroadcastHashJoin"),
     "ann_ivf_pq_t" -> Some("BroadcastHashJoin"),
     "ann_srp" -> Some("BroadcastHashJoin"),
     "ann_ivf_pq_incr" -> Some("BroadcastHashJoin"),

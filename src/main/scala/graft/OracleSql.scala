@@ -2244,6 +2244,135 @@ object OracleSql {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-PQ with PROJECTION-RESIDUAL encoding AND Lloyd-TRAINED
+    * residual-space codebooks (`IvfPqTopK(residual = true, train > 0)`
+    * — the best-recall config measured, 0.450 at refine=4): the
+    * [[annIvfPqRes]] residual derivation, with codebooks initialized
+    * from the OFFSET pick's residual slices and each Lloyd round an
+    * argmin-L2 assignment + rounded-mean recompute over RESIDUAL
+    * vectors, then the decomposed ADC and exact refine.
+    */
+  def annIvfPqResTrained(dim: Int, nlist: Int, nprobe: Int, m: Int,
+                         ksub: Int, k: Int, refine: Int,
+                         maxQueryId: Long, iters: Int): String = {
+    require(dim % m == 0,
+      s"annIvfPqResTrained: dim=$dim not divisible by m=$m")
+    require(iters >= 1, "annIvfPqResTrained: iters must be >= 1")
+    val dsub = dim / m
+    val S = 10000L
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def cosE(a: String, b: String, na: String, nb: String) =
+      s"CAST(${dotE(a, b)} AS DOUBLE) / " +
+        s"sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
+    // assignment of every corpus RESIDUAL sub-vector to its argmin-L2
+    // entry of codebook relation `cbN(s, j, e)`
+    def asgCte(name: String, cbN: String): String =
+      s"""$name AS (SELECT id, s, j FROM (
+         |  SELECT r.id, cb.s, cb.j, row_number() OVER (
+         |    PARTITION BY r.id, cb.s ORDER BY
+         |    list_reduce(list_transform(range(1, ${dsub + 1}),
+         |      i -> (r.rq[cb.s * $dsub + i] - cb.e[i]) *
+         |           (r.rq[cb.s * $dsub + i] - cb.e[i])),
+         |      (x, y) -> x + y) ASC, cb.j ASC) AS rn
+         |  FROM resid r CROSS JOIN $cbN cb) WHERE rn = 1)""".stripMargin
+    val rounds = (0 until iters).map { r =>
+      s"""${asgCte(s"asg$r", s"cb$r")},
+         |sm$r AS (SELECT a.s, a.j, t.i,
+         |  SUM(r2.rq[a.s * $dsub + t.i]) AS sv, COUNT(*) AS cnt
+         |  FROM asg$r a JOIN resid r2 ON r2.id = a.id
+         |  CROSS JOIN (SELECT unnest(range(1, ${dsub + 1})) AS i) t
+         |  GROUP BY a.s, a.j, t.i),
+         |cb${r + 1} AS (SELECT c.s, c.j,
+         |  CASE WHEN g.ne IS NULL THEN c.e ELSE g.ne END AS e
+         |  FROM cb$r c LEFT JOIN (
+         |    SELECT s, j, list((2 * sv + CASE WHEN sv < 0 THEN -cnt
+         |        WHEN sv > 0 THEN cnt ELSE 0 END) // (2 * cnt)
+         |        ORDER BY i) AS ne
+         |    FROM sm$r GROUP BY s, j) g
+         |  ON g.s = c.s AND g.j = c.j)""".stripMargin
+    }.mkString(",\n")
+    s"""$QuantizedVecs,
+       |hh AS (SELECT id,
+       |  CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)
+       |    AS h FROM n),
+       |sel AS (SELECT id, h FROM hh ORDER BY h, id LIMIT $nlist),
+       |cents AS (SELECT row_number() OVER (ORDER BY s.h, s.id) AS cid,
+       |  n.q AS cq, n.nrm AS cnrm FROM sel s JOIN n ON n.id = s.id),
+       |asgn0 AS (SELECT n.id, n.q, n.nrm, c.cid,
+       |  row_number() OVER (PARTITION BY n.id ORDER BY
+       |    ${cosE("n.q", "c.cq", "n.nrm", "c.cnrm")} DESC, c.cid ASC)
+       |    AS rn
+       |  FROM n CROSS JOIN cents c),
+       |asgn AS (SELECT id, nrm, cid FROM asgn0 WHERE rn = 1),
+       |am0 AS (SELECT a.id, a.cid, n.q, n.nrm, c.cq, c.cnrm,
+       |  ${dotE("n.q", "c.cq")} AS dxc
+       |  FROM asgn a JOIN n ON n.id = a.id
+       |  JOIN cents c ON c.cid = a.cid),
+       |am AS (SELECT id, cid, q, nrm, cq,
+       |  CASE WHEN cnrm = 0 THEN 0
+       |    ELSE (2 * $S * dxc + CASE WHEN dxc < 0 THEN -cnrm
+       |      WHEN dxc > 0 THEN cnrm ELSE 0 END) // (2 * cnrm)
+       |  END AS alpha FROM am0),
+       |resid AS (SELECT id, cid, nrm, alpha,
+       |  list_transform(range(1, ${dim + 1}),
+       |    i -> q[i] - (2 * alpha * cq[i] +
+       |      CASE WHEN alpha * cq[i] < 0 THEN -$S
+       |        WHEN alpha * cq[i] > 0 THEN $S ELSE 0 END) // ${2 * S})
+       |    AS rq
+       |  FROM am),
+       |probes0 AS (SELECT id AS query_id, q AS qq, qnrm, cid
+       |  FROM (SELECT id, q, nrm AS qnrm, cid, rn FROM asgn0)
+       |  WHERE id < $maxQueryId AND rn <= $nprobe),
+       |probes AS (SELECT p.query_id, p.qq, p.qnrm, p.cid,
+       |  ${dotE("p.qq", "c.cq")} AS cdot
+       |  FROM probes0 p JOIN cents c ON c.cid = p.cid),
+       |cbsel AS (SELECT id, h FROM hh ORDER BY h, id
+       |  LIMIT $ksub OFFSET $nlist),
+       |subs AS (SELECT unnest(range(0, $m)) AS s),
+       |cb0 AS (SELECT ss.s, c.j,
+       |  list_transform(range(1, ${dsub + 1}),
+       |    i -> c.rq[ss.s * $dsub + i]) AS e
+       |  FROM (SELECT row_number() OVER (ORDER BY s2.h, s2.id) AS j,
+       |        r.rq FROM cbsel s2 JOIN resid r ON r.id = s2.id) c
+       |  CROSS JOIN subs ss),
+       |$rounds,
+       |${asgCte("codes", s"cb$iters")},
+       |cand AS (SELECT a.id, a.alpha, p.query_id, p.qq, p.qnrm, a.nrm,
+       |  p.cdot
+       |  FROM resid a JOIN probes p ON a.cid = p.cid
+       |  WHERE a.id <> p.query_id),
+       |parts AS (SELECT cd.id, c2.query_id,
+       |  list_reduce(list_transform(range(1, ${dsub + 1}),
+       |    i -> cb.e[i] * c2.qq[cd.s * $dsub + i]),
+       |    (x, y) -> x + y) AS dp
+       |  FROM cand c2 JOIN codes cd ON cd.id = c2.id
+       |  JOIN cb$iters cb ON cb.s = cd.s AND cb.j = cd.j),
+       |approx AS (SELECT id, query_id, sum(dp) AS adot FROM parts
+       |  GROUP BY id, query_id),
+       |acos AS (SELECT ap.id, ap.query_id,
+       |  CAST(c.alpha * c.cdot + $S * ap.adot AS DOUBLE) /
+       |    ($S * sqrt(CAST(c.nrm AS DOUBLE) * CAST(c.qnrm AS DOUBLE)))
+       |    AS ac
+       |  FROM approx ap JOIN cand c
+       |  ON c.id = ap.id AND c.query_id = ap.query_id),
+       |short AS (SELECT id, query_id FROM (SELECT id, query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ac DESC, id ASC) AS rn FROM acos)
+       |  WHERE rn <= ${k * refine}),
+       |sc AS (SELECT s2.id, s2.query_id,
+       |  round(${cosE("x.q", "qv.q", "x.nrm", "qv.nrm")}, 6) AS cosine
+       |  FROM short s2 JOIN n x ON x.id = s2.id
+       |  JOIN n qv ON qv.id = s2.query_id),
+       |r AS (SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, id ASC) AS rank,
+       |  id AS neighbor_id, cosine FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Incremental IVF-PQ probe with PROJECTION-RESIDUAL encoding
     * (`IncrementalIvfPq.memberIndex(residual = true)` +
     * `IncrementalIvfPqTopK(residual = true)`): the corpus

@@ -1211,6 +1211,15 @@ object SparkEntry {
     // — the scan runs over rdim=16 deterministic ±1 projections, only
     // the k*refine shortlist touches full vectors; oracle replays the
     // projection, the projected-space shortlist and the exact re-rank
+    // residual + TRAINED composition (r15): the best-recall config
+    // measured (0.450 at refine=4 — AnnRecall) — Lloyd rounds run in
+    // RESIDUAL space; the oracle replays residual derivation, the
+    // residual-space training rounds, the decomposed ADC and refine
+    "ann_ivf_pq_rt" -> ((s, dir) =>
+      SimilarityPq.IvfPqTopK(df => df.filter(col("vec_id") < 8),
+          residual = true, train = 2, cacheCorpus = true)
+        .transform(embs(s, dir))
+        .orderBy("query_id", "rank")),
     // the residual encode on the PERSISTED index (r15): fit the
     // compressed index with per-member α̂ + residual codes (the pick
     // widens to nlist + ksub — residual codebooks need rows beyond
@@ -1708,6 +1717,8 @@ object SparkEntry {
     "ann_ivf_incr" -> OracleSql.annIvfIncr(64, 16, 4, 5, 8),
     "ann_ivf_pq" -> OracleSql.annIvfPq(64, 16, 4, 8, 16, 5, 4, 8),
     "ann_ivf_pq_res" -> OracleSql.annIvfPqRes(64, 16, 4, 8, 16, 5, 4, 8),
+    "ann_ivf_pq_rt" ->
+      OracleSql.annIvfPqResTrained(64, 16, 4, 8, 16, 5, 4, 8, 2),
     "ann_ivf_pq_t" -> OracleSql.annIvfPqTrained(64, 16, 4, 8, 16, 5, 4,
       8, 2),
     "ann_srp" -> OracleSql.annSrp(64, 16, 5, 4, 8),
