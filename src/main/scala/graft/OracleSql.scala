@@ -3138,10 +3138,73 @@ object OracleSql {
     * (score >= minScore) survive.
     */
   def curationRecipe(targetValue: String, minScore: Long,
-                     numFeatures: Int, maxDocFreq: Long): String =
+                     numFeatures: Int, maxDocFreq: Long,
+                     clfRounds: Int = 0,
+                     clfNumFeatures: Int = 1024): String = {
+    // the OPTIONAL trained-gate leg (clfRounds > 0): the
+    // qualityClassifier GD-round replay over the SAME ml corpus,
+    // k-prefixed CTE names; admission then requires margin > 0 in
+    // addition to the DSIR threshold, and quality_margin rides the
+    // output (Curation.Recipe's classifierWeights contract)
+    val clfCtes =
+      if (clfRounds == 0) ""
+      else {
+        val roundCtes = (1 to clfRounds).map { r =>
+          s"""km$r AS (SELECT kfx.doc_id, kfx.tgt,
+             |    sum(kfx.x * w.wt) AS mg
+             |  FROM kfx JOIN kw${r - 1} w USING (f) GROUP BY 1, 2),
+             |kg$r AS (SELECT kfx.f,
+             |    sum(CASE WHEN kfx.tgt THEN kfx.x * c.nn
+             |        ELSE -kfx.x * c.np END) AS gr
+             |  FROM kfx JOIN km$r m ON m.doc_id = kfx.doc_id
+             |  CROSS JOIN kcls c
+             |  WHERE (CASE WHEN m.tgt THEN 1 ELSE -1 END) * m.mg <= 0
+             |  GROUP BY kfx.f),
+             |kw$r AS (SELECT w.f, w.wt + COALESCE(g.gr, 0) AS wt
+             |  FROM kw${r - 1} w LEFT JOIN kg$r g USING (f))"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""kp AS (SELECT doc_id,
+           |    COALESCE(source = '$targetValue', FALSE) AS tgt,
+           |    unnest($Toks) AS tok FROM ml),
+           |kf0 AS (SELECT doc_id, tgt,
+           |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+           |      % $clfNumFeatures AS f FROM kp),
+           |kfx AS (SELECT doc_id, tgt, f, CAST(count(*) AS BIGINT) AS x
+           |  FROM kf0 GROUP BY 1, 2, 3),
+           |kcls AS (SELECT
+           |  sum(CASE WHEN COALESCE(source = '$targetValue', FALSE)
+           |      THEN 1 ELSE 0 END) AS np,
+           |  sum(CASE WHEN COALESCE(source = '$targetValue', FALSE)
+           |      THEN 0 ELSE 1 END) AS nn FROM ml),
+           |kw0 AS (SELECT DISTINCT f, CAST(0 AS BIGINT) AS wt FROM kfx),
+           |$roundCtes,
+           |ks AS (SELECT kfx.doc_id, sum(kfx.x * w.wt) AS margin
+           |  FROM kfx JOIN kw$clfRounds w USING (f) GROUP BY 1),"""
+          .stripMargin
+      }
+    val admClf =
+      if (clfRounds == 0) ""
+      else " AND COALESCE(k.margin, 0) > 0"
+    val admJoin =
+      if (clfRounds == 0) "" else " LEFT JOIN ks k USING (doc_id)"
+    val marginSel =
+      if (clfRounds == 0) ""
+      else ", COALESCE(k.margin, 0) AS quality_margin"
+    val stripMarginCol =
+      if (clfRounds == 0) "" else ", a.quality_margin"
+    val marginOut =
+      if (clfRounds == 0) "" else ", s.quality_margin"
+    // the clf variant appends the per-source tag token to line 1 (the
+    // fixture corpus has no separable source signal of its own — the
+    // qualityClassifier `tagged` convention); the tag rides the
+    // DSIR/vocab/strip derivations like any other token
+    val mlText =
+      if (clfRounds == 0) "text"
+      else "text || repeat(' tag_' || source, 8)"
     s"""WITH RECURSIVE
        |ml AS (SELECT doc_id, source,
-       |  text || chr(10) || 'Cookie notice: accept all cookies' ||
+       |  $mlText || chr(10) || 'Cookie notice: accept all cookies' ||
        |  chr(10) || lang || ' footer' AS text FROM documents),
        |${bpeWordCtes("ml")},
        |${bpeVocabCtes()},
@@ -3161,9 +3224,10 @@ object OracleSql {
        |  FROM gc CROSS JOIN gt),
        |gsc AS (SELECT gf.doc_id, sum(lr) AS sc
        |  FROM gf JOIN glr USING (f) GROUP BY gf.doc_id),
-       |adm AS (SELECT m.doc_id, COALESCE(g.sc, 0) AS dsir_score
-       |  FROM ml m LEFT JOIN gsc g USING (doc_id)
-       |  WHERE COALESCE(g.sc, 0) >= $minScore),
+       |${clfCtes}adm AS (SELECT m.doc_id,
+       |  COALESCE(g.sc, 0) AS dsir_score$marginSel
+       |  FROM ml m LEFT JOIN gsc g USING (doc_id)$admJoin
+       |  WHERE COALESCE(g.sc, 0) >= $minScore$admClf),
        |l AS (SELECT doc_id,
        |  unnest(generate_series(1, len(sl))) AS pos, unnest(sl) AS line
        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sl
@@ -3176,7 +3240,7 @@ object OracleSql {
        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines,
        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
        |  FROM kept GROUP BY doc_id),
-       |stripd AS (SELECT a.doc_id, a.dsir_score,
+       |stripd AS (SELECT a.doc_id, a.dsir_score$stripMarginCol,
        |  CAST(coalesce(len(string_split(m.text, chr(10))), 0) AS BIGINT)
        |    AS n_lines,
        |  coalesce(r.n_kept_lines, 0) AS n_kept_lines,
@@ -3190,12 +3254,13 @@ object OracleSql {
        |    FROM stripd)),
        |cw AS (SELECT doc_id, pos, word FROM cw0 WHERE word <> ''),
        |${bpeEncodeCtes("cw")}
-       |SELECT s.doc_id, s.dsir_score, s.n_lines, s.n_kept_lines,
-       |  s.clean_text,
+       |SELECT s.doc_id, s.dsir_score$marginOut, s.n_lines,
+       |  s.n_kept_lines, s.clean_text,
        |  CAST(coalesce(len(dt.ids), 0) AS BIGINT) AS n_bpe_tokens,
        |  coalesce(array_to_string(dt.ids, ' '), '') AS ids_str
        |FROM stripd s LEFT JOIN dt USING (doc_id)
        |ORDER BY s.doc_id""".stripMargin
+  }
 
   /** Trained quality classifier replay
     * (`graft.operators.Classifier.QualityClassifier`) — the
@@ -3210,7 +3275,15 @@ object OracleSql {
     */
   def qualityClassifier(positiveValue: String, numFeatures: Int,
                         rounds: Int, ngram: Int = 1,
-                        finalSelect: String = null): String = {
+                        finalSelect: String = null,
+                        tagged: Boolean = false): String = {
+    // tagged: the fixture corpus draws every source from ONE word pool
+    // (no separable signal anywhere), so the classifier queries append
+    // a per-source tag token — the classifier must still FIND it among
+    // the hash cells, and the GD rounds replay unchanged
+    val textExpr =
+      if (tagged) "text || repeat(' tag_' || source, 8) AS text"
+      else "text"
     val finalSel = Option(finalSelect).getOrElse(
       """SELECT d.doc_id,
         |  CAST(COALESCE(s.margin, 0) AS BIGINT) AS quality_margin,
@@ -3221,8 +3294,10 @@ object OracleSql {
       s"""m$r AS (SELECT fx.doc_id, fx.tgt, sum(fx.x * w.wt) AS mg
          |  FROM fx JOIN w${r - 1} w USING (f) GROUP BY 1, 2),
          |g$r AS (SELECT fx.f,
-         |    sum(CASE WHEN fx.tgt THEN fx.x ELSE -fx.x END) AS gr
+         |    sum(CASE WHEN fx.tgt THEN fx.x * c.nn
+         |        ELSE -fx.x * c.np END) AS gr
          |  FROM fx JOIN m$r m ON m.doc_id = fx.doc_id
+         |  CROSS JOIN cls c
          |  WHERE (CASE WHEN m.tgt THEN 1 ELSE -1 END) * m.mg <= 0
          |  GROUP BY fx.f),
          |w$r AS (SELECT w.f, w.wt + COALESCE(g.gr, 0) AS wt
@@ -3240,13 +3315,18 @@ object OracleSql {
            |p AS (SELECT doc_id, tgt,
            |    unnest(list_transform(range(1, len(tk)),
            |      i -> tk[i] || ' ' || tk[i + 1])) AS tok FROM p0),""".stripMargin
-    s"""WITH d AS (SELECT doc_id, text, source FROM documents),
+    s"""WITH d AS (SELECT doc_id, $textExpr, source FROM documents),
        |$posting
        |f0 AS (SELECT doc_id, tgt,
        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % $numFeatures
        |      AS f FROM p),
        |fx AS (SELECT doc_id, tgt, f, CAST(count(*) AS BIGINT) AS x
        |  FROM f0 GROUP BY 1, 2, 3),
+       |cls AS (SELECT
+       |  sum(CASE WHEN COALESCE(source = '$positiveValue', FALSE)
+       |      THEN 1 ELSE 0 END) AS np,
+       |  sum(CASE WHEN COALESCE(source = '$positiveValue', FALSE)
+       |      THEN 0 ELSE 1 END) AS nn FROM d),
        |w0 AS (SELECT DISTINCT f, CAST(0 AS BIGINT) AS wt FROM fx),
        |$roundCtes,
        |s AS (SELECT fx.doc_id, sum(fx.x * w.wt) AS margin
@@ -3258,12 +3338,14 @@ object OracleSql {
     * the same unrolled GD rounds, final weights out — nonzero cells
     * only (sparse), ordered by feature. */
   def qualityWeights(positiveValue: String, numFeatures: Int,
-                     rounds: Int, ngram: Int = 1): String =
+                     rounds: Int, ngram: Int = 1,
+                     tagged: Boolean = false): String =
     qualityClassifier(positiveValue, numFeatures, rounds, ngram,
       finalSelect = s"""SELECT CAST(w.f AS BIGINT) AS feature,
          |  CAST(w.wt AS BIGINT) AS weight
          |FROM w$rounds w WHERE w.wt <> 0
-         |ORDER BY feature""".stripMargin)
+         |ORDER BY feature""".stripMargin,
+      tagged = tagged)
 
   /** DEEP-VOCAB batched BPE learning replay (`Tokenize.BpeLearn`
     * `batchMerges > 1`) — the batched rounds themselves: per round,

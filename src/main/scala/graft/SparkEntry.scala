@@ -318,6 +318,16 @@ object SparkEntry {
           when(m === 0L || m === 3L, lit("#frag")).otherwise(lit("")))))
   }
 
+  /** Per-source tag token for the classifier queries (mirrored by
+    * `OracleSql.qualityClassifier(tagged = true)`): the fixture
+    * corpus draws every source from ONE word pool — no separable
+    * signal exists — so the classifier queries append ` tag_<source>`
+    * and the model must FIND it among the hash cells. */
+  private def withSourceTag(d: DataFrame): DataFrame =
+    d.withColumn("text",
+      concat(col("text"),
+        repeat(concat(lit(" tag_"), col("source")), 8)))
+
   /** Non-ASCII synthetic text for `bpe_enc_uni` (mirrored by
     * `OracleSql.uniTextCase`): CJK, surrogate-pair emoji and musical
     * symbols (2 UTF-16 units per codepoint on the JVM), a COMBINING
@@ -686,7 +696,7 @@ object SparkEntry {
     // gradient, weight update) and the final scoring pass
     "quality_classifier" -> ((s, dir) =>
       Classifier.QualityClassifier(positiveValue = "src0", rounds = 8)
-        .transform(docs(s, dir))
+        .transform(withSourceTag(docs(s, dir)))
         .select("doc_id", "quality_margin", "quality_keep")
         .orderBy("doc_id")),
     // ...on hashed BIGRAM features (tells shuffled word salad from
@@ -695,7 +705,7 @@ object SparkEntry {
     "quality_clf_bigram" -> ((s, dir) =>
       Classifier.QualityClassifier(positiveValue = "src0", rounds = 4,
           ngram = 2)
-        .transform(docs(s, dir))
+        .transform(withSourceTag(docs(s, dir)))
         .select("doc_id", "quality_margin", "quality_keep")
         .orderBy("doc_id")),
     // the PERSISTED weights artifact (r15): the trained gate's
@@ -703,8 +713,8 @@ object SparkEntry {
     // same oracle-replayed GD rounds; Classifier.Score /
     // StreamingQualityGate consume it batch or stream
     "quality_weights" -> ((s, dir) =>
-      Classifier.weightsTable(docs(s, dir), positiveValue = "src0",
-          rounds = 8)
+      Classifier.weightsTable(withSourceTag(docs(s, dir)),
+          positiveValue = "src0", rounds = 8)
         .select("feature", "weight")
         .orderBy("feature")),
     "sample_dsir" -> ((s, dir) =>
@@ -1061,6 +1071,31 @@ object SparkEntry {
         .transform(ml)
         .select(col("doc_id"), col("dsir_score"), col("n_lines"),
           col("n_kept_lines"), col("clean_text"), col("n_bpe_tokens"),
+          array_join(col("bpe_ids").cast("array<string>"), " ")
+            .as("ids_str"))
+        .orderBy("doc_id")
+    }),
+    // ...with the TRAINED gate composed in (r15): admission requires
+    // the DSIR threshold AND the classifier margin > 0 (the CCNet
+    // shape); the oracle replays counts, hot set, vocab, the
+    // classifier GD rounds AND the encode in ONE query
+    "curation_recipe_clf" -> ((s, dir) => {
+      val ml = docs(s, dir).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          repeat(concat(lit(" tag_"), col("source")), 8),
+          lit("\nCookie notice: accept all cookies\n"),
+          col("lang"), lit(" footer")).as("text"))
+      Curation.Recipe(
+          Corpus.IncrementalHotLines.lineIndex(ml),
+          Dsir.featureCounts(ml, "src0"),
+          Tokenize.VocabBuild().transform(ml),
+          minScore = 0L, maxDocFreq = 150L,
+          classifierWeights = Some(Classifier.weightsTable(ml,
+            positiveValue = "src0", rounds = 4)))
+        .transform(ml)
+        .select(col("doc_id"), col("dsir_score"), col("quality_margin"),
+          col("n_lines"), col("n_kept_lines"), col("clean_text"),
+          col("n_bpe_tokens"),
           array_join(col("bpe_ids").cast("array<string>"), " ")
             .as("ids_str"))
         .orderBy("doc_id")
@@ -1651,10 +1686,13 @@ object SparkEntry {
     "quality_robust" -> OracleSql.qualityRobust(0.25, 0.75),
     "sample_stratified" -> OracleSql.sampleStratified(
       Seq("en" -> 0.5, "de" -> 0.25), 0.1, "graft"),
-    "quality_classifier" -> OracleSql.qualityClassifier("src0", 1024, 8),
+    "quality_classifier" ->
+      OracleSql.qualityClassifier("src0", 1024, 8, tagged = true),
     "quality_clf_bigram" ->
-      OracleSql.qualityClassifier("src0", 1024, 4, ngram = 2),
-    "quality_weights" -> OracleSql.qualityWeights("src0", 1024, 8),
+      OracleSql.qualityClassifier("src0", 1024, 4, ngram = 2,
+        tagged = true),
+    "quality_weights" ->
+      OracleSql.qualityWeights("src0", 1024, 8, tagged = true),
     "sample_dsir" -> OracleSql.dsirResample("src0", 0.2, 4096, "graft"),
     "dsir_bigram" -> OracleSql.dsirResample("src0", 0.2, 4096, "graft",
       ngram = 2),
@@ -1703,6 +1741,8 @@ object SparkEntry {
     "text_dupspans" -> OracleSql.textDupSpans(3, 2L),
     "text_stripspans" -> OracleSql.textStripSpans(3, 2L),
     "curation_recipe" -> OracleSql.curationRecipe("src0", 0L, 4096, 150L),
+    "curation_recipe_clf" ->
+      OracleSql.curationRecipe("src0", 0L, 4096, 150L, clfRounds = 4),
     "text_striplines" -> OracleSql.textStripLines(150L),
     "striplines_incr" -> OracleSql.textStripLines(150L,
       "m.doc_id % 2 = 1"),

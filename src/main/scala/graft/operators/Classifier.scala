@@ -12,10 +12,13 @@ import graft.util.SparkUtil
   * n-grams into a bounded feature space, classify with a linear
   * model; CCNet and the GPT-3 pipeline use exactly such a classifier
   * as the corpus quality gate). Training is FULL-BATCH PERCEPTRON
-  * (Rosenblatt's rule batched): per round, every document scores
-  * `margin = Σ_f w[f]·x[f]` against the current weights, and the
-  * misclassified documents (`y·margin <= 0`, y ∈ {+1, −1}) contribute
-  * `y·x` to one gradient that updates the weights. Everything is
+  * (Rosenblatt's rule batched) with CLASS-BALANCED gradients: per
+  * round, every document scores `margin = Σ_f w[f]·x[f]` against the
+  * current weights, and the misclassified documents
+  * (`y·margin <= 0`, y ∈ {+1, −1}) contribute `y·|other class|·x` to
+  * one gradient that updates the weights — the standard imbalance
+  * correction (a small curated seed against a large raw pool must not
+  * be swamped), a constant scale on balanced classes. Everything is
   * 64-bit INTEGER arithmetic — token counts, weights, margins — so
   * training and scoring are bit-deterministic in any engine and the
   * DuckDB oracle replays the GD rounds themselves (`quality_classifier`).
@@ -144,6 +147,19 @@ object Classifier {
         "negative rows; a one-class classifier is a wiring bug")
     val nf = numFeatures
     var w = new Array[Long](nf)
+    // CLASS-BALANCED gradients (the standard imbalance correction,
+    // still exact-integer): each positive document contributes
+    // y·|negative class| and each negative y·|positive class| — a 5%
+    // curated seed against a 95% raw pool would otherwise swamp every
+    // shared feature with negative mass in round 1 and the model
+    // would oscillate between all-negative and all-positive. On
+    // balanced classes this is the unit-gradient perceptron scaled by
+    // a constant (identical signs, identical keeps). Overflow
+    // envelope: weights are bounded by rounds × per-cell counts ×
+    // class size — at corpus scale train on a BOUNDED labeled seed
+    // (the CCNet practice: the classifier fits on a curated sample,
+    // then scores the corpus), not the full 100 TB.
+    val (yPos, yNeg) = (nNeg, -nPos)
     (0 until rounds).foreach { _ =>
       val bcW = spark.sparkContext.broadcast(w)
       val grad = typed.mapPartitions { it =>
@@ -155,8 +171,9 @@ object Classifier {
           while (i < feats.length) { m += wv(feats(i).toInt); i += 1 }
           val y = if (pos) 1L else -1L
           if (y * m <= 0L) {
+            val ys = if (pos) yPos else yNeg
             i = 0
-            while (i < feats.length) { g(feats(i).toInt) += y; i += 1 }
+            while (i < feats.length) { g(feats(i).toInt) += ys; i += 1 }
           }
         }
         Iterator.single(g)

@@ -57,9 +57,14 @@ object Curation {
   /** The gate + strip legs as one serializable artifact bundle —
     * broadcast once, shared by [[Recipe]] and the probe leg
     * ([[graft.streaming.StreamingCuration.dupPairs]]) so the two can
-    * never drift. */
+    * never drift. `clfW` (nullable) is the OPTIONAL trained-gate leg:
+    * the [[Classifier.weightsTable]] weights as a dense array — when
+    * present, admission requires the classifier margin > 0 IN ADDITION
+    * to the DSIR threshold (the CCNet shape: importance weights AND a
+    * trained quality model). */
   private[graft] final class Legs(lr: Array[Long], hot: Set[String],
-                                  nf: Int, minScore: Long)
+                                  nf: Int, minScore: Long,
+                                  clfW: Array[Long], clfNgram: Int)
       extends Serializable {
     /** The [[graft.streaming.StreamingDsir]] scoring arithmetic —
       * null text scores exactly 0. */
@@ -76,6 +81,34 @@ object Curation {
       s
     }
 
+    def hasClassifier: Boolean = clfW != null
+
+    /** The trained-gate margin — the local mirror of
+      * [[Classifier.Score]]'s arithmetic (unigram or bigram features
+      * over the SAME hash cells; null text scores exactly 0). */
+    def clfMargin(text: String): Long = {
+      val toks = Portable.tokensLocal(text)
+      var m = 0L
+      if (toks != null) {
+        val cnf = clfW.length
+        if (clfNgram == 1) {
+          var i = 0
+          while (i < toks.length) {
+            m += clfW((Portable.tokenHashLocal(toks(i)) % cnf).toInt)
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < toks.length - 1) {
+            m += clfW((Portable.tokenHashLocal(
+              toks(i) + " " + toks(i + 1)) % cnf).toInt)
+            i += 1
+          }
+        }
+      }
+      m
+    }
+
     def admits(score: Long): Boolean = score >= minScore
 
     /** The [[graft.streaming.StreamingHotLineStrip]] arithmetic:
@@ -90,11 +123,15 @@ object Curation {
   }
 
   /** Wire the gate + strip artifacts (all fail loud: ratio-table fit
-    * params, the bounded hot-set collect). */
+    * params, the bounded hot-set collect, the classifier weights'
+    * self-description). */
   private[graft] def buildLegs(lineIndex: DataFrame, counts: DataFrame,
                                numFeatures: Int, minScore: Long,
                                maxDocFreq: Long, maxHotLines: Int,
-                               who: String): Legs = {
+                               who: String,
+                               clfWeights: Option[DataFrame] = None,
+                               clfNumFeatures: Int = 1024,
+                               clfNgram: Int = 1): Legs = {
     SparkUtil.validateColumns(lineIndex, Seq("line", "doc_freq"))
     val spark = lineIndex.sparkSession
     import spark.implicits._
@@ -107,7 +144,23 @@ object Curation {
       s"$who: hot set exceeds maxHotLines=$maxHotLines — a hot set is " +
         "bounded by corpus-lines / maxDocFreq; a set this large means " +
         "the threshold is misconfigured for the corpus")
-    new Legs(lr, hotRows.toSet, numFeatures, minScore)
+    val clfW = clfWeights.map { wdf =>
+      SparkUtil.validateColumns(wdf, Seq("feature", "weight"))
+      SparkUtil.requireFitParam(wdf, "feature", "numFeatures",
+        clfNumFeatures.toLong, who)
+      SparkUtil.requireFitParam(wdf, "feature", "ngram",
+        clfNgram.toLong, who)
+      val w = new Array[Long](clfNumFeatures)
+      wdf.select(col("feature").cast("long"), col("weight").cast("long"))
+        .as[(Long, Long)].collect().foreach { case (f, wt) =>
+          require(f >= 0 && f < clfNumFeatures,
+            s"$who: classifier feature $f out of [0, $clfNumFeatures) " +
+              "— the weights were trained with a different numFeatures")
+          w(f.toInt) = wt
+        }
+      w
+    }.orNull
+    new Legs(lr, hotRows.toSet, numFeatures, minScore, clfW, clfNgram)
   }
 
   final case class Recipe(lineIndex: DataFrame,
@@ -126,10 +179,15 @@ object Curation {
                           lowercase: Boolean = true,
                           byteLevel: Boolean = false,
                           unkId: Option[Long] = None,
-                          maxVocab: Int = 1 << 22)
+                          maxVocab: Int = 1 << 22,
+                          classifierWeights: Option[DataFrame] = None,
+                          clfNumFeatures: Int = 1024,
+                          clfNgram: Int = 1)
       extends Wrangler {
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
     require(maxHotLines >= 1, "maxHotLines must be positive")
+    require(clfNgram == 1 || clfNgram == 2,
+      s"clfNgram must be 1 or 2, got $clfNgram")
     // the artifact frames are structural inputs, not tunables
     override def getParams: Seq[(String, Any)] = Seq(
       "minScore" -> minScore, "idColumn" -> idColumn,
@@ -139,7 +197,8 @@ object Curation {
       "vocabIdColumn" -> vocabIdColumn,
       "continuationPrefix" -> continuationPrefix,
       "lowercase" -> lowercase, "byteLevel" -> byteLevel,
-      "unkId" -> unkId, "maxVocab" -> maxVocab)
+      "unkId" -> unkId, "maxVocab" -> maxVocab,
+      "clfNumFeatures" -> clfNumFeatures, "clfNgram" -> clfNgram)
     override def preservesSampleSize: Boolean = false
 
     def transform(df: DataFrame): DataFrame = {
@@ -149,7 +208,8 @@ object Curation {
       import spark.implicits._
       // ---- artifact wiring, once at plan-build time (all fail loud)
       val legs = buildLegs(lineIndex, counts, numFeatures, minScore,
-        maxDocFreq, maxHotLines, "Curation.Recipe")
+        maxDocFreq, maxHotLines, "Curation.Recipe", classifierWeights,
+        clfNumFeatures, clfNgram)
       val (firstArr, contArr) = Tokenize.collectEncodeVocab(vocab,
         pieceColumn, vocabIdColumn, continuationPrefix, lowercase,
         byteLevel, maxVocab, unkId, "Curation.Recipe")
@@ -158,27 +218,37 @@ object Curation {
       val bcCont = spark.sparkContext.broadcast(contArr)
       val (pfx, unk, lc, bl) =
         (continuationPrefix, unkId, lowercase, byteLevel)
+      val hasClf = legs.hasClassifier
 
-      // the fused per-doc leg chain; None for gated-out docs
+      // the fused per-doc leg chain; None for gated-out docs. The
+      // trained-gate leg composes as an AND when weights are wired
+      // (the CCNet shape: importance weights AND a trained quality
+      // model must both pass).
       def curateOne(lg: Legs, enc: Tokenize.WordEncoder,
                     out: ArrayBuffer[Long])(docId: Long, text: String)
-          : Option[(Long, Long, Long, Long, String, Long, Array[Long])] = {
+          : Option[(Long, Long, Long, Long, Long, String, Long,
+            Array[Long])] = {
         val score = lg.score(text)
         if (!lg.admits(score)) None
         else {
-          val (nLines, nKept, clean) = lg.strip(text)
-          out.clear()
-          // BpeEncode lowercases via a column expression; the local
-          // mirror is Locale.ROOT (the Portable.tokensLocal convention)
-          val encText =
-            if (lc) clean.toLowerCase(java.util.Locale.ROOT) else clean
-          enc.encodeInto(docId, encText, out, null)
-          Some((docId, score, nLines, nKept, clean, out.length.toLong,
-            out.toArray))
+          val margin = if (lg.hasClassifier) lg.clfMargin(text) else 0L
+          if (lg.hasClassifier && margin <= 0L) None
+          else {
+            val (nLines, nKept, clean) = lg.strip(text)
+            out.clear()
+            // BpeEncode lowercases via a column expression; the local
+            // mirror is Locale.ROOT (the Portable.tokensLocal
+            // convention)
+            val encText =
+              if (lc) clean.toLowerCase(java.util.Locale.ROOT) else clean
+            enc.encodeInto(docId, encText, out, null)
+            Some((docId, score, margin, nLines, nKept, clean,
+              out.length.toLong, out.toArray))
+          }
         }
       }
 
-      urlColumn match {
+      val raw = urlColumn match {
         case None =>
           df.select(col(idColumn).cast("long"),
               col(textColumn).cast("string"))
@@ -190,8 +260,8 @@ object Curation {
                 new ArrayBuffer[Long](256)) _
               it.flatMap { case (id, text) => one(id, text) }
             }
-            .toDF(idColumn, "dsir_score", "n_lines", "n_kept_lines",
-              "clean_text", "n_bpe_tokens", "bpe_ids")
+            .toDF(idColumn, "dsir_score", "quality_margin", "n_lines",
+              "n_kept_lines", "clean_text", "n_bpe_tokens", "bpe_ids")
         case Some(uc) =>
           // CANONICALIZE first — the codegen'd column chain, then the
           // fused typed legs; url_canonical threads to the output
@@ -207,13 +277,17 @@ object Curation {
                 new ArrayBuffer[Long](256)) _
               it.flatMap { case (id, url, text) =>
                 one(id, text).map { r =>
-                  (r._1, url, r._2, r._3, r._4, r._5, r._6, r._7)
+                  (r._1, url, r._2, r._3, r._4, r._5, r._6, r._7, r._8)
                 }
               }
             }
-            .toDF(idColumn, "url_canonical", "dsir_score", "n_lines",
-              "n_kept_lines", "clean_text", "n_bpe_tokens", "bpe_ids")
+            .toDF(idColumn, "url_canonical", "dsir_score",
+              "quality_margin", "n_lines", "n_kept_lines", "clean_text",
+              "n_bpe_tokens", "bpe_ids")
       }
+      // the margin column exists only when the trained gate is wired —
+      // the classifier-less output schema stays exactly the r15 one
+      if (hasClf) raw else raw.drop("quality_margin")
     }
   }
 }

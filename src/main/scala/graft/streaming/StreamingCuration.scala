@@ -44,7 +44,11 @@ final class StreamingCuration(lineIndex: DataFrame,
                               maxDocFreq: Long = 100L,
                               numFeatures: Int = 4096,
                               maxHotLines: Int = 1 << 22,
-                              byteLevel: Boolean = false) {
+                              byteLevel: Boolean = false,
+                              classifierWeights:
+                                Option[DataFrame] = None,
+                              clfNumFeatures: Int = 1024,
+                              clfNgram: Int = 1) {
 
   /** The curated, encoded document stream — one row per admitted doc
     * (`doc_id[, url_canonical], dsir_score, n_lines, n_kept_lines,
@@ -59,7 +63,8 @@ final class StreamingCuration(lineIndex: DataFrame,
       idColumn = idColumn, textColumn = textColumn,
       urlColumn = urlColumn, maxDocFreq = maxDocFreq,
       numFeatures = numFeatures, maxHotLines = maxHotLines,
-      byteLevel = byteLevel)
+      byteLevel = byteLevel, classifierWeights = classifierWeights,
+      clfNumFeatures = clfNumFeatures, clfNgram = clfNgram)
       .transform(df)
   }
 
@@ -83,7 +88,8 @@ final class StreamingCuration(lineIndex: DataFrame,
     import spark.implicits._
     val legs = Curation.buildLegs(lineIndex, counts, numFeatures,
       minScore, maxDocFreq, maxHotLines,
-      "StreamingCuration.dupPairs")
+      "StreamingCuration.dupPairs", classifierWeights,
+      clfNumFeatures, clfNgram)
     val bcLegs = spark.sparkContext.broadcast(legs)
     val cleaned = df.select(col(idColumn).cast("long"),
         col(tsColumn).cast("timestamp"),
@@ -92,7 +98,8 @@ final class StreamingCuration(lineIndex: DataFrame,
       .mapPartitions { it =>
         val lg = bcLegs.value
         it.flatMap { case (id, ts, text) =>
-          if (!lg.admits(lg.score(text))) None
+          if (!lg.admits(lg.score(text)) ||
+              (lg.hasClassifier && lg.clfMargin(text) <= 0L)) None
           else Some((id, ts, lg.strip(text)._3))
         }
       }

@@ -644,13 +644,14 @@ object StressCorpus {
     }
 
     // ----- trained quality gate at corpus scale with a CLOSED-FORM
-    // solution: balanced classes, one shared noise token (its gradient
+    // solution: balanced classes (class-balanced gradients scale each
+    // contribution by n/2), one shared noise token (its gradient
     // cancels exactly), one distinguishing token per class — round 1
-    // trains w[pos] = +n/2, w[neg] = -n/2, w[common] = 0, every later
-    // round is a zero gradient, so margins are EXACTLY ±n/2 and the
-    // gate keeps exactly the positive class. Requires the three tokens
-    // to land in distinct hash cells (checked — a deterministic
-    // fixture fact at nf=1024).
+    // trains w[pos] = +(n/2)^2, w[neg] = -(n/2)^2, w[common] = 0,
+    // every later round is a zero gradient, so margins are EXACTLY
+    // ±(n/2)^2 and the gate keeps exactly the positive class. Requires
+    // the three tokens to land in distinct hash cells (checked — a
+    // deterministic fixture fact at nf=1024).
     time(s"quality_classifier docs=$nDocs rounds=4 (closed form)") {
       val toks = Seq("common", "excellent", "junk")
       val cells = toks.map(t =>
@@ -671,7 +672,8 @@ object StressCorpus {
         count(lit(1))).collect()(0)
       require(r.getLong(3) == nDocs.toLong, s"row preservation: $r")
       require(r.getLong(0) == nDocs / 2L, s"kept drift: $r")
-      require(r.getLong(1) == nDocs / 2L && r.getLong(2) == -nDocs / 2L,
+      val half = nDocs / 2L
+      require(r.getLong(1) == half * half && r.getLong(2) == -half * half,
         s"margin drift: $r")
       r.getLong(0)
     }

@@ -17,7 +17,8 @@ class ClassifierSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
-  /** Independent full-batch perceptron over hashed unigram counts. */
+  /** Independent full-batch CLASS-BALANCED perceptron over hashed
+    * unigram counts (misclassified docs contribute y * |other class|). */
   private def naive(docs: Seq[(Long, String, String)], pos: String,
                     nf: Int, rounds: Int): Map[Long, Long] = {
     def feats(t: String): Seq[Int] =
@@ -27,13 +28,18 @@ class ClassifierSpec extends AnyFunSuite {
     val fx = docs.map { case (id, src, t) =>
       (id, src == pos, feats(t))
     }
+    val nPos = fx.count(_._2).toLong
+    val nNeg = fx.length - nPos
     val w = Array.fill(nf)(0L)
     (0 until rounds).foreach { _ =>
       val g = Array.fill(nf)(0L)
       fx.foreach { case (_, p, fs) =>
         val m = fs.map(w(_)).sum
         val y = if (p) 1L else -1L
-        if (y * m <= 0L) fs.foreach(f => g(f) += y)
+        if (y * m <= 0L) {
+          val ys = if (p) nNeg else -nPos
+          fs.foreach(f => g(f) += ys)
+        }
       }
       (0 until nf).foreach(i => w(i) += g(i))
     }
