@@ -155,6 +155,7 @@ object Bench {
     "text_striplines" -> Some("Join"), // hot-line anti-join + rebuild
     "curation_recipe" -> Some("MapPartitions"), // the fused typed pass
     "curation_recipe_clf" -> Some("MapPartitions"), // + trained gate
+    "curation_recipe_url" -> Some("MapPartitions"), // + canonicalize leg
     "striplines_incr" -> Some("Join"), // batch lines x the line index
     "mm_resize" -> Some("SerializeFromObject"),
     "mm_features" -> Some("SerializeFromObject"),

@@ -1558,22 +1558,30 @@ object OracleSql {
     */
   /** [[shardPack]]'s prefix-sum assignment rolled up per pack —
     * `Corpus.PackManifest`: straddling packs exceed the budget and pad
-    * zero (`greatest(budget - total, 0)`). */
+    * zero (`greatest(budget - total, 0)`); `seq_offsets_str` replays
+    * the intra-pack offset list as the exclusive running token sum
+    * WITHIN each pack in key order (r16). */
   def packManifest(targetBytes: Long): String =
     s"""WITH r AS (SELECT doc_id, n_chars,
        |  SUM(n_chars) OVER (ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM documents),
        |s AS (SELECT doc_id, n_chars,
-       |  (cum - n_chars) // $targetBytes AS shard FROM r)
+       |  (cum - n_chars) // $targetBytes AS shard FROM r),
+       |st AS (SELECT doc_id, n_chars, shard,
+       |  COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS start_token FROM s)
        |SELECT CAST(shard AS BIGINT) AS pack_id,
        |  CAST(count(*) AS BIGINT) AS n_seqs,
        |  CAST(sum(n_chars) AS BIGINT) AS n_tokens,
        |  CAST(greatest($targetBytes - sum(n_chars), 0) AS BIGINT)
        |    AS pad_tokens,
        |  CAST(min(doc_id) AS BIGINT) AS first_key,
-       |  CAST(max(doc_id) AS BIGINT) AS last_key
-       |FROM s GROUP BY shard ORDER BY pack_id""".stripMargin
+       |  CAST(max(doc_id) AS BIGINT) AS last_key,
+       |  string_agg(doc_id || ':' || start_token, ' ' ORDER BY doc_id)
+       |    AS seq_offsets_str
+       |FROM st GROUP BY shard ORDER BY pack_id""".stripMargin
 
   /** `pipeline_pretrain_bpe` — the flagship composition with every
     * stage in the engine's own subword units: the band gate and
@@ -2846,19 +2854,24 @@ object OracleSql {
   /** The canonicalization algebra of [[graft.operators.Web]] replayed
     * step-for-step (DuckDB deltas are syntax only: `\\1` backrefs and
     * the explicit `'g'` flag). Produces per-row
-    * `(doc_id, url, url_canonical, host)` CTE `canon`.
+    * `(doc_id, url, url_canonical, host)` CTE `${p}canon`. The `p`
+    * name-prefix lets composed queries (the curation recipe's
+    * `urlColumn` leg) embed these CTEs next to the bpe chain, whose
+    * `w` CTE would otherwise collide.
     */
-  private def webCanonCtes: String =
-    s"""t AS (SELECT doc_id, $WebUrl AS url FROM documents),
-       |w0 AS (SELECT doc_id, url, trim(url) AS u FROM t),
-       |w1 AS (SELECT doc_id, url, u,
+  private def webCanonCtes: String = webCanonCtes("")
+
+  private def webCanonCtes(p: String): String =
+    s"""${p}t AS (SELECT doc_id, $WebUrl AS url FROM documents),
+       |${p}w0 AS (SELECT doc_id, url, trim(url) AS u FROM ${p}t),
+       |${p}w1 AS (SELECT doc_id, url, u,
        |  regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://') AS ok,
        |  lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
        |    AS scheme,
        |  regexp_replace(regexp_replace(u,
        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://', '', 'g'), '#.*$$', '', 'g')
-       |    AS rest0 FROM w0),
-       |w AS (SELECT doc_id, url, u, ok, scheme,
+       |    AS rest0 FROM ${p}w0),
+       |${p}w AS (SELECT doc_id, url, u, ok, scheme,
        |  array_to_string(list_transform(string_split(rest0, '%'),
        |    (p, i) -> CASE
        |      WHEN i = 1 THEN p
@@ -2868,26 +2881,26 @@ object OracleSql {
        |        THEN decode(unhex(upper(p[1:2]))) || p[3:]
        |      WHEN regexp_matches(p, '^[0-9A-Fa-f]{2}')
        |        THEN '%' || upper(p[1:2]) || p[3:]
-       |      ELSE '%' || p END), '') AS rest FROM w1),
-       |a AS (SELECT *,
+       |      ELSE '%' || p END), '') AS rest FROM ${p}w1),
+       |${p}a AS (SELECT *,
        |  regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
        |    '^[^@]*@', '', 'g') AS hostport,
-       |  regexp_replace(rest, '^[^/?#]*', '') AS pathq FROM w),
-       |b AS (SELECT *,
+       |  regexp_replace(rest, '^[^/?#]*', '') AS pathq FROM ${p}w),
+       |${p}b AS (SELECT *,
        |  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
        |  regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '',
        |    'g')), '^(www\\.)+', '', 'g') AS host0,
        |  regexp_replace(regexp_replace(
        |    regexp_extract(pathq, '^([^?]*)', 1), '/{2,}', '/', 'g'),
        |    '/+$$', '', 'g') AS path,
-       |  regexp_extract(pathq, '[?](.*)$$', 1) AS query0 FROM a),
-       |c AS (SELECT *, list_filter(string_split(query0, '&'),
+       |  regexp_extract(pathq, '[?](.*)$$', 1) AS query0 FROM ${p}a),
+       |${p}c AS (SELECT *, list_filter(string_split(query0, '&'),
        |    p -> NOT regexp_matches(p,
        |      '^(utm_[^&=]*|fbclid|gclid)(=.*)?$$') AND p <> '')
-       |    AS plist FROM b),
-       |d AS (SELECT *, array_to_string(list_sort(plist), '&') AS sq
-       |  FROM c),
-       |canon AS (SELECT doc_id, url,
+       |    AS plist FROM ${p}b),
+       |${p}d AS (SELECT *, array_to_string(list_sort(plist), '&') AS sq
+       |  FROM ${p}c),
+       |${p}canon AS (SELECT doc_id, url,
        |  CASE WHEN ok THEN scheme || '://' || host0 ||
        |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
        |          OR (scheme = 'https' AND port = '443') THEN ''
@@ -2895,7 +2908,7 @@ object OracleSql {
        |    path ||
        |    (CASE WHEN len(sq) > 0 THEN '?' || sq ELSE '' END)
        |  ELSE NULL END AS url_canonical,
-       |  CASE WHEN ok THEN host0 ELSE NULL END AS host FROM d)""".stripMargin
+       |  CASE WHEN ok THEN host0 ELSE NULL END AS host FROM ${p}d)""".stripMargin
 
   def urlCanonical: String =
     s"""WITH $webCanonCtes
@@ -3140,7 +3153,8 @@ object OracleSql {
   def curationRecipe(targetValue: String, minScore: Long,
                      numFeatures: Int, maxDocFreq: Long,
                      clfRounds: Int = 0,
-                     clfNumFeatures: Int = 1024): String = {
+                     clfNumFeatures: Int = 1024,
+                     withUrl: Boolean = false): String = {
     // the OPTIONAL trained-gate leg (clfRounds > 0): the
     // qualityClassifier GD-round replay over the SAME ml corpus,
     // k-prefixed CTE names; admission then requires margin > 0 in
@@ -3194,7 +3208,8 @@ object OracleSql {
     val stripMarginCol =
       if (clfRounds == 0) "" else ", a.quality_margin"
     val marginOut =
-      if (clfRounds == 0) "" else ", s.quality_margin"
+      if (clfRounds == 0) ""
+      else ", CAST(s.quality_margin AS BIGINT) AS quality_margin"
     // the clf variant appends the per-source tag token to line 1 (the
     // fixture corpus has no separable source signal of its own — the
     // qualityClassifier `tagged` convention); the tag rides the
@@ -3202,8 +3217,16 @@ object OracleSql {
     val mlText =
       if (clfRounds == 0) "text"
       else "text || repeat(' tag_' || source, 8)"
+    // the urlColumn leg (Curation.Recipe's canonicalize-first wiring):
+    // the u-prefixed webCanonCtes replay UrlCanonicalize, and the
+    // canonical url threads to every ADMITTED row's output
+    val urlCtes =
+      if (!withUrl) "" else s"${webCanonCtes("u")},\n"
+    val urlSel = if (!withUrl) "" else " uc.url_canonical,"
+    val urlJoin =
+      if (!withUrl) "" else " LEFT JOIN ucanon uc ON uc.doc_id = s.doc_id"
     s"""WITH RECURSIVE
-       |ml AS (SELECT doc_id, source,
+       |${urlCtes}ml AS (SELECT doc_id, source,
        |  $mlText || chr(10) || 'Cookie notice: accept all cookies' ||
        |  chr(10) || lang || ' footer' AS text FROM documents),
        |${bpeWordCtes("ml")},
@@ -3254,11 +3277,12 @@ object OracleSql {
        |    FROM stripd)),
        |cw AS (SELECT doc_id, pos, word FROM cw0 WHERE word <> ''),
        |${bpeEncodeCtes("cw")}
-       |SELECT s.doc_id, s.dsir_score$marginOut, s.n_lines,
+       |SELECT s.doc_id,$urlSel
+       |  CAST(s.dsir_score AS BIGINT) AS dsir_score$marginOut, s.n_lines,
        |  s.n_kept_lines, s.clean_text,
        |  CAST(coalesce(len(dt.ids), 0) AS BIGINT) AS n_bpe_tokens,
        |  coalesce(array_to_string(dt.ids, ' '), '') AS ids_str
-       |FROM stripd s LEFT JOIN dt USING (doc_id)
+       |FROM stripd s LEFT JOIN dt USING (doc_id)$urlJoin
        |ORDER BY s.doc_id""".stripMargin
   }
 

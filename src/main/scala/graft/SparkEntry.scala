@@ -1100,6 +1100,31 @@ object SparkEntry {
             .as("ids_str"))
         .orderBy("doc_id")
     }),
+    // ...with the urlColumn leg wired (r16): UrlCanonicalize runs
+    // FIRST (the codegen'd column chain), then the fused gate → strip
+    // → encode typed pass; url_canonical threads to every admitted row
+    // (NULL for malformed urls, the Web contract). Same artifacts as
+    // curation_recipe — only the canonicalize leg differs
+    "curation_recipe_url" -> ((s, dir) => {
+      val ml = withMessyUrl(docs(s, dir).select(col("doc_id"),
+        col("source"),
+        concat(col("text"),
+          lit("\nCookie notice: accept all cookies\n"),
+          col("lang"), lit(" footer")).as("text")))
+      Curation.Recipe(
+          Corpus.IncrementalHotLines.lineIndex(ml),
+          Dsir.featureCounts(ml, "src0"),
+          Tokenize.VocabBuild().transform(ml),
+          minScore = 0L, maxDocFreq = 150L,
+          urlColumn = Some("url"))
+        .transform(ml)
+        .select(col("doc_id"), col("url_canonical"), col("dsir_score"),
+          col("n_lines"), col("n_kept_lines"), col("clean_text"),
+          col("n_bpe_tokens"),
+          array_join(col("bpe_ids").cast("array<string>"), " ")
+            .as("ids_str"))
+        .orderBy("doc_id")
+    }),
     "text_striplines" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         concat(col("text"),
@@ -1136,12 +1161,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
           col("cum_bytes"), col("shard"))
         .orderBy("doc_id")),
-    // the per-pack manifest a trainer reads (r14): one partial-agg
-    // rollup over the pack output — n_seqs, token total, pad to
-    // budget, first/last key; straddling packs exceed budget and pad 0
+    // the per-pack manifest a trainer reads (r14, offsets r16): one
+    // keyed rollup over the pack output — n_seqs, token total, pad to
+    // budget, first/last key, plus the ordered intra-pack offset list
+    // a loader seeks by (serialized seq_id:start_token for the oracle
+    // hash, the bpe_ids array_to_string convention); straddling packs
+    // exceed budget and pad 0
     "pack_manifest" -> ((s, dir) =>
       Corpus.PackManifest(budgetBytes = 20000L).transform(
         Corpus.ShardPack(targetBytes = 20000L).transform(docs(s, dir)))
+        .withColumn("seq_offsets_str",
+          array_join(transform(col("seq_offsets"),
+            o => concat(o("seq_id").cast("string"), lit(":"),
+              o("start_token").cast("string"))), " "))
+        .drop("seq_offsets")
         .orderBy("pack_id")),
     // the two newest extension surfaces composed end to end and
     // oracle-gated: the session-registered `long_array_dot` Catalyst
@@ -1743,6 +1776,8 @@ object SparkEntry {
     "curation_recipe" -> OracleSql.curationRecipe("src0", 0L, 4096, 150L),
     "curation_recipe_clf" ->
       OracleSql.curationRecipe("src0", 0L, 4096, 150L, clfRounds = 4),
+    "curation_recipe_url" ->
+      OracleSql.curationRecipe("src0", 0L, 4096, 150L, withUrl = true),
     "text_striplines" -> OracleSql.textStripLines(150L),
     "striplines_incr" -> OracleSql.textStripLines(150L,
       "m.doc_id % 2 = 1"),

@@ -44,6 +44,28 @@ object Portable {
     md5Prefix(MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8)))
 
+  private val md5Pool = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** Full-width 64-bit line fingerprint (first 8 md5 digest bytes,
+    * big-endian) — the broadcast hot-set membership key: 8 bytes per
+    * hot line instead of the raw string, so a 100 TB-corpus hot set
+    * (maxHotLines = 4M default) broadcasts as ~32 MB instead of
+    * multi-GB of text. False-positive bound for membership of n
+    * distinct probe lines against m hot lines: ~n*m/2^64 (~5e-7 even
+    * at n = m = 2^26). Thread-local digest — this runs per line in
+    * the strip hot path.
+    */
+  def lineHash64Local(s: String): Long = {
+    val d = md5Pool.get().digest(s.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
   /** Whitespace tokens of trimmed, lower-cased text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 

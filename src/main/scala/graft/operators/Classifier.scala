@@ -263,6 +263,13 @@ object Classifier {
       val rows = weights.select(col("feature").cast("long"),
           col("weight").cast("long"))
         .as[(Long, Long)].collect()
+      // fail-loud on duplicate feature rows (the vocab loaders'
+      // convention): a unioned/corrupted weights table would otherwise
+      // score quietly wrong via last-write-wins
+      require(rows.map(_._1).distinct.length == rows.length,
+        "Classifier.Score: duplicate feature ids in the weights table " +
+          "— a weights artifact holds ONE row per feature; a union or " +
+          "corruption here would score silently wrong")
       val w = new Array[Long](numFeatures)
       rows.foreach { case (f, wt) =>
         require(f >= 0 && f < numFeatures,

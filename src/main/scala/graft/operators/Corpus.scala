@@ -1042,19 +1042,27 @@ object Corpus {
 
   /** Per-pack rollup of [[ShardPack]] output — the artifact a trainer
     * actually consumes: one row per pack with its sequence count, token
-    * total, padding to the pack budget, and the first/last order key
-    * (so a reader can locate a pack's key range without scanning it).
+    * total, padding to the pack budget, the first/last order key (so a
+    * reader can locate a pack's key range without scanning it), and the
+    * ORDERED intra-pack offset list `seq_offsets:
+    * array<struct<seq_id, start_token>>` — the index a training
+    * loader seeks by: `start_token` is the exclusive running token sum
+    * WITHIN the pack in order-key order (seq 1 of every pack starts at
+    * 0; the pack's sequences concatenate back-to-back).
     *
     * `pad_tokens = max(budget - n_tokens, 0)`: a row STRADDLING the
     * budget boundary belongs to the pack where its cumulative offset
     * starts ([[ShardPack]]'s `floor(before/target)` rule), so a pack
     * can legitimately exceed the budget and then pads zero.
     *
-    * 100 TB shape: ONE aggregation — the map side reduces every
-    * partition to at most its distinct-pack count before the exchange
-    * (partial agg), so the shuffle carries per-partition pack partials,
-    * never rows. No window, no sort, no second pass over the pack
-    * output.
+    * 100 TB shape: ONE keyed exchange. The intra-pack running sum is a
+    * window partitioned by pack id; the rollup aggregation then reuses
+    * that exact hash partitioning, so no second exchange ever plans
+    * (CorpusSpec pins the 2-exchange shape — ShardPack's own bucket
+    * shuffle plus this one). The offset list is a per-pack
+    * `collect_list`, bounded by the pack budget over the minimum
+    * sequence size — a manifest row is loader-index-sized by
+    * construction, never corpus-sized.
     */
   final case class PackManifest(packColumn: String = "shard",
                                 sizeColumn: String = "n_chars",
@@ -1067,15 +1075,25 @@ object Corpus {
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df,
         Seq(packColumn, sizeColumn, orderColumn))
-      df.groupBy(col(packColumn).cast("long").as("pack_id"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("pack_id"))
+        .orderBy(col("seq_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.select(col(packColumn).cast("long").as("pack_id"),
+          col(orderColumn).cast("long").as("seq_id"),
+          col(sizeColumn).cast("long").as("sz"))
+        .withColumn("start_token", coalesce(sum(col("sz")).over(w), lit(0L)))
+        .groupBy("pack_id")
         .agg(count(lit(1)).as("n_seqs"),
-          sum(col(sizeColumn).cast("long")).as("n_tokens"),
-          min(col(orderColumn).cast("long")).as("first_key"),
-          max(col(orderColumn).cast("long")).as("last_key"))
+          sum(col("sz")).as("n_tokens"),
+          min(col("seq_id")).as("first_key"),
+          max(col("seq_id")).as("last_key"),
+          sort_array(collect_list(
+            struct(col("seq_id"), col("start_token")))).as("seq_offsets"))
         .withColumn("pad_tokens",
           greatest(lit(budgetBytes) - col("n_tokens"), lit(0L)))
         .select("pack_id", "n_seqs", "n_tokens", "pad_tokens",
-          "first_key", "last_key")
+          "first_key", "last_key", "seq_offsets")
     }
   }
 

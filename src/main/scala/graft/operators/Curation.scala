@@ -54,6 +54,48 @@ import graft.util.SparkUtil
   */
 object Curation {
 
+  /** Broadcast hot-line membership as SORTED 64-bit fingerprints
+    * ([[Portable.lineHash64Local]]) instead of raw strings — 8 bytes
+    * per hot line, so the 100 TB-corpus hot set (maxHotLines = 4M
+    * default) broadcasts as ~32 MB where raw text would be multi-GB.
+    * Membership is a binary search (no per-entry boxing, cache-dense).
+    * False-positive bound: a non-hot probe line matches a hot
+    * fingerprint with probability ~m/2^64 (m = hot-set size) — ~2e-13
+    * per line even at the 4M cap; the batch face
+    * ([[Corpus.HotLineStrip]]'s anti-join on the raw line) stays the
+    * exact-string path. */
+  private[graft] final class HotSet(private val hashes: Array[Long])
+      extends Serializable {
+    def contains(line: String): Boolean =
+      java.util.Arrays.binarySearch(
+        hashes, Portable.lineHash64Local(line)) >= 0
+    def size: Int = hashes.length
+  }
+
+  /** The bounded, fail-loud hot-set collect shared by [[buildLegs]]
+    * and [[graft.streaming.StreamingHotLineStrip]]: index lines with
+    * `doc_freq > maxDocFreq`, fingerprinted EXECUTOR-side (only the
+    * 8-byte hashes ever reach the driver), capped at `maxHotLines`. */
+  private[graft] def collectHotSet(lineIndex: DataFrame,
+                                   maxDocFreq: Long, maxHotLines: Int,
+                                   who: String): HotSet = {
+    SparkUtil.validateColumns(lineIndex, Seq("line", "doc_freq"))
+    val spark = lineIndex.sparkSession
+    import spark.implicits._
+    val hashes = lineIndex
+      .filter(col("doc_freq").cast("long") > maxDocFreq)
+      .select(col("line").cast("string"))
+      .limit(maxHotLines + 1)
+      .as[String].map(Portable.lineHash64Local).collect()
+    require(hashes.length <= maxHotLines,
+      s"$who: hot set exceeds maxHotLines=$maxHotLines — a hot set is " +
+        "bounded by corpus-lines / maxDocFreq; a set this large means " +
+        "the threshold is misconfigured for the corpus")
+    // distinct: two distinct hot lines colliding on the fingerprint is
+    // harmless for membership, but keep the array canonical for search
+    new HotSet(hashes.distinct.sorted)
+  }
+
   /** The gate + strip legs as one serializable artifact bundle —
     * broadcast once, shared by [[Recipe]] and the probe leg
     * ([[graft.streaming.StreamingCuration.dupPairs]]) so the two can
@@ -62,7 +104,7 @@ object Curation {
     * present, admission requires the classifier margin > 0 IN ADDITION
     * to the DSIR threshold (the CCNet shape: importance weights AND a
     * trained quality model). */
-  private[graft] final class Legs(lr: Array[Long], hot: Set[String],
+  private[graft] final class Legs(lr: Array[Long], hot: HotSet,
                                   nf: Int, minScore: Long,
                                   clfW: Array[Long], clfNgram: Int)
       extends Serializable {
@@ -132,18 +174,10 @@ object Curation {
                                clfWeights: Option[DataFrame] = None,
                                clfNumFeatures: Int = 1024,
                                clfNgram: Int = 1): Legs = {
-    SparkUtil.validateColumns(lineIndex, Seq("line", "doc_freq"))
     val spark = lineIndex.sparkSession
     import spark.implicits._
     val lr = Dsir.ratioTable(counts, numFeatures, who)
-    val hotRows = lineIndex
-      .filter(col("doc_freq").cast("long") > maxDocFreq)
-      .select(col("line").cast("string"))
-      .limit(maxHotLines + 1).as[String].collect()
-    require(hotRows.length <= maxHotLines,
-      s"$who: hot set exceeds maxHotLines=$maxHotLines — a hot set is " +
-        "bounded by corpus-lines / maxDocFreq; a set this large means " +
-        "the threshold is misconfigured for the corpus")
+    val hotSet = collectHotSet(lineIndex, maxDocFreq, maxHotLines, who)
     val clfW = clfWeights.map { wdf =>
       SparkUtil.validateColumns(wdf, Seq("feature", "weight"))
       SparkUtil.requireFitParam(wdf, "feature", "numFeatures",
@@ -160,7 +194,7 @@ object Curation {
         }
       w
     }.orNull
-    new Legs(lr, hotRows.toSet, numFeatures, minScore, clfW, clfNgram)
+    new Legs(lr, hotSet, numFeatures, minScore, clfW, clfNgram)
   }
 
   final case class Recipe(lineIndex: DataFrame,

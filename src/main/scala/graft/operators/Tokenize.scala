@@ -397,7 +397,20 @@ object Tokenize {
 
       val merges = scala.collection.mutable.ArrayBuffer.empty[String]
       var done = false
+      var rounds = 0
       while (merges.length < nMerges && !done) {
+        // runtime cap matching the constructor's planned-rounds guard:
+        // an interaction-heavy candidate window can select ONE merge
+        // per batched round, drifting far past the documented
+        // rounds-x-2-jobs driver-barrier envelope — fail loud instead
+        rounds += 1
+        require(rounds <= maxMerges,
+          s"BpeLearn: merge loop exceeded maxMerges=$maxMerges rounds " +
+            s"(${merges.length}/$nMerges merges learned) — the " +
+            "batched candidate window is selecting far fewer than " +
+            s"batchMerges=$batchMerges non-interacting pairs per " +
+            "round; raise maxMerges explicitly if this barrier budget " +
+            "is intended")
         // adjacent pairs, overlapping occurrences included, weighted by
         // word frequency (map-side partial agg; shuffle bounded by the
         // distinct-pair count)
@@ -719,50 +732,43 @@ object Tokenize {
       SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
       SparkUtil.validateColumns(vocab,
         Seq(pieceColumn, vocabIdColumn, rankColumn))
-      SparkUtil.requireFitParamStr(vocab, pieceColumn, "lowercase",
-        lowercase.toString, "BpeEncodeRanked")
-      SparkUtil.requireFitParamStr(vocab, pieceColumn,
-        "continuationPrefix", continuationPrefix, "BpeEncodeRanked")
-      SparkUtil.requireFitParamStr(vocab, pieceColumn, "byteLevel",
-        byteLevel.toString, "BpeEncodeRanked")
       val spark = df.sparkSession
       import spark.implicits._
-      val rows = vocab
+      // SHARED encode-vocab contract ([[collectEncodeVocab]], the
+      // single validation path for every encoder face): fit-param
+      // drift checks, the bounded collect, null/empty/duplicate
+      // piece+id invariants, UTF-16 well-formedness, the
+      // bare-continuation-prefix check, unkId collision. The ranked
+      // encoder keys its symbol map by the PREFIXED form, so the
+      // stripped continuation pieces are re-prefixed here.
+      val (firstArr, contArr) = collectEncodeVocab(vocab, pieceColumn,
+        vocabIdColumn, continuationPrefix, lowercase, byteLevel,
+        maxVocab, unkId, "BpeEncodeRanked")
+      // rank layer on top of the shared contract: one more bounded
+      // collect for the (piece, merge_rank) pairs the helper doesn't
+      // carry (the vocab is already proven <= maxVocab and
+      // duplicate-free above, so this covers the whole table)
+      val rankRows = vocab
         .select(col(pieceColumn).cast("string"),
-          col(vocabIdColumn).cast("long"), col(rankColumn).cast("long"))
+          col(rankColumn).cast("long"))
         .limit(maxVocab + 1)
-        .as[(String, java.lang.Long, java.lang.Long)].collect()
-      require(rows.length <= maxVocab,
-        s"BpeEncodeRanked: vocab exceeds maxVocab=$maxVocab pieces — a " +
-          "subword vocab is bounded; a corpus-scale frame here is a " +
-          "wiring bug")
-      require(rows.nonEmpty,
-        "BpeEncodeRanked: empty vocab — learn it (Tokenize.BpeLearn) " +
-          "on a non-empty corpus first")
-      rows.foreach { case (p, id, r) =>
-        require(p != null && p.nonEmpty,
-          "BpeEncodeRanked: vocab contains a null/empty piece")
-        require(id != null, s"BpeEncodeRanked: piece `$p` has a null id")
+        .as[(String, java.lang.Long)].collect()
+      rankRows.foreach { case (p, r) =>
         require(r != null && r >= 0L,
           s"BpeEncodeRanked: piece `$p` has merge_rank $r — ranks are " +
             "0 (base symbol) or the 1-based merge round; this vocab " +
             "was not produced by BpeLearn")
       }
-      require(rows.map(_._1).distinct.length == rows.length,
-        "BpeEncodeRanked: vocab pieces must be distinct")
-      require(rows.map(_._2).distinct.length == rows.length,
-        "BpeEncodeRanked: vocab ids must be distinct")
-      val learned = rows.filter(_._3 >= 1L)
-      require(learned.map(_._3).distinct.length == learned.length,
+      val learned = rankRows.filter(_._2 >= 1L)
+      require(learned.map(_._2).distinct.length == learned.length,
         "BpeEncodeRanked: two pieces share a merge_rank >= 1 — the " +
           "learn emits ONE merge per round, so the argmin would be " +
           "ambiguous; this vocab was not produced by BpeLearn")
-      unkId.foreach { u =>
-        require(!rows.exists(_._2 == u),
-          s"BpeEncodeRanked: unkId=$u collides with a vocab piece's id")
-      }
-      val bcVocab = spark.sparkContext.broadcast(
-        rows.map { case (p, id, r) => (p, id.longValue, r.longValue) })
+      val bcIds = spark.sparkContext.broadcast(
+        firstArr ++ contArr.map { case (p, id) =>
+          (continuationPrefix + p, id) })
+      val bcRanks = spark.sparkContext.broadcast(
+        learned.map { case (p, r) => (p, r.longValue) })
       val (txt, idc, lc, unk) = (textColumn, idColumn, lowercase, unkId)
       val (pfx, bl) = (continuationPrefix, byteLevel)
       val textExpr =
@@ -776,10 +782,8 @@ object Tokenize {
                            ArrayBuffer[String]) => R): Iterator[R] = {
         val ids = new java.util.HashMap[String, java.lang.Long]()
         val ranks = new java.util.HashMap[String, java.lang.Long]()
-        bcVocab.value.foreach { case (p, id, r) =>
-          ids.put(p, id)
-          if (r >= 1L) ranks.put(p, r)
-        }
+        bcIds.value.foreach { case (p, id) => ids.put(p, id) }
+        bcRanks.value.foreach { case (p, r) => ranks.put(p, r) }
         val ws = java.util.regex.Pattern.compile("\\s+")
         def strip(s: String): String =
           if (s.startsWith(pfx)) s.substring(pfx.length) else s
@@ -798,11 +802,17 @@ object Tokenize {
               if (wRaw.nonEmpty) {
                 val w = if (bl) byteMapLocal(wRaw) else wRaw
                 syms.clear()
+                // initial symbolization advances per CODEPOINT
+                // (Character.charCount), matching BpeLearn's Spark
+                // `substr` symbolization — per-UTF-16-unit stepping
+                // would shred astral chars (emoji) into lone-surrogate
+                // symbols that can never match the rank-0 vocab
                 var ci = 0
                 while (ci < w.length) {
-                  syms += (if (ci == 0) w.substring(0, 1)
-                           else pfx + w.substring(ci, ci + 1))
-                  ci += 1
+                  val cc = Character.charCount(w.codePointAt(ci))
+                  syms += (if (ci == 0) w.substring(0, cc)
+                           else pfx + w.substring(ci, ci + cc))
+                  ci += cc
                 }
                 // min-rank merge loop: re-pick the global argmin each
                 // step (a later merge can create an adjacency for an

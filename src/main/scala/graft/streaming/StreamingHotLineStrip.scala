@@ -48,16 +48,13 @@ final class StreamingHotLineStrip(lineIndex: DataFrame,
         "batch input")
     val spark = df.sparkSession
     import spark.implicits._
-    val hotRows = lineIndex
-      .filter(col("doc_freq").cast("long") > maxDocFreq)
-      .select(col("line").cast("string"))
-      .limit(maxHotLines + 1).as[String].collect()
-    require(hotRows.length <= maxHotLines,
-      s"StreamingHotLineStrip: hot set exceeds maxHotLines=" +
-        s"$maxHotLines — a hot set is bounded by corpus-lines / " +
-        "maxDocFreq; a set this large means the threshold is " +
-        "misconfigured for the corpus")
-    val bcHot = spark.sparkContext.broadcast(hotRows.toSet)
+    // shared bounded collect ([[Curation.collectHotSet]]): the hot set
+    // broadcasts as sorted 64-bit line fingerprints (8 bytes/line —
+    // ~32 MB at the 4M cap where raw strings would be multi-GB; the
+    // documented membership false-positive bound is ~m/2^64 per line)
+    val bcHot = spark.sparkContext.broadcast(
+      graft.operators.Curation.collectHotSet(lineIndex, maxDocFreq,
+        maxHotLines, "StreamingHotLineStrip"))
     df.select(col(idColumn).cast("long"),
         col(textColumn).cast("string"))
       .as[(Long, String)]

@@ -79,6 +79,37 @@ object AnnRecall {
       graft.operators.SimilarityPq.IvfPqTopK(queries, train = 2,
         refine = 16, k = k, residual = true, cacheCorpus = true)
         .transform(embs))
+    // OPQ-lite probe (r15 verdict #8): a fixed deterministic dimension
+    // permutation — the transpose interleave, subspace s gets source
+    // dims {s, m+s, 2m+s, ...} — applied identically to the whole
+    // corpus (queries included) before PQ. Cosine is
+    // permutation-invariant, so the exact truth is unchanged; only the
+    // SUBSPACE COMPOSITION differs. If consecutive dims carried
+    // correlated structure, scattering them would rebalance
+    // per-subspace variance (the effect full OPQ learns a rotation
+    // for); on isotropic embeddings it should be a wash.
+    locally {
+      val dim = embs.select(org.apache.spark.sql.functions.size(
+        col("embedding"))).as[Int].head()
+      val m = 8
+      val perm = (0 until dim).map(i => (i % m) * (dim / m) + i / m)
+      val embsPerm = embs.withColumn("embedding",
+        org.apache.spark.sql.functions.array(
+          perm.map(j => col("embedding").getItem(j)): _*))
+      recall("ivf-pq PERMUTED refine=4 (OPQ-lite probe)",
+        graft.operators.SimilarityPq.IvfPqTopK(queries, k = k)
+          .transform(embsPerm))
+      recall("ivf-pq PERMUTED refine=16",
+        graft.operators.SimilarityPq.IvfPqTopK(queries, refine = 16,
+          k = k).transform(embsPerm))
+      recall("ivf-pq RESIDUAL PERMUTED refine=4",
+        graft.operators.SimilarityPq.IvfPqTopK(queries, k = k,
+          residual = true).transform(embsPerm))
+      recall("ivf-pq RES TRAINED PERMUTED refine=4",
+        graft.operators.SimilarityPq.IvfPqTopK(queries, train = 2, k = k,
+          residual = true, cacheCorpus = true).transform(embsPerm))
+    }
+
     recall("srp rdim=16 refine=4 (bench ann_srp)",
       graft.operators.Projection.SrpTopK(queries, k = k).transform(embs))
     recall("srp rdim=16 refine=16",

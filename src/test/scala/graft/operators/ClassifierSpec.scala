@@ -168,6 +168,13 @@ class ClassifierSpec extends AnyFunSuite {
       Classifier.Score(w, numFeatures = 64, ngram = 2).transform(df)
     }
     assert(e2.getMessage.contains("ngram"), e2.getMessage)
+    // a unioned (duplicate-feature) weights table raises instead of
+    // scoring quietly wrong via last-write-wins
+    val e3 = intercept[IllegalArgumentException] {
+      Classifier.Score(w.unionByName(w), numFeatures = 64)
+        .transform(df.select("doc_id", "text"))
+    }
+    assert(e3.getMessage.contains("duplicate feature"), e3.getMessage)
   }
 
   test("fail loud: a one-class corpus raises naming both counts; " +

@@ -332,7 +332,8 @@ class CorpusSpec extends AnyFunSuite {
 
   test("pack_manifest: per-pack rollup — sequence counts, token " +
     "totals, pad to budget (straddling packs exceed and pad 0), " +
-    "first/last key ranges") {
+    "first/last key ranges, and the ORDERED intra-pack offset list " +
+    "(exclusive running token sum within each pack)") {
     val d = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 3L))
       .toDF("doc_id", "n_chars")
     // cum starts: 0,10,20,30,50 → shards 0,0,0,1,2: pack 0 holds 30
@@ -341,26 +342,31 @@ class CorpusSpec extends AnyFunSuite {
     val m = Corpus.PackManifest(budgetBytes = 25L).transform(
       Corpus.ShardPack(targetBytes = 25L).transform(d))
       .orderBy("pack_id")
-      .as[(Long, Long, Long, Long, Long, Long)].collect()
-    assert(m.toSeq == Seq(
+      .as[(Long, Long, Long, Long, Long, Long, Seq[(Long, Long)])]
+      .collect()
+    assert(m.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSeq == Seq(
       (0L, 3L, 30L, 0L, 1L, 3L),
       (1L, 1L, 20L, 5L, 4L, 4L),
       (2L, 1L, 3L, 22L, 5L, 5L)))
+    // the loader index: pack 0's seqs start at 0, 10, 20 within the
+    // pack; single-seq packs start at 0
+    assert(m.map(_._7).toSeq == Seq(
+      Seq(1L -> 0L, 2L -> 10L, 3L -> 20L),
+      Seq(4L -> 0L),
+      Seq(5L -> 0L)))
   }
 
-  test("pack_manifest: plans as ONE partial+final aggregate — the map " +
-    "side reduces to per-partition pack partials before the single " +
-    "agg exchange (no window, no second pass, no exchange beyond the " +
-    "pack's own plus the partial-agg merge)") {
+  test("pack_manifest: the intra-pack window and the rollup agg SHARE " +
+    "one keyed exchange — exactly two in the whole plan (ShardPack's " +
+    "bucket repartition plus the pack-id hash), never a third for " +
+    "the aggregation after the window") {
     val d = (1L to 50L).map(k => (k, k % 7 + 1)).toDF("doc_id", "n_chars")
     val plan = Corpus.PackManifest(budgetBytes = 20L).transform(
       Corpus.ShardPack(targetBytes = 20L).transform(d))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
-      plan)
-    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Window"), plan)
     // exactly two exchanges: ShardPack's bucket repartition and the
-    // partial-agg merge
+    // pack-id hash the window + agg both ride
     assert(plan.split("Exchange").length - 1 == 2, plan)
   }
 

@@ -137,6 +137,24 @@ class TokenizeRankedSpec extends AnyFunSuite {
     assert(dec == "hüg 🚀🚀 pug zzz")
   }
 
+  test("non-BMP chars symbolize per CODEPOINT (not UTF-16 unit): a " +
+    "char-level vocab learned over astral text ranked-encodes it with " +
+    "no UNK and roundtrips — per-unit stepping would shred emoji into " +
+    "lone-surrogate symbols that match nothing and UNK the whole word") {
+    val text = "🚀🚀x 🚀🚀x " +
+      "y🚀" // 🚀🚀x 🚀🚀x y🚀
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val vocab = Tokenize.BpeLearn(nMerges = 3).transform(docs)
+    // unkId = None: any lone-surrogate symbolization fails LOUD here,
+    // so a clean encode proves codepoint-aligned initial symbols
+    val enc = Tokenize.BpeEncodeRanked(vocab).transform(docs)
+    assert(encIds(enc)(1L).nonEmpty)
+    val dec = Tokenize.BpeDecode(vocab).transform(enc)
+      .select("text").as[String].collect().head
+    assert(dec == "🚀🚀x 🚀🚀x " +
+      "y🚀")
+  }
+
   test("emitPieces: the emitted pieces are exactly the final merge " +
     "symbols (vocab rows), they reassemble the canonical text, and " +
     "they drive ChunkSplit's external-token path") {
