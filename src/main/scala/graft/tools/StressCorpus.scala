@@ -719,6 +719,46 @@ object StressCorpus {
       got.getLong(0)
     }
 
+    // ----- rank-order inference in the DEEP-VOCAB regime (r15 verdict
+    // #7): 256-char words (each doc's own hex digits repeated) under a
+    // 512-merge batched vocab — the worst shape for the ranked loop,
+    // which re-picks the global min-rank merge each step (O(len) scans
+    // per merge, O(len^2) map probes per word). The MaxMatch trie row
+    // encodes the SAME corpus against the SAME vocab, so superlinear
+    // drift shows as a ratio between adjacent rows, not a guess.
+    // 125k docs draw their 256-char word from 8k distinct hex patterns:
+    // the DISTINCT-WORD table (what the learn rounds iterate) stays 8k
+    // rows while the ENCODE measurement still walks 125k long words —
+    // the learn cost is the bounded-table contract, the encode cost is
+    // the probe target
+    val deepDocs = spark.range((nDocs / 16).toLong)
+      .select(col("id").as("doc_id"),
+        substring(repeat(lower(hex(
+          pmod(col("id"), lit(8192L)) + 4096L)), 86), 1, 256)
+          .as("text"))
+    var deepVocab: DataFrame = null
+    time(s"bpe_deep learn merges=512 batch=64 words=8192x256ch") {
+      deepVocab = graft.operators.Tokenize.BpeLearn(nMerges = 512,
+        batchMerges = 64).transform(deepDocs).localCheckpoint()
+      deepVocab.count()
+    }
+    time(s"bpe_deep MaxMatch encode 256-char words") {
+      graft.operators.Tokenize.BpeEncode(deepVocab)
+        .transform(deepDocs)
+        .agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+    }
+    time(s"bpe_deep RANKED encode 256-char words") {
+      val got = graft.operators.Tokenize.BpeEncodeRanked(deepVocab)
+        .transform(deepDocs)
+        .agg(sum("n_bpe_tokens"), count(lit(1))).collect()(0)
+      require(got.getLong(1) == (nDocs / 16).toLong, s"row drift: $got")
+      // rank-order segments differently from MaxMatch by design; the
+      // hex-char rank-0 base makes both TOTAL (no UNK possible), so
+      // the check is mass > 0 under the fail-loud unkId=None contract
+      require(got.getLong(0) > 0L, "empty encode")
+      got.getLong(0)
+    }
+
     // ----- line-level dedup at 2M multi-line docs with a CLOSED-FORM
     // strip count: every doc is [unique line, shared banner, unique
     // line] — the banner (df = nDocs) strips everywhere, both unique
