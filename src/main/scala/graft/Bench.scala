@@ -174,6 +174,9 @@ object Bench {
     "url_canonical" -> Some("regexp_replace"), // the canonical regex chain
     "host_stats" -> Some("HashAggregate"), // per-host partial-agg rollup
     "bpe_encode" -> Some("MapPartitions"), // broadcast-vocab trie encode
+    "unigram_scores" -> Some("MapPartitions"), // the MaxMatch counting pass
+    "unigram_encode" -> Some("MapPartitions"), // broadcast-scores Viterbi DP
+    "unigram_em" -> Some("MapPartitions"), // hard-EM round + second DP
     "bpe_vocab" -> Some("HashAggregate"), // bounded frequency aggs + ranks
     "bpe_learn" -> Some("HashAggregate"), // per-round pair-count aggs
     "bpe_learn_deep" -> Some("HashAggregate"), // batched rounds, same aggs

@@ -2951,6 +2951,147 @@ object OracleSql {
       |FROM documents d LEFT JOIN dt USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** `Tokenize.UnigramScores`' score derivation (ends in
+    * `uscore(piece, id, score)`): piece frequencies under the greedy
+    * MaxMatch segmentation ([[bpeEncodeCtes]]' `dt.pcs`), add-one
+    * smoothed, `round(1e6 * ln((cnt+1)/(total+V)))` — the DSIR ln
+    * lattice, exact integers in both engines. */
+  private def unigramScoreCtes: String =
+    s"""upc AS (SELECT unnest(pcs) AS piece FROM dt),
+      |ucnt AS (SELECT piece, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM upc GROUP BY piece),
+      |utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM ucnt),
+      |uvn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+      |uscore AS (SELECT vc.piece, vc.id,
+      |    CAST(round(ln((COALESCE(c.cnt, 0) + 1.0) / (t + v)) * 1000000)
+      |      AS BIGINT) AS score
+      |  FROM vocab vc LEFT JOIN ucnt c USING (piece)
+      |  CROSS JOIN utot CROSS JOIN uvn)""".stripMargin
+
+  /** `Tokenize.UnigramEncode`'s Viterbi DP replayed CELL-FOR-CELL
+    * (ends in `udt(doc_id, ids)`): each word's whole DP state rides
+    * ONE row of a recursive CTE (the bpeLearn state-row pattern) as a
+    * list of cells `struct(ok, sc, nt, ids)` — cell k = the best
+    * (total score, token count, ids) over the word's first k chars.
+    * Round r appends cell r+1 as the argmax over pieces ending there;
+    * the sort key `(−total, count, −plen)` IS the engine's tie-break
+    * lattice (max score → fewer tokens → longer final piece; further
+    * ties impossible — same end and length pin the piece). */
+  private def unigramEncodeCtes: String = unigramEncodeCtes("u", "uscore")
+
+  /** The `p` name-prefix and `scoreRel` parameters let the hard-EM
+    * query chain TWO full DP replays (round-0 scores, then the
+    * rescored table) in one statement. */
+  private def unigramEncodeCtes(p: String, scoreRel: String): String = {
+    // the per-candidate evaluation against the carried state — written
+    // once here, interpolated at each use site (the recursive term is
+    // ONE select; SQL has no lets)
+    val ev =
+      """list_filter(list_transform(COALESCE(c.cands, []),
+        |      x -> CASE WHEN COALESCE(
+        |            list_extract(r.best, r.r + 2 - x.plen).ok, false)
+        |        THEN struct_pack(
+        |          k1 := -(list_extract(r.best, r.r + 2 - x.plen).sc
+        |                  + x.sc),
+        |          k2 := list_extract(r.best, r.r + 2 - x.plen).nt + 1,
+        |          k3 := -x.plen, id := x.id, stx := r.r + 2 - x.plen)
+        |        ELSE NULL END), y -> y IS NOT NULL)"""
+        .stripMargin
+    s"""${p}cand0 AS (SELECT p.word, p.e, v.id, v.score,
+      |    CASE WHEN v.piece NOT LIKE '##%' THEN len(v.piece)
+      |         ELSE len(v.piece) - 2 END AS plen
+      |  FROM (SELECT word, unnest(generate_series(1, len(word))) AS e
+      |        FROM dw) p
+      |  JOIN $scoreRel v ON
+      |    (v.piece NOT LIKE '##%' AND p.e = len(v.piece)
+      |      AND substr(p.word, 1, len(v.piece)) = v.piece)
+      |    OR (v.piece LIKE '##%' AND len(v.piece) > 2
+      |      AND p.e >= len(v.piece) - 1
+      |      AND substr(p.word, p.e - (len(v.piece) - 2) + 1,
+      |                 len(v.piece) - 2) = substr(v.piece, 3))),
+      |${p}cand AS (SELECT word, e,
+      |    list(struct_pack(id := id, plen := plen, sc := score)
+      |         ORDER BY plen, id) AS cands
+      |  FROM ${p}cand0 GROUP BY word, e),
+      |${p}rec AS (
+      |  SELECT word, 0 AS r,
+      |    [struct_pack(ok := true, sc := CAST(0 AS BIGINT),
+      |                 nt := CAST(0 AS BIGINT),
+      |                 ids := CAST([] AS BIGINT[]))] AS best
+      |  FROM dw
+      |  UNION ALL
+      |  SELECT r.word, r.r + 1, list_append(r.best,
+      |    CASE WHEN len($ev) = 0
+      |    THEN struct_pack(ok := false, sc := CAST(0 AS BIGINT),
+      |                     nt := CAST(0 AS BIGINT),
+      |                     ids := CAST([] AS BIGINT[]))
+      |    ELSE struct_pack(ok := true,
+      |      sc := -(list_sort($ev)[1].k1),
+      |      nt := list_sort($ev)[1].k2,
+      |      ids := list_append(
+      |        list_extract(r.best, list_sort($ev)[1].stx).ids,
+      |        list_sort($ev)[1].id))
+      |    END)
+      |  FROM ${p}rec r LEFT JOIN ${p}cand c
+      |    ON c.word = r.word AND c.e = r.r + 1
+      |  WHERE r.r < len(r.word)),
+      |${p}enc AS (SELECT word, struct_extract(
+      |    list_extract(best, len(word) + 1), 'ids') AS ids
+      |  FROM ${p}rec WHERE r = len(word)),
+      |${p}dt AS (SELECT wr.doc_id,
+      |    flatten(list(${p}enc.ids ORDER BY wr.pos)) AS ids
+      |  FROM w wr JOIN ${p}enc USING (word)
+      |  GROUP BY wr.doc_id)""".stripMargin
+  }
+
+  /** `Tokenize.UnigramScores` end to end: the corpus-derived vocab,
+    * one MaxMatch counting pass, the smoothed integer ln scores. */
+  def unigramScores: String =
+    s"""WITH RECURSIVE
+      |$bpeCtes,
+      |$unigramScoreCtes
+      |SELECT piece, id, score FROM uscore ORDER BY id""".stripMargin
+
+  /** `Tokenize.UnigramEncode` end to end — scores derivation + the
+    * Viterbi DP itself, replayed in SQL. */
+  def unigramEncode: String =
+    s"""WITH RECURSIVE
+      |$bpeCtes,
+      |$unigramScoreCtes,
+      |$unigramEncodeCtes
+      |SELECT d.doc_id,
+      |  CAST(coalesce(len(udt.ids), 0) AS BIGINT) AS n_bpe_tokens,
+      |  coalesce(array_to_string(udt.ids, ' '), '') AS ids_str
+      |FROM documents d LEFT JOIN udt USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** `Tokenize.UnigramScores(emRounds = 1)` + the encode under the
+    * refined table — ONE HARD-EM ROUND replayed end to end: round-0
+    * scores (MaxMatch counts), the full Viterbi re-segmentation of
+    * the corpus (the E step, udt), integer recount by id + the same
+    * smoothed lattice (the M step, uscore2), then the SECOND full DP
+    * under the refined scores (vdt) — two complete cell-for-cell DP
+    * replays chained in one statement. */
+  def unigramEm: String =
+    s"""WITH RECURSIVE
+      |$bpeCtes,
+      |$unigramScoreCtes,
+      |${unigramEncodeCtes("u", "uscore")},
+      |u2cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(ids) AS id FROM udt) GROUP BY id),
+      |u2tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM u2cnt),
+      |uscore2 AS (SELECT vc.piece, vc.id,
+      |    CAST(round(ln((COALESCE(c.cnt, 0) + 1.0) / (t + v)) * 1000000)
+      |      AS BIGINT) AS score
+      |  FROM vocab vc LEFT JOIN u2cnt c USING (id)
+      |  CROSS JOIN u2tot CROSS JOIN uvn),
+      |${unigramEncodeCtes("v", "uscore2")}
+      |SELECT d.doc_id,
+      |  CAST(coalesce(len(vdt.ids), 0) AS BIGINT) AS n_bpe_tokens,
+      |  coalesce(array_to_string(vdt.ids, ' '), '') AS ids_str
+      |FROM documents d LEFT JOIN vdt USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** The shared encode CTE chain (ends in `dt(doc_id, ids, pcs)`):
     * corpus-derived vocab, step table and recursive pointer walk —
     * carrying BOTH the token ids and the piece STRINGS so the composed

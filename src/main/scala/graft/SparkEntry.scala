@@ -1456,6 +1456,38 @@ object SparkEntry {
           array_join(col("bpe_ids").cast("array<string>"), " ").as("ids_str"))
         .orderBy("doc_id")
     }),
+    // the Unigram-LM score artifact (r16 — sentencepiece's OTHER
+    // inference model): one MaxMatch counting pass over the corpus,
+    // add-one smoothing, the exact-integer 1e6 ln lattice
+    "unigram_scores" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Tokenize.UnigramScores(bpeFixtureVocab(d)).transform(d)
+        .orderBy("id")
+    }),
+    // ...and max-likelihood Viterbi inference over it: per word the
+    // piece sequence maximizing total integer score (tie: fewer
+    // tokens, then longer final piece) — the oracle replays the DP
+    // cell-for-cell as a recursive state-row CTE
+    "unigram_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sc = Tokenize.UnigramScores(bpeFixtureVocab(d)).transform(d)
+      Tokenize.UnigramEncode(sc).transform(d)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          array_join(col("bpe_ids").cast("array<string>"), " ").as("ids_str"))
+        .orderBy("doc_id")
+    }),
+    // ...and ONE HARD-EM refinement round (Viterbi-EM): re-segment the
+    // corpus under the round-0 scores, recount by id, rescore, encode
+    // under the refined table — the oracle chains BOTH full DP replays
+    "unigram_em" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sc = Tokenize.UnigramScores(bpeFixtureVocab(d), emRounds = 1)
+        .transform(d)
+      Tokenize.UnigramEncode(sc).transform(d)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          array_join(col("bpe_ids").cast("array<string>"), " ").as("ids_str"))
+        .orderBy("doc_id")
+    }),
     // the LEARN leg: the vocab construction itself is an operator and
     // its derivation (frequency ranks, char coverage, suffix pieces,
     // piece-rank ids) is oracle-replayed row for row
@@ -1809,6 +1841,9 @@ object SparkEntry {
     "mm_demux" -> OracleSql.mmDemux,
     "url_canonical" -> OracleSql.urlCanonical,
     "bpe_encode" -> OracleSql.bpeEncode,
+    "unigram_scores" -> OracleSql.unigramScores,
+    "unigram_encode" -> OracleSql.unigramEncode,
+    "unigram_em" -> OracleSql.unigramEm,
     "bpe_vocab" -> OracleSql.bpeVocab,
     "bpe_learn" -> OracleSql.bpeLearn(20),
     "bpe_learn_deep" -> OracleSql.bpeLearnDeep(48, 8),

@@ -143,6 +143,20 @@ object Tokenize {
       }
       best
     }
+
+    /** Visit EVERY terminal on the walk from `pos` — the Viterbi DP's
+      * candidate generator ([[UnigramEncode]] relaxes one cell per
+      * match). One walk per start position, like [[longest]]. */
+    def allMatches(w: String, pos: Int, f: (Int, Long) => Unit): Unit = {
+      var n = root
+      var i = pos
+      while (i < w.length) {
+        n = n.child(w.charAt(i))
+        if (n == null) return
+        i += 1
+        if (n.terminal) f(i - pos, n.id)
+      }
+    }
   }
 
   /** Corpus-derived subword vocab construction — the LEARN leg of the
@@ -910,6 +924,311 @@ object Tokenize {
   private[operators] final case class BpePieceRow(
       doc_id: Long, n_bpe_tokens: Long, bpe_ids: Array[Long],
       bpe_pieces: Array[String])
+
+  /** Unigram-LM score table — the OTHER major subword inference model
+    * (Kudo 2018, sentencepiece's unigram mode; public knowledge): each
+    * vocab piece carries an integer log-probability, and inference
+    * segments each word into the MAXIMUM-LIKELIHOOD piece sequence
+    * (Viterbi DP, [[UnigramEncode]]) instead of greedy MaxMatch or
+    * merge-rank order.
+    *
+    * Scores are deterministic and oracle-replayable: ONE greedy
+    * MaxMatch pass ([[BpeEncode]], `emitPieces`) segments the corpus,
+    * piece frequencies are counted under that segmentation, and
+    * `score = round(1e6 * ln((cnt + 1) / (total + V)))` — add-one
+    * smoothed (every vocab piece gets a finite score even at count 0)
+    * and held as a scaled LONG (the [[Dsir]] ln lattice: both engines
+    * compute the same double and round to the same integer).
+    *
+    * `emRounds > 0` refines by HARD EM (Viterbi-EM, the deterministic
+    * variant of sentencepiece's EM training; public knowledge): each
+    * round re-segments the corpus under the CURRENT scores with
+    * [[UnigramEncode]] (max-likelihood assignments instead of
+    * forward-backward expected counts — every count stays an exact
+    * integer, so the whole ladder is oracle-replayable), recounts by
+    * id, and rescores through the same smoothed lattice. The artifact
+    * shape never changes, so consumers are round-agnostic. Cost is
+    * one corpus pass per round, fail-loud capped (`maxEmRounds`).
+    *
+    * Output: `(piece, id, score)` + the vocab's fit params re-recorded
+    * on `piece` — [[UnigramEncode]] raises on drift like every other
+    * encoder face.
+    *
+    * 100 TB shape: the counting pass is [[BpeEncode]]'s stateless
+    * broadcast-trie map (text never shuffles); the count agg is
+    * map-side partial over at most V distinct pieces; the score table
+    * is vocab-sized. Nothing corpus-sized leaves the executors.
+    */
+  final case class UnigramScores(vocab: DataFrame,
+                                 textColumn: String = "text",
+                                 idColumn: String = "doc_id",
+                                 pieceColumn: String = "piece",
+                                 vocabIdColumn: String = "id",
+                                 continuationPrefix: String = "##",
+                                 unkId: Option[Long] = None,
+                                 lowercase: Boolean = true,
+                                 maxVocab: Int = 1 << 22,
+                                 byteLevel: Boolean = false,
+                                 emRounds: Int = 0,
+                                 maxEmRounds: Int = 16)
+      extends Wrangler {
+    require(emRounds >= 0, "emRounds must be >= 0")
+    require(emRounds <= maxEmRounds,
+      s"UnigramScores: emRounds=$emRounds over maxEmRounds=" +
+        s"$maxEmRounds — every EM round is one full corpus encode " +
+        "pass + one bounded recount; raise maxEmRounds explicitly if " +
+        "this pass budget is intended")
+    override def getParams: Seq[(String, Any)] = Seq(
+      "textColumn" -> textColumn, "idColumn" -> idColumn,
+      "pieceColumn" -> pieceColumn, "vocabIdColumn" -> vocabIdColumn,
+      "continuationPrefix" -> continuationPrefix, "unkId" -> unkId,
+      "lowercase" -> lowercase, "maxVocab" -> maxVocab,
+      "byteLevel" -> byteLevel, "emRounds" -> emRounds)
+    override def preservesSampleSize: Boolean = false
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val base = vocab
+        .select(col(pieceColumn).cast("string").as(pieceColumn),
+          col(vocabIdColumn).cast("long").as(vocabIdColumn))
+      val vsize = vocab.count()
+
+      // one scoring step: counts (by id or piece) -> the smoothed
+      // integer ln lattice over the FULL vocab (unseen pieces score
+      // the closed-form zero-count value)
+      def score(counts: DataFrame, joinCol: String,
+                total: Long): DataFrame =
+        SparkUtil.withFitParamsStr(
+          base.join(counts, Seq(joinCol), "left")
+            .select(col(pieceColumn), col(vocabIdColumn),
+              round(log((coalesce(col("__cnt"), lit(0L)) + lit(1L))
+                  .cast("double") / lit((total + vsize).toDouble))
+                  * lit(1e6))
+                .cast("long").as("score")),
+          pieceColumn, Map(
+            "lowercase" -> lowercase.toString,
+            "continuationPrefix" -> continuationPrefix,
+            "byteLevel" -> byteLevel.toString))
+
+      // round 0: piece frequencies under the greedy MaxMatch
+      // segmentation — the cheap deterministic initialization
+      val enc0 = BpeEncode(vocab, textColumn = textColumn,
+        idColumn = idColumn, pieceColumn = pieceColumn,
+        vocabIdColumn = vocabIdColumn,
+        continuationPrefix = continuationPrefix, unkId = unkId,
+        lowercase = lowercase, maxVocab = maxVocab,
+        byteLevel = byteLevel, emitPieces = true).transform(df)
+      var cur = score(
+        enc0.select(explode(col("bpe_pieces")).as(pieceColumn))
+          .groupBy(pieceColumn).agg(count(lit(1)).as("__cnt")),
+        pieceColumn,
+        enc0.agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0))
+
+      // hard-EM (Viterbi-EM) refinement: re-segment the corpus under
+      // the CURRENT scores (the E step, max-likelihood instead of
+      // expected counts — the deterministic, oracle-replayable
+      // variant), recount by id, rescore (the M step). Each round is
+      // one corpus pass; the artifact shape never changes, so any
+      // consumer of round-0 scores consumes round-k scores unchanged.
+      var r = 0
+      while (r < emRounds) {
+        val enc = UnigramEncode(cur, textColumn = textColumn,
+          idColumn = idColumn, pieceColumn = pieceColumn,
+          vocabIdColumn = vocabIdColumn,
+          continuationPrefix = continuationPrefix, unkId = unkId,
+          lowercase = lowercase, maxVocab = maxVocab,
+          byteLevel = byteLevel).transform(df)
+        cur = score(
+          enc.select(explode(col("bpe_ids")).as(vocabIdColumn))
+            .groupBy(vocabIdColumn).agg(count(lit(1)).as("__cnt")),
+          vocabIdColumn,
+          enc.agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0))
+        r += 1
+      }
+      cur
+    }
+  }
+
+  /** Maximum-likelihood subword inference over a [[UnigramScores]]
+    * table — the sentencepiece-unigram Viterbi segmentation (Kudo
+    * 2018; public knowledge): per whitespace-separated word, the piece
+    * sequence maximizing the total integer score, via one forward DP
+    * over word positions (cell = chars consumed; each cell relaxed by
+    * every vocab piece ending there — first-form pieces only from
+    * cell 0, continuation pieces after).
+    *
+    * Determinism (the oracle replays cell-for-cell): ties on total
+    * score break to the FEWER-token path, then to the LONGER final
+    * piece — and that triple is total, because equal end + equal
+    * length pins the piece itself. The argmax is over exact integers,
+    * so no float order-dependence exists anywhere.
+    *
+    * Divergence from the family's other inference modes is real and
+    * spec-exhibited: greedy MaxMatch commits to the longest head piece
+    * even when it forces a poor tail (TokenizeUnigramSpec); rank-order
+    * BPE follows the learned merge history, which is blind to piece
+    * frequencies beyond the merges.
+    *
+    * A word with an unreachable final cell becomes ONE `unkId` token
+    * or fails loud (`unkId = None`) — [[BpeEncode]]'s whole-word-UNK
+    * contract; char-complete vocabs ([[VocabBuild]] / [[BpeLearn]])
+    * make the DP total on their own corpus.
+    *
+    * 100 TB shape: identical to [[BpeEncode]] — score table collected
+    * once (bounded, fail-loud), broadcast as tries + an id→score map;
+    * pure map-side typed pass. Per-word cost is O(len × trie-walk) —
+    * each start position walks the trie once collecting all matches.
+    */
+  final case class UnigramEncode(scores: DataFrame,
+                                 textColumn: String = "text",
+                                 idColumn: String = "doc_id",
+                                 pieceColumn: String = "piece",
+                                 vocabIdColumn: String = "id",
+                                 scoreColumn: String = "score",
+                                 continuationPrefix: String = "##",
+                                 unkId: Option[Long] = None,
+                                 unkPiece: String = "<unk>",
+                                 lowercase: Boolean = true,
+                                 maxVocab: Int = 1 << 22,
+                                 byteLevel: Boolean = false)
+      extends Wrangler {
+    require(continuationPrefix.nonEmpty,
+      "continuationPrefix must be non-empty")
+    require(maxVocab >= 1, "maxVocab must be positive")
+    override def getParams: Seq[(String, Any)] = Seq(
+      "textColumn" -> textColumn, "idColumn" -> idColumn,
+      "pieceColumn" -> pieceColumn, "vocabIdColumn" -> vocabIdColumn,
+      "scoreColumn" -> scoreColumn,
+      "continuationPrefix" -> continuationPrefix, "unkId" -> unkId,
+      "unkPiece" -> unkPiece, "lowercase" -> lowercase,
+      "maxVocab" -> maxVocab, "byteLevel" -> byteLevel)
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+      SparkUtil.validateColumns(scores,
+        Seq(pieceColumn, vocabIdColumn, scoreColumn))
+      val spark = df.sparkSession
+      import spark.implicits._
+      // the SHARED encode-vocab contract (fit-param drift, bounded
+      // collect, every piece/id invariant) — scores is an encoder
+      // vocab that happens to carry one more column
+      val (firstArr, contArr) = collectEncodeVocab(scores, pieceColumn,
+        vocabIdColumn, continuationPrefix, lowercase, byteLevel,
+        maxVocab, unkId, "UnigramEncode")
+      // score layer: one more bounded collect (the table is already
+      // proven <= maxVocab and duplicate-free above)
+      val scoreRows = scores
+        .select(col(vocabIdColumn).cast("long"),
+          col(scoreColumn).cast("long"))
+        .limit(maxVocab + 1)
+        .as[(java.lang.Long, java.lang.Long)].collect()
+      scoreRows.foreach { case (id, s) =>
+        require(s != null,
+          s"UnigramEncode: vocab id $id has a null $scoreColumn — " +
+            "build the table with Tokenize.UnigramScores")
+      }
+      val bcFirst = spark.sparkContext.broadcast(firstArr)
+      val bcCont = spark.sparkContext.broadcast(contArr)
+      val bcScores = spark.sparkContext.broadcast(
+        scoreRows.map { case (id, s) => (id.longValue, s.longValue) })
+      val (txt, idc, lc, unk) = (textColumn, idColumn, lowercase, unkId)
+      val (pfx, bl) = (continuationPrefix, byteLevel)
+      val textExpr =
+        if (lc) lower(col(txt).cast("string")) else col(txt).cast("string")
+      df.select(col(idc).cast("long"), textExpr.as("__t"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val firstTrie = new Trie
+          bcFirst.value.foreach { case (p, id) => firstTrie.add(p, id) }
+          val contTrie = new Trie
+          bcCont.value.foreach { case (p, id) => contTrie.add(p, id) }
+          val scoreById = new java.util.HashMap[Long, Long]()
+          bcScores.value.foreach { case (id, s) => scoreById.put(id, s) }
+          val ws = java.util.regex.Pattern.compile("\\s+")
+          val out = new ArrayBuffer[Long](256)
+          // DP cell arrays, grown to the longest word seen
+          var cap = 64
+          var sc = new Array[Long](cap + 1)
+          var nt = new Array[Int](cap + 1)
+          var pl = new Array[Int](cap + 1)
+          var pid = new Array[Long](cap + 1)
+          var ok = new Array[Boolean](cap + 1)
+          it.map { case (docId, text) =>
+            out.clear()
+            if (text != null) {
+              val words = ws.split(text)
+              var wi = 0
+              while (wi < words.length) {
+                val wRaw = words(wi)
+                if (wRaw.nonEmpty) {
+                  val w = if (bl) byteMapLocal(wRaw) else wRaw
+                  val n = w.length
+                  if (n > cap) {
+                    cap = math.max(n, cap * 2)
+                    sc = new Array[Long](cap + 1)
+                    nt = new Array[Int](cap + 1)
+                    pl = new Array[Int](cap + 1)
+                    pid = new Array[Long](cap + 1)
+                    ok = new Array[Boolean](cap + 1)
+                  }
+                  java.util.Arrays.fill(ok, 0, n + 1, false)
+                  ok(0) = true; sc(0) = 0L; nt(0) = 0
+                  var s = 0
+                  while (s < n) {
+                    if (ok(s)) {
+                      val trie = if (s == 0) firstTrie else contTrie
+                      val (ss, sn) = (sc(s), nt(s))
+                      trie.allMatches(w, s, (len, id) => {
+                        val e = s + len
+                        val tot = ss + scoreById.get(id)
+                        val tn = sn + 1
+                        // relax: max total; tie -> fewer tokens; tie ->
+                        // longer final piece (total order — see scaladoc)
+                        if (!ok(e) || tot > sc(e) ||
+                            (tot == sc(e) && (tn < nt(e) ||
+                              (tn == nt(e) && len > pl(e))))) {
+                          ok(e) = true; sc(e) = tot; nt(e) = tn
+                          pl(e) = len; pid(e) = id
+                        }
+                      })
+                    }
+                    s += 1
+                  }
+                  if (!ok(n)) {
+                    unk match {
+                      case Some(u) => out += u
+                      case None => throw new IllegalArgumentException(
+                        s"UnigramEncode: doc $docId word `$wRaw` has no " +
+                          "full segmentation under this score table " +
+                          "and no unkId is configured — char-complete " +
+                          "vocabs (VocabBuild / BpeLearn) guarantee " +
+                          "coverage on their own corpus, or set unkId")
+                    }
+                  } else {
+                    // backtrack, then emit in order
+                    val mark = out.length
+                    var e = n
+                    while (e > 0) { out += pid(e); e -= pl(e) }
+                    // reverse the appended slice in place
+                    var i = mark
+                    var j = out.length - 1
+                    while (i < j) {
+                      val t = out(i); out(i) = out(j); out(j) = t
+                      i += 1; j -= 1
+                    }
+                  }
+                }
+                wi += 1
+              }
+            }
+            BpeRow(docId, out.length.toLong, out.toArray)
+          }
+        }.toDF()
+    }
+  }
 
   /** The encode-side vocab contract, shared verbatim by [[BpeEncode]]
     * and the fused curation recipe
