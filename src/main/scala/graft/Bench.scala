@@ -177,6 +177,7 @@ object Bench {
     "unigram_scores" -> Some("MapPartitions"), // the MaxMatch counting pass
     "unigram_encode" -> Some("MapPartitions"), // broadcast-scores Viterbi DP
     "unigram_em" -> Some("MapPartitions"), // hard-EM round + second DP
+    "seq_pack_unigram" -> Some("MapPartitions"), // Viterbi encode->chunk->pack
     "bpe_vocab" -> Some("HashAggregate"), // bounded frequency aggs + ranks
     "bpe_learn" -> Some("HashAggregate"), // per-round pair-count aggs
     "bpe_learn_deep" -> Some("HashAggregate"), // batched rounds, same aggs

@@ -3930,6 +3930,37 @@ object OracleSql {
        |FROM r ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** [[seqPackBpeNative]]'s chunk+pack algebra over the UNIGRAM
+    * Viterbi segmentation — the full chain `seq_pack_unigram`:
+    * vocab → MaxMatch-counted scores → max-likelihood encode →
+    * chunk → exact pack (the chunk/pack algebra needs only the
+    * per-doc token COUNT, so the replay rides `udt.ids`). */
+  def seqPackUnigram(chunkTokens: Int, overlapTokens: Int,
+                     budgetTokens: Long): String = {
+    val stride = chunkTokens - overlapTokens
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |$unigramScoreCtes,
+       |${unigramEncodeCtes("u", "uscore")},
+       |t AS (SELECT d.doc_id,
+       |  CAST(coalesce(len(udt.ids), 0) AS BIGINT) AS n
+       |  FROM documents d LEFT JOIN udt USING (doc_id)),
+       |c AS (SELECT doc_id, n,
+       |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))
+       |    AS cs FROM t),
+       |c2 AS (SELECT doc_id, cs // $stride AS chunk_idx,
+       |  least($chunkTokens, n - cs) AS sz,
+       |  doc_id * 100000 + cs // $stride AS ck FROM c),
+       |r AS (SELECT *, SUM(sz) OVER (ORDER BY ck
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM c2)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(sz AS BIGINT) AS n_chunk_tokens,
+       |  CAST(cum AS BIGINT) AS cum_tokens,
+       |  CAST((cum - sz) // $budgetTokens AS BIGINT) AS pack_id
+       |FROM r ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** [[mixBudget]]'s exact prefix-sum admission driven by the REAL
     * subword token counts of [[bpeCtes]] — the composition `mix_bpe`:
     * budgets measured in the engine's own tokenizer units. */

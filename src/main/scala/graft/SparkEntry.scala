@@ -1660,6 +1660,27 @@ object SparkEntry {
           col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    // the full pretraining-prep chain in UNIGRAM (max-likelihood)
+    // units: vocab -> scores -> Viterbi encode (emitPieces feeds the
+    // chunker) -> chunk -> exact prefix-sum pack; the oracle replays
+    // the DP and the chunk/pack algebra in one query
+    "seq_pack_unigram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val enc = Tokenize.UnigramEncode(
+          Tokenize.UnigramScores(bpeFixtureVocab(d)).transform(d),
+          emitPieces = true)
+        .transform(d)
+      Corpus.ShardPack(orderColumn = "chunk_key",
+          sizeColumn = "n_chunk_tokens", targetBytes = 256L)
+        .transform(ChunkSplit(chunkTokens = 24, overlapTokens = 6,
+            tokenArrayColumn = "bpe_pieces")
+          .transform(enc)
+          .withColumn("chunk_key",
+            col("doc_id") * 100000L + col("chunk_idx")))
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // token-budget mixture in the engine's OWN tokenizer units: the
     // encode's n_bpe_tokens drives MixBudget's tokenCountColumn path
     "mix_bpe" -> ((s, dir) => {
@@ -1853,6 +1874,7 @@ object SparkEntry {
     "bpe_roundtrip" -> OracleSql.bpeRoundtrip,
     "seq_pack_learn" -> OracleSql.seqPackBpeLearned(20, 24, 6, 256L),
     "seq_pack_ranked" -> OracleSql.seqPackRanked(20, 24, 6, 256L),
+    "seq_pack_unigram" -> OracleSql.seqPackUnigram(24, 6, 256L),
     "bpe_enc_uni" -> OracleSql.bpeEncUni,
     "chunk_bpe" -> OracleSql.chunkBpe(24, 6),
     "seq_pack_bpe" -> OracleSql.seqPackBpeNative(24, 6, 256L),

@@ -1092,7 +1092,8 @@ object Tokenize {
                                  unkPiece: String = "<unk>",
                                  lowercase: Boolean = true,
                                  maxVocab: Int = 1 << 22,
-                                 byteLevel: Boolean = false)
+                                 byteLevel: Boolean = false,
+                                 emitPieces: Boolean = false)
       extends Wrangler {
     require(continuationPrefix.nonEmpty,
       "continuationPrefix must be non-empty")
@@ -1103,7 +1104,8 @@ object Tokenize {
       "scoreColumn" -> scoreColumn,
       "continuationPrefix" -> continuationPrefix, "unkId" -> unkId,
       "unkPiece" -> unkPiece, "lowercase" -> lowercase,
-      "maxVocab" -> maxVocab, "byteLevel" -> byteLevel)
+      "maxVocab" -> maxVocab, "byteLevel" -> byteLevel,
+      "emitPieces" -> emitPieces)
     override def preservesSampleSize: Boolean = true
 
     def transform(df: DataFrame): DataFrame = {
@@ -1136,11 +1138,11 @@ object Tokenize {
         scoreRows.map { case (id, s) => (id.longValue, s.longValue) })
       val (txt, idc, lc, unk) = (textColumn, idColumn, lowercase, unkId)
       val (pfx, bl) = (continuationPrefix, byteLevel)
+      val (pieces, unkP) = (emitPieces, unkPiece)
       val textExpr =
         if (lc) lower(col(txt).cast("string")) else col(txt).cast("string")
-      df.select(col(idc).cast("long"), textExpr.as("__t"))
-        .as[(Long, String)]
-        .mapPartitions { it =>
+      def rows[R](it: Iterator[(Long, String)],
+                  mk: (Long, ArrayBuffer[Long]) => R): Iterator[R] = {
           val firstTrie = new Trie
           bcFirst.value.foreach { case (p, id) => firstTrie.add(p, id) }
           val contTrie = new Trie
@@ -1224,9 +1226,29 @@ object Tokenize {
                 wi += 1
               }
             }
-            BpeRow(docId, out.length.toLong, out.toArray)
+            mk(docId, out)
           }
+      }
+      val typed = df.select(col(idc).cast("long"), textExpr.as("__t"))
+        .as[(Long, String)]
+      if (pieces) {
+        // final DP pieces ARE vocab rows: invert the validated piece
+        // arrays (continuation re-prefixed) for the emitPieces face —
+        // the chunker's external-token path, like BpeEncode's
+        val byId = (firstArr ++ contArr.map { case (p, id) =>
+          (continuationPrefix + p, id) })
+          .map { case (p, id) => id -> p }.toMap
+        val bcById = spark.sparkContext.broadcast(byId)
+        typed.mapPartitions { it =>
+          val m = bcById.value
+          rows(it, (docId, out) => BpePieceRow(docId,
+            out.length.toLong, out.toArray,
+            out.map(id => m.getOrElse(id, unkP)).toArray))
         }.toDF()
+      } else
+        typed.mapPartitions(it =>
+          rows(it, (docId, out) =>
+            BpeRow(docId, out.length.toLong, out.toArray))).toDF()
     }
   }
 

@@ -84,3 +84,40 @@ final class StreamingBpeDecode(vocab: DataFrame,
       .transform(df)
   }
 }
+
+/** Streaming Unigram-LM (Viterbi) encode against a STATIC persisted
+  * [[Tokenize.UnigramScores]] table — the max-likelihood sibling of
+  * [[StreamingBpeEncode]], same duality: the operator IS
+  * [[Tokenize.UnigramEncode]], a stateless typed map pass, legal on a
+  * streaming Dataset as-is. The score table is collected, validated
+  * (the shared encode-vocab contract plus the score layer) and
+  * broadcast ONCE at plan-build time — fit-param drift raises before
+  * the stream starts; what repeats per micro-batch is only the local
+  * trie/score-map compile, the [[StreamingBpeEncode]] cost envelope.
+  *
+  * Reference streaming surface: none (pywrangler is batch-only).
+  */
+final class StreamingUnigramEncode(scores: DataFrame,
+                                   textColumn: String = "text",
+                                   idColumn: String = "doc_id",
+                                   continuationPrefix: String = "##",
+                                   unkId: Option[Long] = None,
+                                   lowercase: Boolean = true,
+                                   emitPieces: Boolean = false,
+                                   byteLevel: Boolean = false) {
+
+  /** `df` must be a streaming DataFrame; output appends one row per
+    * input row (`doc_id`, `n_bpe_tokens`, `bpe_ids`[, `bpe_pieces`]) —
+    * stateless, so every sink mode works and no watermark is needed.
+    */
+  def transform(df: DataFrame): DataFrame = {
+    require(df.isStreaming,
+      "StreamingUnigramEncode.transform needs a streaming DataFrame; " +
+        "use Tokenize.UnigramEncode for batch corpora")
+    Tokenize.UnigramEncode(scores, textColumn = textColumn,
+      idColumn = idColumn, continuationPrefix = continuationPrefix,
+      unkId = unkId, lowercase = lowercase, emitPieces = emitPieces,
+      byteLevel = byteLevel)
+      .transform(df)
+  }
+}

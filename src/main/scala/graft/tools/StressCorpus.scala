@@ -181,6 +181,57 @@ object StressCorpus {
       got.getLong(0)
     }
 
+    // ----- UNIGRAM max-likelihood inference at the same scale with
+    // the SAME closed form: hand scores make the whole-word "the"
+    // (-1) dominate its only alternative and every coded word fall to
+    // chars (no multi-char piece exists for them), so the Viterbi
+    // token mass equals the MaxMatch row's closed form exactly —
+    // Σ n_bpe_tokens == Σ non-space chars − 2·nDocs
+    time(s"unigram_encode docs=$nDocs hand-scored (closed form)") {
+      import spark.implicits._
+      val pieces = (('a' to 'g') ++ ('0' to '9')).map(_.toString)
+      val scores = ((pieces ++ pieces.map("##" + _))
+        .map(p => (p, -10L)) :+ (("the", -1L)))
+        .zipWithIndex.map { case ((p, s), i) => (p, i.toLong, s) }
+        .toDF("piece", "id", "score")
+      val out = graft.operators.Tokenize.UnigramEncode(scores)
+        .transform(docs)
+      val got = out.agg(sum("n_bpe_tokens"), count(lit(1))).collect()(0)
+      val expected = docs.agg(
+        sum(length(translate(col("text"), " ", "")))).collect()(0)
+        .getLong(0) - 2L * nDocs
+      require(got.getLong(1) == nDocs, s"row drift: $got")
+      require(got.getLong(0) == expected,
+        s"token-count drift: ${got.getLong(0)} != $expected")
+      got.getLong(0)
+    }
+
+    // ----- the score FIT at the same scale: under the hand vocab the
+    // MaxMatch counting pass is the closed form above (cnt("the") ==
+    // nDocs, total == Σ chars − 2·nDocs), so score("the") is one exact
+    // integer the stress recomputes independently through the same
+    // ln lattice
+    time(s"unigram_scores docs=$nDocs (closed-form ln check)") {
+      import spark.implicits._
+      val pieces = (('a' to 'g') ++ ('0' to '9')).map(_.toString)
+      val vocab = (pieces ++ pieces.map("##" + _) :+ "the")
+        .zipWithIndex.map { case (p, i) => (p, i.toLong) }
+        .toDF("piece", "id")
+      val sc = graft.operators.Tokenize.UnigramScores(vocab)
+        .transform(docs)
+        .as[(String, Long, Long)].collect()
+      require(sc.length == 35, s"vocab drift: ${sc.length}")
+      val total = docs.agg(
+        sum(length(translate(col("text"), " ", "")))).collect()(0)
+        .getLong(0) - 2L * nDocs
+      val expected = math.round(math.log(
+        (nDocs + 1).toDouble / (total + 35)) * 1e6)
+      val theScore = sc.find(_._1 == "the").get._3
+      require(theScore == expected,
+        s"score drift: $theScore != $expected")
+      sc.length.toLong
+    }
+
     // ----- the LEARN leg at the same scale: VocabBuild's output has a
     // CLOSED-FORM structure over the generator corpus — the word
     // alphabet is {a..g, t, h, 0..9} (19 chars, both forms; "the" is

@@ -214,6 +214,38 @@ class TokenizeUnigramSpec extends AnyFunSuite {
     assert(dec == "hüg 🚀🚀 pug zzz")
   }
 
+  test("emitPieces: the emitted pieces are exactly the DP's chosen " +
+    "vocab rows, they reassemble the canonical text, and they drive " +
+    "ChunkSplit's external-token path") {
+    val docs = Seq((1L, "hug hug pug"), (2L, "hug pug hugs"))
+      .toDF("doc_id", "text")
+    val scores = Tokenize.UnigramScores(
+      Tokenize.VocabBuild(topWords = 2).transform(docs)).transform(docs)
+    val enc = Tokenize.UnigramEncode(scores, emitPieces = true)
+      .transform(docs)
+    val got = enc.select("doc_id", "bpe_ids", "bpe_pieces")
+      .as[(Long, Seq[Long], Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val byId = scores.select("id", "piece").as[(Long, String)]
+      .collect().toMap
+    got.foreach { case (_, (ids, pcs)) =>
+      assert(ids.map(byId) == pcs) // pieces ARE the chosen vocab rows
+    }
+    def reassemble(pcs: Seq[String]): String = {
+      val words = scala.collection.mutable.ArrayBuffer.empty[String]
+      pcs.foreach { p =>
+        if (p.startsWith("##")) words(words.length - 1) += p.drop(2)
+        else words += p
+      }
+      words.mkString(" ")
+    }
+    assert(reassemble(got(1L)._2) == "hug hug pug")
+    val chunks = ChunkSplit(chunkTokens = 2, overlapTokens = 0,
+        tokenArrayColumn = "bpe_pieces")
+      .transform(enc)
+    assert(chunks.count() > 0)
+  }
+
   test("fail loud: a missing character raises naming the word (or " +
     "UNKs the WHOLE word with unkId); a null score and a missing " +
     "score column raise at build; fit-param drift raises") {

@@ -93,6 +93,49 @@ class StreamingBpeEncodeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("streaming"))
   }
 
+  test("streaming UNIGRAM (Viterbi) encode equals the batch encoder " +
+    "bit-identically across micro-batches against a PERSISTED score " +
+    "table; stateless; fit drift gates the stream at plan-build") {
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = persistedVocab
+    val dir = java.nio.file.Files.createTempDirectory("uscore").toString
+    Tokenize.UnigramScores(vocab, emRounds = 1)
+      .transform(corpus.toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dir/scores")
+    val scores = spark.read.parquet(s"$dir/scores")
+    val batch = Tokenize.UnigramEncode(scores)
+      .transform(corpus.toDF("doc_id", "text"))
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val input = MemoryStream[StreamEvent]
+    val out = new StreamingUnigramEncode(scores, idColumn = "order",
+        textColumn = "marker")
+      .transform(input.toDF())
+    val query = out.writeStream.format("memory").queryName("suni")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.take(2).map { case (id, tx) => doc(id, tx) }: _*)
+      query.processAllAvailable()
+      input.addData(corpus.drop(2).map { case (id, tx) => doc(id, tx) }: _*)
+      query.processAllAvailable()
+      val got = spark.table("suni")
+        .select("doc_id", "n_bpe_tokens", "bpe_ids")
+        .as[(Long, Long, Seq[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == batch)
+      assert(query.lastProgress.stateOperators.isEmpty) // stateless
+    } finally query.stop()
+    val e = intercept[IllegalArgumentException](
+      new StreamingUnigramEncode(scores, idColumn = "order",
+        textColumn = "marker", lowercase = false)
+        .transform(input.toDF()))
+    assert(e.getMessage.contains("lowercase"))
+    val e2 = intercept[IllegalArgumentException](
+      new StreamingUnigramEncode(scores)
+        .transform(corpus.toDF("doc_id", "text")))
+    assert(e2.getMessage.contains("streaming"))
+  }
+
   test("streaming decode identity: encode → decode CHAINED in one " +
     "streaming query reproduces the canonical text per micro-batch; " +
     "the decode's fit checks also gate the stream") {
