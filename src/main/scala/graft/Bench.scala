@@ -188,6 +188,7 @@ object Bench {
     "seq_pack_learn" -> Some("MapPartitions"), // learn->encode->chunk->pack
     "bpe_enc_uni" -> Some("MapPartitions"), // trie encode over non-BMP text
     "pack_manifest" -> Some("HashAggregate"), // partial-agg pack rollup
+    "len_bucket_pack" -> Some("MapPartitions"), // seeded per-cell rank pass
     "pipeline_pretrain_bpe" -> Some("MapPartitions"), // final ShardPack stage
     "chunk_bpe" -> Some("MapPartitions"), // encode feeds the chunker
     "seq_pack_bpe" -> Some("MapPartitions"), // encode->chunk->pack chain

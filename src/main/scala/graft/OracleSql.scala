@@ -929,6 +929,32 @@ object OracleSql {
                       budgetTokens: Long): String =
     sequencePack(chunkTokens, overlapTokens, budgetTokens, BpeToks)
 
+  /** Length-class (bucketed-batching) packing over whitespace token
+    * counts. Mirrors [[graft.operators.Corpus.LengthBucketPack]]: class
+    * = first band >= count, per-class rank by doc_id, packs of
+    * `seqsPerPack`, pad to the class bound.
+    */
+  def lengthBucketPack(bands: Seq[Long], seqsPerPack: Int): String = {
+    val clsCase = bands.zipWithIndex
+      .map { case (bound, i) => s"WHEN n_tokens <= $bound THEN $i" }
+      .mkString("CASE ", " ", " END")
+    val tokCase = bands
+      .map(bound => s"WHEN n_tokens <= $bound THEN $bound")
+      .mkString("CASE ", " ", " END")
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |  CAST($clsCase AS BIGINT) AS len_class,
+       |  CAST($tokCase AS BIGINT) AS class_tokens FROM t),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY len_class ORDER BY doc_id) - 1 AS BIGINT)
+       |  AS class_seq FROM c)
+       |SELECT doc_id, n_tokens, len_class, class_tokens, class_seq,
+       |  CAST(class_seq // $seqsPerPack AS BIGINT) AS pack_id,
+       |  CAST(class_tokens - n_tokens AS BIGINT) AS pad_tokens
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Near-duplicate benchmark decontamination: MinHash signatures per
     * side, banded train-vs-eval candidate join, signature-agreement
     * estimate, per-train-doc rollup. Mirrors

@@ -1176,6 +1176,19 @@ object SparkEntry {
               o("start_token").cast("string"))), " "))
         .drop("seq_offsets")
         .orderBy("pack_id")),
+    // bucketed-batching layout (r16): length-CLASS packing — sequences
+    // pad only to their class band, not the corpus max, and packs cut
+    // at a fixed sequence count per class. Skew-safe per-class rank via
+    // the ShardPack two-phase counting (never a per-class window)
+    "len_bucket_pack" -> ((s, dir) =>
+      Corpus.LengthBucketPack(
+          bands = Seq(16L, 24L, 32L, 48L, 64L, 96L, 128L), seqsPerPack = 8)
+        .transform(TextAnalysis.TokenCount().transform(docs(s, dir))
+          .select("doc_id", "n_tokens"))
+        .withColumn("len_class", col("len_class").cast("long"))
+        .select("doc_id", "n_tokens", "len_class", "class_tokens",
+          "class_seq", "pack_id", "pad_tokens")
+        .orderBy("doc_id")),
     // the two newest extension surfaces composed end to end and
     // oracle-gated: the session-registered `long_array_dot` Catalyst
     // expression (SQL surface, codegen'd primitive loop) running INSIDE a
@@ -1816,6 +1829,8 @@ object SparkEntry {
     "pipeline_pretrain_bpe" -> OracleSql.pipelinePretrainBpe(0.1, 0.9,
       8000L, "graft", 24, 6, 256L),
     "pack_manifest" -> OracleSql.packManifest(20000L),
+    "len_bucket_pack" -> OracleSql.lengthBucketPack(
+      Seq(16L, 24L, 32L, 48L, 64L, 96L, 128L), 8),
     "tfidf_topk" -> OracleSql.tfIdfTopK(3),
     "decontaminate" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
     "decontaminate_bloom" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),

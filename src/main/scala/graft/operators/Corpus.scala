@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 import graft.core.Wrangler
 import graft.functions.Portable._
@@ -1094,6 +1094,161 @@ object Corpus {
           greatest(lit(budgetBytes) - col("n_tokens"), lit(0L)))
         .select("pack_id", "n_seqs", "n_tokens", "pad_tokens",
           "first_key", "last_key", "seq_offsets")
+    }
+  }
+
+  /** Length-class sequence packing — the trainer's BUCKETED-BATCHING
+    * layout. Where [[ShardPack]] packs arrival-order sequences to a
+    * token budget (padding only the last pack), bucketed batching
+    * groups sequences into length CLASSES (`bands`: ascending pad-to
+    * widths), ranks each class independently in order-key order, and
+    * cuts packs of exactly `seqsPerPack` sequences per class — every
+    * sequence pads only to its CLASS bound, not the global maximum,
+    * which is what makes fixed-shape batches cheap when lengths are
+    * Zipf-spread (a 30-token doc in a 32-band pays 2 pad tokens, not
+    * `maxLen - 30`).
+    *
+    * Appends (row-preserving): `len_class` (0-based band index — the
+    * first band >= size), `class_tokens` (that band's width),
+    * `class_seq` (0-based rank within the class by order key),
+    * `pack_id` (`class_seq div seqsPerPack`, within-class), and
+    * `pad_tokens` (`class_tokens - size`). A (len_class, pack_id)
+    * pair globally names a pack; its last pack may run short.
+    *
+    * Fail-loud contract: sizes must sit in [1, bands.last] — an
+    * over-long sequence errors rather than silently joining the top
+    * band (chunk first; [[graft.operators.ChunkSplit]] is the
+    * upstream stage that guarantees the bound). The order key must be
+    * unique (ties make the rank order-dependent, the [[ShardPack]]
+    * contract).
+    *
+    * 100 TB shape: the per-class rank is the same two-phase
+    * distributed counting as [[ShardPack]]'s prefix sum — key-range
+    * buckets, one bounded driver collect of `nBands x p` cell counts
+    * (bands are O(10), p is the shuffle-partition count), then ONE
+    * keyed exchange on (class, bucket) with a seeded running counter
+    * per cell. Never a global window over a class (a dominant length
+    * class — most corpora's mid band — would serialize through one
+    * task); class skew lands as at most `p` balanced cells per class.
+    */
+  final case class LengthBucketPack(orderColumn: String = "doc_id",
+                                    sizeColumn: String = "n_tokens",
+                                    bands: Seq[Long] = Seq(32L, 64L, 128L,
+                                      256L, 512L, 1024L),
+                                    seqsPerPack: Int = 16,
+                                    partitions: Int = 0)
+      extends Wrangler {
+    require(bands.nonEmpty, "`bands` must be non-empty")
+    require(bands.head >= 1, "`bands` must be positive")
+    require(bands.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      "`bands` must be strictly increasing")
+    require(seqsPerPack >= 1, "`seqsPerPack` must be >= 1")
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(orderColumn, sizeColumn))
+      val reserved = Set("__k", "__sz", "__cls", "__b", "len_class",
+        "class_tokens", "class_seq", "pack_id", "pad_tokens")
+      require(!df.columns.exists(c => reserved(c.toLowerCase)),
+        s"input must not already carry ${reserved.mkString("/")} columns " +
+          "(any case)")
+      val spark = df.sparkSession
+      val p =
+        if (partitions > 0) partitions
+        else spark.sessionState.conf.numShufflePartitions
+      val nCols = df.schema.size
+      // class = index of the first band >= size, as a codegen'd CASE
+      // chain (bands are O(10) literals); out-of-band sizes take class
+      // -1 and fail loudly in the map pass below
+      val clsExpr = bands.zipWithIndex.reverse
+        .foldLeft(lit(-1)) { case (acc, (bound, i)) =>
+          when(col("__sz") <= bound && col("__sz") >= 1L, lit(i))
+            .otherwise(acc)
+        }
+      val base = df
+        .withColumn("__k", col(orderColumn).cast("long"))
+        .withColumn("__sz", col(sizeColumn).cast("long"))
+        .withColumn("__cls", clsExpr)
+      val outSchema = StructType(df.schema.fields :+
+        StructField("len_class", IntegerType, nullable = false) :+
+        StructField("class_tokens", LongType, nullable = false) :+
+        StructField("class_seq", LongType, nullable = false) :+
+        StructField("pack_id", LongType, nullable = false) :+
+        StructField("pad_tokens", LongType, nullable = false))
+      val boundsRow = base.agg(min("__k"), max("__k"), count(lit(1))).head()
+      if (boundsRow.getLong(2) == 0L)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], outSchema)
+      val minK = boundsRow.getLong(0)
+      val span =
+        try math.subtractExact(boundsRow.getLong(1), minK)
+        catch {
+          case _: ArithmeticException => throw new IllegalArgumentException(
+            s"LengthBucketPack: order-key span max(${boundsRow.getLong(1)}) " +
+              s"- min($minK) overflows Long; remap the key before packing")
+        }
+      val width = math.max(1L, span / p + 1)
+      val bucketed = base
+        .withColumn("__b", expr(s"(__k - ${minK}L) div ${width}L"))
+      // cell counts: nBands x p rows, driver-bounded by construction.
+      // An out-of-band size surfaces HERE (cls = -1 in the counts) so
+      // the job fails before any per-row work is wasted.
+      val cells = bucketed.groupBy("__cls", "__b")
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      val bad = cells.collect { case ((cls, _), n) if cls < 0 => n }.sum
+      require(bad == 0L,
+        s"LengthBucketPack: $bad rows have `$sizeColumn` outside " +
+          s"[1, ${bands.last}] — chunk or filter before packing " +
+          "(silent top-band adoption would corrupt batch shapes)")
+      val cellMap = cells.toMap
+      // exclusive per-class prefix counts across buckets, flattened to
+      // a (nBands x p) offset table indexed [cls * p + bucket]
+      val offsets = new Array[Long](bands.size * p)
+      var cls = 0
+      while (cls < bands.size) {
+        var acc = 0L
+        var b = 0
+        while (b < p) {
+          offsets(cls * p + b) = acc
+          acc += cellMap.getOrElse((cls, b.toLong), 0L)
+          b += 1
+        }
+        cls += 1
+      }
+      val bc = spark.sparkContext.broadcast(offsets)
+      val bandArr = bands.toArray
+      val spp = seqsPerPack.toLong
+      val pFinal = p
+      bucketed
+        .repartition(p, col("__cls"), col("__b"))
+        .sortWithinPartitions("__cls", "__k")
+        .mapPartitions { it =>
+          // cells are contiguous after the sort: rows group by class,
+          // and within a class the bucket id is monotone in __k
+          var curCls = -2
+          var curB = -1L
+          var rank = 0L
+          it.map { r =>
+            val sz = r.getLong(nCols + 1)
+            val c = r.getInt(nCols + 2)
+            val b = r.getLong(nCols + 3)
+            if (c != curCls || b != curB) {
+              require(c >= 0 && c < bandArr.length && b >= 0 && b < pFinal,
+                s"LengthBucketPack: cell ($c, $b) outside " +
+                  s"[0, ${bandArr.length}) x [0, $pFinal)")
+              curCls = c
+              curB = b
+              rank = bc.value(c * pFinal + b.toInt)
+            }
+            val seq = rank
+            rank += 1L
+            Row.fromSeq(r.toSeq.take(nCols) :+ c :+
+              (bandArr(c): java.lang.Long) :+ (seq: java.lang.Long) :+
+              ((seq / spp): java.lang.Long) :+
+              ((bandArr(c) - sz): java.lang.Long))
+          }
+        }(Encoders.row(outSchema))
     }
   }
 

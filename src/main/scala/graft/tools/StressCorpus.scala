@@ -66,6 +66,36 @@ object StressCorpus {
       r.getLong(2)
     }
 
+    // ----- length-class packing: 50M rows, per-class rank EXACTNESS.
+    // Sizes hash-spread over [1, 997]; the distinct/max/count agg per
+    // class proves each class's ranks are EXACTLY 0..n_c-1 (n distinct
+    // values in [0, n-1] is the permutation) — the property a window
+    // would give, delivered by the seeded two-phase counter
+    time(s"len_bucket_pack n=$nRows bands=5") {
+      val sz1 = spark.range(nRows)
+        .select(col("id").as("doc_id"),
+          (pmod(col("id") * 2654435761L, lit(997L)) + 1L).as("n_tokens"))
+      val out = Corpus.LengthBucketPack(
+          bands = Seq(64L, 128L, 256L, 512L, 1024L), seqsPerPack = 1024)
+        .transform(sz1)
+      val per = out.groupBy("len_class")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("class_seq")).as("nd"),
+          min("class_seq").as("mn"), max("class_seq").as("mx"))
+        .collect()
+      var total = 0L
+      per.foreach { r =>
+        val (n, nd, mn, mx) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        require(nd == n && mn == 0L && mx == n - 1L,
+          s"class ${r.getInt(0)}: ranks not a 0..${n - 1} permutation " +
+            s"(n=$n distinct=$nd min=$mn max=$mx)")
+        total += n
+      }
+      require(total == nRows, s"row conservation: $total != $nRows")
+      per.length.toLong
+    }
+
     // ----- exact grouped quantiles: 50M values over 32 groups
     val grouped = spark.range(nRows)
       .select(pmod(col("id"), lit(32L)).as("g"),

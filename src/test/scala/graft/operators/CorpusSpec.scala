@@ -395,6 +395,72 @@ class CorpusSpec extends AnyFunSuite {
     assert(cum == keys.map(_ % 29 + 1).sum)
   }
 
+  // ------------------------------------------------- LengthBucketPack
+
+  test("len_bucket_pack: class assignment, per-class rank, pack cut " +
+    "and pad match a local reference under shuffled input") {
+    val bands = Seq(8L, 16L, 32L)
+    val rnd = new scala.util.Random(7)
+    val sizes = Vector.tabulate(400)(_ => rnd.nextInt(32).toLong + 1)
+    val d = rnd.shuffle(sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+      .toDF("doc_id", "n_tokens")
+    for (p <- Seq(1, 5, 13)) {
+      val got = Corpus.LengthBucketPack(bands = bands, seqsPerPack = 4,
+          partitions = p)
+        .transform(d).orderBy("doc_id")
+        .as[(Long, Long, Int, Long, Long, Long, Long)].collect()
+      // local reference: rank within class in doc_id order
+      val clsOf = (sz: Long) => bands.indexWhere(sz <= _)
+      val rankIn = scala.collection.mutable.Map.empty[Int, Long]
+      sizes.zipWithIndex.foreach { case (sz, id) =>
+        val c = clsOf(sz)
+        val seq = rankIn.getOrElse(c, 0L)
+        rankIn(c) = seq + 1
+        val (gid, gsz, gc, gtok, gseq, gpack, gpad) = got(id)
+        assert(gid == id && gsz == sz, s"p=$p doc $id")
+        assert(gc == c && gtok == bands(c), s"p=$p doc $id")
+        assert(gseq == seq, s"p=$p doc $id")
+        assert(gpack == seq / 4, s"p=$p doc $id")
+        assert(gpad == bands(c) - sz, s"p=$p doc $id")
+      }
+    }
+  }
+
+  test("len_bucket_pack: row-preserving, reserved names rejected") {
+    val d = Seq((2L, 5L, "b"), (1L, 20L, "a")).toDF("doc_id", "n_tokens", "x")
+    val got = Corpus.LengthBucketPack(bands = Seq(8L, 32L), seqsPerPack = 2)
+      .transform(d)
+    assert(got.columns.toSeq == Seq("doc_id", "n_tokens", "x", "len_class",
+      "class_tokens", "class_seq", "pack_id", "pad_tokens"))
+    val rows = got.orderBy("doc_id")
+      .as[(Long, Long, String, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 20L, "a", 1, 32L, 0L, 0L, 12L),
+      (2L, 5L, "b", 0, 8L, 0L, 0L, 3L)))
+    assertThrows[IllegalArgumentException](
+      Corpus.LengthBucketPack(bands = Seq(8L))
+        .transform(d.withColumn("pack_id", lit(1))))
+  }
+
+  test("len_bucket_pack: out-of-band sizes fail loudly, never adopt " +
+    "the top band") {
+    val tooBig = Seq((1L, 5L), (2L, 99L)).toDF("doc_id", "n_tokens")
+    val e1 = intercept[IllegalArgumentException](
+      Corpus.LengthBucketPack(bands = Seq(8L, 16L)).transform(tooBig)
+        .collect())
+    assert(e1.getMessage.contains("outside"))
+    val zero = Seq((1L, 0L)).toDF("doc_id", "n_tokens")
+    val e2 = intercept[IllegalArgumentException](
+      Corpus.LengthBucketPack(bands = Seq(8L)).transform(zero).collect())
+    assert(e2.getMessage.contains("outside"))
+    // parameter validation
+    assertThrows[IllegalArgumentException](
+      Corpus.LengthBucketPack(bands = Seq(8L, 8L)))
+    assertThrows[IllegalArgumentException](
+      Corpus.LengthBucketPack(bands = Seq.empty))
+    assertThrows[IllegalArgumentException](
+      Corpus.LengthBucketPack(bands = Seq(4L), seqsPerPack = 0))
+  }
+
   // ------------------------------------------------------ UnigramLogProb
 
   test("unigram_logprob: hand-computed tiny corpus, integer-exact sums") {
