@@ -165,6 +165,7 @@ object Bench {
     "mm_demux" -> Some("SerializeFromObject"), // typed AVI-demux map pass
     "text_tokens" -> Some("split("),
     "text_quality" -> Some("SerializeFromObject"),
+    "gopher_rules" -> Some("SerializeFromObject"), // typed rule-count pass
     "text_entropy" -> Some("SerializeFromObject"), // compiled map pass
     "text_langid" -> Some("SerializeFromObject"),
     "text_normalize" -> Some("regexp_replace"),

@@ -929,6 +929,56 @@ object OracleSql {
                       budgetTokens: Long): String =
     sequencePack(chunkTokens, overlapTokens, budgetTokens, BpeToks)
 
+  /** Gopher-style hard rule filter. Mirrors
+    * [[graft.operators.TextAnalysis.GopherRules]]: integer counters,
+    * cross-multiplied ratio rules, conjunction admit. Lines split on
+    * chr(10) keeping trailing empties; bullet/ellipsis tests trim
+    * spaces only (ltrim/rtrim defaults); word lengths in codepoints.
+    */
+  def gopherRules(minWords: Long, maxWords: Long,
+                  stopwords: Seq[String] =
+                    graft.operators.TextAnalysis.GopherStops): String = {
+    val stopsIn = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, $Toks AS tk,
+       |  string_split(text, chr(10)) AS ln FROM documents),
+       |c AS (SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_words,
+       |  CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT)
+       |    AS word_chars,
+       |  CAST(len(ln) AS BIGINT) AS n_lines,
+       |  CAST(len(list_filter(ln, x ->
+       |    substr(ltrim(x), 1, 1) IN ('-', '*', '•'))) AS BIGINT)
+       |    AS bullet_lines,
+       |  CAST(len(list_filter(ln, x -> right(rtrim(x), 3) = '...'
+       |    OR right(rtrim(x), 1) = '…')) AS BIGINT) AS ellipsis_lines,
+       |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+       |    AS BIGINT) AS alpha_words,
+       |  CAST((len(text) - len(replace(text, '#', '')))
+       |    + (len(text) - len(replace(text, '...', ''))) // 3
+       |    + (len(text) - len(replace(text, '…', ''))) AS BIGINT)
+       |    AS symbol_marks,
+       |  CAST(len(list_filter(list_distinct(tk), x -> x IN ($stopsIn)))
+       |    AS BIGINT) AS stopword_hits
+       |  FROM t),
+       |r AS (SELECT *,
+       |  n_words >= $minWords AND n_words <= $maxWords AS r_word_count,
+       |  3 * n_words <= word_chars AND word_chars <= 10 * n_words
+       |    AS r_mean_word_len,
+       |  10 * symbol_marks <= n_words AS r_symbol_ratio,
+       |  10 * bullet_lines <= 9 * n_lines AS r_bullet,
+       |  10 * ellipsis_lines <= 3 * n_lines AS r_ellipsis,
+       |  5 * alpha_words >= 4 * n_words AS r_alpha,
+       |  stopword_hits >= 2 AS r_stopwords
+       |  FROM c)
+       |SELECT doc_id, n_words, word_chars, n_lines, bullet_lines,
+       |  ellipsis_lines, alpha_words, symbol_marks, stopword_hits,
+       |  r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet,
+       |  r_ellipsis, r_alpha, r_stopwords,
+       |  r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet
+       |    AND r_ellipsis AND r_alpha AND r_stopwords AS admit
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Length-class (bucketed-batching) packing over whitespace token
     * counts. Mirrors [[graft.operators.Corpus.LengthBucketPack]]: class
     * = first band >= count, per-class rank by doc_id, packs of

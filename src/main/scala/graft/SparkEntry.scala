@@ -377,6 +377,21 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
           "punct_ratio", "quality_score")
         .orderBy("doc_id")),
+    // the Gopher/MassiveText HARD rule gate (r16): integer counters +
+    // cross-multiplied ratio rules + conjunction admit — auditable
+    // per-rule verdicts, no float ever materializes. Stopword list is
+    // the fixture corpus's own function words (the/a) so the >= 2
+    // distinct rule DISCRIMINATES here (47/136/317 docs at 0/1/2 hits)
+    // — the production default stays the Gopher octet
+    "gopher_rules" -> ((s, dir) =>
+      TextAnalysis.GopherRules(stopwords = Seq("the", "a"))
+        .transform(docs(s, dir))
+        .select("doc_id", "n_words", "word_chars", "n_lines",
+          "bullet_lines", "ellipsis_lines", "alpha_words", "symbol_marks",
+          "stopword_hits", "r_word_count", "r_mean_word_len",
+          "r_symbol_ratio", "r_bullet", "r_ellipsis", "r_alpha",
+          "r_stopwords", "admit")
+        .orderBy("doc_id")),
     // per-doc unigram Shannon entropy: the repetitiveness / lexical-
     // diversity gate signal — one compiled map pass, no shuffle
     "text_entropy" -> ((s, dir) =>
@@ -1748,6 +1763,7 @@ object SparkEntry {
   private def extendedOracles: Map[String, String] = Map(
     "text_tokens" -> OracleSql.textTokens,
     "text_quality" -> OracleSql.textQuality,
+    "gopher_rules" -> OracleSql.gopherRules(50L, 100000L, Seq("the", "a")),
     "text_entropy" -> OracleSql.textEntropy,
     "text_repetition" -> OracleSql.textRepetition,
     "pii_scrub" -> OracleSql.piiScrub,

@@ -63,6 +63,7 @@ object TextAnalysis {
   private val LongT = org.apache.spark.sql.types.LongType
   private val DoubleT = org.apache.spark.sql.types.DoubleType
   private val StringT = org.apache.spark.sql.types.StringType
+  private val BooleanT = org.apache.spark.sql.types.BooleanType
 
   /** Whitespace + distinct token counts and raw char length. */
   final case class TokenCount(textColumn: String = "text")
@@ -178,6 +179,147 @@ object TextAnalysis {
           Seq[Any](nTok, divOrNull(charSum.toDouble, nTok.toDouble),
             round6(stopRatioRaw),
             divOrNull(nPunct.toDouble, nChars.toDouble), quality)
+        }
+      }
+    }
+  }
+
+  /** The Gopher rule-filter stopword octet (MassiveText's "must contain
+    * >= 2 of" list) — distinct from the scoring [[Stopwords]] list.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style per-document HARD rule filter (the MassiveText /
+    * RefinedWeb / FineWeb quality-rule gate) — the standard first-pass
+    * web-corpus cut that [[QualityScore]]'s soft score does not give:
+    * each document gets its rule COUNTERS, each rule's boolean verdict,
+    * and the conjunction `admit`. Row-preserving and auditable — a
+    * curator reads WHICH rule killed a document, not just that one did.
+    *
+    * Rules (Gopher defaults; word-count bounds parameterized):
+    *   - `r_word_count`:  minWords <= n_words <= maxWords
+    *   - `r_mean_word_len`: mean word length in [3, 10] codepoints —
+    *     exact integers: `3*n_words <= word_chars <= 10*n_words`
+    *   - `r_symbol_ratio`: (# + "..." + U+2026 marks) / words <= 0.1 —
+    *     `10*symbol_marks <= n_words`
+    *   - `r_bullet`: lines starting with a bullet (-, *, U+2022) <= 90%
+    *     — `10*bullet_lines <= 9*n_lines`
+    *   - `r_ellipsis`: lines ending with "..."/U+2026 <= 30% —
+    *     `10*ellipsis_lines <= 3*n_lines`
+    *   - `r_alpha`: words containing an [a-z] char >= 80% —
+    *     `5*alpha_words >= 4*n_words`
+    *   - `r_stopwords`: >= 2 DISTINCT `stopwords` present (default
+    *     [[GopherStops]]; parameterized because the rule is meaningful
+    *     only against the corpus's own function words — a non-English
+    *     or synthetic corpus swaps the list, not the rule)
+    *
+    * Every ratio threshold is applied by integer cross-multiplication —
+    * no float ever materializes, so the DuckDB oracle hash-matches by
+    * construction (the r15 HUGEINT lesson: emitted columns are plain
+    * BIGINT counters and BOOLEANs).
+    *
+    * Mirror semantics (pinned by the oracle): words are the house
+    * token convention (space-trim, lower, `\s+` split); lines split on
+    * `\n` KEEPING trailing empties (DuckDB `string_split`); bullet /
+    * ellipsis tests trim SPACES only (DuckDB ltrim/rtrim default);
+    * word lengths count codepoints (DuckDB `len`). Null text yields
+    * counters -1, all rules false, admit false.
+    *
+    * Scale shape: pure narrow map-side typed pass ([[appendFromText]],
+    * the compiled-JVM escape from interpreted array HOFs) — zero
+    * shuffle, scales with input splits; compose with
+    * [[Corpus.MixBudget]] / packing downstream of the gate.
+    */
+  final case class GopherRules(textColumn: String = "text",
+                               minWords: Long = 50L,
+                               maxWords: Long = 100000L,
+                               stopwords: Seq[String] = GopherStops)
+      extends Wrangler {
+    require(minWords >= 0 && maxWords >= minWords,
+      "need 0 <= minWords <= maxWords")
+    require(stopwords.nonEmpty && stopwords.distinct == stopwords,
+      "`stopwords` must be non-empty and duplicate-free")
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(textColumn))
+      val stops = stopwords.toSet
+      val (lo, hi) = (minWords, maxWords)
+      appendFromText(df, textColumn, Seq(
+        "n_words" -> LongT, "word_chars" -> LongT, "n_lines" -> LongT,
+        "bullet_lines" -> LongT, "ellipsis_lines" -> LongT,
+        "alpha_words" -> LongT, "symbol_marks" -> LongT,
+        "stopword_hits" -> LongT,
+        "r_word_count" -> BooleanT, "r_mean_word_len" -> BooleanT,
+        "r_symbol_ratio" -> BooleanT, "r_bullet" -> BooleanT,
+        "r_ellipsis" -> BooleanT, "r_alpha" -> BooleanT,
+        "r_stopwords" -> BooleanT, "admit" -> BooleanT)) { () => text =>
+        if (text == null)
+          Seq.fill[Any](8)(-1L) ++ Seq.fill[Any](8)(false)
+        else {
+          val toks = tokensLocal(text)
+          val nWords = toks.length.toLong
+          var wordChars = 0L
+          var alphaWords = 0L
+          val stopsSeen = new scala.collection.mutable.HashSet[String]
+          toks.foreach { t =>
+            wordChars += t.codePointCount(0, t.length)
+            var hasAlpha = false
+            var i = 0
+            while (!hasAlpha && i < t.length) {
+              val c = t.charAt(i)
+              if (c >= 'a' && c <= 'z') hasAlpha = true
+              i += 1
+            }
+            if (hasAlpha) alphaWords += 1
+            if (stops.contains(t)) stopsSeen += t
+          }
+          // lines on raw text, trailing empties KEPT (string_split)
+          val lines = text.split("\n", -1)
+          var bulletLines = 0L
+          var ellipsisLines = 0L
+          lines.foreach { l =>
+            var from = 0
+            while (from < l.length && l.charAt(from) == ' ') from += 1
+            if (from < l.length) {
+              val c = l.charAt(from)
+              if (c == '-' || c == '*' || c == '•') bulletLines += 1
+            }
+            var until = l.length
+            while (until > 0 && l.charAt(until - 1) == ' ') until -= 1
+            if ((until >= 3 && l.charAt(until - 1) == '.' &&
+                l.charAt(until - 2) == '.' && l.charAt(until - 3) == '.') ||
+              (until >= 1 && l.charAt(until - 1) == '…'))
+              ellipsisLines += 1
+          }
+          // symbol marks: '#' chars + non-overlapping "..." runs +
+          // U+2026 chars (the replace-length-diff arithmetic, exactly
+          // the oracle's)
+          var hashes = 0L
+          var uniEll = 0L
+          var i = 0
+          while (i < text.length) {
+            val c = text.charAt(i)
+            if (c == '#') hashes += 1
+            else if (c == '…') uniEll += 1
+            i += 1
+          }
+          val dots = (text.length - text.replace("...", "").length) / 3
+          val symbolMarks = hashes + dots + uniEll
+          val nLines = lines.length.toLong
+          val stopHits = stopsSeen.size.toLong
+          val rWc = nWords >= lo && nWords <= hi
+          val rMwl = 3L * nWords <= wordChars && wordChars <= 10L * nWords
+          val rSym = 10L * symbolMarks <= nWords
+          val rBul = 10L * bulletLines <= 9L * nLines
+          val rEll = 10L * ellipsisLines <= 3L * nLines
+          val rAlp = 5L * alphaWords >= 4L * nWords
+          val rStp = stopHits >= 2L
+          Seq[Any](nWords, wordChars, nLines, bulletLines, ellipsisLines,
+            alphaWords, symbolMarks, stopHits,
+            rWc, rMwl, rSym, rBul, rEll, rAlp, rStp,
+            rWc && rMwl && rSym && rBul && rEll && rAlp && rStp)
         }
       }
     }

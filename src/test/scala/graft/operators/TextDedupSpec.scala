@@ -401,6 +401,77 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r.getAs[Double]("stopword_ratio") == math.rint(1.0 / 3.0 * 1e6) / 1e6)
   }
 
+  test("GopherRules: counters and every rule verdict on a hand-computed " +
+    "fixture (bullets, both ellipsis forms, symbols, astral codepoints)") {
+    // doc 1: clean prose, passes everything (stopwords the+of present)
+    // doc 2: 3 of 4 lines bulleted (75% <= 90% passes r_bullet), but
+    //        2 of 4 end with ellipsis (50% > 30% fails r_ellipsis)
+    // doc 3: symbol-heavy: 3 marks over 4 words fails r_symbol_ratio;
+    //        astral clef = ONE codepoint for word_chars
+    // doc 4: numeric salad fails r_alpha (0 of 3 alpha) and stopwords
+    val df = docsDF(
+      1L -> "the size of the data stays small here now",
+      2L -> "- alpha beta…\n- gamma of\n- the delta\nplain tail ...",
+      3L -> "count # ## the…of 𝄞x ...",
+      4L -> "123 456 789")
+    val got = TextAnalysis.GopherRules(minWords = 3L, maxWords = 10L,
+        stopwords = Seq("the", "of"))
+      .transform(df).orderBy("doc_id").collect()
+
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_words") == 9L)
+    assert(r1.getAs[Long]("word_chars") == 33L)
+    assert(r1.getAs[Long]("n_lines") == 1L)
+    assert(r1.getAs[Long]("stopword_hits") == 2L)
+    assert(r1.getAs[Boolean]("admit"))
+
+    val r2 = got(1)
+    assert(r2.getAs[Long]("n_lines") == 4L)
+    assert(r2.getAs[Long]("bullet_lines") == 3L)
+    // lines ending "beta…" and "tail ..." (space-rtrim then match)
+    assert(r2.getAs[Long]("ellipsis_lines") == 2L)
+    assert(r2.getAs[Boolean]("r_bullet")) // 30 <= 36
+    assert(!r2.getAs[Boolean]("r_ellipsis")) // 20 > 12
+    assert(!r2.getAs[Boolean]("admit"))
+
+    val r3 = got(2)
+    // tokens: count / # / ## / the…of / 𝄞x / ... -> 6 words
+    assert(r3.getAs[Long]("n_words") == 6L)
+    // marks: 3 hashes + 1 "..." run + 1 unicode ellipsis = 5
+    assert(r3.getAs[Long]("symbol_marks") == 5L)
+    assert(!r3.getAs[Boolean]("r_symbol_ratio")) // 50 > 6
+    // word_chars counts CODEPOINTS: 𝄞x is 2, the…of is 6:
+    // 5 + 1 + 2 + 6 + 2 + 3 = 19
+    assert(r3.getAs[Long]("word_chars") == 19L)
+    // 'the…of' is one token — neither stopword matches whole-token
+    assert(r3.getAs[Long]("stopword_hits") == 0L)
+
+    val r4 = got(3)
+    assert(r4.getAs[Long]("alpha_words") == 0L)
+    assert(!r4.getAs[Boolean]("r_alpha"))
+    assert(!r4.getAs[Boolean]("r_stopwords"))
+    assert(r4.getAs[Boolean]("r_word_count")) // 3 in [3, 10]
+    assert(!r4.getAs[Boolean]("admit"))
+  }
+
+  test("GopherRules: null text, trailing-empty line kept, parameter " +
+    "validation") {
+    val got = TextAnalysis.GopherRules()
+      .transform(docsDF(1L -> null, 2L -> "one line\n"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_words") == -1L)
+    assert(!got(0).getAs[Boolean]("admit"))
+    // "one line\n" splits to 2 lines (trailing empty KEPT — the
+    // DuckDB string_split mirror), not java.lang.String#split's 1
+    assert(got(1).getAs[Long]("n_lines") == 2L)
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.GopherRules(minWords = 5L, maxWords = 4L))
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.GopherRules(stopwords = Seq("the", "the")))
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.GopherRules(stopwords = Seq.empty))
+  }
+
   test("TokenEntropy: closed-form values, null text, case folding, " +
     "row preservation") {
     val df = Seq(
