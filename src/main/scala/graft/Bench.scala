@@ -166,6 +166,7 @@ object Bench {
     "text_tokens" -> Some("split("),
     "text_quality" -> Some("SerializeFromObject"),
     "gopher_rules" -> Some("SerializeFromObject"), // typed rule-count pass
+    "pipeline_gopher" -> Some("MapPartitions"), // final ShardPack stage
     "text_entropy" -> Some("SerializeFromObject"), // compiled map pass
     "text_langid" -> Some("SerializeFromObject"),
     "text_normalize" -> Some("regexp_replace"),

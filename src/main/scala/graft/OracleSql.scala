@@ -935,13 +935,16 @@ object OracleSql {
     * chr(10) keeping trailing empties; bullet/ellipsis tests trim
     * spaces only (ltrim/rtrim defaults); word lengths in codepoints.
     */
-  def gopherRules(minWords: Long, maxWords: Long,
-                  stopwords: Seq[String] =
-                    graft.operators.TextAnalysis.GopherStops): String = {
+  /** The [[gopherRules]] counter + rule CTE block (`gt`/`gc`/`gr`/`gf`
+    * — `gf` carries every counter, every rule verdict and `admit`),
+    * shared with the composed [[pipelineGopher]] chain.
+    */
+  private def gopherCtes(minWords: Long, maxWords: Long,
+                         stopwords: Seq[String]): String = {
     val stopsIn = stopwords.map(s => s"'$s'").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, text, $Toks AS tk,
+    s"""gt AS (SELECT doc_id, text, $Toks AS tk,
        |  string_split(text, chr(10)) AS ln FROM documents),
-       |c AS (SELECT doc_id,
+       |gc AS (SELECT doc_id,
        |  CAST(len(tk) AS BIGINT) AS n_words,
        |  CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT)
        |    AS word_chars,
@@ -959,8 +962,8 @@ object OracleSql {
        |    AS symbol_marks,
        |  CAST(len(list_filter(list_distinct(tk), x -> x IN ($stopsIn)))
        |    AS BIGINT) AS stopword_hits
-       |  FROM t),
-       |r AS (SELECT *,
+       |  FROM gt),
+       |gr AS (SELECT *,
        |  n_words >= $minWords AND n_words <= $maxWords AS r_word_count,
        |  3 * n_words <= word_chars AND word_chars <= 10 * n_words
        |    AS r_mean_word_len,
@@ -969,14 +972,50 @@ object OracleSql {
        |  10 * ellipsis_lines <= 3 * n_lines AS r_ellipsis,
        |  5 * alpha_words >= 4 * n_words AS r_alpha,
        |  stopword_hits >= 2 AS r_stopwords
-       |  FROM c)
+       |  FROM gc),
+       |gf AS (SELECT *,
+       |  r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet
+       |    AND r_ellipsis AND r_alpha AND r_stopwords AS admit
+       |  FROM gr)""".stripMargin
+  }
+
+  def gopherRules(minWords: Long, maxWords: Long,
+                  stopwords: Seq[String] =
+                    graft.operators.TextAnalysis.GopherStops): String =
+    s"""WITH ${gopherCtes(minWords, maxWords, stopwords)}
        |SELECT doc_id, n_words, word_chars, n_lines, bullet_lines,
        |  ellipsis_lines, alpha_words, symbol_marks, stopword_hits,
        |  r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet,
-       |  r_ellipsis, r_alpha, r_stopwords,
-       |  r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet
-       |    AND r_ellipsis AND r_alpha AND r_stopwords AS admit
-       |FROM r ORDER BY doc_id""".stripMargin
+       |  r_ellipsis, r_alpha, r_stopwords, admit
+       |FROM gf ORDER BY doc_id""".stripMargin
+
+  /** The composed rule-gated pretraining-prep chain: [[gopherRules]]
+    * admit filter -> context chunking -> exact token-budget packing
+    * (the [[pipelinePretrain]] chunk+pack tail over the ADMITTED
+    * corpus). Mirrors the `pipeline_gopher` Pipeline composition.
+    */
+  def pipelineGopher(minWords: Long, maxWords: Long,
+                     stopwords: Seq[String], chunkTokens: Int,
+                     overlapTokens: Int, budgetTokens: Long): String = {
+    val stride = chunkTokens - overlapTokens
+    s"""WITH ${gopherCtes(minWords, maxWords, stopwords)},
+       |kept AS (SELECT gt.doc_id, gt.tk FROM gt
+       |  JOIN gf USING (doc_id) WHERE gf.admit),
+       |s2 AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM kept),
+       |ch AS (SELECT doc_id, n,
+       |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))
+       |    AS cs FROM s2),
+       |c2 AS (SELECT doc_id, cs // $stride AS chunk_idx,
+       |  least($chunkTokens, n - cs) AS sz,
+       |  doc_id * 100000 + cs // $stride AS ck FROM ch),
+       |rs AS (SELECT *, SUM(sz) OVER (ORDER BY ck
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM c2)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(sz AS BIGINT) AS n_chunk_tokens,
+       |  CAST(cum AS BIGINT) AS cum_tokens,
+       |  CAST((cum - sz) // $budgetTokens AS BIGINT) AS pack_id
+       |FROM rs ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
   /** Length-class (bucketed-batching) packing over whitespace token

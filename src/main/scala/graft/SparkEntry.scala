@@ -392,6 +392,30 @@ object SparkEntry {
           "r_symbol_ratio", "r_bullet", "r_ellipsis", "r_alpha",
           "r_stopwords", "admit")
         .orderBy("doc_id")),
+    // the rule gate composed as a Pipeline stage (r16): Gopher admit
+    // filter -> context chunking -> exact token-budget packing — the
+    // cheapest curation chain (no fit artifact anywhere), same
+    // chunk+pack tail as pipeline_pretrain over the ADMITTED corpus
+    "pipeline_gopher" -> ((s, dir) => {
+      import graft.pipeline.{Pipeline, Stage}
+      val p = new Pipeline(Seq(
+        Stage(TextAnalysis.GopherRules(minWords = 20L,
+          stopwords = Seq("the", "a"))),
+        Stage.of("admit_gate")(_.filter(col("admit"))
+          .select("doc_id", "text")),
+        Stage(ChunkSplit(chunkTokens = 32, overlapTokens = 8)),
+        Stage.of("chunk_key")(_.withColumn("chunk_key",
+          col("doc_id") * 100000L + col("chunk_idx"))),
+        // lineage cut before the packer's two prefix-sum passes (the
+        // pipeline_pretrain discipline)
+        Stage.of("cut")(_.localCheckpoint()),
+        Stage(Corpus.ShardPack(orderColumn = "chunk_key",
+          sizeColumn = "n_chunk_tokens", targetBytes = 256L))))
+      p.transform(docs(s, dir))
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // per-doc unigram Shannon entropy: the repetitiveness / lexical-
     // diversity gate signal — one compiled map pass, no shuffle
     "text_entropy" -> ((s, dir) =>
@@ -1764,6 +1788,8 @@ object SparkEntry {
     "text_tokens" -> OracleSql.textTokens,
     "text_quality" -> OracleSql.textQuality,
     "gopher_rules" -> OracleSql.gopherRules(50L, 100000L, Seq("the", "a")),
+    "pipeline_gopher" -> OracleSql.pipelineGopher(20L, 100000L,
+      Seq("the", "a"), 32, 8, 256L),
     "text_entropy" -> OracleSql.textEntropy,
     "text_repetition" -> OracleSql.textRepetition,
     "pii_scrub" -> OracleSql.piiScrub,
