@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup, Dsir, Multimodal, Sampling, Similarity}
+import graft.operators.{Corpus, Dedup, Dsir, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.MediaGen
 
 /** Scale stress for the corpus-curation operators: synthetic inputs far
@@ -186,6 +186,54 @@ object StressCorpus {
       Corpus.Decontaminate(_.filter(pmod(col("doc_id"), lit(1000L)) === 0))
         .transform(docs)
         .agg(sum("n_overlap"), count(lit(1))).collect()(0).getLong(0)
+    }
+
+    // ----- gopher rule gate: 2M docs with injected bullets / ellipses /
+    // symbol junk. Line-family counters check against CLOSED FORMS
+    // (every 5th doc gains a bullet+ellipsis line, every 11th a
+    // "### ..." tail); token-family counters cross-check against an
+    // INDEPENDENT Spark-expression computation (split/transform/
+    // aggregate HOFs) over the same frame — full-corpus agreement of
+    // two implementations, not a sample
+    time(s"gopher_rules docs=$nDocs") {
+      val gd = docs.withColumn("text", concat(col("text"),
+        when(pmod(col("doc_id"), lit(5L)) === 0L, lit("\n- list item …"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11L)) === 0L, lit(" ### ..."))
+          .otherwise(lit(""))))
+      val out = TextAnalysis.GopherRules(minWords = 3L, maxWords = 20L,
+        stopwords = Seq("the", "a0")).transform(gd)
+      val toksE = split(trim(lower(col("text"))), "\\s+")
+      val r = out
+        .withColumn("e_words", size(toksE).cast("long"))
+        .withColumn("e_chars", aggregate(transform(toksE,
+          t => length(t).cast("long")), lit(0L), (a, x) => a + x))
+        .withColumn("e_alpha",
+          size(filter(toksE, t => t.rlike("[a-z]"))).cast("long"))
+        .withColumn("e_stops", size(array_intersect(
+          array_distinct(toksE), array(lit("the"), lit("a0")))).cast("long"))
+        .agg(sum(abs(col("n_words") - col("e_words"))),
+          sum(abs(col("word_chars") - col("e_chars"))),
+          sum(abs(col("alpha_words") - col("e_alpha"))),
+          sum(abs(col("stopword_hits") - col("e_stops"))),
+          sum("n_lines"), sum("bullet_lines"), sum("ellipsis_lines"),
+          sum("symbol_marks"), sum(col("admit").cast("long")),
+          count(lit(1))).collect()(0)
+      (0 to 3).foreach(i => require(r.getLong(i) == 0L,
+        s"counter family $i diverges from the expression mirror: $r"))
+      val c5 = (nDocs + 4L) / 5L
+      val c11 = (nDocs + 10L) / 11L
+      val c55 = (nDocs + 54L) / 55L
+      require(r.getLong(4) == nDocs + c5, s"n_lines: $r")
+      // every 5th doc's bullet line ends '…'; every 11th doc's "### ..."
+      // tail makes ITS last line end "..." — counted once when both land
+      require(r.getLong(5) == c5 && r.getLong(6) == c5 + c11 - c55,
+        s"bullet/ellipsis lines: $r")
+      require(r.getLong(7) == 4L * c11 + c5, s"symbol marks: $r")
+      val admits = r.getLong(8)
+      require(admits > 0L && admits < nDocs && r.getLong(9) == nDocs,
+        s"admit split: $r")
+      admits
     }
 
     // ----- subword encode: every doc of the 8-token generator walks the
