@@ -130,6 +130,7 @@ object Bench {
     "seq_pack_w" -> Some("MapPartitions"), // same, BPE-ish chunk counts
     "pipeline_pretrain" -> Some("MapPartitions"), // final ShardPack stage
     "tfidf_topk" -> Some("Window"),
+    "bm25_search" -> Some("TakeOrderedAndProject"), // heap top-k, no window
     "ml_quantized_dot" -> Some("long_array_dot"),
     "ann_bruteforce" -> Some("Window"),
     "ann_lsh" -> Some("Window"),

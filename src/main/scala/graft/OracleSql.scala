@@ -929,6 +929,41 @@ object OracleSql {
                       budgetTokens: Long): String =
     sequencePack(chunkTokens, overlapTokens, budgetTokens, BpeToks)
 
+  /** BM25 ranked retrieval for one query term set. Mirrors
+    * [[graft.operators.Bm25Search]]: per-term Robertson/Lucene
+    * components rounded to the 1e-6 lattice as BIGINTs, exact integer
+    * per-doc sums, top-k by (score desc, doc_id). Double literals are
+    * emitted from the SAME Scala values the operator uses, so both
+    * engines parse identical doubles.
+    */
+  def bm25Search(queryTerms: Seq[String], k: Int, k1: Double,
+                 b: Double): String = {
+    val termsIn = queryTerms.map(t => s"'$t'").mkString(", ")
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |st AS (SELECT count(*) AS n, sum(len(tk)) AS lensum FROM t),
+       |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
+       |p AS (SELECT doc_id, unnest(tk) AS term FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM p
+       |  WHERE term IN ($termsIn) GROUP BY doc_id, term),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id, CAST(round(
+       |    ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+       |      / (CAST(dfq.df AS DOUBLE) + 0.5))
+       |    * CAST(tf.tf AS DOUBLE) * $k1p1
+       |    / (CAST(tf.tf AS DOUBLE) + $k1 * ($oneMinusB
+       |      + $b * CAST(dl.dl AS DOUBLE)
+       |        / (CAST(st.lensum AS DOUBLE) / CAST(st.n AS DOUBLE))))
+       |    * 1000000.0) AS BIGINT) AS comp
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN st),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_match,
+       |  CAST(sum(comp) AS BIGINT) AS score_x1e6 FROM sc GROUP BY doc_id)
+       |SELECT doc_id, n_match, score_x1e6 FROM ag
+       |ORDER BY score_x1e6 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Gopher-style hard rule filter. Mirrors
     * [[graft.operators.TextAnalysis.GopherRules]]: integer counters,
     * cross-multiplied ratio rules, conjunction admit. Lines split on

@@ -1040,6 +1040,12 @@ object SparkEntry {
           col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    // BM25 ranked retrieval (r16): lexical search over the corpus for a
+    // query term set — per-term components on the 1e-6 integer lattice,
+    // exact integer per-doc sums, TakeOrdered top-k
+    "bm25_search" -> ((s, dir) =>
+      Bm25Search(queryTerms = Seq("spark", "window", "scan"), k = 25)
+        .transform(docs(s, dir))),
     "tfidf_topk" -> ((s, dir) =>
       TfIdf(k = 3).transform(docs(s, dir))
         .orderBy("doc_id", "rank")),
@@ -1874,6 +1880,8 @@ object SparkEntry {
     "len_bucket_pack" -> OracleSql.lengthBucketPack(
       Seq(16L, 24L, 32L, 48L, 64L, 96L, 128L), 8),
     "tfidf_topk" -> OracleSql.tfIdfTopK(3),
+    "bm25_search" -> OracleSql.bm25Search(
+      Seq("spark", "window", "scan"), 25, 1.2, 0.75),
     "decontaminate" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
     "decontaminate_bloom" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
     "decontaminate_neardup" -> OracleSql.nearDupDecontaminate(

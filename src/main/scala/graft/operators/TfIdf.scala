@@ -60,3 +60,78 @@ final case class TfIdf(k: Int = 3,
         col("tfidf"))
   }
 }
+
+/** BM25 ranked retrieval over the corpus for one query term set — the
+  * lexical search face of the keyword layer ([[TfIdf]] characterizes
+  * documents; this RANKS them against a query), the workhorse for
+  * mining a 100 TB corpus for benchmark-relevant / topic-relevant
+  * documents before a curation decision.
+  *
+  * Per matching (doc, term): the Robertson/Lucene BM25 component
+  *   idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+  * with `idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`, `dl` the
+  * document's token count and `avgdl` the corpus mean. Every per-term
+  * component is rounded to the 1e-6 lattice and held as a scaled LONG;
+  * the per-doc score is the exact integer sum (`score_x1e6`) — float
+  * summation order can never flip a rank, the [[Corpus.UnigramLogProb]]
+  * determinism discipline. Ties break by ascending id.
+  *
+  * Plan shape (three keyed shuffles + one broadcast, no driver loop):
+  * the token posting filters to the query's terms MAP-SIDE before the
+  * (doc, term) aggregation, so the tf table is query-sized, not
+  * corpus-sized; df comes from a |Q|-row aggregate of that table
+  * (joined back broadcast); dl is a map-side projection of the same
+  * scan; N/avgdl ride one broadcast 1-row aggregate. The final top-k
+  * is orderBy+limit — `TakeOrdered` per-partition heaps, never a
+  * single-partition rank window. A Zipf-hot query term concentrates
+  * into the (doc, term) HASH aggregation (map-side partial combine,
+  * skew-immune), not a window.
+  */
+final case class Bm25Search(queryTerms: Seq[String],
+                            k: Int = 10,
+                            k1: Double = 1.2,
+                            b: Double = 0.75,
+                            textColumn: String = "text",
+                            idColumn: String = "doc_id") extends Wrangler {
+  require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+    "`queryTerms` must be non-empty and duplicate-free")
+  require(k > 0, s"k must be positive, got $k")
+  require(k1 >= 0 && b >= 0 && b <= 1, "need k1 >= 0 and b in [0, 1]")
+  override def preservesSampleSize: Boolean = false
+
+  def transform(df: DataFrame): DataFrame = {
+    SparkUtil.validateColumns(df, Seq(idColumn, textColumn))
+    val base = df.select(col(idColumn).cast("long").as("doc_id"),
+      Portable.tokens(col(textColumn)).as("tk"))
+    // corpus stats: one broadcast row — size(null tokens) = -1 never
+    // arises here (tokens of null text is null; sum skips nulls, so a
+    // null-text row contributes 0 length and 1 to N, like an empty doc)
+    val stats = base.agg(count(lit(1)).as("__n"),
+      sum(size(col("tk"))).as("__len"))
+    val dl = base.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val tf = base
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(queryTerms: _*)) // map-side, pre-shuffle
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(docFreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("__len").cast("double") / col("__n").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("comp", col("idf") * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .withColumn("comp_x1e6", round(col("comp") * 1e6).cast("long"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_match"),
+        sum("comp_x1e6").as("score_x1e6"))
+      .orderBy(col("score_x1e6").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_match"), col("score_x1e6"))
+  }
+}

@@ -159,6 +159,45 @@ class SamplingTfIdfSpec extends AnyFunSuite {
       (2L, 1L, "aa"), (2L, 2L, "bb")))
   }
 
+  test("bm25: hand-computed tiny corpus (idf, length normalization, " +
+    "integer-lattice sums, top-k tie-break)") {
+    // corpus: 4 docs; query {cat, dog}; doc 4 matches nothing
+    val d = Seq((1L, "the cat cat dog"), (2L, "the dog"),
+        (3L, "the cat"), (4L, "the bird")).toDF("doc_id", "text")
+    val got = Bm25Search(queryTerms = Seq("cat", "dog"), k = 10)
+      .transform(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // local reference: N=4, lens 4/2/2/2 -> avgdl = 2.5
+    val avgdl = 10.0 / 4.0
+    def comp(tf: Long, df: Long, dl: Long): Long = {
+      val idf = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+      val c = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      BigDecimal(c * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    }
+    val want = Seq(
+      1L -> (2L, comp(2, 2, 4) + comp(1, 2, 4)), // cat tf2 + dog tf1
+      2L -> (1L, comp(1, 2, 2)), // dog
+      3L -> (1L, comp(1, 2, 2))) // cat (same score as doc 2: df equal)
+      .map { case (id, (m, s)) => (id, m, s) }
+      .sortBy(x => (-x._3, x._1))
+    assert(got == want)
+    // doc 4 (no match) is absent; docs 2/3 tie -> doc 2 first
+    assert(!got.exists(_._1 == 4L))
+    assert(got.indexWhere(_._1 == 2L) < got.indexWhere(_._1 == 3L))
+    // k truncates after the deterministic order
+    val top1 = Bm25Search(queryTerms = Seq("cat", "dog"), k = 1)
+      .transform(d).collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(got.head._1))
+    // parameter validation
+    assertThrows[IllegalArgumentException](
+      Bm25Search(queryTerms = Seq.empty))
+    assertThrows[IllegalArgumentException](
+      Bm25Search(queryTerms = Seq("a", "a")))
+    assertThrows[IllegalArgumentException](
+      Bm25Search(queryTerms = Seq("a"), b = 1.5))
+  }
+
   test("group_topk matches the brute force under heavy ties and many " +
     "partitions (the heap prune never loses a winner)") {
     val rnd = new scala.util.Random(31337L)
