@@ -76,12 +76,13 @@ final case class TfIdf(k: Int = 3,
   * summation order can never flip a rank, the [[Corpus.UnigramLogProb]]
   * determinism discipline. Ties break by ascending id.
   *
-  * Plan shape (three keyed shuffles + one broadcast, no driver loop):
+  * Plan shape (two keyed shuffles + two broadcasts, no driver loop):
   * the token posting filters to the query's terms MAP-SIDE before the
   * (doc, term) aggregation, so the tf table is query-sized, not
-  * corpus-sized; df comes from a |Q|-row aggregate of that table
-  * (joined back broadcast); dl is a map-side projection of the same
-  * scan; N/avgdl ride one broadcast 1-row aggregate. The final top-k
+  * corpus-sized; dl RIDES the posting (constant per doc), so no
+  * corpus-wide doc join ever plans; df comes from a |Q|-row aggregate
+  * of the tf table (joined back broadcast); N/avgdl ride one broadcast
+  * 1-row aggregate. The final top-k
   * is orderBy+limit — `TakeOrdered` per-partition heaps, never a
   * single-partition rank window. A Zipf-hot query term concentrates
   * into the (doc, term) HASH aggregation (map-side partial combine,
@@ -108,16 +109,19 @@ final case class Bm25Search(queryTerms: Seq[String],
     // null-text row contributes 0 length and 1 to N, like an empty doc)
     val stats = base.agg(count(lit(1)).as("__n"),
       sum(size(col("tk"))).as("__len"))
-    val dl = base.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    // dl RIDES the posting map-side (constant per doc, min == the
+    // value) — never a corpus-wide (doc_id) join: at 100 TB the doc
+    // length table is corpus-sized and joining it back would shuffle
+    // the whole corpus for a query-sized left side
     val tf = base
-      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
       .filter(col("term").isin(queryTerms: _*)) // map-side, pre-shuffle
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(docFreq), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl",
         col("__len").cast("double") / col("__n").cast("double"))
