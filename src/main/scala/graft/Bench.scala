@@ -192,6 +192,7 @@ object Bench {
     "bpe_enc_uni" -> Some("MapPartitions"), // trie encode over non-BMP text
     "pack_manifest" -> Some("HashAggregate"), // partial-agg pack rollup
     "len_bucket_pack" -> Some("MapPartitions"), // seeded per-cell rank pass
+    "len_bucket_manifest" -> Some("HashAggregate"), // (class, pack) rollup
     "pipeline_pretrain_bpe" -> Some("MapPartitions"), // final ShardPack stage
     "chunk_bpe" -> Some("MapPartitions"), // encode feeds the chunker
     "seq_pack_bpe" -> Some("MapPartitions"), // encode->chunk->pack chain

@@ -1058,26 +1058,50 @@ object OracleSql {
     * = first band >= count, per-class rank by doc_id, packs of
     * `seqsPerPack`, pad to the class bound.
     */
-  def lengthBucketPack(bands: Seq[Long], seqsPerPack: Int): String = {
+  /** The [[lengthBucketPack]] class + per-class-rank CTE block
+    * (`lbt`/`lbc`/`lbr`), shared with [[lengthBucketManifest]]. */
+  private def lenBucketCtes(bands: Seq[Long]): String = {
     val clsCase = bands.zipWithIndex
       .map { case (bound, i) => s"WHEN n_tokens <= $bound THEN $i" }
       .mkString("CASE ", " ", " END")
     val tokCase = bands
       .map(bound => s"WHEN n_tokens <= $bound THEN $bound")
       .mkString("CASE ", " ", " END")
-    s"""WITH t AS (SELECT doc_id,
+    s"""lbt AS (SELECT doc_id,
        |  CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents),
-       |c AS (SELECT doc_id, n_tokens,
+       |lbc AS (SELECT doc_id, n_tokens,
        |  CAST($clsCase AS BIGINT) AS len_class,
-       |  CAST($tokCase AS BIGINT) AS class_tokens FROM t),
-       |r AS (SELECT *, CAST(row_number() OVER (
+       |  CAST($tokCase AS BIGINT) AS class_tokens FROM lbt),
+       |lbr AS (SELECT *, CAST(row_number() OVER (
        |    PARTITION BY len_class ORDER BY doc_id) - 1 AS BIGINT)
-       |  AS class_seq FROM c)
+       |  AS class_seq FROM lbc)""".stripMargin
+  }
+
+  def lengthBucketPack(bands: Seq[Long], seqsPerPack: Int): String =
+    s"""WITH ${lenBucketCtes(bands)}
        |SELECT doc_id, n_tokens, len_class, class_tokens, class_seq,
        |  CAST(class_seq // $seqsPerPack AS BIGINT) AS pack_id,
        |  CAST(class_tokens - n_tokens AS BIGINT) AS pad_tokens
-       |FROM r ORDER BY doc_id""".stripMargin
-  }
+       |FROM lbr ORDER BY doc_id""".stripMargin
+
+  /** Per-(class, pack) manifest rollup of [[lengthBucketPack]]. Mirrors
+    * [[graft.operators.Corpus.LengthBucketManifest]] (seq_ids as the
+    * space-joined string, the pack_manifest oracle convention).
+    */
+  def lengthBucketManifest(bands: Seq[Long], seqsPerPack: Int): String =
+    s"""WITH ${lenBucketCtes(bands)}
+       |SELECT len_class,
+       |  CAST(class_seq // $seqsPerPack AS BIGINT) AS pack_id,
+       |  CAST(count(*) AS BIGINT) AS n_seqs,
+       |  CAST(min(class_tokens) AS BIGINT) AS class_tokens,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_raw_tokens,
+       |  CAST(count(*) * min(class_tokens) - sum(n_tokens) AS BIGINT)
+       |    AS pad_tokens,
+       |  min(doc_id) AS first_key, max(doc_id) AS last_key,
+       |  string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY class_seq)
+       |    AS seq_ids_str
+       |FROM lbr GROUP BY len_class, pack_id
+       |ORDER BY len_class, pack_id""".stripMargin
 
   /** Near-duplicate benchmark decontamination: MinHash signatures per
     * side, banded train-vs-eval candidate join, signature-agreement

@@ -1234,6 +1234,21 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "len_class", "class_tokens",
           "class_seq", "pack_id", "pad_tokens")
         .orderBy("doc_id")),
+    // the bucketed-batching manifest (r16): one row per (class, pack)
+    // with counts, raw/pad token totals, key range and the ordered
+    // seq_ids a loader indexes by — offsets are CLOSED-FORM here
+    // (sequence i starts at i * class_tokens), unlike pack_manifest
+    "len_bucket_manifest" -> ((s, dir) =>
+      Corpus.LengthBucketManifest()
+        .transform(Corpus.LengthBucketPack(
+            bands = Seq(16L, 24L, 32L, 48L, 64L, 96L, 128L),
+            seqsPerPack = 8)
+          .transform(TextAnalysis.TokenCount().transform(docs(s, dir))
+            .select("doc_id", "n_tokens")))
+        .withColumn("seq_ids_str", array_join(
+          transform(col("seq_ids"), i => i.cast("string")), " "))
+        .drop("seq_ids")
+        .orderBy("len_class", "pack_id")),
     // the two newest extension surfaces composed end to end and
     // oracle-gated: the session-registered `long_array_dot` Catalyst
     // expression (SQL surface, codegen'd primitive loop) running INSIDE a
@@ -1878,6 +1893,8 @@ object SparkEntry {
       8000L, "graft", 24, 6, 256L),
     "pack_manifest" -> OracleSql.packManifest(20000L),
     "len_bucket_pack" -> OracleSql.lengthBucketPack(
+      Seq(16L, 24L, 32L, 48L, 64L, 96L, 128L), 8),
+    "len_bucket_manifest" -> OracleSql.lengthBucketManifest(
       Seq(16L, 24L, 32L, 48L, 64L, 96L, 128L), 8),
     "tfidf_topk" -> OracleSql.tfIdfTopK(3),
     "bm25_search" -> OracleSql.bm25Search(

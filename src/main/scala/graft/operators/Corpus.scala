@@ -1252,6 +1252,47 @@ object Corpus {
     }
   }
 
+  /** Per-pack rollup of [[LengthBucketPack]] output — the bucketed-
+    * batching artifact a trainer consumes: one row per (len_class,
+    * pack_id) with its sequence count, the class pad-to width, raw
+    * token total, intra-sequence padding
+    * (`n_seqs * class_tokens - n_raw_tokens` — every sequence pads to
+    * the CLASS bound; a short LAST pack of a class simply has fewer
+    * rows, the trainer decides whether to pad it out), the order-key
+    * range and the ORDERED `seq_ids` list. No offsets array is needed
+    * — unlike [[PackManifest]]'s variable-length packs, sequence `i`
+    * of a bucket pack starts at exactly `i * class_tokens` by
+    * construction.
+    *
+    * 100 TB shape: ONE keyed exchange (the (class, pack) aggregation);
+    * `collect_list` is bounded by `seqsPerPack` per row — manifest
+    * rows are batch-sized by construction, never corpus-sized.
+    */
+  final case class LengthBucketManifest(orderColumn: String = "doc_id")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = false
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(orderColumn, "len_class",
+        "class_tokens", "class_seq", "pack_id", "pad_tokens"))
+      val k = col(orderColumn).cast("long")
+      df.groupBy(col("len_class").cast("long").as("len_class"),
+          col("pack_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          min("class_tokens").as("class_tokens"),
+          sum(col("class_tokens") - col("pad_tokens")).as("n_raw_tokens"),
+          min(k).as("first_key"), max(k).as("last_key"),
+          sort_array(collect_list(
+            struct(col("class_seq"), k.as("k")))).as("ord"))
+        .withColumn("pad_tokens",
+          col("n_seqs") * col("class_tokens") - col("n_raw_tokens"))
+        .withColumn("seq_ids", org.apache.spark.sql.functions
+          .transform(col("ord"), o => o.getField("k")))
+        .select("len_class", "pack_id", "n_seqs", "class_tokens",
+          "n_raw_tokens", "pad_tokens", "first_key", "last_key", "seq_ids")
+    }
+  }
+
   /** Corpus-bigram conditional log-probability quality score — the
     * next rung of the language-model filter ladder above
     * [[UnigramLogProb]] (a CCNet-style perplexity proxy): per

@@ -441,6 +441,30 @@ class CorpusSpec extends AnyFunSuite {
         .transform(d.withColumn("pack_id", lit(1))))
   }
 
+  test("len_bucket_manifest: per-(class, pack) rollup — counts, raw/pad " +
+    "totals, key range, ordered seq_ids; short last pack pads nothing " +
+    "extra") {
+    // class 0 (band 8): sizes 5,8,3 -> packs of 2: [k1,k3], [k5]
+    // class 1 (band 32): size 20 -> one short pack [k2]
+    val d = Seq((1L, 5L), (2L, 20L), (3L, 8L), (5L, 3L))
+      .toDF("doc_id", "n_tokens")
+    val m = Corpus.LengthBucketManifest()
+      .transform(Corpus.LengthBucketPack(bands = Seq(8L, 32L),
+        seqsPerPack = 2).transform(d))
+      .withColumn("ids", concat_ws(" ",
+        org.apache.spark.sql.functions.transform(col("seq_ids"),
+          i => i.cast("string"))))
+      .select("len_class", "pack_id", "n_seqs", "class_tokens",
+        "n_raw_tokens", "pad_tokens", "first_key", "last_key", "ids")
+      .orderBy("len_class", "pack_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSeq
+    assert(m == Seq(
+      (0L, 0L, 2L, 8L, 13L, 3L, 1L, 3L, "1 3"),
+      (0L, 1L, 1L, 8L, 3L, 5L, 5L, 5L, "5"),
+      (1L, 0L, 1L, 32L, 20L, 12L, 2L, 2L, "2")))
+  }
+
   test("len_bucket_pack: out-of-band sizes fail loudly, never adopt " +
     "the top band") {
     val tooBig = Seq((1L, 5L), (2L, 99L)).toDF("doc_id", "n_tokens")
