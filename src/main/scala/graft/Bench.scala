@@ -167,6 +167,7 @@ object Bench {
     "text_tokens" -> Some("split("),
     "text_quality" -> Some("SerializeFromObject"),
     "gopher_rules" -> Some("SerializeFromObject"), // typed rule-count pass
+    "gopher_rep" -> Some("SerializeFromObject"), // typed dup-line pass
     "pipeline_gopher" -> Some("MapPartitions"), // final ShardPack stage
     "text_entropy" -> Some("SerializeFromObject"), // compiled map pass
     "text_langid" -> Some("SerializeFromObject"),

@@ -964,6 +964,63 @@ object OracleSql {
        |ORDER BY score_x1e6 DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Within-document duplicate line/paragraph rules. Mirrors
+    * [[graft.operators.TextAnalysis.GopherRepetition]]: space-trimmed
+    * non-empty units, dup occurrences Σ(count−1), codepoint weights,
+    * Gopher thresholds by integer cross-multiplication.
+    */
+  def gopherRepetition: String = {
+    def statsCte(sep: String, p: String): String =
+      s"""${p}u AS (SELECT doc_id, trim(x) AS u FROM (SELECT doc_id,
+         |  unnest(string_split(text, $sep)) AS x FROM shaped)
+         |  WHERE trim(x) <> ''),
+         |${p}g AS (SELECT doc_id, u, count(*) AS c, len(u) AS w
+         |  FROM ${p}u GROUP BY doc_id, u),
+         |${p}s AS (SELECT doc_id,
+         |  CAST(sum(c) AS BIGINT) AS ${p}_total,
+         |  CAST(sum(c - 1) AS BIGINT) AS ${p}_dup,
+         |  CAST(sum(c * w) AS BIGINT) AS ${p}_chars,
+         |  CAST(sum((c - 1) * w) AS BIGINT) AS ${p}_dupch
+         |  FROM ${p}g GROUP BY doc_id)""".stripMargin
+    s"""WITH sh0 AS (SELECT doc_id, text, $Toks AS tk FROM documents),
+       |sh1 AS (SELECT doc_id,
+       |  array_to_string(list_slice(tk, 1, 5), ' ') AS l1,
+       |  array_to_string(list_slice(tk, 6, 10), ' ') AS l2,
+       |  array_to_string(list_slice(tk, 1, 25), ' ') AS p1, text
+       |  FROM sh0),
+       |shaped AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 5 = 0 THEN lined || chr(10) || chr(10) || p1
+       |    || chr(10) || chr(10) || p1 ELSE lined END AS text
+       |  FROM (SELECT *, CASE WHEN doc_id % 3 = 0
+       |    THEN text || chr(10) || l1 || chr(10) || l1
+       |    ELSE text || chr(10) || l1 || chr(10) || l2 END AS lined
+       |  FROM sh1)),
+       |${statsCte("chr(10)", "l")},
+       |${statsCte("chr(10) || chr(10)", "p")},
+       |j AS (SELECT d.doc_id,
+       |  COALESCE(l_total, 0) AS n_lines, COALESCE(l_dup, 0) AS dup_lines,
+       |  COALESCE(l_chars, 0) AS line_chars,
+       |  COALESCE(l_dupch, 0) AS dup_line_chars,
+       |  COALESCE(p_total, 0) AS n_paras, COALESCE(p_dup, 0) AS dup_paras,
+       |  COALESCE(p_chars, 0) AS para_chars,
+       |  COALESCE(p_dupch, 0) AS dup_para_chars
+       |  FROM documents d
+       |  LEFT JOIN ls ON d.doc_id = ls.doc_id
+       |  LEFT JOIN ps ON d.doc_id = ps.doc_id),
+       |r AS (SELECT *,
+       |  10 * dup_lines <= 3 * n_lines AS r_dup_lines,
+       |  5 * dup_line_chars <= line_chars AS r_dup_line_chars,
+       |  10 * dup_paras <= 3 * n_paras AS r_dup_paras,
+       |  5 * dup_para_chars <= para_chars AS r_dup_para_chars
+       |  FROM j)
+       |SELECT doc_id, n_lines, dup_lines, line_chars, dup_line_chars,
+       |  n_paras, dup_paras, para_chars, dup_para_chars,
+       |  r_dup_lines, r_dup_line_chars, r_dup_paras, r_dup_para_chars,
+       |  r_dup_lines AND r_dup_line_chars AND r_dup_paras
+       |    AND r_dup_para_chars AS admit
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Gopher-style hard rule filter. Mirrors
     * [[graft.operators.TextAnalysis.GopherRules]]: integer counters,
     * cross-multiplied ratio rules, conjunction admit. Lines split on

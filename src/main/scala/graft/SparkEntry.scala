@@ -392,6 +392,32 @@ object SparkEntry {
           "r_symbol_ratio", "r_bullet", "r_ellipsis", "r_alpha",
           "r_stopwords", "admit")
         .orderBy("doc_id")),
+    // the structural half of the Gopher filter (r16): within-doc
+    // duplicate line/paragraph counters + threshold verdicts. The
+    // fixture corpus is single-line, so the query SHAPES it
+    // deterministically (both engines replay the same expression):
+    // every doc gains two derived 5-token lines — identical for every
+    // 3rd doc (line-dup offenders); every 5th doc gains a duplicated
+    // PARAGRAPH — so each rule family splits the corpus
+    "gopher_rep" -> ((s, dir) => {
+      val tk = graft.functions.Portable.tokens(col("text"))
+      val l1 = array_join(slice(tk, 1, 5), " ")
+      val l2 = array_join(slice(tk, 6, 5), " ")
+      val p1 = array_join(slice(tk, 1, 25), " ")
+      val lined = when(pmod(col("doc_id"), lit(3L)) === 0L,
+        concat_ws("\n", col("text"), l1, l1))
+        .otherwise(concat_ws("\n", col("text"), l1, l2))
+      val shaped = when(pmod(col("doc_id"), lit(5L)) === 0L,
+        concat(lined, lit("\n\n"), p1, lit("\n\n"), p1))
+        .otherwise(lined)
+      TextAnalysis.GopherRepetition()
+        .transform(docs(s, dir).withColumn("text", shaped))
+        .select("doc_id", "n_lines", "dup_lines", "line_chars",
+          "dup_line_chars", "n_paras", "dup_paras", "para_chars",
+          "dup_para_chars", "r_dup_lines", "r_dup_line_chars",
+          "r_dup_paras", "r_dup_para_chars", "admit")
+        .orderBy("doc_id")
+    }),
     // the rule gate composed as a Pipeline stage (r16): Gopher admit
     // filter -> context chunking -> exact token-budget packing — the
     // cheapest curation chain (no fit artifact anywhere), same
@@ -1809,6 +1835,7 @@ object SparkEntry {
     "text_tokens" -> OracleSql.textTokens,
     "text_quality" -> OracleSql.textQuality,
     "gopher_rules" -> OracleSql.gopherRules(50L, 100000L, Seq("the", "a")),
+    "gopher_rep" -> OracleSql.gopherRepetition,
     "pipeline_gopher" -> OracleSql.pipelineGopher(20L, 100000L,
       Seq("the", "a"), 32, 8, 256L),
     "text_entropy" -> OracleSql.textEntropy,

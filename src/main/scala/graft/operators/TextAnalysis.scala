@@ -325,6 +325,95 @@ object TextAnalysis {
     }
   }
 
+  /** The OTHER half of the Gopher filter: within-document duplicate
+    * LINE / PARAGRAPH rules ([[RepetitionScore]] covers the word-n-gram
+    * half; this covers the structural half — boilerplate walls, chat
+    * logs and templated pages repeat whole lines and paragraphs, which
+    * n-gram fractions underweight).
+    *
+    * Counters (all exact integers): over space-trimmed NON-EMPTY lines
+    * (`\n` split) and paragraphs (`\n\n` split) — occurrences `n_*`,
+    * duplicate occurrences `dup_* = Σ_v (count_v − 1)` (a value seen k
+    * times contributes k−1), codepoint totals `*_chars` and duplicate
+    * codepoints `dup_*_chars = Σ_v (count_v − 1)·len_v`.
+    *
+    * Rules (Gopher thresholds, integer cross-multiplication):
+    *   - `r_dup_lines`:      dup_lines / n_lines <= 0.30
+    *   - `r_dup_line_chars`: dup_line_chars / line_chars <= 0.20
+    *   - `r_dup_paras`:      dup_paras / n_paras <= 0.30
+    *   - `r_dup_para_chars`: dup_para_chars / para_chars <= 0.20
+    * plus the conjunction `admit`. Zero-total docs pass vacuously
+    * (0 <= 0). Null text: counters −1, rules false.
+    *
+    * Scale shape: one compiled zero-shuffle map pass (per-doc hash
+    * counting, doc-bounded state) — composes with [[GopherRules]] as
+    * the full Gopher gate. The corpus-LEVEL line story (hot lines
+    * across documents) is [[Corpus.HotLineStrip]]; this is the
+    * within-doc signal.
+    */
+  final case class GopherRepetition(textColumn: String = "text")
+      extends Wrangler {
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(textColumn))
+      appendFromText(df, textColumn, Seq(
+        "n_lines" -> LongT, "dup_lines" -> LongT,
+        "line_chars" -> LongT, "dup_line_chars" -> LongT,
+        "n_paras" -> LongT, "dup_paras" -> LongT,
+        "para_chars" -> LongT, "dup_para_chars" -> LongT,
+        "r_dup_lines" -> BooleanT, "r_dup_line_chars" -> BooleanT,
+        "r_dup_paras" -> BooleanT, "r_dup_para_chars" -> BooleanT,
+        "admit" -> BooleanT)) { () => text =>
+        if (text == null)
+          Seq.fill[Any](8)(-1L) ++ Seq.fill[Any](5)(false)
+        else {
+          // (occurrences, dups, chars, dupChars) over space-trimmed
+          // non-empty units
+          def stats(units: Array[String]): (Long, Long, Long, Long) = {
+            val counts = new java.util.HashMap[String, Array[Long]]()
+            var total = 0L
+            units.foreach { u =>
+              var from = 0
+              var until = u.length
+              while (from < until && u.charAt(from) == ' ') from += 1
+              while (until > from && u.charAt(until - 1) == ' ') until -= 1
+              if (until > from) {
+                val t = u.substring(from, until)
+                total += 1
+                val slot = counts.get(t)
+                if (slot == null) counts.put(t, Array(1L))
+                else slot(0) += 1L
+              }
+            }
+            var dup = 0L
+            var chars = 0L
+            var dupChars = 0L
+            val it = counts.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val v = e.getKey
+              val c = e.getValue()(0)
+              val w = v.codePointCount(0, v.length).toLong
+              dup += c - 1L
+              chars += c * w
+              dupChars += (c - 1L) * w
+            }
+            (total, dup, chars, dupChars)
+          }
+          val (nl, dl, lc, dlc) = stats(text.split("\n", -1))
+          val (np, dp, pc, dpc) = stats(text.split("\n\n", -1))
+          val rl = 10L * dl <= 3L * nl
+          val rlc = 5L * dlc <= lc
+          val rp = 10L * dp <= 3L * np
+          val rpc = 5L * dpc <= pc
+          Seq[Any](nl, dl, lc, dlc, np, dp, pc, dpc,
+            rl, rlc, rp, rpc, rl && rlc && rp && rpc)
+        }
+      }
+    }
+  }
+
   /** Per-language marker-token lists for the n-gram/stopword language-ID
     * heuristic. Order defines the deterministic argmax tie-break.
     */

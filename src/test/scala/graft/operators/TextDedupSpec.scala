@@ -454,6 +454,53 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!r4.getAs[Boolean]("admit"))
   }
 
+  test("GopherRepetition: duplicate line/paragraph counters on a " +
+    "hand-computed fixture; empty units dropped; k occurrences count " +
+    "k-1 dups; codepoint weights") {
+    // doc 1: lines [ab, cd, ab, ab] (+1 empty dropped), paras [whole]
+    //   -> dup_lines 2, line_chars 8, dup_line_chars 4
+    //   -> 10*2 > 3*4 fails r_dup_lines; 5*4 > 8 fails r_dup_line_chars
+    // doc 2: two paragraphs, identical after space-trim -> dup_paras 1
+    //   of 2 (fails 0.30), dup chars half (fails 0.20); its lines are
+    //   [xx yy, xx yy] -> dup_lines 1 of 2 (fails) — all-false doc
+    // doc 3: clean 3 distinct lines -> all rules pass
+    val df = docsDF(
+      1L -> "ab\ncd\n\nab\nab",
+      2L -> "xx yy\n\nxx yy ",
+      3L -> "one\ntwo\nthree")
+    val got = TextAnalysis.GopherRepetition().transform(df)
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_lines") == 4L)
+    assert(r1.getAs[Long]("dup_lines") == 2L)
+    assert(r1.getAs[Long]("line_chars") == 8L)
+    assert(r1.getAs[Long]("dup_line_chars") == 4L)
+    // paragraphs: ["ab\ncd", "ab\nab"] -> 2 distinct
+    assert(r1.getAs[Long]("n_paras") == 2L)
+    assert(r1.getAs[Long]("dup_paras") == 0L)
+    assert(!r1.getAs[Boolean]("r_dup_lines"))
+    assert(!r1.getAs[Boolean]("r_dup_line_chars"))
+    assert(r1.getAs[Boolean]("r_dup_paras"))
+    assert(!r1.getAs[Boolean]("admit"))
+    val r2 = got(1)
+    assert(r2.getAs[Long]("n_paras") == 2L)
+    assert(r2.getAs[Long]("dup_paras") == 1L) // trailing space trimmed
+    assert(r2.getAs[Long]("dup_para_chars") == 5L)
+    assert(r2.getAs[Long]("dup_lines") == 1L)
+    assert(!r2.getAs[Boolean]("r_dup_paras"))
+    assert(!r2.getAs[Boolean]("r_dup_para_chars"))
+    assert(!r2.getAs[Boolean]("admit"))
+    val r3 = got(2)
+    assert(r3.getAs[Long]("dup_lines") == 0L &&
+      r3.getAs[Long]("dup_paras") == 0L)
+    assert(r3.getAs[Boolean]("admit"))
+    // null text: -1 counters, all rules false
+    val rn = TextAnalysis.GopherRepetition()
+      .transform(docsDF(9L -> null)).head()
+    assert(rn.getAs[Long]("n_lines") == -1L)
+    assert(!rn.getAs[Boolean]("admit"))
+  }
+
   test("GopherRules: null text, trailing-empty line kept, parameter " +
     "validation") {
     val got = TextAnalysis.GopherRules()
