@@ -76,4 +76,54 @@ class ShardedSinkSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(lines == lines.sorted, "within-shard key order lost")
   }
+
+  test("JsonlCorpus: schema-enforced round-trip of the sink's export; " +
+      "FAILFAST aborts on a malformed line; PERMISSIVE quarantines it " +
+      "with clean rows intact") {
+    import org.apache.spark.sql.types._
+    val out = "/tmp/jsonl_corpus_spec"
+    val d = (0L until 50L).map(i => (i, 10L, s"doc $i"))
+      .toDF("doc_id", "n_chars", "text")
+    ShardedSink.writeJsonl(Corpus.ShardPack(targetBytes = 200L)
+      .transform(d), out)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_chars", LongType), StructField("text", StringType)))
+    // round-trip: same ids, typed as declared (no inference pass);
+    // the sink's shard=N layout surfaces as a discovered partition
+    // column appended after the declared schema
+    val back = JsonlCorpus.read(spark, out, schema)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_chars", "text", "shard"))
+    assert(back.schema("doc_id").dataType == LongType)
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq ==
+      (0L until 50L))
+    // corrupt line handling
+    val dir = "/tmp/jsonl_corpus_corrupt"
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "part-0.jsonl"),
+      """{"doc_id": 1, "n_chars": 3, "text": "ok"}
+        |{not json at all
+        |{"doc_id": 2, "n_chars": 4, "text": "also ok"}
+        |""".stripMargin)
+    val e = intercept[org.apache.spark.SparkException](
+      JsonlCorpus.read(spark, dir, schema).collect())
+    assert(e.getMessage.contains("FAILFAST") ||
+      String.valueOf(e.getCause).contains("Malformed"), e.getMessage)
+    val perm = JsonlCorpus.read(spark, dir, schema, failFast = false)
+    val (clean, rejects) = JsonlCorpus.quarantine(perm)
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(clean.columns.toSeq == Seq("doc_id", "n_chars", "text"))
+    val rejRows = rejects.collect()
+    assert(rejRows.map(_.getAs[String](JsonlCorpus.CorruptColumn)).toSeq ==
+      Seq("{not json at all"))
+    // reject rows carry null schema columns (quarantine keeps the full
+    // row shape — see the scaladoc on the corrupt-only-scan restriction)
+    assert(rejRows.forall(_.isNullAt(0)))
+    // reserved column + empty schema are rejected up front
+    assertThrows[IllegalArgumentException](JsonlCorpus.read(spark, dir,
+      StructType(Nil)))
+    assertThrows[IllegalArgumentException](
+      JsonlCorpus.quarantine(clean))
+  }
 }
