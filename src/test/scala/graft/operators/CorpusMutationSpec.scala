@@ -792,4 +792,67 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run)
     tc.test(run, repartition = Some(3))
   }
+
+  test("gopher_rules golden: killed mutants + repartition invariance") {
+    def run(df: DataFrame): DataFrame =
+      graft.operators.TextAnalysis.GopherRules(minWords = 3L,
+        maxWords = 10L, stopwords = Seq("the", "of"))
+        .transform(df)
+        .select(col("doc_id"), col("n_words"), col("word_chars"),
+          col("symbol_marks"), col("stopword_hits"), col("admit"))
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, "the data of it all stays small here"), // clean: admit
+          Seq(2L, "1 2 3"),        // numeric salad: alpha + mean fail
+          Seq(3L, "# # the of ok")), // symbol-heavy: ratio fails
+        Seq("doc_id:i", "text:s"))
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, 8L, 28L, 0L, 2L, true),
+          Seq(2L, 3L, 3L, 0L, 0L, false),
+          Seq(3L, 5L, 9L, 2L, 2L, false)),
+        Seq("doc_id:i", "n_words:i", "word_chars:i", "symbol_marks:i",
+          "stopword_hits:i", "admit:b"))
+      override def mutants = Seq(
+        // doc 1 blows the word cap: n_words + admit flip
+        ValueMutant("text", 0,
+          "the data of it all stays small here and then some more words"),
+        ValueMutant("text", 1, "the of go"), // stopword_hits 0 -> 2
+        ValueMutant("text", 2, "ok the of going fine")) // symbols 2 -> 0
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
+  test("len_bucket_pack golden: killed mutants + repartition invariance " +
+    "(the seeded two-phase rank is the layout-sensitive algebra)") {
+    def run(df: DataFrame): DataFrame =
+      Corpus.LengthBucketPack(bands = Seq(4L, 8L), seqsPerPack = 2)
+        .transform(df)
+        .withColumn("len_class", col("len_class").cast("long"))
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(Seq(1L, 3L), Seq(2L, 7L), Seq(3L, 4L), Seq(4L, 8L),
+          Seq(5L, 2L)),
+        Seq("doc_id:i", "n_tokens:i"))
+      // class 0 (<=4): ids 1,3,5 ranks 0,1,2 -> packs 0,0,1
+      // class 1 (<=8): ids 2,4 ranks 0,1 -> pack 0
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, 3L, 0L, 4L, 0L, 0L, 1L),
+          Seq(2L, 7L, 1L, 8L, 0L, 0L, 1L),
+          Seq(3L, 4L, 0L, 4L, 1L, 0L, 0L),
+          Seq(4L, 8L, 1L, 8L, 1L, 0L, 0L),
+          Seq(5L, 2L, 0L, 4L, 2L, 1L, 2L)),
+        Seq("doc_id:i", "n_tokens:i", "len_class:i", "class_tokens:i",
+          "class_seq:i", "pack_id:i", "pad_tokens:i"))
+      override def mutants = Seq(
+        ValueMutant("n_tokens", 0, 7L), // doc 1 jumps class: ranks shift
+        ValueMutant("doc_id", 4, 0L),   // doc 5 first: class-0 ranks shift
+        ValueMutant("n_tokens", 2, 2L)) // pad changes, rank unchanged
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(4))
+  }
 }
