@@ -168,6 +168,7 @@ object Bench {
     "text_quality" -> Some("SerializeFromObject"),
     "gopher_rules" -> Some("SerializeFromObject"), // typed rule-count pass
     "gopher_rep" -> Some("SerializeFromObject"), // typed dup-line pass
+    "gopher_full" -> Some("SerializeFromObject"), // two chained typed passes
     "pipeline_gopher" -> Some("MapPartitions"), // final ShardPack stage
     "text_entropy" -> Some("SerializeFromObject"), // compiled map pass
     "text_langid" -> Some("SerializeFromObject"),

@@ -969,7 +969,31 @@ object OracleSql {
     * non-empty units, dup occurrences Σ(count−1), codepoint weights,
     * Gopher thresholds by integer cross-multiplication.
     */
-  def gopherRepetition: String = {
+  /** The deterministic fixture-shaping CTEs shared by [[gopherRepetition]]
+    * and [[gopherFull]] (`sh0`/`sh1`/`shaped`): the corpus is
+    * single-line, so derived lines/paragraphs give the repetition rules
+    * real structure — duplicated lines for every 3rd doc, a duplicated
+    * 25-token paragraph for every 5th.
+    */
+  private val gopherShapeCtes: String =
+    s"""sh0 AS (SELECT doc_id, text, $Toks AS tk FROM documents),
+       |sh1 AS (SELECT doc_id,
+       |  array_to_string(list_slice(tk, 1, 5), ' ') AS l1,
+       |  array_to_string(list_slice(tk, 6, 10), ' ') AS l2,
+       |  array_to_string(list_slice(tk, 1, 25), ' ') AS p1, text
+       |  FROM sh0),
+       |shaped AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 5 = 0 THEN lined || chr(10) || chr(10) ||
+       |    p1 || chr(10) || chr(10) || p1 ELSE lined END AS text
+       |  FROM (SELECT *, CASE WHEN doc_id % 3 = 0
+       |    THEN text || chr(10) || l1 || chr(10) || l1
+       |    ELSE text || chr(10) || l1 || chr(10) || l2 END AS lined
+       |  FROM sh1))""".stripMargin
+
+  /** The repetition counter + rule CTE block (`lu..ls`, `pu..ps`,
+    * `grj`/`grr` — `grr` carries counters, verdicts and `rep_admit`),
+    * over the `shaped` relation. */
+  private def gopherRepCtes: String = {
     def statsCte(sep: String, p: String): String =
       s"""${p}u AS (SELECT doc_id, trim(x) AS u FROM (SELECT doc_id,
          |  unnest(string_split(text, $sep)) AS x FROM shaped)
@@ -982,44 +1006,52 @@ object OracleSql {
          |  CAST(sum(c * w) AS BIGINT) AS ${p}_chars,
          |  CAST(sum((c - 1) * w) AS BIGINT) AS ${p}_dupch
          |  FROM ${p}g GROUP BY doc_id)""".stripMargin
-    s"""WITH sh0 AS (SELECT doc_id, text, $Toks AS tk FROM documents),
-       |sh1 AS (SELECT doc_id,
-       |  array_to_string(list_slice(tk, 1, 5), ' ') AS l1,
-       |  array_to_string(list_slice(tk, 6, 10), ' ') AS l2,
-       |  array_to_string(list_slice(tk, 1, 25), ' ') AS p1, text
-       |  FROM sh0),
-       |shaped AS (SELECT doc_id,
-       |  CASE WHEN doc_id % 5 = 0 THEN lined || chr(10) || chr(10) || p1
-       |    || chr(10) || chr(10) || p1 ELSE lined END AS text
-       |  FROM (SELECT *, CASE WHEN doc_id % 3 = 0
-       |    THEN text || chr(10) || l1 || chr(10) || l1
-       |    ELSE text || chr(10) || l1 || chr(10) || l2 END AS lined
-       |  FROM sh1)),
-       |${statsCte("chr(10)", "l")},
+    s"""${statsCte("chr(10)", "l")},
        |${statsCte("chr(10) || chr(10)", "p")},
-       |j AS (SELECT d.doc_id,
+       |grj AS (SELECT d.doc_id,
        |  COALESCE(l_total, 0) AS n_lines, COALESCE(l_dup, 0) AS dup_lines,
        |  COALESCE(l_chars, 0) AS line_chars,
        |  COALESCE(l_dupch, 0) AS dup_line_chars,
        |  COALESCE(p_total, 0) AS n_paras, COALESCE(p_dup, 0) AS dup_paras,
        |  COALESCE(p_chars, 0) AS para_chars,
        |  COALESCE(p_dupch, 0) AS dup_para_chars
-       |  FROM documents d
+       |  FROM shaped d
        |  LEFT JOIN ls ON d.doc_id = ls.doc_id
        |  LEFT JOIN ps ON d.doc_id = ps.doc_id),
-       |r AS (SELECT *,
+       |grr AS (SELECT *,
        |  10 * dup_lines <= 3 * n_lines AS r_dup_lines,
        |  5 * dup_line_chars <= line_chars AS r_dup_line_chars,
        |  10 * dup_paras <= 3 * n_paras AS r_dup_paras,
        |  5 * dup_para_chars <= para_chars AS r_dup_para_chars
-       |  FROM j)
+       |  FROM grj)""".stripMargin
+  }
+
+  def gopherRepetition: String =
+    s"""WITH $gopherShapeCtes,
+       |$gopherRepCtes
        |SELECT doc_id, n_lines, dup_lines, line_chars, dup_line_chars,
        |  n_paras, dup_paras, para_chars, dup_para_chars,
        |  r_dup_lines, r_dup_line_chars, r_dup_paras, r_dup_para_chars,
        |  r_dup_lines AND r_dup_line_chars AND r_dup_paras
        |    AND r_dup_para_chars AS admit
-       |FROM r ORDER BY doc_id""".stripMargin
-  }
+       |FROM grr ORDER BY doc_id""".stripMargin
+
+  /** The COMPLETE Gopher gate: outlier rules AND repetition rules over
+    * the same shaped corpus, one admit. Mirrors the `gopher_full`
+    * composed query (two chained zero-shuffle typed passes).
+    */
+  def gopherFull(minWords: Long, maxWords: Long,
+                 stopwords: Seq[String]): String =
+    s"""WITH $gopherShapeCtes,
+       |${gopherCtes(minWords, maxWords, stopwords, from = "shaped")},
+       |$gopherRepCtes
+       |SELECT gf.doc_id, gf.admit AS rules_admit,
+       |  grr.r_dup_lines AND grr.r_dup_line_chars AND grr.r_dup_paras
+       |    AND grr.r_dup_para_chars AS rep_admit,
+       |  gf.admit AND grr.r_dup_lines AND grr.r_dup_line_chars
+       |    AND grr.r_dup_paras AND grr.r_dup_para_chars AS admit
+       |FROM gf JOIN grr ON gf.doc_id = grr.doc_id
+       |ORDER BY gf.doc_id""".stripMargin
 
   /** Gopher-style hard rule filter. Mirrors
     * [[graft.operators.TextAnalysis.GopherRules]]: integer counters,
@@ -1032,10 +1064,11 @@ object OracleSql {
     * shared with the composed [[pipelineGopher]] chain.
     */
   private def gopherCtes(minWords: Long, maxWords: Long,
-                         stopwords: Seq[String]): String = {
+                         stopwords: Seq[String],
+                         from: String = "documents"): String = {
     val stopsIn = stopwords.map(s => s"'$s'").mkString(", ")
     s"""gt AS (SELECT doc_id, text, $Toks AS tk,
-       |  string_split(text, chr(10)) AS ln FROM documents),
+       |  string_split(text, chr(10)) AS ln FROM $from),
        |gc AS (SELECT doc_id,
        |  CAST(len(tk) AS BIGINT) AS n_words,
        |  CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT)

@@ -418,6 +418,31 @@ object SparkEntry {
           "r_dup_paras", "r_dup_para_chars", "admit")
         .orderBy("doc_id")
     }),
+    // the COMPLETE Gopher gate (r16): outlier rules AND repetition
+    // rules over the same shaped corpus — two chained zero-shuffle
+    // typed passes, one admit
+    "gopher_full" -> ((s, dir) => {
+      val tk = graft.functions.Portable.tokens(col("text"))
+      val l1 = array_join(slice(tk, 1, 5), " ")
+      val l2 = array_join(slice(tk, 6, 5), " ")
+      val p1 = array_join(slice(tk, 1, 25), " ")
+      val lined = when(pmod(col("doc_id"), lit(3L)) === 0L,
+        concat_ws("\n", col("text"), l1, l1))
+        .otherwise(concat_ws("\n", col("text"), l1, l2))
+      val shaped = when(pmod(col("doc_id"), lit(5L)) === 0L,
+        concat(lined, lit("\n\n"), p1, lit("\n\n"), p1))
+        .otherwise(lined)
+      val rules = TextAnalysis.GopherRules(minWords = 20L,
+          stopwords = Seq("the", "a"))
+        .transform(docs(s, dir).withColumn("text", shaped))
+        .select(col("doc_id"), col("text"), col("admit").as("rules_admit"))
+      TextAnalysis.GopherRepetition().transform(rules)
+        .select(col("doc_id"), col("rules_admit"),
+          (col("r_dup_lines") && col("r_dup_line_chars") &&
+            col("r_dup_paras") && col("r_dup_para_chars")).as("rep_admit"))
+        .withColumn("admit", col("rules_admit") && col("rep_admit"))
+        .orderBy("doc_id")
+    }),
     // the rule gate composed as a Pipeline stage (r16): Gopher admit
     // filter -> context chunking -> exact token-budget packing — the
     // cheapest curation chain (no fit artifact anywhere), same
@@ -1836,6 +1861,7 @@ object SparkEntry {
     "text_quality" -> OracleSql.textQuality,
     "gopher_rules" -> OracleSql.gopherRules(50L, 100000L, Seq("the", "a")),
     "gopher_rep" -> OracleSql.gopherRepetition,
+    "gopher_full" -> OracleSql.gopherFull(20L, 100000L, Seq("the", "a")),
     "pipeline_gopher" -> OracleSql.pipelineGopher(20L, 100000L,
       Seq("the", "a"), 32, 8, 256L),
     "text_entropy" -> OracleSql.textEntropy,
