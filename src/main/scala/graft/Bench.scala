@@ -169,7 +169,10 @@ object Bench {
     "gopher_rules" -> Some("SerializeFromObject"), // typed rule-count pass
     "gopher_rep" -> Some("SerializeFromObject"), // typed dup-line pass
     "gopher_full" -> Some("SerializeFromObject"), // two chained typed passes
+    "gopher_ngram" -> Some("SerializeFromObject"), // typed n-gram pass
     "pipeline_gopher" -> Some("MapPartitions"), // final ShardPack stage
+    "jsonl_ingest" -> Some("Scan json"), // the JSONL reader under test
+    "bm25_incr" -> Some("BroadcastHashJoin"), // df joins back broadcast
     "text_entropy" -> Some("SerializeFromObject"), // compiled map pass
     "text_langid" -> Some("SerializeFromObject"),
     "text_normalize" -> Some("regexp_replace"),
@@ -182,6 +185,7 @@ object Bench {
     "unigram_scores" -> Some("MapPartitions"), // the MaxMatch counting pass
     "unigram_encode" -> Some("MapPartitions"), // broadcast-scores Viterbi DP
     "unigram_em" -> Some("MapPartitions"), // hard-EM round + second DP
+    "unigram_prune" -> None, // prune loop runs eagerly; output is the driver-bounded pruned score table (LocalRelation)
     "seq_pack_unigram" -> Some("MapPartitions"), // Viterbi encode->chunk->pack
     "bpe_vocab" -> Some("HashAggregate"), // bounded frequency aggs + ranks
     "bpe_learn" -> Some("HashAggregate"), // per-round pair-count aggs

@@ -987,16 +987,39 @@ object OracleSql {
        |    p1 || chr(10) || chr(10) || p1 ELSE lined END AS text
        |  FROM (SELECT *, CASE WHEN doc_id % 3 = 0
        |    THEN text || chr(10) || l1 || chr(10) || l1
-       |    ELSE text || chr(10) || l1 || chr(10) || l2 END AS lined
+       |    WHEN doc_id % 3 = 1
+       |    THEN text || chr(10) || l1 || chr(10) || l2
+       |    ELSE text END AS lined
        |  FROM sh1))""".stripMargin
 
-  /** The repetition counter + rule CTE block (`lu..ls`, `pu..ps`,
-    * `grj`/`grr` — `grr` carries counters, verdicts and `rep_admit`),
-    * over the `shaped` relation. */
-  private def gopherRepCtes: String = {
-    def statsCte(sep: String, p: String): String =
+  /** The `gopher_ngram` fixture shaping (mirrored by the Spark query):
+    * every doc appends its own first-2-token phrase `doc_id % 9` times
+    * and its first-10-token phrase `doc_id % 4` times, so the top-gram
+    * and dup-gram fractions sweep across every rule's threshold. */
+  private val gopherNgramShapeCtes: String =
+    s"""ns0 AS (SELECT doc_id, text, $Toks AS tk FROM documents),
+       |ns1 AS (SELECT doc_id,
+       |  array_to_string(list_slice(tk, 1, 2), ' ') AS p2,
+       |  array_to_string(list_slice(tk, 1, 10), ' ') AS p10, text
+       |  FROM ns0),
+       |shaped AS (SELECT doc_id,
+       |  text || repeat(' ' || p2, CAST(doc_id % 9 AS INT)) ||
+       |    repeat(' ' || p10, CAST(doc_id % 4 AS INT)) AS text
+       |  FROM ns1)""".stripMargin
+
+  /** The repetition counter + rule CTE block (`gr0`, `lu..ls`,
+    * `pu..ps`, the per-n n-gram chains, `grj`/`grr` — `grr` carries
+    * every counter and verdict), over the `from` relation
+    * (`doc_id, text`). Mirrors
+    * [[graft.operators.TextAnalysis.GopherRepetition]]: CRLF
+    * normalization, lines on `chr(10)` keeping trailing empties,
+    * paragraphs on the `\n[ \t\r]*\n` regex, space-trimmed non-empty
+    * units; n-gram families over the house token convention with
+    * `len(text)` codepoints as denominator. */
+  private def gopherRepCtes(from: String = "shaped"): String = {
+    def statsCte(splitExpr: String, p: String): String =
       s"""${p}u AS (SELECT doc_id, trim(x) AS u FROM (SELECT doc_id,
-         |  unnest(string_split(text, $sep)) AS x FROM shaped)
+         |  unnest($splitExpr) AS x FROM gr0)
          |  WHERE trim(x) <> ''),
          |${p}g AS (SELECT doc_id, u, count(*) AS c, len(u) AS w
          |  FROM ${p}u GROUP BY doc_id, u),
@@ -1006,50 +1029,142 @@ object OracleSql {
          |  CAST(sum(c * w) AS BIGINT) AS ${p}_chars,
          |  CAST(sum((c - 1) * w) AS BIGINT) AS ${p}_dupch
          |  FROM ${p}g GROUP BY doc_id)""".stripMargin
-    s"""${statsCte("chr(10)", "l")},
-       |${statsCte("chr(10) || chr(10)", "p")},
-       |grj AS (SELECT d.doc_id,
+    // one gram table per n; the top family takes the max duplicate-char
+    // mass, the dup family marks covered word positions (DISTINCT pos)
+    // and sums their word lengths
+    def gramCte(n: Int): String =
+      s"""ng${n}g AS (SELECT doc_id, i,
+         |  array_to_string(list_slice(tk, i, i + ${n - 1}), ' ') AS g
+         |  FROM (SELECT doc_id, tk,
+         |    unnest(generate_series(1, len(tk) - ${n - 1})) AS i
+         |    FROM gr0))""".stripMargin
+    def topCte(n: Int): String =
+      s"""${gramCte(n)},
+         |ng${n}t AS (SELECT doc_id, CAST(max(c * len(g)) AS BIGINT) AS cov
+         |  FROM (SELECT doc_id, g, count(*) AS c FROM ng${n}g
+         |        GROUP BY doc_id, g HAVING count(*) >= 2)
+         |  GROUP BY doc_id)""".stripMargin
+    def dupCte(n: Int): String =
+      s"""${gramCte(n)},
+         |ng${n}d AS (SELECT doc_id, g FROM ng${n}g
+         |  GROUP BY doc_id, g HAVING count(*) >= 2),
+         |ng${n}o AS (SELECT DISTINCT a.doc_id, a.i + u.u AS pos
+         |  FROM ng${n}g a JOIN ng${n}d d
+         |    ON a.doc_id = d.doc_id AND a.g = d.g
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${n - 1})) AS u)
+         |    u),
+         |ng${n}v AS (SELECT o.doc_id, CAST(sum(w.wl) AS BIGINT) AS cov
+         |  FROM ng${n}o o JOIN ngwl w
+         |    ON o.doc_id = w.doc_id AND o.pos = w.pos
+         |  GROUP BY o.doc_id)""".stripMargin
+    val topJoins = Seq(2, 3, 4).map(n =>
+      s"LEFT JOIN ng${n}t ON gr0.doc_id = ng${n}t.doc_id").mkString("\n  ")
+    val dupJoins = (5 to 10).map(n =>
+      s"LEFT JOIN ng${n}v ON gr0.doc_id = ng${n}v.doc_id").mkString("\n  ")
+    val topCovs = Seq(2, 3, 4).map(n =>
+      s"COALESCE(ng${n}t.cov, 0) AS top${n}_chars").mkString(",\n  ")
+    val dupCovs = (5 to 10).map(n =>
+      s"COALESCE(ng${n}v.cov, 0) AS dup${n}_chars").mkString(",\n  ")
+    val ngramRules = (graft.operators.TextAnalysis.GopherRepetition
+      .TopGramThresholds.map { case (n, num, den) =>
+        s"top${n}_chars * $den <= $num * rep_chars AS r_top${n}_gram"
+      } ++ graft.operators.TextAnalysis.GopherRepetition
+      .DupGramThresholds.map { case (n, num, den) =>
+        s"dup${n}_chars * $den <= $num * rep_chars AS r_dup${n}_gram"
+      }).mkString(",\n  ")
+    s"""gr0 AS (SELECT doc_id, text,
+       |  replace(text, chr(13) || chr(10), chr(10)) AS t2,
+       |  $Toks AS tk, CAST(len(text) AS BIGINT) AS nc FROM $from),
+       |${statsCte("string_split(t2, chr(10))", "l")},
+       |${statsCte("regexp_split_to_array(t2, '\\n[ \\t\\r]*\\n')", "p")},
+       |ngwl AS (SELECT doc_id, pos, len(tk[pos]) AS wl
+       |  FROM (SELECT doc_id, tk,
+       |    unnest(generate_series(1, len(tk))) AS pos FROM gr0)),
+       |${topCte(2)},
+       |${topCte(3)},
+       |${topCte(4)},
+       |${(5 to 10).map(dupCte).mkString(",\n")},
+       |grj AS (SELECT gr0.doc_id,
        |  COALESCE(l_total, 0) AS n_lines, COALESCE(l_dup, 0) AS dup_lines,
        |  COALESCE(l_chars, 0) AS line_chars,
        |  COALESCE(l_dupch, 0) AS dup_line_chars,
        |  COALESCE(p_total, 0) AS n_paras, COALESCE(p_dup, 0) AS dup_paras,
        |  COALESCE(p_chars, 0) AS para_chars,
-       |  COALESCE(p_dupch, 0) AS dup_para_chars
-       |  FROM shaped d
-       |  LEFT JOIN ls ON d.doc_id = ls.doc_id
-       |  LEFT JOIN ps ON d.doc_id = ps.doc_id),
+       |  COALESCE(p_dupch, 0) AS dup_para_chars,
+       |  gr0.nc AS rep_chars,
+       |  $topCovs,
+       |  $dupCovs
+       |  FROM gr0
+       |  LEFT JOIN ls ON gr0.doc_id = ls.doc_id
+       |  LEFT JOIN ps ON gr0.doc_id = ps.doc_id
+       |  $topJoins
+       |  $dupJoins),
        |grr AS (SELECT *,
        |  10 * dup_lines <= 3 * n_lines AS r_dup_lines,
        |  5 * dup_line_chars <= line_chars AS r_dup_line_chars,
        |  10 * dup_paras <= 3 * n_paras AS r_dup_paras,
-       |  5 * dup_para_chars <= para_chars AS r_dup_para_chars
+       |  5 * dup_para_chars <= para_chars AS r_dup_para_chars,
+       |  $ngramRules
        |  FROM grj)""".stripMargin
+  }
+
+  /** The conjunction of every [[gopherRepCtes]] rule verdict (13 rules),
+    * optionally qualified with a relation alias. */
+  private def repAdmitExpr(alias: String = ""): String = {
+    val q = if (alias.isEmpty) "" else alias + "."
+    (Seq("r_dup_lines", "r_dup_line_chars", "r_dup_paras",
+      "r_dup_para_chars", "r_top2_gram", "r_top3_gram", "r_top4_gram") ++
+      (5 to 10).map(n => s"r_dup${n}_gram"))
+      .map(q + _).mkString(" AND ")
   }
 
   def gopherRepetition: String =
     s"""WITH $gopherShapeCtes,
-       |$gopherRepCtes
+       |${gopherRepCtes()}
        |SELECT doc_id, n_lines, dup_lines, line_chars, dup_line_chars,
-       |  n_paras, dup_paras, para_chars, dup_para_chars,
+       |  n_paras, dup_paras, para_chars, dup_para_chars, rep_chars,
+       |  top2_chars, top3_chars, top4_chars,
+       |  dup5_chars, dup6_chars, dup7_chars, dup8_chars, dup9_chars,
+       |  dup10_chars,
        |  r_dup_lines, r_dup_line_chars, r_dup_paras, r_dup_para_chars,
-       |  r_dup_lines AND r_dup_line_chars AND r_dup_paras
-       |    AND r_dup_para_chars AS admit
+       |  r_top2_gram, r_top3_gram, r_top4_gram,
+       |  r_dup5_gram, r_dup6_gram, r_dup7_gram, r_dup8_gram,
+       |  r_dup9_gram, r_dup10_gram,
+       |  ${repAdmitExpr()} AS admit
        |FROM grr ORDER BY doc_id""".stripMargin
 
-  /** The COMPLETE Gopher gate: outlier rules AND repetition rules over
-    * the same shaped corpus, one admit. Mirrors the `gopher_full`
-    * composed query (two chained zero-shuffle typed passes).
+  /** The n-gram half of the repetition gate on ITS OWN shaped corpus
+    * (see the `gopher_ngram` query: phrase repeats driven by
+    * `doc_id % 9` / `doc_id % 4` so every top/dup rule splits the
+    * corpus). Mirrors `GopherRepetition`'s n-gram columns. */
+  def gopherNgram: String =
+    s"""WITH $gopherNgramShapeCtes,
+       |${gopherRepCtes()}
+       |SELECT doc_id, rep_chars,
+       |  top2_chars, top3_chars, top4_chars,
+       |  dup5_chars, dup6_chars, dup7_chars, dup8_chars, dup9_chars,
+       |  dup10_chars,
+       |  r_top2_gram, r_top3_gram, r_top4_gram,
+       |  r_dup5_gram, r_dup6_gram, r_dup7_gram, r_dup8_gram,
+       |  r_dup9_gram, r_dup10_gram,
+       |  r_top2_gram AND r_top3_gram AND r_top4_gram AND r_dup5_gram
+       |    AND r_dup6_gram AND r_dup7_gram AND r_dup8_gram
+       |    AND r_dup9_gram AND r_dup10_gram AS ngram_admit
+       |FROM grr ORDER BY doc_id""".stripMargin
+
+  /** The COMPLETE Gopher gate: outlier rules AND the full repetition
+    * rule set (structural + n-gram) over the same shaped corpus, one
+    * admit. Mirrors the `gopher_full` composed query (two chained
+    * zero-shuffle typed passes).
     */
   def gopherFull(minWords: Long, maxWords: Long,
                  stopwords: Seq[String]): String =
     s"""WITH $gopherShapeCtes,
        |${gopherCtes(minWords, maxWords, stopwords, from = "shaped")},
-       |$gopherRepCtes
+       |${gopherRepCtes()}
        |SELECT gf.doc_id, gf.admit AS rules_admit,
-       |  grr.r_dup_lines AND grr.r_dup_line_chars AND grr.r_dup_paras
-       |    AND grr.r_dup_para_chars AS rep_admit,
-       |  gf.admit AND grr.r_dup_lines AND grr.r_dup_line_chars
-       |    AND grr.r_dup_paras AND grr.r_dup_para_chars AS admit
+       |  ${repAdmitExpr("grr")} AS rep_admit,
+       |  gf.admit AND ${repAdmitExpr("grr")} AS admit
        |FROM gf JOIN grr ON gf.doc_id = grr.doc_id
        |ORDER BY gf.doc_id""".stripMargin
 
@@ -1104,6 +1219,24 @@ object OracleSql {
        |  FROM gr)""".stripMargin
   }
 
+  /** The `jsonl_ingest` mirror: DuckDB reads the SAME gzipped
+    * shard=N JSONL files the query exported (explicit column schema —
+    * the reader contract under test), then replays the Gopher rule
+    * gate over them. */
+  def jsonlIngest(minWords: Long, maxWords: Long,
+                  stopwords: Seq[String], path: String): String =
+    s"""WITH j AS (SELECT doc_id, text, lang, source,
+       |    n_chars AS json_chars
+       |  FROM read_json('$path/shard=*/*.json.gz',
+       |    format = 'newline_delimited',
+       |    columns = {doc_id: 'BIGINT', text: 'VARCHAR',
+       |               lang: 'VARCHAR', source: 'VARCHAR',
+       |               n_chars: 'BIGINT'})),
+       |${gopherCtes(minWords, maxWords, stopwords, from = "j")}
+       |SELECT j.doc_id, j.lang, j.source, j.json_chars, gf.n_words,
+       |  gf.stopword_hits, gf.admit
+       |FROM j JOIN gf USING (doc_id) ORDER BY j.doc_id""".stripMargin
+
   def gopherRules(minWords: Long, maxWords: Long,
                   stopwords: Seq[String] =
                     graft.operators.TextAnalysis.GopherStops): String =
@@ -1124,8 +1257,11 @@ object OracleSql {
                      overlapTokens: Int, budgetTokens: Long): String = {
     val stride = chunkTokens - overlapTokens
     s"""WITH ${gopherCtes(minWords, maxWords, stopwords)},
+       |${gopherRepCtes(from = "documents")},
        |kept AS (SELECT gt.doc_id, gt.tk FROM gt
-       |  JOIN gf USING (doc_id) WHERE gf.admit),
+       |  JOIN gf USING (doc_id)
+       |  JOIN grr ON gt.doc_id = grr.doc_id
+       |  WHERE gf.admit AND ${repAdmitExpr("grr")}),
        |s2 AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM kept),
        |ch AS (SELECT doc_id, n,
        |  unnest(range(0, greatest(n - $overlapTokens, 1), $stride))
@@ -3355,6 +3491,40 @@ object OracleSql {
       |  coalesce(array_to_string(vdt.ids, ' '), '') AS ids_str
       |FROM documents d LEFT JOIN vdt USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** `Tokenize.UnigramScores(pruneTo = ...)`'s pruning round replayed
+    * end to end (one round reaches the query's derived target by
+    * construction): round-0 scores, the full Viterbi E-step (`udt`),
+    * integer recount by id, the DROP PICK itself — removable = pieces
+    * that are not single-codepoint (first-form len 1 / continuation
+    * len 3 in the ASCII fixture), ranked `(cnt ASC, id DESC)`, the
+    * first `max(1, removable // 5)` dropped — then the survivors
+    * rescored through the same smoothed lattice with `T' = Σ kept
+    * counts, V' = kept size`. Output is the pruned score artifact. */
+  def unigramPrune: String =
+    s"""WITH RECURSIVE
+      |$bpeCtes,
+      |$unigramScoreCtes,
+      |${unigramEncodeCtes("u", "uscore")},
+      |u2cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(ids) AS id FROM udt) GROUP BY id),
+      |uvx AS (SELECT vc.piece, vc.id, COALESCE(c.cnt, 0) AS cnt,
+      |    (CASE WHEN vc.piece NOT LIKE '##%' THEN len(vc.piece) = 1
+      |          ELSE len(vc.piece) = 3 END) AS prot
+      |  FROM vocab vc LEFT JOIN u2cnt c USING (id)),
+      |urem AS (SELECT count(*) AS r FROM uvx WHERE NOT prot),
+      |udrop AS (SELECT q.id FROM (SELECT id,
+      |    row_number() OVER (ORDER BY cnt ASC, id DESC) AS rk
+      |  FROM uvx WHERE NOT prot) q CROSS JOIN urem
+      |  WHERE q.rk <= greatest(1, urem.r // 5)),
+      |ukept AS (SELECT piece, id, cnt FROM uvx
+      |  WHERE id NOT IN (SELECT id FROM udrop)),
+      |uktot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t,
+      |  CAST(count(*) AS BIGINT) AS v FROM ukept)
+      |SELECT piece, id,
+      |  CAST(round(ln((cnt + 1.0) / (t + v)) * 1000000) AS BIGINT)
+      |    AS score
+      |FROM ukept CROSS JOIN uktot ORDER BY id""".stripMargin
 
   /** The shared encode CTE chain (ends in `dt(doc_id, ids, pcs)`):
     * corpus-derived vocab, step table and recursive pointer walk —

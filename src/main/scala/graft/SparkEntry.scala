@@ -406,7 +406,9 @@ object SparkEntry {
       val p1 = array_join(slice(tk, 1, 25), " ")
       val lined = when(pmod(col("doc_id"), lit(3L)) === 0L,
         concat_ws("\n", col("text"), l1, l1))
-        .otherwise(concat_ws("\n", col("text"), l1, l2))
+        .when(pmod(col("doc_id"), lit(3L)) === 1L,
+          concat_ws("\n", col("text"), l1, l2))
+        .otherwise(col("text"))
       val shaped = when(pmod(col("doc_id"), lit(5L)) === 0L,
         concat(lined, lit("\n\n"), p1, lit("\n\n"), p1))
         .otherwise(lined)
@@ -414,8 +416,42 @@ object SparkEntry {
         .transform(docs(s, dir).withColumn("text", shaped))
         .select("doc_id", "n_lines", "dup_lines", "line_chars",
           "dup_line_chars", "n_paras", "dup_paras", "para_chars",
-          "dup_para_chars", "r_dup_lines", "r_dup_line_chars",
-          "r_dup_paras", "r_dup_para_chars", "admit")
+          "dup_para_chars", "rep_chars", "top2_chars", "top3_chars",
+          "top4_chars", "dup5_chars", "dup6_chars", "dup7_chars",
+          "dup8_chars", "dup9_chars", "dup10_chars",
+          "r_dup_lines", "r_dup_line_chars", "r_dup_paras",
+          "r_dup_para_chars", "r_top2_gram", "r_top3_gram",
+          "r_top4_gram", "r_dup5_gram", "r_dup6_gram", "r_dup7_gram",
+          "r_dup8_gram", "r_dup9_gram", "r_dup10_gram", "admit")
+        .orderBy("doc_id")
+    }),
+    // the n-gram half of the repetition gate on its own shaped corpus
+    // (r17, Rae et al. Table A1): every doc appends its first-2-token
+    // phrase doc_id%9 times and its first-10-token phrase doc_id%4
+    // times, sweeping the top-{2,3,4}-gram and dup-{5..10}-gram
+    // fractions across every rule's threshold — each of the 9 rules
+    // splits the corpus both ways
+    "gopher_ngram" -> ((s, dir) => {
+      val tk = graft.functions.Portable.tokens(col("text"))
+      val shaped = docs(s, dir)
+        .withColumn("p2", array_join(slice(tk, 1, 2), " "))
+        .withColumn("p10", array_join(slice(tk, 1, 10), " "))
+        .withColumn("text", concat(col("text"),
+          expr("repeat(concat(' ', p2), CAST(pmod(doc_id, 9) AS INT))"),
+          expr("repeat(concat(' ', p10), CAST(pmod(doc_id, 4) AS INT))")))
+        .drop("p2", "p10")
+      TextAnalysis.GopherRepetition().transform(shaped)
+        .withColumn("ngram_admit",
+          col("r_top2_gram") && col("r_top3_gram") && col("r_top4_gram")
+            && col("r_dup5_gram") && col("r_dup6_gram")
+            && col("r_dup7_gram") && col("r_dup8_gram")
+            && col("r_dup9_gram") && col("r_dup10_gram"))
+        .select("doc_id", "rep_chars", "top2_chars", "top3_chars",
+          "top4_chars", "dup5_chars", "dup6_chars", "dup7_chars",
+          "dup8_chars", "dup9_chars", "dup10_chars",
+          "r_top2_gram", "r_top3_gram", "r_top4_gram", "r_dup5_gram",
+          "r_dup6_gram", "r_dup7_gram", "r_dup8_gram", "r_dup9_gram",
+          "r_dup10_gram", "ngram_admit")
         .orderBy("doc_id")
     }),
     // the COMPLETE Gopher gate (r16): outlier rules AND repetition
@@ -428,7 +464,9 @@ object SparkEntry {
       val p1 = array_join(slice(tk, 1, 25), " ")
       val lined = when(pmod(col("doc_id"), lit(3L)) === 0L,
         concat_ws("\n", col("text"), l1, l1))
-        .otherwise(concat_ws("\n", col("text"), l1, l2))
+        .when(pmod(col("doc_id"), lit(3L)) === 1L,
+          concat_ws("\n", col("text"), l1, l2))
+        .otherwise(col("text"))
       val shaped = when(pmod(col("doc_id"), lit(5L)) === 0L,
         concat(lined, lit("\n\n"), p1, lit("\n\n"), p1))
         .otherwise(lined)
@@ -438,8 +476,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("admit").as("rules_admit"))
       TextAnalysis.GopherRepetition().transform(rules)
         .select(col("doc_id"), col("rules_admit"),
-          (col("r_dup_lines") && col("r_dup_line_chars") &&
-            col("r_dup_paras") && col("r_dup_para_chars")).as("rep_admit"))
+          col("admit").as("rep_admit"))
         .withColumn("admit", col("rules_admit") && col("rep_admit"))
         .orderBy("doc_id")
     }),
@@ -453,6 +490,11 @@ object SparkEntry {
         Stage(TextAnalysis.GopherRules(minWords = 20L,
           stopwords = Seq("the", "a"))),
         Stage.of("admit_gate")(_.filter(col("admit"))
+          .select("doc_id", "text")),
+        // the repetition half (structural + n-gram rules) completes
+        // the gate — both families must admit before chunking
+        Stage(TextAnalysis.GopherRepetition()),
+        Stage.of("rep_gate")(_.filter(col("admit"))
           .select("doc_id", "text")),
         Stage(ChunkSplit(chunkTokens = 32, overlapTokens = 8)),
         Stage.of("chunk_key")(_.withColumn("chunk_key",
@@ -1097,9 +1139,59 @@ object SparkEntry {
     "bm25_search" -> ((s, dir) =>
       Bm25Search(queryTerms = Seq("spark", "window", "scan"), k = 25)
         .transform(docs(s, dir))),
+    // the PERSISTED index face (r17): fit the posting artifact on the
+    // even-doc half, fold the odd-doc half in (disjoint docs — the
+    // fail-loud guard), probe without re-reading text; the oracle is
+    // the whole-corpus BM25 derivation, so fold == refit == search is
+    // what the hash certifies
+    "bm25_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = Bm25Index.fit(d.filter(pmod(col("doc_id"), lit(2L)) === 0L))
+      val folded = Bm25Index.foldBatch(idx,
+        d.filter(pmod(col("doc_id"), lit(2L)) === 1L))
+      Bm25Index.probe(folded,
+        queryTerms = Seq("quality", "filter", "data"), k = 20)
+    }),
     "tfidf_topk" -> ((s, dir) =>
       TfIdf(k = 3).transform(docs(s, dir))
         .orderBy("doc_id", "rank")),
+    // the JSONL reader oracle-gated END TO END (r17): a deterministic
+    // corpus slice exports through ShardPack + ShardedSink.writeJsonl
+    // (gzip, shard=N layout), reads back through JsonlCorpus with the
+    // EXPLICIT schema contract, and runs the Gopher rule gate over the
+    // re-ingested frame; the DuckDB oracle reads the SAME gzipped
+    // files with read_json — the reader's schema contract is what the
+    // hash certifies, not a spec fixture. The export path is
+    // sf-suffixed so the sf0.1 bench run never clobbers the sf0.01
+    // artifact the oracle reads.
+    "jsonl_ingest" -> ((s, dir) => {
+      val base = new java.io.File(dir).getName
+      val path = s"/root/repo/target/jsonl_export_$base"
+      val slice = docs(s, dir)
+        .filter(pmod(col("doc_id"), lit(7L)) === 0L)
+      val packed = Corpus.ShardPack(orderColumn = "doc_id",
+        sizeColumn = "n_chars", targetBytes = 4096L).transform(slice)
+      graft.sources.ShardedSink.writeJsonl(packed, path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      val reread = graft.sources.JsonlCorpus.read(s, path, schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      TextAnalysis.GopherRules(minWords = 20L,
+          stopwords = Seq("the", "a"))
+        .transform(reread.withColumnRenamed("n_chars", "json_chars"))
+        .select("doc_id", "lang", "source", "json_chars", "n_words",
+          "stopword_hits", "admit")
+        .orderBy("doc_id")
+    }),
     // benchmark decontamination: every 50th doc plays the held-out eval
     // set; training docs are flagged by distinct-shingle overlap with it
     "decontaminate" -> ((s, dir) =>
@@ -1612,6 +1704,24 @@ object SparkEntry {
           array_join(col("bpe_ids").cast("array<string>"), " ").as("ids_str"))
         .orderBy("doc_id")
     }),
+    // ...and Kudo §3.2 vocabulary PRUNING (r17): one Viterbi E-step,
+    // the lowest-count removable fifth of the vocab dropped (single-
+    // codepoint pieces protected), survivors rescored with T'/V' —
+    // the target is derived so ONE round reaches it, and the oracle
+    // replays the DP, the recount, the drop pick and the rescore
+    "unigram_prune" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = bpeFixtureVocab(d)
+      val pieces = vocab.select(col("piece").cast("string"))
+        .collect().map(_.getString(0))
+      val removable = pieces.count { p =>
+        val core = if (p.startsWith("##")) p.substring(2) else p
+        core.codePointCount(0, core.length) != 1
+      }
+      val target = pieces.length - math.max(1, removable / 5)
+      Tokenize.UnigramScores(vocab, pruneTo = Some(target)).transform(d)
+        .orderBy("id")
+    }),
     // the LEARN leg: the vocab construction itself is an operator and
     // its derivation (frequency ranks, char coverage, suffix pieces,
     // piece-rank ids) is oracle-replayed row for row
@@ -1861,6 +1971,9 @@ object SparkEntry {
     "text_quality" -> OracleSql.textQuality,
     "gopher_rules" -> OracleSql.gopherRules(50L, 100000L, Seq("the", "a")),
     "gopher_rep" -> OracleSql.gopherRepetition,
+    "gopher_ngram" -> OracleSql.gopherNgram,
+    "jsonl_ingest" -> OracleSql.jsonlIngest(20L, 100000L,
+      Seq("the", "a"), "/root/repo/target/jsonl_export_sf0.01"),
     "gopher_full" -> OracleSql.gopherFull(20L, 100000L, Seq("the", "a")),
     "pipeline_gopher" -> OracleSql.pipelineGopher(20L, 100000L,
       Seq("the", "a"), 32, 8, 256L),
@@ -1952,6 +2065,8 @@ object SparkEntry {
     "tfidf_topk" -> OracleSql.tfIdfTopK(3),
     "bm25_search" -> OracleSql.bm25Search(
       Seq("spark", "window", "scan"), 25, 1.2, 0.75),
+    "bm25_incr" -> OracleSql.bm25Search(
+      Seq("quality", "filter", "data"), 20, 1.2, 0.75),
     "decontaminate" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
     "decontaminate_bloom" -> OracleSql.decontaminate("doc_id % 50 = 0", 1L),
     "decontaminate_neardup" -> OracleSql.nearDupDecontaminate(
@@ -2000,6 +2115,7 @@ object SparkEntry {
     "unigram_scores" -> OracleSql.unigramScores,
     "unigram_encode" -> OracleSql.unigramEncode,
     "unigram_em" -> OracleSql.unigramEm,
+    "unigram_prune" -> OracleSql.unigramPrune,
     "bpe_vocab" -> OracleSql.bpeVocab,
     "bpe_learn" -> OracleSql.bpeLearn(20),
     "bpe_learn_deep" -> OracleSql.bpeLearnDeep(48, 8),

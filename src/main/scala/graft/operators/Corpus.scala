@@ -1174,10 +1174,24 @@ object Corpus {
         StructField("class_seq", LongType, nullable = false) :+
         StructField("pack_id", LongType, nullable = false) :+
         StructField("pad_tokens", LongType, nullable = false))
-      val boundsRow = base.agg(min("__k"), max("__k"), count(lit(1))).head()
+      // null order/size keys ride the SAME one-row aggregate as the
+      // bounds (no extra job) and fail loud here — a null __k would
+      // otherwise produce a null bucket and an opaque driver-side NPE
+      // in the cell collect (all-null keys would NPE on getLong(0))
+      val boundsRow = base.agg(min("__k"), max("__k"), count(lit(1)),
+        count(col("__k")), count(col("__sz"))).head()
       if (boundsRow.getLong(2) == 0L)
         return spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], outSchema)
+      val nRows = boundsRow.getLong(2)
+      require(boundsRow.getLong(3) == nRows,
+        s"LengthBucketPack: ${nRows - boundsRow.getLong(3)} rows have " +
+          s"a null (or non-castable) `$orderColumn` — the order key " +
+          "must be total; filter or remap before packing")
+      require(boundsRow.getLong(4) == nRows,
+        s"LengthBucketPack: ${nRows - boundsRow.getLong(4)} rows have " +
+          s"a null (or non-castable) `$sizeColumn` — every sequence " +
+          "needs a size; filter or recount before packing")
       val minK = boundsRow.getLong(0)
       val span =
         try math.subtractExact(boundsRow.getLong(1), minK)

@@ -240,6 +240,11 @@ object TextAnalysis {
       "need 0 <= minWords <= maxWords")
     require(stopwords.nonEmpty && stopwords.distinct == stopwords,
       "`stopwords` must be non-empty and duplicate-free")
+    require(stopwords.forall(s => s.nonEmpty && s == s.trim &&
+        s == s.toLowerCase(java.util.Locale.ROOT)),
+      "`stopwords` must be lower-case and trimmed — tokens are " +
+        "lower-cased before matching, so `Seq(\"The\")` could never " +
+        "hit and r_stopwords would silently reject every document")
     override def preservesSampleSize: Boolean = true
 
     def transform(df: DataFrame): DataFrame = {
@@ -325,28 +330,57 @@ object TextAnalysis {
     }
   }
 
-  /** The OTHER half of the Gopher filter: within-document duplicate
-    * LINE / PARAGRAPH rules ([[RepetitionScore]] covers the word-n-gram
-    * half; this covers the structural half — boilerplate walls, chat
-    * logs and templated pages repeat whole lines and paragraphs, which
-    * n-gram fractions underweight).
+  /** The OTHER half of the Gopher filter: within-document REPETITION
+    * rules — the structural duplicate-line/paragraph family plus the
+    * published n-gram character-fraction family (Rae et al. 2021,
+    * Table A1; public knowledge). Boilerplate walls, chat logs and
+    * templated pages repeat whole lines and paragraphs; keyword-stuffed
+    * and degenerate generative text repeats short phrases that the
+    * structural rules underweight — both halves are needed for the
+    * complete MassiveText repetition gate.
     *
-    * Counters (all exact integers): over space-trimmed NON-EMPTY lines
-    * (`\n` split) and paragraphs (`\n\n` split) — occurrences `n_*`,
-    * duplicate occurrences `dup_* = Σ_v (count_v − 1)` (a value seen k
-    * times contributes k−1), codepoint totals `*_chars` and duplicate
+    * Line/paragraph counters (all exact integers): text is first
+    * CRLF-normalized (`\r\n` → `\n` — real web text mixes line-ending
+    * conventions); lines split on `\n` keeping trailing empties;
+    * paragraphs split on `\n[ \t\r]*\n` (a blank line that carries
+    * only horizontal whitespace still separates paragraphs). Over
+    * space-trimmed NON-EMPTY units: occurrences `n_*`, duplicate
+    * occurrences `dup_* = Σ_v (count_v − 1)` (a value seen k times
+    * contributes k−1), codepoint totals `*_chars` and duplicate
     * codepoints `dup_*_chars = Σ_v (count_v − 1)·len_v`.
     *
-    * Rules (Gopher thresholds, integer cross-multiplication):
+    * n-gram counters, over the house word convention
+    * ([[graft.functions.Portable.tokensLocal]], raw text): with
+    * `rep_chars` the raw text's codepoint count as denominator
+    * (named to avoid colliding with a corpus's own `n_chars` column),
+    *   - `top{2,3,4}_chars`: the duplicate-char mass of the heaviest
+    *     REPEATED word n-gram — max over distinct n-grams with
+    *     count ≥ 2 of `count × codepoints(space-joined gram)`. (A
+    *     deterministic total-order variant of the paper's "most common
+    *     n-gram": max-of-product needs no tie-break between
+    *     equal-count grams, and the ≥ 2 floor — shared with the dup
+    *     family — keeps a unique long 2-gram in a short document from
+    *     reading as repetition.)
+    *   - `dup{5..10}_chars`: the codepoint total of WORDS covered by
+    *     at least one n-gram occurring ≥ 2 times, each word position
+    *     counted once (set-semantics coverage — order-free and
+    *     declaratively replayable, unlike a greedy scan).
+    *
+    * Rules (Gopher thresholds, integer cross-multiplication — no float
+    * ever materializes):
     *   - `r_dup_lines`:      dup_lines / n_lines <= 0.30
     *   - `r_dup_line_chars`: dup_line_chars / line_chars <= 0.20
     *   - `r_dup_paras`:      dup_paras / n_paras <= 0.30
     *   - `r_dup_para_chars`: dup_para_chars / para_chars <= 0.20
+    *   - `r_top{2,3,4}_gram`: top-gram fraction <= 0.20 / 0.18 / 0.16
+    *   - `r_dup{5..10}_gram`: dup-gram coverage <= 0.15 / 0.14 / 0.13
+    *     / 0.12 / 0.11 / 0.10
     * plus the conjunction `admit`. Zero-total docs pass vacuously
     * (0 <= 0). Null text: counters −1, rules false.
     *
     * Scale shape: one compiled zero-shuffle map pass (per-doc hash
-    * counting, doc-bounded state) — composes with [[GopherRules]] as
+    * counting, doc-bounded state — the n-gram passes reuse one token
+    * array and one coverage buffer) — composes with [[GopherRules]] as
     * the full Gopher gate. The corpus-LEVEL line story (hot lines
     * across documents) is [[Corpus.HotLineStrip]]; this is the
     * within-doc signal.
@@ -357,16 +391,42 @@ object TextAnalysis {
 
     def transform(df: DataFrame): DataFrame = {
       SparkUtil.validateColumns(df, Seq(textColumn))
+      import GopherRepetition._
+      val outCols = Seq("n_lines", "dup_lines", "line_chars",
+        "dup_line_chars", "n_paras", "dup_paras", "para_chars",
+        "dup_para_chars", "rep_chars", "admit") ++
+        TopGramThresholds.flatMap { case (n, _, _) =>
+          Seq(s"top${n}_chars", s"r_top${n}_gram") } ++
+        DupGramThresholds.flatMap { case (n, _, _) =>
+          Seq(s"dup${n}_chars", s"r_dup${n}_gram") } ++
+        Seq("r_dup_lines", "r_dup_line_chars", "r_dup_paras",
+          "r_dup_para_chars")
+      val clash = df.columns.filter(c =>
+        outCols.exists(_.equalsIgnoreCase(c)))
+      require(clash.isEmpty,
+        s"input must not carry output columns ${clash.mkString(", ")} " +
+          "— rename or drop them before the repetition gate")
       appendFromText(df, textColumn, Seq(
         "n_lines" -> LongT, "dup_lines" -> LongT,
         "line_chars" -> LongT, "dup_line_chars" -> LongT,
         "n_paras" -> LongT, "dup_paras" -> LongT,
         "para_chars" -> LongT, "dup_para_chars" -> LongT,
+        "rep_chars" -> LongT,
+        "top2_chars" -> LongT, "top3_chars" -> LongT,
+        "top4_chars" -> LongT,
+        "dup5_chars" -> LongT, "dup6_chars" -> LongT,
+        "dup7_chars" -> LongT, "dup8_chars" -> LongT,
+        "dup9_chars" -> LongT, "dup10_chars" -> LongT,
         "r_dup_lines" -> BooleanT, "r_dup_line_chars" -> BooleanT,
         "r_dup_paras" -> BooleanT, "r_dup_para_chars" -> BooleanT,
+        "r_top2_gram" -> BooleanT, "r_top3_gram" -> BooleanT,
+        "r_top4_gram" -> BooleanT,
+        "r_dup5_gram" -> BooleanT, "r_dup6_gram" -> BooleanT,
+        "r_dup7_gram" -> BooleanT, "r_dup8_gram" -> BooleanT,
+        "r_dup9_gram" -> BooleanT, "r_dup10_gram" -> BooleanT,
         "admit" -> BooleanT)) { () => text =>
         if (text == null)
-          Seq.fill[Any](8)(-1L) ++ Seq.fill[Any](5)(false)
+          Seq.fill[Any](18)(-1L) ++ Seq.fill[Any](14)(false)
         else {
           // (occurrences, dups, chars, dupChars) over space-trimmed
           // non-empty units
@@ -401,16 +461,142 @@ object TextAnalysis {
             }
             (total, dup, chars, dupChars)
           }
-          val (nl, dl, lc, dlc) = stats(text.split("\n", -1))
-          val (np, dp, pc, dpc) = stats(text.split("\n\n", -1))
+          val t2 = text.replace("\r\n", "\n")
+          val (nl, dl, lc, dlc) = stats(t2.split("\n", -1))
+          val (np, dp, pc, dpc) = stats(t2.split("\n[ \t\r]*\n", -1))
           val rl = 10L * dl <= 3L * nl
           val rlc = 5L * dlc <= lc
           val rp = 10L * dp <= 3L * np
           val rpc = 5L * dpc <= pc
-          Seq[Any](nl, dl, lc, dlc, np, dp, pc, dpc,
-            rl, rlc, rp, rpc, rl && rlc && rp && rpc)
+          // n-gram family: one token array + one coverage buffer,
+          // shared by every n
+          val toks = tokensLocal(text)
+          val nc = text.codePointCount(0, text.length).toLong
+          val wlen = new Array[Long](toks.length)
+          var wi = 0
+          while (wi < toks.length) {
+            wlen(wi) = toks(wi).codePointCount(0, toks(wi).length).toLong
+            wi += 1
+          }
+          val covered = new Array[Boolean](toks.length)
+          val tops = TopGramThresholds.map { case (n, _, _) =>
+            topGramChars(toks, n)
+          }
+          val dups = DupGramThresholds.map { case (n, _, _) =>
+            dupGramChars(toks, wlen, n, covered)
+          }
+          val topRules = TopGramThresholds.zip(tops).map {
+            case ((_, num, den), cov) => cov * den <= num * nc
+          }
+          val dupRules = DupGramThresholds.zip(dups).map {
+            case ((_, num, den), cov) => cov * den <= num * nc
+          }
+          val allRules = Seq(rl, rlc, rp, rpc) ++ topRules ++ dupRules
+          (Seq[Any](nl, dl, lc, dlc, np, dp, pc, dpc, nc) ++
+            tops.map(identity[Any]) ++ dups.map(identity[Any]) ++
+            allRules.map(identity[Any])) :+ allRules.forall(identity)
         }
       }
+    }
+  }
+
+  object GopherRepetition {
+    /** (n, threshold numerator, threshold denominator): the rule is
+      * `covered / n_chars <= num / den`, applied as
+      * `covered * den <= num * n_chars`. Gopher's published constants:
+      * top-{2,3,4}-gram at 0.20 / 0.18 / 0.16. */
+    val TopGramThresholds: Seq[(Int, Long, Long)] =
+      Seq((2, 1L, 5L), (3, 9L, 50L), (4, 4L, 25L))
+
+    /** dup-{5..10}-gram coverage at 0.15 / 0.14 / 0.13 / 0.12 / 0.11 /
+      * 0.10, same cross-multiplied form. */
+    val DupGramThresholds: Seq[(Int, Long, Long)] =
+      Seq((5, 3L, 20L), (6, 7L, 50L), (7, 13L, 100L), (8, 3L, 25L),
+        (9, 11L, 100L), (10, 1L, 10L))
+
+    /** Space-joined word n-grams of a token array (null-safe: < n
+      * tokens yields none). */
+    private def gramArray(toks: Array[String], n: Int): Array[String] = {
+      val total = toks.length - n + 1
+      if (total <= 0) return Array.empty
+      val grams = new Array[String](total)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < total) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        grams(i) = sb.toString
+        i += 1
+      }
+      grams
+    }
+
+    /** The duplicate-char mass of the heaviest REPEATED n-gram:
+      * `max over distinct grams with count ≥ 2 of
+      * count × codepoints(gram)` (0 when no n-gram repeats — this IS a
+      * repetition gate, so a gram occurring once never counts, exactly
+      * like the dup family; without the ≥ 2 floor a short document
+      * would fail on a unique long 2-gram). */
+    private[operators] def topGramChars(toks: Array[String],
+                                        n: Int): Long = {
+      val grams = gramArray(toks, n)
+      if (grams.isEmpty) return 0L
+      val counts = new java.util.HashMap[String, Array[Long]](
+        grams.length * 2)
+      grams.foreach { g =>
+        val slot = counts.get(g)
+        if (slot == null) counts.put(g, Array(1L)) else slot(0) += 1L
+      }
+      var best = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        if (c >= 2L) {
+          val k = e.getKey
+          val v = c * k.codePointCount(0, k.length).toLong
+          if (v > best) best = v
+        }
+      }
+      best
+    }
+
+    /** Codepoint total of words covered by at least one n-gram
+      * occurring ≥ 2 times (each word position counted once).
+      * `covered` is a caller-provided scratch buffer of length
+      * ≥ toks.length, cleared here. */
+    private[operators] def dupGramChars(toks: Array[String],
+                                        wlen: Array[Long], n: Int,
+                                        covered: Array[Boolean]): Long = {
+      val grams = gramArray(toks, n)
+      if (grams.isEmpty) return 0L
+      val counts = new java.util.HashMap[String, Array[Long]](
+        grams.length * 2)
+      grams.foreach { g =>
+        val slot = counts.get(g)
+        if (slot == null) counts.put(g, Array(1L)) else slot(0) += 1L
+      }
+      java.util.Arrays.fill(covered, 0, toks.length, false)
+      var i = 0
+      while (i < grams.length) {
+        if (counts.get(grams(i))(0) >= 2L) {
+          var j = i
+          val e = i + n
+          while (j < e) { covered(j) = true; j += 1 }
+        }
+        i += 1
+      }
+      var s = 0L
+      i = 0
+      while (i < toks.length) {
+        if (covered(i)) s += wlen(i)
+        i += 1
+      }
+      s
     }
   }
 

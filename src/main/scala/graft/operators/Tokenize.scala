@@ -773,6 +773,23 @@ object Tokenize {
             "0 (base symbol) or the 1-based merge round; this vocab " +
             "was not produced by BpeLearn")
       }
+      // the two collects are independent queries over the same vocab
+      // frame — a NONDETERMINISTIC source (e.g. a re-sampled view)
+      // could return differing row sets, leaving pieces silently
+      // rank-less (never merged). Fail loud on any drift between the
+      // validated piece set and the rank rows.
+      locally {
+        val validated = (firstArr.map(_._1) ++
+          contArr.map(continuationPrefix + _._1)).toSet
+        val ranked = rankRows.map(_._1).toSet
+        require(validated == ranked,
+          "BpeEncodeRanked: the rank collect returned a different " +
+            "piece set than the validated vocab collect (" +
+            s"${(validated -- ranked).take(3).mkString(", ")} missing; " +
+            s"${(ranked -- validated).take(3).mkString(", ")} extra) — " +
+            "the vocab source is nondeterministic; materialize it " +
+            "(cache/checkpoint) before encoding")
+      }
       val learned = rankRows.filter(_._2 >= 1L)
       require(learned.map(_._2).distinct.length == learned.length,
         "BpeEncodeRanked: two pieces share a merge_rank >= 1 — the " +
@@ -950,6 +967,19 @@ object Tokenize {
     * shape never changes, so consumers are round-agnostic. Cost is
     * one corpus pass per round, fail-loud capped (`maxEmRounds`).
     *
+    * `pruneTo = Some(v)` runs Kudo §3.2's vocabulary-pruning loop
+    * FIRST (then any `emRounds` refine the pruned vocab): per round,
+    * one Viterbi E-step, drop the lowest-count removable pieces
+    * (single-codepoint pieces are protected — coverage), at most
+    * `removable / pruneBatchDenom` per round, rescore survivors with
+    * `T' = Σ kept counts, V' = kept size`; iterate to the target.
+    * Low Viterbi count IS the deterministic likelihood-loss proxy
+    * here: corpus log-likelihood is `Σ cnt_i · score_i` and a piece's
+    * occurrences re-segment into alternatives on removal, so the
+    * pieces the model uses least are the cheapest to lose — the
+    * integer-lattice stand-in for sentencepiece's expected-loss
+    * estimate, chosen so the oracle can replay the pick row for row.
+    *
     * Output: `(piece, id, score)` + the vocab's fit params re-recorded
     * on `piece` — [[UnigramEncode]] raises on drift like every other
     * encoder face.
@@ -970,7 +1000,9 @@ object Tokenize {
                                  maxVocab: Int = 1 << 22,
                                  byteLevel: Boolean = false,
                                  emRounds: Int = 0,
-                                 maxEmRounds: Int = 16)
+                                 maxEmRounds: Int = 16,
+                                 pruneTo: Option[Int] = None,
+                                 pruneBatchDenom: Int = 5)
       extends Wrangler {
     require(emRounds >= 0, "emRounds must be >= 0")
     require(emRounds <= maxEmRounds,
@@ -978,12 +1010,15 @@ object Tokenize {
         s"$maxEmRounds — every EM round is one full corpus encode " +
         "pass + one bounded recount; raise maxEmRounds explicitly if " +
         "this pass budget is intended")
+    require(pruneTo.forall(_ >= 1), "pruneTo must be >= 1")
+    require(pruneBatchDenom >= 1, "pruneBatchDenom must be >= 1")
     override def getParams: Seq[(String, Any)] = Seq(
       "textColumn" -> textColumn, "idColumn" -> idColumn,
       "pieceColumn" -> pieceColumn, "vocabIdColumn" -> vocabIdColumn,
       "continuationPrefix" -> continuationPrefix, "unkId" -> unkId,
       "lowercase" -> lowercase, "maxVocab" -> maxVocab,
-      "byteLevel" -> byteLevel, "emRounds" -> emRounds)
+      "byteLevel" -> byteLevel, "emRounds" -> emRounds,
+      "pruneTo" -> pruneTo, "pruneBatchDenom" -> pruneBatchDenom)
     override def preservesSampleSize: Boolean = false
 
     def transform(df: DataFrame): DataFrame = {
@@ -1025,6 +1060,81 @@ object Tokenize {
           .groupBy(pieceColumn).agg(count(lit(1)).as("__cnt")),
         pieceColumn,
         enc0.agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0))
+
+      // vocabulary pruning to `pruneTo` (Kudo 2018 §3.2's loop, the
+      // deterministic hard-EM variant): each round re-segments the
+      // corpus under the CURRENT scores (E step), then drops the
+      // lowest-count REMOVABLE pieces — single-codepoint first-form
+      // pieces and single-codepoint continuation pieces are protected
+      // (the no-dead-end coverage guarantee) — at most
+      // `removable / pruneBatchDenom` (min 1) per round, then rescores
+      // the survivors through the same smoothed lattice with
+      // T' = Σ kept counts and V' = kept size (M step). The drop order
+      // is total: count ascending, id DESCENDING on ties (later-added
+      // pieces go first), so the oracle replays the pick row for row.
+      // Each round is one corpus pass; rounds count against
+      // `maxEmRounds` (fail-loud cap).
+      pruneTo.foreach { target =>
+        var pruneRounds = 0
+        var vNow = cur.count()
+        while (vNow > target) {
+          require(pruneRounds < maxEmRounds,
+            s"UnigramScores: pruning from $vNow to $target needs more " +
+              s"than maxEmRounds=$maxEmRounds corpus passes at " +
+              s"1/$pruneBatchDenom per round — raise maxEmRounds or " +
+              "pruneBatchDenom explicitly if this pass budget is " +
+              "intended")
+          val enc = UnigramEncode(cur, textColumn = textColumn,
+            idColumn = idColumn, pieceColumn = pieceColumn,
+            vocabIdColumn = vocabIdColumn,
+            continuationPrefix = continuationPrefix, unkId = unkId,
+            lowercase = lowercase, maxVocab = maxVocab,
+            byteLevel = byteLevel).transform(df)
+          val cnts = enc
+            .select(explode(col("bpe_ids")).as(vocabIdColumn))
+            .groupBy(vocabIdColumn).agg(count(lit(1)).as("__cnt"))
+          // vocab-sized driver pick (bounded: cur <= maxVocab by the
+          // encoder's own fail-loud collect)
+          val rowsV = cur
+            .join(cnts, Seq(vocabIdColumn), "left")
+            .select(col(pieceColumn).cast("string"),
+              col(vocabIdColumn).cast("long"),
+              coalesce(col("__cnt"), lit(0L)))
+            .limit(maxVocab + 1)
+            .as[(String, Long, Long)].collect()
+          val pfx = continuationPrefix
+          def protectedPiece(p: String): Boolean = {
+            val core = if (p.startsWith(pfx)) p.substring(pfx.length) else p
+            core.codePointCount(0, core.length) == 1
+          }
+          val removable = rowsV.filter(r => !protectedPiece(r._1))
+          require(removable.nonEmpty,
+            s"UnigramScores: pruneTo=$target is below the protected " +
+              s"alphabet size (${rowsV.length - removable.length} " +
+              "single-codepoint pieces) — nothing left to prune")
+          val dropN = math.min(vNow - target,
+            math.max(1L, removable.length.toLong / pruneBatchDenom))
+          val dropIds = removable.sortBy(r => (r._3, -r._2))
+            .take(dropN.toInt).map(_._2).toSet
+          val kept = rowsV.filter(r => !dropIds(r._2))
+          val keptTotal = kept.map(_._3).sum
+          val keptV = kept.length.toLong
+          // rescore through the SAME Spark lattice expression as
+          // score() — driver math would round negatives differently
+          cur = SparkUtil.withFitParamsStr(
+            kept.toSeq.toDF(pieceColumn, vocabIdColumn, "__cnt")
+              .select(col(pieceColumn), col(vocabIdColumn),
+                round(log((col("__cnt") + lit(1L)).cast("double") /
+                    lit((keptTotal + keptV).toDouble)) * lit(1e6))
+                  .cast("long").as("score")),
+            pieceColumn, Map(
+              "lowercase" -> lowercase.toString,
+              "continuationPrefix" -> continuationPrefix,
+              "byteLevel" -> byteLevel.toString))
+          vNow = keptV
+          pruneRounds += 1
+        }
+      }
 
       // hard-EM (Viterbi-EM) refinement: re-segment the corpus under
       // the CURRENT scores (the E step, max-likelihood instead of

@@ -236,6 +236,43 @@ object StressCorpus {
       admits
     }
 
+    // ----- gopher repetition gate (incl. the r17 n-gram rules): every
+    // 3rd doc appends "p q r s t" x4 — a period-5 single-char-word
+    // region whose n-gram coverage is CLOSED-FORM: dup{5..10} all cover
+    // exactly the 20 appended words (overlap counted once), the top
+    // grams are the region's own ("p q" c=4 len 3 -> 12; "p q r" -> 20;
+    // "p q r s" -> 28), and every dup rule fails deterministically
+    // (20*den > num*rep_chars for rep_chars <= 87), so admit ==
+    // NOT (doc_id % 3 == 0) exactly; rep_chars cross-checks against an
+    // independent length() expression over the same frame
+    time(s"gopher_rep docs=$nDocs") {
+      val rep5 = " p q r s t p q r s t p q r s t p q r s t"
+      val gd = docs.withColumn("text", concat(col("text"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L, lit(rep5))
+          .otherwise(lit(""))))
+      val out = TextAnalysis.GopherRepetition().transform(gd)
+      val r = out
+        .agg(sum(abs(col("rep_chars") - length(col("text")))),
+          sum("dup5_chars"), sum("dup6_chars"), sum("dup7_chars"),
+          sum("dup8_chars"), sum("dup9_chars"), sum("dup10_chars"),
+          sum("top2_chars"), sum("top3_chars"), sum("top4_chars"),
+          sum(col("admit").cast("long")), sum("dup_lines"),
+          sum("n_paras"), count(lit(1))).collect()(0)
+      val c3 = (nDocs + 2L) / 3L
+      require(r.getLong(0) == 0L,
+        s"rep_chars diverges from the length() mirror: $r")
+      (1 to 6).foreach(i => require(r.getLong(i) == 20L * c3,
+        s"dup${i + 4}_chars sum != 20*c3: $r"))
+      require(r.getLong(7) == 12L * c3 && r.getLong(8) == 20L * c3 &&
+        r.getLong(9) == 28L * c3, s"top-gram sums: $r")
+      require(r.getLong(10) == nDocs - c3,
+        s"admit != nDocs - c3: ${r.getLong(10)} vs ${nDocs - c3}")
+      require(r.getLong(11) == 0L && r.getLong(12) == nDocs,
+        s"structural counters drifted: $r")
+      require(r.getLong(13) == nDocs, s"row drift: $r")
+      r.getLong(10)
+    }
+
     // ----- subword encode: every doc of the 8-token generator walks the
     // broadcast trie (map-side only). Vocab = chars a-g/0-9 in both
     // forms + whole-word "the", so the token count is CLOSED-FORM

@@ -196,6 +196,53 @@ class SamplingTfIdfSpec extends AnyFunSuite {
       Bm25Search(queryTerms = Seq("a", "a")))
     assertThrows[IllegalArgumentException](
       Bm25Search(queryTerms = Seq("a"), b = 1.5))
+    // r17 ADVICE: un-normalized query terms fail loud instead of
+    // silently matching nothing against the lower-cased tokens
+    assertThrows[IllegalArgumentException](
+      Bm25Search(queryTerms = Seq("Cat")))
+    assertThrows[IllegalArgumentException](
+      Bm25Search(queryTerms = Seq(" cat")))
+  }
+
+  test("bm25 index: probe == inline search; fold == refit; drift and " +
+    "duplicate-doc guards raise") {
+    val d = Seq((1L, "the cat cat dog"), (2L, "the dog"),
+        (3L, "the cat"), (4L, "the bird"), (5L, "cat dog cat dog"),
+        (6L, "dog elephant runs")).toDF("doc_id", "text")
+    val q = Seq("cat", "dog")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inline = rows(Bm25Search(queryTerms = q, k = 10).transform(d))
+    // probe of a whole-corpus fit == the inline operator, bit-for-bit
+    val full = Bm25Index.fit(d)
+    assert(rows(Bm25Index.probe(full, q, k = 10)) == inline)
+    // fold == refit: fit on half, fold the rest, probe agrees
+    val fitHalf = Bm25Index.fit(d.filter($"doc_id" <= 3L))
+    val folded = Bm25Index.foldBatch(fitHalf, d.filter($"doc_id" > 3L))
+    assert(rows(Bm25Index.probe(folded, q, k = 10)) == inline)
+    // the artifact survives a parquet round-trip (metadata included)
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx")
+      .resolve("idx").toString
+    folded.write.parquet(tmp)
+    val reread = spark.read.parquet(tmp)
+    assert(rows(Bm25Index.probe(reread, q, k = 10)) == inline)
+    // k1/b drift raises in both directions
+    assertThrows[IllegalArgumentException](
+      Bm25Index.probe(full, q, k1 = 1.5))
+    assertThrows[IllegalArgumentException](
+      Bm25Index.foldBatch(full, d.limit(0), b = 0.5))
+    // re-ingesting an indexed doc raises (would double-count terms)
+    val e = intercept[IllegalArgumentException](
+      Bm25Index.foldBatch(full, d.filter($"doc_id" === 2L)))
+    assert(e.getMessage.contains("re-ingests"))
+    // a posting-only table (no stats row) fails the probe loudly
+    val noStats = full.filter($"term".isNotNull)
+    val e2 = intercept[IllegalArgumentException](
+      Bm25Index.probe(noStats, q))
+    assert(e2.getMessage.contains("stats row"))
+    // un-normalized probe terms fail loud
+    assertThrows[IllegalArgumentException](
+      Bm25Index.probe(full, Seq("Cat")))
   }
 
   test("group_topk matches the brute force under heavy ties and many " +

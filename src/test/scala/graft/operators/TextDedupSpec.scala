@@ -501,6 +501,92 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!rn.getAs[Boolean]("admit"))
   }
 
+  test("GopherRepetition: n-gram character-fraction rules on a " +
+    "hand-computed fixture — top family needs a REPEATED gram, dup " +
+    "family covers each word position once across overlaps") {
+    // doc 1: "ab cd ab cd ab zz" (17 chars)
+    //   2-grams: [ab cd]x2? positions 1-5: "ab cd","cd ab","ab cd",
+    //   "cd ab","ab zz" -> "ab cd" c=2 len=5 -> 10; "cd ab" c=2 -> 10
+    //   top2 = 10; 10*5 > 1*17 -> r_top2_gram FALSE
+    //   3-grams: "ab cd ab" c=2 (pos 1,3)? pos1="ab cd ab",
+    //   pos2="cd ab cd", pos3="ab cd ab", pos4="cd ab zz" -> c=2,
+    //   len=8 -> top3 = 16; 16*50 > 9*17 -> FALSE
+    //   4-grams: pos1="ab cd ab cd", pos2="cd ab cd ab",
+    //   pos3="ab cd ab zz" -> all unique -> top4 = 0 -> TRUE
+    //   5-grams+: 2 grams, unique -> dup5..10 = 0 -> all TRUE
+    val df = docsDF(1L -> "ab cd ab cd ab zz")
+    val r1 = TextAnalysis.GopherRepetition().transform(df).head()
+    assert(r1.getAs[Long]("rep_chars") == 17L)
+    assert(r1.getAs[Long]("top2_chars") == 10L)
+    assert(r1.getAs[Long]("top3_chars") == 16L)
+    assert(r1.getAs[Long]("top4_chars") == 0L)
+    assert(!r1.getAs[Boolean]("r_top2_gram"))
+    assert(!r1.getAs[Boolean]("r_top3_gram"))
+    assert(r1.getAs[Boolean]("r_top4_gram"))
+    (5 to 10).foreach { n =>
+      assert(r1.getAs[Long](s"dup${n}_chars") == 0L)
+      assert(r1.getAs[Boolean](s"r_dup${n}_gram"))
+    }
+    assert(!r1.getAs[Boolean]("admit"))
+    // doc 2: "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5 q99999999" (39 chars):
+    //   the 5-gram "x1..x5" repeats at positions 1 and 6 -> covered
+    //   word positions 1..10 (the overlap at position 6 counted once),
+    //   chars = 20; 20*20 > 3*39 -> r_dup5_gram FALSE; no 6-gram
+    //   repeats -> dup6..10 = 0 -> TRUE
+    val r2 = TextAnalysis.GopherRepetition()
+      .transform(docsDF(2L -> "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5 q99999999"))
+      .head()
+    assert(r2.getAs[Long]("rep_chars") == 39L)
+    assert(r2.getAs[Long]("dup5_chars") == 20L)
+    assert(!r2.getAs[Boolean]("r_dup5_gram"))
+    assert(r2.getAs[Long]("dup6_chars") == 0L)
+    assert(r2.getAs[Boolean]("r_dup6_gram"))
+    // overlap-once semantics directly on the helper: ten single-char
+    // words, the repeated 5-gram's two occurrences share nothing but
+    // every position is covered exactly once -> 10, not 2x5x2
+    val helpers = graft.operators.TextAnalysis.GopherRepetition
+    val toks = "a b c d e a b c d e".split(" ")
+    val wlen = toks.map(_.length.toLong)
+    val cov = helpers.dupGramChars(toks, wlen, 5,
+      new Array[Boolean](toks.length))
+    assert(cov == 10L)
+  }
+
+  test("GopherRepetition: CRLF and whitespace-blank paragraph " +
+    "separators — \\r\\n\\r\\n and \\n \\t \\n both split paragraphs") {
+    // all three docs have the same two paragraphs [aa bb, aa bb]
+    // under the normalized contract -> dup_paras 1, and the same two
+    // LINES after CRLF normalization
+    val variants = docsDF(
+      1L -> "aa bb\n\naa bb",       // plain LF blank line
+      2L -> "aa bb\r\n\r\naa bb",   // CRLF blank line
+      3L -> "aa bb\n \t \naa bb")   // whitespace-only blank line
+    val got = TextAnalysis.GopherRepetition().transform(variants)
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_paras") == 2L,
+        s"doc ${r.getAs[Long]("doc_id")}: ${r.getAs[Long]("n_paras")}")
+      assert(r.getAs[Long]("dup_paras") == 1L)
+      assert(r.getAs[Long]("para_chars") == 10L)
+      assert(r.getAs[Long]("dup_para_chars") == 5L)
+      assert(!r.getAs[Boolean]("r_dup_paras"))
+    }
+    // lines: docs 1 and 2 agree exactly (CRLF normalized away); doc 3's
+    // middle line " \t " space-trims to "\t" — NON-empty (the unit trim
+    // strips spaces only, the DuckDB trim default), so it stays a line
+    // even though the paragraph regex treats it as a separator
+    assert(got(0).getAs[Long]("n_lines") == 2L)
+    assert(got(1).getAs[Long]("n_lines") == 2L)
+    assert(got(2).getAs[Long]("n_lines") == 3L)
+    assert(got.forall(_.getAs[Long]("dup_lines") == 1L))
+    // output-column collision fails loud
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.GopherRepetition().transform(
+        variants.withColumn("rep_chars",
+          org.apache.spark.sql.functions.lit(1L))))
+    assert(e.getMessage.contains("rep_chars"))
+  }
+
   test("GopherRules: null text, trailing-empty line kept, parameter " +
     "validation") {
     val got = TextAnalysis.GopherRules()

@@ -130,6 +130,18 @@ class TokenizeUnigramSpec extends AnyFunSuite {
         assert(got(i.toLong) == naiveBest(w, sc),
           s"trial $trial word `$w` table $table")
       }
+      // r17: the same agreement on a PRUNED vocab — drop a random
+      // subset of the multi-char pieces (the base chars stay, so
+      // coverage holds) and the DP must still match the reference
+      val pruned = table.filter { case (p, _, _) =>
+        base.contains(p) || rnd.nextBoolean() }
+      val scP = pruned.map { case (p, id, s) => p -> (id, s) }.toMap
+      val gotP = encIds(Tokenize.UnigramEncode(
+        pruned.toDF("piece", "id", "score")).transform(docs))
+      words.zipWithIndex.foreach { case (w, i) =>
+        assert(gotP(i.toLong) == naiveBest(w, scP),
+          s"trial $trial word `$w` pruned table $pruned")
+      }
     }
   }
 
@@ -195,6 +207,68 @@ class TokenizeUnigramSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Tokenize.UnigramScores(vocab, emRounds = 99))
     assert(e.getMessage.contains("maxEmRounds"), e.getMessage)
+  }
+
+  test("vocabulary pruning (Kudo §3.2): one round drops exactly the " +
+    "lowest-Viterbi-count removable pieces (count asc, id desc; " +
+    "single-codepoint pieces protected), rescores with T'/V' — " +
+    "equals the independent replay; multi-round reaches the target; " +
+    "a target below the alphabet fails loud") {
+    val docs = Seq((1L, "hug hug pug"), (2L, "hug pug hugs"))
+      .toDF("doc_id", "text")
+    val vocab = Tokenize.VocabBuild(topWords = 2).transform(docs)
+    val vrows = vocab.select("piece", "id").as[(String, Long)].collect()
+    def isProtected(p: String): Boolean = {
+      val core = if (p.startsWith("##")) p.substring(2) else p
+      core.codePointCount(0, core.length) == 1
+    }
+    val removable = vrows.filterNot { case (p, _) => isProtected(p) }
+    assert(removable.nonEmpty)
+    val dropN = math.max(1, removable.length / 5)
+    val target = vrows.length - dropN
+    // independent replay: counts under the round-0 Viterbi
+    // segmentation, the (cnt asc, id desc) drop pick, the rescore
+    val s0 = Tokenize.UnigramScores(vocab).transform(docs)
+    val enc = Tokenize.UnigramEncode(s0).transform(docs)
+    val cnt = enc.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("bpe_ids")).as("id"))
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    val dropIds = removable
+      .sortBy { case (_, id) => (cnt.getOrElse(id, 0L), -id) }
+      .take(dropN).map(_._2).toSet
+    val kept = vrows.filterNot { case (_, id) => dropIds(id) }
+    val keptTotal = kept.map { case (_, id) => cnt.getOrElse(id, 0L) }.sum
+    val got = Tokenize.UnigramScores(vocab, pruneTo = Some(target))
+      .transform(docs).as[(String, Long, Long)].collect()
+    assert(got.length == target)
+    assert(got.map(_._2).toSet == kept.map(_._2).toSet)
+    got.foreach { case (piece, id, score) =>
+      val expected = math.round(math.log(
+        (cnt.getOrElse(id, 0L) + 1).toDouble /
+          (keptTotal + kept.length)) * 1e6)
+      assert(score == expected, s"piece `$piece` id $id")
+    }
+    // every protected piece survived
+    vrows.filter { case (p, _) => isProtected(p) }.foreach {
+      case (_, id) => assert(got.exists(_._2 == id)) }
+    // multi-round: prune all the way down to the protected alphabet
+    val alphabet = vrows.length - removable.length
+    val floor = Tokenize.UnigramScores(vocab, pruneTo = Some(alphabet))
+      .transform(docs)
+    assert(floor.count() == alphabet.toLong)
+    // a target below the alphabet fails loud once nothing removable
+    // remains (or the round cap trips first — both are fail-loud)
+    val e = intercept[IllegalArgumentException](
+      Tokenize.UnigramScores(vocab, pruneTo = Some(1)).transform(docs))
+    assert(e.getMessage.contains("protected alphabet") ||
+      e.getMessage.contains("maxEmRounds"), e.getMessage)
+    // the pruned artifact still encodes (coverage held) and the fit
+    // params survive
+    assert(Tokenize.UnigramEncode(floor).transform(docs)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens"))
+      .collect()(0).getLong(0) > 0L)
+    assert(graft.util.SparkUtil.fitParamStr(floor, "piece", "lowercase")
+      .contains("true"))
   }
 
   test("byte-level unigram encode is TOTAL (unseen chars, emoji) " +
