@@ -825,6 +825,44 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run, repartition = Some(3))
   }
 
+  test("gopher_ngram golden: killed mutants + repartition invariance " +
+    "(the r17 n-gram character-fraction rules)") {
+    def run(df: DataFrame): DataFrame =
+      graft.operators.TextAnalysis.GopherRepetition()
+        .transform(df)
+        .select(col("doc_id"), col("rep_chars"), col("top2_chars"),
+          col("dup5_chars"), col("r_top2_gram"), col("r_dup5_gram"),
+          col("admit"))
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          // heaviest 2-gram "ab cd" c=2 len 5 -> 10; 10*5 > 17 fails
+          Seq(1L, "ab cd ab cd ab zz"),
+          // clean prose: no repeated gram anywhere -> all pass
+          Seq(2L, "one two three four five six"),
+          // the 5-gram repeats -> covered words 20 of 39 chars, fails
+          Seq(3L, "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5 q99999999")),
+        Seq("doc_id:i", "text:s"))
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, 17L, 10L, 0L, false, true, false),
+          Seq(2L, 27L, 0L, 0L, true, true, true),
+          Seq(3L, 39L, 10L, 20L, false, false, false)),
+        Seq("doc_id:i", "rep_chars:i", "top2_chars:i", "dup5_chars:i",
+          "r_top2_gram:b", "r_dup5_gram:b", "admit:b"))
+      override def mutants = Seq(
+        // doc 1 loses the repeated 2-gram: top2 0 -> admit flips true
+        ValueMutant("text", 0, "ab cd xx yy zz qq"),
+        // doc 2 gains one: "one two" c=2 len 7 -> 14 > 21/5 -> flips
+        ValueMutant("text", 1, "one two one two three"),
+        // doc 3's second half de-duplicates: dup5 0, r_dup5 flips
+        ValueMutant("text", 2,
+          "x1 x2 x3 x4 x5 y1 y2 y3 y4 y5 q99999999"))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
   test("len_bucket_pack golden: killed mutants + repartition invariance " +
     "(the seeded two-phase rank is the layout-sensitive algebra)") {
     def run(df: DataFrame): DataFrame =
