@@ -170,6 +170,7 @@ object Bench {
     "gopher_rep" -> Some("SerializeFromObject"), // typed dup-line pass
     "gopher_full" -> Some("SerializeFromObject"), // two chained typed passes
     "gopher_ngram" -> Some("SerializeFromObject"), // typed n-gram pass
+    "c4_clean" -> Some("SerializeFromObject"), // typed line-retention pass
     "pipeline_gopher" -> Some("MapPartitions"), // final ShardPack stage
     "jsonl_ingest" -> Some("Scan json"), // the JSONL reader under test
     "bm25_incr" -> Some("BroadcastHashJoin"), // df joins back broadcast

@@ -1219,6 +1219,93 @@ object OracleSql {
        |  FROM gr)""".stripMargin
   }
 
+  /** `TextAnalysis.C4Clean` replayed over the `c4_clean` fixture
+    * shaping: derived lines sweep the retention rules (terminal punct
+    * incl. closing quote, >= minLineWords words, the javascript word),
+    * every 5th doc gains a javascript boilerplate line, every 6th a
+    * `lorem ipsum` tail, every 9th a brace line; the blocklist word is
+    * the corpus's own rare token. Retention via list_filter (order
+    * preserved), sentence marks counted on the RETAINED text. */
+  def c4Clean(minLineWords: Long, minSentences: Long,
+              blockWords: Seq[String]): String = {
+    val blockIn = blockWords.map(w => s"'$w'").mkString(", ")
+    val blockExpr =
+      if (blockWords.isEmpty) "CAST(0 AS BIGINT)"
+      else s"CAST(len(list_filter(list_distinct(dtk), " +
+        s"x -> x IN ($blockIn))) AS BIGINT)"
+    // one line's retention predicate (x = the raw line)
+    val ltk = """string_split_regex(trim(lower(x)), '\s+')"""
+    val keepPred =
+      s"""len(rtrim(x)) > 0
+         |      AND substr(rtrim(x), len(rtrim(x)), 1)
+         |        IN ('.', '!', '?', '"')
+         |      AND len($ltk) >= $minLineWords
+         |      AND NOT list_contains($ltk, 'javascript')""".stripMargin
+    s"""WITH s0 AS (SELECT doc_id, text, $Toks AS tk FROM documents),
+       |s1 AS (SELECT doc_id,
+       |  COALESCE(array_to_string(list_slice(tk, 1, 6), ' '), '')
+       |    || '.' AS l1,
+       |  COALESCE(array_to_string(list_slice(tk, 1, 3), ' '), '')
+       |    || '!' AS l2,
+       |  COALESCE(array_to_string(list_slice(tk, 7, 12), ' '), '')
+       |    AS l3,
+       |  COALESCE(array_to_string(list_slice(tk, 13, 18), ' '), '')
+       |    || '?' AS l4,
+       |  COALESCE(array_to_string(list_slice(tk, 19, 23), ' '), '')
+       |    || '."' AS l5,
+       |  CASE WHEN doc_id % 5 = 0
+       |    THEN 'please enable javascript to view this page.'
+       |    ELSE COALESCE(array_to_string(list_slice(tk, 4, 9), ' '), '')
+       |      || '.'
+       |  END AS lj
+       |  FROM s0),
+       |shaped AS (SELECT doc_id,
+       |  l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4 ||
+       |  chr(10) || l5 || chr(10) || lj ||
+       |  (CASE WHEN doc_id % 6 = 0
+       |    THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END) ||
+       |  (CASE WHEN doc_id % 9 = 0
+       |    THEN chr(10) || 'var x = {' ELSE '' END) AS text
+       |  FROM s1),
+       |c40 AS (SELECT doc_id, text,
+       |  replace(text, chr(13) || chr(10), chr(10)) AS t2,
+       |  $Toks AS dtk FROM shaped),
+       |c4x AS (SELECT doc_id, text, dtk,
+       |  string_split(t2, chr(10)) AS lns,
+       |  list_filter(string_split(t2, chr(10)), x ->
+       |      $keepPred) AS kept,
+       |  len(list_filter(string_split(t2, chr(10)), x ->
+       |      list_contains($ltk, 'javascript'))) AS jsl
+       |  FROM c40),
+       |c4y AS (SELECT doc_id, text, dtk,
+       |  CAST(len(lns) AS BIGINT) AS n_lines,
+       |  CAST(len(kept) AS BIGINT) AS kept_lines,
+       |  CAST(jsl AS BIGINT) AS js_lines,
+       |  array_to_string(kept, chr(10)) AS clean_text FROM c4x),
+       |c4z AS (SELECT *,
+       |  CAST((len(clean_text) - len(replace(clean_text, '.', '')))
+       |    + (len(clean_text) - len(replace(clean_text, '!', '')))
+       |    + (len(clean_text) - len(replace(clean_text, '?', '')))
+       |    AS BIGINT) AS n_sentences,
+       |  $blockExpr AS block_hits,
+       |  contains(text, '{') AS has_brace,
+       |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |  CAST(len(clean_text) AS BIGINT) AS clean_chars
+       |  FROM c4y),
+       |c4f AS (SELECT *,
+       |  n_sentences >= $minSentences AS r_sentences,
+       |  NOT has_brace AS r_brace,
+       |  NOT has_lorem AS r_lorem,
+       |  block_hits = 0 AS r_block,
+       |  n_sentences >= $minSentences AND NOT has_brace
+       |    AND NOT has_lorem AND block_hits = 0 AS admit
+       |  FROM c4z)
+       |SELECT doc_id, n_lines, kept_lines, js_lines, n_sentences,
+       |  block_hits, has_brace, has_lorem, r_sentences, r_brace,
+       |  r_lorem, r_block, admit, clean_text, clean_chars
+       |FROM c4f ORDER BY doc_id""".stripMargin
+  }
+
   /** The `jsonl_ingest` mirror: DuckDB reads the SAME gzipped
     * shard=N JSONL files the query exported (explicit column schema —
     * the reader contract under test), then replays the Gopher rule

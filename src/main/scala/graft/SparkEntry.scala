@@ -509,6 +509,39 @@ object SparkEntry {
           col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    // C4-style line-level cleaning gate (r17, Raffel et al. 2020):
+    // line retention (terminal punct incl. closing quote, >= 5 words,
+    // no `javascript` word) then the document rules (>= 3 sentence
+    // marks in the RETAINED text, no brace, no `lorem ipsum`, no
+    // blocklist token — the fixture blocklist is the corpus's own
+    // rare token `dup`, 25/500 docs). The fixture shapes each doc
+    // into 6 derived lines sweeping every retention rule, plus
+    // javascript/lorem/brace tails on doc_id mod classes
+    "c4_clean" -> ((s, dir) => {
+      val tk = graft.functions.Portable.tokens(col("text"))
+      val l1 = concat(array_join(slice(tk, 1, 6), " "), lit("."))
+      val l2 = concat(array_join(slice(tk, 1, 3), " "), lit("!"))
+      val l3 = array_join(slice(tk, 7, 6), " ")
+      val l4 = concat(array_join(slice(tk, 13, 6), " "), lit("?"))
+      val l5 = concat(array_join(slice(tk, 19, 5), " "), lit(".\""))
+      val lj = when(pmod(col("doc_id"), lit(5L)) === 0L,
+        lit("please enable javascript to view this page."))
+        .otherwise(concat(array_join(slice(tk, 4, 6), " "), lit(".")))
+      val base6 = concat_ws("\n", l1, l2, l3, l4, l5, lj)
+      val withLorem = when(pmod(col("doc_id"), lit(6L)) === 0L,
+        concat(base6, lit("\nlorem ipsum dolor sit amet.")))
+        .otherwise(base6)
+      val shaped = when(pmod(col("doc_id"), lit(9L)) === 0L,
+        concat(withLorem, lit("\nvar x = {")))
+        .otherwise(withLorem)
+      TextAnalysis.C4Clean(blockWords = Seq("dup"))
+        .transform(docs(s, dir).withColumn("text", shaped))
+        .select("doc_id", "n_lines", "kept_lines", "js_lines",
+          "n_sentences", "block_hits", "has_brace", "has_lorem",
+          "r_sentences", "r_brace", "r_lorem", "r_block", "admit",
+          "clean_text", "clean_chars")
+        .orderBy("doc_id")
+    }),
     // per-doc unigram Shannon entropy: the repetitiveness / lexical-
     // diversity gate signal — one compiled map pass, no shuffle
     "text_entropy" -> ((s, dir) =>
@@ -1972,6 +2005,7 @@ object SparkEntry {
     "gopher_rules" -> OracleSql.gopherRules(50L, 100000L, Seq("the", "a")),
     "gopher_rep" -> OracleSql.gopherRepetition,
     "gopher_ngram" -> OracleSql.gopherNgram,
+    "c4_clean" -> OracleSql.c4Clean(5L, 3L, Seq("dup")),
     "jsonl_ingest" -> OracleSql.jsonlIngest(20L, 100000L,
       Seq("the", "a"), "/root/repo/target/jsonl_export_sf0.01"),
     "gopher_full" -> OracleSql.gopherFull(20L, 100000L, Seq("the", "a")),

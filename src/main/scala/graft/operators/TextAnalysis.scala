@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
@@ -597,6 +599,134 @@ object TextAnalysis {
         i += 1
       }
       s
+    }
+  }
+
+  /** C4-style LINE-LEVEL cleaning gate (Raffel et al. 2020 §2.2, the
+    * published C4 heuristics; public knowledge) — the other canonical
+    * web-corpus filter family beside the Gopher gate
+    * ([[GopherRules]]/[[GopherRepetition]] score and reject whole
+    * documents; C4 first EDITS the document line by line, then gates
+    * what survives):
+    *
+    * Line retention (a line survives iff ALL hold; CRLF-normalized
+    * `\n` split, the [[GopherRepetition]] discipline):
+    *   - ends in a terminal punctuation mark after trailing-space
+    *     trim — `.` `!` `?` or a closing `"` (the paper's "terminal
+    *     punctuation mark incl. end quotation mark");
+    *   - carries at least `minLineWords` words (house token
+    *     convention);
+    *   - does not contain the word `javascript` (token match, not
+    *     substring — "javascripting" is not the boilerplate marker).
+    *
+    * Document rules over the RETAINED text / raw text:
+    *   - `r_sentences`: at least `minSentences` sentence marks
+    *     (`.` `!` `?` codepoints in the retained text — the
+    *     deterministic stand-in for the paper's sentence count;
+    *     documented deviation: no sentence segmenter, a mark count
+    *     mirrors exactly in SQL);
+    *   - `r_brace`: the raw text contains no `{` (code page marker);
+    *   - `r_lorem`: the raw text does not contain the phrase
+    *     `lorem ipsum` (case-insensitive);
+    *   - `r_block`: no `blockWords` token present (the paper's
+    *     blocklist rule; the list is caller-supplied — default empty
+    *     = rule vacuously true — because no blocklist is bundled).
+    *
+    * Output: counters (`n_lines`, `kept_lines`, `js_lines`,
+    * `n_sentences`, `block_hits`), flags, per-rule verdicts, `admit`,
+    * plus `clean_text` (retained lines joined by `\n`, the EDITED
+    * document downstream stages consume) and `clean_chars`. Null
+    * text: counters −1, flags/rules false, clean_text null.
+    *
+    * Scale shape: one compiled zero-shuffle map pass
+    * ([[appendFromText]]), doc-bounded state — composable before the
+    * Gopher gate in an ingest chain (C4 edits, Gopher rejects).
+    */
+  final case class C4Clean(textColumn: String = "text",
+                           minLineWords: Long = 5L,
+                           minSentences: Long = 3L,
+                           blockWords: Seq[String] = Seq.empty)
+      extends Wrangler {
+    require(minLineWords >= 0 && minSentences >= 0,
+      "need minLineWords >= 0 and minSentences >= 0")
+    require(blockWords.distinct == blockWords,
+      "`blockWords` must be duplicate-free")
+    require(blockWords.forall(w => w.nonEmpty && w == w.trim &&
+        w == w.toLowerCase(java.util.Locale.ROOT)),
+      "`blockWords` must be lower-case and trimmed — tokens are " +
+        "lower-cased before matching")
+    override def preservesSampleSize: Boolean = true
+
+    def transform(df: DataFrame): DataFrame = {
+      SparkUtil.validateColumns(df, Seq(textColumn))
+      val outCols = Seq("n_lines", "kept_lines", "js_lines",
+        "n_sentences", "block_hits", "has_brace", "has_lorem",
+        "r_sentences", "r_brace", "r_lorem", "r_block", "admit",
+        "clean_text", "clean_chars")
+      val clash = df.columns.filter(c =>
+        outCols.exists(_.equalsIgnoreCase(c)))
+      require(clash.isEmpty,
+        s"input must not carry output columns ${clash.mkString(", ")}")
+      val blocks = blockWords.toSet
+      val (minW, minS) = (minLineWords, minSentences)
+      appendFromText(df, textColumn, Seq(
+        "n_lines" -> LongT, "kept_lines" -> LongT, "js_lines" -> LongT,
+        "n_sentences" -> LongT, "block_hits" -> LongT,
+        "has_brace" -> BooleanT, "has_lorem" -> BooleanT,
+        "r_sentences" -> BooleanT, "r_brace" -> BooleanT,
+        "r_lorem" -> BooleanT, "r_block" -> BooleanT,
+        "admit" -> BooleanT,
+        "clean_text" -> StringT, "clean_chars" -> LongT)) { () => text =>
+        if (text == null)
+          Seq[Any](-1L, -1L, -1L, -1L, -1L,
+            false, false, false, false, false, false, false, null, -1L)
+        else {
+          val t2 = text.replace("\r\n", "\n")
+          val lines = t2.split("\n", -1)
+          var js = 0L
+          val kept = new ArrayBuffer[String](lines.length)
+          lines.foreach { l =>
+            val ltk = tokensLocal(l)
+            val hasJs = ltk.contains("javascript")
+            if (hasJs) js += 1L
+            var until = l.length
+            while (until > 0 && l.charAt(until - 1) == ' ') until -= 1
+            val punct = until > 0 && {
+              val c = l.charAt(until - 1)
+              c == '.' || c == '!' || c == '?' || c == '"'
+            }
+            if (punct && ltk.length >= minW && !hasJs) kept += l
+          }
+          val cleanText = kept.mkString("\n")
+          var sentences = 0L
+          var i = 0
+          while (i < cleanText.length) {
+            val c = cleanText.charAt(i)
+            if (c == '.' || c == '!' || c == '?') sentences += 1L
+            i += 1
+          }
+          var blockHits = 0L
+          if (blocks.nonEmpty) {
+            val seen = new scala.collection.mutable.HashSet[String]
+            tokensLocal(text).foreach { t =>
+              if (blocks.contains(t)) seen += t
+            }
+            blockHits = seen.size.toLong
+          }
+          val hasBrace = text.indexOf('{') >= 0
+          val hasLorem = text.toLowerCase(java.util.Locale.ROOT)
+            .contains("lorem ipsum")
+          val rS = sentences >= minS
+          val rB = !hasBrace
+          val rL = !hasLorem
+          val rK = blockHits == 0L
+          Seq[Any](lines.length.toLong, kept.length.toLong, js,
+            sentences, blockHits, hasBrace, hasLorem,
+            rS, rB, rL, rK, rS && rB && rL && rK,
+            cleanText,
+            cleanText.codePointCount(0, cleanText.length).toLong)
+        }
+      }
     }
   }
 

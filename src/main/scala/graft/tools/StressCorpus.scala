@@ -273,6 +273,57 @@ object StressCorpus {
       r.getLong(10)
     }
 
+    // ----- C4 line-level cleaning gate (r17): every doc's base line
+    // gains a terminal '.', with mod-class tails — a short line (%4,
+    // dropped by word count), a javascript line (%7, dropped by the
+    // word rule), a brace line (%11, dropped by punctuation AND
+    // flagging the doc), a lorem line (%13, KEPT but flagging the
+    // doc) — so every counter lands a closed form and admit is exact
+    // inclusion-exclusion over the %11/%13/%101 reject classes
+    time(s"c4_clean docs=$nDocs") {
+      def cm(m: Long): Long = (nDocs + m - 1L) / m // ids 0..n-1 ≡ 0 (m)
+      val gd = docs.withColumn("text", concat(col("text"), lit("."),
+        when(pmod(col("doc_id"), lit(4L)) === 0L, lit("\nshort no."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          lit("\nplease enable javascript today ok."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11L)) === 0L, lit("\nvar x = {"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13L)) === 0L,
+          lit("\nlorem ipsum dolor sit amet."))
+          .otherwise(lit(""))))
+      val out = TextAnalysis.C4Clean(minSentences = 1L,
+        blockWords = Seq("a0")).transform(gd)
+      val r = out.agg(
+        sum("n_lines"), sum("kept_lines"), sum("js_lines"),
+        sum("n_sentences"), sum("block_hits"),
+        sum(col("has_brace").cast("long")),
+        sum(col("has_lorem").cast("long")),
+        sum(col("admit").cast("long")),
+        sum(abs(col("clean_chars") - length(col("clean_text")))),
+        count(lit(1))).collect()(0)
+      val (c4, c7, c11, c13, c101) = (cm(4), cm(7), cm(11), cm(13),
+        cm(101))
+      require(r.getLong(0) == nDocs + c4 + c7 + c11 + c13,
+        s"n_lines: $r")
+      require(r.getLong(1) == nDocs + c13, s"kept_lines: $r")
+      require(r.getLong(2) == c7, s"js_lines: $r")
+      require(r.getLong(3) == nDocs + c13, s"n_sentences: $r")
+      require(r.getLong(4) == c101, s"block_hits: $r")
+      require(r.getLong(5) == c11 && r.getLong(6) == c13,
+        s"brace/lorem flags: $r")
+      // admit = NOT(%11) AND NOT(%13) AND NOT(%101), inclusion-exclusion
+      val rejects = c11 + c13 + c101 - cm(11L * 13L) - cm(11L * 101L) -
+        cm(13L * 101L) + cm(11L * 13L * 101L)
+      require(r.getLong(7) == nDocs - rejects,
+        s"admit: ${r.getLong(7)} != ${nDocs - rejects}")
+      require(r.getLong(8) == 0L,
+        s"clean_chars diverges from the length() mirror: $r")
+      require(r.getLong(9) == nDocs, s"row drift: $r")
+      r.getLong(7)
+    }
+
     // ----- subword encode: every doc of the 8-token generator walks the
     // broadcast trie (map-side only). Vocab = chars a-g/0-9 in both
     // forms + whole-word "the", so the token count is CLOSED-FORM

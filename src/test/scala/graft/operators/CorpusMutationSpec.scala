@@ -825,6 +825,49 @@ class CorpusMutationSpec extends AnyFunSuite {
     tc.test(run, repartition = Some(3))
   }
 
+  test("c4_clean golden: killed mutants + repartition invariance " +
+    "(the r17 C4 line-retention + document rules)") {
+    def run(df: DataFrame): DataFrame =
+      graft.operators.TextAnalysis.C4Clean(blockWords = Seq("zap"))
+        .transform(df)
+        .select(col("doc_id"), col("n_lines"), col("kept_lines"),
+          col("js_lines"), col("n_sentences"), col("block_hits"),
+          col("admit"))
+    val tc = new DataTestCase(spark) {
+      def input = PlainFrame.fromPlain(
+        Seq(
+          // 3 kept sentences -> admit
+          Seq(1L, "alpha beta gamma delta one.\nepsilon zeta eta " +
+            "theta two!\niota kappa lambda mu three?"),
+          // line 2 too short, line 3 unpunctuated -> 1 kept, reject
+          Seq(2L, "alpha beta gamma delta one.\nshort two.\n" +
+            "iota kappa lambda mu three"),
+          // javascript line dropped; zap token -> blocked
+          Seq(3L, "alpha beta zap delta one.\nuse javascript for " +
+            "rendering this.\niota kappa lambda mu three?")),
+        Seq("doc_id:i", "text:s"))
+      def expected = PlainFrame.fromPlain(
+        Seq(
+          Seq(1L, 3L, 3L, 0L, 3L, 0L, true),
+          Seq(2L, 3L, 1L, 0L, 1L, 0L, false),
+          Seq(3L, 3L, 2L, 1L, 2L, 1L, false)),
+        Seq("doc_id:i", "n_lines:i", "kept_lines:i", "js_lines:i",
+          "n_sentences:i", "block_hits:i", "admit:b"))
+      override def mutants = Seq(
+        // doc 1 loses a terminal mark: kept 3 -> 2, admit flips
+        ValueMutant("text", 0, "alpha beta gamma delta one.\nepsilon " +
+          "zeta eta theta two!\niota kappa lambda mu three"),
+        // doc 2's short line grows to five words: kept 1 -> 2
+        ValueMutant("text", 1, "alpha beta gamma delta one.\nnow a " +
+          "full five words.\niota kappa lambda mu three"),
+        // doc 3 drops the blocklist token: block_hits 1 -> 0
+        ValueMutant("text", 2, "alpha beta gamma delta one.\nuse " +
+          "javascript for rendering this.\niota kappa lambda mu three?"))
+    }
+    tc.test(run)
+    tc.test(run, repartition = Some(3))
+  }
+
   test("gopher_ngram golden: killed mutants + repartition invariance " +
     "(the r17 n-gram character-fraction rules)") {
     def run(df: DataFrame): DataFrame =

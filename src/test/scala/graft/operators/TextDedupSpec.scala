@@ -587,6 +587,69 @@ class TextDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rep_chars"))
   }
 
+  test("C4Clean: line retention (terminal punct incl. closing quote, " +
+    "min words, the javascript word), document rules (sentence marks " +
+    "in RETAINED text, brace, lorem ipsum, blocklist), CRLF, null") {
+    val df = docsDF(
+      1L -> ("good line with five words.\nshort one.\n" +
+        "no punct line here okay\nuse javascript for this page.\n" +
+        "another good line right here!"),
+      2L -> ("one two three four five.\nsix seven eight nine ten?\n" +
+        "\"quoted line of five words.\""),
+      3L -> ("has a brace { in it and five words.\n" +
+        "more of the same five words here.\n" +
+        "third full line of words here."),
+      4L -> ("lorem ipsum is here with six words.\n" +
+        "second line has five good words.\n" +
+        "third line has five good words!"),
+      5L -> ("this badword appears with five words.\n" +
+        "second line has five good words.\n" +
+        "third line has five good words!"),
+      6L -> null,
+      7L -> "aa bb cc dd ee.\r\nff gg hh ii jj.\r\nkk ll mm nn oo.")
+    val got = TextAnalysis.C4Clean(blockWords = Seq("badword"))
+      .transform(df).orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_lines") == 5L)
+    assert(r1.getAs[Long]("kept_lines") == 2L)
+    assert(r1.getAs[Long]("js_lines") == 1L)
+    assert(r1.getAs[Long]("n_sentences") == 2L)
+    assert(r1.getAs[String]("clean_text") ==
+      "good line with five words.\nanother good line right here!")
+    assert(!r1.getAs[Boolean]("r_sentences") && // 2 < 3
+      !r1.getAs[Boolean]("admit"))
+    val r2 = got(1)
+    assert(r2.getAs[Long]("kept_lines") == 3L) // the quote ending kept
+    assert(r2.getAs[Long]("n_sentences") == 3L)
+    assert(r2.getAs[Boolean]("admit"))
+    val r3 = got(2)
+    assert(r3.getAs[Long]("kept_lines") == 3L)
+    assert(r3.getAs[Boolean]("has_brace") &&
+      !r3.getAs[Boolean]("r_brace") && !r3.getAs[Boolean]("admit"))
+    val r4 = got(3)
+    assert(r4.getAs[Boolean]("has_lorem") && !r4.getAs[Boolean]("admit"))
+    val r5 = got(4)
+    assert(r5.getAs[Long]("block_hits") == 1L &&
+      !r5.getAs[Boolean]("r_block") && !r5.getAs[Boolean]("admit"))
+    val r6 = got(5)
+    assert(r6.getAs[Long]("n_lines") == -1L &&
+      r6.getAs[String]("clean_text") == null &&
+      !r6.getAs[Boolean]("admit"))
+    val r7 = got(6) // CRLF normalized: 3 kept lines, 3 sentences
+    assert(r7.getAs[Long]("n_lines") == 3L &&
+      r7.getAs[Long]("kept_lines") == 3L &&
+      r7.getAs[Long]("n_sentences") == 3L && r7.getAs[Boolean]("admit"))
+    // parameter and collision validation
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.C4Clean(blockWords = Seq("Mixed")))
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.C4Clean(blockWords = Seq("a", "a")))
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.C4Clean().transform(
+        df.withColumn("clean_text",
+          org.apache.spark.sql.functions.lit("x"))))
+  }
+
   test("GopherRules: null text, trailing-empty line kept, parameter " +
     "validation") {
     val got = TextAnalysis.GopherRules()
