@@ -183,7 +183,10 @@ object Bench {
     "url_canonical" -> Some("regexp_replace"), // the canonical regex chain
     "host_stats" -> Some("HashAggregate"), // per-host partial-agg rollup
     "bpe_encode" -> Some("MapPartitions"), // broadcast-vocab trie encode
-    "unigram_scores" -> Some("MapPartitions"), // the MaxMatch counting pass
+    // r17: the MaxMatch counting pass runs eagerly inside the builder
+    // (one bounded collect — timed, the DSIR convention); the lazy
+    // plan keeps the smoothed-lattice score join over the vocab
+    "unigram_scores" -> Some("Join"),
     "unigram_encode" -> Some("MapPartitions"), // broadcast-scores Viterbi DP
     "unigram_em" -> Some("MapPartitions"), // hard-EM round + second DP
     "unigram_prune" -> None, // prune loop runs eagerly; output is the driver-bounded pruned score table (LocalRelation)

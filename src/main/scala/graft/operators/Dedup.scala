@@ -733,11 +733,18 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIterations) {
       // one shuffle: every node receives its neighbors' labels (and its
-      // own, via the self-loops) and keeps the minimum
+      // own, via the self-loops) and keeps the minimum. The node's OWN
+      // previous label rides the same aggregation through the self-loop
+      // row (src === dst matches exactly it) — so convergence can be
+      // read off the round's own output below, with no old-vs-new label
+      // join (r17 optimization: that join was one extra shuffle pair
+      // per round, guide §2.4).
       val propagated = undirected.join(labels, col("src") === col("id"))
         .groupBy(col("dst").as("nid"))
-        .agg(min("component").as("component"))
-        .select(col("nid").as("id"), col("component"))
+        .agg(min("component").as("component"),
+          min(when(col("src") === col("dst"), col("component")))
+            .as("__prev"))
+        .select(col("nid").as("id"), col("component"), col("__prev"))
       // pointer jumping: component ids are node ids, so a self-join reads
       // the label OF the label and shortcuts chains — label chains halve
       // per round. Both sides are the IDENTICAL `propagated` plan (alias
@@ -745,24 +752,24 @@ object Dedup {
       val next = propagated.as("x").join(propagated.as("y"),
           col("x.component") === col("y.id"), "left")
         .select(col("x.id").as("id"),
-          coalesce(col("y.component"), col("x.component")).as("component"))
+          coalesce(col("y.component"), col("x.component")).as("component"),
+          col("x.__prev").as("__prev"))
       // ONE materialization per round: only the round's final labels are
       // checkpointed (truncating the lineage, which otherwise grows
       // exponentially — each round's plan embeds the previous round's
       // several times). The intermediate `propagated` stays lazy.
       val (materialized, freshBlocks) = cut(next)
+      // the cut was this round's LAST read of the previous labels: free
+      // their blocks now, keeping storage flat per round
+      free(labelBlocks)
       // convergence = zero labels changed this round. An exact count of
       // changed rows (never a sum compare, which can false-converge on
-      // silent 64-bit wrap when ids are hash-derived) over the two
-      // materialized label sets — tiny (id, component) pairs — and the
-      // round's single scalar driver action.
-      val changed = materialized.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
+      // silent 64-bit wrap when ids are hash-derived) — a scan of the
+      // round's own materialized blocks (new label vs the carried
+      // previous label), no join, no shuffle, one scalar driver action.
+      val changed = materialized
+        .filter(col("component") =!= col("__prev"))
         .count()
-      // the changed-count was this round's LAST read of the previous
-      // labels: free their blocks now, keeping storage flat per round
-      free(labelBlocks)
       labels = materialized
       labelBlocks = freshBlocks
       converged = changed == 0L

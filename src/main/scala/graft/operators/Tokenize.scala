@@ -159,6 +159,183 @@ object Tokenize {
     }
   }
 
+  /** Unsigned byte-wise UTF-8 comparison — Spark's own string order
+    * (`UTF8String.compareTo` is binary over the UTF-8 bytes, which is
+    * codepoint order; Java's `String.compareTo` is UTF-16-unit order
+    * and DISAGREES between astral and high-BMP codepoints). The local
+    * merge loop must break count ties exactly as the distributed
+    * `orderBy` would. */
+  private[operators] def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** The BPE merge loop over a DRIVER-HELD distinct-word frequency
+    * table — the bit-identical local mirror of [[BpeLearn]]'s
+    * distributed rounds (same overlapping-pair counting weighted by
+    * word frequency, same prefix-hazard filter, same
+    * (count desc, a asc, b asc) argmax under UTF-8 binary order, same
+    * greedy left-to-right apply, same deep-vocab batched
+    * non-interacting selection and multi-pair fold, same
+    * `maxMerges` runtime round cap). Returns the merge sequence in
+    * learned order. BpeLearnSpec pins local == distributed merge for
+    * merge on random corpora in both modes.
+    */
+  private[operators] def localMergeLoop(words: Array[(String, Long)],
+                                        nMerges: Int, batchMerges: Int,
+                                        prefix: String,
+                                        maxMerges: Int): ArrayBuffer[String] = {
+    def strip(b: String): String =
+      if (b.startsWith(prefix)) b.substring(prefix.length) else b
+    // initial symbolization per CODEPOINT (Spark `substr` semantics —
+    // see BpeEncodeRanked's identical loop)
+    val syms: Array[ArrayBuffer[String]] = words.map { case (w, _) =>
+      val buf = new ArrayBuffer[String](w.length)
+      var ci = 0
+      while (ci < w.length) {
+        val cc = Character.charCount(w.codePointAt(ci))
+        buf += (if (ci == 0) w.substring(0, cc)
+                else prefix + w.substring(ci, ci + cc))
+        ci += cc
+      }
+      buf
+    }
+    val cnts: Array[Long] = words.map(_._2)
+    val merges = new ArrayBuffer[String]
+    var done = false
+    var rounds = 0
+    // (count desc, a asc, b asc) under UTF-8 binary order — the
+    // distributed orderBy's total order, verbatim
+    val pairOrd = new Ordering[((String, String), Long)] {
+      def compare(x: ((String, String), Long),
+                  y: ((String, String), Long)): Int = {
+        val c = java.lang.Long.compare(y._2, x._2)
+        if (c != 0) c
+        else {
+          val ca = utf8Compare(x._1._1, y._1._1)
+          if (ca != 0) ca else utf8Compare(x._1._2, y._1._2)
+        }
+      }
+    }
+    while (merges.length < nMerges && !done) {
+      rounds += 1
+      require(rounds <= maxMerges,
+        s"BpeLearn: merge loop exceeded maxMerges=$maxMerges rounds " +
+          s"(${merges.length}/$nMerges merges learned) — the " +
+          "batched candidate window is selecting far fewer than " +
+          s"batchMerges=$batchMerges non-interacting pairs per " +
+          "round; raise maxMerges explicitly if this barrier budget " +
+          "is intended")
+      // adjacent pairs, overlapping occurrences included, weighted by
+      // word frequency; hazard filter applied at selection (the
+      // distributed path's `selectable`)
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi)
+        val c = cnts(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          val prev = counts.get(k)
+          counts.put(k, if (prev == null) c else prev + c)
+          i += 1
+        }
+        wi += 1
+      }
+      val selectable = new ArrayBuffer[((String, String), Long)](counts.size)
+      counts.forEach { (k, v) =>
+        val merged = k._1 + strip(k._2)
+        if (!(!k._1.startsWith(prefix) && merged.startsWith(prefix)))
+          selectable += ((k, v.longValue))
+      }
+      if (selectable.isEmpty) done = true
+      else if (batchMerges == 1) {
+        // the sequential algorithm: global argmin under pairOrd
+        var best = selectable(0)
+        var i = 1
+        while (i < selectable.length) {
+          if (pairOrd.compare(selectable(i), best) < 0) best = selectable(i)
+          i += 1
+        }
+        val (a, b) = best._1
+        val merged = a + strip(b)
+        merges += merged
+        // greedy left-to-right merge, in place per word
+        var w2 = 0
+        while (w2 < syms.length) {
+          val s = syms(w2)
+          if (s.length > 1) {
+            val out = new ArrayBuffer[String](s.length)
+            var j = 0
+            while (j < s.length) {
+              val x = s(j)
+              if (out.nonEmpty && out.last == a && x == b) {
+                out.remove(out.length - 1)
+                out += merged
+              } else out += x
+              j += 1
+            }
+            syms(w2) = out
+          }
+          w2 += 1
+        }
+      } else {
+        // deep-vocab batched round: bounded sorted candidate window,
+        // greedy non-interacting selection, one multi-pair fold
+        val want = math.min(batchMerges, nMerges - merges.length)
+        val window = batchMerges * 8
+        val cands = selectable.sorted(pairOrd).take(window)
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val sel = new ArrayBuffer[(String, String, String)]
+        cands.iterator.takeWhile(_ => sel.length < want)
+          .foreach { case ((a, b), _) =>
+            val m = a + strip(b)
+            if (!used(a) && !used(b) && !used(m)) {
+              sel += ((a, b, m))
+              used += a; used += b; used += m
+            }
+          }
+        if (sel.isEmpty) done = true
+        else {
+          merges ++= sel.map(_._3)
+          val byPair = sel.map(p => (p._1, p._2) -> p._3).toMap
+          var w2 = 0
+          while (w2 < syms.length) {
+            val s = syms(w2)
+            if (s.length > 1) {
+              val out = new ArrayBuffer[String](s.length)
+              var j = 0
+              while (j < s.length) {
+                val x = s(j)
+                val m = if (out.nonEmpty) byPair.get((out.last, x))
+                        else None
+                m match {
+                  case Some(mm) =>
+                    out.remove(out.length - 1)
+                    out += mm
+                  case None => out += x
+                }
+                j += 1
+              }
+              syms(w2) = out
+            }
+            w2 += 1
+          }
+        }
+      }
+    }
+    merges
+  }
+
   /** Corpus-derived subword vocab construction — the LEARN leg of the
     * learn → encode → compose chain: the `topWords` most frequent whole
     * words (first-form pieces), every single character of every word in
@@ -332,6 +509,26 @@ object Tokenize {
     * candidate window keeps selection deterministic and
     * oracle-replayable); `batchMerges = 1` (the default) is exactly
     * the sequential algorithm, bit-for-bit.
+    *
+    * LOCAL fast path (`localWordLimit`, r17 optimization): the merge
+    * loop's input is the distinct-word frequency table, and on real
+    * corpora that table is usually SMALL (every public BPE trainer —
+    * Sennrich's reference, sentencepiece, HF tokenizers — runs its
+    * merge loop single-node over exactly this table). When the table
+    * holds at most `localWordLimit` rows it is collected ONCE
+    * (bounded, like every other fit-artifact collect in this engine)
+    * and the merge rounds run in driver memory — same counting, same
+    * hazard filter, same (count desc, pair asc) argmax under UTF-8
+    * binary string order (Spark's own string ordering), same greedy
+    * left-to-right apply, same batched non-interacting selection —
+    * producing the IDENTICAL merge sequence with ZERO per-round Spark
+    * jobs instead of `rounds x 2` driver-barrier jobs
+    * (BpeLearnSpec's local-vs-distributed property pins the
+    * equivalence; the DuckDB oracle replays the same rounds). A table
+    * over the limit falls back to the distributed rounds unchanged —
+    * the 100 TB shape is untouched, the threshold only moves WHERE
+    * the bounded table's loop runs. `localWordLimit = 0` forces the
+    * distributed path.
     */
   final case class BpeLearn(textColumn: String = "text",
                             nMerges: Int = 50,
@@ -340,8 +537,10 @@ object Tokenize {
                             maxMerges: Int = 4096,
                             byteLevel: Boolean = false,
                             baseAlphabet: Seq[String] = Nil,
-                            batchMerges: Int = 1)
+                            batchMerges: Int = 1,
+                            localWordLimit: Int = 1 << 16)
       extends Wrangler {
+    require(localWordLimit >= 0, "localWordLimit must be >= 0")
     require(nMerges >= 0, "nMerges must be >= 0")
     require(batchMerges >= 1, "batchMerges must be >= 1")
     require(continuationPrefix.nonEmpty,
@@ -393,13 +592,13 @@ object Tokenize {
           val c = col("word").substr(i, lit(1))
           when(i === 1, c).otherwise(concat(lit(prefix), c))
         })
-      var cur = freq.select(col("word"), col("cnt"),
-        initSyms.as("syms")).localCheckpoint()
-      // base symbols derive from the INITIAL symbolization (rank 0),
-      // plus the caller's baseAlphabet in BOTH forms — with the full
-      // byte alphabet under byteLevel, the learned vocab can encode ANY
-      // input (the no-UNK totality guarantee)
-      val base0 = cur.select(explode(col("syms")).as("piece"))
+      // base symbols derive from the INITIAL symbolization (rank 0) —
+      // one cheap narrow map over the checkpointed freq table,
+      // identical under either merge-loop path below — plus the
+      // caller's baseAlphabet in BOTH forms (with the full byte
+      // alphabet under byteLevel, the learned vocab can encode ANY
+      // input: the no-UNK totality guarantee)
+      val base0 = freq.select(explode(initSyms).as("piece"))
       val baseAll = if (baseAlphabet.isEmpty) base0
         else base0.unionByName(
           baseAlphabet.flatMap(c => Seq(c, prefix + c)).toDF("piece"))
@@ -409,7 +608,26 @@ object Tokenize {
         when(b.startsWith(prefix),
           b.substr(lit(prefix.length + 1), length(b))).otherwise(b)
 
+      // LOCAL fast path (see scaladoc): a distinct-word table within
+      // `localWordLimit` collects once and the merge rounds run in
+      // driver memory — the identical merge sequence with zero
+      // per-round Spark jobs. Over the limit (or limit 0): the
+      // distributed rounds below, unchanged.
+      val localWords: Option[Array[(String, Long)]] =
+        if (localWordLimit <= 0 || nMerges == 0) None
+        else {
+          val r = freq.select(col("word").cast("string"), col("cnt"))
+            .limit(localWordLimit + 1).as[(String, Long)].collect()
+          if (r.length <= localWordLimit) Some(r) else None
+        }
+
       val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (localWords.isDefined) {
+        merges ++= localMergeLoop(localWords.get, nMerges, batchMerges,
+          prefix, maxMerges)
+      } else {
+      var cur = freq.select(col("word"), col("cnt"),
+        initSyms.as("syms")).localCheckpoint()
       var done = false
       var rounds = 0
       while (merges.length < nMerges && !done) {
@@ -514,6 +732,7 @@ object Tokenize {
             cur = cur.withColumn("syms", newSyms).localCheckpoint()
           }
         }
+      }
       }
 
       val mergedDf = merges.toSeq.zipWithIndex
@@ -748,47 +967,50 @@ object Tokenize {
         Seq(pieceColumn, vocabIdColumn, rankColumn))
       val spark = df.sparkSession
       import spark.implicits._
-      // SHARED encode-vocab contract ([[collectEncodeVocab]], the
-      // single validation path for every encoder face): fit-param
-      // drift checks, the bounded collect, null/empty/duplicate
-      // piece+id invariants, UTF-16 well-formedness, the
-      // bare-continuation-prefix check, unkId collision. The ranked
-      // encoder keys its symbol map by the PREFIXED form, so the
-      // stripped continuation pieces are re-prefixed here.
-      val (firstArr, contArr) = collectEncodeVocab(vocab, pieceColumn,
-        vocabIdColumn, continuationPrefix, lowercase, byteLevel,
-        maxVocab, unkId, "BpeEncodeRanked")
-      // rank layer on top of the shared contract: one more bounded
-      // collect for the (piece, merge_rank) pairs the helper doesn't
-      // carry (the vocab is already proven <= maxVocab and
-      // duplicate-free above, so this covers the whole table)
-      val rankRows = vocab
-        .select(col(pieceColumn).cast("string"),
-          col(rankColumn).cast("long"))
+      // ONE bounded collect of (piece, id, merge_rank) — the r16
+      // double-collect left a nondeterministic-source drift window
+      // between the validated piece set and the rank rows (r16 ADVICE);
+      // collecting once makes drift impossible BY CONSTRUCTION and
+      // halves the vocab-plan executions (the plan behind a BpeLearn
+      // vocab re-runs per collect). The SHARED encode-vocab contract
+      // ([[collectEncodeVocab]] — fit-param drift checks, bounded
+      // collect, null/empty/duplicate piece+id invariants, UTF-16
+      // well-formedness, bare-prefix check, unkId collision) then runs
+      // over a LOCAL frame built from these exact rows, with the piece
+      // column's fit-param metadata carried over.
+      val allRows = vocab
+        .select(col(pieceColumn).cast("string").as(pieceColumn),
+          col(vocabIdColumn).cast("long").as(vocabIdColumn),
+          col(rankColumn).cast("long").as(rankColumn))
         .limit(maxVocab + 1)
-        .as[(String, java.lang.Long)].collect()
+        .collect()
+      val localVocab = spark.createDataFrame(
+        java.util.Arrays.asList(allRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(pieceColumn,
+            org.apache.spark.sql.types.StringType,
+            nullable = true,
+            metadata = vocab.schema(vocab.schema.fieldIndex(pieceColumn))
+              .metadata),
+          org.apache.spark.sql.types.StructField(vocabIdColumn,
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField(rankColumn,
+            org.apache.spark.sql.types.LongType, nullable = true))))
+      val (firstArr, contArr) = collectEncodeVocab(localVocab,
+        pieceColumn, vocabIdColumn, continuationPrefix, lowercase,
+        byteLevel, maxVocab, unkId, "BpeEncodeRanked")
+      // rank layer on top of the shared contract (same rows, so the
+      // piece sets cannot drift)
+      val rankRows = allRows.map { r =>
+        (r.getString(0),
+          if (r.isNullAt(2)) null
+          else java.lang.Long.valueOf(r.getLong(2)))
+      }
       rankRows.foreach { case (p, r) =>
         require(r != null && r >= 0L,
           s"BpeEncodeRanked: piece `$p` has merge_rank $r — ranks are " +
             "0 (base symbol) or the 1-based merge round; this vocab " +
             "was not produced by BpeLearn")
-      }
-      // the two collects are independent queries over the same vocab
-      // frame — a NONDETERMINISTIC source (e.g. a re-sampled view)
-      // could return differing row sets, leaving pieces silently
-      // rank-less (never merged). Fail loud on any drift between the
-      // validated piece set and the rank rows.
-      locally {
-        val validated = (firstArr.map(_._1) ++
-          contArr.map(continuationPrefix + _._1)).toSet
-        val ranked = rankRows.map(_._1).toSet
-        require(validated == ranked,
-          "BpeEncodeRanked: the rank collect returned a different " +
-            "piece set than the validated vocab collect (" +
-            s"${(validated -- ranked).take(3).mkString(", ")} missing; " +
-            s"${(ranked -- validated).take(3).mkString(", ")} extra) — " +
-            "the vocab source is nondeterministic; materialize it " +
-            "(cache/checkpoint) before encoding")
       }
       val learned = rankRows.filter(_._2 >= 1L)
       require(learned.map(_._2).distinct.length == learned.length,
@@ -1048,18 +1270,29 @@ object Tokenize {
             "byteLevel" -> byteLevel.toString))
 
       // round 0: piece frequencies under the greedy MaxMatch
-      // segmentation — the cheap deterministic initialization
+      // segmentation — the cheap deterministic initialization, in ONE
+      // corpus pass (r17 optimization, guide §1.2): the vocab-bounded
+      // count table is collected and the token total derived from it —
+      // every emitted token is exactly one piece occurrence, so
+      // Σ counts == Σ n_bpe_tokens, which the r16 shape recomputed
+      // with a second full corpus aggregation; and scoring over the
+      // collected LOCAL count rows keeps consumers of the returned
+      // frame from re-running the corpus encode per collect (the r16
+      // lazy counting pass cost one full pass per downstream collect).
+      // The smoothed integer lattice stays the same Spark expression
+      // over the same exact integers.
       val enc0 = BpeEncode(vocab, textColumn = textColumn,
         idColumn = idColumn, pieceColumn = pieceColumn,
         vocabIdColumn = vocabIdColumn,
         continuationPrefix = continuationPrefix, unkId = unkId,
         lowercase = lowercase, maxVocab = maxVocab,
         byteLevel = byteLevel, emitPieces = true).transform(df)
-      var cur = score(
-        enc0.select(explode(col("bpe_pieces")).as(pieceColumn))
-          .groupBy(pieceColumn).agg(count(lit(1)).as("__cnt")),
-        pieceColumn,
-        enc0.agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0))
+      val cnt0 = enc0
+        .select(explode(col("bpe_pieces")).as(pieceColumn))
+        .groupBy(pieceColumn).agg(count(lit(1)).as("__cnt"))
+        .as[(String, Long)].collect()
+      var cur = score(cnt0.toSeq.toDF(pieceColumn, "__cnt"),
+        pieceColumn, cnt0.map(_._2).sum)
 
       // vocabulary pruning to `pruneTo` (Kudo 2018 §3.2's loop, the
       // deterministic hard-EM variant): each round re-segments the
@@ -1150,11 +1383,14 @@ object Tokenize {
           continuationPrefix = continuationPrefix, unkId = unkId,
           lowercase = lowercase, maxVocab = maxVocab,
           byteLevel = byteLevel).transform(df)
-        cur = score(
-          enc.select(explode(col("bpe_ids")).as(vocabIdColumn))
-            .groupBy(vocabIdColumn).agg(count(lit(1)).as("__cnt")),
-          vocabIdColumn,
-          enc.agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0))
+        // one corpus pass per round (the round-0 move): counts
+        // collected, total = Σ counts == Σ n_bpe_tokens
+        val cnts = enc
+          .select(explode(col("bpe_ids")).as(vocabIdColumn))
+          .groupBy(vocabIdColumn).agg(count(lit(1)).as("__cnt"))
+          .as[(Long, Long)].collect()
+        cur = score(cnts.toSeq.toDF(vocabIdColumn, "__cnt"),
+          vocabIdColumn, cnts.map(_._2).sum)
         r += 1
       }
       cur
@@ -1224,19 +1460,44 @@ object Tokenize {
         Seq(pieceColumn, vocabIdColumn, scoreColumn))
       val spark = df.sparkSession
       import spark.implicits._
-      // the SHARED encode-vocab contract (fit-param drift, bounded
-      // collect, every piece/id invariant) — scores is an encoder
-      // vocab that happens to carry one more column
-      val (firstArr, contArr) = collectEncodeVocab(scores, pieceColumn,
-        vocabIdColumn, continuationPrefix, lowercase, byteLevel,
-        maxVocab, unkId, "UnigramEncode")
-      // score layer: one more bounded collect (the table is already
-      // proven <= maxVocab and duplicate-free above)
-      val scoreRows = scores
-        .select(col(vocabIdColumn).cast("long"),
-          col(scoreColumn).cast("long"))
+      // ONE bounded collect of (piece, id, score): the r16 shape
+      // collected twice (the shared vocab-contract collect, then the
+      // score rows) — but a UnigramScores frame is a LAZY plan whose
+      // counting pass re-encodes the whole corpus, so each extra
+      // collect re-ran a full corpus pass (r17 optimization, guide
+      // §1.2: don't compute things twice). The SHARED encode-vocab
+      // contract (fit-param drift, bounded collect, every piece/id
+      // invariant) runs over a LOCAL frame built from these exact
+      // rows, with the piece column's fit-param metadata carried over
+      // — and the piece/score row sets cannot drift by construction.
+      val allRows = scores
+        .select(col(pieceColumn).cast("string").as(pieceColumn),
+          col(vocabIdColumn).cast("long").as(vocabIdColumn),
+          col(scoreColumn).cast("long").as(scoreColumn))
         .limit(maxVocab + 1)
-        .as[(java.lang.Long, java.lang.Long)].collect()
+        .collect()
+      val localScores = spark.createDataFrame(
+        java.util.Arrays.asList(allRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(pieceColumn,
+            org.apache.spark.sql.types.StringType,
+            nullable = true,
+            metadata = scores.schema(scores.schema.fieldIndex(pieceColumn))
+              .metadata),
+          org.apache.spark.sql.types.StructField(vocabIdColumn,
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField(scoreColumn,
+            org.apache.spark.sql.types.LongType, nullable = true))))
+      val (firstArr, contArr) = collectEncodeVocab(localScores,
+        pieceColumn, vocabIdColumn, continuationPrefix, lowercase,
+        byteLevel, maxVocab, unkId, "UnigramEncode")
+      // score layer on top of the shared contract (same rows)
+      val scoreRows = allRows.map { r =>
+        (if (r.isNullAt(1)) null
+         else java.lang.Long.valueOf(r.getLong(1)),
+          if (r.isNullAt(2)) null
+          else java.lang.Long.valueOf(r.getLong(2)))
+      }
       scoreRows.foreach { case (id, s) =>
         require(s != null,
           s"UnigramEncode: vocab id $id has a null $scoreColumn — " +

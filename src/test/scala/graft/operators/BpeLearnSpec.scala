@@ -278,6 +278,56 @@ class BpeLearnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxMerges"))
   }
 
+  test("local fast path == distributed rounds: identical " +
+    "(piece, id, merge_rank) tables on random corpora, sequential " +
+    "and batched, char and byte level (r17 optimization equivalence)") {
+    val rnd = new scala.util.Random(20260817L)
+    val alphabet = "abcdef"
+    def table(nMerges: Int, batch: Int, byteLvl: Boolean, limit: Int,
+              text: String): Seq[(String, Long, Long)] =
+      Tokenize.BpeLearn(nMerges = nMerges, batchMerges = batch,
+          byteLevel = byteLvl,
+          baseAlphabet = if (byteLvl) Tokenize.byteAlphabet else Nil,
+          localWordLimit = limit)
+        .transform(Seq((1L, text)).toDF("doc_id", "text"))
+        .orderBy("id").as[(String, Long, Long)].collect().toSeq
+    (1 to 8).foreach { trial =>
+      val nWords = 2 + rnd.nextInt(8)
+      val text = (0 until nWords).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+          .mkString
+      }.mkString(" ")
+      val nMerges = 1 + rnd.nextInt(8)
+      val batch = if (trial % 2 == 0) 1 else 2 + rnd.nextInt(3)
+      val byteLvl = trial % 3 == 0
+      val local = table(nMerges, batch, byteLvl, 1 << 16, text)
+      val dist = table(nMerges, batch, byteLvl, 0, text)
+      assert(local == dist,
+        s"trial $trial text=`$text` nMerges=$nMerges batch=$batch " +
+          s"byteLevel=$byteLvl")
+    }
+    // non-ASCII coverage: the UTF-8-order tie-break and codepoint
+    // symbolization must hold on multi-byte and astral chars too
+    val uniText = "héé héé 🚀a 🚀a 日本 日本 zz"
+    assert(table(4, 1, false, 1 << 16, uniText) ==
+      table(4, 1, false, 0, uniText))
+    assert(table(4, 2, false, 1 << 16, uniText) ==
+      table(4, 2, false, 0, uniText))
+  }
+
+  test("localWordLimit fallback: a word table over the limit takes the " +
+    "distributed rounds and still matches the local result") {
+    val text = "hug hug pug hugs"
+    val lo = Tokenize.BpeLearn(nMerges = 4, localWordLimit = 2) // 3 words > 2
+      .transform(Seq((1L, text)).toDF("doc_id", "text"))
+      .orderBy("id").as[(String, Long, Long)].collect().toSeq
+    val hi = Tokenize.BpeLearn(nMerges = 4)
+      .transform(Seq((1L, text)).toDF("doc_id", "text"))
+      .orderBy("id").as[(String, Long, Long)].collect().toSeq
+    assert(lo == hi)
+  }
+
   test("property: 40 random corpora agree with the independent naive " +
     "reference on every merge and every (piece, merge_rank)") {
     val rnd = new scala.util.Random(20260815L)
