@@ -1789,7 +1789,9 @@ object SparkEntry {
             tokenArrayColumn = "bpe_pieces")
           .transform(enc)
           .withColumn("chunk_key",
-            col("doc_id") * 100000L + col("chunk_idx")))
+            col("doc_id") * 100000L + col("chunk_idx"))
+          // lineage cut before ShardPack's two passes (see seq_pack_ranked)
+          .localCheckpoint())
         .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
           col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
         .orderBy("doc_id", "chunk_idx")
@@ -1901,7 +1903,9 @@ object SparkEntry {
             tokenArrayColumn = "bpe_pieces")
           .transform(enc)
           .withColumn("chunk_key",
-            col("doc_id") * 100000L + col("chunk_idx")))
+            col("doc_id") * 100000L + col("chunk_idx"))
+          // lineage cut before ShardPack's two passes (see seq_pack_ranked)
+          .localCheckpoint())
         .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
           col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
         .orderBy("doc_id", "chunk_idx")
@@ -1922,7 +1926,12 @@ object SparkEntry {
             tokenArrayColumn = "bpe_pieces")
           .transform(enc)
           .withColumn("chunk_key",
-            col("doc_id") * 100000L + col("chunk_idx")))
+            col("doc_id") * 100000L + col("chunk_idx"))
+          // lineage cut before ShardPack's two prefix-sum passes (the
+          // pipeline_pretrain discipline, r17): the typed encode is
+          // opaque to column pruning, so without the cut the rank-order
+          // encode ran 3x (bounds job, totals job, final pass)
+          .localCheckpoint())
         .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
           col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
         .orderBy("doc_id", "chunk_idx")
@@ -1943,7 +1952,9 @@ object SparkEntry {
             tokenArrayColumn = "bpe_pieces")
           .transform(enc)
           .withColumn("chunk_key",
-            col("doc_id") * 100000L + col("chunk_idx")))
+            col("doc_id") * 100000L + col("chunk_idx"))
+          // lineage cut before ShardPack's two passes (see seq_pack_ranked)
+          .localCheckpoint())
         .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
           col("cum_bytes").as("cum_tokens"), col("shard").as("pack_id"))
         .orderBy("doc_id", "chunk_idx")
@@ -1952,8 +1963,12 @@ object SparkEntry {
     // encode's n_bpe_tokens drives MixBudget's tokenCountColumn path
     "mix_bpe" -> ((s, dir) => {
       val d = docs(s, dir)
+      // cut: the narrow (doc_id, n_bpe_tokens) count frame is read by
+      // the budget offsets agg, the prefix window AND the final
+      // join-back — without the cut the opaque trie encode ran 3x (r17)
       val counts = Tokenize.BpeEncode(bpeFixtureVocab(d)).transform(d)
         .select("doc_id", "n_bpe_tokens")
+        .localCheckpoint()
       Corpus.MixBudget(Map("en" -> 50000L, "de" -> 20000L),
           defaultBudget = 8000L, tokenCountColumn = "n_bpe_tokens")
         .transform(d.join(counts, Seq("doc_id")))
