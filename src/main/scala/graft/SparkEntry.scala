@@ -1145,6 +1145,10 @@ object SparkEntry {
       val vocab = Tokenize.VocabBuild().transform(d)
       val p = new Pipeline(Seq(
         Stage(Corpus.QuantileBandFilter(Seq("lang"), "n_chars")),
+        // phase cut at the gate boundary (r17): the encode stage joins
+        // the gated frame with its OWN typed encode — without the cut
+        // the quantile-gate chain executes twice per downstream pass
+        Stage.of("cut_gate")(_.localCheckpoint()),
         Stage.of("encode")(g => g.join(
           Tokenize.BpeEncode(vocab, emitPieces = true).transform(g),
           Seq("doc_id"))),
