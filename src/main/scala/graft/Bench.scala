@@ -206,10 +206,7 @@ object Bench {
     "pipeline_pretrain_bpe" -> Some("MapPartitions"), // final ShardPack stage
     "chunk_bpe" -> Some("MapPartitions"), // encode feeds the chunker
     "seq_pack_bpe" -> Some("MapPartitions"), // encode->chunk->pack chain
-    // r17: the trie-encode count pass runs eagerly in the builder (cut
-    // before MixBudget's three consumers — timed, the DSIR convention);
-    // the lazy plan keeps the budget prefix-sum window, like mix_budget
-    "mix_bpe" -> Some("Window"),
+    "mix_bpe" -> Some("MapPartitions"), // encode counts feed the budget
     "q1_pricing" -> Some("HashAggregate"),
     "join_revenue_nation" -> Some("Join"),
     "top_customers" -> Some("Join"),

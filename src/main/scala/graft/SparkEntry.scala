@@ -1967,12 +1967,14 @@ object SparkEntry {
     // encode's n_bpe_tokens drives MixBudget's tokenCountColumn path
     "mix_bpe" -> ((s, dir) => {
       val d = docs(s, dir)
-      // cut: the narrow (doc_id, n_bpe_tokens) count frame is read by
-      // the budget offsets agg, the prefix window AND the final
-      // join-back — without the cut the opaque trie encode ran 3x (r17)
+      // NOTE (r17): a localCheckpoint cut here (the seq_pack move —
+      // the count frame is read by the offsets agg, the prefix window
+      // and the join-back) was tried and MEASURED SLOWER in-suite
+      // (1.16/1.30 s uncut vs 1.54 s cut): the re-run encode passes
+      // are cheaper than the materialization at this narrow width —
+      // rejected per the measure-first rule, kept lazy
       val counts = Tokenize.BpeEncode(bpeFixtureVocab(d)).transform(d)
         .select("doc_id", "n_bpe_tokens")
-        .localCheckpoint()
       Corpus.MixBudget(Map("en" -> 50000L, "de" -> 20000L),
           defaultBudget = 8000L, tokenCountColumn = "n_bpe_tokens")
         .transform(d.join(counts, Seq("doc_id")))
