@@ -547,7 +547,7 @@ class TextDedupSpec extends AnyFunSuite {
     val helpers = graft.operators.TextAnalysis.GopherRepetition
     val toks = "a b c d e a b c d e".split(" ")
     val wlen = toks.map(_.length.toLong)
-    val cov = helpers.dupGramChars(toks, wlen, 5,
+    val cov = helpers.dupGramChars(helpers.internTokens(toks), wlen, 5,
       new Array[Boolean](toks.length))
     assert(cov == 10L)
   }
