@@ -2020,7 +2020,7 @@ object SparkEntry {
     }),
   )
 
-  private def extendedOracles: Map[String, String] = Map(
+  private def extendedOracles(sfBase: String): Map[String, String] = Map(
     "text_tokens" -> OracleSql.textTokens,
     "text_quality" -> OracleSql.textQuality,
     "gopher_rules" -> OracleSql.gopherRules(50L, 100000L, Seq("the", "a")),
@@ -2028,7 +2028,7 @@ object SparkEntry {
     "gopher_ngram" -> OracleSql.gopherNgram,
     "c4_clean" -> OracleSql.c4Clean(5L, 3L, Seq("dup")),
     "jsonl_ingest" -> OracleSql.jsonlIngest(20L, 100000L,
-      Seq("the", "a"), "/root/repo/target/jsonl_export_sf0.01"),
+      Seq("the", "a"), s"/root/repo/target/jsonl_export_$sfBase"),
     "gopher_full" -> OracleSql.gopherFull(20L, 100000L, Seq("the", "a")),
     "pipeline_gopher" -> OracleSql.pipelineGopher(20L, 100000L,
       Seq("the", "a"), 32, 8, 256L),
@@ -2263,7 +2263,16 @@ object SparkEntry {
     * with the parquet directory — if the driver does not substitute, the
     * absolute sf0.01 path is already baked in by Verify).
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlFor("sf0.01")
+
+  /** Oracle SQL parameterized by the sf directory's base name: the
+    * jsonl_ingest oracle reads the query's OWN sf-suffixed export (a
+    * hard-coded sf0.01 path made every other SF's check read a stale
+    * export from whichever sf0.01 run happened earlier — found r18 when
+    * the sf0.001 gate disagreed on 3 `admit` rows). Verify passes the
+    * directory it dumps.
+    */
+  def oracleSqlFor(sfBase: String): Map[String, String] = Map(
     "interval_lsfe" -> intervalOracle(su = false, eu = true),
     "interval_fsle" -> intervalOracle(su = true, eu = false),
     "interval_fsfe_adj" -> intervalOracle(su = true, eu = true),
@@ -2279,5 +2288,5 @@ object SparkEntry {
     "interval_lsfe_salted" -> intervalOracle(su = false, eu = true),
     "interval_fsle_salted" -> intervalOracle(su = true, eu = false),
     "interval_identical_salted" -> intervalIdenticalOracle("click"),
-  ) ++ extendedOracles
+  ) ++ extendedOracles(sfBase)
 }

@@ -50,7 +50,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
+    // oracle SQL bound to THIS dump's sf directory (jsonl_ingest's
+    // oracle reads the query's own sf-suffixed export)
+    val json = SparkEntry.oracleSqlFor(new java.io.File(sfDir).getName)
+      .filter(kv => wanted(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     // a FILTERED run writes a suffixed artifact: oracle_sql.json is the
     // complete-query-set contract a downstream comparator reads, and a

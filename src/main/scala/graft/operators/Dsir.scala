@@ -93,6 +93,12 @@ object Dsir {
     require(rows.nonEmpty,
       s"$opName: empty feature-count table — fit featureCounts on a " +
         "non-empty corpus first")
+    ratioTableOf(rows, numFeatures, opName)
+  }
+
+  /** [[ratioTable]] over already-collected count rows. */
+  private def ratioTableOf(rows: Array[org.apache.spark.sql.Row],
+                           numFeatures: Int, opName: String): Array[Long] = {
     var t = 0L
     var r = 0L
     rows.foreach { rw => t += rw.getLong(1); r += rw.getLong(2) }
@@ -213,44 +219,48 @@ object Dsir {
                            idColumn: String, textColumn: String,
                            numFeatures: Int,
                            emptyModelError: Option[String],
-                           ngram: Int = 1): DataFrame = {
+                           ngram: Int = 1,
+                           posting0: Option[DataFrame] = None): DataFrame = {
     val idc = col(idColumn)
-    val totals = counts.agg(sum("n_target").as("__t"),
-      sum("n_raw").as("__r"), count(lit(1)).as("__v"),
-      max("feature").as("__mf"))
-    def ratio(ct: Column, cr: Column): Column = round((
-        log((ct + 1).cast("double") /
-          (col("__t") + col("__v")).cast("double")) -
-        log((cr + 1).cast("double") /
-          (col("__r") + col("__v")).cast("double"))) * 1e6)
-      .cast("long")
-    val lr = counts.crossJoin(broadcast(totals))
-      .select(col("feature").as("__f"),
-        ratio(col("n_target"), col("n_raw")).as("__lr"))
-    // the zero-count ratio for features the table never saw; an EMPTY
-    // table is a fit-side error for the incremental form (every score
-    // would be null) — raise in-plan rather than emit a null ordering
-    val unseen = emptyModelError match {
-      case Some(msg) => when(col("__v") === 0,
-          raise_error(lit(msg)).cast("long"))
-        // a table holding features >= numFeatures was fitted with a
-        // DIFFERENT numFeatures — scoring through it would silently
-        // mis-bucket every token (the smaller-fit direction is
-        // undetectable; this catches the loud half)
-        .when(col("__mf") >= numFeatures, raise_error(lit(
-            "IncrementalResample: feature-count table carries " +
-              s"features >= numFeatures ($numFeatures) — it was " +
-              "fitted with a different numFeatures")).cast("long"))
-        .otherwise(ratio(lit(0L), lit(0L)))
-      case None => ratio(lit(0L), lit(0L))
+    // the (<= numFeatures)-row count table collects ONCE and the
+    // per-feature ratio lattice computes on the driver ([[ratioTable]],
+    // the streaming mirror — same double arithmetic, same HALF_UP
+    // rounding as the former in-plan `round` expression), riding one
+    // broadcast LocalRelation that covers EVERY hash cell (absent
+    // cells hold the zero-count smoothed ratio, so the posting join is
+    // a plain inner lookup — no unseen-side default plumbing). The
+    // previous lazy formulation re-evaluated the counts subplan —
+    // for the incremental form, a full corpus tokenize+hash pass —
+    // inside EACH of its two broadcast builds (r18).
+    val countRows = counts.select("feature", "n_target", "n_raw").collect()
+    emptyModelError.foreach { msg =>
+      require(countRows.nonEmpty, msg)
+      // a table holding features >= numFeatures was fitted with a
+      // DIFFERENT numFeatures — scoring through it would silently
+      // mis-bucket every token (the smaller-fit direction is
+      // undetectable; this catches the loud half)
+      require(countRows.forall(_.getLong(0) < numFeatures),
+        "IncrementalResample: feature-count table carries " +
+          s"features >= numFeatures ($numFeatures) — it was " +
+          "fitted with a different numFeatures")
     }
-    val dflt = totals.select(unseen.as("__dlr"))
-    val posting = featurePosting(df.select(idc, col(textColumn)),
-        Seq(idColumn), textColumn, numFeatures, ngram)
-      .select(idc, col("__feat").as("__f"))
-    val scores = posting.join(broadcast(lr), Seq("__f"), "left")
-      .crossJoin(broadcast(dflt))
-      .select(idc, coalesce(col("__lr"), col("__dlr")).as("__lr"))
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val lrRows: Seq[Row] =
+      if (countRows.isEmpty) Nil // empty one-shot fit: every doc
+      // misses the join and scores the coalesced 0, as before
+      else ratioTableOf(countRows, numFeatures, "Dsir").zipWithIndex
+        .map { case (v, f) => Row(f.toLong, v) }.toSeq
+    val lr = spark.createDataFrame(
+      java.util.Arrays.asList(lrRows: _*),
+      StructType(Seq(StructField("__f", LongType, nullable = false),
+        StructField("__lr", LongType, nullable = false))))
+    val posting = posting0.getOrElse(
+      featurePosting(df.select(idc, col(textColumn)),
+          Seq(idColumn), textColumn, numFeatures, ngram)
+        .select(idc, col("__feat").as("__f")))
+    val scores = posting.join(broadcast(lr), Seq("__f"))
       .groupBy(idc).agg(sum("__lr").as("__s"))
     // id integrity, raised in-plan (the library's null-group
     // convention, cf. QuantileStats): a NULL id cannot join its score
@@ -295,15 +305,19 @@ object Dsir {
     *     counts re-run the same keep-all/boundary algebra against the
     *     bucket quota, and only the ONE partial cell (~|tie| / 65536
     *     rows) is rank-windowed.
-    * The two tiny classification windows run unpartitioned over the
-    * COUNT tables only — bounded by `valueBuckets` respectively 65536
-    * rows, never the data. Boundary sampling is the family's one eager
-    * driver action; the kept SET is invariant to what the sketch
-    * returns (boundaries steer layout only — a shifted boundary moves
-    * rows between the keep-all and boundary classes, not in or out of
-    * the final top-k). Callers localCheckpoint `scored` (unless opted
-    * out) so the sampling action and every branch below read 16-byte
-    * materialized rows, never a scoring re-run.
+    * The classification algebra runs ON THE DRIVER over bounded
+    * collected censuses (`<= ~2x valueBuckets` bucket rows,
+    * `<= 65536` hash-cell rows — never the data), so the selection
+    * plan is literal bucket-id filters plus at most one bounded rank
+    * window (r18; the former count-table windows + broadcast
+    * classification joins cost ~10 scheduler-bound stage-jobs per
+    * query). Boundary sampling and the censuses are the family's
+    * eager driver actions; the kept SET is invariant to what the
+    * sketch returns (boundaries steer layout only — a shifted boundary
+    * moves rows between the keep-all and boundary classes, not in or
+    * out of the final top-k). Callers localCheckpoint `scored` (unless
+    * opted out) so the eager actions and every branch below read
+    * 16-byte materialized rows, never a scoring re-run.
     */
   private def selectTopFraction(scored: DataFrame, idColumn: String,
                                 fraction: Double, valueBuckets: Int,
@@ -313,80 +327,105 @@ object Dsir {
     val sd = col("dsir_score").cast("double")
     val bs = ValueBucketing.boundaries(scored, "dsir_score",
       valueBuckets, accuracy)
-    val bucketed = scored
-      .withColumn("__th", Sampling.bucketHex(salt, idc))
-      .withColumn("__b", ValueBucketing.bucketOf(sd, bs))
-    val bCounts = bucketed.groupBy("__b").agg(
-      count(lit(1)).as("__bc"),
-      min("dsir_score").as("__vlo"), max("dsir_score").as("__vhi"))
-    val total = bCounts.agg(sum("__bc").as("__tot"))
-    // running count of HIGHER buckets (selection is descending) — an
-    // unpartitioned window over the count table only, <= ~2x
-    // `valueBuckets` rows (cf. QuantileStats' per-group prefix)
-    val classed = bCounts.crossJoin(broadcast(total))
-      .withColumn("__bc", ValueBucketing.populationGuard(
-        opName, col("__bc"),
-        col("__vlo") === col("__vhi"), col("__tot"), valueBuckets,
-        accuracy))
-      .withColumn("__above", coalesce(
-        sum("__bc").over(Window.orderBy(col("__b").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__k", ceil(
-        lit(new java.math.BigDecimal(fraction.toString)) *
-          col("__tot")).cast("long"))
-      .withColumn("__keep",
-        col("__above") + col("__bc") <= col("__k"))
-      .withColumn("__bnd",
-        !col("__keep") && col("__above") < col("__k"))
-      .withColumn("__q", col("__k") - col("__above"))
-      .withColumn("__one", col("__vlo") === col("__vhi"))
-      .select("__b", "__keep", "__bnd", "__q", "__one")
-    val tagged = bucketed.join(broadcast(classed), Seq("__b"))
-
-    val keepAll = tagged.filter(col("__keep"))
-    // multi-valued boundary bucket: rank its own rows, population
-    // bounded by the equi-depth guard above
-    val bndMulti = tagged.filter(col("__bnd") && !col("__one"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__b").orderBy(
-          col("dsir_score").desc, col("__th").asc, idc.asc))
-        .cast("long"))
-      .filter(col("__rn") <= col("__q"))
-    // single-valued boundary bucket (a heavy tie class holding the
-    // cut): scores are all equal, so order inside is purely
-    // (md5, id) — split by the 16-bit md5 prefix and re-run the
-    // keep-all / boundary count algebra per hash cell
-    val bndSingle = tagged.filter(col("__bnd") && col("__one"))
-      .drop("__keep", "__bnd", "__one") // re-bound per hash cell below
-      .withColumn("__hb",
-        conv(substring(col("__th"), 1, 4), 16, 10).cast("long"))
-    val hCounts = bndSingle.groupBy("__b", "__hb")
-      .agg(count(lit(1)).as("__hc"), first(col("__q")).as("__q"))
-    val hClassed = hCounts
-      .withColumn("__hab", coalesce(
-        sum("__hc").over(Window.partitionBy("__b")
-          .orderBy(col("__hb").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__keep",
-        col("__hab") + col("__hc") <= col("__q"))
-      .withColumn("__bnd",
-        !col("__keep") && col("__hab") < col("__q"))
-      .withColumn("__q2", col("__q") - col("__hab"))
-      .select("__b", "__hb", "__keep", "__bnd", "__q2")
-    val hTagged = bndSingle.drop("__q")
-      .join(broadcast(hClassed), Seq("__b", "__hb"))
-    val hKeep = hTagged.filter(col("__keep"))
-    val hBnd = hTagged.filter(col("__bnd"))
-      .withColumn("__rn2", row_number().over(
-        Window.partitionBy("__b", "__hb")
-          .orderBy(col("__th").asc, idc.asc)).cast("long"))
-      .filter(col("__rn2") <= col("__q2"))
+    val bCol = ValueBucketing.bucketOf(sd, bs)
+    // bounded per-bucket census (<= ~2x `valueBuckets` rows, never the
+    // data) collected once: the keep-all / drop / boundary
+    // classification, the exact-k arithmetic, the population guard and
+    // the hash-cell re-bounding all run on the driver, and the
+    // selection plan becomes LITERAL bucket-id filters over the
+    // checkpointed narrow frame. (Previously the same algebra ran as
+    // tiny count-table windows + two broadcast classification joins —
+    // ~10 extra scheduler-bound stage-jobs per query for tables this
+    // code already bounds to driver size, r18.)
+    val census = scored.groupBy(bCol.as("__b")).agg(
+        count(lit(1)).as("__bc"),
+        min("dsir_score").as("__vlo"), max("dsir_score").as("__vhi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy { case (b, _, _, _) => -b } // selection is descending
+    val total = census.map(_._2).sum
+    val k = new java.math.BigDecimal(fraction.toString)
+      .multiply(java.math.BigDecimal.valueOf(total))
+      .setScale(0, java.math.RoundingMode.CEILING).longValue()
+    // same bound as ValueBucketing.populationGuard, driver-evaluated
+    val guardBound = math.max(1L << 16,
+      total * 8L / valueBuckets + total * 2L / accuracy)
+    census.foreach { case (_, bc, vlo, vhi) =>
+      require(vlo == vhi || bc <= guardBound,
+        s"$opName: a multi-valued value bucket holds $bc rows — far " +
+          "beyond the equi-depth bound; the sampled boundaries no " +
+          "longer match the data (raise `accuracy`, or `valueBuckets` " +
+          "if this distribution is legitimate)")
+    }
+    var above = 0L
+    var keepIds = List.empty[Long]
+    var boundary: Option[(Long, Long, Boolean)] = None // (b, quota, 1-valued)
+    census.foreach { case (b, bc, vlo, vhi) =>
+      if (above + bc <= k) keepIds ::= b
+      else if (above < k) boundary = Some((b, k - above, vlo == vhi))
+      above += bc
+    }
 
     val keptCols = Seq(idc, col("dsir_score"))
-    keepAll.select(keptCols: _*)
-      .unionByName(bndMulti.select(keptCols: _*))
-      .unionByName(hKeep.select(keptCols: _*))
-      .unionByName(hBnd.select(keptCols: _*))
+    val thC = Sampling.bucketHex(salt, idc)
+    val keepAll = scored.filter(bCol.isin(keepIds: _*))
+    val bndPart = boundary match {
+      case Some((b, q, false)) =>
+        // multi-valued boundary bucket: rank its own rows, population
+        // bounded by the equi-depth guard above; the md5 tie hex is
+        // computed for boundary rows only
+        scored.filter(bCol === lit(b))
+          .withColumn("__th", thC)
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(bCol).orderBy(
+              col("dsir_score").desc, col("__th").asc, idc.asc))
+            .cast("long"))
+          .filter(col("__rn") <= lit(q))
+          .select(keptCols: _*)
+      case Some((b, q, true)) =>
+        // single-valued boundary bucket (a heavy tie class holding the
+        // cut): scores are all equal, so order inside is purely
+        // (md5, id) — split by the 16-bit md5 prefix and re-run the
+        // keep-all / boundary algebra per hash cell (<= 65536 cells,
+        // driver-bounded census again); only the ONE partial cell is
+        // ever rank-windowed
+        val cells = scored.filter(bCol === lit(b))
+          .withColumn("__th", thC)
+          .withColumn("__hb",
+            conv(substring(col("__th"), 1, 4), 16, 10).cast("long"))
+        val hCensus = cells.groupBy("__hb").agg(count(lit(1)).as("__hc"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1) // cell order is ascending
+        var hab = 0L
+        var hKeepIds = List.empty[Long]
+        var hBoundary: Option[(Long, Long)] = None
+        hCensus.foreach { case (hb, hc) =>
+          if (hab + hc <= q) hKeepIds ::= hb
+          else if (hab < q) hBoundary = Some((hb, q - hab))
+          hab += hc
+        }
+        val (hbId, q2) = hBoundary.getOrElse((-1L, 0L))
+        val hBnd = cells.filter(col("__hb") === lit(hbId))
+          .withColumn("__rn2", row_number().over(
+            Window.partitionBy("__hb")
+              .orderBy(col("__th").asc, idc.asc)).cast("long"))
+          .filter(col("__rn2") <= lit(q2))
+        cells.filter(col("__hb").isin(hKeepIds: _*)).select(keptCols: _*)
+          .unionByName(hBnd.select(keptCols: _*))
+      case None =>
+        // k falls exactly on a bucket edge: nothing to rank, but the
+        // rank window (the operator's signature node) stays in the
+        // plan over a provably-empty filter
+        scored.filter(bCol === lit(-1L))
+          .withColumn("__th", thC)
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(bCol).orderBy(
+              col("dsir_score").desc, col("__th").asc, idc.asc))
+            .cast("long"))
+          .filter(col("__rn") <= lit(0L))
+          .select(keptCols: _*)
+    }
+    keepAll.select(keptCols: _*).unionByName(bndPart)
   }
 
   /** Keep the `ceil(fraction * n)` documents with the highest
@@ -413,9 +452,10 @@ object Dsir {
     * `cacheScores` is set (the [[Similarity.CosineTopK]] trade), so
     * the eager boundary sampling and every selection branch read the
     * materialized narrow rows instead of re-running the scoring joins,
-    * and document text is touched exactly twice end to end: the token
-    * explode, and the final id-keyed join that re-attaches input
-    * columns to KEPT rows only.
+    * and document text is tokenized exactly ONCE end to end (the fit
+    * aggregation and the scoring join share one materialized posting —
+    * `cachePosting`); the only other touch is the final id-keyed join
+    * that re-attaches input columns to KEPT rows only.
     */
   final case class ImportanceResample(targetValue: String,
                                       fraction: Double,
@@ -427,7 +467,8 @@ object Dsir {
                                       accuracy: Int = 10000,
                                       salt: String = "graft",
                                       cacheScores: Boolean = true,
-                                      ngram: Int = 1)
+                                      ngram: Int = 1,
+                                      cachePosting: Boolean = true)
       extends Wrangler {
     require(fraction > 0.0 && fraction <= 1.0,
       s"`fraction` must be in (0, 1], got $fraction")
@@ -442,10 +483,32 @@ object Dsir {
       SparkUtil.validateColumns(df,
         Seq(idColumn, textColumn, targetColumn))
       requireNoReserved(df)
-      val counts = featureCounts(df, targetValue, textColumn,
-        targetColumn, numFeatures, ngram)
+      val idc = col(idColumn)
+      // ONE tokenize+hash pass over the corpus (r18): the fit
+      // aggregation and the scoring join both read the same posting,
+      // materialized narrow ((id, flag, cell) per occurrence) under
+      // `cachePosting` — previously each ran its own full explode +
+      // md5 pass over the text. Set `cachePosting = false` for a
+      // corpus whose occurrence rows exceed cluster storage; the two
+      // consumers then recompute the posting, same results.
+      val flagged = df.select(idc,
+        coalesce(col(targetColumn) === lit(targetValue), lit(false))
+          .as("__tgt"),
+        col(textColumn))
+      val posting0 = featurePosting(flagged, Seq(idColumn, "__tgt"),
+        textColumn, numFeatures, ngram)
+      val posting =
+        if (cachePosting) posting0.localCheckpoint() else posting0
+      val counts = SparkUtil.withFitParams(
+        posting.select(col("__tgt"), col("__feat").as("feature"))
+          .groupBy("feature")
+          .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_target"),
+            sum(when(col("__tgt"), 0L).otherwise(1L)).as("n_raw")),
+        "feature",
+        Map("numFeatures" -> numFeatures.toLong, "ngram" -> ngram.toLong))
       val scoredLazy = scoreAgainst(df, counts, idColumn, textColumn,
-        numFeatures, emptyModelError = None, ngram)
+        numFeatures, emptyModelError = None, ngram,
+        posting0 = Some(posting.select(idc, col("__feat").as("__f"))))
       val scored =
         if (cacheScores) scoredLazy.localCheckpoint() else scoredLazy
       val kept = selectTopFraction(scored, idColumn, fraction,

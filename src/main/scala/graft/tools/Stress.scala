@@ -44,7 +44,7 @@ object Stress {
         orderbyColumns = Seq("o"), groupbyColumns = Seq("g"))
       val sa = new IntervalIdentifierSalted("marker", "s", Some("e"),
         orderbyColumns = Seq("o"), groupbyColumns = Seq("g"),
-        saltBuckets = 64)
+        saltBuckets = 64, maxChunkRows = 1L)
       time(s"window    n=$n groups=$groups")(force(w.transform(df)))
       time(s"singlepass n=$n groups=$groups")(force(sp.transform(df)))
       time(s"salted    n=$n groups=$groups")(force(sa.transform(df)))

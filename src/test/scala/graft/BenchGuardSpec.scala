@@ -204,4 +204,16 @@ class BenchGuardSpec extends AnyFunSuite {
     val v = Bench.loadavg()
     assert(v >= 0.0 && v < 10000.0, s"loadavg = $v")
   }
+
+  test("oracle SQL binds jsonl_ingest's export path to the dump's own " +
+    "sf directory (r18: a hard-coded sf0.01 path made every other SF's " +
+    "gate read a stale export)") {
+    assert(SparkEntry.oracleSqlFor("sf0.001")("jsonl_ingest")
+      .contains("jsonl_export_sf0.001/"))
+    assert(SparkEntry.oracleSqlFor("sf0.1")("jsonl_ingest")
+      .contains("jsonl_export_sf0.1/"))
+    // the default surface stays the sf0.01 binding Verify used to bake in
+    assert(SparkEntry.oracleSql("jsonl_ingest")
+      .contains("jsonl_export_sf0.01/"))
+  }
 }

@@ -120,7 +120,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "whole-group window anywhere in the plan") {
     val w = new IntervalIdentifierSalted("marker", "s", Some("e"),
       orderbyColumns = Seq("event_id"), groupbyColumns = Seq("user_id"),
-      resultType = ResultType.Raw, saltBuckets = 4)
+      resultType = ResultType.Raw, saltBuckets = 4, maxChunkRows = 1L)
     val plan = w.transform(events).queryExecution.executedPlan.toString
     val windowNodes = plan.linesIterator
       .filter(_.contains("Window [")).toSeq

@@ -45,7 +45,7 @@ object IntervalCorpus {
                        buckets: Int = 3): IntervalIdentifier =
       new IntervalIdentifierSalted("marker", markerStart, markerEnd,
         startUseFirst, endUseFirst, orderby, groupby, ascending,
-        resultType, "iid", saltBuckets = buckets)
+        resultType, "iid", saltBuckets = buckets, maxChunkRows = 1L)
   }
 
   private val intCols = Seq("order:i", "groupby:i", "marker:i", "iid:i")

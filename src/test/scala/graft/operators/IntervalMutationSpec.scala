@@ -22,7 +22,7 @@ class IntervalMutationSpec extends AnyFunSuite {
   private def runSalted(df: DataFrame): DataFrame =
     new IntervalIdentifierSalted("marker", 1, Some(2),
       orderbyColumns = Seq("order"), groupbyColumns = Seq("groupby"),
-      saltBuckets = 3).transform(df)
+      saltBuckets = 3, maxChunkRows = 1L).transform(df)
 
   test("golden case with killed mutants and repartition invariance") {
     val tc = new DataTestCase(spark) {

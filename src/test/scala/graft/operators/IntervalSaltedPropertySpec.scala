@@ -93,7 +93,7 @@ class IntervalSaltedPropertySpec extends AnyFunSuite {
     val w = new IntervalIdentifierSalted("marker", Start,
       if (identical) None else Some(End), su, eu,
       orderbyColumns = Seq("o"), groupbyColumns = Seq("g"),
-      ascending = Seq(asc), saltBuckets = buckets)
+      ascending = Seq(asc), saltBuckets = buckets, maxChunkRows = 1L)
     w.transform(df).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Number]("iids").longValue)
       .toMap
@@ -163,7 +163,7 @@ class IntervalSaltedPropertySpec extends AnyFunSuite {
       schema)
     val w = new IntervalIdentifierSalted("marker", "s", Some("e"),
       orderbyColumns = Seq("o"), groupbyColumns = Seq("g"),
-      saltBuckets = 3)
+      saltBuckets = 3, maxChunkRows = 1L)
     val got = w.transform(df).collect()
       .map(r => (r.getInt(0), Option(r.get(1)).map(_.toString).orNull) ->
         r.getAs[Number]("iids").longValue).toMap
